@@ -1,0 +1,75 @@
+"""Benchmark runner (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed as a full cold plan → action (count via a no-op
+write would hide row materialization; we use ``df.count()`` after a
+``collect``-free plan so timings include scan+shuffle+agg but not
+driver-side row transfer for wide outputs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from medallion_delta_lake_spark.plans import registry  # noqa: E402
+from medallion_delta_lake_spark.plans import queries_core  # noqa: F401,E402
+
+try:
+    from medallion_delta_lake_spark.plans import queries_text  # noqa: F401,E402
+except ImportError:
+    pass
+try:
+    from medallion_delta_lake_spark.plans import queries_ml  # noqa: F401,E402
+except ImportError:
+    pass
+
+from medallion_delta_lake_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark(app_name="mdls-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/session so the first query doesn't pay session startup
+    registry.table(spark, sf_dir, "region").count()
+
+    timings: dict[str, float] = {}
+    for name in sorted(registry.QUERIES):
+        fn = registry.QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,168 @@
+"""Generic SCD-1 upsert with full-source sync (SURVEY.md §2.9).
+
+The reference re-templates the same 25-line Delta MERGE seven times
+(silver_table_creation.py:43-66, 82-112, 148-175, 202-230, 366-394,
+418-446; gold_table_creation.py:163-191): update-if-any-column-changed,
+insert-if-new, delete-if-absent-from-source. The engine provides it
+once, parameterized by ``keys``.
+
+Semantics (keys K, non-key columns V):
+- source is pre-deduplicated to one row per K (Delta MERGE throws on
+  multiple source matches — SURVEY.md §7 hard part 1; the reference
+  relies on an earlier full-row dropDuplicates for this);
+- matched rows take the source's V (SCD type 1);
+- unmatched source keys are inserted;
+- target keys absent from the source are deleted when
+  ``delete_missing=True`` (``whenNotMatchedBySourceDelete``) — the
+  table then *is* the latest source snapshot, keyed by K.
+
+Two physical paths:
+- **delta** (when delta-spark is importable): native ``DeltaTable.merge``
+  — touched-file join + rewrite + atomic log commit; only files holding
+  matched keys are rewritten, which is what makes incremental runs cheap
+  at 100 TB. The update condition is **null-safe** (``NOT (d.c <=> s.c)``)
+  — the reference's ``!=`` silently skips NULL↔value changes (quirk Q3).
+- **parquet fallback** (this container): the merged state is computed as
+  a DataFrame (:func:`merge_state`) and swapped in as a new snapshot
+  directory. Correctness-equivalent, full rewrite per run; the docstring
+  notes this is the test-environment path, not the scale path.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from medallion_delta_lake_spark.operators.window import latest_per_key
+from medallion_delta_lake_spark.session import delta_available
+from medallion_delta_lake_spark.sources.writers import table_exists
+
+
+def dedup_source_by_key(
+    df: DataFrame, keys: Sequence[str], version_col: str | None = None
+) -> DataFrame:
+    """One row per key: latest by ``version_col`` when given, else an
+    arbitrary-but-deterministic full-row dedup then key dedup."""
+    if version_col:
+        return latest_per_key(df, keys, version_col)
+    return df.dropDuplicates().dropDuplicates(list(keys))
+
+
+def merge_state(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    delete_missing: bool = True,
+) -> DataFrame:
+    """Pure-DataFrame post-merge state (same column set as ``source``).
+
+    With ``delete_missing`` the state is exactly the deduped source; the
+    interesting case is ``delete_missing=False``: source rows win on
+    matched keys, target-only keys survive. Expressed as source ∪
+    (target ⟕anti source) — two narrow plans, one shuffle each on K.
+    """
+    keys = list(keys)
+    src = source.select(*target.columns) if set(source.columns) == set(
+        target.columns
+    ) else source
+    if delete_missing:
+        return src
+    survivors = target.join(src.select(*keys), on=keys, how="left_anti")
+    return src.unionByName(survivors)
+
+
+def _null_safe_change_cond(cols: Sequence[str]) -> str:
+    return " OR ".join(f"NOT (d.`{c}` <=> s.`{c}`)" for c in cols)
+
+
+def upsert(
+    spark: SparkSession,
+    source: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    partition_col: str | None = None,
+    delete_missing: bool = True,
+    version_col: str | None = None,
+) -> None:
+    """Upsert ``source`` into the table at ``path`` (create if absent)."""
+    keys = list(keys)
+    src = dedup_source_by_key(source, keys, version_col)
+
+    if not table_exists(spark, path):
+        writer = src.write.format("delta" if delta_available() else "parquet")
+        if partition_col:
+            writer = writer.partitionBy(partition_col)
+        writer.mode("overwrite").save(path)
+        return
+
+    if delta_available():
+        _upsert_delta(spark, src, path, keys, delete_missing)
+    else:
+        _upsert_parquet_snapshot(spark, src, path, keys, partition_col, delete_missing)
+
+
+def _upsert_delta(
+    spark: SparkSession,
+    src: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    delete_missing: bool,
+) -> None:
+    from delta.tables import DeltaTable
+
+    dest = DeltaTable.forPath(spark, path)
+    non_keys = [c for c in src.columns if c not in keys]
+    on = " AND ".join(f"d.`{k}` <=> s.`{k}`" for k in keys)
+    builder = (
+        dest.alias("d")
+        .merge(src.alias("s"), on)
+        .whenMatchedUpdate(
+            condition=_null_safe_change_cond(non_keys) if non_keys else None,
+            set={c: f"s.`{c}`" for c in non_keys},
+        )
+        .whenNotMatchedInsert(values={c: f"s.`{c}`" for c in src.columns})
+    )
+    if delete_missing:
+        builder = builder.whenNotMatchedBySourceDelete()
+    builder.execute()
+
+
+def _upsert_parquet_snapshot(
+    spark: SparkSession,
+    src: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    partition_col: str | None,
+    delete_missing: bool,
+) -> None:
+    target = spark.read.parquet(path)
+    state = merge_state(target, src, keys, delete_missing)
+    staging = path.rstrip("/") + "__staging"
+    writer = state.write.format("parquet").mode("overwrite")
+    if partition_col:
+        writer = writer.partitionBy(partition_col)
+    writer.save(staging)
+    old = path.rstrip("/") + "__old"
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def changed_keys(
+    target: DataFrame, source: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """Diagnostic: keys whose non-key values differ (null-safely) between
+    target and source — the rows a MERGE would update."""
+    keys = list(keys)
+    non_keys = [c for c in source.columns if c not in keys]
+    t = target.select(*keys, *[F.col(c).alias(f"_t_{c}") for c in non_keys])
+    j = source.join(t, on=keys, how="inner")
+    cond = None
+    for c in non_keys:
+        piece = ~F.col(c).eqNullSafe(F.col(f"_t_{c}"))
+        cond = piece if cond is None else (cond | piece)
+    return j.filter(cond).select(*keys)

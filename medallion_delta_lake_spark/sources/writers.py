@@ -1,0 +1,84 @@
+"""Sinks.
+
+Covers the reference's write shapes (SURVEY.md §2.1):
+
+- ``sink-delta-append``    — append + mergeSchema + partitionBy
+  (bronze_table_creation.py:26,31,41,46,51,56)
+- ``sink-delta-overwrite`` — idempotent dimension overwrite
+  (bronze_table_creation.py:36,61; silver_table_creation.py:300)
+- ``sink-delta-error``     — the reference's try/except("table exists")
+  probe (silver_table_creation.py:43-46 ×7) becomes an explicit
+  existence check (``table_exists``) — quirk Q4 in SURVEY.md §4.
+
+When delta-spark is absent, tables are plain partitioned parquet
+directories; `mergeSchema` has no transaction-log equivalent there, so
+schema evolution is handled at read time (spark.read.option
+("mergeSchema", true) on parquet honors it for compatible changes).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from medallion_delta_lake_spark.session import delta_available
+
+
+def _fmt() -> str:
+    return "delta" if delta_available() else "parquet"
+
+
+def table_exists(spark: SparkSession, path: str) -> bool:
+    """Existence probe replacing the reference's bare try/except write."""
+    if delta_available():
+        from delta.tables import DeltaTable
+
+        return DeltaTable.isDeltaTable(spark, path)
+    # parquet fallback: directory with at least one data or metadata file
+    if not os.path.isdir(path):
+        return False
+    for _, _, files in os.walk(path):
+        if any(f.endswith(".parquet") or f == "_SUCCESS" for f in files):
+            return True
+    return False
+
+
+def write_append(
+    df: DataFrame,
+    path: str,
+    partition_col: str | None = None,
+    merge_schema: bool = True,
+) -> None:
+    """Append write with optional hive partitioning + schema evolution."""
+    writer = df.write.format(_fmt()).mode("append")
+    if merge_schema:
+        writer = writer.option("mergeSchema", "true")
+    if partition_col:
+        writer = writer.partitionBy(partition_col)
+    writer.save(path)
+
+
+def write_overwrite(
+    df: DataFrame, path: str, partition_col: str | None = None
+) -> None:
+    """Idempotent full overwrite (dimension tables)."""
+    writer = df.write.format(_fmt()).mode("overwrite")
+    if delta_available():
+        writer = writer.option("overwriteSchema", "true")
+    if partition_col:
+        writer = writer.partitionBy(partition_col)
+    writer.save(path)
+
+
+def write_if_absent(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    partition_col: str | None = None,
+) -> bool:
+    """Create the table only if it does not exist; True if created."""
+    if table_exists(spark, path):
+        return False
+    write_overwrite(df, path, partition_col)
+    return True
