@@ -89,19 +89,26 @@ def nn_assign(
     deterministic when distances tie.
 
     Plan: broadcast nested-loop join (labeled side must be the small
-    side) → ``min(struct(dist, tie, labels))`` grouped by the unlabeled
-    columns. The struct-min is an ordinary aggregate, so Spark applies
-    map-side partial aggregation: each task reduces its |labeled|
-    candidates per row locally and the shuffle carries ONE row per
-    unlabeled row — unlike a window rank-1, which must shuffle + sort
-    the full |unlabeled| × |labeled| cross product. (Measured 15×
-    faster at sf0.1; the gap widens with cluster size.)
+    side) → ``min(struct(sort_dist, tie, labels))`` grouped by
+    ``id_cols``. The struct-min is an ordinary aggregate, so Spark
+    applies map-side partial aggregation: each task reduces its
+    |labeled| candidates per row locally and the shuffle carries ONE
+    row per unlabeled row — unlike a window rank-1, which must
+    shuffle + sort the full |unlabeled| × |labeled| cross product.
+    (Measured 15× faster at sf0.1; the gap widens with cluster size.)
 
-    ``id_cols`` is kept for signature clarity/validation: the group key
-    is all of ``unlabeled``'s columns, which must be functionally
-    dependent on ``id_cols``.
+    ``id_cols`` must uniquely identify ``unlabeled`` rows (they are the
+    group key; the remaining unlabeled columns ride along as
+    ``first()``, which is deterministic exactly because the key is
+    unique). Rows are never collapsed: output cardinality ==
+    ``unlabeled`` cardinality whenever the uniqueness contract holds.
+
+    NULL distances rank LAST (sort key is ``coalesce(dist, +inf)``), so
+    a labeled row whose distance expression is NULL (e.g. NULL
+    coordinates) can only win when every candidate is NULL — matching
+    ``ROW_NUMBER() ... ORDER BY dist ASC NULLS LAST`` semantics; the
+    reported ``distance_col`` keeps the real (possibly NULL) distance.
     """
-    del id_cols  # group key is every unlabeled column (see docstring)
     # A small unlabeled side may arrive as one scan partition (one file);
     # the cross product then runs in a single task. fan_out spreads the
     # probe side before the broadcast join — a cheap narrow-row shuffle
@@ -111,14 +118,18 @@ def nn_assign(
     joined = unlabeled.crossJoin(F.broadcast(labeled))
     tie = [c for c in tie_break]
     rest = [c for c in label_cols if c not in tie]
-    best = joined.groupBy(*[F.col(c) for c in unlabeled.columns]).agg(
+    carry = [c for c in unlabeled.columns if c not in id_cols]
+    sort_dist = F.coalesce(distance.cast("double"), F.lit(float("inf")))
+    best = joined.groupBy(*[F.col(c) for c in id_cols]).agg(
         F.min(
             F.struct(
-                distance.alias("_d"),
+                sort_dist.alias("_sd"),
                 *[F.col(c) for c in tie],
                 *[F.col(c) for c in rest],
+                distance.alias("_d"),
             )
-        ).alias("_m")
+        ).alias("_m"),
+        *[F.first(F.col(c)).alias(c) for c in carry],
     )
     out_cols = [F.col(c) for c in unlabeled.columns] + [
         F.col(f"_m.{c}").alias(c) for c in label_cols

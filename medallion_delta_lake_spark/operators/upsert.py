@@ -45,11 +45,21 @@ from medallion_delta_lake_spark.sources.writers import table_exists
 def dedup_source_by_key(
     df: DataFrame, keys: Sequence[str], version_col: str | None = None
 ) -> DataFrame:
-    """One row per key: latest by ``version_col`` when given, else an
-    arbitrary-but-deterministic full-row dedup then key dedup."""
+    """One row per key: latest by ``version_col`` when given, else the
+    row with the greatest (non-key column tuple) ordering — an arbitrary
+    but **deterministic** winner. ``dropDuplicates(keys)`` would keep a
+    partition/order-dependent row, so repeated upserts of the same
+    multi-row-per-key source could produce different table states run
+    to run; routing through a full-tuple window rank instead makes the
+    choice a pure function of the data."""
+    keys = list(keys)
     if version_col:
-        return latest_per_key(df, keys, version_col)
-    return df.dropDuplicates().dropDuplicates(list(keys))
+        tie = [c for c in df.columns if c not in keys and c != version_col]
+        return latest_per_key(df, keys, version_col, tie_break=tie)
+    non_keys = [c for c in df.columns if c not in keys]
+    if not non_keys:
+        return df.dropDuplicates(keys)
+    return latest_per_key(df, keys, non_keys[0], tie_break=non_keys[1:])
 
 
 def merge_state(
@@ -139,15 +149,24 @@ def _upsert_parquet_snapshot(
     partition_col: str | None,
     delete_missing: bool,
 ) -> None:
+    staging = path.rstrip("/") + "__staging"
+    old = path.rstrip("/") + "__old"
+    # Crash recovery: a failure between the two renames of a previous run
+    # leaves the snapshot parked at __old — restore it. Stale __staging /
+    # __old from aborted runs would otherwise make os.rename fail (rename
+    # onto a non-empty dir errors), so clear them before writing.
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+
     target = spark.read.parquet(path)
     state = merge_state(target, src, keys, delete_missing)
-    staging = path.rstrip("/") + "__staging"
     writer = state.write.format("parquet").mode("overwrite")
     if partition_col:
         writer = writer.partitionBy(partition_col)
-    writer.save(staging)
-    old = path.rstrip("/") + "__old"
-    os.rename(path, old)
+    writer.save(staging)  # materializes fully while the original is live
+    os.rename(path, old)  # original survives as __old until the swap lands
     os.rename(staging, path)
     shutil.rmtree(old, ignore_errors=True)
 
