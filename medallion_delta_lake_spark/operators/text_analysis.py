@@ -1,0 +1,141 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+Extension surface beyond the reference (SURVEY.md §2.11): language ID,
+quality scoring, token counting, document fingerprinting — the
+pre-training corpus hygiene passes a 100 TB documents table needs.
+
+Everything is a narrow projection of native Catalyst expressions:
+per-row, no shuffle, no Python UDF, fully inside whole-stage codegen —
+the shape that scales linearly with executors. Determinism contract:
+all scores are integer counts or int/int double divisions (IEEE-exact
+in any engine), so the DuckDB oracles match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from medallion_delta_lake_spark.functions.hashing import h64, rolling_fingerprint
+from medallion_delta_lake_spark.functions.texts import normalize_text, tokenize
+
+# BPE-ish word/number/symbol tokenizer (shared literal with the SQL
+# oracle; subset of regex syntax where Java regex and RE2 agree).
+REGEX_TOKEN_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+# Minimal per-language stopword profiles for the n-gram/stopword
+# language-ID heuristic. Tie-break priority = dict order.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"],
+    "es": ["el", "la", "de", "y", "que", "en", "los", "se", "un", "por"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "zu", "nicht"],
+    "fr": ["le", "la", "les", "et", "de", "un", "une", "pour", "dans", "est"],
+    "zh": ["的", "是", "在", "了", "和", "有", "我", "不", "这", "他"],
+}
+
+
+def _stopword_hits(tokens: Column, words: Sequence[str]) -> Column:
+    """Number of tokens (with duplicates) in ``words``."""
+    wl = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(wl, t)))
+
+
+def token_stats(
+    df: DataFrame, text_col: str = "text", id_cols: Sequence[str] = ("doc_id",)
+) -> DataFrame:
+    """Per-document token counting: whitespace tokens, distinct tokens,
+    regex (BPE-ish) tokens, char length, mean token length."""
+    norm = normalize_text(text_col)
+    toks = tokenize(text_col)
+    n_toks = F.size(toks)
+    return df.select(
+        *id_cols,
+        F.length(norm).alias("n_chars"),
+        n_toks.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.size(F.regexp_extract_all(norm, F.lit(REGEX_TOKEN_PATTERN), 0)).alias(
+            "n_regex_tokens"
+        ),
+        (
+            (F.length(norm) - n_toks + 1).cast("double") / n_toks.cast("double")
+        ).alias("mean_token_len"),
+    )
+
+
+def quality_score(
+    df: DataFrame, text_col: str = "text", id_cols: Sequence[str] = ("doc_id",)
+) -> DataFrame:
+    """Heuristic document quality: char-class ratios + stopword density
+    folded into a 0–100 integer score (quartile rubric: length band,
+    stopword density, punctuation restraint, token-shape band)."""
+    norm = normalize_text(text_col)
+    toks = tokenize(text_col)
+    n_chars = F.length(norm)
+    n_alpha = F.length(F.regexp_replace(norm, "[^a-z]", ""))
+    n_digit = F.length(F.regexp_replace(norm, "[^0-9]", ""))
+    n_space = F.length(F.regexp_replace(norm, "[^ ]", ""))
+    n_punct = n_chars - n_alpha - n_digit - n_space
+    n_toks = F.size(toks)
+    sw = _stopword_hits(toks, STOPWORDS["en"])
+    stop_ratio = sw.cast("double") / n_toks.cast("double")
+    punct_ratio = n_punct.cast("double") / n_chars.cast("double")
+    mean_tok = (n_chars - n_toks + 1).cast("double") / n_toks.cast("double")
+    score = (
+        F.when((n_chars >= 100) & (n_chars <= 2000), 25).otherwise(0)
+        + F.when(stop_ratio >= 0.05, 25).otherwise(0)
+        + F.when(punct_ratio <= 0.2, 25).otherwise(0)
+        + F.when((mean_tok >= 3.0) & (mean_tok <= 10.0), 25).otherwise(0)
+    )
+    return df.select(
+        *id_cols,
+        n_chars.alias("n_chars"),
+        n_toks.alias("n_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        mean_tok.alias("mean_token_len"),
+        score.cast("int").alias("quality_score"),
+    )
+
+
+def language_id(
+    df: DataFrame, text_col: str = "text", id_cols: Sequence[str] = ("doc_id",)
+) -> DataFrame:
+    """Stopword-profile language ID: per-language stopword hit counts,
+    argmax with deterministic priority-order tie-break (first language
+    in STOPWORDS wins ties). Unknown (all-zero) → 'und'."""
+    toks = tokenize(text_col)
+    scores = {
+        lang: _stopword_hits(toks, words) for lang, words in STOPWORDS.items()
+    }
+    langs = list(STOPWORDS)
+    detected = F.lit("und")
+    # build the CASE chain back-to-front so earlier langs take priority
+    for lang in reversed(langs):
+        cond = scores[lang] > 0
+        for other in langs:
+            if langs.index(other) < langs.index(lang):
+                cond = cond & (scores[lang] > scores[other])
+            elif other != lang:
+                cond = cond & (scores[lang] >= scores[other])
+        detected = F.when(cond, F.lit(lang)).otherwise(detected)
+    return df.select(
+        *id_cols,
+        *[scores[lang].alias(f"score_{lang}") for lang in langs],
+        detected.alias("detected_lang"),
+    )
+
+
+def fingerprint(
+    df: DataFrame, text_col: str = "text", id_cols: Sequence[str] = ("doc_id",)
+) -> DataFrame:
+    """Document fingerprints: order-sensitive polynomial rolling hash
+    over tokens + order-free content hash of the normalized text.
+    Replaces full-text equality in exact dedup at 100 TB — groupBy on a
+    60-bit fingerprint shuffles 8 bytes/doc instead of whole documents."""
+    return df.select(
+        *id_cols,
+        rolling_fingerprint(tokenize(text_col)).alias("fingerprint"),
+        h64(normalize_text(text_col)).alias("content_hash"),
+    )
