@@ -1,0 +1,286 @@
+"""Near-duplicate detection operators for LLM training-data pipelines
+(SURVEY.md §2.11 extension surface).
+
+Four escalating strategies, all DataFrame-native (no Python UDFs — the
+shingle/hash/signature math is Catalyst higher-order-function
+expressions inside whole-stage codegen):
+
+- exact:   8-byte content-hash groupBy — shuffles hashes, not text.
+- n-gram:  inverted-index self-join on shingle *hashes* (bigint), so
+           the pair-generation shuffle carries 16 bytes per posting.
+- MinHash: fixed-width signatures + banded LSH join; candidate pairs
+           are verified with exact Jaccard. The only all-pairs work
+           happens within a band bucket.
+- SimHash: 32-bit signature; banded hamming join (pigeonhole: any pair
+           within distance d shares ≥1 of d+1 bands).
+
+Scale notes (100 TB corpus): every join key here is a bigint; the
+labeled side of each self-join is the *posting list*, never the raw
+text, so shuffle volume is O(docs × shingles × 16 B), not O(corpus).
+Pathological shingles (boilerplate appearing in millions of docs)
+should be dropped with ``max_df`` before pair generation — that cap is
+the difference between a linear pass and a quadratic blowup; the
+default keeps everything for small-SF oracle parity.
+
+Hashing is the portable md5-prefix h64 (functions/hashing.py), so the
+DuckDB oracles in plans/queries_text.py reproduce results exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from medallion_delta_lake_spark.functions.hashing import (
+    B_ROLL,
+    P_ROLL,
+    h64,
+    minhash_params,
+    perm_hash,
+)
+from medallion_delta_lake_spark.functions.texts import (
+    normalize_text,
+    shingles,
+    tokenize,
+)
+
+
+def exact_dedup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup by content hash: one surviving (minimum) id per
+    normalized text, plus the duplicate count. GroupBy on the 60-bit
+    hash — the shuffle carries (hash, id), never the document."""
+    hashed = df.select(
+        F.col(id_col), h64(normalize_text(text_col)).alias("content_hash")
+    )
+    return hashed.groupBy("content_hash").agg(
+        F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+def shingle_hashes(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, array<bigint> of distinct word-n-gram shingle hashes)."""
+    sh = F.array_distinct(
+        F.transform(shingles(text_col, n=n), lambda s: h64(s))
+    )
+    return df.select(F.col(id_col), sh.alias("sh"))
+
+
+def _pair_jaccard(pairs: DataFrame, sets_df: DataFrame, id_col: str) -> DataFrame:
+    """Attach exact Jaccard over shingle-hash sets to (id_a, id_b)."""
+    a = sets_df.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sets_df.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    return joined.select(
+        "id_a",
+        "id_b",
+        (inter.cast("double") / union.cast("double")).alias("jaccard"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.6,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by exact n-gram Jaccard ≥ threshold, generated
+    with an inverted-index self-join (docs only pair up if they share a
+    shingle — never a blind cross join). ``max_df`` drops shingles that
+    occur in more than that many documents before pair generation (the
+    boilerplate cap; essential at scale, off by default for parity)."""
+    sets_df = shingle_hashes(df, text_col, id_col, n=n).cache()
+    postings = sets_df.select(
+        F.col(id_col), F.explode("sh").alias("shingle_hash")
+    )
+    if max_df is not None:
+        ok = (
+            postings.groupBy("shingle_hash")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .filter(F.col("df_") <= max_df)
+            .select("shingle_hash")
+        )
+        postings = postings.join(ok, "shingle_hash")
+    left = postings.select(
+        F.col("shingle_hash"), F.col(id_col).alias("id_a")
+    )
+    right = postings.select(
+        F.col("shingle_hash"), F.col(id_col).alias("id_b")
+    )
+    pairs = (
+        left.join(right, "shingle_hash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    out = _pair_jaccard(pairs, sets_df, id_col)
+    return out.filter(F.col("jaccard") >= threshold)
+
+
+def minhash_signature_cols(sh: Column, num_perm: int) -> list[Column]:
+    """MinHash signature of a shingle-hash array: for each universal
+    hash h_i, min over the set. Empty sets yield NULL mins."""
+    return [
+        F.array_min(F.transform(sh, lambda x: perm_hash(x, a, b)))
+        for (a, b) in minhash_params(num_perm)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 16,
+) -> DataFrame:
+    """Long-form MinHash signatures: (id, perm, minhash). Long form
+    keeps the oracle comparison schema-stable for any num_perm."""
+    sets_df = shingle_hashes(df, text_col, id_col, n=n)
+    sig = sets_df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*minhash_signature_cols(F.col("sh"), num_perm))
+        ).alias("perm", "minhash"),
+    )
+    return sig
+
+
+def _band_key(sig_slice: Column) -> Column:
+    """Fold a band's minhash values into one bigint bucket key
+    (same polynomial fold as the rolling fingerprint)."""
+    return F.aggregate(
+        sig_slice,
+        F.lit(0).cast("bigint"),
+        lambda s, x: (s * F.lit(B_ROLL) + x % F.lit(P_ROLL)) % F.lit(P_ROLL),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs, verified with exact Jaccard.
+
+    Signature → ``bands`` buckets of ``num_perm//bands`` rows; docs
+    sharing any band bucket become candidates; candidates are verified
+    against the exact shingle-set Jaccard (no false positives in the
+    output — LSH only bounds recall). This is the sub-quadratic scale
+    path: the all-pairs comparison only ever happens inside a bucket."""
+    rows_per_band = num_perm // bands
+    sets_df = shingle_hashes(df, text_col, id_col, n=n).cache()
+    sig = sets_df.select(
+        F.col(id_col),
+        F.array(*minhash_signature_cols(F.col("sh"), num_perm)).alias("sig"),
+    )
+    banded = sig.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    _band_key(
+                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+    left = banded.select("band", "band_key", F.col(id_col).alias("id_a"))
+    right = banded.select("band", "band_key", F.col(id_col).alias("id_b"))
+    pairs = (
+        left.join(right, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    out = _pair_jaccard(pairs, sets_df, id_col)
+    return out.filter(F.col("jaccard") >= threshold)
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+) -> DataFrame:
+    """SimHash signature: per bit j, sum ±1 over token hashes' j-th bit
+    (duplicates weight naturally); bit set iff the sum ≥ 0. One per-row
+    expression tree — no shuffle, no UDF."""
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(tokenize(text_col), lambda t: h64(t)).alias("th"),
+    )
+
+    def vote(j: int) -> Column:
+        return F.aggregate(
+            F.col("th"),
+            F.lit(0),
+            lambda s, x: s
+            + F.when(
+                F.shiftright(x, j).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1),
+        )
+
+    sig = F.lit(0).cast("bigint")
+    for j in range(bits):
+        sig = sig + F.when(vote(j) >= 0, F.lit(2**j).cast("bigint")).otherwise(0)
+    return hashed.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with SimHash hamming distance ≤ ``max_hamming``,
+    found via banded join (pigeonhole: distance ≤ d ⇒ some band of
+    d+1 is identical — use bands ≥ max_hamming+1 for exact recall)."""
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    sh = simhash(df, text_col, id_col, bits=bits)
+    banded = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), b * band_bits).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+    left = banded.select(
+        "band", "band_key", F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a")
+    )
+    right = banded.select(
+        "band", "band_key", F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b")
+    )
+    pairs = (
+        left.join(right, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)

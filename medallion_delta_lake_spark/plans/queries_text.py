@@ -11,11 +11,17 @@ regex literals, hash params) as the Spark plans to prevent drift.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from medallion_delta_lake_spark.functions.hashing import (
+    B_ROLL,
+    P_HASH,
+    P_ROLL,
     h64_sql,
+    minhash_params,
     rolling_fingerprint_sql,
 )
+from medallion_delta_lake_spark.operators import dedup
 from medallion_delta_lake_spark.operators import text_analysis as ta
 from medallion_delta_lake_spark.plans.registry import query, table
 
@@ -151,3 +157,251 @@ def text_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     content hash per document (the 8-byte dedup key that replaces
     full-text shuffle at 100 TB)."""
     return ta.fingerprint(table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------- dedup family
+#
+# The sf documents are all-distinct, so the dedup queries run on a
+# corpus *with planted duplicates*: every 7th doc repeated verbatim
+# (exact dup) and every 11th doc with a token tail appended (near dup).
+# The oracle CTE plants the same rows, so recall/precision of each
+# strategy is actually exercised.
+
+_NEAR_TAIL = " shared tail tokens appended for near dup"
+
+CORPUS_SQL = f"""
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + 200000, text || '{_NEAR_TAIL}'
+      FROM documents WHERE doc_id % 11 = 0
+"""
+
+# DuckDB twins of functions/texts.py shingles(n=3) + hashing over them
+SHINGLES_SQL = (
+    "list_transform(range(0, greatest(len(toks)-3, 0) + 1),"
+    " i -> array_to_string(toks[i+1:i+3], ' '))"
+)
+SH_SQL = f"list_distinct(list_transform({SHINGLES_SQL}, sg -> {h64_sql('sg')}))"
+
+_SETS_CTE = f"""
+    corpus AS ({CORPUS_SQL}),
+    toksed AS (SELECT doc_id, {TOKS_SQL} AS toks FROM corpus),
+    sets AS (SELECT doc_id, {SH_SQL} AS sh FROM toksed)
+"""
+
+
+def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    near = d.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_NEAR_TAIL)).alias("text"),
+    )
+    return d.unionByName(exact).unionByName(near)
+
+
+@query(
+    "dedup-exact-hash",
+    oracle=f"""
+    WITH corpus AS ({CORPUS_SQL}),
+    h AS (SELECT doc_id, {h64_sql(NORM_SQL)} AS content_hash FROM corpus)
+    SELECT content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM h GROUP BY content_hash
+    """,
+)
+def dedup_exact_hash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup / exact — content-hash groupBy keeping the minimum id.
+    Shuffles (hash, id) pairs only; at 100 TB the map side pre-combines
+    so the shuffle is O(distinct docs)."""
+    return dedup.exact_dedup_groups(_dup_corpus(spark, sf_dir))
+
+
+def _jaccard_sql(threshold: float) -> str:
+    inter = "len(list_intersect(sa.sh, sb.sh))"
+    return f"""
+    postings AS (SELECT doc_id, unnest(sh) AS shingle_hash FROM sets),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM postings a JOIN postings b
+        ON a.shingle_hash = b.shingle_hash AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT p.id_a, p.id_b,
+             CAST({inter} AS DOUBLE)
+               / CAST(len(sa.sh) + len(sb.sh) - {inter} AS DOUBLE) AS jaccard
+      FROM pairs p
+      JOIN sets sa ON sa.doc_id = p.id_a
+      JOIN sets sb ON sb.doc_id = p.id_b
+    )
+    SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= {threshold}
+    """
+
+
+@query(
+    "dedup-ngram-jaccard",
+    oracle=f"WITH {_SETS_CTE}, {_jaccard_sql(0.6)}",
+)
+def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup / n-gram Jaccard — inverted-index self-join on 3-gram
+    shingle hashes; exact Jaccard ≥ 0.6. Pair generation only touches
+    docs that share a shingle (16-byte postings, never raw text)."""
+    return dedup.ngram_jaccard_pairs(
+        _dup_corpus(spark, sf_dir), n=3, threshold=0.6
+    )
+
+
+def _minhash_expr_sql(a: int, b: int) -> str:
+    return (
+        f"CAST(list_min(list_transform(sh,"
+        f" x -> ({a} * (x % {P_HASH}) + {b}) % {P_HASH})) AS BIGINT)"
+    )
+
+
+_NUM_PERM = 16
+_BANDS = 4
+_ROWS_PER_BAND = _NUM_PERM // _BANDS
+
+
+def _minhash_sig_list_sql() -> str:
+    exprs = ", ".join(_minhash_expr_sql(a, b) for a, b in minhash_params(_NUM_PERM))
+    return f"[{exprs}]"
+
+
+@query(
+    "dedup-minhash-sig",
+    oracle=f"""
+    WITH {_SETS_CTE},
+    sigs AS (SELECT doc_id, {_minhash_sig_list_sql()} AS sig FROM sets)
+    SELECT doc_id, CAST(i - 1 AS INT) AS perm, sig[i] AS minhash
+    FROM sigs, unnest(range(1, {_NUM_PERM} + 1)) AS r(i)
+    """,
+)
+def dedup_minhash_sig_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup / MinHash signatures — 16 universal-hash permutations over
+    the shingle-hash set, long form (doc, perm, minhash)."""
+    return dedup.minhash_signatures(
+        _dup_corpus(spark, sf_dir), n=3, num_perm=_NUM_PERM
+    )
+
+
+def _band_key_sql(slice_expr: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), {slice_expr}),"
+        f" (s, x) -> (s * {B_ROLL} + (x % {P_ROLL})) % {P_ROLL})"
+    )
+
+
+@query(
+    "dedup-minhash-lsh",
+    oracle=f"""
+    WITH {_SETS_CTE},
+    sigs AS (SELECT doc_id, {_minhash_sig_list_sql()} AS sig FROM sets),
+    bkeys AS (
+      SELECT doc_id,
+             [{', '.join(_band_key_sql(f'sig[{b * _ROWS_PER_BAND + 1}:{(b + 1) * _ROWS_PER_BAND}]') for b in range(_BANDS))}]
+               AS bks
+      FROM sigs
+    ),
+    banded AS (
+      SELECT doc_id, CAST(i - 1 AS INT) AS band, bks[i] AS band_key
+      FROM bkeys, unnest(range(1, {_BANDS} + 1)) AS r(i)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT p.id_a, p.id_b,
+             CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+               / CAST(len(sa.sh) + len(sb.sh)
+                      - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) AS jaccard
+      FROM pairs p
+      JOIN sets sa ON sa.doc_id = p.id_a
+      JOIN sets sb ON sb.doc_id = p.id_b
+    )
+    SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5
+    """,
+)
+def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup / MinHash + LSH — 4 bands × 4 rows banding generates
+    candidates sub-quadratically; exact Jaccard verification keeps
+    precision at 1.0. The 100 TB scale path for near-dup dedup."""
+    return dedup.minhash_lsh_pairs(
+        _dup_corpus(spark, sf_dir),
+        n=3,
+        num_perm=_NUM_PERM,
+        bands=_BANDS,
+        threshold=0.5,
+    )
+
+
+_SIMHASH_BITS = 32
+
+
+def _simhash_sql() -> str:
+    votes = []
+    for j in range(_SIMHASH_BITS):
+        vote = (
+            f"coalesce(list_sum(list_transform(th,"
+            f" x -> CASE WHEN ((x >> {j}) & 1) = 1 THEN 1 ELSE -1 END)), 0)"
+        )
+        votes.append(
+            f"CASE WHEN {vote} >= 0 THEN CAST({2**j} AS BIGINT)"
+            f" ELSE CAST(0 AS BIGINT) END"
+        )
+    return " + ".join(votes)
+
+
+_TH_CTE = f"""
+    corpus AS ({CORPUS_SQL}),
+    toksed AS (SELECT doc_id, {TOKS_SQL} AS toks FROM corpus),
+    th_t AS (SELECT doc_id,
+                    list_transform(toks, t -> {h64_sql('t')}) AS th
+             FROM toksed)
+"""
+
+
+@query(
+    "dedup-simhash",
+    oracle=f"""
+    WITH {_TH_CTE}
+    SELECT doc_id, CAST({_simhash_sql()} AS BIGINT) AS simhash FROM th_t
+    """,
+)
+def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup / SimHash — 32-bit majority-vote signature over token
+    hashes (frequency-weighted); per-row expression, no shuffle."""
+    return dedup.simhash(_dup_corpus(spark, sf_dir), bits=_SIMHASH_BITS)
+
+
+@query(
+    "dedup-simhash-pairs",
+    oracle=f"""
+    WITH {_TH_CTE},
+    sh_t AS (SELECT doc_id, CAST({_simhash_sql()} AS BIGINT) AS simhash
+             FROM th_t),
+    banded AS (
+      SELECT doc_id, simhash, CAST(i - 1 AS INT) AS band,
+             (simhash >> ((i - 1) * 8)) & 255 AS band_key
+      FROM sh_t, unnest(range(1, 5)) AS r(i)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def dedup_simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup / SimHash pairs — banded hamming-distance join (pigeonhole
+    recall: distance ≤ 3 ⇒ one of 4 bytes identical)."""
+    return dedup.simhash_pairs(
+        _dup_corpus(spark, sf_dir), bits=_SIMHASH_BITS, bands=4, max_hamming=3
+    )
