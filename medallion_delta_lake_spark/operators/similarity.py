@@ -1,0 +1,196 @@
+"""Similarity search over embedding columns (array<float>).
+
+Extension surface (SURVEY.md §2.11): brute-force cosine top-k as the
+correctness baseline, random-hyperplane LSH bucketing as the scale
+path, and embedding near-dup pair detection for training-data dedup.
+
+All vector math is Catalyst higher-order-function expressions
+(zip_with product + sequential double fold) — JVM-side, codegen'd, no
+Python UDF on the hot path. The sequential fold makes results
+bit-identical to the DuckDB oracle's ``list_reduce`` (verified), so
+cosine scores and top-k rank boundaries are engine-exact.
+
+Scale notes (100 TB / billions of vectors):
+- brute-force top-k broadcasts the query side and computes partial
+  top-k per partition (window over a qid-partitioned shuffle of only
+  (qid, cid, score) triples — vectors never shuffle).
+- hyperplane LSH reduces each vector to an int bucket; the candidate
+  join is an equi-join on the bucket id, so candidate generation is a
+  shuffle of (bucket, id, vec) with per-bucket locality. More planes →
+  smaller buckets; multi-probe (flip one bit) trades compute for
+  recall and keeps the same join shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Deterministic integer "random" hyperplanes, identical in the SQL
+# oracle: weight(plane p, dim i) ∈ [-1000, 1000].
+_W_MULT_P = 2_654_435_761
+_W_MULT_I = 40_503
+_W_MOD = 2_001
+_W_OFF = 1_000
+
+
+def hyperplane(p: int, dims: int) -> list[int]:
+    return [
+        ((p + 1) * _W_MULT_P + (i + 1) * _W_MULT_I) % _W_MOD - _W_OFF
+        for i in range(dims)
+    ]
+
+
+def as_double(vec: Column | str) -> Column:
+    v = F.col(vec) if isinstance(vec, str) else vec
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold double dot product (engine-exact ordering)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / F.nullif(
+        F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)), F.lit(0.0)
+    )
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k per query via broadcast cross join + ranked
+    window. ``queries`` must be small (it is broadcast); the corpus
+    side streams — no corpus shuffle until the (qid, cid, score)
+    window, which carries 24 bytes/candidate."""
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qv")
+        )
+    )
+    c = corpus.select(F.col(id_col), F.col(vec_col))
+    scored = q.crossJoin(c).select(
+        query_id_col,
+        id_col,
+        cosine(F.col("_qv"), F.col(vec_col)).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def hyperplane_bucket(
+    vec: Column, n_planes: int, dims: int
+) -> Column:
+    """Random-hyperplane LSH bucket id: bit p = 1 iff dot(w_p, v) ≥ 0."""
+    bucket = F.lit(0).cast("bigint")
+    for p in range(n_planes):
+        w = F.array(*[F.lit(float(x)) for x in hyperplane(p, dims)])
+        bucket = bucket + F.when(
+            dot(w, vec) >= 0.0, F.lit(2**p).cast("bigint")
+        ).otherwise(0)
+    return bucket
+
+
+def ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_planes: int = 6,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: hyperplane-bucket both sides, equi-join on the
+    bucket, exact-cosine rerank inside the bucket. Recall < 1 by
+    construction (same-bucket candidates only); the bucket join is the
+    piece that scales — no cross join anywhere."""
+    qb = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("_qv"),
+        hyperplane_bucket(F.col(vec_col), n_planes, dims).alias("bucket"),
+    )
+    cb = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        hyperplane_bucket(F.col(vec_col), n_planes, dims).alias("bucket"),
+    )
+    scored = (
+        F.broadcast(qb)
+        .join(cb, "bucket")
+        .select(
+            query_id_col,
+            id_col,
+            cosine(F.col("_qv"), F.col(vec_col)).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int | None = 6,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ threshold with id_a < id_b.
+
+    With ``n_planes`` set (the scale path) candidates are restricted to
+    same-bucket pairs — sub-quadratic, recall bounded by LSH. With
+    ``n_planes=None`` it is the exact quadratic baseline (small data /
+    verification only)."""
+    base = df.select(F.col(id_col), F.col(vec_col))
+    if n_planes is not None:
+        base = base.withColumn(
+            "bucket", hyperplane_bucket(F.col(vec_col), n_planes, dims)
+        )
+        a = base.select(
+            F.col("bucket"),
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("_va"),
+        )
+        b = base.select(
+            F.col("bucket"),
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("_vb"),
+        )
+        pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    else:
+        a = base.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+        )
+        b = base.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+        )
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    # pairs are already unique: each vector has exactly one bucket, so
+    # (id_a, id_b) appears at most once in either path — no distinct.
+    out = pairs.select(
+        "id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cosine")
+    )
+    return out.filter(F.col("cosine") >= threshold)

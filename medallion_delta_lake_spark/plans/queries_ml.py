@@ -1,0 +1,182 @@
+"""Similarity-search + embedding-dedup query surface over the
+``embeddings`` table (SURVEY.md §2.11), each with a DuckDB oracle.
+
+Parity contract: cosine scores are sequential-fold double dot products
+— bit-identical between Spark's ``aggregate`` and DuckDB's
+``list_reduce`` (verified on the full table) — so rank boundaries and
+threshold decisions agree exactly. LSH hyperplanes are deterministic
+integer weights generated from the same constants on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from medallion_delta_lake_spark.operators import similarity as sim
+from medallion_delta_lake_spark.plans.registry import query, table
+
+_DIMS = 64
+_PLANES = 6
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}),"
+        f" z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)),"
+        f" (s, y) -> s + y)"
+    )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"({_dot_sql(a, b)} / nullif(sqrt({_dot_sql(a, a)})"
+        f" * sqrt({_dot_sql(b, b)}), 0.0))"
+    )
+
+
+def _bucket_sql(vec: str) -> str:
+    terms = []
+    for p in range(_PLANES):
+        w = "[" + ", ".join(str(x) for x in sim.hyperplane(p, _DIMS)) + "]"
+        terms.append(
+            f"CASE WHEN {_dot_sql(w, vec)} >= 0.0"
+            f" THEN CAST({2**p} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _topk_oracle(query_pred: str, k: int) -> str:
+    return f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             {_cos_sql('q.embedding', 'c.embedding')} AS cosine
+      FROM embeddings q, embeddings c
+      WHERE {query_pred}
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@query("sim-cosine-topk", oracle=_topk_oracle("q.vec_id = 0", 10))
+def sim_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """similarity / brute-force top-k — one query vector vs the corpus,
+    exact cosine, ranked window. The correctness baseline for ANN."""
+    e = table(spark, sf_dir, "embeddings")
+    return sim.brute_force_topk(e.filter(F.col("vec_id") == 0), e, k=10)
+
+
+@query("sim-knn-join", oracle=_topk_oracle("q.vec_id < 5", 5))
+def sim_knn_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """similarity / k-NN join — top-5 neighbors for each of 5 query
+    vectors via broadcast cross join; the (qid, cid, score) window is
+    the only shuffle."""
+    e = table(spark, sf_dir, "embeddings")
+    return sim.brute_force_topk(e.filter(F.col("vec_id") < 5), e, k=5)
+
+
+@query(
+    "sim-ann-lsh",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             {_cos_sql('q.embedding', 'c.embedding')} AS cosine
+      FROM b q JOIN b c ON q.bucket = c.bucket
+      WHERE q.vec_id < 5
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def sim_ann_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """similarity / ANN — random-hyperplane LSH buckets (6 planes),
+    bucket equi-join + exact rerank. Sub-quadratic scale path; recall
+    bounded by bucketing, precision exact."""
+    e = table(spark, sf_dir, "embeddings")
+    return sim.ann_topk(
+        e.filter(F.col("vec_id") < 5), e, k=5, n_planes=_PLANES, dims=_DIMS
+    )
+
+
+_VD = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+_EMB_CORPUS_SQL = f"""
+      SELECT vec_id, {_VD} AS embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 10000, {_VD} FROM embeddings WHERE vec_id % 10 = 0
+      UNION ALL
+      SELECT vec_id + 20000, list_transform({_VD}, x -> x * 2.0)
+      FROM embeddings WHERE vec_id % 15 = 0
+      UNION ALL
+      SELECT vec_id + 30000,
+             [({_VD})[1] + 0.5] || ({_VD})[2:{_DIMS}]
+      FROM embeddings WHERE vec_id % 12 = 0
+"""
+
+
+def _emb_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings with planted duplicates: exact copies, scaled copies
+    (cosine 1), and one-element perturbations (cosine near but not at
+    1) — the natural corpus has no near-dup pairs (max cosine 0.51)."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", sim.as_double("embedding").alias("embedding")
+    )
+    exact = e.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    scaled = e.filter(F.col("vec_id") % 15 == 0).select(
+        (F.col("vec_id") + 20000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 2.0).alias("embedding"),
+    )
+    perturbed = e.filter(F.col("vec_id") % 12 == 0).select(
+        (F.col("vec_id") + 30000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + 0.5),
+            F.slice("embedding", 2, _DIMS - 1),
+        ).alias("embedding"),
+    )
+    return e.unionByName(exact).unionByName(scaled).unionByName(perturbed)
+
+
+@query(
+    "dedup-embedding-cosine",
+    oracle=f"""
+    WITH corpus AS ({_EMB_CORPUS_SQL}),
+    b AS (
+      SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+      FROM corpus
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+             {_cos_sql('a.embedding', 'b2.embedding')} AS cosine
+      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+    )
+    SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.9
+    """,
+)
+def dedup_embedding_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup / embedding cosine — near-dup pairs (cosine ≥ 0.9) found
+    via hyperplane-bucket join + exact verification; the quadratic
+    baseline exists in the operator (n_planes=None) but the registered
+    scale path never cross-joins."""
+    return sim.neardup_pairs(
+        _emb_dup_corpus(spark, sf_dir),
+        threshold=0.9,
+        n_planes=_PLANES,
+        dims=_DIMS,
+    )
