@@ -27,6 +27,18 @@ try:
     from medallion_delta_lake_spark.plans import queries_ml  # noqa: F401,E402
 except ImportError:
     pass
+try:
+    from medallion_delta_lake_spark.plans import queries_stream  # noqa: F401,E402
+except ImportError:
+    pass
+try:
+    from medallion_delta_lake_spark.plans import queries_rel  # noqa: F401,E402
+except ImportError:
+    pass
+try:
+    from medallion_delta_lake_spark.plans import queries_multimodal  # noqa: F401,E402
+except ImportError:
+    pass
 
 
 def entry(spark: SparkSession) -> DataFrame:

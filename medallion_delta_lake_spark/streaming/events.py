@@ -1,0 +1,96 @@
+"""Streaming plans over the events feed.
+
+Batch/stream duality: each function here builds the *streaming*
+version of a batch plan registered in plans/queries_core.py /
+queries_rel.py, executed with the ``availableNow`` trigger into a
+memory sink so the result is a plain DataFrame the oracle harness can
+check. In production the same plans run unbounded with a real source
+(Kafka/files) and sink; only the trigger/sink wiring differs.
+
+Scale notes: the windowed aggregate maintains per-(window, key) state;
+the watermark bounds that state (late rows beyond it are dropped), so
+executor memory is O(active windows × keys), not O(stream). Streaming
+dedup keeps one state row per key seen inside the watermark horizon —
+key design (here the natural business key) decides state size.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _events_stream_dir(sf_dir: str) -> str:
+    """File-source streaming needs a directory; expose the events
+    parquet file through a per-sf symlink dir under the system tmpdir."""
+    tag = sf_dir.strip("/").replace("/", "_")
+    d = os.path.join(tempfile.gettempdir(), f"mdls_stream_{tag}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    return d
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming scan of the events feed (parquet file source) with the
+    same nanos→micros timestamp normalization as the batch reader."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    sdf = spark.readStream.schema(schema).parquet(_events_stream_dir(sf_dir))
+    if dict(sdf.dtypes).get("ts") == "bigint":
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return sdf
+
+
+def windowed_agg(sdf: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked 1-hour tumbling-window count/sum per event type —
+    the streaming twin of the window-agg-tumbling batch query."""
+    return (
+        sdf.withWatermark("ts", watermark)
+        .groupBy(
+            F.window(F.col("ts"), "1 hour").getField("start").alias(
+                "window_start"
+            ),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)")).alias("_tv"),
+        )
+        .select(
+            "window_start",
+            "event_type",
+            "n",
+            F.col("_tv").cast("double").alias("total_value"),
+        )
+    )
+
+
+def stream_dedup_keys(sdf: DataFrame, keys: list[str]) -> DataFrame:
+    """Streaming dropDuplicates on a business key: emits the first
+    occurrence of each key. Projected to the key columns so the result
+    set is deterministic regardless of file-read order."""
+    return sdf.select(*keys).dropDuplicates(keys)
+
+
+def run_available_now(
+    sdf: DataFrame, output_mode: str, spark: SparkSession
+) -> DataFrame:
+    """Execute a streaming plan over all currently-available input
+    (availableNow trigger) into a memory sink; return the result."""
+    name = f"mdls_mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

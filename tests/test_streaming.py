@@ -1,0 +1,45 @@
+"""Streaming tests: oracle parity for the registered streaming queries
+plus the applyInPandasWithState custom stateful operator."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from medallion_delta_lake_spark.plans import queries_stream  # noqa: F401
+from medallion_delta_lake_spark.plans.registry import ORACLES, QUERIES, table
+from medallion_delta_lake_spark.streaming import events as se
+from medallion_delta_lake_spark.streaming import stateful
+from tests.conftest import SF_SMOKE
+from tests.oracle import compare_query
+
+STREAM_IDS = sorted(n for n in QUERIES if n.startswith("stream-") and n in ORACLES)
+
+
+@pytest.mark.parametrize("name", STREAM_IDS)
+def test_stream_oracle_parity(spark, name):
+    compare_query(spark, name, QUERIES, ORACLES, SF_SMOKE)
+
+
+def test_stateful_user_running_stats(spark):
+    """applyInPandasWithState running per-user stats: after consuming
+    the whole (single-file → single-batch) input, the final state per
+    user must equal the batch aggregate."""
+    sdf = se.read_events_stream(spark, SF_SMOKE)
+    out = se.run_available_now(
+        stateful.user_running_stats(sdf), "update", spark
+    )
+    # one batch → one emitted row per user, already the final state
+    got = {r.user_id: (r.n_events, r.total_value) for r in out.collect()}
+
+    batch = (
+        table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    )
+    assert len(got) == len(batch)
+    for r in batch:
+        n, tv = got[r.user_id]
+        assert n == r.n
+        assert tv == pytest.approx(r.tv, rel=1e-9)
