@@ -167,3 +167,100 @@ def nn_assign_spatial(
         tie_break=["_lab_lat", "_lab_lon"],
     )
     return out.drop("_lab_lat", "_lab_lon")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    payload_cols: Sequence[str],
+) -> DataFrame:
+    """True as-of join: each left row gets the payload of the *latest*
+    right row with right_ts <= left_ts on the same key (merge-asof /
+    point-in-time join, backward direction).
+
+    Scalable union-window formulation: instead of a range join (which
+    explodes into an inequality nested loop at scale), tag both inputs,
+    union them, and carry the last non-null payload forward over a
+    (key)-partitioned, (time, side)-ordered window — right rows sort
+    before left rows at equal timestamps, giving <= semantics. ONE
+    shuffle on the key, linear in rows, no range explosion; this is the
+    plan a 100 TB backfill wants. Right side must be unique per
+    (key, right_ts) — pre-dedup with latest_per_key otherwise.
+    """
+    passthrough = [c for c in left.columns if c not in keys and c != left_ts]
+    l2 = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in passthrough],
+        *[
+            F.lit(None).cast(dict(right.dtypes)[p]).alias(p)
+            for p in payload_cols
+        ],
+    )
+    r2 = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_side"),
+        *[
+            F.lit(None).cast(dict(left.dtypes)[c]).alias(c)
+            for c in passthrough
+        ],
+        *[F.col(p) for p in payload_cols],
+    )
+    u = l2.unionByName(r2)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_t").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        *keys,
+        "_t",
+        "_side",
+        *passthrough,
+        *[
+            F.last(F.col(p), ignorenulls=True).over(w).alias(p)
+            for p in payload_cols
+        ],
+    )
+    return (
+        carried.filter(F.col("_side") == 1)
+        .drop("_side")
+        .withColumnRenamed("_t", left_ts)
+    )
+
+
+def range_join_bands(
+    df: DataFrame,
+    bands: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+) -> DataFrame:
+    """Band/range join: attach the band whose [lo, hi) interval contains
+    ``value_col``. The bands side is broadcast (it is a dimension); the
+    fact side never shuffles — a broadcast nested-loop with a range
+    predicate, which Catalyst turns into a tight codegen loop. For
+    non-broadcastable interval sets, pre-bucket both sides on
+    floor(value/width) to recover an equi-join."""
+    cond = (F.col(value_col) >= F.col(lo_col)) & (
+        F.col(value_col) < F.col(hi_col)
+    )
+    return df.join(F.broadcast(bands), on=cond, how="left")
+
+
+def join_semi(df: DataFrame, other: DataFrame, cond: Column) -> DataFrame:
+    """Left semi join: keep df rows with ≥1 match (EXISTS). No columns
+    from the right side, no fan-out — the build side only ships keys."""
+    return df.join(other, on=cond, how="left_semi")
+
+
+def join_anti(df: DataFrame, other: DataFrame, cond: Column) -> DataFrame:
+    """Left anti join: keep df rows with no match (NOT EXISTS)."""
+    return df.join(other, on=cond, how="left_anti")

@@ -79,3 +79,62 @@ def lag_delta(
     return df.withColumn(
         out_col, F.col(value_col) - F.lag(F.col(value_col)).over(w)
     )
+
+
+def running_sum(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+    value_col: str,
+    out_col: str = "running_total",
+) -> DataFrame:
+    """Cumulative sum per key in event order. Accumulates in
+    DECIMAL(38,6) so the running value is exact and order-stable (the
+    engine's float-determinism contract), cast back to double."""
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*[F.col(c).asc() for c in order_by])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(
+        out_col,
+        F.sum(F.col(value_col).cast("decimal(38,6)")).over(w).cast("double"),
+    )
+
+
+def lag_delta(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+    value_col: str,
+    out_col: str = "delta",
+) -> DataFrame:
+    """value − lag(value) per key in event order (NULL for the first
+    row of each key)."""
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).asc() for c in order_by])
+    return df.withColumn(
+        out_col, F.col(value_col) - F.lag(F.col(value_col)).over(w)
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Session windows per key with an inactivity gap: events closer
+    than ``gap`` merge into one session. Built on F.session_window —
+    the same operator Structured Streaming maintains incrementally
+    (streaming/events.py); batch and stream agree on boundaries.
+    Returns (keys, session_start, session_end, n_events)."""
+    return (
+        df.groupBy(*keys, F.session_window(F.col(ts_col), gap).alias("_sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            *keys,
+            F.col("_sw.start").alias("session_start"),
+            F.col("_sw.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -1,0 +1,515 @@
+"""Extended relational query surface: true as-of / range / semi / anti
+joins, rollup/cube/grouping sets, pivot/unpivot, explode, cumulative
+windows, sessionization, deterministic moments/median, set ops, and
+scalar-function suites — each with a DuckDB oracle.
+
+These widen the engine beyond the reference's §2 surface to what a
+complete analytics engine must cover; determinism contracts are the
+same as queries_core (decimal accumulation for sums, int/int double
+division, explicit tie-breaks on every window)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from medallion_delta_lake_spark.functions.texts import tokenize
+from medallion_delta_lake_spark.operators import joins, window
+from medallion_delta_lake_spark.plans.queries_core import davg, dsum
+from medallion_delta_lake_spark.plans.registry import query, table
+
+# --------------------------------------------------------------- joins
+
+
+@query(
+    "join-asof-nearest",
+    oracle="""
+    WITH r AS (
+      SELECT o_custkey AS user_id, o_orderdate,
+             o_orderdate AS order_ts, MAX(o_totalprice) AS order_total
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, e.ts, r.order_ts, r.order_total
+    FROM events e
+    ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.ts >= r.o_orderdate
+    """,
+)
+def join_asof_nearest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join / true as-of — latest order at-or-before each event, per
+    user. Union-window formulation: one shuffle on the key, no range
+    join explosion (the 100 TB point-in-time backfill plan). Oracle is
+    DuckDB's native ASOF JOIN."""
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_custkey").alias("user_id"), F.col("o_orderdate")
+    ).agg(F.max("o_totalprice").alias("order_total"))
+    right = daily.select(
+        "user_id",
+        "o_orderdate",
+        F.col("o_orderdate").alias("order_ts"),
+        "order_total",
+    )
+    out = joins.asof_join(
+        ev,
+        right,
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload_cols=["order_ts", "order_total"],
+    )
+    return out.select("event_id", "user_id", "ts", "order_ts", "order_total")
+
+
+_BANDS = [(0.0, 10.0, "xs"), (10.0, 20.0, "s"), (20.0, 35.0, "m"), (35.0, 60.0, "l")]
+_BANDS_SQL = ", ".join(f"({lo}, {hi}, '{n}')" for lo, hi, n in _BANDS)
+
+
+@query(
+    "join-range-bands",
+    oracle=f"""
+    WITH bands(lo, hi, band) AS (VALUES {_BANDS_SQL})
+    SELECT b.band, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem l JOIN bands b
+      ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+    GROUP BY b.band
+    """,
+)
+def join_range_bands_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join / range-band — broadcast interval join ([lo, hi) bucket per
+    row) + aggregate. The dimension broadcasts; the fact side never
+    shuffles until the 4-group aggregation."""
+    li = table(spark, sf_dir, "lineitem").select("l_quantity")
+    bands = spark.createDataFrame(_BANDS, ["lo", "hi", "band"])
+    joined = joins.range_join_bands(li, bands, "l_quantity").filter(
+        F.col("band").isNotNull()
+    )
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n"), dsum(F.col("l_quantity"), "sum_qty")
+    )
+
+
+@query(
+    "join-semi",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+    """,
+)
+def join_semi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join / left-semi — EXISTS without fan-out; only keys ship to the
+    build side."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    return joins.join_semi(o, li, o["o_orderkey"] == li["l_orderkey"])
+
+
+@query(
+    "join-anti",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+    """,
+)
+def join_anti_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join / left-anti — NOT EXISTS (orphan detection / exclusion)."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    return joins.join_anti(o, li, o["o_orderkey"] == li["l_orderkey"])
+
+
+# ---------------------------------------------------- multi-level aggs
+
+
+@query(
+    "agg-rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """agg / rollup — hierarchical totals (flag, flag+status, grand).
+    Catalyst expands to one Expand + single aggregation — not N scans."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum(F.col("l_quantity"), "sum_qty")
+    )
+
+
+@query(
+    "agg-cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """agg / cube — all grouping combinations in one pass."""
+    o = table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+_GS_SQL = """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), ())
+"""
+
+
+@query("agg-grouping-sets", oracle=_GS_SQL)
+def agg_grouping_sets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """agg / grouping sets — explicit set list via the SQL entry point
+    (E3: temp view + spark.sql share the DataFrame plan lifecycle)."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("mdls_gs_orders")
+    return spark.sql(_GS_SQL.replace("FROM orders", "FROM mdls_gs_orders"))
+
+
+# ------------------------------------------------------ pivot / unpivot
+
+
+@query(
+    "pivot-status",
+    oracle="""
+    SELECT o_orderpriority,
+           coalesce(COUNT(*) FILTER (WHERE o_orderstatus = 'F'), 0) AS F,
+           coalesce(COUNT(*) FILTER (WHERE o_orderstatus = 'O'), 0) AS O,
+           coalesce(COUNT(*) FILTER (WHERE o_orderstatus = 'P'), 0) AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pivot — long→wide with an explicit value list (no extra
+    distinct-discovery scan, deterministic column order)."""
+    o = table(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ("F", "O", "P")],
+    )
+
+
+@query(
+    "unpivot-measures",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+           l_quantity AS value FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+    """,
+)
+def unpivot_measures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unpivot/melt — wide→long without N scans (single Expand node)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "measure",
+        "value",
+    )
+
+
+@query(
+    "explode-token-freq",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split(
+        trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS token
+      FROM documents
+    ),
+    freq AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
+    ranked AS (
+      SELECT token, cnt, CAST(ROW_NUMBER() OVER
+        (ORDER BY cnt DESC, token ASC) AS INT) AS rank
+      FROM freq
+    )
+    SELECT token, cnt, rank FROM ranked WHERE rank <= 50
+    """,
+)
+def explode_token_freq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode + lateral — global token frequency top-50 (the corpus
+    vocabulary profile). Partial aggregation pre-shuffle keeps the
+    exploded volume off the wire."""
+    docs = table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(tokenize("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    return (
+        freq.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 50)
+    )
+
+
+# ------------------------------------------------------------- windows
+
+
+@query(
+    "window-running-sum",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_total
+    FROM events
+    """,
+)
+def window_running_sum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """window / cumulative sum — exact decimal accumulation per key in
+    event order (order-stable across engines)."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return window.running_sum(
+        ev, ["user_id"], ["ts", "event_id"], "value"
+    )
+
+
+@query(
+    "window-lag-delta",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+           value - lag(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS delta
+    FROM events
+    """,
+)
+def window_lag_delta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """window / lag — per-key successive difference (NULL first row)."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return window.lag_delta(ev, ["user_id"], ["ts", "event_id"], "value")
+
+
+@query(
+    "window-agg-session",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def window_agg_session_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """window / session — 30-minute-gap sessionization via
+    F.session_window (batch twin of the streaming session operator);
+    oracle is the SQL gaps-and-islands formulation."""
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    return window.sessionize(ev, ["user_id"], "ts", gap="30 minutes")
+
+
+# ------------------------------------------------- deterministic stats
+
+
+@query(
+    "stats-moments",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n, sx / n AS mean,
+           (n * sxx - sx * sx) / (CAST(n AS DOUBLE) * (n - 1)) AS var_samp,
+           sqrt((n * sxx - sx * sx)
+                / (CAST(n AS DOUBLE) * (n - 1))) AS stddev_samp
+    FROM s
+    """,
+)
+def stats_moments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stats / exact moments — variance/stddev from decimal-exact sums
+    (engine-independent, unlike streaming float stddev). Input values
+    have 2 decimals so x² is exact in DECIMAL(38,6)."""
+    ev = table(spark, sf_dir, "events")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sx"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    n_d = F.col("n").cast("double")
+    var = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) / (
+        n_d * (F.col("n") - 1)
+    )
+    return s.select(
+        "event_type",
+        "n",
+        (F.col("sx") / F.col("n")).alias("mean"),
+        var.alias("var_samp"),
+        F.sqrt(var).alias("stddev_samp"),
+    )
+
+
+@query(
+    "stats-median-manual",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS cnt
+      FROM events
+    )
+    SELECT event_type, AVG(value) AS median
+    FROM r
+    WHERE rn >= floor((cnt + 1) / 2) AND rn <= floor((cnt + 2) / 2)
+    GROUP BY event_type
+    """,
+)
+def stats_median_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stats / exact median — positional (no interpolation-algorithm
+    dependence): middle element, or mean of the two middles."""
+    ev = table(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    wc = Window.partitionBy("event_type")
+    r = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("cnt"),
+    )
+    lo = F.floor((F.col("cnt") + 1) / 2)
+    hi = F.floor((F.col("cnt") + 2) / 2)
+    return (
+        r.filter((F.col("rn") >= lo) & (F.col("rn") <= hi))
+        .groupBy("event_type")
+        .agg(F.avg("value").alias("median"))
+    )
+
+
+# ------------------------------------------------------------- set ops
+
+
+@query(
+    "set-intersect",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def set_intersect_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """set / intersect — customers with both open and filled orders."""
+    o = table(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderstatus") == "O").select("o_custkey").intersect(
+        o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    )
+
+
+@query(
+    "set-except",
+    oracle="""
+    SELECT DISTINCT o_custkey FROM orders
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    """,
+)
+def set_except_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """set / except — customers with no pending orders."""
+    o = table(spark, sf_dir, "orders")
+    return o.select("o_custkey").distinct().exceptAll(
+        o.filter(F.col("o_orderstatus") == "P").select("o_custkey").distinct()
+    )
+
+
+# ---------------------------------------------------- scalar functions
+
+
+@query(
+    "string-funcs",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS name_upper,
+           substring(c_name, 1, 8) AS name_prefix,
+           length(c_name) AS name_len,
+           concat_ws('-', c_mktsegment, lpad(CAST(c_custkey AS VARCHAR),
+                                             8, '0')) AS seg_key,
+           (c_name LIKE '%5%') AS has_five
+    FROM customer
+    """,
+)
+def string_funcs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """expr / string suite — upper, substring, length, concat_ws, lpad,
+    LIKE (all JVM-side, codegen'd)."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").alias("name_len"),
+        F.concat_ws(
+            "-",
+            F.col("c_mktsegment"),
+            F.lpad(F.col("c_custkey").cast("string"), 8, "0"),
+        ).alias("seg_key"),
+        F.col("c_name").like("%5%").alias("has_five"),
+    )
+
+
+@query(
+    "cond-funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           coalesce(nullif(l_discount, 0.0), -1.0) AS disc_or_sentinel,
+           greatest(l_tax, l_discount) AS max_rate,
+           least(l_tax, l_discount) AS min_rate,
+           CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+           CASE WHEN l_quantity < 10 THEN 'small'
+                WHEN l_quantity < 30 THEN 'mid'
+                ELSE 'large' END AS qty_class
+    FROM lineitem
+    """,
+)
+def cond_funcs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """expr / conditional suite — coalesce, nullif, greatest/least,
+    floor-cast, CASE ladder."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.coalesce(F.nullif(F.col("l_discount"), F.lit(0.0)), F.lit(-1.0)).alias(
+            "disc_or_sentinel"
+        ),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+        F.least("l_tax", "l_discount").alias("min_rate"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.when(F.col("l_quantity") < 10, "small")
+        .when(F.col("l_quantity") < 30, "mid")
+        .otherwise("large")
+        .alias("qty_class"),
+    )
