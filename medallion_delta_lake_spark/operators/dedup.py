@@ -60,9 +60,21 @@ def exact_dedup_groups(
 
 
 def shingle_hashes(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    fan_out: int | None = None,
 ) -> DataFrame:
-    """(id, array<bigint> of distinct word-n-gram shingle hashes)."""
+    """(id, array<bigint> of distinct word-n-gram shingle hashes).
+
+    ``fan_out`` repartitions *before* the shingle+hash projection:
+    higher-order-function expressions are interpreted (CodegenFallback),
+    so per-row cost dominates — a corpus arriving in few splits (one
+    small file locally; a coalesced upstream stage at scale) must be
+    spread across cores first or the hash pass runs single-threaded."""
+    if fan_out:
+        df = df.repartition(fan_out)
     sh = F.array_distinct(
         F.transform(shingles(text_col, n=n), lambda s: h64(s))
     )
@@ -90,13 +102,14 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.6,
     max_df: int | None = None,
+    fan_out: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by exact n-gram Jaccard ≥ threshold, generated
     with an inverted-index self-join (docs only pair up if they share a
     shingle — never a blind cross join). ``max_df`` drops shingles that
     occur in more than that many documents before pair generation (the
     boilerplate cap; essential at scale, off by default for parity)."""
-    sets_df = shingle_hashes(df, text_col, id_col, n=n).cache()
+    sets_df = shingle_hashes(df, text_col, id_col, n=n, fan_out=fan_out).cache()
     postings = sets_df.select(
         F.col(id_col), F.explode("sh").alias("shingle_hash")
     )
@@ -139,10 +152,11 @@ def minhash_signatures(
     id_col: str = "doc_id",
     n: int = 3,
     num_perm: int = 16,
+    fan_out: int | None = None,
 ) -> DataFrame:
     """Long-form MinHash signatures: (id, perm, minhash). Long form
     keeps the oracle comparison schema-stable for any num_perm."""
-    sets_df = shingle_hashes(df, text_col, id_col, n=n)
+    sets_df = shingle_hashes(df, text_col, id_col, n=n, fan_out=fan_out)
     sig = sets_df.select(
         F.col(id_col),
         F.posexplode(
@@ -170,6 +184,7 @@ def minhash_lsh_pairs(
     num_perm: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    fan_out: int | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup pairs, verified with exact Jaccard.
 
@@ -179,11 +194,15 @@ def minhash_lsh_pairs(
     output — LSH only bounds recall). This is the sub-quadratic scale
     path: the all-pairs comparison only ever happens inside a bucket."""
     rows_per_band = num_perm // bands
-    sets_df = shingle_hashes(df, text_col, id_col, n=n).cache()
+    # cache shingle sets AND signatures: both are consumed twice (the
+    # banded self-join's two sides / the two jaccard-verify joins), and
+    # the md5+perm expression tree is the dominant per-row cost — one
+    # materialization instead of two at any scale.
+    sets_df = shingle_hashes(df, text_col, id_col, n=n, fan_out=fan_out).cache()
     sig = sets_df.select(
         F.col(id_col),
         F.array(*minhash_signature_cols(F.col("sh"), num_perm)).alias("sig"),
-    )
+    ).cache()
     banded = sig.select(
         F.col(id_col),
         F.posexplode(
@@ -214,10 +233,13 @@ def simhash(
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = 32,
+    fan_out: int | None = None,
 ) -> DataFrame:
     """SimHash signature: per bit j, sum ±1 over token hashes' j-th bit
     (duplicates weight naturally); bit set iff the sum ≥ 0. One per-row
     expression tree — no shuffle, no UDF."""
+    if fan_out:
+        df = df.repartition(fan_out)
     hashed = df.select(
         F.col(id_col),
         F.transform(tokenize(text_col), lambda t: h64(t)).alias("th"),
@@ -246,13 +268,16 @@ def simhash_pairs(
     bits: int = 32,
     bands: int = 4,
     max_hamming: int = 3,
+    fan_out: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with SimHash hamming distance ≤ ``max_hamming``,
     found via banded join (pigeonhole: distance ≤ d ⇒ some band of
     d+1 is identical — use bands ≥ max_hamming+1 for exact recall)."""
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
-    sh = simhash(df, text_col, id_col, bits=bits)
+    # cache: the 32-vote signature tree is consumed by both self-join
+    # sides — materialize once
+    sh = simhash(df, text_col, id_col, bits=bits, fan_out=fan_out).cache()
     banded = sh.select(
         F.col(id_col),
         F.col("simhash"),

@@ -157,6 +157,7 @@ def neardup_pairs(
     dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    fan_out: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs: cosine ≥ threshold with id_a < id_b.
 
@@ -165,10 +166,15 @@ def neardup_pairs(
     ``n_planes=None`` it is the exact quadratic baseline (small data /
     verification only)."""
     base = df.select(F.col(id_col), F.col(vec_col))
+    if fan_out:
+        # spread the (interpreted) bucket/cosine expression work across
+        # cores when the input arrives in few splits
+        base = base.repartition(fan_out)
     if n_planes is not None:
+        # cache: the 6-dot-product bucket tree feeds both join sides
         base = base.withColumn(
             "bucket", hyperplane_bucket(F.col(vec_col), n_planes, dims)
-        )
+        ).cache()
         a = base.select(
             F.col("bucket"),
             F.col(id_col).alias("id_a"),

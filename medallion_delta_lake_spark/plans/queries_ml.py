@@ -179,4 +179,5 @@ def dedup_embedding_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.9,
         n_planes=_PLANES,
         dims=_DIMS,
+        fan_out=spark.sparkContext.defaultParallelism,
     )

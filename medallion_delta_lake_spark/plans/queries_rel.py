@@ -81,7 +81,11 @@ def join_range_bands_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     row) + aggregate. The dimension broadcasts; the fact side never
     shuffles until the 4-group aggregation."""
     li = table(spark, sf_dir, "lineitem").select("l_quantity")
-    bands = spark.createDataFrame(_BANDS, ["lo", "hi", "band"])
+    # SQL VALUES literal, not createDataFrame: a 4-row dimension should
+    # not pay a Python->JVM RDD roundtrip (UnknownPartitioning scan)
+    bands = spark.sql(
+        f"SELECT * FROM (VALUES {_BANDS_SQL}) AS bands(lo, hi, band)"
+    )
     joined = joins.range_join_bands(li, bands, "l_quantity").filter(
         F.col("band").isNotNull()
     )

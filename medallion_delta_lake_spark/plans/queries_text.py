@@ -250,7 +250,10 @@ def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle hashes; exact Jaccard ≥ 0.6. Pair generation only touches
     docs that share a shingle (16-byte postings, never raw text)."""
     return dedup.ngram_jaccard_pairs(
-        _dup_corpus(spark, sf_dir), n=3, threshold=0.6
+        _dup_corpus(spark, sf_dir),
+        n=3,
+        threshold=0.6,
+        fan_out=spark.sparkContext.defaultParallelism,
     )
 
 
@@ -284,7 +287,10 @@ def dedup_minhash_sig_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dedup / MinHash signatures — 16 universal-hash permutations over
     the shingle-hash set, long form (doc, perm, minhash)."""
     return dedup.minhash_signatures(
-        _dup_corpus(spark, sf_dir), n=3, num_perm=_NUM_PERM
+        _dup_corpus(spark, sf_dir),
+        n=3,
+        num_perm=_NUM_PERM,
+        fan_out=spark.sparkContext.defaultParallelism,
     )
 
 
@@ -338,6 +344,7 @@ def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_perm=_NUM_PERM,
         bands=_BANDS,
         threshold=0.5,
+        fan_out=spark.sparkContext.defaultParallelism,
     )
 
 
@@ -377,7 +384,11 @@ _TH_CTE = f"""
 def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dedup / SimHash — 32-bit majority-vote signature over token
     hashes (frequency-weighted); per-row expression, no shuffle."""
-    return dedup.simhash(_dup_corpus(spark, sf_dir), bits=_SIMHASH_BITS)
+    return dedup.simhash(
+        _dup_corpus(spark, sf_dir),
+        bits=_SIMHASH_BITS,
+        fan_out=spark.sparkContext.defaultParallelism,
+    )
 
 
 @query(
@@ -403,5 +414,9 @@ def dedup_simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dedup / SimHash pairs — banded hamming-distance join (pigeonhole
     recall: distance ≤ 3 ⇒ one of 4 bytes identical)."""
     return dedup.simhash_pairs(
-        _dup_corpus(spark, sf_dir), bits=_SIMHASH_BITS, bands=4, max_hamming=3
+        _dup_corpus(spark, sf_dir),
+        bits=_SIMHASH_BITS,
+        bands=4,
+        max_hamming=3,
+        fan_out=spark.sparkContext.defaultParallelism,
     )
