@@ -1,0 +1,63 @@
+"""Join operator unit tests: spatial nn-assignment against a
+brute-force geodesic check, and true as-of join edge cases."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from medallion_delta_lake_spark.operators import joins
+
+
+def _haversine_km(lat1, lon1, lat2, lon2):
+    rl1, rl2 = math.radians(lat1), math.radians(lat2)
+    dlat = rl2 - rl1
+    dlon = math.radians(lon2 - lon1)
+    a = math.sin(dlat / 2) ** 2 + math.cos(rl1) * math.cos(rl2) * math.sin(
+        dlon / 2
+    ) ** 2
+    return 2 * 6371.0 * math.asin(math.sqrt(a))
+
+
+def test_nn_assign_spatial_matches_bruteforce(spark):
+    labeled = [
+        (59.4, 24.7, 0), (58.4, 26.7, 1), (59.4, 27.4, 2), (57.8, 26.0, 3)
+    ]
+    unlabeled = [(58.9, 25.6), (59.1, 27.0), (57.9, 24.9), (58.4, 26.7)]
+    ldf = spark.createDataFrame(labeled, ["latitude", "longitude", "county_id"])
+    udf = spark.createDataFrame(unlabeled, ["latitude", "longitude"])
+    got = {
+        (r.latitude, r.longitude): r.county_id
+        for r in joins.nn_assign_spatial(
+            udf, ldf, label_cols=["county_id"], id_cols=["latitude", "longitude"]
+        ).collect()
+    }
+    for lat, lon in unlabeled:
+        best = min(
+            labeled, key=lambda s: (_haversine_km(lat, lon, s[0], s[1]), s[0], s[1])
+        )
+        assert got[(lat, lon)] == best[2], (lat, lon)
+
+
+def test_asof_join_backward_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "e1"), (1, 20, "e2"), (1, 5, "e0"), (2, 50, "e3")],
+        ["k", "t", "eid"],
+    ).select("k", F.col("t").cast("long").alias("t"), "eid")
+    right = spark.createDataFrame(
+        [(1, 10, "r10"), (1, 15, "r15"), (2, 60, "r60")], ["k", "t", "payload"]
+    ).select("k", F.col("t").cast("long").alias("rt"), "payload")
+
+    out = joins.asof_join(
+        left, right, keys=["k"], left_ts="t", right_ts="rt",
+        payload_cols=["payload"],
+    )
+    got = {r.eid: r.payload for r in out.collect()}
+    assert got == {
+        "e0": None,     # no right row at or before t=5
+        "e1": "r10",    # exact-equal timestamp is eligible (<=)
+        "e2": "r15",    # latest prior, not first
+        "e3": None,     # right row exists only later (t=60 > 50)
+    }
+    assert out.count() == left.count()  # no fan-out, no row loss
