@@ -1,0 +1,74 @@
+"""Pandas-UDF operator surface (SURVEY.md §2.11 `udf-pandas`).
+
+The blessed Python escape hatches, in preference order:
+1. scalar ``pandas_udf`` — vectorized column function, Arrow batches,
+   pipelined inside the stage (no extra shuffle);
+2. ``applyInPandas`` — grouped map for per-group logic a window can't
+   express; one shuffle on the group key, each group becomes a pandas
+   frame;
+(3. ``mapInPandas`` — partition-wise, see operators/multimodal.py.)
+
+Row-at-a-time ``F.udf`` is deliberately absent: 10–100× slower than
+Arrow-vectorized and never the right call on a 100 TB hot path.
+
+Determinism: the group-normalize mean is computed from integer cents
+(inputs have 2 decimals), so results are exact and order-independent —
+the DuckDB oracle reproduces them bit-for-bit despite the Python hop.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType
+
+
+@F.pandas_udf(IntegerType())
+def token_count_pudf(text: pd.Series) -> pd.Series:
+    """Vectorized whitespace token count (Arrow in, Arrow out)."""
+    norm = (
+        text.fillna("")
+        .str.lower()
+        .str.replace(r"\s+", " ", regex=True)
+        .str.strip()
+    )
+    return norm.str.split(" ").map(len).astype("int32")
+
+
+def with_token_count(
+    df: DataFrame, text_col: str = "text", out_col: str = "n_tokens"
+) -> DataFrame:
+    return df.withColumn(out_col, token_count_pudf(F.col(text_col)))
+
+
+def group_normalize(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    out_col: str = "delta_from_mean",
+) -> DataFrame:
+    """Per-group mean-centering via applyInPandas.
+
+    (A window avg expresses this too — the point here is the grouped-map
+    plumbing with exact results: the mean comes from an integer-cents
+    sum, so the Python path is bit-identical to the SQL oracle.)
+    """
+    keys = list(keys)
+    in_cols = df.columns
+    schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
+        + [f"`{out_col}` double"]
+    )
+
+    def center(pdf: pd.DataFrame) -> pd.DataFrame:
+        cents = (pdf[value_col] * 100).round().astype("int64")
+        mean = float(cents.sum()) / (100.0 * len(pdf))
+        pdf[out_col] = pdf[value_col] - mean
+        return pdf
+
+    return df.groupBy(*keys).applyInPandas(center, schema=schema).select(
+        *in_cols, out_col
+    )

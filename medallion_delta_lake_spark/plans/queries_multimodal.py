@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from medallion_delta_lake_spark.operators import multimodal as mm
+from medallion_delta_lake_spark.operators import pandas_ops
 from medallion_delta_lake_spark.plans.registry import query, table
 
 
@@ -39,3 +40,40 @@ def multimodal_byte_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-stats body standing in for the codec)."""
     docs = mm.attach_binary_payload(table(spark, sf_dir, "documents"))
     return mm.byte_features(docs)
+
+
+@query(
+    "pandas-scalar-tokens",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(string_split(
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))
+             AS INT) AS n_tokens
+    FROM documents
+    """,
+)
+def pandas_scalar_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """udf-pandas / scalar — Arrow-vectorized token count, pipelined in
+    the stage (no shuffle); bit-exact vs the SQL twin."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return pandas_ops.with_token_count(docs).select("doc_id", "n_tokens")
+
+
+@query(
+    "pandas-group-normalize",
+    oracle="""
+    SELECT event_id, user_id, value,
+           value - (
+             CAST(SUM(CAST(round(value * 100, 0) AS BIGINT))
+                  OVER (PARTITION BY user_id) AS DOUBLE)
+             / (100.0 * COUNT(*) OVER (PARTITION BY user_id))
+           ) AS delta_from_mean
+    FROM events
+    """,
+)
+def pandas_group_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """udf-pandas / grouped map — per-user mean-centering through
+    applyInPandas; the mean comes from an integer-cents sum so the
+    Python path matches the SQL oracle exactly."""
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    return pandas_ops.group_normalize(ev, ["user_id"], "value")
