@@ -200,3 +200,77 @@ def neardup_pairs(
         "id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cosine")
     )
     return out.filter(F.col("cosine") >= threshold)
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "cid",
+    centroid_vec_col: str = "cv",
+) -> DataFrame:
+    """IVF coarse quantization: attach the max-dot-product centroid id
+    to every vector (argmax via broadcast-NLJ + struct-min partial
+    aggregation — same shape as nn_assign, shuffle = one row/vector)."""
+    from medallion_delta_lake_spark.operators.joins import nn_assign
+
+    lab = centroids.select(
+        F.col(centroid_id_col), F.col(centroid_vec_col)
+    )
+    dist = -dot(F.col(vec_col), F.col(centroid_vec_col))
+    out = nn_assign(
+        df.select(id_col, vec_col),
+        lab,
+        dist,
+        id_cols=[id_col],
+        label_cols=[centroid_id_col],
+        tie_break=[centroid_id_col],
+    )
+    return out.select(id_col, vec_col, centroid_id_col)
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-style ANN: centroids are a deterministic corpus sample (the
+    first ``n_centroids`` ids — at scale, a k-means fit); every vector
+    is assigned to its max-dot centroid; a query probes only its own
+    centroid's inverted list (nprobe=1) and reranks with exact cosine.
+
+    Scale shape: assignment is a broadcast pass (centroids are tiny);
+    the probe is an equi-join on the centroid id — the inverted lists
+    partition the corpus, so each query touches ~N/n_centroids
+    candidates instead of N. Raise nprobe by unioning the next-nearest
+    centroid assignments; the join stays an equi-join."""
+    centroids = corpus.orderBy(F.col(id_col).asc()).limit(n_centroids).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    )
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col).cache()
+    qa = assigned.join(
+        queries.select(F.col(id_col).alias(query_id_col)),
+        assigned[id_col] == F.col(query_id_col),
+    ).select(query_id_col, F.col(vec_col).alias("_qv"), "cid")
+    scored = (
+        F.broadcast(qa)
+        .join(assigned, "cid")
+        .select(
+            query_id_col,
+            id_col,
+            cosine(F.col("_qv"), F.col(vec_col)).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )

@@ -113,6 +113,51 @@ def sim_ann_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_N_CENTROIDS = 16
+
+
+@query(
+    "sim-ann-ivf",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cv FROM embeddings
+      WHERE vec_id < {_N_CENTROIDS}
+    ),
+    assign AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_dot_sql('e.embedding', 'c.cv')} DESC, c.cid ASC
+             ) AS rn
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    a2 AS (SELECT vec_id, embedding, cid FROM assign WHERE rn = 1),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             {_cos_sql('q.embedding', 'c.embedding')} AS cosine
+      FROM a2 q JOIN a2 c ON q.cid = c.cid
+      WHERE q.vec_id < 5
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def sim_ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """similarity / IVF ANN — deterministic coarse quantizer (first 16
+    ids as centroids), inverted-list probe (nprobe=1), exact rerank.
+    The second ANN family next to hyperplane LSH; at scale the probe is
+    an equi-join on the centroid id touching ~N/16 candidates."""
+    e = table(spark, sf_dir, "embeddings")
+    return sim.ivf_topk(
+        e.filter(F.col("vec_id") < 5), e, k=5, n_centroids=_N_CENTROIDS
+    )
+
+
 _VD = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
 
 _EMB_CORPUS_SQL = f"""

@@ -94,3 +94,24 @@ def run_available_now(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def session_agg(sdf: DataFrame, gap: str = "30 minutes",
+                watermark: str = "2 hours") -> DataFrame:
+    """Watermarked session-window aggregation per user — the streaming
+    twin of operators/window.sessionize (same boundaries: events closer
+    than ``gap`` merge; window end = last event + gap)."""
+    return (
+        sdf.withWatermark("ts", watermark)
+        .groupBy(
+            F.col("user_id"),
+            F.session_window(F.col("ts"), gap).alias("_sw"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("_sw.start").alias("session_start"),
+            F.col("_sw.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -43,3 +43,22 @@ def test_stateful_user_running_stats(spark):
         n, tv = got[r.user_id]
         assert n == r.n
         assert tv == pytest.approx(r.tv, rel=1e-9)
+
+
+def test_streaming_session_window_matches_batch(spark):
+    """Batch/stream duality for session windows: the streaming
+    session_window plan over the full input must equal the batch
+    sessionize result."""
+    from medallion_delta_lake_spark.operators import window as win
+
+    sdf = se.read_events_stream(spark, SF_SMOKE)
+    streamed = se.run_available_now(se.session_agg(sdf), "complete", spark)
+    got = {tuple(r) for r in streamed.collect()}
+
+    ev = table(spark, SF_SMOKE, "events").select("user_id", "ts", "event_id")
+    batch = win.sessionize(ev, ["user_id"], "ts", gap="30 minutes")
+    expected = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in batch.collect()
+    }
+    assert got == expected
