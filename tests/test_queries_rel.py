@@ -42,3 +42,15 @@ REL_IDS = sorted(
 @pytest.mark.parametrize("name", REL_IDS)
 def test_rel_oracle_parity(spark, name):
     compare_query(spark, name, QUERIES, ORACLES, SF_SMOKE)
+
+
+from medallion_delta_lake_spark.plans import queries_tpch  # noqa: F401,E402
+
+TPCH_IDS = sorted(
+    n for n in QUERIES if n in ORACLES and n.startswith(("q3-", "q5-", "q10-"))
+)
+
+
+@pytest.mark.parametrize("name", TPCH_IDS)
+def test_tpch_oracle_parity(spark, name):
+    compare_query(spark, name, QUERIES, ORACLES, SF_SMOKE)
