@@ -517,3 +517,45 @@ def cond_funcs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("large")
         .alias("qty_class"),
     )
+
+
+@query(
+    "time-funcs",
+    oracle="""
+    SELECT event_id, ts,
+           CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day_start,
+           DATE_TRUNC('hour', ts) AS hour_start,
+           CAST(EXTRACT(year FROM ts) AS INT) AS y,
+           CAST(EXTRACT(month FROM ts) AS INT) AS m,
+           CAST(EXTRACT(day FROM ts) AS INT) AS d,
+           CAST(EXTRACT(hour FROM ts) AS INT) AS h,
+           CAST(floor(epoch(ts)) AS BIGINT) AS unix_sec
+    FROM events
+    """,
+)
+def time_funcs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """expr / time suite — truncation, field extraction, epoch seconds
+    (UTC-pinned session keeps both engines on the same wall clock)."""
+    ev = table(spark, sf_dir, "events").select("event_id", "ts")
+    return ev.select(
+        "event_id",
+        "ts",
+        F.date_trunc("day", "ts").alias("day_start"),
+        F.date_trunc("hour", "ts").alias("hour_start"),
+        F.year("ts").alias("y"),
+        F.month("ts").alias("m"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        F.unix_timestamp(F.col("ts")).alias("unix_sec"),
+    )
+
+
+@query("approx-quantile")  # rows-only: t-digest estimates are engine-specific
+def approx_quantile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx-quantile — percentile_approx per event type; the scale
+    path of stats-median-manual (no full sort, mergeable sketches).
+    Bounds vs the exact median are pytest-checked."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.25, 0.5, 0.75], 10000).alias("quartiles")
+    )

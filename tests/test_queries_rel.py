@@ -34,6 +34,7 @@ REL_IDS = sorted(
             "set-except",
             "string-funcs",
             "cond-funcs",
+            "time-funcs",
         )
     )
 )
@@ -54,3 +55,21 @@ TPCH_IDS = sorted(
 @pytest.mark.parametrize("name", TPCH_IDS)
 def test_tpch_oracle_parity(spark, name):
     compare_query(spark, name, QUERIES, ORACLES, SF_SMOKE)
+
+
+def test_approx_quantile_brackets_exact_median(spark):
+    from medallion_delta_lake_spark.plans.registry import QUERIES as Q
+
+    approx = {
+        r.event_type: r.quartiles
+        for r in Q["approx-quantile"](spark, SF_SMOKE).collect()
+    }
+    exact = {
+        r.event_type: r.median
+        for r in Q["stats-median-manual"](spark, SF_SMOKE).collect()
+    }
+    for et, med in exact.items():
+        q25, q50, q75 = approx[et]
+        assert q25 <= q50 <= q75
+        # high-accuracy sketch: the approx median lands within 2% of exact
+        assert abs(q50 - med) <= 0.02 * max(1.0, abs(med)), (et, q50, med)
