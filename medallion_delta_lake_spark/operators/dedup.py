@@ -309,3 +309,55 @@ def simhash_pairs(
         .distinct()
     )
     return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def neardup_clusters(
+    ids_df: DataFrame,
+    pairs_df: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over the near-dup pair graph → one cluster
+    representative (minimum id) per document. The step that turns
+    pairwise dedup output into "keep one copy per duplicate group".
+
+    Iterative min-label propagation: each round every node takes the
+    minimum label among itself and its neighbors; converges in
+    O(graph diameter) rounds (near-dup clusters are tiny, so 2–3 in
+    practice; ``max_iter`` bounds pathological chains). Each round is
+    one join + one groupBy on the id — all DataFrame ops, deterministic
+    result regardless of execution order. ``localCheckpoint`` cuts the
+    lineage so plans don't grow with iterations. GraphFrames'
+    connectedComponents is the drop-in at extreme scale; this
+    formulation avoids the extra dependency.
+    """
+    edges = pairs_df.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).cache()
+    labels = ids_df.select(
+        F.col(id_col), F.col(id_col).alias("cluster")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        neighbor = (
+            edges.join(labels, edges["dst"] == labels[id_col])
+            .select(F.col("src").alias(id_col), "cluster")
+        )
+        new_labels = (
+            labels.unionByName(neighbor)
+            .groupBy(id_col)
+            .agg(F.min("cluster").alias("cluster"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), id_col)
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

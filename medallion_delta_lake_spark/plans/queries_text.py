@@ -420,3 +420,22 @@ def dedup_simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_hamming=3,
         fan_out=spark.sparkContext.defaultParallelism,
     )
+
+
+@query("dedup-cluster-assign")  # rows-only: iterative fixpoint, not SQL
+def dedup_cluster_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup / cluster assignment — connected components over the
+    MinHash-LSH near-dup pairs: every doc mapped to its duplicate
+    group's minimum id (the surviving representative). Iterative
+    min-label propagation; verified against a union-find reference in
+    tests/test_dedup_clusters.py."""
+    corpus = _dup_corpus(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(
+        corpus,
+        n=3,
+        num_perm=_NUM_PERM,
+        bands=_BANDS,
+        threshold=0.5,
+        fan_out=spark.sparkContext.defaultParallelism,
+    )
+    return dedup.neardup_clusters(corpus.select("doc_id"), pairs)
