@@ -62,3 +62,33 @@ def test_streaming_session_window_matches_batch(spark):
         for r in batch.collect()
     }
     assert got == expected
+
+
+def test_stream_upsert_foreachbatch(spark, tmp_path):
+    """Streaming → keyed upsert: after consuming the stream, the table
+    holds the latest event per user (same dedup rule as the batch
+    upsert's version path)."""
+    from medallion_delta_lake_spark.operators import upsert as upsert_mod
+    from medallion_delta_lake_spark.sources import readers
+    from medallion_delta_lake_spark.streaming import sink
+
+    path = str(tmp_path / "user_latest")
+    sdf = se.read_events_stream(spark, SF_SMOKE).select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    sink.stream_upsert(sdf, spark, path, keys=["user_id"], version_col="ts")
+
+    got = {
+        r.user_id: (r.ts, r.event_id)
+        for r in readers.scan_table(spark, path).collect()
+    }
+    batch = table(spark, SF_SMOKE, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    expected = {
+        r.user_id: (r.ts, r.event_id)
+        for r in upsert_mod.dedup_source_by_key(
+            batch, ["user_id"], version_col="ts"
+        ).collect()
+    }
+    assert got == expected
