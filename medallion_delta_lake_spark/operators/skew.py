@@ -1,0 +1,46 @@
+"""Skew-handling operators: salting for hot keys.
+
+AQE's skew-join splitting (enabled in session.py) handles most skew at
+runtime; salting is the explicit tool for the cases AQE can't fix —
+a grouped aggregation where one key holds half the data, or a join
+whose hot key overwhelms a single task even after splitting.
+
+Two-phase salted aggregation: phase 1 groups by (key, salt) so the hot
+key's rows spread over ``salt_buckets`` tasks and partial-aggregate in
+parallel; phase 2 re-aggregates the ``salt_buckets`` partials per key.
+Only works for algebraic aggregates (sum/count/min/max — anything with
+a merge function); the result is identical to the unsalted groupBy,
+which is exactly what the oracle checks.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_sum_count(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    salt_buckets: int = 16,
+    sum_alias: str = "total",
+    count_alias: str = "n",
+) -> DataFrame:
+    """Skew-safe grouped sum+count via two-phase salting. Decimal
+    accumulation keeps the re-aggregated sum exact (float partials
+    would make the result depend on the salt split)."""
+    keys = list(keys)
+    salted = df.withColumn(
+        "_salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    partial = salted.groupBy(*keys, "_salt").agg(
+        F.sum(F.col(value_col).cast("decimal(38,6)")).alias("_ps"),
+        F.count(F.lit(1)).alias("_pc"),
+    )
+    return partial.groupBy(*keys).agg(
+        F.sum("_ps").cast("double").alias(sum_alias),
+        F.sum("_pc").alias(count_alias),
+    )

@@ -559,3 +559,23 @@ def approx_quantile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.percentile_approx("value", [0.25, 0.5, 0.75], 10000).alias("quartiles")
     )
+
+
+@query(
+    "agg-salted-skew",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_salted_skew_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """agg / salted — two-phase skew-safe aggregation: the hot key's
+    rows spread over 16 salt buckets before the per-key merge. Result
+    provably identical to the plain GROUP BY (decimal partials), which
+    is what the oracle asserts."""
+    from medallion_delta_lake_spark.operators import skew
+
+    ev = table(spark, sf_dir, "events")
+    return skew.salted_sum_count(ev, ["event_type"], "value")

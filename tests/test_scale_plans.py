@@ -1,0 +1,92 @@
+"""Plan-shape assertions for the scale features: bucketed co-located
+joins (no shuffle), partition pruning on the batch-lineage column, and
+broadcast/pushdown in the headline join trees. These check the PLANS —
+the properties that decide 100 TB behavior — not just row values."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from medallion_delta_lake_spark.plans import queries_core  # noqa: F401
+from medallion_delta_lake_spark.plans import queries_tpch  # noqa: F401
+from medallion_delta_lake_spark.plans.registry import QUERIES, table
+from tests.conftest import SF_SMOKE
+
+
+def _final_plan(df) -> str:
+    """Execute (AQE finalizes the physical plan at runtime) and return
+    the final plan string."""
+    df.count()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Pre-bucketing both sides on the join key removes the exchange:
+    the sort-merge join reads co-located buckets directly. (This is the
+    'co-locate big-big joins' lever; at 100 TB it converts the largest
+    shuffle into a map-side merge.)"""
+    warehouse_db = "mdls_bucket_test"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {warehouse_db}")
+    try:
+        orders = table(spark, SF_SMOKE, "orders")
+        li = table(spark, SF_SMOKE, "lineitem")
+        orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+            "overwrite"
+        ).saveAsTable(f"{warehouse_db}.orders_b")
+        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+            "overwrite"
+        ).saveAsTable(f"{warehouse_db}.lineitem_b")
+
+        ob = spark.table(f"{warehouse_db}.orders_b")
+        lb = spark.table(f"{warehouse_db}.lineitem_b")
+        # force SMJ so the bucket layout (not a broadcast) is what
+        # eliminates the exchange
+        joined = ob.hint("merge").join(
+            lb, ob["o_orderkey"] == lb["l_orderkey"]
+        ).select("o_orderkey", "l_linenumber", "l_quantity")
+        plan = _final_plan(joined)
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "SortMergeJoin" in plan
+        plain = orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        assert joined.count() == plain.count()
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {warehouse_db} CASCADE")
+
+
+def test_partition_pruning_on_batch_column(spark, tmp_path):
+    """A filter on the hive-partition column must prune at planning
+    time: the pruned read touches only that partition's files."""
+    path = str(tmp_path / "events_part")
+    ev = table(spark, SF_SMOKE, "events").withColumn(
+        "day", F.dayofmonth("ts")
+    )
+    ev.write.partitionBy("day").mode("overwrite").parquet(path)
+
+    pruned = spark.read.parquet(path).filter(F.col("day") == 1)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    scan_line = next(
+        line for line in plan.splitlines() if "FileScan" in line
+    )
+    # the day predicate must appear as a PARTITION filter on the scan
+    # (planning-time file-index pruning), not as a post-scan Filter
+    assert "PartitionFilters: [isnotnull(day" in scan_line, scan_line
+    assert "(day" in scan_line.split("PartitionFilters")[1].split("]")[0]
+    n_days = ev.select("day").distinct().count()
+    assert n_days > 1
+    assert pruned.count() == ev.filter(F.col("day") == 1).count()
+
+
+@pytest.mark.parametrize(
+    "name,must_have",
+    [
+        ("q3-shipping-priority", ["BroadcastHashJoin", "TakeOrderedAndProject"]),
+        ("q1-pricing-summary", ["HashAggregate", "PushedFilters: [IsNotNull(l_shipdate)"]),
+        ("join-left-using", ["BroadcastHashJoin"]),
+        ("sort-limit-topn", ["TakeOrderedAndProject"]),
+    ],
+)
+def test_headline_plan_shapes(spark, name, must_have):
+    plan = _final_plan(QUERIES[name](spark, SF_SMOKE))
+    for frag in must_have:
+        assert frag in plan, f"{name}: missing {frag}\n{plan[:2000]}"
