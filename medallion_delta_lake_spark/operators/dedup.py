@@ -28,7 +28,7 @@ DuckDB oracles in plans/queries_text.py reproduce results exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from medallion_delta_lake_spark.functions.hashing import (

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from medallion_delta_lake_spark.functions.texts import tokenize
 from medallion_delta_lake_spark.operators import joins, window
-from medallion_delta_lake_spark.plans.queries_core import davg, dsum
+from medallion_delta_lake_spark.plans.queries_core import dsum
 from medallion_delta_lake_spark.plans.registry import query, table
 
 # --------------------------------------------------------------- joins

@@ -73,10 +73,14 @@ def melt_wide_map_row(df: DataFrame, key_name: str, value_name: str) -> DataFram
 
 
 def scan_table(spark: SparkSession, path: str) -> DataFrame:
-    """Read an engine-managed table (delta if available, else parquet)."""
+    """Read an engine-managed table (delta if available, else parquet).
+
+    The parquet path reads with mergeSchema so appended files carrying
+    evolved (widened) schemas union correctly — the read-time
+    equivalent of Delta's transaction-log schema evolution."""
     if delta_available():
         return spark.read.format("delta").load(path)
-    return spark.read.parquet(path)
+    return spark.read.option("mergeSchema", "true").parquet(path)
 
 
 def with_input_file(df: DataFrame, col_name: str = "_source_file") -> DataFrame:

@@ -56,3 +56,15 @@ def test_write_append_overwrite_exists(spark, tmp_path):
     writers.write_overwrite(df, path, partition_col="part")
     assert readers.scan_table(spark, path).count() == 2  # overwrite resets
     assert not writers.write_if_absent(spark, df, path)  # no clobber
+
+
+def test_schema_evolution_append(spark, tmp_path):
+    """Appending a frame with a new column evolves the read schema
+    (mergeSchema on the parquet path; transaction log under Delta)."""
+    path = str(tmp_path / "evolve")
+    writers.write_append(spark.createDataFrame([(1,)], ["a"]), path)
+    writers.write_append(spark.createDataFrame([(2, "x")], ["a", "b"]), path)
+    df = readers.scan_table(spark, path)
+    assert set(df.columns) == {"a", "b"}
+    rows = {(r.a, r.b) for r in df.collect()}
+    assert rows == {(1, None), (2, "x")}
