@@ -579,3 +579,37 @@ def agg_salted_skew_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
     return skew.salted_sum_count(ev, ["event_type"], "value")
+
+
+@query(
+    "window-agg-hopping",
+    oracle="""
+    WITH starts AS (
+      SELECT event_id, event_type, value, DATE_TRUNC('hour', ts) AS ws
+      FROM events
+      UNION ALL
+      SELECT event_id, event_type, value,
+             DATE_TRUNC('hour', ts + INTERVAL 30 MINUTE) - INTERVAL 30 MINUTE
+      FROM events
+    )
+    SELECT ws AS window_start, event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM starts GROUP BY ws, event_type
+    """,
+)
+def window_agg_hopping_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """window / hopping — 1-hour windows sliding every 30 minutes
+    (each event lands in exactly 2 windows; Spark's F.window with
+    slideDuration expands via a single Expand node, no self-union).
+    The oracle expresses the same thing as two phase-shifted tumbling
+    grids."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.window(F.col("ts"), "1 hour", "30 minutes")
+        .getField("start")
+        .alias("window_start"),
+        F.col("event_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("value"), "total_value"),
+    )

@@ -29,6 +29,7 @@ REL_IDS = sorted(
             "window-running",
             "window-lag",
             "window-agg-session",
+            "window-agg-hopping",
             "stats-",
             "set-intersect",
             "set-except",
