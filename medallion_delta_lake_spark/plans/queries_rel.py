@@ -613,3 +613,121 @@ def window_agg_hopping_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         dsum(F.col("value"), "total_value"),
     )
+
+
+@query(
+    "agg-collect-array",
+    oracle="""
+    SELECT user_id, list_sort(list(event_type)) AS types,
+           list_sort(list(DISTINCT event_type)) AS distinct_types
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_collect_array_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """agg / collect to array — grouped collect_list/collect_set with a
+    deterministic sort (collection order is execution-dependent; the
+    sorted array is the stable contract both engines share)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list("event_type")).alias("types"),
+        F.sort_array(F.collect_set("event_type")).alias("distinct_types"),
+    )
+
+
+@query(
+    "join-null-safe",
+    oracle="""
+    WITH l AS (SELECT event_id,
+                      CASE WHEN value < 20.0 THEN NULL ELSE event_type END AS k
+               FROM events),
+    r AS (SELECT DISTINCT CASE WHEN event_type = 'view' THEN NULL
+                               ELSE event_type END AS k,
+                 1 AS tagged
+          FROM events)
+    SELECT l.event_id, l.k, r.tagged
+    FROM l LEFT JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    """,
+)
+def join_null_safe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join / null-safe equality — NULL keys match NULL keys (<=> /
+    IS NOT DISTINCT FROM), the semantics a plain equi-join silently
+    drops."""
+    ev = table(spark, sf_dir, "events")
+    left = ev.select(
+        "event_id",
+        F.when(F.col("value") < 20.0, F.lit(None))
+        .otherwise(F.col("event_type"))
+        .alias("k"),
+    )
+    right = (
+        ev.select(
+            F.when(F.col("event_type") == "view", F.lit(None))
+            .otherwise(F.col("event_type"))
+            .alias("k")
+        )
+        .distinct()
+        .withColumn("tagged", F.lit(1))
+    )
+    return left.join(
+        right, left["k"].eqNullSafe(right["k"]), "left"
+    ).select(left["event_id"], left["k"], right["tagged"])
+
+
+@query(
+    "json-funcs",
+    oracle="""
+    WITH j AS (
+      SELECT o_orderkey,
+             '{"key": ' || CAST(o_orderkey AS VARCHAR)
+               || ', "status": "' || o_orderstatus || '"}' AS doc
+      FROM orders
+    )
+    SELECT o_orderkey,
+           CAST(json_extract_string(doc, '$.status') AS VARCHAR) AS status,
+           CAST(json_extract(doc, '$.key') AS BIGINT) AS key_back
+    FROM j
+    """,
+)
+def json_funcs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """expr / JSON — build + extract with path expressions (the
+    semi-structured escape hatch; at scale prefer from_json with an
+    explicit schema so Catalyst prunes fields)."""
+    o = table(spark, sf_dir, "orders")
+    doc = F.concat(
+        F.lit('{"key": '),
+        F.col("o_orderkey").cast("string"),
+        F.lit(', "status": "'),
+        F.col("o_orderstatus"),
+        F.lit('"}'),
+    )
+    return o.select(
+        "o_orderkey",
+        F.get_json_object(doc, "$.status").alias("status"),
+        F.get_json_object(doc, "$.key").cast("bigint").alias("key_back"),
+    )
+
+
+@query(
+    "array-funcs",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           CAST(embedding[1] AS DOUBLE) AS first_dim,
+           list_transform(embedding[1:4], x -> CAST(x AS DOUBLE)) AS head4,
+           len(list_filter(embedding, x -> x > 0)) AS n_positive
+    FROM embeddings
+    """,
+)
+def array_funcs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """expr / array suite — size, element_at, slice, filter over the
+    embedding column (all Catalyst higher-order functions)."""
+    e = table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_dim"),
+        F.transform(
+            F.slice("embedding", 1, 4), lambda x: x.cast("double")
+        ).alias("head4"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+    )

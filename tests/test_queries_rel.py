@@ -36,6 +36,11 @@ REL_IDS = sorted(
             "string-funcs",
             "cond-funcs",
             "time-funcs",
+            "json-funcs",
+            "array-funcs",
+            "agg-collect-array",
+            "join-null-safe",
+            "agg-salted-skew",
         )
     )
 )
