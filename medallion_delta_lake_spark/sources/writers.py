@@ -82,3 +82,41 @@ def write_if_absent(
         return False
     write_overwrite(df, path, partition_col)
     return True
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_files: int,
+    sort_cols: list[str] | None = None,
+    partition_col: str | None = None,
+) -> None:
+    """Table maintenance: rewrite into ``target_files`` files,
+    optionally sorted within files on ``sort_cols``.
+
+    Small-files compaction is the lake's defrag — streaming/incremental
+    ingestion leaves thousands of tiny files whose per-file overhead
+    dominates scans at 100 TB. Sorting within files tightens parquet
+    row-group min/max bounds, so later range predicates skip whole row
+    groups (the poor man's Z-order; under Delta use OPTIMIZE ZORDER).
+    Uses the same crash-safe staging/swap as the snapshot upsert.
+    """
+    from medallion_delta_lake_spark.sources.readers import scan_table
+
+    df = scan_table(spark, path)
+    df = df.repartition(target_files)
+    if sort_cols:
+        df = df.sortWithinPartitions(*sort_cols)
+    staging = path.rstrip("/") + "__staging"
+    old = path.rstrip("/") + "__old"
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    writer = df.write.format(_fmt()).mode("overwrite")
+    if partition_col:
+        writer = writer.partitionBy(partition_col)
+    writer.save(staging)
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old, ignore_errors=True)

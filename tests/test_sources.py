@@ -68,3 +68,15 @@ def test_schema_evolution_append(spark, tmp_path):
     assert set(df.columns) == {"a", "b"}
     rows = {(r.a, r.b) for r in df.collect()}
     assert rows == {(1, None), (2, "x")}
+
+
+def test_compact_small_files(spark, tmp_path):
+    path = str(tmp_path / "frag")
+    df = spark.range(0, 1000).withColumn("v", readers.F.col("id") * 2)
+    df.repartition(20).write.parquet(path)
+    assert len(spark.read.parquet(path).inputFiles()) == 20
+    writers.compact(spark, path, target_files=2, sort_cols=["id"])
+    out = readers.scan_table(spark, path)
+    assert len(out.inputFiles()) == 2
+    assert out.count() == 1000
+    assert {r.id for r in out.collect()} == set(range(1000))

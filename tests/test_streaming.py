@@ -92,3 +92,29 @@ def test_stream_upsert_foreachbatch(spark, tmp_path):
         ).collect()
     }
     assert got == expected
+
+
+def test_stream_upsert_checkpoint_exactly_once(spark, tmp_path):
+    """Re-running the same stream against the same checkpoint processes
+    nothing new (source offsets are committed): the table state is
+    unchanged — streaming ingestion is exactly-once end to end."""
+    from medallion_delta_lake_spark.sources import readers
+    from medallion_delta_lake_spark.streaming import sink
+
+    path = str(tmp_path / "ckpt_target")
+    sdf = se.read_events_stream(spark, SF_SMOKE).select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    sink.stream_upsert(sdf, spark, path, keys=["user_id"], version_col="ts")
+    state1 = sorted(
+        tuple(r) for r in readers.scan_table(spark, path).collect()
+    )
+
+    sdf2 = se.read_events_stream(spark, SF_SMOKE).select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    sink.stream_upsert(sdf2, spark, path, keys=["user_id"], version_col="ts")
+    state2 = sorted(
+        tuple(r) for r in readers.scan_table(spark, path).collect()
+    )
+    assert state1 == state2
