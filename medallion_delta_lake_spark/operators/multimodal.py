@@ -65,9 +65,15 @@ BYTE_FEATURES_SCHEMA = StructType(
 )
 
 
-def byte_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def byte_features(
+    df: DataFrame, id_col: str = "doc_id", fan_out: int | None = None
+) -> DataFrame:
     """Deterministic per-payload byte statistics via mapInPandas — the
-    real Arrow plumbing a decode stage uses (batch in, batch out)."""
+    real Arrow plumbing a decode stage uses (batch in, batch out).
+    ``fan_out`` repartitions first so a single-file input doesn't feed
+    one Python worker (the decode stage's parallelism = partitions)."""
+    if fan_out:
+        df = df.repartition(fan_out)
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -39,7 +39,9 @@ def multimodal_byte_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     batched mapInPandas extraction (the decode-stage plumbing, with a
     byte-stats body standing in for the codec)."""
     docs = mm.attach_binary_payload(table(spark, sf_dir, "documents"))
-    return mm.byte_features(docs)
+    return mm.byte_features(
+        docs, fan_out=spark.sparkContext.defaultParallelism
+    )
 
 
 @query(
