@@ -1,0 +1,70 @@
+"""LLM training-corpus cleaning pipeline.
+
+The composition a pre-training data pipeline runs over a raw document
+table, in the canonical order (cheapest filter first, most expensive
+pair-generation last, each stage shrinking the next stage's input):
+
+1. quality gate     — per-row heuristic score (no shuffle)
+2. exact dedup      — content-hash groupBy keeping the minimum id
+3. near-dup dedup   — MinHash/LSH pairs → connected components →
+                      keep each duplicate cluster's representative
+4. stats            — one-row audit of the funnel
+
+Everything is engine operators (operators/text_analysis.py,
+operators/dedup.py); at 100 TB each stage is a linear pass plus
+bigint-keyed shuffles — raw text never shuffles after stage 1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from medallion_delta_lake_spark.operators import dedup
+from medallion_delta_lake_spark.operators import text_analysis as ta
+
+
+def clean_corpus(
+    spark: SparkSession,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: int = 50,
+    neardup_threshold: float = 0.5,
+    fan_out: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (surviving documents, one-row funnel stats)."""
+    n_in = docs.count()
+
+    scored = ta.quality_score(docs, text_col, (id_col,))
+    keep_q = scored.filter(
+        F.col("quality_score") >= min_quality
+    ).select(id_col)
+    quality_docs = docs.join(keep_q, id_col)
+    n_quality = quality_docs.count()
+
+    exact = dedup.exact_dedup_groups(quality_docs, text_col, id_col)
+    exact_docs = quality_docs.join(
+        exact.select(F.col("keep_id").alias(id_col)), id_col
+    )
+    n_exact = exact_docs.count()
+
+    pairs = dedup.minhash_lsh_pairs(
+        exact_docs,
+        text_col=text_col,
+        id_col=id_col,
+        threshold=neardup_threshold,
+        fan_out=fan_out,
+    )
+    clusters = dedup.neardup_clusters(
+        exact_docs.select(id_col), pairs, id_col=id_col
+    )
+    reps = clusters.filter(F.col(id_col) == F.col("cluster")).select(id_col)
+    final_docs = exact_docs.join(reps, id_col)
+    n_final = final_docs.count()
+
+    stats = spark.createDataFrame(
+        [(n_in, n_quality, n_exact, n_final)],
+        ["n_input", "n_after_quality", "n_after_exact_dedup", "n_final"],
+    )
+    return final_docs, stats

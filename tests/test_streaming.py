@@ -118,3 +118,28 @@ def test_stream_upsert_checkpoint_exactly_once(spark, tmp_path):
         tuple(r) for r in readers.scan_table(spark, path).collect()
     )
     assert state1 == state2
+
+
+def test_stream_multi_microbatch_dedup(spark, tmp_path):
+    """Multi-microbatch semantics: with maxFilesPerTrigger=1 the same
+    dedup state must span batches — a key seen in batch 1 is not
+    re-emitted by batch 2."""
+    src = str(tmp_path / "src")
+    ev = table(spark, SF_SMOKE, "events").select("user_id", "event_type")
+    # two overlapping files → guaranteed cross-batch duplicate keys
+    ev.limit(2000).coalesce(1).write.mode("overwrite").parquet(src)
+    ev.coalesce(1).write.mode("append").parquet(src)
+
+    sdf = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = se.run_available_now(
+        se.stream_dedup_keys(sdf, ["user_id", "event_type"]), "append", spark
+    )
+    rows = [(r.user_id, r.event_type) for r in out.collect()]
+    assert len(rows) == len(set(rows))  # no key emitted twice
+    assert set(rows) == {
+        (r.user_id, r.event_type) for r in ev.distinct().collect()
+    }
