@@ -731,3 +731,61 @@ def array_funcs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("head4"),
         F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
     )
+
+
+@query(
+    "window-rank-family",
+    oracle="""
+    SELECT event_id, user_id, value,
+           CAST(ROW_NUMBER() OVER w AS INT) AS rn,
+           CAST(RANK() OVER w AS INT) AS rnk,
+           CAST(DENSE_RANK() OVER w AS INT) AS drnk
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id ASC)
+    """,
+)
+def window_rank_family_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """window / rank family — row_number vs rank vs dense_rank under
+    one ordering (ties broken by event_id keep row_number stable;
+    rank/dense_rank expose the tie structure)."""
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@query(
+    "agg-argmax",
+    oracle="""
+    SELECT event_type, event_id AS top_event_id, value AS top_value FROM (
+      SELECT event_type, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def agg_argmax_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """agg / argmax — the row attaining the max (value, id) per group
+    via struct-max: an ordinary aggregate with map-side partial
+    combine, so the shuffle carries one row per (group, partition) —
+    unlike the window formulation the oracle uses (max_by is avoided:
+    its tie-break is undefined)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.max(F.struct("value", "event_id")).alias("_m"))
+        .select(
+            "event_type",
+            F.col("_m.event_id").alias("top_event_id"),
+            F.col("_m.value").alias("top_value"),
+        )
+    )

@@ -30,6 +30,8 @@ REL_IDS = sorted(
             "window-lag",
             "window-agg-session",
             "window-agg-hopping",
+            "window-rank-family",
+            "agg-argmax",
             "stats-",
             "set-intersect",
             "set-except",
