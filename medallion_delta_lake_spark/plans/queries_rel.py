@@ -789,3 +789,24 @@ def agg_argmax_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_m.value").alias("top_value"),
         )
     )
+
+
+@query(
+    "sort-paginate",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 20 OFFSET 40
+    """,
+)
+def sort_paginate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sort / pagination — page 3 of a total order (OFFSET+LIMIT).
+    Requires a full tie-broken ordering to be deterministic; at scale
+    prefer keyset pagination (WHERE key > last_seen) — OFFSET still
+    sorts the whole prefix."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .offset(40)
+        .limit(20)
+    )

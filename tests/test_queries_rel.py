@@ -32,6 +32,7 @@ REL_IDS = sorted(
             "window-agg-hopping",
             "window-rank-family",
             "agg-argmax",
+            "sort-paginate",
             "stats-",
             "set-intersect",
             "set-except",
