@@ -47,14 +47,25 @@ _CSV_TABLES = [
 
 def bronze(spark: SparkSession, landing_dir: str, base: str) -> None:
     """Raw landing files → bronze tables (append + partition for facts,
-    overwrite for dimensions; ref bronze_table_creation.py:24-61)."""
+    overwrite for dimensions; ref bronze_table_creation.py:24-61).
+    Ingestion uses DECLARED schemas (pipelines/schemas.py) — the
+    reference's inferSchema=True costs a full extra scan per feed and
+    lets type drift through silently (SURVEY.md §1)."""
+    from medallion_delta_lake_spark.pipelines import schemas
+
     for name in _CSV_TABLES:
-        df = readers.scan_csv(spark, f"{landing_dir}/{name}.csv")
+        df = readers.scan_csv(
+            spark,
+            f"{landing_dir}/{name}.csv",
+            schema=schemas.CSV_SCHEMAS[name],
+        )
         writers.write_append(
             df, f"{base}/bronze/{name}", partition_col="data_block_id"
         )
     stations = readers.scan_csv(
-        spark, f"{landing_dir}/weather_station_to_county_mapping.csv"
+        spark,
+        f"{landing_dir}/weather_station_to_county_mapping.csv",
+        schema=schemas.STATION_MAP,
     )
     writers.write_overwrite(stations, f"{base}/bronze/station_map")
     county = readers.scan_json(
