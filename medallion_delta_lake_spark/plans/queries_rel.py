@@ -810,3 +810,31 @@ def sort_paginate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .offset(40)
         .limit(20)
     )
+
+
+@query(
+    "q1-sql-entry",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_sql_entry_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 / SQL-string entry point — the same flagship aggregation
+    submitted as ANSI SQL over registered views (spark.sql shares the
+    Catalyst plan lifecycle with the DataFrame API; SURVEY.md §3)."""
+    from medallion_delta_lake_spark.catalog import register_testdata_views
+
+    register_testdata_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """)

@@ -143,3 +143,56 @@ def test_stream_multi_microbatch_dedup(spark, tmp_path):
     assert set(rows) == {
         (r.user_id, r.event_type) for r in ev.distinct().collect()
     }
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Watermark semantics across restarts: run 1 processes an hour-0
+    and an hour-6 event (watermark advances to 04:00 and is persisted
+    in the checkpoint); run 2 delivers a late hour-0 event — it must be
+    DROPPED, so the hour-0 window's total count stays 1."""
+    import datetime as dt
+
+    src = str(tmp_path / "late_src")
+    ckpt = str(tmp_path / "late_ckpt")
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "ts timestamp, v int")
+
+    out_dir = str(tmp_path / "late_out")
+
+    def run_once():
+        sdf = spark.readStream.schema("ts timestamp, v int").parquet(src)
+        agg = (
+            sdf.withWatermark("ts", "2 hours")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("ws"), "n")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        emitted = spark.read.schema("ws timestamp, n long").parquet(out_dir)
+        return [(r.ws, r.n) for r in emitted.collect()]
+
+    mk([(t0, 1), (t0 + dt.timedelta(hours=6), 1)]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    out1 = run_once()
+
+    mk([(t0 + dt.timedelta(minutes=5), 1)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    out2 = run_once()
+
+    # out2 is cumulative (file sink accumulates); the late hour-0 row
+    # must have been dropped: every emitted hour-0 record counts 1 row,
+    # and no second hour-0 record appears after run 2
+    hour0 = [n for ws, n in out2 if ws == t0]
+    assert sum(hour0) <= 1, (out1, out2)
