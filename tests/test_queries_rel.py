@@ -58,7 +58,7 @@ def test_rel_oracle_parity(spark, name):
 from medallion_delta_lake_spark.plans import queries_tpch  # noqa: F401,E402
 
 TPCH_IDS = sorted(
-    n for n in QUERIES if n in ORACLES and n.startswith(("q3-", "q5-", "q10-"))
+    n for n in QUERIES if n in ORACLES and n.startswith(("q3-", "q5-", "q10-", "q6-", "q12-", "q18-"))
 )
 
 
