@@ -1,9 +1,14 @@
 """Near-duplicate detection operators for LLM training-data pipelines
 (SURVEY.md §2.11 extension surface).
 
-Four escalating strategies, all DataFrame-native (no Python UDFs — the
-shingle/hash/signature math is Catalyst higher-order-function
-expressions inside whole-stage codegen):
+Four escalating strategies, all DataFrame-native, no Python UDFs. The
+hot hash paths (shingle hashing, SimHash votes) run as explode →
+codegen'd expressions → grouped aggregation with map-side combine —
+measured faster than the equivalent higher-order-function folds, which
+Spark evaluates interpreted (CodegenFallback). A consolidated
+"collect_set + 16 signature mins in one aggregate" variant was
+measured SLOWER than the two-step cache-and-derive structure used
+here, so don't "simplify" back to it:
 
 - exact:   8-byte content-hash groupBy — shuffles hashes, not text.
 - n-gram:  inverted-index self-join on shingle *hashes* (bigint), so
