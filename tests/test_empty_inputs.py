@@ -1,0 +1,114 @@
+"""Empty-input robustness: every operator family must degrade to an
+empty (or identity) result, not throw, when a feed is empty — the
+first thing that happens in production when an upstream source has a
+quiet day."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from medallion_delta_lake_spark.operators import (
+    clean,
+    dedup,
+    joins,
+    similarity,
+    text_analysis as ta,
+    upsert,
+    window,
+)
+
+
+@pytest.fixture(scope="module")
+def empty_docs(spark):
+    return spark.createDataFrame([], "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def empty_events(spark):
+    return spark.createDataFrame(
+        [], "event_id long, user_id long, ts timestamp, value double"
+    )
+
+
+def test_text_ops_on_empty(spark, empty_docs):
+    assert ta.token_stats(empty_docs).count() == 0
+    assert ta.quality_score(empty_docs).count() == 0
+    assert ta.language_id(empty_docs).count() == 0
+    assert ta.fingerprint(empty_docs).count() == 0
+
+
+def test_dedup_ops_on_empty(spark, empty_docs):
+    assert dedup.exact_dedup_groups(empty_docs).count() == 0
+    assert dedup.shingle_hashes(empty_docs).count() == 0
+    assert dedup.ngram_jaccard_pairs(empty_docs).count() == 0
+    assert dedup.minhash_signatures(empty_docs).count() == 0
+    assert dedup.minhash_lsh_pairs(empty_docs).count() == 0
+    assert dedup.simhash(empty_docs).count() == 0
+    assert dedup.simhash_pairs(empty_docs).count() == 0
+    pairs = spark.createDataFrame([], "id_a long, id_b long, jaccard double")
+    assert dedup.neardup_clusters(
+        empty_docs.select("doc_id"), pairs
+    ).count() == 0
+
+
+def test_similarity_ops_on_empty(spark):
+    empty_vecs = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    )
+    assert similarity.brute_force_topk(empty_vecs, empty_vecs).count() == 0
+    assert similarity.neardup_pairs(empty_vecs, n_planes=6).count() == 0
+    one = spark.createDataFrame(
+        [(1, [1.0] * 64)], "vec_id long, embedding array<double>"
+    )
+    # empty corpus with non-empty queries → no neighbors, no throw
+    assert similarity.brute_force_topk(one, empty_vecs).count() == 0
+
+
+def test_window_and_clean_ops_on_empty(spark, empty_events):
+    assert window.latest_per_key(empty_events, ["user_id"], "ts").count() == 0
+    assert window.sessionize(empty_events, ["user_id"], "ts").count() == 0
+    assert window.running_sum(
+        empty_events, ["user_id"], ["ts"], "value"
+    ).count() == 0
+    assert clean.dedup_full_row(empty_events).count() == 0
+    assert clean.null_profile(empty_events).count() == 1  # one stats row
+
+
+def test_joins_on_empty(spark, empty_events):
+    right = spark.createDataFrame(
+        [(1, 5, "x")], "user_id long, rt long, payload string"
+    ).select("user_id", F.col("rt").cast("timestamp").alias("rt"), "payload")
+    out = joins.asof_join(
+        empty_events.select("event_id", "user_id", "ts"),
+        right,
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="rt",
+        payload_cols=["payload"],
+    )
+    assert out.count() == 0
+    labeled = spark.createDataFrame(
+        [(59.4, 24.7, 1)], "latitude double, longitude double, county_id int"
+    )
+    unlabeled = spark.createDataFrame([], "latitude double, longitude double")
+    assert joins.nn_assign_spatial(
+        unlabeled, labeled, label_cols=["county_id"],
+        id_cols=["latitude", "longitude"],
+    ).count() == 0
+
+
+def test_upsert_empty_source(spark, tmp_path):
+    """An empty source with delete_missing=False must leave the table
+    untouched; with delete_missing=True it empties it (the source IS
+    the snapshot)."""
+    path = str(tmp_path / "t")
+    full = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    empty = spark.createDataFrame([], "k long, v string")
+    upsert.upsert(spark, full, path, keys=["k"])
+    upsert.upsert(spark, empty, path, keys=["k"], delete_missing=False)
+    from medallion_delta_lake_spark.sources import readers
+
+    assert readers.scan_table(spark, path).count() == 2
+    upsert.upsert(spark, empty, path, keys=["k"], delete_missing=True)
+    assert readers.scan_table(spark, path).count() == 0
