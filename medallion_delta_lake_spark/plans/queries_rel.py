@@ -838,3 +838,31 @@ def q1_sql_entry_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         GROUP BY l_returnflag, l_linestatus
     """)
+
+
+def _morton_oracle() -> str:
+    from medallion_delta_lake_spark.functions.spatial import morton_key_sql
+
+    zk = morton_key_sql("(l_orderkey % 65536)", "(l_partkey % 65536)", 16)
+    return f"""
+    SELECT l_orderkey, l_partkey, {zk} AS zkey
+    FROM lineitem
+    """
+
+
+@query("derive-morton-zorder", oracle=_morton_oracle())
+def derive_morton_zorder_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """derive / Z-order key — Morton bit-interleave of two join keys
+    (the OPTIMIZE ZORDER clustering key as a pure codegen expression).
+    Sorting a compaction by it makes row-group min/max pruning work for
+    predicates on either column."""
+    from medallion_delta_lake_spark.functions.spatial import morton_key
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return li.select(
+        "l_orderkey",
+        "l_partkey",
+        morton_key(
+            F.col("l_orderkey") % 65536, F.col("l_partkey") % 65536, 16
+        ).alias("zkey"),
+    )

@@ -104,9 +104,15 @@ def compact(
     from medallion_delta_lake_spark.sources.readers import scan_table
 
     df = scan_table(spark, path)
-    df = df.repartition(target_files)
     if sort_cols:
+        # range-partition on the sort key, THEN sort within files: a
+        # round-robin repartition would leave every file spanning the
+        # whole key range (sorted internally but useless for min/max
+        # skipping). Range + local sort = globally clustered output.
+        df = df.repartitionByRange(target_files, *sort_cols)
         df = df.sortWithinPartitions(*sort_cols)
+    else:
+        df = df.repartition(target_files)
     staging = path.rstrip("/") + "__staging"
     old = path.rstrip("/") + "__old"
     import shutil

@@ -33,6 +33,7 @@ REL_IDS = sorted(
             "window-rank-family",
             "agg-argmax",
             "sort-paginate",
+            "derive-morton",
             "q1-sql",
             "stats-",
             "set-intersect",

@@ -80,3 +80,38 @@ def test_compact_small_files(spark, tmp_path):
     assert len(out.inputFiles()) == 2
     assert out.count() == 1000
     assert {r.id for r in out.collect()} == set(range(1000))
+
+
+def test_compact_zorder_tightens_rowgroups(spark, tmp_path):
+    """Compacting sorted by a Morton key clusters both dimensions: a
+    selective filter on either column then skips most row groups. We
+    assert the observable proxy — after z-order compaction into sorted
+    files, each file covers a narrow range of the key."""
+    from medallion_delta_lake_spark.functions.spatial import morton_key
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "ztab")
+    df = (
+        spark.range(0, 4096)
+        .select(
+            (F.col("id") % 64).alias("a"),
+            (F.col("id") / 64).cast("long").alias("b"),
+        )
+        .orderBy(F.rand(7))
+    )
+    df.withColumn("zkey", morton_key("a", "b", 6)).write.parquet(path)
+    writers.compact(spark, path, target_files=8, sort_cols=["zkey"])
+
+    out = readers.scan_table(spark, path)
+    assert out.count() == 4096
+    # per-file key ranges: with 8 sorted files the average span must be
+    # far below the global span (clustering actually happened)
+    spans = (
+        out.groupBy(F.input_file_name().alias("f"))
+        .agg((F.max("zkey") - F.min("zkey")).alias("span"))
+        .collect()
+    )
+    global_span = 4095  # 12-bit morton space fully populated
+    avg_span = sum(r.span for r in spans) / len(spans)
+    assert len(spans) == 8
+    assert avg_span < global_span / 4
