@@ -866,3 +866,14 @@ def derive_morton_zorder_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey") % 65536, F.col("l_partkey") % 65536, 16
         ).alias("zkey"),
     )
+
+
+@query("approx-freq-items")  # rows-only: freq-sketch contents are engine-specific
+def approx_freq_items_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx / frequent items — single-pass heavy-hitters sketch per
+    column (Karp et al. via DataFrame.freqItems); the bounded-memory
+    alternative to an exact group-count at 100 TB. Guarantees are
+    superset-of-true-heavy-hitters; the exact-containment property is
+    pytest-checked."""
+    ev = table(spark, sf_dir, "events")
+    return ev.freqItems(["event_type", "user_id"], support=0.1)

@@ -84,3 +84,18 @@ def test_approx_quantile_brackets_exact_median(spark):
         assert q25 <= q50 <= q75
         # high-accuracy sketch: the approx median lands within 2% of exact
         assert abs(q50 - med) <= 0.02 * max(1.0, abs(med)), (et, q50, med)
+
+
+def test_freq_items_contains_true_heavy_hitters(spark):
+    from medallion_delta_lake_spark.plans.registry import QUERIES as Q, table as T
+    from pyspark.sql import functions as F
+
+    row = Q["approx-freq-items"](spark, SF_SMOKE).first()
+    ev = T(spark, SF_SMOKE, "events")
+    n = ev.count()
+    true_heavy = {
+        r.event_type
+        for r in ev.groupBy("event_type").count().collect()
+        if r["count"] > 0.1 * n
+    }
+    assert true_heavy <= set(row.event_type_freqItems)
