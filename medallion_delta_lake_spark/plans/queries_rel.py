@@ -877,3 +877,101 @@ def approx_freq_items_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest-checked."""
     ev = table(spark, sf_dir, "events")
     return ev.freqItems(["event_type", "user_id"], support=0.1)
+
+
+@query(
+    "struct-funcs",
+    oracle="""
+    WITH s AS (
+      SELECT struct_pack(key := o_orderkey, status := o_orderstatus,
+                         price := o_totalprice) AS rec
+      FROM orders
+    )
+    SELECT (rec).key AS o_orderkey, (rec).status AS status,
+           (rec).price * 2.0 AS double_price
+    FROM s
+    """,
+)
+def struct_funcs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """expr / struct — pack columns into a nested record and extract
+    fields (the nested-data round trip; Catalyst prunes untouched
+    struct fields at the scan)."""
+    o = table(spark, sf_dir, "orders")
+    packed = o.select(
+        F.struct(
+            F.col("o_orderkey").alias("key"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("price"),
+        ).alias("rec")
+    )
+    return packed.select(
+        F.col("rec.key").alias("o_orderkey"),
+        F.col("rec.status").alias("status"),
+        (F.col("rec.price") * 2.0).alias("double_price"),
+    )
+
+
+@query(
+    "map-funcs",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderkey,
+             map(['status', 'priority'],
+                 [o_orderstatus, o_orderpriority]) AS attrs
+      FROM orders
+    )
+    SELECT o_orderkey,
+           attrs['status'][1] AS status,
+           attrs['missing'][1] AS absent
+    FROM m
+    """,
+)
+def map_funcs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """expr / map — build a map column and extract by key (missing key
+    → NULL in both engines; DuckDB's list-wrapped extraction is
+    unwrapped with [1])."""
+    o = table(spark, sf_dir, "orders")
+    m = o.select(
+        "o_orderkey",
+        F.create_map(
+            F.lit("status"),
+            F.col("o_orderstatus"),
+            F.lit("priority"),
+            F.col("o_orderpriority"),
+        ).alias("attrs"),
+    )
+    return m.select(
+        "o_orderkey",
+        F.element_at("attrs", "status").alias("status"),
+        F.element_at("attrs", "missing").alias("absent"),
+    )
+
+
+@query(
+    "explode-outer-nulls",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+               x -> x = 'the') AS hits
+      FROM documents
+    )
+    SELECT doc_id,
+           unnest(CASE WHEN len(hits) = 0
+                       THEN [CAST(NULL AS VARCHAR)] ELSE hits END) AS hit
+    FROM t
+    """,
+)
+def explode_outer_nulls_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer — rows with empty arrays survive as NULL rows
+    (plain explode silently drops them — the classic row-loss bug in
+    token pipelines)."""
+    docs = table(spark, sf_dir, "documents")
+    hits = docs.select(
+        "doc_id",
+        F.filter(tokenize("text"), lambda x: x == "the").alias("hits"),
+    )
+    return hits.select(
+        "doc_id", F.explode_outer("hits").alias("hit")
+    )

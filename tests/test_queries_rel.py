@@ -34,6 +34,9 @@ REL_IDS = sorted(
             "agg-argmax",
             "sort-paginate",
             "derive-morton",
+            "struct-funcs",
+            "map-funcs",
+            "explode-outer",
             "q1-sql",
             "stats-",
             "set-intersect",
