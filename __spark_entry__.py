@@ -50,9 +50,76 @@ def entry(spark: SparkSession) -> DataFrame:
     return _registry.QUERIES["q1-pricing-summary"](spark, "/root/testdata/sf0.001")
 
 
+# Ops that still need (or this round changed and need fresh) driver-side
+# correctness evidence come first: the round-2 driver artifact covered
+# exactly the first 50 registered queries, leaving the tail of the
+# registry sweep-verified only. Listing those 39 + the new/changed ops
+# first puts them inside the driver's correctness window this round;
+# everything else (already driver-green in CORRECTNESS_r02.json) follows
+# in registration order.
+_DRIVER_PRIORITY = [
+    # new this round
+    "q4-order-priority",
+    "q16-supplier-cnt",
+    "q21-suppliers-waiting",
+    # driver-unchecked in round 2 (registration indices 50-88)
+    "q3-shipping-priority",
+    "q5-local-supplier",
+    "q10-returned-items",
+    "q6-forecast-revenue",
+    "q12-shipmode-priority",
+    "q18-large-orders",
+    "multimodal-byte-features",
+    "pandas-scalar-tokens",
+    "pandas-group-normalize",
+    "agg-grouping-sets",
+    "pivot-status",
+    "unpivot-measures",
+    "explode-token-freq",
+    "window-running-sum",
+    "window-lag-delta",
+    "window-agg-session",
+    "stats-moments",
+    "stats-median-manual",
+    "set-intersect",
+    "set-except",
+    "string-funcs",
+    "cond-funcs",
+    "time-funcs",
+    "approx-quantile",
+    "agg-salted-skew",
+    "window-agg-hopping",
+    "agg-collect-array",
+    "join-null-safe",
+    "json-funcs",
+    "array-funcs",
+    "window-rank-family",
+    "agg-argmax",
+    "sort-paginate",
+    "q1-sql-entry",
+    "derive-morton-zorder",
+    "approx-freq-items",
+    "struct-funcs",
+    "map-funcs",
+    "explode-outer-nulls",
+    # oracle upgraded / implementation reworked this round → re-verify
+    "dedup-cluster-assign",
+    "approx-distinct",
+    "join-asof-nearest",
+    "sim-ann-lsh",
+    "sim-ann-ivf",
+]
+
+
+def _prioritized(d: dict) -> dict:
+    out = {k: d[k] for k in _DRIVER_PRIORITY if k in d}
+    out.update((k, v) for k, v in d.items() if k not in out)
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(_registry.QUERIES)
+    return _prioritized(dict(_registry.QUERIES))
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(_registry.ORACLES)
+    return _prioritized(dict(_registry.ORACLES))

@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from medallion_delta_lake_spark.operators.caching import tracked_cache
 from medallion_delta_lake_spark.functions.hashing import (
     B_ROLL,
     P_ROLL,
@@ -124,7 +125,7 @@ def ngram_jaccard_pairs(
     shingle — never a blind cross join). ``max_df`` drops shingles that
     occur in more than that many documents before pair generation (the
     boilerplate cap; essential at scale, off by default for parity)."""
-    sets_df = shingle_hashes(df, text_col, id_col, n=n, fan_out=fan_out).cache()
+    sets_df = tracked_cache(shingle_hashes(df, text_col, id_col, n=n, fan_out=fan_out))
     postings = sets_df.select(
         F.col(id_col), F.explode("sh").alias("shingle_hash")
     )
@@ -212,12 +213,15 @@ def minhash_lsh_pairs(
     # cache shingle sets AND signatures: both are consumed twice (the
     # banded self-join's two sides / the two jaccard-verify joins), and
     # the md5+perm expression tree is the dominant per-row cost — one
-    # materialization instead of two at any scale.
-    sets_df = shingle_hashes(df, text_col, id_col, n=n, fan_out=fan_out).cache()
-    sig = sets_df.select(
-        F.col(id_col),
-        F.array(*minhash_signature_cols(F.col("sh"), num_perm)).alias("sig"),
-    ).cache()
+    # materialization instead of two at any scale. Tracked: callers
+    # release via operators.caching.release_caches() after their action.
+    sets_df = tracked_cache(shingle_hashes(df, text_col, id_col, n=n, fan_out=fan_out))
+    sig = tracked_cache(
+        sets_df.select(
+            F.col(id_col),
+            F.array(*minhash_signature_cols(F.col("sh"), num_perm)).alias("sig"),
+        )
+    )
     banded = sig.select(
         F.col(id_col),
         F.posexplode(
@@ -299,8 +303,8 @@ def simhash_pairs(
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
     # cache: the 32-vote signature tree is consumed by both self-join
-    # sides — materialize once
-    sh = simhash(df, text_col, id_col, bits=bits, fan_out=fan_out).cache()
+    # sides — materialize once (tracked; see operators/caching.py)
+    sh = tracked_cache(simhash(df, text_col, id_col, bits=bits, fan_out=fan_out))
     banded = sh.select(
         F.col(id_col),
         F.col("simhash"),
@@ -357,9 +361,11 @@ def neardup_clusters(
     edges = pairs_df.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
-    edges = edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).cache()
+    edges = tracked_cache(
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    )
     labels = ids_df.select(
         F.col(id_col), F.col(id_col).alias("cluster")
     ).localCheckpoint()

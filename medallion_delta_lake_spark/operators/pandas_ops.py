@@ -28,12 +28,18 @@ from pyspark.sql.types import IntegerType
 
 @F.pandas_udf(IntegerType())
 def token_count_pudf(text: pd.Series) -> pd.Series:
-    """Vectorized whitespace token count (Arrow in, Arrow out)."""
+    """Vectorized whitespace token count (Arrow in, Arrow out).
+
+    Whitespace is the explicit ASCII class, not ``\\s``: Python's regex
+    ``\\s`` is Unicode-aware (NBSP, \\u2028, …) while the native
+    tokenize path and the DuckDB oracle use RE2/Java ASCII-oriented
+    ``\\s`` — the explicit class keeps all three in agreement on
+    non-ASCII whitespace."""
     norm = (
         text.fillna("")
         .str.lower()
-        .str.replace(r"\s+", " ", regex=True)
-        .str.strip()
+        .str.replace(r"[ \t\n\r\f\v]+", " ", regex=True)
+        .str.strip(" \t\n\r\f\v")
     )
     return norm.str.split(" ").map(len).astype("int32")
 

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from medallion_delta_lake_spark.operators.caching import tracked_cache
+
 # Deterministic integer "random" hyperplanes, identical in the SQL
 # oracle: weight(plane p, dim i) ∈ [-1000, 1000].
 _W_MULT_P = 2_654_435_761
@@ -172,9 +174,12 @@ def neardup_pairs(
         base = base.repartition(fan_out)
     if n_planes is not None:
         # cache: the 6-dot-product bucket tree feeds both join sides
-        base = base.withColumn(
-            "bucket", hyperplane_bucket(F.col(vec_col), n_planes, dims)
-        ).cache()
+        # (tracked; callers release via caching.release_caches())
+        base = tracked_cache(
+            base.withColumn(
+                "bucket", hyperplane_bucket(F.col(vec_col), n_planes, dims)
+            )
+        )
         a = base.select(
             F.col("bucket"),
             F.col(id_col).alias("id_a"),
@@ -252,7 +257,7 @@ def ivf_topk(
     centroids = corpus.orderBy(F.col(id_col).asc()).limit(n_centroids).select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
     )
-    assigned = ivf_assign(corpus, centroids, id_col, vec_col).cache()
+    assigned = tracked_cache(ivf_assign(corpus, centroids, id_col, vec_col))
     qa = assigned.join(
         queries.select(F.col(id_col).alias(query_id_col)),
         assigned[id_col] == F.col(query_id_col),

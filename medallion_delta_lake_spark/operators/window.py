@@ -67,20 +67,6 @@ def latest_per_key(
     return out.drop("_rn")
 
 
-def lag_delta(
-    df: DataFrame,
-    keys: Sequence[str],
-    order_col: str,
-    value_col: str,
-    out_col: str = "delta",
-) -> DataFrame:
-    """Per-key difference vs previous row (sessionization building block)."""
-    w = Window.partitionBy(*keys).orderBy(F.col(order_col).asc())
-    return df.withColumn(
-        out_col, F.col(value_col) - F.lag(F.col(value_col)).over(w)
-    )
-
-
 def running_sum(
     df: DataFrame,
     keys: Sequence[str],

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from medallion_delta_lake_spark.operators import dedup
 from medallion_delta_lake_spark.operators import text_analysis as ta
+from medallion_delta_lake_spark.operators.caching import release_caches
 
 
 def clean_corpus(
@@ -62,6 +63,10 @@ def clean_corpus(
     reps = clusters.filter(F.col(id_col) == F.col("cluster")).select(id_col)
     final_docs = exact_docs.join(reps, id_col)
     n_final = final_docs.count()
+    # operator-internal caches (shingle sets, signatures, edges) have
+    # served their self-joins by now — return the executor memory so a
+    # long-lived session running batches doesn't accumulate blocks
+    release_caches()
 
     stats = spark.createDataFrame(
         [(n_in, n_quality, n_exact, n_final)],

@@ -424,13 +424,35 @@ def agg_count_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx-distinct")  # rows-only: HLL estimate is engine-specific
+@query(
+    "approx-distinct",
+    # The HLL++ estimate itself is engine-specific, so the oracle
+    # checks the sketch's published error bound instead: the query
+    # emits the exact count plus a within_bound flag (|approx−exact| ≤
+    # 3×rsd×exact, rsd = 0.05 default), which must be TRUE everywhere.
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users_exact,
+           TRUE AS within_bound
+    FROM events GROUP BY event_type
+    """,
+)
 def approx_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx-distinct — HyperLogLog++ distinct users per event type; the
-    scale path of agg-count-distinct (no exact-distinct shuffle)."""
+    scale path of agg-count-distinct (no exact-distinct shuffle). The
+    correctness query self-checks the estimate against the exact count
+    within 3× the sketch's relative standard deviation."""
     ev = table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users")
+    agged = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.05).alias("_approx"),
+        F.countDistinct("user_id").alias("n_users_exact"),
+    )
+    return agged.select(
+        "event_type",
+        "n_users_exact",
+        (
+            F.abs(F.col("_approx") - F.col("n_users_exact"))
+            <= 3 * 0.05 * F.col("n_users_exact")
+        ).alias("within_bound"),
     )
 
 

@@ -306,7 +306,7 @@ def window_lag_delta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window-agg-session",
     oracle="""
     WITH o AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
                     OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_s
@@ -315,7 +315,7 @@ def window_lag_delta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
       SELECT user_id, ts,
-             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS UNBOUNDED PRECEDING) AS sid
       FROM o
     )
@@ -550,15 +550,37 @@ def time_funcs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx-quantile")  # rows-only: t-digest estimates are engine-specific
+@query(
+    "approx-quantile",
+    # The KLL/GK estimate is engine-specific; the oracle checks the
+    # sketch's rank-error guarantee instead. percentile_approx with
+    # accuracy=10000 has rank error ≤ 1e-4; the query brackets each
+    # estimate between the exact p∓0.01 percentiles (two orders of
+    # magnitude of slack) and emits within_bound, which must be TRUE.
+    oracle="""
+    SELECT event_type, COUNT(*) AS n, TRUE AS within_bound
+    FROM events GROUP BY event_type
+    """,
+)
 def approx_quantile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx-quantile — percentile_approx per event type; the scale
     path of stats-median-manual (no full sort, mergeable sketches).
-    Bounds vs the exact median are pytest-checked."""
+    Self-checks each quartile estimate against the exact p±0.01
+    percentile bracket (sketch rank error is 1e-4 at accuracy=10000)."""
     ev = table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.percentile_approx("value", [0.25, 0.5, 0.75], 10000).alias("quartiles")
+    agged = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.25, 0.5, 0.75], 10000).alias("_appx"),
+        F.expr("percentile(value, array(0.24, 0.49, 0.74))").alias("_lo"),
+        F.expr("percentile(value, array(0.26, 0.51, 0.76))").alias("_hi"),
+        F.count(F.lit(1)).alias("n"),
     )
+    ok = F.lit(True)
+    for i in range(3):
+        ok = ok & (
+            (F.col("_appx")[i] >= F.col("_lo")[i])
+            & (F.col("_appx")[i] <= F.col("_hi")[i])
+        )
+    return agged.select("event_type", "n", ok.alias("within_bound"))
 
 
 @query(
@@ -868,15 +890,60 @@ def derive_morton_zorder_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx-freq-items")  # rows-only: freq-sketch contents are engine-specific
+@query(
+    "approx-freq-items",
+    # The sketch's contents are engine-specific, but its guarantee is
+    # not: every item with frequency > support·n MUST appear in the
+    # sketch output (superset property). The query emits the exact
+    # heavy-hitter counts plus the containment flag; the oracle
+    # recomputes the counts and expects containment to hold.
+    oracle="""
+    WITH t AS (SELECT COUNT(*) AS n FROM events),
+    he AS (SELECT COUNT(*) AS n_heavy_types FROM (
+             SELECT event_type FROM events GROUP BY event_type
+             HAVING COUNT(*) > 0.1 * (SELECT n FROM t))),
+    hu AS (SELECT COUNT(*) AS n_heavy_users FROM (
+             SELECT user_id FROM events GROUP BY user_id
+             HAVING COUNT(*) > 0.1 * (SELECT n FROM t)))
+    SELECT he.n_heavy_types, hu.n_heavy_users, TRUE AS all_contained
+    FROM he, hu
+    """,
+)
 def approx_freq_items_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx / frequent items — single-pass heavy-hitters sketch per
     column (Karp et al. via DataFrame.freqItems); the bounded-memory
-    alternative to an exact group-count at 100 TB. Guarantees are
-    superset-of-true-heavy-hitters; the exact-containment property is
-    pytest-checked."""
+    alternative to an exact group-count at 100 TB. Self-checks the
+    superset guarantee: all true >10% items are contained in the
+    sketch output."""
     ev = table(spark, sf_dir, "events")
-    return ev.freqItems(["event_type", "user_id"], support=0.1)
+    fi = ev.freqItems(["event_type", "user_id"], support=0.1)
+    n = ev.agg(F.count(F.lit(1)).alias("_n"))
+
+    def heavy(col: str, out: str) -> DataFrame:
+        return (
+            ev.groupBy(col)
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .crossJoin(F.broadcast(n))
+            .filter(F.col("_c") > 0.1 * F.col("_n"))
+            .agg(
+                F.collect_list(col).alias(f"_{out}_items"),
+                F.count(F.lit(1)).alias(f"n_{out}"),
+            )
+        )
+
+    ht = heavy("event_type", "heavy_types")
+    hu = heavy("user_id", "heavy_users")
+    joined = fi.crossJoin(F.broadcast(ht)).crossJoin(F.broadcast(hu))
+    contained = F.forall(
+        F.col("_heavy_types_items"),
+        lambda t: F.array_contains(F.col("event_type_freqItems"), t),
+    ) & F.forall(
+        F.col("_heavy_users_items"),
+        lambda u: F.array_contains(F.col("user_id_freqItems"), u),
+    )
+    return joined.select(
+        "n_heavy_types", "n_heavy_users", contained.alias("all_contained")
+    )
 
 
 @query(

@@ -301,10 +301,9 @@ def _band_key_sql(slice_expr: str) -> str:
     )
 
 
-@query(
-    "dedup-minhash-lsh",
-    oracle=f"""
-    WITH {_SETS_CTE},
+# full candidate-generation + exact-verify pipeline as one CTE chain,
+# shared by the pair query and the connected-components oracle below
+_LSH_SCORED_CTE = f"""{_SETS_CTE},
     sigs AS (SELECT doc_id, {_minhash_sig_list_sql()} AS sig FROM sets),
     bkeys AS (
       SELECT doc_id,
@@ -330,7 +329,13 @@ def _band_key_sql(slice_expr: str) -> str:
       FROM pairs p
       JOIN sets sa ON sa.doc_id = p.id_a
       JOIN sets sb ON sb.doc_id = p.id_b
-    )
+    )"""
+
+
+@query(
+    "dedup-minhash-lsh",
+    oracle=f"""
+    WITH {_LSH_SCORED_CTE}
     SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5
     """,
 )
@@ -422,13 +427,36 @@ def dedup_simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup-cluster-assign")  # rows-only: iterative fixpoint, not SQL
+@query(
+    "dedup-cluster-assign",
+    # Connected components IS SQL-expressible: transitive closure as a
+    # recursive CTE (UNION dedups rows, so the recursion terminates),
+    # then cluster = MIN over the reachable set. Quadratic in cluster
+    # size — fine for an oracle, the distributed path is the operator.
+    oracle=f"""
+    WITH RECURSIVE {_LSH_SCORED_CTE},
+    good AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.5),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM good
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM good
+    ),
+    walk(doc_id, node) AS (
+      SELECT doc_id, doc_id AS node FROM corpus
+      UNION
+      SELECT w.doc_id, e.dst AS node
+      FROM walk w JOIN edges e ON e.src = w.node
+    )
+    SELECT doc_id, MIN(node) AS cluster FROM walk GROUP BY doc_id
+    """,
+)
 def dedup_cluster_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dedup / cluster assignment — connected components over the
     MinHash-LSH near-dup pairs: every doc mapped to its duplicate
     group's minimum id (the surviving representative). Iterative
     min-label propagation; verified against a union-find reference in
-    tests/test_dedup_clusters.py."""
+    tests/test_dedup_clusters.py and against the recursive-CTE
+    transitive-closure oracle."""
     corpus = _dup_corpus(spark, sf_dir)
     pairs = dedup.minhash_lsh_pairs(
         corpus,

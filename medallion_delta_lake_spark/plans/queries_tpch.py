@@ -256,3 +256,145 @@ def q18_large_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "o_orderkey", "o_orderdate")
         .agg(dsum(F.col("l_quantity"), "total_qty"))
     )
+
+
+@query(
+    "q4-order-priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 analog (EXISTS decorrelation): orders in a date window
+    having at least one returned line, counted by priority. The
+    correlated EXISTS becomes a left-semi join — the fact side is
+    filtered before the join, and the semi join never duplicates
+    orders no matter how many lines match (the dedup a plain inner
+    join + distinct would pay a shuffle for)."""
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey")
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "q16-supplier-cnt",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#13'
+      AND p.p_type <> 'MEDIUM'
+      AND l.l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q16_supplier_cnt_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 analog (distinct agg + NOT IN): distinct supplier
+    count per part group, excluding a complaint-supplier set. The NOT
+    IN subquery becomes a broadcast left-anti join (s_suppkey is
+    non-null, so anti-join and NOT IN agree); part is broadcast after
+    its predicates; one shuffle for the distinct aggregation."""
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13") & (F.col("p_type") != "MEDIUM")
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bad = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q21-suppliers-waiting",
+    oracle="""
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+                    AND l1.l_returnflag = 'R'
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+                 AND o.o_orderstatus = 'F'
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name ASC LIMIT 20
+    """,
+)
+def q21_suppliers_waiting_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 analog (multi semi/anti self-join): suppliers who were
+    the *only* supplier with a returned line on a finished
+    multi-supplier order. EXISTS → left-semi, NOT EXISTS → left-anti,
+    both self-joins on the order key with a non-equi supplier
+    condition — the decorrelation surface Q3/Q5/Q10 never touch.
+    Supplier is broadcast; the two self-joins co-partition on
+    l_orderkey, so AQE folds them into one shuffle of the fact."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    l1 = li.filter(F.col("l_returnflag") == "R")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    l2 = li.select(
+        F.col("l_orderkey").alias("l2_orderkey"),
+        F.col("l_suppkey").alias("l2_suppkey"),
+    )
+    l3 = l1.select(
+        F.col("l_orderkey").alias("l3_orderkey"),
+        F.col("l_suppkey").alias("l3_suppkey"),
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    waiting = (
+        l1.join(o, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .join(
+            l2,
+            (F.col("l_orderkey") == F.col("l2_orderkey"))
+            & (F.col("l_suppkey") != F.col("l2_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("l3_orderkey"))
+            & (F.col("l_suppkey") != F.col("l3_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )

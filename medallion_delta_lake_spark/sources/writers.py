@@ -103,6 +103,19 @@ def compact(
     """
     from medallion_delta_lake_spark.sources.readers import scan_table
 
+    staging = path.rstrip("/") + "__staging"
+    old = path.rstrip("/") + "__old"
+    import shutil
+
+    # Crash recovery (same contract as _upsert_parquet_snapshot): a crash
+    # between the two renames of a previous compact/upsert leaves the live
+    # snapshot parked at __old with `path` missing — restore it before
+    # scanning, else every subsequent read fails until manual repair.
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+
     df = scan_table(spark, path)
     if sort_cols:
         # range-partition on the sort key, THEN sort within files: a
@@ -113,12 +126,6 @@ def compact(
         df = df.sortWithinPartitions(*sort_cols)
     else:
         df = df.repartition(target_files)
-    staging = path.rstrip("/") + "__staging"
-    old = path.rstrip("/") + "__old"
-    import shutil
-
-    shutil.rmtree(staging, ignore_errors=True)
-    shutil.rmtree(old, ignore_errors=True)
     writer = df.write.format(_fmt()).mode("overwrite")
     if partition_col:
         writer = writer.partitionBy(partition_col)
