@@ -185,30 +185,35 @@ def asof_join(
     explodes into an inequality nested loop at scale), tag both inputs,
     union them, and carry the last non-null payload forward over a
     (key)-partitioned, (time, side)-ordered window — right rows sort
-    before left rows at equal timestamps, giving <= semantics. ONE
-    shuffle on the key, linear in rows, no range explosion; this is the
-    plan a 100 TB backfill wants. Right side must be unique per
-    (key, right_ts) — pre-dedup with latest_per_key otherwise.
+    before left rows at equal timestamps, giving <= semantics. Linear
+    in rows, no range explosion; this is the plan a 100 TB backfill
+    wants. Right side must be unique per (key, right_ts) — pre-dedup
+    with latest_per_key otherwise.
+
+    Narrow-shuffle shape: only the DISTINCT (keys, ts) probe points —
+    never the left passthrough columns — go through the union window's
+    partition-sort, so the sort (the spill-prone step on a wide fact)
+    touches (key, ts, payload) rows only. The resolved payload is then
+    reattached with a null-safe equi-join on (keys, ts), which AQE
+    plans as a hash join — no second sort of the wide rows. Duplicate
+    left (key, ts) rows are resolved once and fan back out in the
+    join.
     """
-    passthrough = [c for c in left.columns if c not in keys and c != left_ts]
-    l2 = left.select(
-        *[F.col(k) for k in keys],
-        F.col(left_ts).alias("_t"),
+    keys = list(keys)
+    rtypes = dict(right.dtypes)
+    probe = left.select(
+        *[F.col(k) for k in keys], F.col(left_ts).alias("_t")
+    ).distinct()
+    l2 = probe.select(
+        *keys,
+        "_t",
         F.lit(1).alias("_side"),
-        *[F.col(c) for c in passthrough],
-        *[
-            F.lit(None).cast(dict(right.dtypes)[p]).alias(p)
-            for p in payload_cols
-        ],
+        *[F.lit(None).cast(rtypes[p]).alias(p) for p in payload_cols],
     )
     r2 = right.select(
         *[F.col(k) for k in keys],
         F.col(right_ts).alias("_t"),
         F.lit(0).alias("_side"),
-        *[
-            F.lit(None).cast(dict(left.dtypes)[c]).alias(c)
-            for c in passthrough
-        ],
         *[F.col(p) for p in payload_cols],
     )
     u = l2.unionByName(r2)
@@ -219,20 +224,28 @@ def asof_join(
         .orderBy(F.col("_t").asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = u.select(
-        *keys,
-        "_t",
-        "_side",
-        *passthrough,
-        *[
-            F.last(F.col(p), ignorenulls=True).over(w).alias(p)
-            for p in payload_cols
-        ],
+    carried = (
+        u.select(
+            *keys,
+            "_t",
+            "_side",
+            *[
+                F.last(F.col(p), ignorenulls=True).over(w).alias(p)
+                for p in payload_cols
+            ],
+        )
+        .filter(F.col("_side") == 1)
+        .select(
+            *[F.col(k).alias(f"_ak_{k}") for k in keys],
+            F.col("_t").alias("_at"),
+            *payload_cols,
+        )
     )
-    return (
-        carried.filter(F.col("_side") == 1)
-        .drop("_side")
-        .withColumnRenamed("_t", left_ts)
+    cond = left[left_ts].eqNullSafe(F.col("_at"))
+    for k in keys:
+        cond = cond & left[k].eqNullSafe(F.col(f"_ak_{k}"))
+    return left.join(carried, on=cond, how="left").drop(
+        "_at", *[f"_ak_{k}" for k in keys]
     )
 
 

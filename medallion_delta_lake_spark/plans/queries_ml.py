@@ -81,6 +81,11 @@ def sim_knn_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.brute_force_topk(e.filter(F.col("vec_id") < 5), e, k=5)
 
 
+_PROBES_SQL = "[bucket" + "".join(
+    f", xor(bucket, {2**p})" for p in range(_PLANES)
+) + "]"
+
+
 @query(
     "sim-ann-lsh",
     oracle=f"""
@@ -88,11 +93,14 @@ def sim_knn_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
       FROM embeddings
     ),
+    qp AS (
+      SELECT vec_id, embedding, unnest({_PROBES_SQL}) AS bucket
+      FROM b WHERE vec_id < 5
+    ),
     scored AS (
-      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id,
              {_cos_sql('q.embedding', 'c.embedding')} AS cosine
-      FROM b q JOIN b c ON q.bucket = c.bucket
-      WHERE q.vec_id < 5
+      FROM qp q JOIN b c ON q.bucket = c.bucket
     ),
     ranked AS (
       SELECT *, ROW_NUMBER() OVER (
@@ -104,12 +112,14 @@ def sim_knn_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sim_ann_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """similarity / ANN — random-hyperplane LSH buckets (6 planes),
-    bucket equi-join + exact rerank. Sub-quadratic scale path; recall
-    bounded by bucketing, precision exact."""
+    """similarity / ANN — random-hyperplane LSH buckets (6 planes) with
+    one-bit multi-probe on the query side, bucket equi-join + exact
+    rerank. Sub-quadratic scale path; recall measured vs brute force in
+    tests/test_ann_recall.py, precision exact."""
     e = table(spark, sf_dir, "embeddings")
     return sim.ann_topk(
-        e.filter(F.col("vec_id") < 5), e, k=5, n_planes=_PLANES, dims=_DIMS
+        e.filter(F.col("vec_id") < 5), e, k=5, n_planes=_PLANES,
+        dims=_DIMS, multi_probe=True,
     )
 
 
