@@ -59,6 +59,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # in registration order.
 _DRIVER_PRIORITY = [
     # new this round
+    "join-salted-skew",
     "q4-order-priority",
     "q16-supplier-cnt",
     "q21-suppliers-waiting",

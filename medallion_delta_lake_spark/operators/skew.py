@@ -44,3 +44,41 @@ def salted_sum_count(
         F.sum("_ps").cast("double").alias(sum_alias),
         F.sum("_pc").alias(count_alias),
     )
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    keys: Sequence[str],
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: the hot keys of ``skewed`` spread over
+    ``salt_buckets`` reducers; ``other`` is replicated ×``salt_buckets``
+    (explode on a literal salt array) so every (key, salt) bucket finds
+    its match. Join keys become (keys…, salt); result is identical to
+    the plain join, minus the single straggler task that a 100×-hot key
+    otherwise creates.
+
+    Use when BOTH sides are too big to broadcast and AQE's skew-join
+    split can't apply (e.g. the skewed side feeds from an aggregation
+    whose partitioning Spark wants to reuse, or the join is the
+    build side of a further operator). Cost model: replicating the
+    non-skewed side ×S is worth one eliminated straggler when
+    |other| × S ≪ |skewed_hot_key|. ``how`` supports inner/left
+    (semantics preserved because every skewed row keeps exactly its
+    original match set — the salt only routes, never filters).
+
+    Measured payoff on a 100×-skewed key: see BASELINE.md
+    "Skewed-join lever".
+    """
+    keys = list(keys)
+    lefts = skewed.withColumn(
+        "_salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    rights = other.withColumn(
+        "_salt",
+        F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])),
+    )
+    out = lefts.join(rights, on=[*keys, "_salt"], how=how)
+    return out.drop("_salt")

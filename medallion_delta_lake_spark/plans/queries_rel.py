@@ -604,6 +604,29 @@ def agg_salted_skew_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join-salted-skew",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.event_type, c.c_name
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id % 1500
+    """,
+)
+def join_salted_skew_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join / salted — skew-safe equi-join (hot keys spread over salt
+    buckets, dimension replicated ×buckets). Result provably identical
+    to the plain join, which is what the oracle asserts; the measured
+    straggler payoff is in BASELINE.md "Skewed-join lever"."""
+    from medallion_delta_lake_spark.operators import skew
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        (F.col("user_id") % 1500).alias("c_custkey"),
+    )
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    out = skew.salted_join(ev, cust, ["c_custkey"], salt_buckets=8)
+    return out.select("event_id", "user_id", "event_type", "c_name")
+
+
+@query(
     "window-agg-hopping",
     oracle="""
     WITH starts AS (

@@ -61,3 +61,36 @@ def test_asof_join_backward_semantics(spark):
         "e3": None,     # right row exists only later (t=60 > 50)
     }
     assert out.count() == left.count()  # no fan-out, no row loss
+
+
+def test_salted_join_matches_plain_join(spark):
+    from medallion_delta_lake_spark.operators import skew
+    from pyspark.sql import functions as F
+
+    fact = spark.range(10_000).select(
+        F.pmod(F.xxhash64("id"), F.lit(7)).alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = spark.range(7).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("p")
+    )
+    plain = {(r.k, r.v, r.p) for r in fact.join(dim, "k").collect()}
+    salted = {
+        (r.k, r.v, r.p)
+        for r in skew.salted_join(fact, dim, ["k"], salt_buckets=8).collect()
+    }
+    assert plain == salted
+
+    # left join with unmatched keys preserved
+    dim_partial = dim.filter(F.col("k") < 3)
+    plain_l = {
+        (r.k, r.v, r.p)
+        for r in fact.join(dim_partial, "k", "left").collect()
+    }
+    salted_l = {
+        (r.k, r.v, r.p)
+        for r in skew.salted_join(
+            fact, dim_partial, ["k"], salt_buckets=8, how="left"
+        ).collect()
+    }
+    assert plain_l == salted_l
