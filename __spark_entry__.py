@@ -109,6 +109,10 @@ _DRIVER_PRIORITY = [
     "join-asof-nearest",
     "sim-ann-lsh",
     "sim-ann-ivf",
+    # two of the nine wave-2 TPC-H analogs fit in the remaining window
+    # slots; the rest are sweep-verified this round, driver next round
+    "q17-small-quantity-revenue",
+    "q22-global-sales-opportunity",
 ]
 
 

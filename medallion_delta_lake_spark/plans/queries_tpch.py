@@ -398,3 +398,393 @@ def q21_suppliers_waiting_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
         .limit(20)
     )
+
+
+@query(
+    "q2-min-cost-supplier",
+    oracle="""
+    WITH unit AS (
+      SELECT l_partkey, l_suppkey,
+             l_extendedprice / l_quantity AS unit_cost
+      FROM lineitem WHERE l_quantity > 0
+    ),
+    mins AS (
+      SELECT l_partkey, MIN(unit_cost) AS min_cost
+      FROM unit GROUP BY l_partkey
+    )
+    SELECT p.p_partkey, p.p_brand, u.l_suppkey, u.unit_cost AS min_cost
+    FROM part p
+    JOIN unit u ON u.l_partkey = p.p_partkey
+    JOIN mins m ON m.l_partkey = u.l_partkey
+              AND u.unit_cost = m.min_cost
+    WHERE p.p_size < 10
+    """,
+)
+def q2_min_cost_supplier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 analog (correlated MIN subquery): for each small part,
+    the supplier(s) achieving the minimum observed unit cost. The
+    correlated scalar subquery decorrelates into a grouped MIN joined
+    back on (part, cost) — per-row IEEE division is bit-identical
+    across engines, so the equality join is exact. Ties keep all
+    minimal suppliers (matches the SQL)."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    unit = li.select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"),
+    )
+    mins = unit.groupBy("l_partkey").agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    p = table(spark, sf_dir, "part").filter(F.col("p_size") < 10).select(
+        "p_partkey", "p_brand"
+    )
+    return (
+        unit.join(
+            mins,
+            (unit["l_partkey"] == mins["l_partkey"])
+            & (unit["unit_cost"] == mins["min_cost"]),
+        )
+        .drop(mins["l_partkey"])
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select("p_partkey", "p_brand", "l_suppkey", F.col("unit_cost").alias("min_cost"))
+    )
+
+
+@query(
+    "q7-volume-shipping",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           EXTRACT(year FROM l.l_shipdate) AS l_year, {_REV_SQL} AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 analog: bilateral trade volume between two nations by
+    year. Two broadcast nation joins with a disjunctive pair predicate;
+    the fact side shuffles only for the final group-by."""
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("n1_key") == F.col("s_nationkey"))
+        .join(F.broadcast(n2), F.col("n2_key") == F.col("c_nationkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(dsum(rev, "revenue"))
+    )
+
+
+@query(
+    "q11-important-stock",
+    oracle="""
+    WITH v AS (
+      SELECT l.l_partkey,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS val
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      WHERE s.s_nationkey = 0
+      GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, val FROM v
+    WHERE val > (SELECT 0.001 *
+                   CAST(SUM(CAST(val AS DECIMAL(38,6))) AS DOUBLE) FROM v)
+    """,
+)
+def q11_important_stock_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 analog (group HAVING vs global scalar): per-part value
+    held by one nation's suppliers, keeping parts above a fraction of
+    the global total. The global scalar broadcasts back over the
+    grouped frame — both aggregates decimal-exact, so the threshold
+    comparison is engine-independent."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    s = table(spark, sf_dir, "supplier").filter(
+        F.col("s_nationkey") == 0
+    ).select("s_suppkey")
+    v = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(dsum(F.col("l_extendedprice"), "val"))
+    )
+    total = v.agg(
+        (
+            0.001
+            * F.sum(F.col("val").cast("decimal(38,6)")).cast("double")
+        ).alias("_thr")
+    )
+    return (
+        v.crossJoin(F.broadcast(total))
+        .filter(F.col("val") > F.col("_thr"))
+        .select("l_partkey", "val")
+    )
+
+
+@query(
+    "q13-customer-distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 analog: order-count histogram over customers,
+    including zero-order customers (left join with an extra join-side
+    predicate — the predicate must NOT filter customers, only orders,
+    which is exactly what pushing it into the join condition does)."""
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    return (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@query(
+    "q14-promo-revenue",
+    oracle="""
+    SELECT 100.0 *
+      CAST(SUM(CAST(CASE WHEN p.p_type = 'PROMO'
+                 THEN l.l_extendedprice * (1 - l.l_discount)
+                 ELSE 0 END AS DECIMAL(38,6))) AS DOUBLE)
+      / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                 AS DECIMAL(38,6))) AS DOUBLE) AS promo_revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1997-03-01 00:00:00'
+    """,
+)
+def q14_promo_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 analog: promo revenue share — two conditional
+    decimal-exact sums in one pass, one double division at the end
+    (the only float op, deterministic given identical operands)."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-03-01 00:00:00").cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    agged = li.join(
+        F.broadcast(p), F.col("p_partkey") == F.col("l_partkey")
+    ).agg(
+        F.sum(promo.cast("decimal(38,6)")).cast("double").alias("_pr"),
+        F.sum(rev.cast("decimal(38,6)")).cast("double").alias("_tr"),
+    )
+    return agged.select(
+        (100.0 * F.col("_pr") / F.col("_tr")).alias("promo_revenue")
+    )
+
+
+@query(
+    "q15-top-supplier",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey, {_REV_SQL} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+)
+def q15_top_supplier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 analog: supplier(s) with maximum quarterly revenue —
+    the scalar MAX subquery broadcasts back over the grouped revenue
+    view; decimal-exact totals make the equality deterministic."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "q17-small-quantity-revenue",
+    oracle="""
+    WITH pa AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+               / COUNT(*) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+             / 7.0 AS avg_yearly,
+           COUNT(*) AS n
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pa ON pa.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND l.l_quantity < 0.5 * pa.avg_qty
+    """,
+)
+def q17_small_quantity_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 analog (correlated AVG subquery): revenue from orders
+    of less than half a part's average quantity. Decorrelates into a
+    grouped average joined back on the part key; the average is a
+    decimal-exact sum divided once, so the < comparison is exact."""
+    li = table(spark, sf_dir, "lineitem")
+    pa = li.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_qty")
+    )
+    p = table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#1"
+    ).select("p_partkey")
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(pa, F.col("pa_partkey") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(38,6)"))
+                .cast("double")
+                / 7.0
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "q19-disjunctive-predicates",
+    oracle="""
+    SELECT CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+               AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#7' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_predicates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 analog: OR-of-ANDs across both join sides. Catalyst
+    extracts the common-key equi-join and keeps the disjunction as a
+    post-join filter while pushing the derivable per-side disjuncts
+    (brand IN, size/quantity envelopes) down to each scan."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    c1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    )
+    c2 = (
+        (F.col("p_brand") == "Brand#7")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    )
+    c3 = (
+        (F.col("p_brand") == "Brand#13")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(c1 | c2 | c3)
+        .agg(dsum(rev, "revenue"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q22-global-sales-opportunity",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+               / COUNT(*) AS ab
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_nationkey AS cntrycode, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+             AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT ab FROM avg_bal)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_nationkey
+    """,
+)
+def q22_global_sales_opportunity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 analog: rich customers who never ordered, by nation —
+    a global scalar average (broadcast back), a NOT EXISTS anti join,
+    and a decimal-exact grouped sum, all in one plan."""
+    c = table(spark, sf_dir, "customer")
+    ab = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("_ab")
+    )
+    o = table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        c.crossJoin(F.broadcast(ab))
+        .filter(F.col("c_acctbal") > F.col("_ab"))
+        .join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )
