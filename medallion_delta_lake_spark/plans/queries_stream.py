@@ -41,3 +41,38 @@ def stream_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return se.run_available_now(
         se.stream_dedup_keys(sdf, ["user_id", "event_type"]), "append", spark
     )
+
+
+@query(
+    "stream-session-agg",
+    # same gaps-and-islands oracle as the batch window-agg-session:
+    # complete mode exposes the full maintained session state, which
+    # must equal the batch sessionization exactly
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def stream_session_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming / session windows — watermarked session_window
+    aggregation per user, run to completion (complete mode exposes the
+    maintained state). Incrementally merges sessions as events arrive;
+    verified identical to the batch sessionize operator."""
+    sdf = se.read_events_stream(spark, sf_dir)
+    return se.run_available_now(se.session_agg(sdf), "complete", spark)
