@@ -176,6 +176,7 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     payload_cols: Sequence[str],
+    wide_threshold: int = 4,
 ) -> DataFrame:
     """True as-of join: each left row gets the payload of the *latest*
     right row with right_ts <= left_ts on the same key (merge-asof /
@@ -190,16 +191,91 @@ def asof_join(
     wants. Right side must be unique per (key, right_ts) — pre-dedup
     with latest_per_key otherwise.
 
-    Narrow-shuffle shape: only the DISTINCT (keys, ts) probe points —
-    never the left passthrough columns — go through the union window's
-    partition-sort, so the sort (the spill-prone step on a wide fact)
-    touches (key, ts, payload) rows only. The resolved payload is then
-    reattached with a null-safe equi-join on (keys, ts), which AQE
-    plans as a hash join — no second sort of the wide rows. Duplicate
-    left (key, ts) rows are resolved once and fan back out in the
-    join.
+    Two physical shapes, chosen by the width of the carried left
+    columns (``wide_threshold`` passthrough columns or more = wide):
+
+    - **inline** (narrow fact): left rows ride through the union window
+      with their passthrough columns — one shuffle total, no second
+      join. Optimal when the rows are cheap to sort.
+    - **probe** (wide fact): only the DISTINCT (keys, ts) probe points
+      go through the union window's partition-sort, so the sort (the
+      spill-prone step on a wide fact) touches (key, ts, payload) rows
+      only; the resolved payload then reattaches with a null-safe
+      equi-join on (keys, ts) that AQE plans as a hash join — the wide
+      rows are never sorted. Duplicate left (key, ts) rows resolve
+      once and fan back out in the join.
+
+    Both shapes are semantically identical (tests force each).
     """
     keys = list(keys)
+    passthrough = [c for c in left.columns if c not in keys and c != left_ts]
+    if len(passthrough) < wide_threshold:
+        return _asof_join_inline(
+            left, right, keys, left_ts, right_ts, payload_cols, passthrough
+        )
+    return _asof_join_probe(
+        left, right, keys, left_ts, right_ts, payload_cols
+    )
+
+
+def _asof_join_inline(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    payload_cols: Sequence[str],
+    passthrough: list[str],
+) -> DataFrame:
+    rtypes = dict(right.dtypes)
+    ltypes = dict(left.dtypes)
+    l2 = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in passthrough],
+        *[F.lit(None).cast(rtypes[p]).alias(p) for p in payload_cols],
+    )
+    r2 = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(ltypes[c]).alias(c) for c in passthrough],
+        *[F.col(p) for p in payload_cols],
+    )
+    u = l2.unionByName(r2)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_t").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        *keys,
+        "_t",
+        "_side",
+        *passthrough,
+        *[
+            F.last(F.col(p), ignorenulls=True).over(w).alias(p)
+            for p in payload_cols
+        ],
+    )
+    return (
+        carried.filter(F.col("_side") == 1)
+        .drop("_side")
+        .withColumnRenamed("_t", left_ts)
+    )
+
+
+def _asof_join_probe(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    payload_cols: Sequence[str],
+) -> DataFrame:
     rtypes = dict(right.dtypes)
     probe = left.select(
         *[F.col(k) for k in keys], F.col(left_ts).alias("_t")

@@ -94,3 +94,31 @@ def test_salted_join_matches_plain_join(spark):
         ).collect()
     }
     assert plain_l == salted_l
+
+
+def test_asof_join_inline_and_probe_paths_agree(spark):
+    from medallion_delta_lake_spark.operators import joins
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame(
+        [(1, 10, "a", 1.0), (1, 20, "b", 2.0), (1, 20, "b2", 2.5),
+         (2, 15, "c", 3.0), (3, 5, "d", 4.0)],
+        "k int, ts int, tag string, x double",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100), (1, 15, 150), (2, 1, 10), (2, 15, 20)],
+        "k int, rts int, payload int",
+    )
+    kw = dict(keys=["k"], left_ts="ts", right_ts="rts",
+              payload_cols=["payload"])
+    inline = joins.asof_join(left, right, wide_threshold=99, **kw)
+    probe = joins.asof_join(left, right, wide_threshold=0, **kw)
+    cols = ["k", "ts", "tag", "x", "payload"]
+    a = {tuple(r) for r in inline.select(*cols).collect()}
+    b = {tuple(r) for r in probe.select(*cols).collect()}
+    assert a == b
+    # backward semantics spot checks: <= boundary and no-match NULL
+    assert (1, 10, "a", 1.0, 100) in a      # equal ts takes the right row
+    assert (1, 20, "b", 2.0, 150) in a      # latest earlier row
+    assert (1, 20, "b2", 2.5, 150) in a     # duplicate (k, ts) fans out
+    assert (3, 5, "d", 4.0, None) in a      # key with no right rows
