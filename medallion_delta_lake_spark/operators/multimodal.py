@@ -31,6 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     IntegerType,
     LongType,
     StructField,
@@ -170,4 +171,186 @@ def decode_image_features(
 
     return df.select(id_col, "payload").mapInPandas(
         extract, schema=IMAGE_FEATURES_SCHEMA
+    )
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("byte_offset", IntegerType()),
+        StructField("frame_len", IntegerType()),
+        StructField("frame_bytes", BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_frames: int = 4,
+    frame_len: int = 64,
+    fan_out: int | None = None,
+) -> DataFrame:
+    """Video-style frame sampling: ``n_frames`` evenly-spaced fixed-size
+    byte windows per payload (one input row → n output rows inside the
+    Arrow batch — the fan-out happens Python-side, so payload bytes
+    never duplicate through a Spark explode).
+
+    STUB note: a real video pipeline seeks keyframes with a codec; the
+    byte-window sampling here is the deterministic stand-in. The
+    offsets/lengths are pure integer functions of payload size, so the
+    registered query is fully oracle-checkable; the sliced bytes are
+    pytest-checked against Python slicing.
+    """
+    if fan_out:
+        df = df.repartition(fan_out)
+    step_div = max(n_frames - 1, 1)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, offs, lens, blobs = [], [], [], [], []
+            for doc_id, b in zip(pdf[id_col], pdf["payload"]):
+                nb = len(b)
+                span = max(nb - frame_len, 0)
+                for i in range(n_frames):
+                    off = i * span // step_div
+                    ln = min(frame_len, nb - off)
+                    ids.append(int(doc_id))
+                    idxs.append(i)
+                    offs.append(off)
+                    lens.append(ln)
+                    blobs.append(bytes(b[off : off + ln]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "byte_offset": pd.Series(offs, dtype="int32"),
+                    "frame_len": pd.Series(lens, dtype="int32"),
+                    "frame_bytes": blobs,
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(
+        extract, schema=FRAME_SCHEMA
+    )
+
+
+CHUNK_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("chunk_idx", IntegerType()),
+        StructField("byte_offset", IntegerType()),
+        StructField("chunk_len", IntegerType()),
+        StructField("chunk_bytes", BinaryType()),
+    ]
+)
+
+
+def chunk_payload(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    chunk_len: int = 256,
+    fan_out: int | None = None,
+) -> DataFrame:
+    """Audio-style fixed-size chunking: contiguous ``chunk_len``-byte
+    windows covering the payload (last chunk short). Same Arrow
+    plumbing contract as sample_frames; chunk geometry is an integer
+    function of payload size (oracle-checkable), bytes pytest-checked."""
+    if fan_out:
+        df = df.repartition(fan_out)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, offs, lens, blobs = [], [], [], [], []
+            for doc_id, b in zip(pdf[id_col], pdf["payload"]):
+                nb = len(b)
+                n_chunks = (nb + chunk_len - 1) // chunk_len
+                for i in range(n_chunks):
+                    off = i * chunk_len
+                    ln = min(chunk_len, nb - off)
+                    ids.append(int(doc_id))
+                    idxs.append(i)
+                    offs.append(off)
+                    lens.append(ln)
+                    blobs.append(bytes(b[off : off + ln]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "chunk_idx": pd.Series(idxs, dtype="int32"),
+                    "byte_offset": pd.Series(offs, dtype="int32"),
+                    "chunk_len": pd.Series(lens, dtype="int32"),
+                    "chunk_bytes": blobs,
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(
+        extract, schema=CHUNK_SCHEMA
+    )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("out_w", IntegerType()),
+        StructField("out_h", IntegerType()),
+        StructField("out_bytes", IntegerType()),
+        StructField("resized", BinaryType()),
+    ]
+)
+
+
+def resize_image(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    out_w: int = 32,
+    out_h: int = 32,
+    allow_stub: bool = True,
+) -> DataFrame:
+    """Image resize → fixed (out_w × out_h × 3) RGB buffer.
+
+    STUB: with no codec installed the deterministic fake tiles the
+    payload bytes cyclically into the output buffer (clearly marked);
+    with PIL present it decodes, resizes, and emits real pixels. The
+    binary-in/binary-out mapInPandas contract is identical either way —
+    swapping in the real decoder changes only the inner function.
+    """
+    decoder = _try_real_image_decoder()
+    if decoder is None and not allow_stub:
+        raise NotImplementedError(
+            "image resize requires an image library (e.g. PIL); "
+            "not available in this environment - pass allow_stub=True "
+            "for the deterministic fake"
+        )
+    n_out = out_w * out_h * 3
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        for pdf in batches:
+            blobs = []
+            for b in pdf["payload"]:
+                if decoder is not None:
+                    img = decoder.open(io.BytesIO(b)).convert("RGB")
+                    blobs.append(img.resize((out_w, out_h)).tobytes())
+                else:
+                    # DETERMINISTIC FAKE (stub): tile payload bytes
+                    # cyclically to the target buffer size
+                    src = bytes(b) or b"\x00"
+                    reps = n_out // len(src) + 1
+                    blobs.append((src * reps)[:n_out])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "out_w": pd.Series([out_w] * len(pdf), dtype="int32"),
+                    "out_h": pd.Series([out_h] * len(pdf), dtype="int32"),
+                    "out_bytes": pd.Series(
+                        [n_out] * len(pdf), dtype="int32"
+                    ),
+                    "resized": blobs,
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(
+        extract, schema=RESIZED_SCHEMA
     )

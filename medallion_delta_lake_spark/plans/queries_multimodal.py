@@ -79,3 +79,72 @@ def pandas_group_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python path matches the SQL oracle exactly."""
     ev = table(spark, sf_dir, "events").select("event_id", "user_id", "value")
     return pandas_ops.group_normalize(ev, ["user_id"], "value")
+
+
+@query(
+    "multimodal-frame-sample",
+    # frame geometry is a pure integer function of payload size — the
+    # oracle recomputes it from octet_length; the sliced bytes
+    # themselves are pytest-checked (tests/test_multimodal.py)
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, octet_length(encode(text)) AS nb FROM documents
+    )
+    SELECT doc_id, CAST(i AS INT) AS frame_idx,
+           CAST(i * greatest(nb - 64, 0) // 3 AS INT) AS byte_offset,
+           CAST(least(64, nb - (i * greatest(nb - 64, 0) // 3)) AS INT)
+             AS frame_len
+    FROM p, unnest(range(0, 4)) AS r(i)
+    """,
+)
+def multimodal_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multimodal / frame sampling — 4 evenly-spaced 64-byte windows
+    per payload via mapInPandas (the video keyframe-sampling plumbing;
+    Python-side fan-out, payload never duplicates through an explode)."""
+    docs = mm.attach_binary_payload(table(spark, sf_dir, "documents"))
+    frames = mm.sample_frames(
+        docs, n_frames=4, frame_len=64,
+        fan_out=spark.sparkContext.defaultParallelism,
+    )
+    return frames.select("doc_id", "frame_idx", "byte_offset", "frame_len")
+
+
+@query(
+    "multimodal-audio-chunks",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, octet_length(encode(text)) AS nb FROM documents
+    )
+    SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+           CAST(i * 256 AS INT) AS byte_offset,
+           CAST(least(256, nb - i * 256) AS INT) AS chunk_len
+    FROM p, unnest(range(0, (nb + 255) // 256)) AS r(i)
+    """,
+)
+def multimodal_audio_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multimodal / fixed-size chunking — contiguous 256-byte windows
+    (the audio segmentation plumbing), last chunk short; geometry
+    oracle-checked, bytes pytest-checked."""
+    docs = mm.attach_binary_payload(table(spark, sf_dir, "documents"))
+    chunks = mm.chunk_payload(
+        docs, chunk_len=256, fan_out=spark.sparkContext.defaultParallelism
+    )
+    return chunks.select("doc_id", "chunk_idx", "byte_offset", "chunk_len")
+
+
+@query(
+    "multimodal-resize",
+    oracle="""
+    SELECT doc_id, CAST(32 AS INT) AS out_w, CAST(32 AS INT) AS out_h,
+           CAST(3072 AS INT) AS out_bytes
+    FROM documents
+    """,
+)
+def multimodal_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multimodal / resize — binary-in/binary-out mapInPandas to a
+    fixed 32×32×3 RGB buffer (deterministic stub tiling here, PIL when
+    present); the oracle pins the output geometry, the buffer contents
+    are pytest-checked."""
+    docs = mm.attach_binary_payload(table(spark, sf_dir, "documents"))
+    out = mm.resize_image(docs, out_w=32, out_h=32)
+    return out.select("doc_id", "out_w", "out_h", "out_bytes")
