@@ -108,9 +108,10 @@ _DRIVER_PRIORITY = [
     "approx-distinct",
     "join-asof-nearest",
     "sim-ann-lsh",
-    "sim-ann-ivf",
-    # two of the nine wave-2 TPC-H analogs fit in the remaining window
+    "stream-session-agg",
+    # two of the wave-2 TPC-H analogs fit in the remaining window
     # slots; the rest are sweep-verified this round, driver next round
+    # (sim-ann-ivf is unchanged and already driver-green in round 2)
     "q17-small-quantity-revenue",
     "q22-global-sales-opportunity",
 ]
