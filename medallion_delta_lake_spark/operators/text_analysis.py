@@ -19,7 +19,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from medallion_delta_lake_spark.functions.hashing import h64, rolling_fingerprint
-from medallion_delta_lake_spark.functions.texts import normalize_text, tokenize
+from medallion_delta_lake_spark.functions.texts import (
+    _c,
+    normalize_text,
+    tokenize,
+)
 
 # BPE-ish word/number/symbol tokenizer (shared literal with the SQL
 # oracle; subset of regex syntax where Java regex and RE2 agree).
@@ -138,4 +142,67 @@ def fingerprint(
         *id_cols,
         rolling_fingerprint(tokenize(text_col)).alias("fingerprint"),
         h64(normalize_text(text_col)).alias("content_hash"),
+    )
+
+
+# PII-ish patterns, deliberately restricted to syntax that parses
+# identically in Java regex (Spark) and RE2 (DuckDB): character
+# classes, +/{n,} quantifiers, no lookaround/backrefs.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+LONG_NUMBER_PATTERN = r"[0-9]{6,}"
+
+
+def scrub_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "scrubbed",
+    keep_cols: Sequence[str] = ("doc_id",),
+) -> DataFrame:
+    """Redact email addresses and long digit runs from a text column —
+    the pre-training privacy scrub pass. Pure codegen regexp_replace
+    (two passes, email first so its digits don't half-match), plus
+    per-row redaction counts for auditing. Zero shuffle."""
+    emails_scrubbed = F.regexp_replace(
+        _c(text_col), EMAIL_PATTERN, "<EMAIL>"
+    )
+    scrubbed = F.regexp_replace(
+        emails_scrubbed, LONG_NUMBER_PATTERN, "<NUM>"
+    )
+    n_emails = F.size(
+        F.split(_c(text_col), EMAIL_PATTERN, -1)
+    ) - 1
+    n_nums = F.size(F.split(emails_scrubbed, LONG_NUMBER_PATTERN, -1)) - 1
+    return df.select(
+        *[F.col(c) for c in keep_cols],
+        scrubbed.alias(out_col),
+        n_emails.cast("int").alias("n_emails"),
+        n_nums.cast("int").alias("n_numbers"),
+        F.length(scrubbed).alias("scrubbed_len"),
+    )
+
+
+def tf_idf_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-level term statistics: (doc, token, tf, df, n_docs) — the
+    exact integer core of TF-IDF (the float score is one deterministic
+    expression away; keeping the output integral keeps the oracle
+    engine-exact, since ln() may differ in the last ulp across libms).
+
+    Scale shape: one explode + two grouped aggregations, both keyed on
+    the token — the doc-frequency side aggregates the (doc, token)
+    pairs, never re-reads the corpus; n_docs broadcasts back as a
+    one-row frame."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokenize(text_col)).alias("token")
+    )
+    tf = toks.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .select(id_col, "token", "tf", "df", "n_docs")
     )

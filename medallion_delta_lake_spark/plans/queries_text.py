@@ -467,3 +467,77 @@ def dedup_cluster_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         fan_out=spark.sparkContext.defaultParallelism,
     )
     return dedup.neardup_clusters(corpus.select("doc_id"), pairs)
+
+
+@query(
+    "text-scrub-pii",
+    # the natural corpus has no PII, so the query plants a
+    # deterministic email + long number per doc; both engines build
+    # and scrub the same string (patterns restricted to Java/RE2-
+    # compatible syntax)
+    oracle=r"""
+    WITH planted AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id ||
+             '@example.com ref 99' || doc_id || '0001 end' AS t
+      FROM documents
+    ),
+    e AS (
+      SELECT doc_id,
+             regexp_replace(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g') AS after_email,
+             t
+      FROM planted
+    )
+    SELECT doc_id,
+           regexp_replace(after_email, '[0-9]{6,}', '<NUM>', 'g')
+             AS scrubbed,
+           CAST(len(string_split_regex(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) - 1
+             AS INT) AS n_emails,
+           CAST(len(string_split_regex(after_email, '[0-9]{6,}')) - 1
+             AS INT) AS n_numbers,
+           length(regexp_replace(after_email, '[0-9]{6,}', '<NUM>', 'g'))
+             AS scrubbed_len
+    FROM e
+    """,
+)
+def text_scrub_pii_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text / PII scrub — email + long-number redaction with per-row
+    audit counts (the pre-training privacy pass). Pure codegen
+    regexp_replace, zero shuffle."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com ref 99"),
+            F.col("doc_id").cast("string"),
+            F.lit("0001 end"),
+        ).alias("text"),
+    )
+    return ta.scrub_pii(d)
+
+
+@query(
+    "text-tfidf-stats",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {TOKS_SQL} AS toks FROM documents
+    ),
+    toks AS (SELECT doc_id, unnest(toks) AS token FROM d),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf
+           FROM toks GROUP BY doc_id, token),
+    dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT t.doc_id, t.token, t.tf, f.df, n.n_docs
+    FROM tf t JOIN dfreq f ON f.token = t.token, n
+    """,
+)
+def text_tfidf_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text / TF-IDF term statistics — exact integer (tf, df, N) per
+    (doc, token); the corpus-level weighting core kept integral so the
+    oracle is engine-exact (ln() last-ulp divergence stays out)."""
+    return ta.tf_idf_stats(table(spark, sf_dir, "documents"))
