@@ -1,0 +1,60 @@
+"""Deterministic sampling operators for training-data curation.
+
+``df.sample()``/``sampleBy()`` draw from an engine-specific RNG — the
+result is irreproducible across engines (and across Spark partition
+layouts). These operators sample by PORTABLE HASH instead: a row is
+kept iff ``h64(salt || id) % D < rate·D``. Same row set on every
+engine, every partitioning, every run — which is what a training-data
+pipeline needs for reproducible mixtures (and what makes the DuckDB
+oracle exact). Selection is a pure per-row codegen predicate: zero
+shuffle, fully pushdown-friendly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from medallion_delta_lake_spark.functions.hashing import h64
+
+_DENOM = 10_000  # rate resolution 0.01%
+
+
+def _keep_cond(id_col: str, rate: float, salt: str) -> Column:
+    ticket = h64(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    return F.pmod(ticket, F.lit(_DENOM)) < int(round(rate * _DENOM))
+
+
+def sample_hash(
+    df: DataFrame, id_col: str, rate: float, salt: str = "s0"
+) -> DataFrame:
+    """Keep ~``rate`` of rows, deterministically by id hash. Changing
+    ``salt`` draws an independent sample (the re-roll knob)."""
+    return df.filter(_keep_cond(id_col, rate, salt))
+
+
+def sample_stratified_hash(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates: Mapping[str, float],
+    default_rate: float = 0.0,
+    salt: str = "s0",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the data-mixing primitive
+    (e.g. keep 100% of wiki, 10% of crawl). ``rates`` maps stratum
+    value → keep rate; unlisted strata get ``default_rate``. One CASE
+    expression, no shuffle, prunes at the scan when a stratum's rate
+    is 0 and the column is a partition key."""
+    ticket = F.pmod(
+        h64(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+        F.lit(_DENOM),
+    )
+    thresh = F.lit(int(round(default_rate * _DENOM)))
+    for value, rate in sorted(rates.items()):
+        thresh = F.when(
+            F.col(strata_col) == value, int(round(rate * _DENOM))
+        ).otherwise(thresh)
+    return df.filter(ticket < thresh)

@@ -541,3 +541,40 @@ def text_tfidf_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc, token); the corpus-level weighting core kept integral so the
     oracle is engine-exact (ln() last-ulp divergence stays out)."""
     return ta.tf_idf_stats(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "sample-stratified-hash",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, n_chars,
+             {h64_sql("'mix1' || CAST(doc_id AS VARCHAR)")} % 10000
+               AS ticket
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars FROM t
+    WHERE ticket < CASE source
+                     WHEN 'src0' THEN 10000
+                     WHEN 'src1' THEN 5000
+                     WHEN 'src2' THEN 1000
+                     ELSE 2500 END
+    """,
+)
+def sample_stratified_hash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sampling / stratified deterministic — per-source keep rates by
+    portable id hash (the training-mixture primitive: 100% of src0,
+    50% of src1, 10% of src2, 25% default). Same row set on every
+    engine/partitioning/run; pure codegen predicate, zero shuffle."""
+    from medallion_delta_lake_spark.operators import sampling
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return sampling.sample_stratified_hash(
+        d,
+        id_col="doc_id",
+        strata_col="source",
+        rates={"src0": 1.0, "src1": 0.5, "src2": 0.1},
+        default_rate=0.25,
+        salt="mix1",
+    )
