@@ -176,7 +176,7 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     payload_cols: Sequence[str],
-    wide_threshold: int = 4,
+    wide_threshold: int = 32,
 ) -> DataFrame:
     """True as-of join: each left row gets the payload of the *latest*
     right row with right_ts <= left_ts on the same key (merge-asof /
@@ -206,6 +206,15 @@ def asof_join(
       once and fan back out in the join.
 
     Both shapes are semantically identical (tests force each).
+
+    Measured (local[32], 2M-row fact, 100k right states): inline wins
+    even at 24 int or 6×240-char passthrough columns (1.0–1.1 s vs
+    1.6–2.1 s) — an in-memory sort of wide rows is cheaper than the
+    probe's extra distinct + reattach join. The probe shape is the
+    SPILL regime's insurance: choose it (low ``wide_threshold``) when
+    rows × width exceeds executor sort memory, where a wide external
+    sort turns into disk I/O but the narrow probe sort stays in RAM.
+    Hence the high default — inline unless the fact is truly wide.
     """
     keys = list(keys)
     passthrough = [c for c in left.columns if c not in keys and c != left_ts]
