@@ -76,3 +76,28 @@ def stream_session_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified identical to the batch sessionize operator."""
     sdf = se.read_events_stream(spark, sf_dir)
     return se.run_available_now(se.session_agg(sdf), "complete", spark)
+
+
+@query(
+    "stream-stateful-stats",
+    # with the single-file source, availableNow runs one microbatch, so
+    # the update-mode emissions ARE the final per-user accumulators;
+    # the integer-cents state makes totals exact in both engines
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming / custom stateful — applyInPandasWithState running
+    (count, sum) accumulator per user (Arrow-batched, typed state row
+    per key). The cents-integer state is exact, so the maintained
+    result equals the batch aggregate bit-for-bit."""
+    from medallion_delta_lake_spark.streaming import stateful
+
+    sdf = se.read_events_stream(spark, sf_dir)
+    return se.run_available_now(
+        stateful.user_running_stats(sdf), "update", spark
+    )

@@ -38,7 +38,7 @@ USER_STATS_OUTPUT = StructType(
 USER_STATS_STATE = StructType(
     [
         StructField("n", LongType()),
-        StructField("total", DoubleType()),
+        StructField("total_cents", LongType()),
     ]
 )
 
@@ -48,13 +48,17 @@ def _user_stats_fn(
     pdfs: Iterable[pd.DataFrame],
     state: GroupState,
 ):
-    n, total = state.get if state.exists else (0, 0.0)
+    # accumulate integer cents (inputs have 2 decimals): exact,
+    # batch-order-independent, and bit-identical to the decimal-exact
+    # batch/SQL twin — the engine's float-determinism contract extended
+    # into custom state
+    n, cents = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, total))
+        cents += int((pdf["value"] * 100).round().astype("int64").sum())
+    state.update((n, cents))
     yield pd.DataFrame(
-        [{"user_id": key[0], "n_events": n, "total_value": total}]
+        [{"user_id": key[0], "n_events": n, "total_value": cents / 100.0}]
     )
 
 
