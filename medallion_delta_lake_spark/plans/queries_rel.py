@@ -1065,3 +1065,69 @@ def explode_outer_nulls_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.select(
         "doc_id", F.explode_outer("hits").alias("hit")
     )
+
+
+@query(
+    "join-full-outer",
+    oracle="""
+    WITH a AS (SELECT c_custkey, c_name FROM customer
+               WHERE c_custkey % 3 = 0),
+    b AS (SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+          WHERE o_custkey % 2 = 0 GROUP BY o_custkey)
+    SELECT a.c_custkey, a.c_name, b.o_custkey, b.n_orders
+    FROM a FULL OUTER JOIN b ON a.c_custkey = b.o_custkey
+    """,
+)
+def join_full_outer_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join / full outer — both-side-preserving join (the reconciliation
+    shape: rows exclusive to either side survive with NULLs). Disjoint
+    modulus filters guarantee all three row classes appear."""
+    a = table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 3 == 0
+    ).select("c_custkey", "c_name")
+    b = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 2 == 0)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return a.join(b, F.col("c_custkey") == F.col("o_custkey"), "full_outer")
+
+
+@query(
+    "window-value-family",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+           first_value(value) OVER w AS first_v,
+           last_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS last_v,
+           nth_value(value, 3) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS third_v,
+           lead(value) OVER w AS next_v
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_value_family_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """window / value family — first/last/nth_value + lead per key in
+    event order (full-frame for last/nth so they see the whole
+    partition, the classic default-frame trap done right)."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "event_id", "user_id", "ts", "value",
+        F.first("value").over(w).alias("first_v"),
+        F.last("value").over(wf).alias("last_v"),
+        F.nth_value("value", 3).over(wf).alias("third_v"),
+        F.lead("value").over(w).alias("next_v"),
+    )

@@ -90,3 +90,58 @@ def test_headline_plan_shapes(spark, name, must_have):
     plan = _final_plan(QUERIES[name](spark, SF_SMOKE))
     for frag in must_have:
         assert frag in plan, f"{name}: missing {frag}\n{plan[:2000]}"
+
+
+def test_runtime_bloom_filter_injects_on_shuffle_join(spark, tmp_path):
+    """Spark's InjectRuntimeFilter (on by default in this session) adds
+    a bloom `might_contain` pre-filter to the FACT side of a shuffle
+    join whose dim side carries a selective filter — the runtime join-
+    prune lever at 100 TB. Locally the 10 GB application-side threshold
+    never trips, so the test lowers it to prove the mechanism engages
+    (and that results are unchanged: bloom false-positives are removed
+    by the join itself)."""
+    from pyspark.sql import functions as F
+
+    fact_p = str(tmp_path / "fact")
+    dim_p = str(tmp_path / "dim")
+    spark.range(200_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).write.parquet(fact_p)
+    spark.range(200_000).select(
+        F.col("id").alias("k"), F.pmod(F.col("id"), F.lit(1000)).alias("tag")
+    ).write.parquet(dim_p)
+
+    confs = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )
+    old = {}
+    for c in confs:
+        try:
+            old[c] = spark.conf.get(c)
+        except Exception:
+            old[c] = None  # unset by default
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        f = spark.read.parquet(fact_p)
+        d = spark.read.parquet(dim_p).filter(F.col("tag") == 7)
+        j = f.join(d, "k")
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan  # bloom injected on the fact side
+        assert j.count() == 200  # identical result, FPs joined away
+    finally:
+        for c, v in old.items():
+            if v is None:
+                spark.conf.unset(c)
+            else:
+                spark.conf.set(c, v)
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold"
+        )
