@@ -101,3 +101,29 @@ def stream_stateful_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return se.run_available_now(
         stateful.user_running_stats(sdf), "update", spark
     )
+
+
+@query(
+    "stream-stream-join",
+    # availableNow over the single-file source = one microbatch, so the
+    # inner interval join emits exactly the batch-equivalent matches
+    oracle="""
+    SELECT v.user_id, v.event_id AS view_id, v.ts AS view_ts,
+           p.event_id AS purchase_id, p.ts AS purchase_ts
+    FROM events v JOIN events p
+      ON p.user_id = v.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts
+     AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    """,
+)
+def stream_stream_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming / stream-stream join — watermarked interval join of
+    two event streams (purchases to preceding views within 30 min);
+    state evicts beyond the watermark horizon. Matches the batch
+    interval join exactly."""
+    a = se.read_events_stream(spark, sf_dir)
+    b = se.read_events_stream(spark, sf_dir)
+    return se.run_available_now(
+        se.stream_stream_join(a, b), "append", spark
+    )

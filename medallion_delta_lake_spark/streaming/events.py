@@ -115,3 +115,50 @@ def session_agg(sdf: DataFrame, gap: str = "30 minutes",
             "n_events",
         )
     )
+
+
+def stream_stream_join(
+    left_sdf: DataFrame,
+    right_sdf: DataFrame,
+    watermark: str = "2 hours",
+    interval: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner join: click-to-purchase-style correlation of
+    two event streams on user_id with a bounded time interval
+    (right.ts in [left.ts, left.ts + interval]). Both sides carry
+    watermarks, so the state store can evict rows once no future match
+    is possible — the join state is O(events inside the watermark
+    horizon), not O(stream).
+
+    Here both streams derive from the events feed (purchases matched to
+    the views that preceded them)."""
+    l2 = (
+        left_sdf.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("l_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    r2 = (
+        right_sdf.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = (
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {interval}"))
+    )
+    return l2.join(r2, cond, "inner").select(
+        F.col("l_user").alias("user_id"),
+        "view_id",
+        "view_ts",
+        "purchase_id",
+        "purchase_ts",
+    )
