@@ -39,8 +39,12 @@ def multimodal_byte_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     batched mapInPandas extraction (the decode-stage plumbing, with a
     byte-stats body standing in for the codec)."""
     docs = mm.attach_binary_payload(table(spark, sf_dir, "documents"))
+    # fan_out sized to the DATA, not the cluster: 500 docs across 32
+    # Python workers pays ~2s of worker spin-up for ~0 parallelism gain
+    # (measured 2.8s vs 0.7s cold at sf0.1). Production rule: fan_out ≈
+    # payload_bytes / 128 MB, capped by defaultParallelism.
     return mm.byte_features(
-        docs, fan_out=spark.sparkContext.defaultParallelism
+        docs, fan_out=min(8, spark.sparkContext.defaultParallelism)
     )
 
 
@@ -104,7 +108,7 @@ def multimodal_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = mm.attach_binary_payload(table(spark, sf_dir, "documents"))
     frames = mm.sample_frames(
         docs, n_frames=4, frame_len=64,
-        fan_out=spark.sparkContext.defaultParallelism,
+        fan_out=min(8, spark.sparkContext.defaultParallelism),
     )
     return frames.select("doc_id", "frame_idx", "byte_offset", "frame_len")
 
@@ -127,7 +131,8 @@ def multimodal_audio_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checked, bytes pytest-checked."""
     docs = mm.attach_binary_payload(table(spark, sf_dir, "documents"))
     chunks = mm.chunk_payload(
-        docs, chunk_len=256, fan_out=spark.sparkContext.defaultParallelism
+        docs, chunk_len=256,
+        fan_out=min(8, spark.sparkContext.defaultParallelism),
     )
     return chunks.select("doc_id", "chunk_idx", "byte_offset", "chunk_len")
 
