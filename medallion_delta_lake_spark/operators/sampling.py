@@ -1,4 +1,5 @@
-"""Deterministic sampling operators for training-data curation.
+"""Deterministic sampling operators for training-data curation
+(SURVEY.md §2.11 extension surface — no reference counterpart).
 
 ``df.sample()``/``sampleBy()`` draw from an engine-specific RNG — the
 result is irreproducible across engines (and across Spark partition

@@ -1,4 +1,6 @@
-"""Skew-handling operators: salting for hot keys.
+"""Skew-handling operators: salting for hot keys (SURVEY.md §2.11
+extension surface — no reference counterpart; the reference's data is
+small enough that skew never surfaces).
 
 AQE's skew-join splitting (enabled in session.py) handles most skew at
 runtime; salting is the explicit tool for the cases AQE can't fix —
