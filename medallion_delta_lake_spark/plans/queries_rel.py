@@ -1131,3 +1131,49 @@ def window_value_family_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("value", 3).over(wf).alias("third_v"),
         F.lead("value").over(w).alias("next_v"),
     )
+
+
+@query(
+    "string-like-family",
+    oracle="""
+    SELECT p_partkey, p_name,
+           p_name LIKE '%red%' AS has_red,
+           p_name ILIKE 'SMALL%' AS starts_small_ci,
+           regexp_matches(p_name, '^[a-z]+ (widget|gear)$') AS is_wg
+    FROM part
+    """,
+)
+def string_like_family_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """expr / LIKE family — LIKE, case-insensitive ILIKE, and RLIKE
+    regex matching (the everyday predicate trio; all codegen, all
+    pushdown-eligible)."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        "p_name",
+        F.col("p_name").like("%red%").alias("has_red"),
+        F.col("p_name").ilike("SMALL%").alias("starts_small_ci"),
+        F.col("p_name").rlike("^[a-z]+ (widget|gear)$").alias("is_wg"),
+    )
+
+
+@query(
+    "agg-bitwise",
+    oracle="""
+    SELECT event_type,
+           bit_and(user_id) AS k_and,
+           bit_or(user_id) AS k_or,
+           bit_xor(user_id) AS k_xor
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_bitwise_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """agg / bitwise — bit_and/or/xor grouped aggregates (flag-mask
+    folding; associative+commutative, so partial aggregation applies
+    and results are order-independent by construction)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.bit_and("user_id").alias("k_and"),
+        F.bit_or("user_id").alias("k_or"),
+        F.bit_xor("user_id").alias("k_xor"),
+    )

@@ -39,3 +39,21 @@ def test_sample_stratified_rates_per_stratum(spark):
     assert counts.get("0") == 10_000          # rate 1.0 keeps everything
     assert abs(counts.get("1", 0) - 2_000) < 200
     assert "2" not in counts                  # default 0.0 drops stratum
+
+
+def test_observed_audit_rides_the_action(spark):
+    # metrics are a side effect of the caller's single action: no
+    # second scan, exact counts
+    from medallion_delta_lake_spark.operators.observe import observed_audit
+
+    df = spark.range(1000).select(
+        F.col("id"),
+        F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id")).alias("v"),
+    )
+    audited, obs = observed_audit(df, "probe", null_cols=["v"])
+    out = audited.filter(F.col("id") < 500).count()  # ONE action
+    assert out == 500
+    got = obs.get
+    # observation sees the pre-filter frame it was attached to
+    assert got["n_rows"] == 1000
+    assert got["n_null_v"] == 100
