@@ -206,3 +206,70 @@ def tf_idf_stats(
         .crossJoin(F.broadcast(n))
         .select(id_col, "token", "tf", "df", "n_docs")
     )
+
+
+# Character-trigram profiles (most-frequent trigrams per language, from
+# public frequency tables); the n-gram flavor of language ID — robust
+# to domains where stopword lists miss (code, titles, short strings).
+LANG_TRIGRAMS: dict[str, list[str]] = {
+    "en": ["the", "and", "ing", "ion", "tio", " th", "he ", "er ",
+           "en ", " of", "nd ", "ed "],
+    "de": ["der", "die", "und", "sch", "ein", "ich", "nde", "che",
+           " de", "ber", "ten", "ung"],
+    "fr": ["les", "ent", "de ", "la ", "ion", "es ", "une", " le",
+           "que", "ait", "our", " pa"],
+    "es": ["de ", "la ", "que", "el ", "en ", "ión", "los", "ado",
+           " de", "es ", "ar ", "ent"],
+}
+
+
+def char_trigrams(col: Column | str) -> Column:
+    """Distinct character 3-grams of the normalized text
+    (array<string>; empty for texts shorter than 3 chars)."""
+    norm = normalize_text(col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.length(norm) - 2, F.lit(0))
+            ),
+            lambda i: norm.substr(i, F.lit(3)),
+        )
+    )
+
+
+def language_id_ngram(
+    df: DataFrame,
+    text_col: str = "text",
+    id_cols: Sequence[str] = ("doc_id",),
+) -> DataFrame:
+    """Language ID by character-trigram profile overlap: score(lang) =
+    |doc trigrams ∩ lang profile|, argmax with deterministic priority
+    (earlier language wins ties; 'und' when all scores are 0). Same
+    codegen-only shape as the stopword variant — zero shuffle."""
+    tg = char_trigrams(text_col)
+    out = df.select(*[F.col(c) for c in id_cols], tg.alias("_tg"))
+    langs = list(LANG_TRIGRAMS)
+    for lang in langs:
+        profile = F.array(*[F.lit(t) for t in LANG_TRIGRAMS[lang]])
+        out = out.withColumn(
+            f"score_{lang}",
+            F.size(F.array_intersect(F.col("_tg"), profile)),
+        )
+    detected = F.lit("und")
+    for lang in reversed(langs):
+        cond = F.col(f"score_{lang}") > 0
+        for other in langs:
+            if other == lang:
+                continue
+            op = (
+                F.col(f"score_{lang}") > F.col(f"score_{other}")
+                if langs.index(other) < langs.index(lang)
+                else F.col(f"score_{lang}") >= F.col(f"score_{other}")
+            )
+            cond = cond & op
+        detected = F.when(cond, lang).otherwise(detected)
+    return out.select(
+        *id_cols,
+        *[F.col(f"score_{lang}") for lang in langs],
+        detected.alias("detected_lang"),
+    )

@@ -578,3 +578,45 @@ def sample_stratified_hash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         default_rate=0.25,
         salt="mix1",
     )
+
+
+def _langid_ngram_oracle() -> str:
+    langs = list(ta.LANG_TRIGRAMS)
+    tg = (
+        "list_distinct(list_transform("
+        f"range(1, greatest(length({NORM_SQL}) - 2, 0) + 1),"
+        f" i -> substr({NORM_SQL}, CAST(i AS INT), 3)))"
+    )
+    score_cols = ",\n             ".join(
+        "len(list_intersect(tg, ["
+        + ", ".join(f"'{t}'" for t in ta.LANG_TRIGRAMS[lang])
+        + f"])) AS score_{lang}"
+        for lang in langs
+    )
+    cases = []
+    for i, lang in enumerate(langs):
+        conds = [f"score_{lang} > 0"]
+        for j, other in enumerate(langs):
+            if j < i:
+                conds.append(f"score_{lang} > score_{other}")
+            elif j != i:
+                conds.append(f"score_{lang} >= score_{other}")
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + " ELSE 'und' END"
+    return f"""
+    WITH d AS (SELECT doc_id, {tg} AS tg FROM documents),
+    s AS (SELECT doc_id,
+             {score_cols}
+          FROM d)
+    SELECT doc_id, {', '.join(f'score_{lang}' for lang in langs)},
+           {case_sql} AS detected_lang
+    FROM s
+    """
+
+
+@query("text-lang-id-ngram", oracle=_langid_ngram_oracle())
+def text_lang_id_ngram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text-analysis / language ID via character trigrams — profile-
+    overlap scoring with deterministic priority argmax; the n-gram
+    flavor that survives domains where stopword lists miss."""
+    return ta.language_id_ngram(table(spark, sf_dir, "documents"))
