@@ -4,23 +4,29 @@ The composition a pre-training data pipeline runs over a raw document
 table, in the canonical order (cheapest filter first, most expensive
 pair-generation last, each stage shrinking the next stage's input):
 
+0. mixture sampling — per-source deterministic keep rates (optional)
 1. quality gate     — per-row heuristic score (no shuffle)
-2. exact dedup      — content-hash groupBy keeping the minimum id
-3. near-dup dedup   — MinHash/LSH pairs → connected components →
+2. PII scrub        — email / long-number redaction (optional, no shuffle)
+3. exact dedup      — content-hash groupBy keeping the minimum id
+4. near-dup dedup   — MinHash/LSH pairs → connected components →
                       keep each duplicate cluster's representative
-4. stats            — one-row audit of the funnel
+5. stats            — one-row audit of the funnel
 
 Everything is engine operators (operators/text_analysis.py,
-operators/dedup.py); at 100 TB each stage is a linear pass plus
-bigint-keyed shuffles — raw text never shuffles after stage 1.
+operators/dedup.py, operators/sampling.py); at 100 TB each stage is a
+linear pass plus bigint-keyed shuffles — raw text never shuffles after
+the per-row stages.
 """
 
 from __future__ import annotations
+
+from collections.abc import Mapping
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from medallion_delta_lake_spark.operators import dedup
+from medallion_delta_lake_spark.operators import sampling
 from medallion_delta_lake_spark.operators import text_analysis as ta
 from medallion_delta_lake_spark.operators.caching import release_caches
 
@@ -33,8 +39,23 @@ def clean_corpus(
     min_quality: int = 50,
     neardup_threshold: float = 0.5,
     fan_out: int | None = None,
+    mixture: Mapping[str, float] | None = None,
+    strata_col: str = "source",
+    mixture_default_rate: float = 1.0,
+    scrub: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
-    """Returns (surviving documents, one-row funnel stats)."""
+    """Returns (surviving documents, one-row funnel stats).
+
+    ``mixture`` (stratum → keep rate) applies deterministic hash
+    sampling on ``strata_col`` before anything else (cheapest stage
+    first). ``scrub=True`` replaces the text with its PII-scrubbed
+    form after the quality gate — before dedup, so redaction cannot
+    split duplicate groups."""
+    if mixture is not None:
+        docs = sampling.sample_stratified_hash(
+            docs, id_col, strata_col, mixture,
+            default_rate=mixture_default_rate, salt="corpus",
+        )
     n_in = docs.count()
 
     scored = ta.quality_score(docs, text_col, (id_col,))
@@ -42,6 +63,11 @@ def clean_corpus(
         F.col("quality_score") >= min_quality
     ).select(id_col)
     quality_docs = docs.join(keep_q, id_col)
+    if scrub:
+        keep = [c for c in quality_docs.columns if c != text_col]
+        quality_docs = ta.scrub_pii(
+            quality_docs, text_col, out_col=text_col, keep_cols=keep
+        ).drop("n_emails", "n_numbers", "scrubbed_len")
     n_quality = quality_docs.count()
 
     exact = dedup.exact_dedup_groups(quality_docs, text_col, id_col)

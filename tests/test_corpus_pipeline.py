@@ -33,3 +33,39 @@ def test_clean_corpus_funnel(spark):
         spark, docs, min_quality=25, neardup_threshold=0.5
     )
     assert ids == {r.doc_id for r in cleaned2.select("doc_id").collect()}
+
+
+def test_clean_corpus_with_mixture_and_scrub(spark):
+    from pyspark.sql import functions as F
+
+    docs = _dup_corpus(spark, SF_SMOKE).withColumn(
+        "source",
+        F.when(F.col("doc_id") % 2 == 0, "even").otherwise("odd"),
+    ).withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" mail u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@x.com"),
+        ),
+    )
+    cleaned, stats = corpus.clean_corpus(
+        spark,
+        docs,
+        min_quality=25,
+        neardup_threshold=0.5,
+        mixture={"even": 1.0, "odd": 0.0},
+        scrub=True,
+    )
+    s = stats.first()
+    rows = cleaned.collect()
+    # mixture dropped the odd stratum entirely before the funnel
+    assert all(r.doc_id % 2 == 0 for r in rows)
+    assert s.n_input == docs.filter(F.col("doc_id") % 2 == 0).count()
+    # scrubbed text: no raw emails survive, the marker does
+    assert all("@x.com" not in r.text for r in rows)
+    assert any("<EMAIL>" in r.text for r in rows)
+    # funnel still removed the planted duplicate pairs that survived
+    # the mixture (originals are even iff their +100000 copy is even)
+    assert s.n_final < s.n_after_quality
