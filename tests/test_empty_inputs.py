@@ -112,3 +112,51 @@ def test_upsert_empty_source(spark, tmp_path):
     assert readers.scan_table(spark, path).count() == 2
     upsert.upsert(spark, empty, path, keys=["k"], delete_missing=True)
     assert readers.scan_table(spark, path).count() == 0
+
+
+def test_round3_operators_on_empty_inputs(spark):
+    """Round-3 operators must be total on empty frames (the incremental
+    run where a batch has no rows)."""
+    from pyspark.sql import functions as F
+
+    from medallion_delta_lake_spark.operators import (
+        joins,
+        multimodal as mm,
+        sampling,
+        similarity as sim,
+        skew,
+        text_analysis as ta,
+    )
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    empty_kv = spark.createDataFrame([], "k int, ts int, v int")
+    empty_right = spark.createDataFrame([], "k int, rts int, p int")
+
+    assert ta.scrub_pii(empty_docs).count() == 0
+    assert ta.tf_idf_stats(empty_docs).count() == 0
+    assert ta.language_id_ngram(empty_docs).count() == 0
+    assert sampling.sample_hash(empty_docs, "doc_id", 0.5).count() == 0
+    assert (
+        sampling.sample_stratified_hash(
+            empty_docs, "doc_id", "text", {"x": 1.0}
+        ).count()
+        == 0
+    )
+    for th in (99, 0):
+        assert (
+            joins.asof_join(
+                empty_kv, empty_right, keys=["k"], left_ts="ts",
+                right_ts="rts", payload_cols=["p"], wide_threshold=th,
+            ).count()
+            == 0
+        )
+    assert skew.salted_join(empty_kv, empty_right, ["k"]).count() == 0
+    payloads = mm.attach_binary_payload(empty_docs)
+    assert mm.sample_frames(payloads).count() == 0
+    assert mm.chunk_payload(payloads).count() == 0
+    assert mm.resize_image(payloads).count() == 0
+    # empty corpus: kmeans yields no centroids but must not raise
+    empty_vecs = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    )
+    assert sim.kmeans_centroids(empty_vecs, k=4, max_iter=1).count() == 0

@@ -122,3 +122,41 @@ def test_asof_join_inline_and_probe_paths_agree(spark):
     assert (1, 20, "b", 2.0, 150) in a      # latest earlier row
     assert (1, 20, "b2", 2.5, 150) in a     # duplicate (k, ts) fans out
     assert (3, 5, "d", 4.0, None) in a      # key with no right rows
+
+
+def test_asof_join_matches_bruteforce_reference_randomized(spark):
+    """Both asof shapes vs an O(n*m) python reference on randomized
+    (seeded) data with duplicate timestamps, unmatched keys, and
+    boundary-equal rows."""
+    import random
+
+    from medallion_delta_lake_spark.operators import joins
+
+    rnd = random.Random(20260813)
+    left_rows = [
+        (rnd.randrange(6), rnd.randrange(50), i) for i in range(300)
+    ]
+    right_rows = list({
+        (rnd.randrange(6), rnd.randrange(50)): None for _ in range(80)
+    })
+    right_rows = [(k, ts, k * 1000 + ts) for (k, ts) in right_rows]
+    left = spark.createDataFrame(left_rows, "k int, ts int, rid int")
+    right = spark.createDataFrame(right_rows, "k int, rts int, payload int")
+
+    def brute(k, ts):
+        best = None
+        for rk, rts, p in right_rows:
+            if rk == k and rts <= ts and (best is None or rts > best[0]):
+                best = (rts, p)
+        return best[1] if best else None
+
+    expected = {(k, ts, rid, brute(k, ts)) for k, ts, rid in left_rows}
+    for th in (99, 0):  # inline and probe shapes
+        got = {
+            (r.k, r.ts, r.rid, r.payload)
+            for r in joins.asof_join(
+                left, right, keys=["k"], left_ts="ts", right_ts="rts",
+                payload_cols=["payload"], wide_threshold=th,
+            ).collect()
+        }
+        assert got == expected
