@@ -127,3 +127,29 @@ def stream_stream_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return se.run_available_now(
         se.stream_stream_join(a, b), "append", spark
     )
+
+
+@query(
+    "stream-static-join",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id % 1500
+    """,
+)
+def stream_static_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming / stream-static join — enrich a stream against a
+    static dimension (the canonical lookup-enrichment shape: the dim is
+    broadcast per microbatch, no state store involved, so it scales as
+    a stateless map stage)."""
+    from pyspark.sql import functions as F
+    from medallion_delta_lake_spark.plans.registry import table as _t
+
+    sdf = se.read_events_stream(spark, sf_dir).select(
+        "event_id", "user_id", "event_type",
+        (F.col("user_id") % 1500).alias("c_custkey"),
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = sdf.join(F.broadcast(cust), "c_custkey").select(
+        "event_id", "user_id", "event_type", "c_mktsegment"
+    )
+    return se.run_available_now(joined, "append", spark)

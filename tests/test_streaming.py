@@ -196,3 +196,74 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # and no second hour-0 record appears after run 2
     hour0 = [n for ws, n in out2 if ws == t0]
     assert sum(hour0) <= 1, (out1, out2)
+
+
+def test_watermark_finalized_window_emits_at_most_once(spark, tmp_path):
+    """What the watermark actually GUARANTEES in append mode (pinned
+    empirically on this Spark: late-row dropping is best-effort and
+    does NOT happen while a window's state is still live — a late row
+    arriving before eviction is aggregated): once the watermark passes
+    a window and append mode emits it, that window can never re-emit,
+    even if later-still rows for it arrive. State is bounded and
+    results are at-most-once per window."""
+    import glob as _glob
+    import os
+    import time as _time
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+
+    def write(name, rows):
+        spark.createDataFrame(
+            rows, "user_id long, ts string, value double"
+        ).select(
+            "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+        ).coalesce(1).write.parquet(str(src / name))
+
+    # batch 0: 12:00 row (advances watermark to 11:00) + a 10:15 row
+    write("f1", [(1, "2024-01-01 12:00:00", 1.0),
+                 (2, "2024-01-01 10:15:00", 1.0)])
+    # batch 1: 13:30 row -> watermark 12:30 -> the 10:00 window is
+    # evicted and emitted
+    write("f2", [(3, "2024-01-01 13:30:00", 1.0)])
+    # batch 2: very late 10:45 row: its window was already finalized;
+    # it must NOT produce a second 10:00 emission
+    write("f3", [(4, "2024-01-01 10:45:00", 1.0)])
+
+    now = _time.time()
+    for i, d in enumerate(("f1", "f2", "f3")):
+        for f in _glob.glob(str(src / d / "*")):
+            os.utime(f, (now - 300 + i * 100, now - 300 + i * 100))
+
+    schema = spark.read.parquet(str(src / "f1")).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    agged = (
+        sdf.withWatermark("ts", "1 hour")
+        # group on the window struct itself: projecting .start inside
+        # the groupBy strips the event-time attribute and append mode
+        # then rejects the plan as "aggregation without watermark"
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    name = f"late_{uuid.uuid4().hex[:8]}"
+    q = (
+        agged.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = [(str(r.ws), r.n) for r in spark.table(name).collect()]
+    ten = [r for r in rows if r[0].startswith("2024-01-01 10:")]
+    # emitted exactly once, with the pre-eviction count (the very late
+    # batch-2 row is excluded — its window was already finalized)
+    assert ten == [("2024-01-01 10:00:00", 1)]
