@@ -145,3 +145,24 @@ def test_runtime_bloom_filter_injects_on_shuffle_join(spark, tmp_path):
             "spark.sql.optimizer.runtime.bloomFilter."
             "applicationSideScanSizeThreshold"
         )
+
+
+def test_headline_plan_contracts(spark):
+    """Optimizer-regression guard over the audited headline queries:
+    no cartesian products anywhere, and every TPC-H analog keeps at
+    least one broadcast join (a lost broadcast is the classic silent
+    100TB regression — a dimension spilling into a shuffle join)."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    sf = "/root/testdata/sf0.001"
+    tpch = [n for n in qs if n.startswith("q") and n[1].isdigit()]
+    for name in tpch:
+        df = qs[name](spark, sf)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert (
+            "BroadcastHashJoin" in plan
+            or "BroadcastNestedLoopJoin" in plan
+            or "Join" not in plan  # scan-agg shapes (q1, q6)
+        ), name
