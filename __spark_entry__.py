@@ -103,6 +103,15 @@ _DRIVER_PRIORITY = [
     "struct-funcs",
     "map-funcs",
     "explode-outer-nulls",
+    # ROUND-4 NOTE: once this round's driver artifact lands, swap this
+    # list for the ops still lacking driver rows — the round-3 additions
+    # currently sweep-verified only: q2/q7/q8/q9/q11/q13/q14/q15/q19/q20
+    # analogs, multimodal-frame-sample/audio-chunks/resize,
+    # text-scrub-pii, text-tfidf-stats, text-lang-id-ngram,
+    # sample-stratified-hash, stream-stateful-stats, stream-stream-join,
+    # stream-static-join, join-full-outer, window-value-family,
+    # string-like-family, agg-bitwise (24 ops — they all fit in one
+    # 50-query window with room for round-4 additions).
     # oracle upgraded / implementation reworked this round → re-verify
     "dedup-cluster-assign",
     "approx-distinct",
