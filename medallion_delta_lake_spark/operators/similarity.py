@@ -419,3 +419,55 @@ def kmeans_centroids(
             .localCheckpoint()
         )
     return centroids
+
+
+def ann_self_topk(
+    corpus: DataFrame,
+    k: int = 5,
+    n_planes: int = 6,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate k-NN SELF-join: top-k same-bucket neighbors for
+    EVERY corpus vector (the kNN-graph builder behind near-dup
+    clustering, kNN-LM datastores, diversity sampling).
+
+    Unlike ann_topk the query side is the whole corpus, so nothing
+    broadcasts: both sides carry the hyperplane bucket and meet in a
+    bucket equi-join (shuffle keyed by bucket — per-bucket locality,
+    no cross join), then a per-query ranked window keeps k. Self-match
+    is excluded. At 100 TB this is the only tenable all-pairs shape:
+    candidate volume is Σ_b |bucket_b|², bounded by the bucketing, not
+    N²."""
+    b = tracked_cache(
+        corpus.select(
+            F.col(id_col),
+            F.col(vec_col),
+            hyperplane_bucket(F.col(vec_col), n_planes, dims).alias(
+                "bucket"
+            ),
+        )
+    )
+    left = b.select(
+        "bucket",
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+    )
+    scored = (
+        left.join(b, "bucket")
+        .filter(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            id_col,
+            cosine(F.col("_qv"), F.col(vec_col)).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cosine", "rank")
+    )

@@ -236,3 +236,32 @@ def dedup_embedding_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         dims=_DIMS,
         fan_out=spark.sparkContext.defaultParallelism,
     )
+
+
+@query(
+    "sim-ann-self-topk",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             {_cos_sql('q.embedding', 'c.embedding')} AS cosine
+      FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def sim_ann_self_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """similarity / ANN self k-NN — top-3 same-bucket neighbors for
+    every corpus vector (the kNN-graph builder); bucket equi-join with
+    NO broadcast — the only tenable all-pairs shape at scale."""
+    e = table(spark, sf_dir, "embeddings")
+    return sim.ann_self_topk(e, k=3, n_planes=_PLANES, dims=_DIMS)

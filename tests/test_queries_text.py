@@ -21,3 +21,40 @@ TEXT_IDS = sorted(
 @pytest.mark.parametrize("name", TEXT_IDS)
 def test_text_oracle_parity(spark, name):
     compare_query(spark, name, QUERIES, ORACLES, SF_SMOKE)
+
+
+def test_scrub_pii_matches_python_re_on_adversarial_strings(spark):
+    """Cross-dialect regression guard: the redaction patterns must
+    behave identically under Java regex (Spark) and Python re on
+    adversarial inputs — odd TLD lengths, digits flanking emails,
+    5-vs-6 digit runs, multiple matches per line, unicode text."""
+    import re
+
+    from medallion_delta_lake_spark.operators.text_analysis import (
+        EMAIL_PATTERN,
+        LONG_NUMBER_PATTERN,
+        scrub_pii,
+    )
+
+    texts = [
+        "plain text no pii at all",
+        "a@b.co x@y.museum weird%+-chars@sub.domain.org",
+        "12345 not scrubbed, 123456 scrubbed, 1234567890123 too",
+        "edge a@b.c single-letter tld should NOT match",
+        "mixed u1@x.io then 9999999 then u2@y.de on one line",
+        "unicode café 999999é888888 touches",
+        "trailing dot v@w.com. and (paren@q.net)",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.scrubbed, r.n_emails, r.n_numbers)
+        for r in scrub_pii(df).collect()
+    }
+    for i, t in enumerate(texts):
+        after_email = re.sub(EMAIL_PATTERN, "<EMAIL>", t)
+        expected = re.sub(LONG_NUMBER_PATTERN, "<NUM>", after_email)
+        n_e = len(re.findall(EMAIL_PATTERN, t))
+        n_n = len(re.findall(LONG_NUMBER_PATTERN, after_email))
+        assert got[i] == (expected, n_e, n_n), (i, t, got[i])
