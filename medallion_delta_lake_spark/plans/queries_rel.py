@@ -1177,3 +1177,118 @@ def agg_bitwise_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_or("user_id").alias("k_or"),
         F.bit_xor("user_id").alias("k_xor"),
     )
+
+
+@query(
+    "agg-histogram",
+    # DuckDB has no width_bucket; the oracle spells out the same
+    # SQL-standard semantics (floor((x-lo)/width)+1, clamped to n+1)
+    oracle="""
+    SELECT CAST(least(floor(l_quantity / 5.0) + 1, 11) AS INT) AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+             AS sum_qty
+    FROM lineitem GROUP BY bucket
+    """,
+)
+def agg_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """agg / histogram — equi-width value histogram via width_bucket
+    (SQL-standard bucketing, identical boundary semantics in both
+    engines); one grouped pass, the profiling primitive."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.width_bucket("l_quantity", F.lit(0.0), F.lit(50.0), F.lit(10))
+            .alias("bucket"),
+            "l_quantity",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("l_quantity"), "sum_qty"),
+        )
+    )
+
+
+@query(
+    "stats-corr",
+    # scales chosen so every sum stays under 2^53 units → the
+    # decimal→double casts are EXACT (not just correctly rounded) in
+    # both engines, making the downstream float arithmetic identical
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag, COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_discount AS DECIMAL(38,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity * l_discount
+                           AS DECIMAL(38,2))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(l_quantity * l_quantity
+                           AS DECIMAL(38,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_discount * l_discount
+                           AS DECIMAL(38,4))) AS DOUBLE) AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+             AS corr_qty_disc
+    FROM s
+    """,
+)
+def stats_corr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stats / correlation — Pearson r from decimal-exact sums (the
+    built-in F.corr accumulates floats in partition order and is NOT
+    engine-reproducible; this formulation is). Scales are sized so
+    every sum is exactly double-representable (< 2^53 units)."""
+    li = table(spark, sf_dir, "lineitem")
+
+    def ds(c, scale=2):
+        return F.sum(c.cast(f"decimal(38,{scale})")).cast("double")
+
+    x, y = F.col("l_quantity"), F.col("l_discount")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        ds(x).alias("sx"),
+        ds(y).alias("sy"),
+        ds(x * y).alias("sxy"),
+        ds(x * x).alias("sxx"),
+        ds(y * y, scale=4).alias("syy"),
+    )
+    n = F.col("n")
+    corr = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select("l_returnflag", "n", corr.alias("corr_qty_disc"))
+
+
+@query(
+    "window-ntile-binning",
+    oracle="""
+    SELECT event_id, event_type, value,
+           CAST(NTILE(4) OVER w AS INT) AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)
+    """,
+)
+def window_ntile_binning_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """window / distribution binning — ntile quartiles + percent_rank +
+    cume_dist per event type (feature binning / winsorization prep).
+    percent_rank and cume_dist are exact rationals of integer ranks, so
+    they reproduce bit-for-bit; event_id tie-break pins ntile."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    w = W.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    return ev.select(
+        "event_id", "event_type", "value",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
