@@ -399,3 +399,98 @@ def neardup_clusters(
         if changed == 0:
             break
     return labels
+
+
+def banded_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+    fan_out: int | None = None,
+) -> DataFrame:
+    """Long-form banded MinHash signatures: (id, band, band_key) — the
+    rows a persistent LSH signature STORE keeps (4 rows/doc at the
+    default banding; 20 bytes each). The store is what makes dedup
+    incremental at 100 TB: new batches hash once and equi-join here
+    instead of re-hashing history."""
+    rows_per_band = num_perm // bands
+    sets_df = shingle_hashes(df, text_col, id_col, n=n, fan_out=fan_out)
+    sig = sets_df.select(
+        F.col(id_col),
+        F.array(*minhash_signature_cols(F.col("sh"), num_perm)).alias("sig"),
+    )
+    return sig.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    _band_key(
+                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+
+
+def incremental_neardup(
+    spark,
+    new_docs: DataFrame,
+    store_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+    fan_out: int | None = None,
+) -> DataFrame:
+    """Incremental near-dup detection against a persistent signature
+    store (the daily-batch production shape: history is never
+    re-hashed).
+
+    Returns the new docs labeled ``dup_of`` (the minimum existing
+    store id sharing any LSH band, NULL if none — candidate-level
+    match; callers wanting exact-Jaccard verification join the texts
+    of the flagged pairs only). Non-duplicate new docs' signatures are
+    APPENDED to the store, so the next batch sees them as history.
+
+    Scale shape: one hash pass over the batch; the history side is a
+    (band, band_key)-keyed equi-join — with the store bucketed/
+    partitioned on band_key the probe touches matching buckets only.
+    Store growth is 4 narrow rows per surviving doc.
+    """
+    from medallion_delta_lake_spark.sources import writers
+
+    new_sigs = tracked_cache(
+        banded_signatures(
+            new_docs, text_col, id_col,
+            n=n, num_perm=num_perm, bands=bands, fan_out=fan_out,
+        )
+    )
+    if writers.table_exists(spark, store_path):
+        store = spark.read.parquet(store_path).select(
+            F.col(id_col).alias("_hist_id"), "band", "band_key"
+        )
+        matches = (
+            new_sigs.join(store, ["band", "band_key"])
+            .groupBy(id_col)
+            .agg(F.min("_hist_id").alias("dup_of"))
+        )
+    else:
+        matches = new_sigs.select(id_col).distinct().select(
+            F.col(id_col), F.lit(None).cast("long").alias("dup_of")
+        ).limit(0)
+    labeled = (
+        new_docs.join(matches, id_col, "left")
+        .select(*new_docs.columns, "dup_of")
+    )
+    fresh_ids = labeled.filter(F.col("dup_of").isNull()).select(id_col)
+    fresh_sigs = new_sigs.join(fresh_ids, id_col, "left_semi")
+    if writers.table_exists(spark, store_path):
+        fresh_sigs.write.mode("append").parquet(store_path)
+    else:
+        fresh_sigs.write.mode("overwrite").parquet(store_path)
+    return labeled

@@ -1,0 +1,59 @@
+"""Incremental near-dup dedup against the persistent signature store:
+batch 2 must recognize batch-1 documents without re-hashing them, and
+the store must grow by exactly the surviving docs' signatures."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from medallion_delta_lake_spark.operators import dedup
+from medallion_delta_lake_spark.plans.queries_text import _dup_corpus
+from tests.conftest import SF_SMOKE
+
+
+def test_incremental_neardup_flags_history_duplicates(spark, tmp_path):
+    store = str(tmp_path / "sig_store")
+    base = _dup_corpus(spark, SF_SMOKE).filter(F.col("doc_id") < 100000)
+
+    # batch 1: all-original corpus -> nothing flagged, store created
+    out1 = dedup.incremental_neardup(spark, base, store, fan_out=8)
+    assert out1.filter(F.col("dup_of").isNotNull()).count() == 0
+    store_rows_1 = spark.read.parquet(store).count()
+    assert store_rows_1 == base.count() * 4  # 4 bands per doc
+
+    # batch 2: exact copies of some batch-1 docs (new ids) + genuinely
+    # new docs (perturbed text)
+    copies = base.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text"
+    )
+    fresh = base.filter(F.col("doc_id") % 7 == 3).select(
+        (F.col("doc_id") + 600000).alias("doc_id"),
+        F.concat(F.lit("totally different prefix content "), "text").alias("text"),
+    )
+    batch2 = copies.unionByName(fresh)
+    out2 = dedup.incremental_neardup(spark, batch2, store, fan_out=8)
+    flagged = {r.doc_id: r.dup_of for r in out2.filter(F.col("dup_of").isNotNull()).collect()}
+
+    # every exact copy is flagged; dup_of is the MINIMUM band-sharing
+    # history id, which is ≤ its own original (corpus docs that are
+    # near-dups of each other can alias to an even smaller id)
+    for r in copies.collect():
+        orig = r.doc_id - 500000
+        assert r.doc_id in flagged
+        assert flagged[r.doc_id] <= orig
+        assert flagged[r.doc_id] < 500000  # always a history doc
+
+    # the store grew by 4 rows per surviving (non-dup) doc only
+    n_flagged = len(flagged)
+    store_rows_2 = spark.read.parquet(store).count()
+    assert store_rows_2 == store_rows_1 + (batch2.count() - n_flagged) * 4
+
+    # idempotent-ish third pass: resubmitting batch-2 originals flags
+    # them against whatever their first submission stored
+    out3 = dedup.incremental_neardup(
+        spark,
+        fresh.select((F.col("doc_id") + 1000).alias("doc_id"), "text"),
+        store,
+        fan_out=8,
+    )
+    assert out3.filter(F.col("dup_of").isNull()).count() == 0
