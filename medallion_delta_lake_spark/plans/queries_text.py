@@ -620,3 +620,64 @@ def text_lang_id_ngram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap scoring with deterministic priority argmax; the n-gram
     flavor that survives domains where stopword lists miss."""
     return ta.language_id_ngram(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "pack-sequences",
+    # contiguous greedy packing: docs in shard order accumulate until
+    # the token budget; bin = floor(preceding-cumsum / budget). The
+    # whole operator is one window + one groupBy — no UDF, no loop.
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             len(string_split({NORM_SQL}, ' ')) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS prior_tokens
+      FROM d
+    )
+    SELECT source, CAST(prior_tokens // 2048 AS BIGINT) AS seq_bin,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS total_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM c GROUP BY source, seq_bin
+    """,
+)
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text / sequence packing — pack documents into ~2048-token
+    training sequences per source shard (contiguous greedy fill in
+    doc-id order). The pretraining batch-assembly step as a pure
+    window plan: one shuffle on the shard key, a running decimal-free
+    integer cumsum, and a grouped rollup of each bin's contents."""
+    from pyspark.sql import Window as W
+    from medallion_delta_lake_spark.functions.texts import tokenize
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(tokenize("text")).alias("n_tokens")
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    c = d.withColumn(
+        "prior_tokens", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    return (
+        c.withColumn(
+            "seq_bin", (F.col("prior_tokens") / 2048).cast("bigint")
+        )
+        .groupBy("source", "seq_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
