@@ -471,3 +471,65 @@ def ann_self_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "cosine", "rank")
     )
+
+
+def incremental_emb_neardup(
+    spark,
+    new_vecs: DataFrame,
+    store_path: str,
+    threshold: float = 0.9,
+    n_planes: int = 6,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental embedding near-dup against a persistent bucket
+    store — the vector twin of dedup.incremental_neardup: history is
+    bucketed once; each batch buckets itself, equi-joins the store,
+    verifies candidates with exact cosine ≥ threshold, and appends its
+    non-duplicate vectors (id, bucket, embedding) to the store.
+
+    Returns the batch labeled ``dup_of`` (minimum matching history id,
+    NULL if unique). The store keeps the vector alongside the bucket
+    so verification never rescans source tables; at extreme scale,
+    store the vector quantized and rerank on a gathered exact copy."""
+    from medallion_delta_lake_spark.sources import writers
+
+    nb = tracked_cache(
+        new_vecs.select(
+            F.col(id_col),
+            as_double(vec_col).alias(vec_col),
+            hyperplane_bucket(F.col(vec_col), n_planes, dims).alias(
+                "bucket"
+            ),
+        )
+    )
+    if writers.table_exists(spark, store_path):
+        store = spark.read.parquet(store_path).select(
+            F.col(id_col).alias("_hist_id"),
+            F.col(vec_col).alias("_hv"),
+            "bucket",
+        )
+        matches = (
+            nb.join(store, "bucket")
+            .filter(
+                cosine(F.col(vec_col), F.col("_hv")) >= F.lit(threshold)
+            )
+            .groupBy(id_col)
+            .agg(F.min("_hist_id").alias("dup_of"))
+        )
+        labeled = new_vecs.join(matches, id_col, "left").select(
+            *new_vecs.columns, "dup_of"
+        )
+    else:
+        labeled = new_vecs.withColumn(
+            "dup_of", F.lit(None).cast("long")
+        )
+    fresh = nb.join(
+        labeled.filter(F.col("dup_of").isNull()).select(id_col),
+        id_col,
+        "left_semi",
+    )
+    mode = "append" if writers.table_exists(spark, store_path) else "overwrite"
+    fresh.write.mode(mode).parquet(store_path)
+    return labeled

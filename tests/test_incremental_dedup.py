@@ -57,3 +57,37 @@ def test_incremental_neardup_flags_history_duplicates(spark, tmp_path):
         fan_out=8,
     )
     assert out3.filter(F.col("dup_of").isNull()).count() == 0
+
+
+def test_incremental_emb_neardup_flags_history_vectors(spark, tmp_path):
+    from medallion_delta_lake_spark.operators import similarity as sim
+
+    store = str(tmp_path / "vec_store")
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+        "vec_id", sim.as_double("embedding").alias("embedding")
+    )
+    out1 = sim.incremental_emb_neardup(spark, e, store)
+    assert out1.filter(F.col("dup_of").isNotNull()).count() == 0
+
+    # batch 2: scaled copies (cosine exactly 1) + genuinely new
+    # orthogonal-ish vectors (negated → cosine -1 to their original)
+    copies = e.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 3.0).alias("embedding"),
+    )
+    fresh = e.filter(F.col("vec_id") % 10 == 5).select(
+        (F.col("vec_id") + 20000).alias("vec_id"),
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+    )
+    out2 = sim.incremental_emb_neardup(
+        spark, copies.unionByName(fresh), store
+    )
+    flagged = {
+        r.vec_id: r.dup_of
+        for r in out2.filter(F.col("dup_of").isNotNull()).collect()
+    }
+    for r in copies.select("vec_id").collect():
+        assert r.vec_id in flagged
+        assert flagged[r.vec_id] < 10000
+    # negated vectors are cosine -1 to history: never flagged
+    assert all(v < 20000 for v in flagged)
