@@ -1292,3 +1292,92 @@ def window_ntile_binning_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+@query(
+    "window-rolling-agg",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+             AS roll_sum,
+           MIN(value) OVER w AS roll_min,
+           MAX(value) OVER w AS roll_max,
+           COUNT(*) OVER w AS roll_n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_rolling_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """window / rolling — trailing 7-row sum/min/max/count per key (the
+    moving-feature primitive); decimal-exact rolling sum so frame
+    contents, not accumulation order, determine the value."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-6, W.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id", "ts", "value",
+        F.sum(F.col("value").cast("decimal(38,6)")).over(w)
+        .cast("double").alias("roll_sum"),
+        F.min("value").over(w).alias("roll_min"),
+        F.max("value").over(w).alias("roll_max"),
+        F.count(F.lit(1)).over(w).alias("roll_n"),
+    )
+
+
+@query(
+    "impute-group-mean",
+    # events.value has no nulls, so nulls are planted deterministically
+    # (every 5th event) in both engines before imputation
+    oracle="""
+    WITH v AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS value
+      FROM events
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+               / COUNT(value) AS grp_mean
+      FROM v GROUP BY event_type
+    )
+    SELECT v.event_id, v.event_type,
+           COALESCE(v.value, m.grp_mean) AS value_imputed,
+           v.value IS NULL AS was_imputed
+    FROM v JOIN m ON m.event_type = v.event_type
+    """,
+)
+def impute_group_mean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """clean / imputation — fill nulls with the per-group mean
+    (decimal-exact numerator / non-null count), the standard feature
+    repair; broadcast of the tiny means frame, no second scan of the
+    fact."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 5 == 0, None)
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    means = ev.groupBy("event_type").agg(
+        (
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
+            / F.count("value")
+        ).alias("grp_mean")
+    )
+    return (
+        ev.join(F.broadcast(means), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.coalesce("value", "grp_mean").alias("value_imputed"),
+            F.col("value").isNull().alias("was_imputed"),
+        )
+    )
