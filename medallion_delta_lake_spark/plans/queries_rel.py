@@ -1381,3 +1381,133 @@ def impute_group_mean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").isNull().alias("was_imputed"),
         )
     )
+
+
+@query(
+    "normalize-group-zscore",
+    oracle="""
+    WITH m AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE)
+               AS sxx
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           (e.value - m.sx / m.n)
+             / sqrt((m.n * m.sxx - m.sx * m.sx)
+                    / (CAST(m.n AS DOUBLE) * (m.n - 1))) AS zscore
+    FROM events e JOIN m ON m.event_type = e.event_type
+    """,
+)
+def normalize_group_zscore_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """clean / z-score — per-group standardization from decimal-exact
+    moments (mean and sample stddev derived from exact sums, one
+    broadcast back over the fact; F.stddev would be partition-order
+    float accumulation and engine-divergent)."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sx"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    std = F.sqrt((n * sxx - sx * sx) / (n.cast("double") * (n - 1)))
+    return (
+        ev.join(F.broadcast(m), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            ((F.col("value") - sx / n) / std).alias("zscore"),
+        )
+    )
+
+
+@query(
+    "cohort-retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             CAST(DATE_TRUNC('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id,
+             CAST(DATE_TRUNC('week', ts) AS TIMESTAMP) AS activity_week
+      FROM events
+    )
+    SELECT f.cohort_week, a.activity_week,
+           COUNT(*) AS active_users
+    FROM firsts f JOIN activity a ON a.user_id = f.user_id
+    GROUP BY f.cohort_week, a.activity_week
+    """,
+)
+def cohort_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """analytics / cohort retention — users bucketed by first-seen week
+    × activity week (the classic retention triangle): two grouped
+    passes over narrow (user, week) pairs, one equi-join on user."""
+    ev = table(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("activity_week")
+    ).distinct()
+    return (
+        firsts.join(activity, "user_id")
+        .groupBy("cohort_week", "activity_week")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+
+
+@query(
+    "funnel-analysis",
+    oracle="""
+    WITH steps AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+      FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           COUNT(t_view) AS n_viewed,
+           COUNT(CASE WHEN t_click > t_view THEN 1 END) AS n_clicked_after,
+           COUNT(CASE WHEN t_buy > t_click AND t_click > t_view
+                 THEN 1 END) AS n_converted
+    FROM steps
+    """,
+)
+def funnel_analysis_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """analytics / funnel — ordered view→click→purchase conversion
+    counts via first-occurrence timestamps per step (one grouped pass,
+    conditional MINs; NULL comparisons drop non-completers exactly as
+    the SQL three-valued logic does)."""
+    ev = table(spark, sf_dir, "events")
+
+    def first_of(t):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    steps = ev.groupBy("user_id").agg(
+        first_of("view").alias("t_view"),
+        first_of("click").alias("t_click"),
+        first_of("purchase").alias("t_buy"),
+    )
+    return steps.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("n_viewed"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), 1)).alias(
+            "n_clicked_after"
+        ),
+        F.count(
+            F.when(
+                (F.col("t_buy") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_view")),
+                1,
+            )
+        ).alias("n_converted"),
+    )
