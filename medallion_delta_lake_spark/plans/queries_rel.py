@@ -1511,3 +1511,83 @@ def funnel_analysis_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_converted"),
     )
+
+
+@query(
+    "snapshot-diff",
+    # "new" snapshot derived deterministically from orders: drop every
+    # 10th key, modify every 7th (priority bump), add shifted keys —
+    # both engines build the same two states and diff them
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+             o_orderpriority AS priority
+      FROM orders
+    ),
+    new AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+             CASE WHEN o_orderkey % 7 = 0 THEN '0-BUMPED'
+                  ELSE o_orderpriority END AS priority
+      FROM orders WHERE o_orderkey % 10 <> 0
+      UNION ALL
+      SELECT o_orderkey + 1000000 AS k, 'N' AS status,
+             '9-NEW' AS priority
+      FROM orders WHERE o_orderkey % 13 = 0
+    )
+    SELECT COALESCE(o.k, n.k) AS k,
+           CASE WHEN o.k IS NULL THEN 'added'
+                WHEN n.k IS NULL THEN 'removed'
+                WHEN o.status IS DISTINCT FROM n.status
+                  OR o.priority IS DISTINCT FROM n.priority THEN 'changed'
+                ELSE 'unchanged' END AS change
+    FROM old o FULL OUTER JOIN new n ON n.k = o.k
+    """,
+)
+def snapshot_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cdc / snapshot diff — classify every key across two table
+    versions as added / removed / changed / unchanged (the audit
+    companion to the SCD-1 upsert: what WOULD a merge do). Full-outer
+    join on the key, null-safe column comparison — one shuffle."""
+    o = table(spark, sf_dir, "orders")
+    old = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    new = (
+        o.filter(F.col("o_orderkey") % 10 != 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+            F.when(F.col("o_orderkey") % 7 == 0, "0-BUMPED")
+            .otherwise(F.col("o_orderpriority"))
+            .alias("priority"),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 13 == 0).select(
+                (F.col("o_orderkey") + 1000000).alias("k"),
+                F.lit("N").alias("status"),
+                F.lit("9-NEW").alias("priority"),
+            )
+        )
+    )
+    oldx = old.select(
+        F.col("k").alias("_ok"),
+        F.col("status").alias("_os"),
+        F.col("priority").alias("_op"),
+    )
+    j = new.join(oldx, F.col("k") == F.col("_ok"), "full_outer")
+    change = (
+        F.when(F.col("_ok").isNull(), "added")
+        .when(F.col("k").isNull(), "removed")
+        .when(
+            ~F.col("_os").eqNullSafe(F.col("status"))
+            | ~F.col("_op").eqNullSafe(F.col("priority")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    return j.select(
+        F.coalesce(F.col("k"), F.col("_ok")).alias("k"),
+        change.alias("change"),
+    )
