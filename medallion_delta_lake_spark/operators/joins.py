@@ -362,3 +362,51 @@ def join_semi(df: DataFrame, other: DataFrame, cond: Column) -> DataFrame:
 def join_anti(df: DataFrame, other: DataFrame, cond: Column) -> DataFrame:
     """Left anti join: keep df rows with no match (NOT EXISTS)."""
     return df.join(other, on=cond, how="left_anti")
+
+
+def range_join_bucketed(
+    df: DataFrame,
+    intervals: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    bucket_width: float = 10.0,
+) -> DataFrame:
+    """Range join for interval sets too big to broadcast: both sides
+    map to integer buckets of ``bucket_width`` — values to their one
+    bucket, intervals exploded to every bucket they span — then meet
+    in a bucket EQUI-join with the precise [lo, hi) filter applied
+    after. No broadcast, no nested-loop: shuffle is keyed by the
+    bucket, and each value only meets intervals overlapping its
+    bucket. Intervals spanning b buckets emit b rows (pick
+    bucket_width ≈ median interval width so b stays small).
+
+    Results match range_join_bands exactly for non-overlapping OR
+    overlapping intervals (a value landing in k intervals emits k
+    rows — same as the broadcast variant's join semantics), except
+    unmatched left rows are dropped (inner semantics; wrap with a
+    left join on the keys to recover them)."""
+    vb = df.withColumn(
+        "_bucket", F.floor(F.col(value_col) / bucket_width).cast("bigint")
+    )
+    ib = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / bucket_width).cast("bigint"),
+                # hi is exclusive: the bucket containing hi only hosts
+                # the interval if hi is not exactly on its lower edge
+                F.floor(
+                    (F.col(hi_col) - F.lit(1e-9)) / bucket_width
+                ).cast("bigint"),
+            )
+        ),
+    )
+    return (
+        vb.join(ib, "_bucket")
+        .filter(
+            (F.col(value_col) >= F.col(lo_col))
+            & (F.col(value_col) < F.col(hi_col))
+        )
+        .drop("_bucket")
+    )

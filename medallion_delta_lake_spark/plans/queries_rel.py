@@ -1591,3 +1591,32 @@ def snapshot_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("k"), F.col("_ok")).alias("k"),
         change.alias("change"),
     )
+
+
+@query(
+    "join-range-bucketed",
+    oracle=f"""
+    WITH bands(lo, hi, band) AS (VALUES {_BANDS_SQL})
+    SELECT b.band, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem l JOIN bands b
+      ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+    GROUP BY b.band
+    """,
+)
+def join_range_bucketed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join / bucketed range — the NON-broadcast range join (interval
+    set too big for a broadcast NLJ at scale): both sides bucket on
+    floor(value/width), meet in an equi-join, precise filter after.
+    Same result as join-range-bands, different physical shape — the
+    oracle is identical, which is the point."""
+    li = table(spark, sf_dir, "lineitem").select("l_quantity")
+    bands = spark.sql(
+        f"SELECT * FROM (VALUES {_BANDS_SQL}) AS bands(lo, hi, band)"
+    )
+    joined = joins.range_join_bucketed(
+        li, bands, "l_quantity", bucket_width=10.0
+    )
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n"), dsum(F.col("l_quantity"), "sum_qty")
+    )
