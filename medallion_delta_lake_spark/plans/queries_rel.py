@@ -1620,3 +1620,98 @@ def join_range_bucketed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("band").agg(
         F.count(F.lit(1)).alias("n"), dsum(F.col("l_quantity"), "sum_qty")
     )
+
+
+@query(
+    "agg-avg-of-sums",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_mktsegment, o.o_custkey,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS cust_total
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_mktsegment, o.o_custkey
+    )
+    SELECT c_mktsegment, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(cust_total AS DECIMAL(38,6))) AS DOUBLE)
+             / COUNT(*) AS avg_cust_total
+    FROM per_cust GROUP BY c_mktsegment
+    """,
+)
+def agg_avg_of_sums_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """agg / two-level — average customer lifetime value per segment
+    (avg of per-customer sums): the aggregation-of-aggregation shape a
+    single GROUP BY can't express. Both levels decimal-exact; the
+    inner grouping reuses the same hash partitioning (segment rides
+    along the custkey grouping, no second wide shuffle)."""
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    per_cust = (
+        o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("cust_total")
+        )
+    )
+    return per_cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        (
+            F.sum(F.col("cust_total").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_cust_total"),
+    )
+
+
+@query(
+    "dq-constraint-check",
+    oracle="""
+    SELECT
+      (SELECT COUNT(*) FROM events WHERE value IS NULL) AS null_value,
+      (SELECT COUNT(*) FROM events WHERE value < 0.0) AS negative_value,
+      (SELECT COUNT(*) FROM lineitem
+       WHERE l_discount < 0.0 OR l_discount > 1.0) AS bad_discount,
+      (SELECT COUNT(*) FROM orders o
+       WHERE NOT EXISTS (SELECT 1 FROM customer c
+                         WHERE c.c_custkey = o.o_custkey))
+        AS orphan_orders,
+      (SELECT COUNT(*) FROM lineitem l
+       WHERE NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_orderkey = l.l_orderkey))
+        AS orphan_lineitems
+    """,
+)
+def dq_constraint_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quality / constraint suite — null / range / referential-
+    integrity violation counts in one result row (the dbt-style test
+    pass, engine-side: conditional aggregates for row predicates,
+    anti-join counts for foreign keys)."""
+    ev = table(spark, sf_dir, "events")
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+
+    row_checks = ev.agg(
+        F.count(F.when(F.col("value").isNull(), 1)).alias("null_value"),
+        F.count(F.when(F.col("value") < 0.0, 1)).alias("negative_value"),
+    )
+    disc = li.agg(
+        F.count(
+            F.when((F.col("l_discount") < 0.0) | (F.col("l_discount") > 1.0), 1)
+        ).alias("bad_discount")
+    )
+    orphan_o = (
+        o.join(c, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphan_orders"))
+    )
+    orphan_l = (
+        li.join(o.select("o_orderkey"),
+                F.col("o_orderkey") == F.col("l_orderkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphan_lineitems"))
+    )
+    return (
+        row_checks.crossJoin(disc)
+        .crossJoin(orphan_o)
+        .crossJoin(orphan_l)
+    )
