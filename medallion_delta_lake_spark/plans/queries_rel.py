@@ -1715,3 +1715,50 @@ def dq_constraint_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(orphan_o)
         .crossJoin(orphan_l)
     )
+
+
+@query(
+    "json-typed-parse",
+    # every 9th row's props is corrupted in both engines: typed parse
+    # must degrade to NULL, not fail the query
+    oracle="""
+    WITH p AS (
+      SELECT event_id,
+             CASE WHEN event_id % 9 = 0 THEN 'not-json{'
+                  ELSE props END AS props2
+      FROM events
+    )
+    SELECT event_id,
+           CASE WHEN json_valid(props2)
+                THEN TRY_CAST(json_extract_string(props2, '$.k') AS INT)
+                ELSE NULL END AS k,
+           NOT json_valid(props2) AS is_corrupt
+    FROM p
+    """,
+)
+def json_typed_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """json / typed parse — from_json with a declared schema over the
+    props feed, corrupt rows degrading to NULL (PERMISSIVE semantics:
+    bad records never kill a 100 TB scan; the is_corrupt flag routes
+    them to a quarantine sink)."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_id") % 9 == 0, "not-json{")
+        .otherwise(F.col("props"))
+        .alias("props2"),
+    )
+    # PERMISSIVE from_json yields a null-FIELDED struct for bad input,
+    # so corruption is detected via the dedicated corrupt-record column
+    parsed = ev.select(
+        "event_id",
+        F.from_json(
+            "props2",
+            "k INT, _corrupt_record STRING",
+            {"columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("_j"),
+    )
+    return parsed.select(
+        "event_id",
+        F.col("_j.k").alias("k"),
+        F.col("_j._corrupt_record").isNotNull().alias("is_corrupt"),
+    )
