@@ -681,3 +681,52 @@ def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+@query(
+    "text-edit-distance",
+    # candidates come from the LSH pair stage — edit distance is the
+    # precise verifier for short strings (titles, names); never run it
+    # all-pairs. Integer metric → exact parity.
+    oracle=f"""
+    WITH {_LSH_SCORED_CTE},
+    good AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.5),
+    texts AS (SELECT doc_id, substr({NORM_SQL}, 1, 80) AS head
+              FROM corpus)
+    SELECT g.id_a, g.id_b,
+           CAST(levenshtein(ta.head, tb.head) AS INT) AS edit_dist
+    FROM good g
+    JOIN texts ta ON ta.doc_id = g.id_a
+    JOIN texts tb ON tb.doc_id = g.id_b
+    """,
+)
+def text_edit_distance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text / edit distance — Levenshtein over the LSH candidate pairs'
+    80-char heads (the precise fuzzy-match verifier; O(len²) per pair,
+    so it only ever runs on the sub-quadratic candidate set, never
+    all-pairs). Integer metric, engine-exact."""
+    from medallion_delta_lake_spark.functions.texts import normalize_text
+
+    corpus = _dup_corpus(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(
+        corpus, n=3, num_perm=_NUM_PERM, bands=_BANDS, threshold=0.5,
+        fan_out=spark.sparkContext.defaultParallelism,
+    ).select("id_a", "id_b")
+    texts = corpus.select(
+        "doc_id", F.substring(normalize_text("text"), 1, 80).alias("head")
+    )
+    ta_ = texts.select(
+        F.col("doc_id").alias("id_a"), F.col("head").alias("_ha")
+    )
+    tb_ = texts.select(
+        F.col("doc_id").alias("id_b"), F.col("head").alias("_hb")
+    )
+    return (
+        pairs.join(ta_, "id_a")
+        .join(tb_, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("_ha", "_hb").alias("edit_dist"),
+        )
+    )
