@@ -185,3 +185,45 @@ def changed_keys(
         piece = ~F.col(c).eqNullSafe(F.col(f"_t_{c}"))
         cond = piece if cond is None else (cond | piece)
     return j.filter(cond).select(*keys)
+
+
+def delete_keys(
+    spark: SparkSession,
+    path: str,
+    keys_df: DataFrame,
+    keys: Sequence[str],
+) -> int:
+    """Targeted key deletion from a managed table (the GDPR/right-to-
+    be-forgotten primitive): anti-join the snapshot against the keys
+    and swap the result in with the same crash-safe staging protocol
+    as the upsert. Under Delta this is a native DELETE (touched-file
+    rewrite); the parquet fallback rewrites the snapshot. Returns the
+    number of rows removed."""
+    keys = list(keys)
+    if delta_available():
+        from delta.tables import DeltaTable
+
+        dest = DeltaTable.forPath(spark, path)
+        before = spark.read.format("delta").load(path).count()
+        cond = " AND ".join(f"d.`{k}` <=> s.`{k}`" for k in keys)
+        # native path: merge-delete on key match
+        dest.alias("d").merge(
+            keys_df.alias("s"), cond
+        ).whenMatchedDelete().execute()
+        return before - spark.read.format("delta").load(path).count()
+
+    target = spark.read.parquet(path)
+    before = target.count()
+    kept = target.join(keys_df.select(*keys), on=keys, how="left_anti")
+    staging = path.rstrip("/") + "__staging"
+    old = path.rstrip("/") + "__old"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    kept.write.parquet(staging)
+    after = spark.read.parquet(staging).count()
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return before - after

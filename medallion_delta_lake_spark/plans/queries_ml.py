@@ -265,3 +265,47 @@ def sim_ann_self_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     NO broadcast — the only tenable all-pairs shape at scale."""
     e = table(spark, sf_dir, "embeddings")
     return sim.ann_self_topk(e, k=3, n_planes=_PLANES, dims=_DIMS)
+
+
+@query(
+    "agg-vector-mean",
+    # element-wise centroid per bucket of vec_id. Full-precision floats
+    # cannot ride the decimal contract (the 12dp rounding itself
+    # diverges between engines); instead the per-dim values are SORTED
+    # and sequentially folded — identical element order + identical
+    # IEEE adds = identical sums in both engines.
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id % 4 AS grp, {_VD} AS v FROM embeddings
+    ),
+    pos AS (
+      SELECT grp, i - 1 AS dim, v[i] AS x
+      FROM e, unnest(range(1, {_DIMS} + 1)) AS r(i)
+    )
+    SELECT grp, CAST(dim AS INT) AS dim,
+           list_reduce(list_prepend(0.0, list_sort(list(x))),
+                       (s, y) -> s + y) / COUNT(*) AS mean_x
+    FROM pos GROUP BY grp, dim
+    """,
+)
+def agg_vector_mean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ml / vector mean — element-wise group centroids (class
+    prototypes / cluster summaries): posexplode to (group, dim, x)
+    triples, decimal-exact per-dim mean. The same shape kmeans_centroids
+    uses internally, exposed as a registry op in long form (one row per
+    (group, dim) keeps the oracle schema-stable for any dims)."""
+    e = table(spark, sf_dir, "embeddings").select(
+        (F.col("vec_id") % 4).alias("grp"),
+        sim.as_double("embedding").alias("v"),
+    )
+    pos = e.select("grp", F.posexplode("v").alias("dim", "x"))
+    return pos.groupBy("grp", "dim").agg(
+        (
+            F.aggregate(
+                F.array_sort(F.collect_list("x")),
+                F.lit(0.0),
+                lambda s, y: s + y,
+            )
+            / F.count(F.lit(1))
+        ).alias("mean_x")
+    )

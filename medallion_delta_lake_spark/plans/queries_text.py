@@ -730,3 +730,37 @@ def text_edit_distance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein("_ha", "_hb").alias("edit_dist"),
         )
     )
+
+
+@query(
+    "sample-fixed-per-stratum",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY {h64_sql("'eval1' || CAST(doc_id AS VARCHAR)")},
+                        doc_id) AS rn
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars FROM t WHERE rn <= 5
+    """,
+)
+def sample_fixed_per_stratum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sampling / fixed-n per stratum — exactly 5 docs per source by
+    smallest portable-hash ticket (deterministic balanced eval-set
+    construction; changing the salt draws a fresh panel). One window
+    shuffle on the stratum key."""
+    from pyspark.sql import Window as W
+    from medallion_delta_lake_spark.functions.hashing import h64
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    ticket = h64(F.concat(F.lit("eval1"), F.col("doc_id").cast("string")))
+    w = W.partitionBy("source").orderBy(ticket.asc(), F.col("doc_id").asc())
+    return (
+        d.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 5)
+        .drop("_rn")
+    )

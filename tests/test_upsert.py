@@ -114,3 +114,23 @@ def test_merge_state_properties(spark, target, source, delete_missing):
     }
     expected = dict(source) if delete_missing else {**target, **source}
     assert got == set(expected.items())
+
+
+def test_delete_keys_removes_exactly_the_requested_rows(spark, tmp_path):
+    from medallion_delta_lake_spark.operators import upsert as up
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "k int, v string"
+    )
+    up.upsert(spark, df, path, keys=["k"])
+    doomed = spark.createDataFrame([(k,) for k in (3, 50, 99, 1234)], "k int")
+    removed = up.delete_keys(spark, path, doomed, keys=["k"])
+    assert removed == 3  # 1234 never existed
+    left = {r.k for r in spark.read.parquet(path).collect()}
+    assert left == set(range(100)) - {3, 50, 99}
+    # crash-safety dirs cleaned up
+    import os as _os
+
+    assert not _os.path.exists(path + "__staging")
+    assert not _os.path.exists(path + "__old")
