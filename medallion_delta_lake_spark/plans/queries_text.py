@@ -764,3 +764,63 @@ def sample_fixed_per_stratum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") <= 5)
         .drop("_rn")
     )
+
+
+@query(
+    "text-strip-boilerplate",
+    # per-source boilerplate headers are planted in both engines; the
+    # common prefix of a group is lcp(lexicographic MIN, MAX) — two
+    # aggregates instead of an all-pairs comparison
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, source,
+             'HDR-' || source || ':: ' || text AS t
+      FROM documents
+    ),
+    g AS (
+      SELECT source, MIN(t) AS a, MAX(t) AS b FROM p GROUP BY source
+    ),
+    l AS (
+      SELECT source,
+             COALESCE(list_min(list_filter(
+               range(1, least(length(a), length(b)) + 1),
+               i -> substr(a, CAST(i AS INT), 1)
+                    <> substr(b, CAST(i AS INT), 1))),
+               least(length(a), length(b)) + 1) - 1 AS prefix_len
+      FROM g
+    )
+    SELECT p.doc_id, p.source, l.prefix_len,
+           length(p.t) - l.prefix_len AS stripped_n_chars
+    FROM p JOIN l ON l.source = p.source
+    """,
+)
+def text_strip_boilerplate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text / boilerplate strip — remove each source's shared header
+    (the C4-style per-domain boilerplate pass). The group's common
+    prefix equals lcp(lexicographic min, max) — two cheap aggregates
+    and one broadcast back, never an all-pairs scan; the lcp itself is
+    a declarative char-wise first-difference expression."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.concat(F.lit("HDR-"), F.col("source"), F.lit(":: "), F.col("text"))
+        .alias("t"),
+    )
+    g = d.groupBy("source").agg(F.min("t").alias("a"), F.max("t").alias("b"))
+    ca, cb = F.split(F.col("a"), ""), F.split(F.col("b"), "")
+    n = F.least(F.length("a"), F.length("b"))
+    diffs = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: F.element_at(ca, i) != F.element_at(cb, i),
+    )
+    lcp = (F.coalesce(F.array_min(diffs), n + 1) - 1).alias("prefix_len")
+    pl = g.select("source", lcp)
+    return (
+        d.join(F.broadcast(pl), "source")
+        .select(
+            "doc_id",
+            "source",
+            "prefix_len",
+            (F.length("t") - F.col("prefix_len")).alias("stripped_n_chars"),
+        )
+    )
