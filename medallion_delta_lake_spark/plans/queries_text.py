@@ -824,3 +824,61 @@ def text_strip_boilerplate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.length("t") - F.col("prefix_len")).alias("stripped_n_chars"),
         )
     )
+
+
+@query(
+    "text-repetition-score",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {TOKS_SQL} AS toks FROM documents
+    ),
+    tg AS (
+      SELECT doc_id,
+             list_transform(range(0, greatest(len(toks) - 2, 0) + 1),
+                            i -> array_to_string(toks[i+1:i+2], ' ')) AS bgs
+      FROM d
+    ),
+    x AS (
+      SELECT doc_id, unnest(bgs) AS bg FROM tg
+    ),
+    c AS (
+      SELECT doc_id, bg, COUNT(*) AS cnt FROM x GROUP BY doc_id, bg
+    )
+    SELECT doc_id,
+           MAX(cnt) AS top_bigram_count,
+           SUM(cnt) AS n_bigrams,
+           CAST(MAX(cnt) AS DOUBLE) / SUM(cnt) AS top_bigram_frac,
+           CAST(MAX(cnt) AS DOUBLE) / SUM(cnt) > 0.2 AS is_repetitive
+    FROM c GROUP BY doc_id
+    """,
+)
+def text_repetition_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text / repetition — most-frequent-bigram share per document (the
+    Gopher-style degenerate-text rule: 'the the the…' corpora score
+    high). Explode → two grouped counts, max-over-group; integer
+    counts and one final int/int division keep it engine-exact."""
+    from medallion_delta_lake_spark.functions.texts import tokenize
+
+    # NOT shingles(): that distincts — repetition needs multiplicity
+    toks = table(spark, sf_dir, "documents").select(
+        "doc_id", tokenize("text").alias("tk")
+    )
+    bgs = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.greatest(F.size("tk") - 2, F.lit(0))
+                ),
+                lambda i: F.array_join(F.slice("tk", i + 1, 2), " "),
+            )
+        ).alias("bg"),
+    )
+    c = bgs.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("cnt"))
+    frac = F.max("cnt").cast("double") / F.sum("cnt")
+    return c.groupBy("doc_id").agg(
+        F.max("cnt").alias("top_bigram_count"),
+        F.sum("cnt").alias("n_bigrams"),
+        frac.alias("top_bigram_frac"),
+        (frac > 0.2).alias("is_repetitive"),
+    )
