@@ -26,7 +26,7 @@ def stream_window_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     available input (complete mode exposes the full maintained state,
     which must equal the batch result)."""
     sdf = se.read_events_stream(spark, sf_dir)
-    return se.run_available_now(se.windowed_agg(sdf), "complete", spark)
+    return se.run_available_now(se.windowed_agg(sdf), "complete", spark, num_state_partitions=8)
 
 
 @query(
@@ -39,7 +39,8 @@ def stream_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     is order-independent."""
     sdf = se.read_events_stream(spark, sf_dir)
     return se.run_available_now(
-        se.stream_dedup_keys(sdf, ["user_id", "event_type"]), "append", spark
+        se.stream_dedup_keys(sdf, ["user_id", "event_type"]), "append",
+        spark, num_state_partitions=8,
     )
 
 
@@ -75,7 +76,7 @@ def stream_session_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     maintained state). Incrementally merges sessions as events arrive;
     verified identical to the batch sessionize operator."""
     sdf = se.read_events_stream(spark, sf_dir)
-    return se.run_available_now(se.session_agg(sdf), "complete", spark)
+    return se.run_available_now(se.session_agg(sdf), "complete", spark, num_state_partitions=8)
 
 
 @query(
@@ -99,7 +100,8 @@ def stream_stateful_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sdf = se.read_events_stream(spark, sf_dir)
     return se.run_available_now(
-        stateful.user_running_stats(sdf), "update", spark
+        stateful.user_running_stats(sdf), "update", spark,
+        num_state_partitions=8,
     )
 
 
@@ -125,7 +127,8 @@ def stream_stream_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = se.read_events_stream(spark, sf_dir)
     b = se.read_events_stream(spark, sf_dir)
     return se.run_available_now(
-        se.stream_stream_join(a, b), "append", spark
+        se.stream_stream_join(a, b), "append", spark,
+        num_state_partitions=8,
     )
 
 
