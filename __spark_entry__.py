@@ -103,15 +103,19 @@ _DRIVER_PRIORITY = [
     "struct-funcs",
     "map-funcs",
     "explode-outer-nulls",
-    # ROUND-4 NOTE: once this round's driver artifact lands, swap this
-    # list for the ops still lacking driver rows — the round-3 additions
-    # currently sweep-verified only: q2/q7/q8/q9/q11/q13/q14/q15/q19/q20
-    # analogs, multimodal-frame-sample/audio-chunks/resize,
-    # text-scrub-pii, text-tfidf-stats, text-lang-id-ngram,
-    # sample-stratified-hash, stream-stateful-stats, stream-stream-join,
-    # stream-static-join, join-full-outer, window-value-family,
-    # string-like-family, agg-bitwise (24 ops — they all fit in one
-    # 50-query window with room for round-4 additions).
+    # ROUND-4 NOTE: once this round's driver artifact lands, rotate this
+    # list to the ops still lacking driver rows. The registry is now 140
+    # queries vs the driver's 50-per-round window, so full driver
+    # coverage is a rotation: round 4 should list the ~45 round-3
+    # additions that are sweep-verified only (every query registered
+    # after "stream-session-agg" in plans/* — q2/q7/q8/q9/q11/q13/q14/
+    # q15/q19/q20 analogs, the multimodal trio, scrub/tfidf/lang-ngram/
+    # edit-distance/boilerplate/repetition/pack-sequences text ops,
+    # sampling pair, stream-stateful/stream-stream/stream-static,
+    # full-outer/value-family/ntile/rolling windows, like/bitwise/
+    # histogram/corr/zscore/cohort/funnel/avg-of-sums/dq/json-typed/
+    # snapshot-diff/range-bucketed/self-topk/vector-mean), capped at 50;
+    # any overflow plus round-4 additions rotate into round 5.
     # oracle upgraded / implementation reworked this round → re-verify
     "dedup-cluster-assign",
     "approx-distinct",
