@@ -50,83 +50,68 @@ def entry(spark: SparkSession) -> DataFrame:
     return _registry.QUERIES["q1-pricing-summary"](spark, "/root/testdata/sf0.001")
 
 
-# Ops that still need (or this round changed and need fresh) driver-side
-# correctness evidence come first: the round-2 driver artifact covered
-# exactly the first 50 registered queries, leaving the tail of the
-# registry sweep-verified only. Listing those 39 + the new/changed ops
-# first puts them inside the driver's correctness window this round;
-# everything else (already driver-green in CORRECTNESS_r02.json) follows
-# in registration order.
+# Round-4 rotation: the driver checks the first ~50 registered queries
+# per round; this list is exactly the 47 registry op-ids with NO green
+# row in CORRECTNESS_r01∪r02∪r03 (computed from the artifacts), so
+# after this round every registered op-id has hard driver evidence.
+# The 3 round-3 red rows come first (q12 oracle now CASTs its sums to
+# BIGINT; the two array ops now emit driver-hashable scalar columns),
+# then the 44 sweep-verified-only ops, then ops changed this round
+# that need re-verification.
 _DRIVER_PRIORITY = [
-    # new this round
-    "join-salted-skew",
-    "q4-order-priority",
-    "q16-supplier-cnt",
-    "q21-suppliers-waiting",
-    # driver-unchecked in round 2 (registration indices 50-88)
-    "q3-shipping-priority",
-    "q5-local-supplier",
-    "q10-returned-items",
-    "q6-forecast-revenue",
+    # round-3 driver-red, fixed this round
     "q12-shipmode-priority",
-    "q18-large-orders",
-    "multimodal-byte-features",
-    "pandas-scalar-tokens",
-    "pandas-group-normalize",
-    "agg-grouping-sets",
-    "pivot-status",
-    "unpivot-measures",
-    "explode-token-freq",
-    "window-running-sum",
-    "window-lag-delta",
-    "window-agg-session",
-    "stats-moments",
-    "stats-median-manual",
-    "set-intersect",
-    "set-except",
-    "string-funcs",
-    "cond-funcs",
-    "time-funcs",
-    "approx-quantile",
-    "agg-salted-skew",
-    "window-agg-hopping",
     "agg-collect-array",
-    "join-null-safe",
-    "json-funcs",
     "array-funcs",
-    "window-rank-family",
-    "agg-argmax",
-    "sort-paginate",
-    "q1-sql-entry",
-    "derive-morton-zorder",
-    "approx-freq-items",
-    "struct-funcs",
-    "map-funcs",
-    "explode-outer-nulls",
-    # ROUND-4 NOTE: once this round's driver artifact lands, rotate this
-    # list to the ops still lacking driver rows. The registry is now 140
-    # queries vs the driver's 50-per-round window, so full driver
-    # coverage is a rotation: round 4 should list the ~45 round-3
-    # additions that are sweep-verified only (every query registered
-    # after "stream-session-agg" in plans/* — q2/q7/q8/q9/q11/q13/q14/
-    # q15/q19/q20 analogs, the multimodal trio, scrub/tfidf/lang-ngram/
-    # edit-distance/boilerplate/repetition/pack-sequences text ops,
-    # sampling pair, stream-stateful/stream-stream/stream-static,
-    # full-outer/value-family/ntile/rolling windows, like/bitwise/
-    # histogram/corr/zscore/cohort/funnel/avg-of-sums/dq/json-typed/
-    # snapshot-diff/range-bucketed/self-topk/vector-mean), capped at 50;
-    # any overflow plus round-4 additions rotate into round 5.
-    # oracle upgraded / implementation reworked this round → re-verify
-    "dedup-cluster-assign",
-    "approx-distinct",
-    "join-asof-nearest",
-    "sim-ann-lsh",
-    "stream-session-agg",
-    # two of the wave-2 TPC-H analogs fit in the remaining window
-    # slots; the rest are sweep-verified this round, driver next round
-    # (sim-ann-ivf is unchanged and already driver-green in round 2)
-    "q17-small-quantity-revenue",
-    "q22-global-sales-opportunity",
+    # never inside a driver correctness window (rounds 1-3)
+    "q2-min-cost-supplier",
+    "q7-volume-shipping",
+    "q8-market-share",
+    "q9-product-profit",
+    "q11-important-stock",
+    "q13-customer-distribution",
+    "q14-promo-revenue",
+    "q15-top-supplier",
+    "q19-disjunctive-predicates",
+    "q20-potential-promotion",
+    "multimodal-frame-sample",
+    "multimodal-audio-chunks",
+    "multimodal-resize",
+    "text-scrub-pii",
+    "text-tfidf-stats",
+    "text-lang-id-ngram",
+    "text-edit-distance",
+    "text-strip-boilerplate",
+    "text-repetition-score",
+    "sample-stratified-hash",
+    "sample-fixed-per-stratum",
+    "pack-sequences",
+    "sim-ann-self-topk",
+    "agg-vector-mean",
+    "stream-stateful-stats",
+    "stream-stream-join",
+    "stream-static-join",
+    "join-full-outer",
+    "window-value-family",
+    "window-ntile-binning",
+    "window-rolling-agg",
+    "string-like-family",
+    "agg-bitwise",
+    "agg-histogram",
+    "stats-corr",
+    "impute-group-mean",
+    "normalize-group-zscore",
+    "cohort-retention",
+    "funnel-analysis",
+    "snapshot-diff",
+    "join-range-bucketed",
+    "agg-avg-of-sums",
+    "dq-constraint-check",
+    "json-typed-parse",
+    # changed/added this round → (re-)verify in the remaining slots
+    # ROUND-5 NOTE: after this round's artifact lands, rotate again to
+    # whatever op-ids still lack a green driver row (overflow + any
+    # round-5 additions).
 ]
 
 

@@ -663,19 +663,28 @@ def window_agg_hopping_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg-collect-array",
     oracle="""
-    SELECT user_id, list_sort(list(event_type)) AS types,
-           list_sort(list(DISTINCT event_type)) AS distinct_types
+    SELECT user_id,
+           array_to_string(list_sort(list(event_type)), ',') AS types,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',')
+             AS distinct_types
     FROM events GROUP BY user_id
     """,
 )
 def agg_collect_array_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """agg / collect to array — grouped collect_list/collect_set with a
     deterministic sort (collection order is execution-dependent; the
-    sorted array is the stable contract both engines share)."""
+    sorted array is the stable contract both engines share). The result
+    is projected through array_join so the driver harness — whose pandas
+    canonicalizer cannot hash list cells — gets a scalar column; the
+    array-native shape stays covered by tests/test_rel_arrays.py."""
     ev = table(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
-        F.sort_array(F.collect_list("event_type")).alias("types"),
-        F.sort_array(F.collect_set("event_type")).alias("distinct_types"),
+        F.array_join(
+            F.sort_array(F.collect_list("event_type")), ","
+        ).alias("types"),
+        F.array_join(
+            F.sort_array(F.collect_set("event_type")), ","
+        ).alias("distinct_types"),
     )
 
 
@@ -758,22 +767,35 @@ def json_funcs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id,
            len(embedding) AS dim,
            CAST(embedding[1] AS DOUBLE) AS first_dim,
-           list_transform(embedding[1:4], x -> CAST(x AS DOUBLE)) AS head4,
+           list_reduce(
+             list_prepend(CAST(0.0 AS DOUBLE),
+                          list_transform(embedding[1:4],
+                                         x -> CAST(x AS DOUBLE))),
+             (s, y) -> s + y) AS head4_sum,
            len(list_filter(embedding, x -> x > 0)) AS n_positive
     FROM embeddings
     """,
 )
 def array_funcs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """expr / array suite — size, element_at, slice, filter over the
-    embedding column (all Catalyst higher-order functions)."""
+    """expr / array suite — size, element_at, slice, transform, filter,
+    aggregate over the embedding column (all Catalyst higher-order
+    functions). The sliced head is reduced to a sequential-fold sum
+    (bit-identical between engines — same IEEE add order) so the driver
+    harness hashes a scalar instead of a float array whose string form
+    is engine-dependent; the array-native slice/transform output stays
+    covered by tests/test_rel_arrays.py."""
     e = table(spark, sf_dir, "embeddings")
     return e.select(
         "vec_id",
         F.size("embedding").alias("dim"),
         F.element_at("embedding", 1).cast("double").alias("first_dim"),
-        F.transform(
-            F.slice("embedding", 1, 4), lambda x: x.cast("double")
-        ).alias("head4"),
+        F.aggregate(
+            F.transform(
+                F.slice("embedding", 1, 4), lambda x: x.cast("double")
+            ),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        ).alias("head4_sum"),
         F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
     )
 
