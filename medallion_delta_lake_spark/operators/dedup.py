@@ -446,6 +446,7 @@ def incremental_neardup(
     num_perm: int = 16,
     bands: int = 4,
     fan_out: int | None = None,
+    within_batch: bool = False,
 ) -> DataFrame:
     """Incremental near-dup detection against a persistent signature
     store (the daily-batch production shape: history is never
@@ -457,10 +458,22 @@ def incremental_neardup(
     of the flagged pairs only). Non-duplicate new docs' signatures are
     APPENDED to the store, so the next batch sees them as history.
 
+    Contract: by default the comparison is HISTORY-ONLY — two
+    duplicates arriving in the same batch are both kept (both NULL,
+    both appended), intentionally: the corpus pipeline dedups each
+    batch internally before calling this, and re-flagging here would
+    double-count. Pass ``within_batch=True`` for standalone use: the
+    batch then also self-joins on its bands, each doc aliasing to the
+    minimum smaller batch id sharing a band (same representative rule
+    as the batch LSH clusterer), and only band-group minima reach the
+    store.
+
     Scale shape: one hash pass over the batch; the history side is a
     (band, band_key)-keyed equi-join — with the store bucketed/
     partitioned on band_key the probe touches matching buckets only.
-    Store growth is 4 narrow rows per surviving doc.
+    The optional within-batch pass is a band-bucket self-join
+    (Σ|bucket|² over batch-sized buckets, never N²). Store growth is
+    4 narrow rows per surviving doc.
     """
     from medallion_delta_lake_spark.sources import writers
 
@@ -470,15 +483,30 @@ def incremental_neardup(
             n=n, num_perm=num_perm, bands=bands, fan_out=fan_out,
         )
     )
+    candidates = []
     if writers.table_exists(spark, store_path):
         store = spark.read.parquet(store_path).select(
             F.col(id_col).alias("_hist_id"), "band", "band_key"
         )
-        matches = (
-            new_sigs.join(store, ["band", "band_key"])
-            .groupBy(id_col)
-            .agg(F.min("_hist_id").alias("dup_of"))
+        candidates.append(
+            new_sigs.join(store, ["band", "band_key"]).select(
+                F.col(id_col), F.col("_hist_id").alias("_cand")
+            )
         )
+    if within_batch:
+        peers = new_sigs.select(
+            F.col(id_col).alias("_peer_id"), "band", "band_key"
+        )
+        candidates.append(
+            new_sigs.join(peers, ["band", "band_key"])
+            .filter(F.col("_peer_id") < F.col(id_col))
+            .select(F.col(id_col), F.col("_peer_id").alias("_cand"))
+        )
+    if candidates:
+        allc = candidates[0]
+        for c in candidates[1:]:
+            allc = allc.unionByName(c)
+        matches = allc.groupBy(id_col).agg(F.min("_cand").alias("dup_of"))
     else:
         matches = new_sigs.select(id_col).distinct().select(
             F.col(id_col), F.lit(None).cast("long").alias("dup_of")

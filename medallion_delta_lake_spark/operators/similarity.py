@@ -482,6 +482,7 @@ def incremental_emb_neardup(
     dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    within_batch: bool = False,
 ) -> DataFrame:
     """Incremental embedding near-dup against a persistent bucket
     store — the vector twin of dedup.incremental_neardup: history is
@@ -490,9 +491,14 @@ def incremental_emb_neardup(
     non-duplicate vectors (id, bucket, embedding) to the store.
 
     Returns the batch labeled ``dup_of`` (minimum matching history id,
-    NULL if unique). The store keeps the vector alongside the bucket
-    so verification never rescans source tables; at extreme scale,
-    store the vector quantized and rerank on a gathered exact copy."""
+    NULL if unique). Same contract as the text twin: HISTORY-ONLY by
+    default (two same-batch duplicates both survive — callers dedup
+    each batch first); ``within_batch=True`` adds a bucket self-join
+    so same-batch duplicates alias to the minimum smaller batch id
+    whose cosine clears the threshold. The store keeps the vector
+    alongside the bucket so verification never rescans source tables;
+    at extreme scale, store the vector quantized and rerank on a
+    gathered exact copy."""
     from medallion_delta_lake_spark.sources import writers
 
     nb = tracked_cache(
@@ -504,19 +510,40 @@ def incremental_emb_neardup(
             ),
         )
     )
+    candidates = []
     if writers.table_exists(spark, store_path):
         store = spark.read.parquet(store_path).select(
             F.col(id_col).alias("_hist_id"),
             F.col(vec_col).alias("_hv"),
             "bucket",
         )
-        matches = (
+        candidates.append(
             nb.join(store, "bucket")
             .filter(
                 cosine(F.col(vec_col), F.col("_hv")) >= F.lit(threshold)
             )
-            .groupBy(id_col)
-            .agg(F.min("_hist_id").alias("dup_of"))
+            .select(F.col(id_col), F.col("_hist_id").alias("_cand"))
+        )
+    if within_batch:
+        peers = nb.select(
+            F.col(id_col).alias("_peer_id"),
+            F.col(vec_col).alias("_pv"),
+            "bucket",
+        )
+        candidates.append(
+            nb.join(peers, "bucket")
+            .filter(
+                (F.col("_peer_id") < F.col(id_col))
+                & (cosine(F.col(vec_col), F.col("_pv")) >= F.lit(threshold))
+            )
+            .select(F.col(id_col), F.col("_peer_id").alias("_cand"))
+        )
+    if candidates:
+        allc = candidates[0]
+        for c in candidates[1:]:
+            allc = allc.unionByName(c)
+        matches = allc.groupBy(id_col).agg(
+            F.min("_cand").alias("dup_of")
         )
         labeled = new_vecs.join(matches, id_col, "left").select(
             *new_vecs.columns, "dup_of"

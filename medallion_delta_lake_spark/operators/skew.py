@@ -74,6 +74,12 @@ def salted_join(
     Measured payoff on a 100×-skewed key: see BASELINE.md
     "Skewed-join lever".
     """
+    if how not in ("inner", "left"):
+        # right/full would emit each unmatched replicated `other` row
+        # once per salt bucket — salt routes the skewed side only
+        raise ValueError(
+            f"salted_join supports how='inner'/'left', got {how!r}"
+        )
     keys = list(keys)
     lefts = skewed.withColumn(
         "_salt", (F.rand(seed=42) * salt_buckets).cast("int")

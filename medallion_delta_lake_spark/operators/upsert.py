@@ -212,15 +212,19 @@ def delete_keys(
         ).whenMatchedDelete().execute()
         return before - spark.read.format("delta").load(path).count()
 
-    target = spark.read.parquet(path)
-    before = target.count()
-    kept = target.join(keys_df.select(*keys), on=keys, how="left_anti")
     staging = path.rstrip("/") + "__staging"
     old = path.rstrip("/") + "__old"
+    # crash recovery BEFORE the first read: a prior swap that died
+    # between renames leaves path missing and __old intact — reading
+    # path first would raise and make this branch unreachable (same
+    # ordering as sources/writers.py compact()).
     if not os.path.exists(path) and os.path.exists(old):
         os.rename(old, path)
     shutil.rmtree(staging, ignore_errors=True)
     shutil.rmtree(old, ignore_errors=True)
+    target = spark.read.parquet(path)
+    before = target.count()
+    kept = target.join(keys_df.select(*keys), on=keys, how="left_anti")
     kept.write.parquet(staging)
     after = spark.read.parquet(staging).count()
     os.rename(path, old)

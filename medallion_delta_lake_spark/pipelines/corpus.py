@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from medallion_delta_lake_spark.operators import dedup
 from medallion_delta_lake_spark.operators import sampling
 from medallion_delta_lake_spark.operators import text_analysis as ta
-from medallion_delta_lake_spark.operators.caching import release_caches
+from medallion_delta_lake_spark.operators.caching import cache_scope
 
 
 def clean_corpus(
@@ -76,23 +76,26 @@ def clean_corpus(
     )
     n_exact = exact_docs.count()
 
-    pairs = dedup.minhash_lsh_pairs(
-        exact_docs,
-        text_col=text_col,
-        id_col=id_col,
-        threshold=neardup_threshold,
-        fan_out=fan_out,
-    )
-    clusters = dedup.neardup_clusters(
-        exact_docs.select(id_col), pairs, id_col=id_col
-    )
-    reps = clusters.filter(F.col(id_col) == F.col("cluster")).select(id_col)
-    final_docs = exact_docs.join(reps, id_col)
-    n_final = final_docs.count()
-    # operator-internal caches (shingle sets, signatures, edges) have
-    # served their self-joins by now — return the executor memory so a
-    # long-lived session running batches doesn't accumulate blocks
-    release_caches()
+    # operator-internal caches (shingle sets, signatures, edges) serve
+    # their self-joins within this block; the scope returns the executor
+    # memory on exit without touching caches owned by any other
+    # in-flight pipeline in the same session
+    with cache_scope():
+        pairs = dedup.minhash_lsh_pairs(
+            exact_docs,
+            text_col=text_col,
+            id_col=id_col,
+            threshold=neardup_threshold,
+            fan_out=fan_out,
+        )
+        clusters = dedup.neardup_clusters(
+            exact_docs.select(id_col), pairs, id_col=id_col
+        )
+        reps = clusters.filter(F.col(id_col) == F.col("cluster")).select(
+            id_col
+        )
+        final_docs = exact_docs.join(reps, id_col)
+        n_final = final_docs.count()
 
     stats = spark.createDataFrame(
         [(n_in, n_quality, n_exact, n_final)],

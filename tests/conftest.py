@@ -19,3 +19,14 @@ def spark():
     spark = get_spark(app_name="mdls-tests", shuffle_partitions=8)
     yield spark
     spark.stop()
+
+
+@pytest.fixture(autouse=True)
+def _release_tracked_caches():
+    """Drain the global (scope-less) tracked-cache list after every
+    test so one test's operator caches never leak into another's
+    cache-emptiness assertions."""
+    yield
+    from medallion_delta_lake_spark.operators.caching import release_caches
+
+    release_caches()

@@ -91,3 +91,59 @@ def test_incremental_emb_neardup_flags_history_vectors(spark, tmp_path):
         assert flagged[r.vec_id] < 10000
     # negated vectors are cosine -1 to history: never flagged
     assert all(v < 20000 for v in flagged)
+
+
+def test_incremental_neardup_within_batch(spark, tmp_path):
+    # standalone mode: duplicates arriving in the SAME batch alias to
+    # the minimum batch id sharing a band; only group minima reach the
+    # store (default history-only mode keeps both — contract-tested
+    # above by batch 1 flagging nothing)
+    store = str(tmp_path / "sig_store_wb")
+    base = _dup_corpus(spark, SF_SMOKE).filter(
+        (F.col("doc_id") < 100000) & (F.col("doc_id") % 7 == 1)
+    )
+    copies = base.select((F.col("doc_id") + 500000).alias("doc_id"), "text")
+    batch = base.unionByName(copies)
+    out = dedup.incremental_neardup(
+        spark, batch, store, fan_out=8, within_batch=True
+    )
+    flagged = {
+        r.doc_id: r.dup_of
+        for r in out.filter(F.col("dup_of").isNotNull()).collect()
+    }
+    for r in copies.collect():
+        assert r.doc_id in flagged
+        assert flagged[r.doc_id] <= r.doc_id - 500000
+    # survivors only in the store: 4 band rows per non-flagged doc
+    n_survivors = out.filter(F.col("dup_of").isNull()).count()
+    assert spark.read.parquet(store).count() == n_survivors * 4
+    # day 2: resubmitting the originals under new ids hits history
+    day2 = base.select((F.col("doc_id") + 900000).alias("doc_id"), "text")
+    out2 = dedup.incremental_neardup(
+        spark, day2, store, fan_out=8, within_batch=True
+    )
+    assert out2.filter(F.col("dup_of").isNull()).count() == 0
+
+
+def test_incremental_emb_neardup_within_batch(spark, tmp_path):
+    from medallion_delta_lake_spark.operators import similarity as sim
+
+    store = str(tmp_path / "vec_store_wb")
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+        "vec_id", sim.as_double("embedding").alias("embedding")
+    ).filter(F.col("vec_id") % 10 == 0)
+    copies = e.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 2.0).alias("embedding"),
+    )
+    out = sim.incremental_emb_neardup(
+        spark, e.unionByName(copies), store, within_batch=True
+    )
+    flagged = {
+        r.vec_id: r.dup_of
+        for r in out.filter(F.col("dup_of").isNotNull()).collect()
+    }
+    for r in copies.select("vec_id").collect():
+        assert r.vec_id in flagged
+        assert flagged[r.vec_id] == r.vec_id - 10000
+    assert out.filter(F.col("dup_of").isNull()).count() == e.count()
