@@ -50,68 +50,74 @@ def entry(spark: SparkSession) -> DataFrame:
     return _registry.QUERIES["q1-pricing-summary"](spark, "/root/testdata/sf0.001")
 
 
-# Round-4 rotation: the driver checks the first ~50 registered queries
-# per round; this list is exactly the 47 registry op-ids with NO green
-# row in CORRECTNESS_r01∪r02∪r03 (computed from the artifacts), so
-# after this round every registered op-id has hard driver evidence.
-# The 3 round-3 red rows come first (q12 oracle now CASTs its sums to
-# BIGINT; the two array ops now emit driver-hashable scalar columns),
-# then the 44 sweep-verified-only ops, then ops changed this round
-# that need re-verification.
+# Round-5 rotation: the driver checks the first ~50 registered queries
+# per round. Order: (1) the 5 round-4 red rows, all fixed this round —
+# the 3 streaming queries broken by the testdata's TIMESTAMP_NTZ
+# re-encoding (event-time normalization now handles ns-int64 / us-NTZ /
+# us-TZ) and the 2 oracle-dtype artifacts (SUM(...) now CAST AS
+# BIGINT); (2) ops changed/added in round 5; (3) the least-recently-
+# verified ops (last green in CORRECTNESS_r02, computed from the
+# artifacts) so driver evidence stays fresh across the registry.
 _DRIVER_PRIORITY = [
-    # round-3 driver-red, fixed this round
-    "q12-shipmode-priority",
-    "agg-collect-array",
-    "array-funcs",
-    # never inside a driver correctness window (rounds 1-3)
-    "q2-min-cost-supplier",
-    "q7-volume-shipping",
-    "q8-market-share",
-    "q9-product-profit",
-    "q11-important-stock",
-    "q13-customer-distribution",
-    "q14-promo-revenue",
-    "q15-top-supplier",
-    "q19-disjunctive-predicates",
-    "q20-potential-promotion",
-    "multimodal-frame-sample",
-    "multimodal-audio-chunks",
-    "multimodal-resize",
-    "text-scrub-pii",
-    "text-tfidf-stats",
-    "text-lang-id-ngram",
-    "text-edit-distance",
-    "text-strip-boilerplate",
-    "text-repetition-score",
-    "sample-stratified-hash",
-    "sample-fixed-per-stratum",
-    "pack-sequences",
-    "sim-ann-self-topk",
-    "agg-vector-mean",
-    "stream-stateful-stats",
+    # round-4 red, fixed this round
+    "stream-window-agg",
+    "stream-session-agg",
     "stream-stream-join",
-    "stream-static-join",
-    "join-full-outer",
-    "window-value-family",
-    "window-ntile-binning",
-    "window-rolling-agg",
-    "string-like-family",
-    "agg-bitwise",
-    "agg-histogram",
-    "stats-corr",
-    "impute-group-mean",
-    "normalize-group-zscore",
-    "cohort-retention",
-    "funnel-analysis",
-    "snapshot-diff",
-    "join-range-bucketed",
-    "agg-avg-of-sums",
-    "dq-constraint-check",
-    "json-typed-parse",
-    # changed/added this round → (re-)verify in the remaining slots
-    # ROUND-5 NOTE: after this round's artifact lands, rotate again to
-    # whatever op-ids still lack a green driver row (overflow + any
-    # round-5 additions).
+    "text-repetition-score",
+    "pack-sequences",
+    # round-5 added ops
+    "text-decontaminate",
+    "dedup-paragraph-blocks",
+    "mixture-token-budget",
+    # least-recently-verified (green r2, not re-checked since)
+    "agg-avg-groupby-dynamic",
+    "agg-count-distinct",
+    "agg-cube",
+    "agg-rollup",
+    "dedup-embedding-cosine",
+    "dedup-exact-hash",
+    "dedup-full-row",
+    "dedup-latest-per-key",
+    "dedup-minhash-lsh",
+    "dedup-minhash-sig",
+    "dedup-ngram-jaccard",
+    "dedup-simhash",
+    "dedup-simhash-pairs",
+    "derive-case-hour-avail",
+    "derive-interval-add",
+    "dropna-any",
+    "expr-round",
+    "filter-isnull",
+    "filter-range",
+    "join-anti",
+    "join-left-asof-eq",
+    "join-left-multi-eq",
+    "join-left-using",
+    "join-range-bands",
+    "join-semi",
+    "nn-assign",
+    "null-profile",
+    "project-rename-drop",
+    "project-select-expr",
+    "set-union",
+    "sim-ann-ivf",
+    "sim-cosine-topk",
+    "sim-knn-join",
+    "sort-limit-topn",
+    "stream-dedup",
+    "text-fingerprint",
+    "text-lang-id",
+    "text-quality-score",
+    "text-token-stats",
+    "topk-per-group",
+    "upsert-merge-state",
+    "window-agg-tumbling",
+    # next-least-recently-verified (green r3)
+    "agg-argmax",
+    "agg-grouping-sets",
+    "agg-salted-skew",
+    # ROUND-6 NOTE: rotate again — reds (if any) first, round-6 changes,
+    # then the r3-green cohort continuing from approx-distinct.
 ]
 
 

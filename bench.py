@@ -64,26 +64,33 @@ def main() -> None:
     # warm the JVM/session so the first query doesn't pay session startup
     registry.table(spark, sf_dir, "region").count()
 
+    # One broken query must not zero the round's perf evidence: time each
+    # query under its own try/except, record errors inline, and always
+    # emit the JSON line over whatever completed.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in sorted(registry.QUERIES):
         fn = registry.QUERIES[name]
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        try:
+            df = fn(spark, sf_dir)
+            df.count()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # noqa: BLE001 — record and keep benching
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"[bench] {name} FAILED: {errors[name]}", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

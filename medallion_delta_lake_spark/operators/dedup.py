@@ -522,3 +522,101 @@ def incremental_neardup(
     else:
         fresh_sigs.write.mode("overwrite").parquet(store_path)
     return labeled
+
+
+def decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share
+    any word ``n``-gram with an evaluation/benchmark corpus (the
+    train/test-overlap scrub every pretraining pipeline runs before
+    training; n-gram overlap is the standard published criterion).
+
+    Returns (id, n_overlap, is_contaminated) for every training doc:
+    ``n_overlap`` = number of DISTINCT training-doc n-grams that occur
+    anywhere in the benchmark (per-doc shingles are distinct, so the
+    count is set-overlap, not instance count).
+
+    Scale shape: the benchmark corpus is orders of magnitude smaller
+    than the training corpus, so its distinct-gram set is broadcast —
+    the 100 TB training side never shuffles for the probe; the only
+    shuffle is the per-doc groupBy on the (doc_id) key. If the
+    benchmark gram set ever outgrows broadcast range, drop the hint
+    and let AQE pick the join (both sides are then gram-keyed).
+    """
+    bench_grams = bench.select(
+        F.explode(shingles(text_col, n=n)).alias("gram")
+    ).distinct()
+    train_grams = train.select(
+        F.col(id_col), F.explode(shingles(text_col, n=n)).alias("gram")
+    )
+    hits = (
+        train_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        train.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_overlap"), F.lit(0))
+            .cast("bigint")
+            .alias("n_overlap"),
+        )
+        .withColumn("is_contaminated", F.col("n_overlap") > 0)
+    )
+
+
+def block_dedup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block: int = 20,
+) -> DataFrame:
+    """Sub-document (paragraph-level) duplication profile: split each
+    document into fixed ``block``-token chunks, hash each chunk, and
+    report per document how many of its chunks occur more than once in
+    the whole corpus (the RefinedWeb-style intra-corpus boilerplate
+    signal that document-level dedup misses).
+
+    Returns (id, n_blocks, n_dup_blocks, dup_frac). A chunk instance
+    counts as duplicated when its hash appears ≥2 times corpus-wide —
+    including twice inside the same document.
+
+    Scale shape: chunks shuffle as 8-byte hashes, never text; the
+    global chunk-frequency aggregate has map-side combine, and the
+    per-doc rollup is keyed by id. Both shuffles are bigint-keyed —
+    the same posting-list discipline as the shingle dedup family.
+    """
+    toks = tokenize(text_col)
+    nb = F.ceil(F.size(toks) / F.lit(float(block))).cast("int")
+    block_hashes = F.transform(
+        F.sequence(F.lit(0), nb - 1),
+        lambda i: h64(
+            F.array_join(F.slice(toks, i * block + 1, block), " ")
+        ),
+    )
+    b = df.select(F.col(id_col), F.explode(block_hashes).alias("bh"))
+    counts = b.groupBy("bh").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        b.join(counts, "bh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum((F.col("c") > 1).cast("bigint")).alias("n_dup_blocks"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_blocks"),
+            F.col("n_dup_blocks"),
+            (
+                F.col("n_dup_blocks").cast("double")
+                / F.col("n_blocks").cast("double")
+            ).alias("dup_frac"),
+        )
+    )

@@ -59,3 +59,38 @@ def sample_stratified_hash(
             F.col(strata_col) == value, int(round(rate * _DENOM))
         ).otherwise(thresh)
     return df.filter(ticket < thresh)
+
+
+def mixture_token_budget(
+    df: DataFrame,
+    text_col: str = "text",
+    strata_col: str = "source",
+) -> DataFrame:
+    """Token-budget mixture planning: per-stratum total token counts
+    plus the deterministic keep rate that equalizes every stratum to
+    the smallest stratum's token budget (the planning step before
+    :func:`sample_stratified_hash` executes the mixture).
+
+    Returns (stratum, total_tokens, keep_rate) with
+    ``keep_rate = min_stratum_tokens / stratum_tokens`` — int/int
+    double division, engine-exact for the oracle.
+
+    Scale shape: one grouped aggregate with map-side combine (token
+    counting is per-row codegen — no shuffle of text), then a
+    broadcast cross join of the single-row global minimum onto the
+    tiny per-stratum frame. Nothing here grows with corpus size except
+    the linear scan."""
+    from medallion_delta_lake_spark.functions.texts import tokenize
+
+    totals = df.groupBy(strata_col).agg(
+        F.sum(F.size(tokenize(text_col))).alias("total_tokens")
+    )
+    target = totals.agg(F.min("total_tokens").alias("_target"))
+    return totals.crossJoin(F.broadcast(target)).select(
+        F.col(strata_col),
+        F.col("total_tokens").cast("bigint").alias("total_tokens"),
+        (
+            F.col("_target").cast("double")
+            / F.col("total_tokens").cast("double")
+        ).alias("keep_rate"),
+    )

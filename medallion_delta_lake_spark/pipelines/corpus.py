@@ -50,13 +50,23 @@ def clean_corpus(
     sampling on ``strata_col`` before anything else (cheapest stage
     first). ``scrub=True`` replaces the text with its PII-scrubbed
     form after the quality gate — before dedup, so redaction cannot
-    split duplicate groups."""
+    split duplicate groups.
+
+    Each funnel stage is computed EXACTLY ONCE: the spine frames
+    (input, post-quality, post-exact-dedup, final) are persisted
+    (MEMORY_AND_DISK, so a 100 TB run spills instead of failing), each
+    stage's count scans its own cache rather than recomputing its
+    upstream, and the intermediates are released as soon as the final
+    frame is materialized. The returned ``final_docs`` stays cached —
+    the caller's subsequent write/action reads the cache instead of
+    re-running the LSH stage; the caller owns ``unpersist()``."""
     if mixture is not None:
         docs = sampling.sample_stratified_hash(
             docs, id_col, strata_col, mixture,
             default_rate=mixture_default_rate, salt="corpus",
         )
-    n_in = docs.count()
+    docs = docs.persist()
+    n_in = docs.count()  # materializes the spine's root
 
     scored = ta.quality_score(docs, text_col, (id_col,))
     keep_q = scored.filter(
@@ -68,18 +78,20 @@ def clean_corpus(
         quality_docs = ta.scrub_pii(
             quality_docs, text_col, out_col=text_col, keep_cols=keep
         ).drop("n_emails", "n_numbers", "scrubbed_len")
-    n_quality = quality_docs.count()
+    quality_docs = quality_docs.persist()
+    n_quality = quality_docs.count()  # scans the docs cache once
 
     exact = dedup.exact_dedup_groups(quality_docs, text_col, id_col)
     exact_docs = quality_docs.join(
         exact.select(F.col("keep_id").alias(id_col)), id_col
-    )
-    n_exact = exact_docs.count()
+    ).persist()
+    n_exact = exact_docs.count()  # scans the quality cache once
 
     # operator-internal caches (shingle sets, signatures, edges) serve
     # their self-joins within this block; the scope returns the executor
     # memory on exit without touching caches owned by any other
-    # in-flight pipeline in the same session
+    # in-flight pipeline — final_docs' own persist() is NOT scope-tracked,
+    # so it survives the block for the caller.
     with cache_scope():
         pairs = dedup.minhash_lsh_pairs(
             exact_docs,
@@ -94,8 +106,14 @@ def clean_corpus(
         reps = clusters.filter(F.col(id_col) == F.col("cluster")).select(
             id_col
         )
-        final_docs = exact_docs.join(reps, id_col)
+        final_docs = exact_docs.join(reps, id_col).persist()
+        # materialize INSIDE the scope, while the operator caches are
+        # still alive — after this, nothing ever recomputes the funnel
         n_final = final_docs.count()
+
+    # final is materialized; the upstream spine caches are dead weight
+    for df in (docs, quality_docs, exact_docs):
+        df.unpersist()
 
     stats = spark.createDataFrame(
         [(n_in, n_quality, n_exact, n_final)],

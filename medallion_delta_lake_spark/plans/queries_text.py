@@ -643,7 +643,7 @@ def text_lang_id_ngram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source, CAST(prior_tokens // 2048 AS BIGINT) AS seq_bin,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS total_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            MIN(doc_id) AS first_doc,
            MAX(doc_id) AS last_doc
     FROM c GROUP BY source, seq_bin
@@ -846,7 +846,7 @@ def text_strip_boilerplate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            MAX(cnt) AS top_bigram_count,
-           SUM(cnt) AS n_bigrams,
+           CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
            CAST(MAX(cnt) AS DOUBLE) / SUM(cnt) AS top_bigram_frac,
            CAST(MAX(cnt) AS DOUBLE) / SUM(cnt) > 0.2 AS is_repetitive
     FROM c GROUP BY doc_id
@@ -881,4 +881,107 @@ def text_repetition_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").alias("n_bigrams"),
         frac.alias("top_bigram_frac"),
         (frac > 0.2).alias("is_repetitive"),
+    )
+
+
+@query(
+    "text-decontaminate",
+    # benchmark = every 97th doc; train = the rest. 5-gram set overlap:
+    # per-doc grams are DISTINCT (set semantics), so n_overlap counts
+    # distinct contaminated grams, not instances.
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {TOKS_SQL} AS toks FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(0, greatest(len(toks) - 5, 0) + 1),
+               i -> array_to_string(toks[i+1:i+5], ' ')))) AS gram
+      FROM d
+    ),
+    bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+    hits AS (
+      SELECT g.doc_id, COUNT(*) AS n_overlap
+      FROM g JOIN bench USING (gram)
+      WHERE g.doc_id % 97 <> 0
+      GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+           COALESCE(h.n_overlap, 0) > 0 AS is_contaminated
+    FROM d LEFT JOIN hits h USING (doc_id)
+    WHERE d.doc_id % 97 <> 0
+    """,
+)
+def text_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text / decontamination — flag training docs sharing any 5-gram
+    with a benchmark split (train/test-overlap scrub). The benchmark
+    gram set broadcasts; the training side never shuffles for the
+    probe. Fixture split: doc_id % 97 == 0 is the 'benchmark'."""
+    docs = table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return dedup.decontaminate(train, bench, "text", "doc_id", n=5)
+
+
+@query(
+    "dedup-paragraph-blocks",
+    # 20-token chunk hashes; a chunk instance is duplicated when its
+    # hash occurs >= 2 times corpus-wide (same-doc repeats included)
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {TOKS_SQL} AS toks FROM documents
+    ),
+    b AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(0, CAST(ceil(len(toks) / 20.0) AS BIGINT)),
+               i -> {h64_sql("array_to_string(toks[i*20+1:(i+1)*20], ' ')")}
+             )) AS bh
+      FROM d
+    ),
+    c AS (SELECT bh, COUNT(*) AS c FROM b GROUP BY bh)
+    SELECT doc_id,
+           COUNT(*) AS n_blocks,
+           CAST(SUM(CASE WHEN c.c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_blocks,
+           CAST(SUM(CASE WHEN c.c > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS dup_frac
+    FROM b JOIN c USING (bh)
+    GROUP BY doc_id
+    """,
+)
+def dedup_paragraph_blocks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup / sub-document blocks — per-doc fraction of 20-token
+    chunks that occur elsewhere in the corpus (boilerplate signal that
+    whole-document dedup misses). Chunks shuffle as 8-byte hashes."""
+    return dedup.block_dedup_stats(
+        table(spark, sf_dir, "documents"), "text", "doc_id", block=20
+    )
+
+
+@query(
+    "mixture-token-budget",
+    oracle=f"""
+    WITH t AS (
+      SELECT source,
+             CAST(SUM(len({TOKS_SQL})) AS BIGINT) AS total_tokens
+      FROM documents GROUP BY source
+    )
+    SELECT source, total_tokens,
+           CAST(MIN(total_tokens) OVER () AS DOUBLE)
+             / CAST(total_tokens AS DOUBLE) AS keep_rate
+    FROM t
+    """,
+)
+def mixture_token_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sampling / mixture planning — per-source token totals plus the
+    keep rate equalizing every source to the smallest source's token
+    budget (feeds sample_stratified_hash). One grouped agg + broadcast
+    scalar join."""
+    from medallion_delta_lake_spark.operators import sampling
+
+    return sampling.mixture_token_budget(
+        table(spark, sf_dir, "documents"), "text", "source"
     )

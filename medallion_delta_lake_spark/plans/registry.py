@@ -46,21 +46,38 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a testdata table.
 
-    ``events.parquet`` stores TIMESTAMP(NANOS), which Spark 4 rejects by
-    default; we read nanos as long (session-level legacy conf) and
-    convert with integer division (float division would lose precision —
-    epoch-nanos exceed 2^53). DuckDB truncates nanos→micros the same
-    way, so oracle comparison stays exact.
+    ``events.parquet``'s ``ts`` column has shipped in three physical
+    encodings across testdata regenerations; normalize every one to a
+    session-tz TIMESTAMP so downstream plans (and ``withWatermark``,
+    which rejects TIMESTAMP_NTZ) see a single stable type:
+
+    - TIMESTAMP(NANOS) → read nanos as long (legacy conf; Spark 4
+      rejects nanos otherwise) and convert with integer division
+      (float division would lose precision — epoch-nanos exceed 2^53).
+      DuckDB truncates nanos→micros the same way, so oracles stay exact.
+    - TIMESTAMP(MICROS) without timezone → Spark TIMESTAMP_NTZ; cast to
+      TIMESTAMP. The session tz is pinned UTC, so wall-clock values are
+      unchanged and match the naive DuckDB oracle bit-for-bit.
+    - TIMESTAMP(MICROS) with UTC timezone → already the target type.
     """
     # pin UTC so timestamp values match the (naive-UTC) DuckDB oracle even
     # when the harness session was built without our get_spark() defaults
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        from pyspark.sql import functions as F
-
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
+        return _normalize_event_time(df)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _normalize_event_time(df: DataFrame) -> DataFrame:
+    """Coerce the events ``ts`` column to TIMESTAMP regardless of how the
+    parquet encoded it (ns-int64 / us-NTZ / us-TZ). See ``table``."""
+    from pyspark.sql import functions as F
+
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df

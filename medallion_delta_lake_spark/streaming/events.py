@@ -38,14 +38,18 @@ def _events_stream_dir(sf_dir: str) -> str:
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming scan of the events feed (parquet file source) with the
-    same nanos→micros timestamp normalization as the batch reader."""
+    same event-time normalization as the batch reader: ``ts`` arrives as
+    ns-int64, us-TIMESTAMP_NTZ, or us-TIMESTAMP depending on how the
+    testdata was generated, and all three are coerced to TIMESTAMP
+    (``withWatermark`` hard-rejects TIMESTAMP_NTZ; session tz is pinned
+    UTC so the NTZ→TZ cast preserves wall-clock values exactly)."""
+    from ..plans.registry import _normalize_event_time
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     sdf = spark.readStream.schema(schema).parquet(_events_stream_dir(sf_dir))
-    if dict(sdf.dtypes).get("ts") == "bigint":
-        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return sdf
+    return _normalize_event_time(sdf)
 
 
 def windowed_agg(sdf: DataFrame, watermark: str = "2 hours") -> DataFrame:

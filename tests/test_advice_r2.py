@@ -65,4 +65,9 @@ def test_corpus_pipeline_releases_tracked_caches(spark):
     assert stats.first().n_final > 0
     leftover = release_caches()  # pipeline already released its own
     assert leftover == 0
+    # round 5: the returned frame STAYS cached (the caller's action must
+    # not recompute the LSH stage); it is the only surviving cache, and
+    # releasing it is the caller's job
+    assert not spark._jsparkSession.sharedState().cacheManager().isEmpty()
+    cleaned.unpersist(blocking=True)
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()

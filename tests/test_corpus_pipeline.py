@@ -28,11 +28,20 @@ def test_clean_corpus_funnel(spark):
     # representatives are the minimum ids: an original never loses to
     # its +100000/+200000 planted copy
     assert all(i < 100000 for i in ids if i % 7 == 0 or i % 11 == 0) or True
+    # the returned frame is cached and already materialized: the
+    # caller's subsequent action scans the cache (InMemoryRelation in
+    # the plan) instead of recomputing the LSH stage
+    assert cleaned.storageLevel.useMemory or cleaned.storageLevel.useDisk
+    plan = cleaned._jdf.queryExecution().optimizedPlan().toString()
+    assert "InMemoryRelation" in plan
+
     # determinism: re-run yields the same surviving set
     cleaned2, _ = corpus.clean_corpus(
         spark, docs, min_quality=25, neardup_threshold=0.5
     )
     assert ids == {r.doc_id for r in cleaned2.select("doc_id").collect()}
+    cleaned.unpersist()
+    cleaned2.unpersist()
 
 
 def test_clean_corpus_with_mixture_and_scrub(spark):

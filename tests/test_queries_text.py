@@ -14,7 +14,9 @@ TEXT_IDS = sorted(
     n for n in QUERIES if n in ORACLES and n.startswith(("text-", "dedup-minhash",
                                                          "dedup-simhash",
                                                          "dedup-ngram",
-                                                         "dedup-exact"))
+                                                         "dedup-exact",
+                                                         "dedup-paragraph",
+                                                         "mixture-"))
 )
 
 
