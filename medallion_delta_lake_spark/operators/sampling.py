@@ -75,22 +75,25 @@ def mixture_token_budget(
     ``keep_rate = min_stratum_tokens / stratum_tokens`` — int/int
     double division, engine-exact for the oracle.
 
-    Scale shape: one grouped aggregate with map-side combine (token
-    counting is per-row codegen — no shuffle of text), then a
-    broadcast cross join of the single-row global minimum onto the
-    tiny per-stratum frame. Nothing here grows with corpus size except
-    the linear scan."""
+    Scale shape: ONE corpus scan — a grouped aggregate with map-side
+    combine (token counting is per-row codegen — no shuffle of text);
+    the global minimum is an empty-partition window over the tiny
+    per-stratum result (a handful of rows on one partition — size is
+    stratum count, independent of corpus size). A scalar-subquery
+    cross join would re-derive the totals subtree and scan the corpus
+    twice; don't "simplify" back to it."""
+    from pyspark.sql import Window
+
     from medallion_delta_lake_spark.functions.texts import tokenize
 
     totals = df.groupBy(strata_col).agg(
         F.sum(F.size(tokenize(text_col))).alias("total_tokens")
     )
-    target = totals.agg(F.min("total_tokens").alias("_target"))
-    return totals.crossJoin(F.broadcast(target)).select(
+    target = F.min("total_tokens").over(Window.partitionBy())
+    return totals.select(
         F.col(strata_col),
         F.col("total_tokens").cast("bigint").alias("total_tokens"),
         (
-            F.col("_target").cast("double")
-            / F.col("total_tokens").cast("double")
+            target.cast("double") / F.col("total_tokens").cast("double")
         ).alias("keep_rate"),
     )

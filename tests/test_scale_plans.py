@@ -166,3 +166,47 @@ def test_headline_plan_contracts(spark):
             or "BroadcastNestedLoopJoin" in plan
             or "Join" not in plan  # scan-agg shapes (q1, q6)
         ), name
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The benchmark gram set must broadcast: the (100 TB) training
+    side probes it without shuffling text, and the only exchanges are
+    the per-doc bigint-keyed rollups."""
+    from medallion_delta_lake_spark.plans.queries_text import (
+        text_decontaminate_q,
+    )
+
+    df = text_decontaminate_q(spark, SF_SMOKE)
+    plan = _final_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_block_dedup_shuffles_hashes_not_text(spark):
+    """The chunk-frequency aggregate must have a partial (map-side)
+    phase, and no exchange may carry the text column — blocks travel
+    as 8-byte hashes."""
+    from medallion_delta_lake_spark.plans.queries_text import (
+        dedup_paragraph_blocks_q,
+    )
+
+    df = dedup_paragraph_blocks_q(spark, SF_SMOKE)
+    plan = _final_plan(df)
+    assert "partial_count" in plan, plan
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line, line
+
+
+def test_mixture_budget_scans_corpus_once(spark):
+    """The global minimum is a window over the tiny per-stratum frame,
+    NOT a scalar rejoin that would re-derive the totals subtree — the
+    (100 TB) corpus is scanned exactly once."""
+    from medallion_delta_lake_spark.plans.queries_text import (
+        mixture_token_budget_q,
+    )
+
+    df = mixture_token_budget_q(spark, SF_SMOKE)
+    plan = _final_plan(df)
+    assert plan.count("Scan parquet") == 1, plan
+    assert "CartesianProduct" not in plan, plan
