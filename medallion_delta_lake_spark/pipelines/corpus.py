@@ -43,6 +43,8 @@ def clean_corpus(
     strata_col: str = "source",
     mixture_default_rate: float = 1.0,
     scrub: bool = False,
+    decontaminate_against: DataFrame | None = None,
+    decontam_ngram: int = 5,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (surviving documents, one-row funnel stats).
 
@@ -50,7 +52,11 @@ def clean_corpus(
     sampling on ``strata_col`` before anything else (cheapest stage
     first). ``scrub=True`` replaces the text with its PII-scrubbed
     form after the quality gate — before dedup, so redaction cannot
-    split duplicate groups.
+    split duplicate groups. ``decontaminate_against`` (a benchmark/
+    eval corpus with the same text column) drops every document
+    sharing a word ``decontam_ngram``-gram with it, after the quality
+    gate and before dedup — the benchmark gram set broadcasts, so the
+    stage costs one pass over the already-thinned corpus.
 
     Each funnel stage is computed EXACTLY ONCE: the spine frames
     (input, post-quality, post-exact-dedup, final) are persisted
@@ -81,11 +87,23 @@ def clean_corpus(
     quality_docs = quality_docs.persist()
     n_quality = quality_docs.count()  # scans the docs cache once
 
-    exact = dedup.exact_dedup_groups(quality_docs, text_col, id_col)
-    exact_docs = quality_docs.join(
+    if decontaminate_against is not None:
+        flags = dedup.decontaminate(
+            quality_docs, decontaminate_against, text_col, id_col,
+            n=decontam_ngram,
+        )
+        clean_ids = flags.filter(~F.col("is_contaminated")).select(id_col)
+        decontam_docs = quality_docs.join(clean_ids, id_col).persist()
+        n_decontam = decontam_docs.count()  # scans the quality cache once
+    else:
+        decontam_docs = quality_docs
+        n_decontam = n_quality
+
+    exact = dedup.exact_dedup_groups(decontam_docs, text_col, id_col)
+    exact_docs = decontam_docs.join(
         exact.select(F.col("keep_id").alias(id_col)), id_col
     ).persist()
-    n_exact = exact_docs.count()  # scans the quality cache once
+    n_exact = exact_docs.count()  # scans the decontam/quality cache once
 
     # operator-internal caches (shingle sets, signatures, edges) serve
     # their self-joins within this block; the scope returns the executor
@@ -112,11 +130,19 @@ def clean_corpus(
         n_final = final_docs.count()
 
     # final is materialized; the upstream spine caches are dead weight
-    for df in (docs, quality_docs, exact_docs):
+    spine = {id(docs): docs, id(quality_docs): quality_docs,
+             id(decontam_docs): decontam_docs, id(exact_docs): exact_docs}
+    for df in spine.values():
         df.unpersist()
 
     stats = spark.createDataFrame(
-        [(n_in, n_quality, n_exact, n_final)],
-        ["n_input", "n_after_quality", "n_after_exact_dedup", "n_final"],
+        [(n_in, n_quality, n_decontam, n_exact, n_final)],
+        [
+            "n_input",
+            "n_after_quality",
+            "n_after_decontam",
+            "n_after_exact_dedup",
+            "n_final",
+        ],
     )
     return final_docs, stats

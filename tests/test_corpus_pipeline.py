@@ -78,3 +78,28 @@ def test_clean_corpus_with_mixture_and_scrub(spark):
     # funnel still removed the planted duplicate pairs that survived
     # the mixture (originals are even iff their +100000 copy is even)
     assert s.n_final < s.n_after_quality
+
+
+def test_clean_corpus_with_decontamination(spark):
+    """Documents sharing a 5-gram with the benchmark corpus must not
+    survive the funnel; the stats row records the stage."""
+    from pyspark.sql import functions as F
+
+    docs = _dup_corpus(spark, SF_SMOKE)
+    # benchmark = the verbatim text of every 13th doc
+    bench = docs.filter(F.col("doc_id") % 13 == 0).select("text")
+    contaminated_ids = {
+        r.doc_id for r in docs.filter(F.col("doc_id") % 13 == 0).collect()
+    }
+    cleaned, stats = corpus.clean_corpus(
+        spark, docs, min_quality=25, neardup_threshold=0.5,
+        decontaminate_against=bench,
+    )
+    s = stats.first()
+    ids = {r.doc_id for r in cleaned.select("doc_id").collect()}
+
+    assert s.n_after_quality >= s.n_after_decontam >= s.n_after_exact_dedup
+    assert s.n_after_decontam < s.n_after_quality  # stage actually fired
+    # every doc whose full text is in the benchmark is gone
+    assert not (ids & contaminated_ids)
+    cleaned.unpersist()
