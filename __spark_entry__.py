@@ -69,6 +69,7 @@ _DRIVER_PRIORITY = [
     "text-decontaminate",
     "dedup-paragraph-blocks",
     "mixture-token-budget",
+    "text-token-typicality",
     # least-recently-verified (green r2, not re-checked since)
     "agg-avg-groupby-dynamic",
     "agg-count-distinct",

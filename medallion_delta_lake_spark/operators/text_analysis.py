@@ -273,3 +273,42 @@ def language_id_ngram(
         *[F.col(f"score_{lang}") for lang in langs],
         detected.alias("detected_lang"),
     )
+
+
+def token_typicality(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unigram-LM-style typicality score: the mean corpus-wide
+    frequency of a document's tokens (multiplicity-weighted). Very
+    low scores flag gibberish / OOV-heavy documents, very high scores
+    flag stopword soup — the cheap engine-exact cousin of a KenLM
+    perplexity filter (which would need a Python model UDF).
+
+    Integer-exact: per-doc ``freq_sum`` and ``n_tokens`` are bigints;
+    ``typicality`` is their int/int double division.
+
+    Scale shape: tokens shuffle as 8-byte h64 hashes (posting-list
+    discipline); the global count has map-side combine; the per-doc
+    rollup is keyed by id. Two bigint-keyed shuffles, no text
+    movement after the initial per-row explode."""
+    hashed = df.select(
+        F.col(id_col), F.explode(tokenize(text_col)).alias("tok")
+    ).select(F.col(id_col), h64("tok").alias("th"))
+    counts = hashed.groupBy("th").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        hashed.join(counts, "th")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("c").alias("freq_sum"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.col("freq_sum"),
+            (
+                F.col("freq_sum").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("typicality"),
+        )
+    )

@@ -985,3 +985,35 @@ def mixture_token_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.mixture_token_budget(
         table(spark, sf_dir, "documents"), "text", "source"
     )
+
+
+@query(
+    "text-token-typicality",
+    # group by the same h64 token hash as the engine so both sides see
+    # identical (collision-included) equivalence classes
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {TOKS_SQL} AS toks FROM documents
+    ),
+    x AS (
+      SELECT doc_id, {h64_sql('tok')} AS th
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM d)
+    ),
+    c AS (SELECT th, COUNT(*) AS c FROM x GROUP BY th)
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(c.c) AS BIGINT) AS freq_sum,
+           CAST(SUM(c.c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS typicality
+    FROM x JOIN c USING (th)
+    GROUP BY doc_id
+    """,
+)
+def text_token_typicality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text / typicality — mean corpus-frequency of each document's
+    tokens (unigram-LM proxy; flags gibberish and stopword soup).
+    Tokens shuffle as bigint hashes; int/int division keeps the score
+    engine-exact."""
+    return ta.token_typicality(
+        table(spark, sf_dir, "documents"), "text", "doc_id"
+    )
