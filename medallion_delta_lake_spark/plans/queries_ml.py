@@ -309,3 +309,37 @@ def agg_vector_mean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("mean_x")
     )
+
+
+@query(
+    "vector-quantize-int8",
+    # same fixed association as the engine: ((v-mn)/(mx-mn))*255.0,
+    # then floor — IEEE-deterministic on identical doubles
+    oracle="""
+    WITH x AS (
+      -- parallel unnests run in lockstep in DuckDB (positional zip)
+      SELECT vec_id,
+             CAST(unnest(embedding) AS DOUBLE) AS v,
+             unnest(range(1, len(embedding) + 1)) AS pos
+      FROM embeddings
+    ),
+    s AS (SELECT pos, MIN(v) AS mn, MAX(v) AS mx FROM x GROUP BY pos),
+    q AS (
+      SELECT vec_id, x.pos,
+             CAST(floor(CASE WHEN mx > mn
+                             THEN ((v - mn) / (mx - mn)) * 255.0
+                             ELSE 0.0 END) AS BIGINT) AS code
+      FROM x JOIN s USING (pos)
+    )
+    SELECT vec_id,
+           array_to_string(list(code ORDER BY pos), ',') AS codes
+    FROM q GROUP BY vec_id
+    """,
+)
+def vector_quantize_int8_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vector / int8 scalar quantization — per-dimension corpus
+    min/max → 0..255 codes, emitted as the comma-joined code string
+    (driver-hashable scalar; see operators/similarity.quantize_int8)."""
+    return sim.quantize_int8(
+        table(spark, sf_dir, "embeddings"), "embedding", "vec_id"
+    )

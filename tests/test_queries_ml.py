@@ -13,7 +13,7 @@ from tests.oracle import compare_query
 ML_IDS = sorted(
     n
     for n in QUERIES
-    if n in ORACLES and n.startswith(("sim-", "dedup-embedding"))
+    if n in ORACLES and n.startswith(("sim-", "dedup-embedding", "vector-"))
 )
 
 
