@@ -71,6 +71,7 @@ _DRIVER_PRIORITY = [
     "mixture-token-budget",
     "text-token-typicality",
     "vector-quantize-int8",
+    "dedup-containment",
     # least-recently-verified (green r2, not re-checked since)
     "agg-avg-groupby-dynamic",
     "agg-count-distinct",

@@ -620,3 +620,58 @@ def block_dedup_stats(
             ).alias("dup_frac"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+    fan_out: int | None = None,
+) -> DataFrame:
+    """Asymmetric near-dup pairs by n-gram CONTAINMENT: for a candidate
+    pair (a, b), containment = |A∩B| / min(|A|, |B|) over shingle-hash
+    sets — 1.0 when the smaller document's shingles are a subset of
+    the larger's. Catches the duplication Jaccard misses: a document
+    quoted or concatenated inside a much larger one scores near 1.0
+    here but arbitrarily low on Jaccard (the union is dominated by the
+    big doc).
+
+    Same inverted-index candidate generation as
+    :func:`ngram_jaccard_pairs` — docs only pair if they share a
+    shingle, pairs travel as bigint ids, ``max_df`` caps boilerplate
+    postings at scale."""
+    sets_df = tracked_cache(
+        shingle_hashes(df, text_col, id_col, n=n, fan_out=fan_out)
+    )
+    postings = sets_df.select(
+        F.col(id_col), F.explode("sh").alias("shingle_hash")
+    )
+    if max_df is not None:
+        ok = (
+            postings.groupBy("shingle_hash")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .filter(F.col("df_") <= max_df)
+            .select("shingle_hash")
+        )
+        postings = postings.join(ok, "shingle_hash")
+    left = postings.select(F.col("shingle_hash"), F.col(id_col).alias("id_a"))
+    right = postings.select(F.col("shingle_hash"), F.col(id_col).alias("id_b"))
+    pairs = (
+        left.join(right, "shingle_hash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = sets_df.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sets_df.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    smaller = F.least(F.size("sh_a"), F.size("sh_b"))
+    return joined.select(
+        "id_a",
+        "id_b",
+        (inter.cast("double") / smaller.cast("double")).alias("containment"),
+    ).filter(F.col("containment") >= threshold)

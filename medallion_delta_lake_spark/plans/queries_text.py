@@ -1017,3 +1017,45 @@ def text_token_typicality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.token_typicality(
         table(spark, sf_dir, "documents"), "text", "doc_id"
     )
+
+
+def _containment_sql(threshold: float) -> str:
+    inter = "len(list_intersect(sa.sh, sb.sh))"
+    return f"""
+    postings AS (SELECT doc_id, unnest(sh) AS shingle_hash FROM sets),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM postings a JOIN postings b
+        ON a.shingle_hash = b.shingle_hash AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT p.id_a, p.id_b,
+             CAST({inter} AS DOUBLE)
+               / CAST(least(len(sa.sh), len(sb.sh)) AS DOUBLE)
+               AS containment
+      FROM pairs p
+      JOIN sets sa ON sa.doc_id = p.id_a
+      JOIN sets sb ON sb.doc_id = p.id_b
+    )
+    SELECT id_a, id_b, containment FROM scored
+    WHERE containment >= {threshold}
+    """
+
+
+@query(
+    "dedup-containment",
+    oracle=f"WITH {_SETS_CTE}, {_containment_sql(0.8)}",
+)
+def dedup_containment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup / asymmetric containment — |A∩B| / min(|A|,|B|) over
+    3-gram shingle sets ≥ 0.8: flags a document contained in a larger
+    one (quote/concatenation duplication) that symmetric Jaccard
+    misses. Same inverted-index candidate generation as the Jaccard
+    query; the planted near-dup pairs (original ⊂ original+tail) score
+    exactly 1.0 here."""
+    return dedup.containment_pairs(
+        _dup_corpus(spark, sf_dir),
+        n=3,
+        threshold=0.8,
+        fan_out=spark.sparkContext.defaultParallelism,
+    )

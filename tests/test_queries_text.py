@@ -16,6 +16,7 @@ TEXT_IDS = sorted(
                                                          "dedup-ngram",
                                                          "dedup-exact",
                                                          "dedup-paragraph",
+                                                         "dedup-containment",
                                                          "mixture-"))
 )
 
