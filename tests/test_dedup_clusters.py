@@ -39,3 +39,30 @@ def test_clusters_match_union_find(spark):
     assert got == expected
     # planted exact copies must land in their original's cluster
     assert all(got[v + 100000] == got[v] for v in ids if v % 7 == 0 and v < 100000)
+
+
+def test_containment_catches_doc_inside_doc_that_jaccard_misses(spark):
+    """A short doc concatenated into a much larger one: containment
+    scores 1.0 (subset), Jaccard stays far below any useful threshold
+    (union dominated by the big doc)."""
+    from medallion_delta_lake_spark.operators import dedup as dd
+    from pyspark.sql import functions as F
+
+    small = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"word{i} item{i} token{i}" for i in range(80))
+    big = filler + " " + small
+    df = spark.createDataFrame(
+        [(1, small), (2, big), (3, "completely unrelated text here")],
+        "doc_id long, text string",
+    )
+    cont = {
+        (r.id_a, r.id_b): r.containment
+        for r in dd.containment_pairs(df, threshold=0.8).collect()
+    }
+    jacc = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dd.ngram_jaccard_pairs(df, threshold=0.0).collect()
+    }
+    assert cont[(1, 2)] == 1.0  # small ⊂ big
+    assert jacc[(1, 2)] < 0.2  # symmetric Jaccard can't see it
+    assert (1, 3) not in cont and (2, 3) not in cont
