@@ -72,6 +72,8 @@ _DRIVER_PRIORITY = [
     "text-token-typicality",
     "vector-quantize-int8",
     "dedup-containment",
+    "corpus-shuffle-shards",
+    "split-train-holdout",
     # least-recently-verified (green r2, not re-checked since)
     "agg-avg-groupby-dynamic",
     "agg-count-distinct",

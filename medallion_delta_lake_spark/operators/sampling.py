@@ -61,6 +61,73 @@ def sample_stratified_hash(
     return df.filter(ticket < thresh)
 
 
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    salt: str = "shuf0",
+) -> DataFrame:
+    """Deterministic global training-order shuffle + shard assignment:
+    the step that turns a curated corpus into the randomized shards a
+    data loader streams. Each row gets
+
+    - ``shard``     = h64(salt || id) mod n_shards  (hash-balanced)
+    - ``shard_pos`` = rank of the row's ticket within its shard
+
+    so reading shards 0..n-1 sequentially visits documents in a
+    reproducible pseudo-random permutation; changing ``salt`` draws an
+    independent epoch order.
+
+    Scale shape: the permutation is decided entirely by the 8-byte
+    ticket — ``shard_pos`` is ONE window over the shard key ordered by
+    (ticket, id), i.e. a single shuffle of (id, ticket) pairs, ~16
+    bytes/row at 100 TB; document text never sorts. Production then
+    writes ``partitionBy(shard)`` so each output file is one shard,
+    or joins the (id, shard, shard_pos) spine back to the payload —
+    an id-keyed join, broadcast-free but narrow.
+    """
+    from pyspark.sql import Window as W
+
+    ticket = h64(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = W.partitionBy("shard").orderBy("ticket", id_col)
+    return (
+        df.withColumn("ticket", ticket)
+        .withColumn("shard", F.pmod(F.col("ticket"), F.lit(n_shards)))
+        .withColumn("shard_pos", F.row_number().over(w))
+        .drop("ticket")
+    )
+
+
+def assign_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: Mapping[str, float],
+    salt: str = "split0",
+) -> DataFrame:
+    """Deterministic train/holdout split assignment: adds a ``split``
+    column from cumulative portable-hash thresholds (e.g.
+    ``{"train": .98, "val": .01, "test": .01}``; insertion order fixes
+    the threshold order). A document's split is a pure function of
+    (salt, id) — stable across reprocessing runs, partition layouts,
+    and engines — which is what prevents silent train/eval leakage
+    when the corpus is regenerated. Pure per-row codegen predicate:
+    zero shuffle, pushdown-friendly.
+    """
+    ticket = F.pmod(
+        h64(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+        F.lit(_DENOM),
+    )
+    expr = None
+    acc = 0.0
+    for name, frac in fractions.items():
+        acc += frac
+        cond = ticket < int(round(acc * _DENOM))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn(
+        "split", expr.otherwise(F.lit(None).cast("string"))
+    )
+
+
 def mixture_token_budget(
     df: DataFrame,
     text_col: str = "text",

@@ -1059,3 +1059,82 @@ def dedup_containment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.8,
         fan_out=spark.sparkContext.defaultParallelism,
     )
+
+
+@query(
+    "corpus-shuffle-shards",
+    # the permutation is decided by the 8-byte ticket alone: ROW_NUMBER
+    # per shard over (ticket, id) — document text never sorts
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             {h64_sql("'shuf0' || CAST(doc_id AS VARCHAR)")} AS ticket
+      FROM documents
+    )
+    SELECT doc_id, source,
+           ticket % 8 AS shard,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY ticket % 8 ORDER BY ticket, doc_id
+           ) AS INT) AS shard_pos
+    FROM t
+    """,
+)
+def corpus_shuffle_shards_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sampling / deterministic training-order shuffle — assign every
+    document a hash-balanced shard and a reproducible pseudo-random
+    position within it (the corpus → data-loader-shards step; a new
+    salt = a new epoch order). One narrow shuffle of (id, ticket)
+    pairs; see operators/sampling.py:shuffle_shards for the 100 TB
+    shape."""
+    from medallion_delta_lake_spark.operators import sampling
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    out = sampling.shuffle_shards(d, id_col="doc_id", n_shards=8)
+    return out.select("doc_id", "source", "shard", "shard_pos")
+
+
+@query(
+    "split-train-holdout",
+    # split is a pure function of (salt, id): cumulative portable-hash
+    # thresholds 98% / 1% / 1% — stable across corpus regenerations,
+    # which is what keeps eval docs from leaking into train
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             {h64_sql("'split0' || CAST(doc_id AS VARCHAR)")} % 10000
+               AS ticket,
+             len({TOKS_SQL}) AS n_tokens
+      FROM documents
+    ),
+    s AS (
+      SELECT CASE WHEN ticket < 9800 THEN 'train'
+                  WHEN ticket < 9900 THEN 'val'
+                  ELSE 'test' END AS split,
+             n_tokens
+      FROM t
+    )
+    SELECT split, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM s GROUP BY split
+    """,
+)
+def split_train_holdout_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sampling / deterministic train-val-test split — assign each
+    document a split by cumulative portable-hash threshold
+    (98/1/1) and audit per-split document and token totals. The
+    assignment is zero-shuffle per-row codegen; the audit is one tiny
+    grouped aggregate with map-side combine."""
+    from medallion_delta_lake_spark.operators import sampling
+    from medallion_delta_lake_spark.functions.texts import tokenize
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokenize("text")).alias("n_tokens")
+    )
+    s = sampling.assign_split(
+        d, id_col="doc_id",
+        fractions={"train": 0.98, "val": 0.01, "test": 0.01},
+    )
+    return s.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )

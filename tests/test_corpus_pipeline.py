@@ -103,3 +103,47 @@ def test_clean_corpus_with_decontamination(spark):
     # every doc whose full text is in the benchmark is gone
     assert not (ids & contaminated_ids)
     cleaned.unpersist()
+
+
+def test_curation_to_training_shards_composition(spark):
+    """The full curation story end-to-end: clean → deterministic
+    train/holdout split → shuffle the train split into loader shards.
+    The composition must be reproducible run-to-run and leak-free
+    (no doc in two splits, every train doc in exactly one shard slot)."""
+    from pyspark.sql import functions as F
+
+    from medallion_delta_lake_spark.operators import sampling
+
+    docs = _dup_corpus(spark, SF_SMOKE)
+    cleaned, _ = corpus.clean_corpus(
+        spark, docs, min_quality=25, neardup_threshold=0.5
+    )
+    split = sampling.assign_split(
+        cleaned, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).cache()
+    n_clean = cleaned.count()
+    # partition: every cleaned doc lands in exactly one split
+    assert split.count() == n_clean
+    assert split.filter(F.col("split").isNull()).count() == 0
+
+    train = split.filter(F.col("split") == "train").select("doc_id")
+    shards = sampling.shuffle_shards(train, "doc_id", n_shards=4).cache()
+    n_train = train.count()
+    assert shards.count() == n_train
+    # (shard, shard_pos) is a bijection onto the train split
+    assert (
+        shards.select("shard", "shard_pos").distinct().count() == n_train
+    )
+
+    # reproducibility of the whole composition
+    again = sampling.shuffle_shards(
+        sampling.assign_split(
+            cleaned, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+        ).filter(F.col("split") == "train").select("doc_id"),
+        "doc_id",
+        n_shards=4,
+    )
+    a = sorted(map(tuple, shards.collect()))
+    b = sorted(map(tuple, again.collect()))
+    assert a == b
+    cleaned.unpersist(); split.unpersist(); shards.unpersist()

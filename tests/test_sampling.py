@@ -57,3 +57,56 @@ def test_observed_audit_rides_the_action(spark):
     # observation sees the pre-filter frame it was attached to
     assert got["n_rows"] == 1000
     assert got["n_null_v"] == 100
+
+
+def test_shuffle_shards_permutation_properties(spark):
+    df = spark.range(8_000).select(F.col("id"))
+    out = sampling.shuffle_shards(df, "id", n_shards=8).cache()
+    rows = out.collect()
+    assert len(rows) == 8_000  # a permutation: no rows added/dropped
+
+    # hash-balanced shards (within 15% of even)
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.shard_pos)
+    assert set(by_shard) == set(range(8))
+    for positions in by_shard.values():
+        assert abs(len(positions) / 1_000 - 1.0) < 0.15
+        # shard_pos is a dense 1..n ranking within the shard
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+
+    # deterministic: same salt -> identical assignment on any layout
+    again = sampling.shuffle_shards(df.repartition(7), "id", n_shards=8)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+
+    # a new salt draws a different epoch order
+    other = sampling.shuffle_shards(df, "id", n_shards=8, salt="epoch1")
+    assert sorted(map(tuple, rows)) != sorted(map(tuple, other.collect()))
+    out.unpersist()
+
+
+def test_assign_split_stability_and_fractions(spark):
+    df = spark.range(20_000).select(F.col("id"))
+    out = sampling.assign_split(
+        df, "id", {"train": 0.9, "val": 0.05, "test": 0.05}
+    ).cache()
+    counts = {
+        r.split: r.n
+        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(counts) == {"train", "val", "test"}  # fractions sum to 1
+    assert abs(counts["train"] / 20_000 - 0.9) < 0.02
+    assert abs(counts["val"] / 20_000 - 0.05) < 0.01
+    assert abs(counts["test"] / 20_000 - 0.05) < 0.01
+
+    # stability under corpus growth: a doc's split never changes when
+    # new docs arrive (the anti-leakage property)
+    grown = sampling.assign_split(
+        spark.range(40_000).select(F.col("id")),
+        "id",
+        {"train": 0.9, "val": 0.05, "test": 0.05},
+    )
+    old = {r.id: r.split for r in out.collect()}
+    new = {r.id: r.split for r in grown.filter(F.col("id") < 20_000).collect()}
+    assert old == new
+    out.unpersist()
