@@ -54,3 +54,61 @@ def stream_upsert(
     )
     q.awaitTermination()
     return q
+
+
+def stream_dedup_ingest(
+    sdf: DataFrame,
+    spark: SparkSession,
+    corpus_path: str,
+    store_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+):
+    """Continuously ingest documents with near-dup dedup at the door:
+    each microbatch runs :func:`incremental_neardup` against the
+    persistent LSH signature store (``within_batch=True``, so
+    duplicates arriving together also collapse) and appends only the
+    novel documents to the corpus table.
+
+    This is the streaming face of the daily-batch corpus pipeline —
+    the store means HISTORY IS NEVER RE-HASHED: each batch pays one
+    hash pass over itself plus a (band, band_key)-keyed equi-join
+    probe into the store, so a year of 100 TB ingest costs the same
+    per day on day 365 as on day 1. The file-source checkpoint makes
+    ingestion exactly-once: a re-run with the same checkpoint
+    reprocesses nothing, so the store/corpus can't double-append.
+    """
+    from medallion_delta_lake_spark.operators import dedup as dedup_mod
+
+    def dedup_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from pyspark.sql import functions as F
+
+        labeled = dedup_mod.incremental_neardup(
+            spark,
+            batch_df,
+            store_path,
+            text_col=text_col,
+            id_col=id_col,
+            n=n,
+            num_perm=num_perm,
+            bands=bands,
+            within_batch=True,
+        )
+        novel = labeled.filter(F.col("dup_of").isNull()).drop("dup_of")
+        novel.write.mode("append").parquet(corpus_path)
+
+    q = (
+        sdf.writeStream.foreachBatch(dedup_batch)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation", corpus_path.rstrip("/") + "__checkpoint"
+        )
+        .start()
+    )
+    q.awaitTermination()
+    return q

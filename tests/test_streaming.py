@@ -267,3 +267,53 @@ def test_watermark_finalized_window_emits_at_most_once(spark, tmp_path):
     # emitted exactly once, with the pre-eviction count (the very late
     # batch-2 row is excluded — its window was already finalized)
     assert ten == [("2024-01-01 10:00:00", 1)]
+
+
+def test_stream_dedup_ingest_incremental_store(spark, tmp_path):
+    """Streaming corpus ingest with dedup at the door: batch 2 must not
+    re-admit batch-1 near-duplicates (history is the persistent LSH
+    store, never re-hashed), within-batch duplicates collapse, and a
+    checkpoint re-run appends nothing (exactly-once)."""
+    from medallion_delta_lake_spark.streaming import sink
+
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    store = str(tmp_path / "sigstore")
+    base = (
+        "the quick brown fox jumps over the lazy dog near the river "
+        "bank every single morning without fail whatever the weather"
+    )
+    alt = (
+        "completely different document describing spark structured "
+        "streaming checkpoint semantics for exactly once file ingest"
+    )
+
+    def run_ingest():
+        sdf = (
+            spark.readStream.schema("doc_id long, text string")
+            .parquet(src)
+        )
+        sink.stream_dedup_ingest(sdf, spark, corpus, store)
+        return sorted(r.doc_id for r in spark.read.parquet(corpus).collect())
+
+    # batch 1: two distinct docs + an in-batch exact duplicate of doc 1
+    spark.createDataFrame(
+        [(1, base), (2, alt), (3, base)], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    assert run_ingest() == [1, 2]  # 3 collapsed onto 1 within-batch
+
+    # batch 2: a verbatim re-arrival of doc 1 (identical signature ->
+    # every band matches the store; sub-identical recall levels are
+    # pinned by test_incremental_dedup.py), plus one genuinely novel doc
+    near = base
+    novel = (
+        "totally unrelated text about tokenizer vocabularies byte "
+        "pair encodings and deterministic training data mixtures"
+    )
+    spark.createDataFrame(
+        [(10, near), (11, novel)], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    assert run_ingest() == [1, 2, 11]  # 10 matched history, dropped
+
+    # re-run with nothing new: checkpoint admits nothing twice
+    assert run_ingest() == [1, 2, 11]
