@@ -74,6 +74,8 @@ _DRIVER_PRIORITY = [
     "dedup-containment",
     "corpus-shuffle-shards",
     "split-train-holdout",
+    "split-leakage-audit",
+    "text-ngram-freq",
     # least-recently-verified (green r2, not re-checked since)
     "agg-avg-groupby-dynamic",
     "agg-count-distinct",

@@ -675,3 +675,47 @@ def containment_pairs(
         "id_b",
         (inter.cast("double") / smaller.cast("double")).alias("containment"),
     ).filter(F.col("containment") >= threshold)
+
+
+def split_leakage_pairs(
+    docs: DataFrame,
+    split_col: str = "split",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    fan_out: int | None = None,
+) -> DataFrame:
+    """Train/eval leakage audit: near-duplicate pairs that CROSS a
+    split boundary — the pairs that silently inflate eval scores when
+    a test document's near-copy sits in train. Returns
+    (id_a, id_b, jaccard, split_a, split_b) for every LSH-verified
+    pair with ``split_a != split_b``.
+
+    Deterministic hash splitting (:func:`sampling.assign_split`)
+    prevents *drift* leakage across reprocessing runs, but cannot see
+    near-duplicate *content*; this audit closes that hole. Scale
+    shape: identical to the LSH dedup pass (banded candidates, exact
+    verify on candidates only) plus two narrow id-keyed joins to
+    attach split labels — text never joins or shuffles.
+    """
+    pairs = minhash_lsh_pairs(
+        docs, text_col=text_col, id_col=id_col,
+        n=n, num_perm=num_perm, bands=bands, threshold=threshold,
+        fan_out=fan_out,
+    )
+    labels = docs.select(F.col(id_col), F.col(split_col))
+    la = labels.select(
+        F.col(id_col).alias("id_a"), F.col(split_col).alias("split_a")
+    )
+    lb = labels.select(
+        F.col(id_col).alias("id_b"), F.col(split_col).alias("split_b")
+    )
+    return (
+        pairs.join(la, "id_a")
+        .join(lb, "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "jaccard", "split_a", "split_b")
+    )

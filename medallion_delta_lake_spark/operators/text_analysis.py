@@ -312,3 +312,38 @@ def token_typicality(
             ).alias("typicality"),
         )
     )
+
+
+def ngram_freq(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    min_count: int = 2,
+) -> DataFrame:
+    """Corpus-wide n-gram frequency table — the collocation /
+    count-based-LM statistic (what a KenLM build or a watermark /
+    memorization probe consumes). Documents shorter than ``n`` tokens
+    contribute nothing; grams below ``min_count`` are dropped (the
+    long tail is almost all of the distinct grams — the filter is what
+    keeps the output table small enough to broadcast downstream).
+
+    Scale shape: per-row gram explode (no shuffle), then ONE grouped
+    count with map-side combine — the classic word-count plan; the
+    shuffle carries (gram, partial count). At 100 TB pre-hashing the
+    gram to h64 would shrink shuffle bytes further at the cost of
+    losing the literal strings; this keeps the strings because the
+    table IS the deliverable."""
+    toks_df = df.select(tokenize(text_col).alias("tk")).filter(
+        F.size("tk") >= n
+    )
+    grams = toks_df.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("tk") - n),
+                lambda i: F.array_join(F.slice("tk", i + 1, n), " "),
+            )
+        ).alias("ngram")
+    )
+    return grams.groupBy("ngram").agg(
+        F.count(F.lit(1)).alias("freq")
+    ).filter(F.col("freq") >= min_count)

@@ -1138,3 +1138,74 @@ def split_train_holdout_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
     )
+
+
+@query(
+    "split-leakage-audit",
+    # near-dup pairs whose endpoints land in different deterministic
+    # splits: the eval-contamination detector. Split assignment is the
+    # same cumulative portable-hash CASE as split-train-holdout
+    # (80/10/10 here so the small corpus yields crossings).
+    oracle=f"""
+    WITH {_LSH_SCORED_CTE},
+    sp AS (
+      SELECT doc_id,
+             CASE WHEN {h64_sql("'split0' || CAST(doc_id AS VARCHAR)")}
+                       % 10000 < 8000 THEN 'train'
+                  WHEN {h64_sql("'split0' || CAST(doc_id AS VARCHAR)")}
+                       % 10000 < 9000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM corpus
+    )
+    SELECT s.id_a, s.id_b, s.jaccard,
+           sa.split AS split_a, sb.split AS split_b
+    FROM scored s
+    JOIN sp sa ON sa.doc_id = s.id_a
+    JOIN sp sb ON sb.doc_id = s.id_b
+    WHERE s.jaccard >= 0.5 AND sa.split <> sb.split
+    """,
+)
+def split_leakage_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup+sampling / train-eval leakage audit — LSH-verified
+    near-dup pairs crossing a split boundary (the near-copy-of-a-test-
+    doc-in-train detector). Candidate generation is the banded LSH
+    pass; split labels attach via two narrow id joins."""
+    from medallion_delta_lake_spark.operators import sampling
+
+    corpus = _dup_corpus(spark, sf_dir)
+    labeled = sampling.assign_split(
+        corpus, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return dedup.split_leakage_pairs(
+        labeled,
+        n=3,
+        num_perm=_NUM_PERM,
+        bands=_BANDS,
+        threshold=0.5,
+        fan_out=spark.sparkContext.defaultParallelism,
+    )
+
+
+@query(
+    "text-ngram-freq",
+    # word-count over exploded trigrams; HAVING keeps the head of the
+    # Zipf curve (the long singleton tail never leaves the aggregate)
+    oracle=f"""
+    WITH d AS (SELECT {TOKS_SQL} AS toks FROM documents),
+    g AS (
+      SELECT unnest(list_transform(range(0, len(toks) - 3 + 1),
+                    i -> array_to_string(toks[i+1:i+3], ' '))) AS ngram
+      FROM d WHERE len(toks) >= 3
+    )
+    SELECT ngram, COUNT(*) AS freq
+    FROM g GROUP BY ngram HAVING COUNT(*) >= 2
+    """,
+)
+def text_ngram_freq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text / corpus n-gram statistics — trigram frequency table with a
+    min-count floor (KenLM-style count collection / collocation
+    mining). One explode + one grouped count with map-side combine —
+    the word-count plan over grams."""
+    return ta.ngram_freq(
+        table(spark, sf_dir, "documents"), n=3, min_count=2
+    )

@@ -110,3 +110,29 @@ def test_assign_split_stability_and_fractions(spark):
     new = {r.id: r.split for r in grown.filter(F.col("id") < 20_000).collect()}
     assert old == new
     out.unpersist()
+
+
+def test_split_leakage_audit_detects_cross_split_neardups(spark):
+    """A near-dup pair split across train/test must be reported; pairs
+    within one split must not."""
+    from medallion_delta_lake_spark.operators import dedup
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, base, "train"),
+            (2, base + " tail", "test"),     # near-dup, crosses splits
+            (3, base + " tail2", "train"),   # near-dup of 1, same split
+            (4, "totally different words entirely unrelated content "
+                "about nothing similar at all to the others", "test"),
+        ],
+        "doc_id long, text string, split string",
+    )
+    out = dedup.split_leakage_pairs(docs, threshold=0.5)
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    assert (1, 2) in pairs          # cross-split near-dup flagged
+    assert (1, 3) not in pairs      # same-split near-dup is not leakage
+    assert all(4 not in p for p in pairs)
