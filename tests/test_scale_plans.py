@@ -210,3 +210,61 @@ def test_mixture_budget_scans_corpus_once(spark):
     plan = _final_plan(df)
     assert plan.count("Scan parquet") == 1, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_shuffle_shards_single_narrow_exchange(spark):
+    """The epoch-shuffle permutation is decided by the 8-byte ticket:
+    exactly one hash exchange (the per-shard window), and no exchange
+    carries the text column — at 100 TB only (id, ticket) pairs move."""
+    from medallion_delta_lake_spark.plans.queries_text import (
+        corpus_shuffle_shards_q,
+    )
+
+    df = corpus_shuffle_shards_q(spark, SF_SMOKE)
+    plan = _final_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line, line
+
+
+def test_split_assignment_is_zero_shuffle(spark):
+    """Split assignment must stay a per-row codegen predicate: the
+    only exchange in the audit query is the final tiny groupBy, and
+    the aggregate has a partial (map-side) phase."""
+    from medallion_delta_lake_spark.plans.queries_text import (
+        split_train_holdout_q,
+    )
+
+    df = split_train_holdout_q(spark, SF_SMOKE)
+    plan = _final_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "partial_count" in plan, plan
+
+
+def test_ngram_freq_wordcount_shape(spark):
+    """The gram count must pre-aggregate map-side (the explode output
+    never shuffles raw) and read only the text column from the scan."""
+    from medallion_delta_lake_spark.plans.queries_text import (
+        text_ngram_freq_q,
+    )
+
+    df = text_ngram_freq_q(spark, SF_SMOKE)
+    plan = _final_plan(df)
+    assert "partial_count" in plan, plan
+    assert "ReadSchema: struct<text:string>" in plan, plan
+
+
+def test_leakage_audit_no_cartesian_no_text_shuffle(spark):
+    """The leakage audit reuses the banded-LSH candidate plan: no
+    cartesian product, and no exchange carries document text."""
+    from medallion_delta_lake_spark.plans.queries_text import (
+        split_leakage_audit_q,
+    )
+
+    df = split_leakage_audit_q(spark, SF_SMOKE)
+    plan = _final_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line, line
