@@ -1,0 +1,205 @@
+"""Minimal pure-Python Delta Lake transaction-log reader (read-only).
+
+Snapshot resolution per the PUBLIC Delta transport protocol
+(delta-io/delta PROTOCOL.md): replay the ``_delta_log`` JSON commits —
+starting from the parquet checkpoint referenced by ``_last_checkpoint``
+when one exists — materialize the active add-file set, and hand the
+resulting file list to Spark's parquet reader. This gives the engine
+REAL Delta-table reads, including time travel (``version_as_of``), in
+environments without delta-spark (reference parity: `scan-delta`,
+silver_table_creation.py:28, gold_table_creation.py:26-31). Writes
+still go through operators/upsert.py (native MERGE when delta-spark is
+importable, else the parquet-snapshot fallback).
+
+Scope honesty: reader protocol 1 tables (plus feature-gated protocol 3
+whose readerFeatures are all supported). Column mapping and deletion
+vectors change file-data interpretation and are NOT implemented — the
+reader raises instead of silently returning wrong rows.
+
+Scale notes: the log replay is driver-side metadata work — O(actions
+since checkpoint), the same shape delta-rs and Delta's own Spark reader
+use; data files are never touched until the returned DataFrame's scan
+runs, so partition pruning and column pruning still push into the
+parquet scan. Partitioned tables rebuild partition columns from each
+add-action's ``partitionValues`` (grouped into one read per distinct
+partition tuple — at most one per partition directory, as a real log
+lists files per partition).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+_UNSUPPORTED_READER_FEATURES = {"columnMapping", "deletionVectors", "v2Checkpoint"}
+
+
+class DeltaProtocolError(NotImplementedError):
+    """The table uses a reader feature this minimal reader must not
+    silently misread (column mapping, deletion vectors, ...)."""
+
+
+def _log_dir(path: str) -> str:
+    return os.path.join(path, "_delta_log")
+
+
+def is_delta_table(path: str) -> bool:
+    """True if ``path`` carries a Delta transaction log."""
+    return os.path.isdir(_log_dir(path))
+
+
+def _check_protocol(proto: dict) -> None:
+    if not proto:
+        return
+    if proto.get("minReaderVersion", 1) >= 3:
+        feats = set(proto.get("readerFeatures") or [])
+        bad = feats & _UNSUPPORTED_READER_FEATURES
+        if bad:
+            raise DeltaProtocolError(
+                f"unsupported Delta reader features: {sorted(bad)}"
+            )
+    elif proto.get("minReaderVersion", 1) == 2:
+        # reader v2 == column mapping capable; only reject if actually on
+        pass
+
+
+def _check_metadata(meta: dict) -> None:
+    mode = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    if mode != "none":
+        raise DeltaProtocolError(
+            f"delta.columnMapping.mode={mode} is not supported"
+        )
+
+
+def _apply_action(state: dict, action: dict) -> None:
+    if "add" in action and action["add"]:
+        add = action["add"]
+        if add.get("deletionVector"):
+            raise DeltaProtocolError("deletion vectors are not supported")
+        state["files"][add["path"]] = add
+    elif "remove" in action and action["remove"]:
+        state["files"].pop(action["remove"]["path"], None)
+    elif "metaData" in action and action["metaData"]:
+        _check_metadata(action["metaData"])
+        state["meta"] = action["metaData"]
+    elif "protocol" in action and action["protocol"]:
+        _check_protocol(action["protocol"])
+
+
+def _read_checkpoint(state: dict, ckpt_file: str) -> None:
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(ckpt_file)
+    for name in ("protocol", "metaData", "add", "remove"):
+        if name not in tbl.column_names:
+            continue
+        for v in tbl.column(name).to_pylist():
+            if v is not None:
+                _apply_action(state, {name: v})
+
+
+def resolve_snapshot(path: str, version_as_of: int | None = None) -> dict:
+    """Replay the log; returns ``{"version", "meta", "files"}`` where
+    ``files`` maps relative data-file path → its add action."""
+    log = _log_dir(path)
+    if not os.path.isdir(log):
+        raise FileNotFoundError(f"no _delta_log at {path}")
+    versions = sorted(
+        int(f[:20])
+        for f in os.listdir(log)
+        if f.endswith(".json") and f[:20].isdigit()
+    )
+    if not versions and version_as_of is None:
+        raise FileNotFoundError(f"empty _delta_log at {path}")
+
+    state: dict = {"files": {}, "meta": None}
+    start = 0
+    last_ckpt = os.path.join(log, "_last_checkpoint")
+    if os.path.exists(last_ckpt):
+        with open(last_ckpt) as fh:
+            ckpt_info = json.load(fh)
+        ckpt_version = ckpt_info["version"]
+        # time travel to before the checkpoint replays raw JSONs instead
+        if version_as_of is None or version_as_of >= ckpt_version:
+            if "parts" in ckpt_info:
+                raise DeltaProtocolError(
+                    "multi-part checkpoints are not supported"
+                )
+            _read_checkpoint(
+                state,
+                os.path.join(log, f"{ckpt_version:020d}.checkpoint.parquet"),
+            )
+            start = ckpt_version + 1
+
+    target = version_as_of if version_as_of is not None else (
+        versions[-1] if versions else start - 1
+    )
+    for v in versions:
+        if v < start or v > target:
+            continue
+        with open(os.path.join(log, f"{v:020d}.json")) as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    _apply_action(state, json.loads(line))
+    if version_as_of is not None and (
+        not versions or version_as_of > max(versions + [start - 1])
+    ):
+        raise FileNotFoundError(
+            f"version {version_as_of} not present in {log}"
+        )
+    return {"version": target, "meta": state["meta"], "files": state["files"]}
+
+
+def read_delta(
+    spark: SparkSession, path: str, version_as_of: int | None = None
+) -> DataFrame:
+    """Read a Delta table by pure log replay (no delta-spark).
+
+    The snapshot's schema comes from the log's ``metaData.schemaString``
+    (a Spark StructType JSON — public format); partition columns are
+    reattached from each file's ``partitionValues`` and cast to their
+    declared types, so the result matches what Delta's own reader
+    returns."""
+    snap = resolve_snapshot(path, version_as_of)
+    meta = snap["meta"]
+    if meta is None:
+        raise DeltaProtocolError("log contains no metaData action")
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    part_cols = meta.get("partitionColumns") or []
+    files = snap["files"]
+    if not files:
+        return spark.createDataFrame([], schema)
+
+    if not part_cols:
+        paths = [os.path.join(path, p) for p in files]
+        return spark.read.schema(schema).parquet(*paths)
+
+    # group files by partition tuple; one read per distinct tuple with
+    # the partition literals reattached at their declared types
+    by_part: dict[tuple, list[str]] = {}
+    for rel, add in files.items():
+        pv = add.get("partitionValues") or {}
+        key = tuple(pv.get(c) for c in part_cols)
+        by_part.setdefault(key, []).append(os.path.join(path, rel))
+    data_schema = StructType(
+        [f for f in schema.fields if f.name not in part_cols]
+    )
+    types = {f.name: f.dataType for f in schema.fields}
+    frames = []
+    for key, paths in sorted(by_part.items()):
+        df = spark.read.schema(data_schema).parquet(*paths)
+        for c, v in zip(part_cols, key):
+            lit = (
+                F.lit(None) if v is None else F.lit(v)
+            ).cast(types[c]).alias(c)
+            df = df.withColumn(c, lit)
+        frames.append(df.select(*[f.name for f in schema.fields]))
+    return reduce(DataFrame.unionByName, frames)

@@ -75,11 +75,19 @@ def melt_wide_map_row(df: DataFrame, key_name: str, value_name: str) -> DataFram
 def scan_table(spark: SparkSession, path: str) -> DataFrame:
     """Read an engine-managed table (delta if available, else parquet).
 
-    The parquet path reads with mergeSchema so appended files carrying
-    evolved (widened) schemas union correctly — the read-time
-    equivalent of Delta's transaction-log schema evolution."""
+    Without delta-spark, a path that carries a ``_delta_log`` is still
+    read as a REAL Delta table via the pure-Python log-replay reader
+    (sources/delta_log.py) — snapshot semantics, not a blind directory
+    glob (a parquet glob over a Delta dir would resurrect removed
+    files). The plain-parquet path reads with mergeSchema so appended
+    files carrying evolved (widened) schemas union correctly — the
+    read-time equivalent of Delta's transaction-log schema evolution."""
     if delta_available():
         return spark.read.format("delta").load(path)
+    from medallion_delta_lake_spark.sources import delta_log
+
+    if delta_log.is_delta_table(path):
+        return delta_log.read_delta(spark, path)
     return spark.read.option("mergeSchema", "true").parquet(path)
 
 
