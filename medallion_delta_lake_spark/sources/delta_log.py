@@ -1,4 +1,4 @@
-"""Minimal pure-Python Delta Lake transaction-log reader (read-only).
+"""Minimal pure-Python Delta Lake transaction log: reader AND writer.
 
 Snapshot resolution per the PUBLIC Delta transport protocol
 (delta-io/delta PROTOCOL.md): replay the ``_delta_log`` JSON commits —
@@ -7,9 +7,11 @@ when one exists — materialize the active add-file set, and hand the
 resulting file list to Spark's parquet reader. This gives the engine
 REAL Delta-table reads, including time travel (``version_as_of``), in
 environments without delta-spark (reference parity: `scan-delta`,
-silver_table_creation.py:28, gold_table_creation.py:26-31). Writes
-still go through operators/upsert.py (native MERGE when delta-spark is
-importable, else the parquet-snapshot fallback).
+silver_table_creation.py:28, gold_table_creation.py:26-31).
+:func:`write_delta` emits the same protocol from the write side
+(append / overwrite commits with O_EXCL put-if-absent versioning);
+keyed MERGE still goes through operators/upsert.py (native when
+delta-spark is importable, else the parquet-snapshot fallback).
 
 Scope honesty: reader protocol 1 tables (plus feature-gated protocol 3
 whose readerFeatures are all supported). Column mapping and deletion
@@ -203,3 +205,147 @@ def read_delta(
             df = df.withColumn(c, lit)
         frames.append(df.select(*[f.name for f in schema.fields]))
     return reduce(DataFrame.unionByName, frames)
+
+
+def _list_versions(log: str) -> list[int]:
+    if not os.path.isdir(log):
+        return []
+    return sorted(
+        int(f[:20])
+        for f in os.listdir(log)
+        if f.endswith(".json") and f[:20].isdigit()
+    )
+
+
+def _rel_partition_values(rel: str, part_cols: list[str]) -> dict:
+    vals: dict[str, str | None] = {}
+    for seg in rel.split(os.sep)[:-1]:
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            if k in part_cols:
+                vals[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else v
+    return vals
+
+
+def write_delta(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+) -> int:
+    """Write ``df`` to ``path`` as a REAL Delta table — data files plus
+    a spec-conformant transaction-log commit — without delta-spark.
+    Returns the committed version.
+
+    Protocol shape (PROTOCOL.md): version 0 carries ``protocol``
+    (minReaderVersion 1 / minWriterVersion 2) and ``metaData``
+    (schemaString = the Spark schema JSON, partitionColumns);
+    ``mode="append"`` commits add actions only; ``mode="overwrite"``
+    also commits remove actions for every previously-active file
+    (logical delete — data files stay for time travel, exactly like
+    Delta's own overwrite). The commit file is created with
+    ``O_EXCL`` and the version is retried on collision — the
+    single-filesystem equivalent of Delta's put-if-absent commit
+    protocol (object-store multi-cluster coordination is out of scope
+    and documented as such).
+
+    Scale notes: data files are written by Spark's normal distributed
+    parquet writer (one task per partition); only the O(files) commit
+    metadata passes through the driver — the same division of labor as
+    delta-spark itself.
+    """
+    import shutil
+    import time as _time
+    import uuid
+
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"unsupported mode: {mode}")
+    partition_by = list(partition_by or [])
+    os.makedirs(path, exist_ok=True)
+    staging = os.path.join(path, f"_staging_{uuid.uuid4().hex}")
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
+
+    # move part files into the table dir under unique names, keeping
+    # hive-style partition subdirs so partition pruning works for any
+    # reader
+    adds = []
+    now_ms = int(_time.time() * 1000)
+    for root, _dirs, names in os.walk(staging):
+        for name in names:
+            if not name.endswith(".parquet"):
+                continue
+            relbase = os.path.relpath(root, staging)
+            relbase = "" if relbase == "." else relbase
+            uniq = f"part-{uuid.uuid4().hex}.parquet"
+            os.makedirs(os.path.join(path, relbase), exist_ok=True)
+            src = os.path.join(root, name)
+            rel = os.path.join(relbase, uniq) if relbase else uniq
+            os.replace(src, os.path.join(path, rel))
+            adds.append(
+                {
+                    "add": {
+                        "path": rel.replace(os.sep, "/"),
+                        "partitionValues": _rel_partition_values(
+                            rel, partition_by
+                        ),
+                        "size": os.path.getsize(os.path.join(path, rel)),
+                        "modificationTime": now_ms,
+                        "dataChange": True,
+                    }
+                }
+            )
+    shutil.rmtree(staging)
+
+    log = os.path.join(path, "_delta_log")
+    os.makedirs(log, exist_ok=True)
+    while True:
+        versions = _list_versions(log)
+        version = (versions[-1] + 1) if versions else 0
+        actions: list[dict] = []
+        if version == 0:
+            actions.append(
+                {
+                    "protocol": {
+                        "minReaderVersion": 1,
+                        "minWriterVersion": 2,
+                    }
+                }
+            )
+            actions.append(
+                {
+                    "metaData": {
+                        "id": str(uuid.uuid4()),
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": df.schema.json(),
+                        "partitionColumns": partition_by,
+                        "configuration": {},
+                        "createdTime": now_ms,
+                    }
+                }
+            )
+        elif mode == "overwrite":
+            prior = resolve_snapshot(path, version_as_of=version - 1)
+            actions.extend(
+                {
+                    "remove": {
+                        "path": rel,
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                    }
+                }
+                for rel in prior["files"]
+            )
+        actions.extend(adds)
+        commit = os.path.join(log, f"{version:020d}.json")
+        try:
+            fd = os.open(commit, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            continue  # lost the race: re-resolve and retry next version
+        with os.fdopen(fd, "w") as fh:
+            for a in actions:
+                fh.write(json.dumps(a) + "\n")
+        return version

@@ -206,3 +206,64 @@ def test_unsupported_features_raise_not_misread(spark, tmp_path):
     }}])
     with pytest.raises(delta_log.DeltaProtocolError):
         delta_log.read_delta(spark, t2)
+
+
+def test_write_delta_roundtrip_append_overwrite(spark, tmp_path):
+    """Writer → reader round trip: append accumulates, overwrite
+    logically removes (old files stay for time travel), versions
+    increment, and the log is spec-conformant JSON."""
+    t = str(tmp_path / "wtab")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    assert delta_log.write_delta(spark, df1, t, mode="append") == 0
+    df2 = spark.createDataFrame([(3, "c")], "id long, v string")
+    assert delta_log.write_delta(spark, df2, t, mode="append") == 1
+    got = {(r.id, r.v) for r in delta_log.read_delta(spark, t).collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c")}
+
+    df3 = spark.createDataFrame([(9, "z")], "id long, v string")
+    assert delta_log.write_delta(spark, df3, t, mode="overwrite") == 2
+    got = {(r.id, r.v) for r in delta_log.read_delta(spark, t).collect()}
+    assert got == {(9, "z")}
+    # time travel still sees the pre-overwrite snapshot
+    got1 = {
+        (r.id, r.v)
+        for r in delta_log.read_delta(spark, t, version_as_of=1).collect()
+    }
+    assert got1 == {(1, "a"), (2, "b"), (3, "c")}
+
+    # the commit files are line-delimited JSON actions per the protocol
+    log = os.path.join(t, "_delta_log")
+    v0 = [
+        json.loads(line)
+        for line in open(os.path.join(log, f"{0:020d}.json"))
+    ]
+    kinds = [next(iter(a)) for a in v0]
+    assert kinds[:2] == ["protocol", "metaData"]
+    assert all(k == "add" for k in kinds[2:])
+    v2 = [
+        json.loads(line)
+        for line in open(os.path.join(log, f"{2:020d}.json"))
+    ]
+    assert {"remove" for a in v2 if "remove" in a} == {"remove"}
+
+
+def test_write_delta_partitioned_roundtrip(spark, tmp_path):
+    t = str(tmp_path / "wptab")
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y"), (3, "c", "x")],
+        "id long, v string, part string",
+    )
+    delta_log.write_delta(spark, df, t, partition_by=["part"])
+    out = delta_log.read_delta(spark, t)
+    got = {(r.id, r.v, r.part) for r in out.collect()}
+    assert got == {(1, "a", "x"), (2, "b", "y"), (3, "c", "x")}
+    # add actions carry hive partitionValues
+    snap = delta_log.resolve_snapshot(t)
+    assert all(
+        a["partitionValues"].get("part") in ("x", "y")
+        for a in snap["files"].values()
+    )
+    # partition filter prunes to one directory's files
+    assert {
+        r.id for r in out.filter(out.part == "x").collect()
+    } == {1, 3}
