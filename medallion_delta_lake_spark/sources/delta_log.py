@@ -9,9 +9,11 @@ REAL Delta-table reads, including time travel (``version_as_of``), in
 environments without delta-spark (reference parity: `scan-delta`,
 silver_table_creation.py:28, gold_table_creation.py:26-31).
 :func:`write_delta` emits the same protocol from the write side
-(append / overwrite commits with O_EXCL put-if-absent versioning);
-keyed MERGE still goes through operators/upsert.py (native when
-delta-spark is importable, else the parquet-snapshot fallback).
+(append / overwrite commits with O_EXCL put-if-absent versioning), and
+:func:`upsert_delta_log` runs the reference's keyed MERGE semantics on
+top of them. operators/upsert.py remains the default engine path
+(native MERGE when delta-spark is importable, else the
+parquet-snapshot fallback with identical semantics).
 
 Scope honesty: reader protocol 1 tables (plus feature-gated protocol 3
 whose readerFeatures are all supported). Column mapping and deletion
@@ -349,3 +351,48 @@ def write_delta(
             for a in actions:
                 fh.write(json.dumps(a) + "\n")
         return version
+
+
+def upsert_delta_log(
+    spark: SparkSession,
+    source: DataFrame,
+    path: str,
+    keys: list[str],
+    partition_by: list[str] | None = None,
+    delete_missing: bool = True,
+    version_col: str | None = None,
+) -> int:
+    """The reference's signature MERGE (update-if-changed /
+    insert-if-new / delete-if-absent, silver_table_creation.py:65 etc.)
+    against a REAL log-backed Delta table, without delta-spark: compute
+    the post-merge state with the same pure-DataFrame
+    ``operators.upsert.merge_state`` the parquet fallback uses, then
+    commit it as one overwrite (remove old adds + add new files).
+    Returns the committed version.
+
+    Crash safety beats the directory-swap fallback: new data files are
+    invisible until the single O_EXCL commit file lands, so a crash at
+    ANY point leaves the previous snapshot intact (orphaned
+    uncommitted files are garbage per the protocol, collected by
+    vacuum). Old snapshots stay readable via ``version_as_of``.
+
+    Scale note: like Delta's own full-source-sync MERGE this rewrites
+    the table (the source IS the new snapshot when
+    ``delete_missing``); at 100 TB the keyed-partial-rewrite
+    optimization (touch only files holding matched keys) needs file
+    statistics this minimal log does not track — documented gap, the
+    delta-spark branch covers it.
+    """
+    from medallion_delta_lake_spark.operators import upsert as upsert_mod
+
+    keys = list(keys)
+    src = upsert_mod.dedup_source_by_key(source, keys, version_col)
+    if not is_delta_table(path):
+        return write_delta(
+            spark, src, path, mode="overwrite", partition_by=partition_by
+        )
+    target = read_delta(spark, path)
+    state = upsert_mod.merge_state(target, src, keys, delete_missing)
+    return write_delta(
+        spark, state, path, mode="overwrite", partition_by=partition_by
+    )

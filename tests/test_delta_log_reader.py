@@ -267,3 +267,50 @@ def test_write_delta_partitioned_roundtrip(spark, tmp_path):
     assert {
         r.id for r in out.filter(out.part == "x").collect()
     } == {1, 3}
+
+
+def test_upsert_delta_log_merge_semantics(spark, tmp_path):
+    """MERGE on a log-backed table: update-if-changed, insert-if-new,
+    delete-if-absent (or survive with delete_missing=False), with every
+    pre-merge state reachable by time travel."""
+    t = str(tmp_path / "mtab")
+    v0 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    )
+    assert delta_log.upsert_delta_log(spark, v0, t, keys=["id"]) == 0
+
+    # update 1, insert 4, omit 2 and 3
+    src = spark.createDataFrame([(1, "a2"), (4, "d")], "id long, v string")
+    delta_log.upsert_delta_log(spark, src, t, keys=["id"])  # delete_missing
+    got = {(r.id, r.v) for r in delta_log.read_delta(spark, t).collect()}
+    assert got == {(1, "a2"), (4, "d")}
+
+    # delete_missing=False: absent keys survive
+    src2 = spark.createDataFrame([(1, "a3")], "id long, v string")
+    delta_log.upsert_delta_log(
+        spark, src2, t, keys=["id"], delete_missing=False
+    )
+    got = {(r.id, r.v) for r in delta_log.read_delta(spark, t).collect()}
+    assert got == {(1, "a3"), (4, "d")}
+
+    # full history is time-travelable
+    assert {
+        (r.id, r.v)
+        for r in delta_log.read_delta(spark, t, version_as_of=0).collect()
+    } == {(1, "a"), (2, "b"), (3, "c")}
+    assert {
+        (r.id, r.v)
+        for r in delta_log.read_delta(spark, t, version_as_of=1).collect()
+    } == {(1, "a2"), (4, "d")}
+
+
+def test_upsert_delta_log_idempotent_rerun(spark, tmp_path):
+    """Re-upserting the identical source advances the version but must
+    not change the table state (the batch re-run safety property)."""
+    t = str(tmp_path / "itab")
+    src = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    delta_log.upsert_delta_log(spark, src, t, keys=["id"])
+    before = {(r.id, r.v) for r in delta_log.read_delta(spark, t).collect()}
+    delta_log.upsert_delta_log(spark, src, t, keys=["id"])
+    after = {(r.id, r.v) for r in delta_log.read_delta(spark, t).collect()}
+    assert before == after == {(1, "a"), (2, "b")}
