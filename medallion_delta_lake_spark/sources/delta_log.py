@@ -396,3 +396,77 @@ def upsert_delta_log(
     return write_delta(
         spark, state, path, mode="overwrite", partition_by=partition_by
     )
+
+
+def write_checkpoint(path: str) -> int:
+    """Write a parquet checkpoint of the current snapshot plus
+    ``_last_checkpoint`` — the log-compaction step that keeps replay
+    cost O(actions since checkpoint) instead of O(table lifetime).
+    After a checkpoint, pre-checkpoint JSON commits are only needed
+    for time travel. Returns the checkpointed version.
+
+    Empty maps are encoded as nulls (pyarrow infers dicts as structs
+    and parquet rejects childless structs; the reader treats null and
+    {} identically)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    snap = resolve_snapshot(path)
+    version = snap["version"]
+    log = _log_dir(path)
+
+    def _clean(v):
+        if isinstance(v, dict):
+            return {k: _clean(x) for k, x in v.items()} or None
+        return v
+
+    rows_proto = [{"minReaderVersion": 1, "minWriterVersion": 2}]
+    rows_meta = [_clean(snap["meta"])]
+    rows_add = [_clean(a) for a in snap["files"].values()]
+    n = 2 + len(rows_add)
+    cols = {
+        "protocol": rows_proto + [None] * (n - 1),
+        "metaData": [None] + rows_meta + [None] * (n - 2),
+        "add": [None, None] + rows_add,
+    }
+    tbl = pa.table({k: pa.array(v) for k, v in cols.items()})
+    pq.write_table(
+        tbl, os.path.join(log, f"{version:020d}.checkpoint.parquet")
+    )
+    tmp = os.path.join(log, "_last_checkpoint.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"version": version, "size": n}, fh)
+    os.replace(tmp, os.path.join(log, "_last_checkpoint"))
+    return version
+
+
+def vacuum(path: str, keep_versions: int = 1) -> list[str]:
+    """Delete data files no longer referenced by the last
+    ``keep_versions`` snapshots (the GC step; uncommitted orphans from
+    crashed writes go too). Time travel further back than
+    ``keep_versions`` stops working — exactly Delta's own vacuum
+    trade-off, expressed in versions instead of hours so tests are
+    deterministic. Returns the deleted relative paths."""
+    log = _log_dir(path)
+    versions = _list_versions(log)
+    if not versions:
+        return []
+    keep_from = max(versions) - max(keep_versions - 1, 0)
+    referenced: set[str] = set()
+    for v in versions:
+        if v >= keep_from:
+            referenced |= set(resolve_snapshot(path, version_as_of=v)["files"])
+    deleted = []
+    for root, _dirs, names in os.walk(path):
+        if os.path.basename(root) == "_delta_log" or "_staging_" in root:
+            continue
+        for name in names:
+            if not name.endswith(".parquet"):
+                continue
+            rel = os.path.relpath(os.path.join(root, name), path).replace(
+                os.sep, "/"
+            )
+            if rel not in referenced:
+                os.remove(os.path.join(root, name))
+                deleted.append(rel)
+    return sorted(deleted)

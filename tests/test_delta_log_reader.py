@@ -314,3 +314,35 @@ def test_upsert_delta_log_idempotent_rerun(spark, tmp_path):
     delta_log.upsert_delta_log(spark, src, t, keys=["id"])
     after = {(r.id, r.v) for r in delta_log.read_delta(spark, t).collect()}
     assert before == after == {(1, "a"), (2, "b")}
+
+
+def test_write_checkpoint_and_vacuum_lifecycle(spark, tmp_path):
+    """Full lifecycle: many commits → checkpoint bounds replay (even
+    after pre-checkpoint JSON cleanup) → vacuum deletes exactly the
+    unreferenced files while the kept snapshots stay readable."""
+    t = str(tmp_path / "ltab")
+    for i in range(4):
+        df = spark.createDataFrame([(i, f"v{i}")], "id long, v string")
+        delta_log.write_delta(spark, df, t, mode="overwrite")
+
+    v = delta_log.write_checkpoint(t)
+    assert v == 3
+    # replay must work from the checkpoint alone
+    for i in range(3):
+        os.remove(os.path.join(t, "_delta_log", f"{i:020d}.json"))
+    got = {(r.id, r.v) for r in delta_log.read_delta(spark, t).collect()}
+    assert got == {(3, "v3")}
+
+    # vacuum keeps only the latest snapshot's files
+    before = {
+        os.path.relpath(os.path.join(r, n), t)
+        for r, _d, ns in os.walk(t)
+        for n in ns
+        if n.endswith(".parquet") and "_delta_log" not in r
+    }
+    deleted = delta_log.vacuum(t, keep_versions=1)
+    assert deleted  # versions 0-2 files are gone
+    active = set(delta_log.resolve_snapshot(t)["files"])
+    assert set(deleted) == {p.replace(os.sep, "/") for p in before} - active
+    got = {(r.id, r.v) for r in delta_log.read_delta(spark, t).collect()}
+    assert got == {(3, "v3")}  # current snapshot untouched
