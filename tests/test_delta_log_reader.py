@@ -346,3 +346,72 @@ def test_write_checkpoint_and_vacuum_lifecycle(spark, tmp_path):
     assert set(deleted) == {p.replace(os.sep, "/") for p in before} - active
     got = {(r.id, r.v) for r in delta_log.read_delta(spark, t).collect()}
     assert got == {(3, "v3")}  # current snapshot untouched
+
+
+def test_medallion_shape_on_log_backed_tables(spark, tmp_path):
+    """The reference's bronze→silver→gold shape on REAL log-backed
+    Delta tables end-to-end: ingest, keyed silver MERGE, gold join +
+    MERGE — then an idempotent re-run (same gold state, versions
+    advanced) and time travel to the pre-rerun gold."""
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path)
+    s_path, g_path = f"{base}/silver_obs", f"{base}/gold_daily"
+
+    def run_pipeline(batch):
+        delta_log.upsert_delta_log(
+            spark, batch, s_path, keys=["station", "day"]
+        )
+        silver = delta_log.read_delta(spark, s_path)
+        dims = spark.createDataFrame(
+            [("s1", "north"), ("s2", "south")], "station string, region string"
+        )
+        gold = (
+            silver.join(F.broadcast(dims), "station")
+            .groupBy("region", "day")
+            .agg(
+                F.sum(F.col("v").cast("decimal(38,6)"))
+                .cast("double")
+                .alias("total_v")
+            )
+        )
+        delta_log.upsert_delta_log(spark, gold, g_path, keys=["region", "day"])
+
+    batch1 = spark.createDataFrame(
+        [("s1", "d1", 1.0), ("s1", "d2", 2.0), ("s2", "d1", 3.0)],
+        "station string, day string, v double",
+    )
+    run_pipeline(batch1)
+    gold1 = {
+        (r.region, r.day, r.total_v)
+        for r in delta_log.read_delta(spark, g_path).collect()
+    }
+    assert gold1 == {("north", "d1", 1.0), ("north", "d2", 2.0),
+                     ("south", "d1", 3.0)}
+
+    # batch 2 revises one silver row (MERGE update), gold re-derives
+    batch2 = batch1.withColumn(
+        "v", F.when(F.col("day") == "d1", F.col("v") * 10).otherwise(F.col("v"))
+    )
+    run_pipeline(batch2)
+    gold2 = {
+        (r.region, r.day, r.total_v)
+        for r in delta_log.read_delta(spark, g_path).collect()
+    }
+    assert gold2 == {("north", "d1", 10.0), ("north", "d2", 2.0),
+                     ("south", "d1", 30.0)}
+
+    # idempotent re-run: state unchanged, log version advanced
+    v_before = delta_log.resolve_snapshot(g_path)["version"]
+    run_pipeline(batch2)
+    assert {
+        (r.region, r.day, r.total_v)
+        for r in delta_log.read_delta(spark, g_path).collect()
+    } == gold2
+    assert delta_log.resolve_snapshot(g_path)["version"] > v_before
+
+    # the pre-revision gold is still reachable by time travel
+    assert {
+        (r.region, r.day, r.total_v)
+        for r in delta_log.read_delta(spark, g_path, version_as_of=0).collect()
+    } == gold1
