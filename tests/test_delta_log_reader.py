@@ -415,3 +415,56 @@ def test_medallion_shape_on_log_backed_tables(spark, tmp_path):
         (r.region, r.day, r.total_v)
         for r in delta_log.read_delta(spark, g_path, version_as_of=0).collect()
     } == gold1
+
+
+def test_upsert_delta_log_matches_dict_model(spark, tmp_path):
+    """Model-based check: a sequence of log-backed MERGEs must equal
+    folding the same batches into a plain dict (source wins on matched
+    keys; delete_missing decides survivors) — with every intermediate
+    state still reachable by time travel afterwards."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    batch = st.dictionaries(st.integers(0, 6), st.integers(0, 3), max_size=5)
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(steps=st.lists(st.tuples(batch, st.booleans()), min_size=1, max_size=3))
+    def run(steps):
+        import uuid
+
+        t = str(tmp_path / f"prop_{uuid.uuid4().hex}")
+        model: dict = {}
+        history = []
+        for src, delete_missing in steps:
+            sdf = spark.createDataFrame(
+                list(src.items()) or [(None, None)], "k int, v int"
+            ).filter("k IS NOT NULL")
+            delta_log.upsert_delta_log(
+                spark, sdf, t, keys=["k"], delete_missing=delete_missing
+            )
+            if not history:  # v0 creates the table: state = the source
+                model = dict(src)
+            elif delete_missing:
+                model = dict(src)
+            else:
+                model = {**model, **src}
+            history.append(dict(model))
+            got = {
+                (r.k, r.v) for r in delta_log.read_delta(spark, t).collect()
+            }
+            assert got == set(model.items())
+        # every intermediate state is a time-travelable version
+        for v, snap_model in enumerate(history):
+            got = {
+                (r.k, r.v)
+                for r in delta_log.read_delta(
+                    spark, t, version_as_of=v
+                ).collect()
+            }
+            assert got == set(snap_model.items())
+
+    run()
