@@ -123,8 +123,13 @@ _DRIVER_PRIORITY = [
     "agg-argmax",
     "agg-grouping-sets",
     "agg-salted-skew",
-    # ROUND-6 NOTE: rotate again — reds (if any) first, round-6 changes,
-    # then the r3-green cohort continuing from approx-distinct.
+    # ROUND-6 NOTE: rotate again — reds (if any) first, then round-6
+    # changes, then the r3-green cohort continuing from approx-distinct
+    # (the r5 window covered: the 5 r4 reds, the 9 r5-added ops
+    # corpus-shuffle-shards/split-train-holdout/split-leakage-audit/
+    # text-ngram-freq/text-decontaminate/dedup-paragraph-blocks/
+    # mixture-token-budget/text-token-typicality/vector-quantize-int8/
+    # dedup-containment, and the r2-green LRU cohort below).
 ]
 
 
