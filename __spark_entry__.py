@@ -76,6 +76,7 @@ _DRIVER_PRIORITY = [
     "split-train-holdout",
     "split-leakage-audit",
     "text-ngram-freq",
+    "vector-quantize-pq",
     # least-recently-verified (green r2, not re-checked since)
     "agg-avg-groupby-dynamic",
     "agg-count-distinct",

@@ -609,3 +609,71 @@ def quantize_int8(
             ",",
         ).alias("codes")
     )
+
+
+def pq_codes(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dims: int = 64,
+    m: int = 4,
+    k: int = 8,
+) -> DataFrame:
+    """Product quantization: split each vector into ``m`` subvectors
+    and encode each as the id of its nearest subspace centroid
+    (squared-L2) — the ANN-index compression step between scalar
+    quantization (quantize_int8) and IVF: m codes of log2(k) bits
+    replace dims floats (64 floats → 4 codes here). Codebooks are the
+    first ``k`` vectors' subvectors — the same deterministic
+    fixed-centroid contract as ivf_assign, which keeps the operator
+    engine-exact (a trained codebook plugs into the same plan).
+
+    Returns (id, subspace, code, dist) long-form — one row per
+    (vector, subspace), ``dist`` the squared-L2 reconstruction
+    distance of that subspace.
+
+    Scale shape: the k×m codebook broadcasts (k rows); candidates are
+    a broadcast NLJ of N×k rows whose per-row cost is the sequential
+    fold — all JVM-side higher-order functions, no Python; the argmin
+    is a partial-aggregating min(struct) groupBy keyed (id, subspace),
+    so the shuffle carries N·m narrow rows, never vectors.
+    """
+    d = dims // m
+    cent = df.filter(F.col(id_col) < k).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    )
+
+    def l2sq(a, b):
+        return F.aggregate(
+            F.zip_with(
+                a,
+                b,
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+
+    pairs = df.select(id_col, vec_col).crossJoin(F.broadcast(cent))
+    dist_cols = [
+        l2sq(
+            F.slice(F.col(vec_col), i * d + 1, d),
+            F.slice(F.col("cv"), i * d + 1, d),
+        ).alias(f"d{i}")
+        for i in range(m)
+    ]
+    dists = pairs.select(id_col, "cid", *dist_cols)
+    stack_args = ", ".join(f"{i}, d{i}" for i in range(m))
+    long = dists.selectExpr(
+        id_col, "cid", f"stack({m}, {stack_args}) AS (subspace, dist)"
+    )
+    best = long.groupBy(id_col, "subspace").agg(
+        F.min(F.struct("dist", "cid")).alias("s")
+    )
+    return best.select(
+        F.col(id_col),
+        F.col("subspace").cast("int").alias("subspace"),
+        F.col("s.cid").cast("int").alias("code"),
+        F.col("s.dist").alias("dist"),
+    )

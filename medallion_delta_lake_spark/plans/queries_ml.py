@@ -343,3 +343,59 @@ def vector_quantize_int8_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.quantize_int8(
         table(spark, sf_dir, "embeddings"), "embedding", "vec_id"
     )
+
+
+def _l2sq_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}),"
+        f" z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))"
+        f" * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))),"
+        f" (s, y) -> s + y)"
+    )
+
+
+_PQ_M = 4
+_PQ_K = 8
+_PQ_D = _DIMS // _PQ_M
+
+
+@query(
+    "vector-quantize-pq",
+    # fixed codebook = first k vectors' subvectors (same deterministic
+    # contract as sim-ann-ivf); argmin per (vector, subspace) with cid
+    # tie-break; dist is the sequential-fold squared L2 — engine-exact
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cv FROM embeddings
+      WHERE vec_id < {_PQ_K}
+    ),
+    sub AS (SELECT CAST(range AS INT) AS subspace FROM range(0, {_PQ_M})),
+    dists AS (
+      SELECT e.vec_id, c.cid, s.subspace,
+             {_l2sq_sql(
+                 f"e.embedding[s.subspace*{_PQ_D}+1 : s.subspace*{_PQ_D}+{_PQ_D}]",
+                 f"c.cv[s.subspace*{_PQ_D}+1 : s.subspace*{_PQ_D}+{_PQ_D}]",
+             )} AS dist
+      FROM embeddings e CROSS JOIN cent c CROSS JOIN sub s
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY vec_id, subspace ORDER BY dist ASC, cid ASC) AS rn
+      FROM dists
+    )
+    SELECT vec_id, subspace, CAST(cid AS INT) AS code, dist
+    FROM ranked WHERE rn = 1
+    """,
+)
+def vector_quantize_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """similarity / product quantization — per-subspace nearest-
+    codebook-centroid codes (64 floats → 4 codes): the ANN-index
+    compression step between int8 scalar quantization and IVF.
+    Broadcast codebook NLJ + partial-aggregating argmin; shuffle
+    carries (id, subspace, dist, cid) rows only, never vectors."""
+    return sim.pq_codes(
+        table(spark, sf_dir, "embeddings"),
+        dims=_DIMS,
+        m=_PQ_M,
+        k=_PQ_K,
+    )

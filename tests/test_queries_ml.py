@@ -34,3 +34,28 @@ def test_neardup_finds_planted_duplicates(spark):
     originals = {r.vec_id for r in corpus.collect() if r.vec_id < 10000}
     expected = {(v, v + 10000) for v in originals if v % 10 == 0}
     assert expected <= ids, f"missing exact-copy pairs: {expected - ids}"
+
+
+def test_pq_codes_centroids_self_code(spark):
+    """A codebook vector must encode to itself in every subspace with
+    zero reconstruction distance; all codes lie in [0, k)."""
+    from pyspark.sql import functions as F
+
+    from medallion_delta_lake_spark.operators import similarity as sim
+    from medallion_delta_lake_spark.plans.registry import table
+    from tests.conftest import SF_SMOKE
+
+    emb = table(spark, SF_SMOKE, "embeddings")
+    out = sim.pq_codes(emb, dims=64, m=4, k=8).cache()
+    selfrows = out.filter(F.col("vec_id") < 8)
+    assert selfrows.count() == 8 * 4
+    assert selfrows.filter(
+        (F.col("code") != F.col("vec_id")) | (F.col("dist") != 0.0)
+    ).count() == 0
+    assert out.filter(
+        (F.col("code") < 0) | (F.col("code") >= 8)
+    ).count() == 0
+    # every vector gets exactly m codes
+    n_vec = emb.count()
+    assert out.count() == n_vec * 4
+    out.unpersist()
