@@ -77,6 +77,7 @@ _DRIVER_PRIORITY = [
     "split-leakage-audit",
     "text-ngram-freq",
     "vector-quantize-pq",
+    "sim-pq-adc-topk",
     # least-recently-verified (green r2, not re-checked since)
     "agg-avg-groupby-dynamic",
     "agg-count-distinct",

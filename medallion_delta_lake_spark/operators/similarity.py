@@ -677,3 +677,104 @@ def pq_codes(
         F.col("s.cid").cast("int").alias("code"),
         F.col("s.dist").alias("dist"),
     )
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dims: int = 64,
+    m: int = 4,
+    k_cent: int = 8,
+    n_queries: int = 5,
+    k: int = 5,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes — the search side of
+    product quantization: each query vector computes an m×k_cent
+    lookup table of subspace distances to the codebook ONCE, then any
+    candidate's approximate distance is m table lookups summed —
+    never a full d-dimensional computation per candidate pair.
+
+    Returns (query_id, vec_id, adc_dist, rank) for the ``k`` nearest
+    candidates per query (ascending approximate squared L2; id
+    tie-break).
+
+    Scale shape: codes are the compressed index (m smallints per
+    vector); the per-query lookup table is n_queries × m × k_cent rows
+    — broadcast; the candidate scoring is a broadcast equi-join on
+    (subspace, code) + a (query, vec) grouped sum with map-side
+    combine, then the standard ranked window. The full-precision
+    vectors are touched only by the tiny query side, which is what
+    makes PQ search memory-bound-free at 100 TB index scale.
+    """
+    from pyspark.sql import Window as W
+
+    codes = pq_codes(
+        df, vec_col=vec_col, id_col=id_col, dims=dims, m=m, k=k_cent
+    ).select(F.col(id_col).alias("cand_id"), "subspace", "code")
+    # per-query lookup table keeps EVERY (centroid, subspace) distance
+    # (pq_codes' argmin is the encoder; the LUT is the decoder side)
+    d = dims // m
+    cent = df.filter(F.col(id_col) < k_cent).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    )
+    queries = df.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+
+    def l2sq(a, b):
+        return F.aggregate(
+            F.zip_with(
+                a,
+                b,
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+
+    qc = queries.crossJoin(F.broadcast(cent))
+    lut_cols = [
+        l2sq(
+            F.slice(F.col("qv"), i * d + 1, d),
+            F.slice(F.col("cv"), i * d + 1, d),
+        ).alias(f"d{i}")
+        for i in range(m)
+    ]
+    stack_args = ", ".join(f"{i}, d{i}" for i in range(m))
+    lut = (
+        qc.select("query_id", "cid", *lut_cols)
+        .selectExpr(
+            "query_id", "cid", f"stack({m}, {stack_args}) AS (subspace, qdist)"
+        )
+        .withColumnRenamed("cid", "code_match")
+    )
+    scored = (
+        codes.join(
+            F.broadcast(lut),
+            (codes["subspace"] == lut["subspace"])
+            & (codes["code"] == lut["code_match"]),
+        )
+        .groupBy("query_id", "cand_id")
+        # decimal accumulation: exact + associative, so the m-term sum
+        # is order- and engine-independent (the registry float contract)
+        .agg(
+            F.sum(F.col("qdist").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("adc_dist")
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("cand_id").alias(id_col),
+            "adc_dist",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -399,3 +399,68 @@ def vector_quantize_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         m=_PQ_M,
         k=_PQ_K,
     )
+
+
+@query(
+    "sim-pq-adc-topk",
+    # search side of PQ: per-query subspace-distance lookup table over
+    # the codebook, candidate distance = sum of m lookups on its codes.
+    # The sum accumulates in DECIMAL(38,6) (order-independent) and rank
+    # ties break on vec_id — engine-exact.
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cv FROM embeddings
+      WHERE vec_id < {_PQ_K}
+    ),
+    sub AS (SELECT CAST(range AS INT) AS subspace FROM range(0, {_PQ_M})),
+    dists AS (
+      SELECT e.vec_id, c.cid, s.subspace,
+             {_l2sq_sql(
+                 f"e.embedding[s.subspace*{_PQ_D}+1 : s.subspace*{_PQ_D}+{_PQ_D}]",
+                 f"c.cv[s.subspace*{_PQ_D}+1 : s.subspace*{_PQ_D}+{_PQ_D}]",
+             )} AS dist
+      FROM embeddings e CROSS JOIN cent c CROSS JOIN sub s
+    ),
+    codes AS (
+      SELECT vec_id AS cand_id, subspace, cid AS code FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY vec_id, subspace ORDER BY dist ASC, cid ASC) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT vec_id AS query_id, cid AS code_match, subspace,
+             dist AS qdist
+      FROM dists WHERE vec_id < 5
+    ),
+    scored AS (
+      SELECT l.query_id, c.cand_id,
+             CAST(SUM(CAST(l.qdist AS DECIMAL(38,6))) AS DOUBLE)
+               AS adc_dist
+      FROM codes c
+      JOIN lut l ON l.subspace = c.subspace AND l.code_match = c.code
+      GROUP BY l.query_id, c.cand_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY adc_dist ASC, cand_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, cand_id AS vec_id, adc_dist, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def sim_pq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """similarity / PQ asymmetric-distance top-k — the ANN query path
+    over the compressed index: m table lookups per candidate instead
+    of a d-dimensional distance; broadcast LUT equi-join + grouped
+    decimal sum + ranked window. Full-precision vectors touched only
+    on the tiny query side."""
+    return sim.pq_adc_topk(
+        table(spark, sf_dir, "embeddings"),
+        dims=_DIMS,
+        m=_PQ_M,
+        k_cent=_PQ_K,
+        n_queries=5,
+        k=5,
+    )

@@ -59,3 +59,42 @@ def test_pq_codes_centroids_self_code(spark):
     n_vec = emb.count()
     assert out.count() == n_vec * 4
     out.unpersist()
+
+
+def test_pq_adc_topk_self_rank_and_recall(spark):
+    """ADC sanity: each query (a codebook vector) has ADC distance 0 to
+    itself → rank 1; and ADC top-5 overlaps the exact-L2 top-5
+    meaningfully (it is an approximation, not a reshuffle)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from medallion_delta_lake_spark.operators import similarity as sim
+    from medallion_delta_lake_spark.plans.registry import table
+    from tests.conftest import SF_SMOKE
+
+    emb = table(spark, SF_SMOKE, "embeddings")
+    out = sim.pq_adc_topk(emb, dims=64, m=4, k_cent=8, n_queries=5, k=5)
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == set(range(5))
+    for q, rs in by_q.items():
+        top = min(rs, key=lambda r: r.rank)
+        assert top.vec_id == q and top.adc_dist == 0.0  # self at rank 1
+
+    # recall vs exact squared-L2 top-5 (same query set)
+    vecs = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    hits = total = 0
+    for q in range(5):
+        d = {
+            i: float(((vecs[q] - v) ** 2).sum()) for i, v in vecs.items()
+        }
+        exact = {i for i, _ in sorted(d.items(), key=lambda kv: (kv[1], kv[0]))[:5]}
+        approx = {r.vec_id for r in by_q[q]}
+        hits += len(exact & approx)
+        total += 5
+    assert hits / total >= 0.3  # coarse 8-centroid codebook, small k
