@@ -78,6 +78,7 @@ _DRIVER_PRIORITY = [
     "text-ngram-freq",
     "vector-quantize-pq",
     "sim-pq-adc-topk",
+    "text-quality-calibrate",
     # least-recently-verified (green r2, not re-checked since)
     "agg-avg-groupby-dynamic",
     "agg-count-distinct",

@@ -347,3 +347,48 @@ def ngram_freq(
     return grams.groupBy("ngram").agg(
         F.count(F.lit(1)).alias("freq")
     ).filter(F.col("freq") >= min_count)
+
+
+def quality_calibrate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    strata_col: str = "source",
+) -> DataFrame:
+    """Per-stratum quality-cutoff calibration: the exact lower-quartile
+    quality score of each source (type-1 quantile — the value at rank
+    floor((n-1)/4)+1 under (score, id) order, integer-exact, no
+    interpolation) plus how many documents fall strictly below it.
+    A mixture pipeline uses these as per-source adaptive thresholds
+    instead of one global ``min_quality`` (a threshold tuned on clean
+    wiki text would delete most of a noisy crawl source).
+
+    Scale shape: scoring is per-row codegen; the rank and count ride
+    one window shuffle keyed by the stratum; the quartile row is a
+    filter, and the below-count rejoins the tiny per-stratum frame by
+    broadcast — the corpus shuffles once, as (id, stratum, score)."""
+    from pyspark.sql import Window as W
+
+    scored = quality_score(df, text_col, (id_col, strata_col)).select(
+        id_col, strata_col, "quality_score"
+    )
+    w = W.partitionBy(strata_col).orderBy("quality_score", id_col)
+    ranked = scored.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(W.partitionBy(strata_col))
+    )
+    q = ranked.filter(
+        F.col("rn") == F.floor((F.col("n") - 1) / 4) + 1
+    ).select(
+        F.col(strata_col),
+        F.col("n").alias("n_docs"),
+        F.col("quality_score").alias("q25"),
+    )
+    return (
+        scored.join(F.broadcast(q), strata_col)
+        .groupBy(strata_col, "n_docs", "q25")
+        .agg(
+            F.sum(
+                F.when(F.col("quality_score") < F.col("q25"), 1).otherwise(0)
+            ).cast("bigint").alias("n_below")
+        )
+    )

@@ -1209,3 +1209,60 @@ def text_ngram_freq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.ngram_freq(
         table(spark, sf_dir, "documents"), n=3, min_count=2
     )
+
+
+@query(
+    "text-quality-calibrate",
+    # exact type-1 lower quartile per source: rank floor((n-1)/4)+1
+    # under (score, doc_id) order — integer-exact, no interpolation
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source, {NORM_SQL} AS norm, {TOKS_SQL} AS toks
+      FROM documents
+    ), m AS (
+      SELECT doc_id, source,
+             length(norm) AS n_chars,
+             len(toks) AS n_tokens,
+             length(regexp_replace(norm, '[^a-z]', '', 'g')) AS n_alpha,
+             length(regexp_replace(norm, '[^0-9]', '', 'g')) AS n_digit,
+             length(regexp_replace(norm, '[^ ]', '', 'g')) AS n_space,
+             {_sw_hits_sql('toks', ta.STOPWORDS['en'])} AS sw
+      FROM d
+    ),
+    sc AS (
+      SELECT doc_id, source,
+           CAST(
+             (CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 25 ELSE 0 END)
+           + (CASE WHEN CAST(sw AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.05
+                   THEN 25 ELSE 0 END)
+           + (CASE WHEN CAST(n_chars - n_alpha - n_digit - n_space AS DOUBLE)
+                        / CAST(n_chars AS DOUBLE) <= 0.2
+                   THEN 25 ELSE 0 END)
+           + (CASE WHEN CAST(n_chars - n_tokens + 1 AS DOUBLE)
+                        / CAST(n_tokens AS DOUBLE) BETWEEN 3.0 AND 10.0
+                   THEN 25 ELSE 0 END) AS INT) AS quality_score
+      FROM m
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY quality_score, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM sc
+    ),
+    q AS (
+      SELECT source, n AS n_docs, quality_score AS q25
+      FROM r WHERE rn = (n - 1) // 4 + 1
+    )
+    SELECT sc.source, q.n_docs, q.q25,
+           CAST(SUM(CASE WHEN sc.quality_score < q.q25 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_below
+    FROM sc JOIN q ON q.source = sc.source
+    GROUP BY sc.source, q.n_docs, q.q25
+    """,
+)
+def text_quality_calibrate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text / per-source quality calibration — exact lower-quartile
+    cutoff + below-count per source (the adaptive-threshold planning
+    step before the quality gate; one window shuffle on the stratum
+    key, broadcast rejoin of the tiny quartile frame)."""
+    return ta.quality_calibrate(table(spark, sf_dir, "documents"))

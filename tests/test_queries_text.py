@@ -61,3 +61,18 @@ def test_scrub_pii_matches_python_re_on_adversarial_strings(spark):
         n_e = len(re.findall(EMAIL_PATTERN, t))
         n_n = len(re.findall(LONG_NUMBER_PATTERN, after_email))
         assert got[i] == (expected, n_e, n_n), (i, t, got[i])
+
+
+def test_quality_calibrate_quartile_invariants(spark):
+    """Per-source cutoffs: q25 is a real rubric value and at most a
+    quarter of each source's docs fall strictly below it (type-1
+    quantile guarantee)."""
+    from medallion_delta_lake_spark.operators import text_analysis as ta
+    from medallion_delta_lake_spark.plans.registry import table
+    from tests.conftest import SF_SMOKE
+
+    out = ta.quality_calibrate(table(spark, SF_SMOKE, "documents")).collect()
+    assert out  # one row per source
+    for r in out:
+        assert r.q25 in (0, 25, 50, 75, 100)
+        assert 0 <= r.n_below <= (r.n_docs - 1) // 4
