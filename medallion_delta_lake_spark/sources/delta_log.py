@@ -229,6 +229,75 @@ def _rel_partition_values(rel: str, part_cols: list[str]) -> dict:
     return vals
 
 
+def _stage_data_files(
+    df: DataFrame, path: str, partition_by: list[str], now_ms: int
+) -> list[dict]:
+    """Write ``df``'s data files into the table directory (hive layout
+    for partitioned tables) and return their add actions. Per the
+    protocol the files are invisible to every reader until a commit
+    references them, so a crash here leaves only vacuum-able orphans.
+    Data files are written by Spark's normal distributed parquet writer;
+    only O(files) metadata passes through the driver."""
+    import shutil
+    import uuid
+
+    staging = os.path.join(path, f"_staging_{uuid.uuid4().hex}")
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
+
+    adds = []
+    for root, _dirs, names in os.walk(staging):
+        for name in names:
+            if not name.endswith(".parquet"):
+                continue
+            relbase = os.path.relpath(root, staging)
+            relbase = "" if relbase == "." else relbase
+            uniq = f"part-{uuid.uuid4().hex}.parquet"
+            os.makedirs(os.path.join(path, relbase), exist_ok=True)
+            src = os.path.join(root, name)
+            rel = os.path.join(relbase, uniq) if relbase else uniq
+            os.replace(src, os.path.join(path, rel))
+            adds.append(
+                {
+                    "add": {
+                        "path": rel.replace(os.sep, "/"),
+                        "partitionValues": _rel_partition_values(
+                            rel, partition_by
+                        ),
+                        "size": os.path.getsize(os.path.join(path, rel)),
+                        "modificationTime": now_ms,
+                        "dataChange": True,
+                    }
+                }
+            )
+    shutil.rmtree(staging)
+    return adds
+
+
+def _commit_version(path: str, build_actions) -> int:
+    """O_EXCL put-if-absent commit loop: pick the next version, ask
+    ``build_actions(version)`` for the action list (so a retry after a
+    lost race can re-resolve against the newly-committed state), and
+    atomically create the commit file. Returns the committed version."""
+    log = os.path.join(path, "_delta_log")
+    os.makedirs(log, exist_ok=True)
+    while True:
+        versions = _list_versions(log)
+        version = (versions[-1] + 1) if versions else 0
+        actions = build_actions(version)
+        commit = os.path.join(log, f"{version:020d}.json")
+        try:
+            fd = os.open(commit, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            continue  # lost the race: re-resolve and retry next version
+        with os.fdopen(fd, "w") as fh:
+            for a in actions:
+                fh.write(json.dumps(a) + "\n")
+        return version
+
+
 def write_delta(
     spark: SparkSession,
     df: DataFrame,
@@ -257,7 +326,6 @@ def write_delta(
     metadata passes through the driver — the same division of labor as
     delta-spark itself.
     """
-    import shutil
     import time as _time
     import uuid
 
@@ -265,48 +333,10 @@ def write_delta(
         raise ValueError(f"unsupported mode: {mode}")
     partition_by = list(partition_by or [])
     os.makedirs(path, exist_ok=True)
-    staging = os.path.join(path, f"_staging_{uuid.uuid4().hex}")
-    writer = df.write.mode("overwrite")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(staging)
-
-    # move part files into the table dir under unique names, keeping
-    # hive-style partition subdirs so partition pruning works for any
-    # reader
-    adds = []
     now_ms = int(_time.time() * 1000)
-    for root, _dirs, names in os.walk(staging):
-        for name in names:
-            if not name.endswith(".parquet"):
-                continue
-            relbase = os.path.relpath(root, staging)
-            relbase = "" if relbase == "." else relbase
-            uniq = f"part-{uuid.uuid4().hex}.parquet"
-            os.makedirs(os.path.join(path, relbase), exist_ok=True)
-            src = os.path.join(root, name)
-            rel = os.path.join(relbase, uniq) if relbase else uniq
-            os.replace(src, os.path.join(path, rel))
-            adds.append(
-                {
-                    "add": {
-                        "path": rel.replace(os.sep, "/"),
-                        "partitionValues": _rel_partition_values(
-                            rel, partition_by
-                        ),
-                        "size": os.path.getsize(os.path.join(path, rel)),
-                        "modificationTime": now_ms,
-                        "dataChange": True,
-                    }
-                }
-            )
-    shutil.rmtree(staging)
+    adds = _stage_data_files(df, path, partition_by, now_ms)
 
-    log = os.path.join(path, "_delta_log")
-    os.makedirs(log, exist_ok=True)
-    while True:
-        versions = _list_versions(log)
-        version = (versions[-1] + 1) if versions else 0
+    def build(version: int) -> list[dict]:
         actions: list[dict] = []
         if version == 0:
             actions.append(
@@ -342,15 +372,102 @@ def write_delta(
                 for rel in prior["files"]
             )
         actions.extend(adds)
-        commit = os.path.join(log, f"{version:020d}.json")
-        try:
-            fd = os.open(commit, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            continue  # lost the race: re-resolve and retry next version
-        with os.fdopen(fd, "w") as fh:
-            for a in actions:
-                fh.write(json.dumps(a) + "\n")
-        return version
+        return actions
+
+    return _commit_version(path, build)
+
+
+def _touched_partitions(
+    target: DataFrame,
+    src: DataFrame,
+    keys: list[str],
+    part_cols: list[str],
+    delete_missing: bool,
+) -> list[dict]:
+    """Distinct partition tuples (as partitionValues-style string
+    dicts) whose content a MERGE of ``src`` into ``target`` changes:
+    partitions receiving inserts, partitions holding keys the source
+    deletes, and — for updated keys — BOTH the old and new partition
+    (a changed partition-column value moves the row between
+    directories).
+
+    Shape: each side is projected to (keys, partition strings, one
+    64-bit fingerprint of the non-key columns) — text/payload never
+    shuffles — then one full-outer join on the keys and one distinct
+    over the emitted partition tuples. The collect is O(distinct
+    touched partitions), driver-side commit metadata of the same order
+    as the transaction log itself."""
+    non_keys = [c for c in src.columns if c not in keys]
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        fp = (
+            F.xxhash64(F.to_json(F.struct(*[F.col(c) for c in non_keys])))
+            if non_keys
+            else F.lit(0).cast("long")
+        )
+        pv = F.struct(
+            *[F.col(c).cast("string").alias(c) for c in part_cols]
+        )
+        return df.select(
+            *keys, fp.alias(f"_{tag}_fp"), pv.alias(f"_{tag}_pv")
+        )
+
+    j = side(target, "t").join(side(src, "s"), on=keys, how="full_outer")
+    t_present = F.col("_t_fp").isNotNull()
+    s_present = F.col("_s_fp").isNotNull()
+    insert = s_present & ~t_present
+    delete = (t_present & ~s_present) if delete_missing else F.lit(False)
+    update = t_present & s_present & (F.col("_t_fp") != F.col("_s_fp"))
+    rows = (
+        j.select(
+            F.explode(
+                F.array(
+                    F.when(insert | update, F.col("_s_pv")),
+                    F.when(delete | update, F.col("_t_pv")),
+                )
+            ).alias("pv")
+        )
+        .filter(F.col("pv").isNotNull())
+        .select("pv.*")
+        .distinct()
+        .collect()
+    )
+    return [r.asDict() for r in rows]
+
+
+def _filter_to_partitions(
+    df: DataFrame, part_cols: list[str], touched: list[dict]
+) -> DataFrame:
+    """Restrict ``df`` to rows whose partition tuple is in ``touched``
+    (string-compared, null-safe — matching partitionValues encoding).
+    For very wide touch sets a broadcast semi-join replaces the OR
+    predicate so the filter expression stays bounded."""
+    if not touched:
+        return df.limit(0)
+    if len(touched) <= 256:
+        conds = []
+        for pv in touched:
+            c = None
+            for col in part_cols:
+                piece = F.col(col).cast("string").eqNullSafe(
+                    F.lit(pv[col])
+                )
+                c = piece if c is None else c & piece
+            conds.append(c)
+        return df.filter(reduce(lambda a, b: a | b, conds))
+    spark = df.sparkSession
+    pv_df = spark.createDataFrame(
+        [tuple(pv[c] for c in part_cols) for pv in touched],
+        ", ".join(f"`{c}` string" for c in part_cols),
+    )
+    on = reduce(
+        lambda a, b: a & b,
+        [
+            F.col(c).cast("string").eqNullSafe(pv_df[c])
+            for c in part_cols
+        ],
+    )
+    return df.join(F.broadcast(pv_df), on=on, how="left_semi")
 
 
 def upsert_delta_log(
@@ -364,25 +481,31 @@ def upsert_delta_log(
 ) -> int:
     """The reference's signature MERGE (update-if-changed /
     insert-if-new / delete-if-absent, silver_table_creation.py:65 etc.)
-    against a REAL log-backed Delta table, without delta-spark: compute
-    the post-merge state with the same pure-DataFrame
-    ``operators.upsert.merge_state`` the parquet fallback uses, then
-    commit it as one overwrite (remove old adds + add new files).
+    against a REAL log-backed Delta table, without delta-spark.
     Returns the committed version.
+
+    Partitioned tables get a **partition-scoped rewrite** — the shape
+    of Delta's own MERGE (touched-file rewrite,
+    silver_table_creation.py:47-66), at partition granularity: a keyed
+    diff finds the partitions whose content actually changes
+    (:func:`_touched_partitions`), only those partitions' post-merge
+    state is rewritten, and the commit carries remove/add actions for
+    those partitions alone — every other partition's add actions ride
+    through untouched, so a 1-key merge into a 10 000-partition table
+    is O(1 partition) of I/O, not O(table). Unpartitioned tables fall
+    back to the whole-snapshot overwrite (no sub-unit to scope to
+    until per-file stats land).
 
     Crash safety beats the directory-swap fallback: new data files are
     invisible until the single O_EXCL commit file lands, so a crash at
     ANY point leaves the previous snapshot intact (orphaned
     uncommitted files are garbage per the protocol, collected by
-    vacuum). Old snapshots stay readable via ``version_as_of``.
-
-    Scale note: like Delta's own full-source-sync MERGE this rewrites
-    the table (the source IS the new snapshot when
-    ``delete_missing``); at 100 TB the keyed-partial-rewrite
-    optimization (touch only files holding matched keys) needs file
-    statistics this minimal log does not track — documented gap, the
-    delta-spark branch covers it.
+    vacuum). Old snapshots stay readable via ``version_as_of``. A
+    no-change merge still commits (commitInfo-only) so every upsert
+    call maps to one time-travelable version.
     """
+    import time as _time
+
     from medallion_delta_lake_spark.operators import upsert as upsert_mod
 
     keys = list(keys)
@@ -391,11 +514,65 @@ def upsert_delta_log(
         return write_delta(
             spark, src, path, mode="overwrite", partition_by=partition_by
         )
+    snap = resolve_snapshot(path)
+    part_cols = (snap["meta"] or {}).get("partitionColumns") or []
+    if partition_by is not None and list(partition_by) != part_cols:
+        raise ValueError(
+            f"table at {path} is partitioned by {part_cols}, "
+            f"not {list(partition_by)}"
+        )
     target = read_delta(spark, path)
     state = upsert_mod.merge_state(target, src, keys, delete_missing)
-    return write_delta(
-        spark, state, path, mode="overwrite", partition_by=partition_by
+    if not part_cols:
+        return write_delta(spark, state, path, mode="overwrite")
+
+    touched = _touched_partitions(
+        target, src, keys, part_cols, delete_missing
     )
+    now_ms = int(_time.time() * 1000)
+    adds = (
+        _stage_data_files(
+            _filter_to_partitions(state, part_cols, touched),
+            path,
+            part_cols,
+            now_ms,
+        )
+        if touched
+        else []
+    )
+    touched_set = {
+        tuple(pv[c] for c in part_cols) for pv in touched
+    }
+
+    def build(version: int) -> list[dict]:
+        prior = resolve_snapshot(path, version_as_of=version - 1)
+        removes = [
+            {
+                "remove": {
+                    "path": rel,
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                }
+            }
+            for rel, a in prior["files"].items()
+            if tuple(
+                (a.get("partitionValues") or {}).get(c)
+                for c in part_cols
+            )
+            in touched_set
+        ]
+        info = {
+            "commitInfo": {
+                "operation": "MERGE",
+                "operationParameters": {
+                    "predicate": json.dumps(keys),
+                    "partitionsRewritten": len(touched_set),
+                },
+            }
+        }
+        return removes + adds + [info]
+
+    return _commit_version(path, build)
 
 
 def write_checkpoint(path: str) -> int:

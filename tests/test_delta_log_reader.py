@@ -417,6 +417,114 @@ def test_medallion_shape_on_log_backed_tables(spark, tmp_path):
     } == gold1
 
 
+def _log_actions(table, version):
+    with open(
+        os.path.join(table, "_delta_log", f"{version:020d}.json")
+    ) as fh:
+        return [json.loads(line) for line in fh if line.strip()]
+
+
+def test_upsert_delta_log_partition_scoped_rewrite(spark, tmp_path):
+    """MERGE on a partitioned log-backed table must rewrite ONLY the
+    partitions whose content changes: a 1-key update commits remove/add
+    actions for that key's partition alone, a partition emptied by
+    delete-if-absent gets removes with no adds, untouched partitions'
+    add actions (file paths) survive verbatim, and state + time travel
+    match the whole-table semantics."""
+    t = str(tmp_path / "pstab")
+    rows = [(i, f"v{i}", f"p{i % 10}") for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, v string, part string")
+    assert (
+        delta_log.upsert_delta_log(
+            spark, df, t, keys=["id"], partition_by=["part"]
+        )
+        == 0
+    )
+    files_v0 = dict(delta_log.resolve_snapshot(t)["files"])
+
+    # source = full snapshot with id=3 (partition p3) changed and both
+    # p5 rows (ids 5, 15) omitted → p3 is an update, p5 a pure delete
+    src_rows = [
+        (i, "CHANGED" if i == 3 else f"v{i}", f"p{i % 10}")
+        for i in range(20)
+        if i % 10 != 5
+    ]
+    src = spark.createDataFrame(src_rows, "id long, v string, part string")
+    v1 = delta_log.upsert_delta_log(spark, src, t, keys=["id"])
+    assert v1 == 1
+
+    actions = _log_actions(t, v1)
+    removed = [a["remove"] for a in actions if "remove" in a]
+    added = [a["add"] for a in actions if "add" in a]
+    rm_parts = {r["path"].split("/")[0] for r in removed}
+    assert rm_parts == {"part=p3", "part=p5"}
+    assert {a["partitionValues"]["part"] for a in added} == {"p3"}
+
+    got = {
+        (r.id, r.v, r.part)
+        for r in delta_log.read_delta(spark, t).collect()
+    }
+    assert got == set(src_rows)
+    # untouched partitions keep their exact v0 files
+    files_v1 = delta_log.resolve_snapshot(t)["files"]
+    for rel in files_v0:
+        if not rel.startswith(("part=p3/", "part=p5/")):
+            assert rel in files_v1
+    # time travel to the pre-merge snapshot still works
+    got0 = {
+        (r.id, r.v, r.part)
+        for r in delta_log.read_delta(spark, t, version_as_of=0).collect()
+    }
+    assert got0 == set(rows)
+
+    # no-change merge: version advances, but zero file actions
+    v2 = delta_log.upsert_delta_log(spark, src, t, keys=["id"])
+    assert v2 == 2
+    actions2 = _log_actions(t, v2)
+    assert not any("remove" in a or "add" in a for a in actions2)
+    assert {
+        (r.id, r.v, r.part)
+        for r in delta_log.read_delta(spark, t).collect()
+    } == set(src_rows)
+
+    # declared partitioning must match the table's
+    with pytest.raises(ValueError):
+        delta_log.upsert_delta_log(
+            spark, src, t, keys=["id"], partition_by=["id"]
+        )
+
+
+def test_upsert_partition_scoped_key_moves_partition(spark, tmp_path):
+    """A row whose partition-column value changes moves between
+    directories: the merge must rewrite BOTH the old and new
+    partition."""
+    t = str(tmp_path / "pmtab")
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y"), (3, "c", "z")],
+        "id long, v string, part string",
+    )
+    delta_log.upsert_delta_log(spark, df, t, keys=["id"], partition_by=["part"])
+    src = spark.createDataFrame(
+        [(1, "a", "y"), (2, "b", "y"), (3, "c", "z")],
+        "id long, v string, part string",
+    )
+    v1 = delta_log.upsert_delta_log(spark, src, t, keys=["id"])
+    actions = _log_actions(t, v1)
+    rm_parts = {
+        a["remove"]["path"].split("/")[0] for a in actions if "remove" in a
+    }
+    add_parts = {
+        a["add"]["partitionValues"]["part"] for a in actions if "add" in a
+    }
+    assert rm_parts == {"part=x", "part=y"}
+    assert add_parts == {"y"}  # x emptied, y rewritten with both rows
+    got = {
+        (r.id, r.v, r.part)
+        for r in delta_log.read_delta(spark, t).collect()
+    }
+    assert got == {(1, "a", "y"), (2, "b", "y"), (3, "c", "z")}
+
+
 def test_upsert_delta_log_matches_dict_model(spark, tmp_path):
     """Model-based check: a sequence of log-backed MERGEs must equal
     folding the same batches into a plain dict (source wins on matched
