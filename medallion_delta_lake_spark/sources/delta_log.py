@@ -162,8 +162,59 @@ def resolve_snapshot(path: str, version_as_of: int | None = None) -> dict:
     return {"version": target, "meta": state["meta"], "files": state["files"]}
 
 
+_SKIP_OPS = ("=", "<", "<=", ">", ">=")
+
+
+def _file_can_skip(
+    add: dict, filters: list[tuple], part_cols: list[str]
+) -> bool:
+    """True when the file provably contains NO row satisfying the
+    conjunction of ``filters`` — judged from the add action's
+    partitionValues (equality on partition columns) and its ``stats``
+    min/max/nullCount ranges (real Delta's data-skipping contract:
+    stats are bounds, so only impossibility ever skips; absent or
+    non-comparable stats never do)."""
+    stats = add.get("stats")
+    s = json.loads(stats) if isinstance(stats, str) else (stats or {})
+    minv = s.get("minValues") or {}
+    maxv = s.get("maxValues") or {}
+    nullc = s.get("nullCount") or {}
+    nrec = s.get("numRecords")
+    for col, op, val in filters:
+        if col in part_cols:
+            pv = (add.get("partitionValues") or {}).get(col)
+            if op == "=" and pv is not None and str(val) != pv:
+                return True
+            continue
+        # an all-null column satisfies no comparison
+        if nrec is not None and nullc.get(col) == nrec and nrec > 0:
+            return True
+        lo, hi = minv.get(col), maxv.get(col)
+        if lo is None or hi is None:
+            continue
+        v = _stats_jsonable(val)
+        if v is None:
+            continue
+        try:
+            impossible = (
+                (op == "=" and (v < lo or v > hi))
+                or (op == "<" and lo >= v)
+                or (op == "<=" and lo > v)
+                or (op == ">" and hi <= v)
+                or (op == ">=" and hi < v)
+            )
+        except TypeError:
+            continue
+        if impossible:
+            return True
+    return False
+
+
 def read_delta(
-    spark: SparkSession, path: str, version_as_of: int | None = None
+    spark: SparkSession,
+    path: str,
+    version_as_of: int | None = None,
+    filters: list[tuple] | None = None,
 ) -> DataFrame:
     """Read a Delta table by pure log replay (no delta-spark).
 
@@ -171,7 +222,15 @@ def read_delta(
     (a Spark StructType JSON — public format); partition columns are
     reattached from each file's ``partitionValues`` and cast to their
     declared types, so the result matches what Delta's own reader
-    returns."""
+    returns.
+
+    ``filters`` — an optional conjunction of ``(column, op, value)``
+    triples (op in ``= < <= > >=``) — is applied BOTH as file-level
+    data skipping (files whose logged min/max stats or partitionValues
+    prove the predicate empty are never handed to the scan — Delta's
+    data-skipping behavior) and as an ordinary DataFrame filter, so the
+    result equals read-then-filter while the I/O drops to the
+    surviving files."""
     snap = resolve_snapshot(path, version_as_of)
     meta = snap["meta"]
     if meta is None:
@@ -179,12 +238,34 @@ def read_delta(
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = meta.get("partitionColumns") or []
     files = snap["files"]
+    if filters:
+        for f in filters:
+            if len(f) != 3 or f[1] not in _SKIP_OPS:
+                raise ValueError(f"bad filter triple: {f!r}")
+        files = {
+            rel: add
+            for rel, add in files.items()
+            if not _file_can_skip(add, filters, part_cols)
+        }
+
+    def _with_filters(df: DataFrame) -> DataFrame:
+        for col, op, val in filters or []:
+            ops = {
+                "=": F.col(col) == F.lit(val),
+                "<": F.col(col) < F.lit(val),
+                "<=": F.col(col) <= F.lit(val),
+                ">": F.col(col) > F.lit(val),
+                ">=": F.col(col) >= F.lit(val),
+            }
+            df = df.filter(ops[op])
+        return df
+
     if not files:
-        return spark.createDataFrame([], schema)
+        return _with_filters(spark.createDataFrame([], schema))
 
     if not part_cols:
         paths = [os.path.join(path, p) for p in files]
-        return spark.read.schema(schema).parquet(*paths)
+        return _with_filters(spark.read.schema(schema).parquet(*paths))
 
     # group files by partition tuple; one read per distinct tuple with
     # the partition literals reattached at their declared types
@@ -206,7 +287,7 @@ def read_delta(
             ).cast(types[c]).alias(c)
             df = df.withColumn(c, lit)
         frames.append(df.select(*[f.name for f in schema.fields]))
-    return reduce(DataFrame.unionByName, frames)
+    return _with_filters(reduce(DataFrame.unionByName, frames))
 
 
 def _list_versions(log: str) -> list[int]:
@@ -227,6 +308,73 @@ def _rel_partition_values(rel: str, part_cols: list[str]) -> dict:
             if k in part_cols:
                 vals[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else v
     return vals
+
+
+def _stats_jsonable(v):
+    """Stats values in a form JSON can carry and whose natural ordering
+    matches the column's (ISO dates/timestamps sort chronologically,
+    numbers numerically); None for types we won't compare."""
+    import datetime
+    import decimal
+
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat(sep=" ") if isinstance(
+            v, datetime.datetime
+        ) else v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, (int, float, str, bool)):
+        return v
+    return None
+
+
+def _parquet_file_stats(fpath: str) -> str | None:
+    """Per-file column statistics in real Delta's ``add.stats`` JSON
+    shape (numRecords / minValues / maxValues / nullCount), read from
+    the parquet footer — metadata pages only, no data I/O. At cluster
+    scale these would be collected from the write tasks; footer reads
+    are the same O(files) driver metadata cost as the commit itself."""
+    import pyarrow.parquet as pq
+
+    try:
+        md = pq.ParquetFile(fpath).metadata
+    except Exception:
+        return None
+    minv: dict = {}
+    maxv: dict = {}
+    nullc: dict = {}
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            name = col.path_in_schema
+            if "." in name:  # nested leaves: top-level stats only
+                continue
+            st = col.statistics
+            if st is None:
+                continue
+            if st.has_null_count:
+                nullc[name] = nullc.get(name, 0) + st.null_count
+            if st.has_min_max:
+                mn = _stats_jsonable(st.min)
+                mx = _stats_jsonable(st.max)
+                if mn is None or mx is None:
+                    continue
+                minv[name] = mn if name not in minv else min(minv[name], mn)
+                maxv[name] = mx if name not in maxv else max(maxv[name], mx)
+    return json.dumps(
+        {
+            "numRecords": md.num_rows,
+            "minValues": minv,
+            "maxValues": maxv,
+            "nullCount": nullc,
+        }
+    )
 
 
 def _stage_data_files(
@@ -259,19 +407,19 @@ def _stage_data_files(
             src = os.path.join(root, name)
             rel = os.path.join(relbase, uniq) if relbase else uniq
             os.replace(src, os.path.join(path, rel))
-            adds.append(
-                {
-                    "add": {
-                        "path": rel.replace(os.sep, "/"),
-                        "partitionValues": _rel_partition_values(
-                            rel, partition_by
-                        ),
-                        "size": os.path.getsize(os.path.join(path, rel)),
-                        "modificationTime": now_ms,
-                        "dataChange": True,
-                    }
-                }
-            )
+            add = {
+                "path": rel.replace(os.sep, "/"),
+                "partitionValues": _rel_partition_values(
+                    rel, partition_by
+                ),
+                "size": os.path.getsize(os.path.join(path, rel)),
+                "modificationTime": now_ms,
+                "dataChange": True,
+            }
+            stats = _parquet_file_stats(os.path.join(path, rel))
+            if stats is not None:
+                add["stats"] = stats
+            adds.append({"add": add})
     shutil.rmtree(staging)
     return adds
 

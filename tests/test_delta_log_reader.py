@@ -424,6 +424,49 @@ def _log_actions(table, version):
         return [json.loads(line) for line in fh if line.strip()]
 
 
+def test_write_delta_stats_and_file_skipping(spark, tmp_path):
+    """write_delta must emit real-Delta-shaped per-file stats
+    (numRecords/minValues/maxValues/nullCount) and read_delta must use
+    them: a range predicate whose bounds exclude a file's min/max keeps
+    that file out of the scan entirely (observed via inputFiles), while
+    the returned rows equal read-then-filter."""
+    t = str(tmp_path / "stattab")
+    lo = spark.createDataFrame(
+        [(i, f"a{i}") for i in range(10)], "id long, v string"
+    ).coalesce(1)
+    hi = spark.createDataFrame(
+        [(i, f"b{i}") for i in range(100, 110)], "id long, v string"
+    ).coalesce(1)
+    delta_log.write_delta(spark, lo, t, mode="append")
+    delta_log.write_delta(spark, hi, t, mode="append")
+
+    snap = delta_log.resolve_snapshot(t)
+    stats = [json.loads(a["stats"]) for a in snap["files"].values()]
+    assert {s["numRecords"] for s in stats} == {10}
+    assert {s["minValues"]["id"] for s in stats} == {0, 100}
+    assert {s["maxValues"]["id"] for s in stats} == {9, 109}
+    assert all(s["nullCount"]["id"] == 0 for s in stats)
+
+    full = delta_log.read_delta(spark, t)
+    assert len(full.inputFiles()) == 2
+    pruned = delta_log.read_delta(spark, t, filters=[("id", ">=", 100)])
+    assert len(pruned.inputFiles()) == 1  # lo file skipped via stats
+    assert {r.id for r in pruned.collect()} == set(range(100, 110))
+    # string stats skip too (lexicographic bounds: a* file excluded)
+    vpruned = delta_log.read_delta(spark, t, filters=[("v", "=", "b105")])
+    assert len(vpruned.inputFiles()) == 1
+    assert [r.id for r in vpruned.collect()] == [105]
+    # a predicate excluding every file returns empty without any scan
+    none = delta_log.read_delta(spark, t, filters=[("id", ">", 500)])
+    assert len(none.inputFiles()) == 0
+    assert none.count() == 0
+    # filters compose with time travel and stay correct (bounds only)
+    both = delta_log.read_delta(spark, t, filters=[("id", "<=", 9)])
+    assert {r.id for r in both.collect()} == set(range(10))
+    with pytest.raises(ValueError):
+        delta_log.read_delta(spark, t, filters=[("id", "!=", 1)])
+
+
 def test_upsert_delta_log_partition_scoped_rewrite(spark, tmp_path):
     """MERGE on a partitioned log-backed table must rewrite ONLY the
     partitions whose content changes: a 1-key update commits remove/add
