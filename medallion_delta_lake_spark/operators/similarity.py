@@ -97,12 +97,16 @@ def brute_force_topk(
 
 
 def hyperplane_bucket(
-    vec: Column, n_planes: int, dims: int
+    vec: Column, n_planes: int, dims: int, plane_offset: int = 0
 ) -> Column:
-    """Random-hyperplane LSH bucket id: bit p = 1 iff dot(w_p, v) ≥ 0."""
+    """Random-hyperplane LSH bucket id: bit p = 1 iff dot(w_p, v) ≥ 0.
+    ``plane_offset`` selects an independent plane family (used to
+    re-split oversized buckets with fresh hyperplanes)."""
     bucket = F.lit(0).cast("bigint")
     for p in range(n_planes):
-        w = F.array(*[F.lit(float(x)) for x in hyperplane(p, dims)])
+        w = F.array(
+            *[F.lit(float(x)) for x in hyperplane(p + plane_offset, dims)]
+        )
         bucket = bucket + F.when(
             dot(w, vec) >= 0.0, F.lit(2**p).cast("bigint")
         ).otherwise(0)
@@ -421,6 +425,89 @@ def kmeans_centroids(
     return centroids
 
 
+def _self_candidates(
+    corpus: DataFrame,
+    n_planes: int,
+    dims: int,
+    id_col: str,
+    vec_col: str,
+    max_bucket: int | None,
+    refine_planes: int,
+) -> DataFrame:
+    """Scored same-bucket candidate pairs for :func:`ann_self_topk`,
+    with the hot-bucket guard applied. Split out so tests can assert
+    the candidate-volume bound directly."""
+    b = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        hyperplane_bucket(F.col(vec_col), n_planes, dims).alias("bucket"),
+    )
+    if max_bucket is not None:
+        # 1) re-split oversized buckets with an independent plane
+        #    family: genuinely-diverse hot buckets (hash collisions)
+        #    scatter across 2^refine_planes sub-buckets. The counts
+        #    table is ≤ one row per occupied bucket — broadcast.
+        counts = b.groupBy("bucket").agg(F.count("*").alias("_bc"))
+        b = b.join(F.broadcast(counts), "bucket")
+        if refine_planes:
+            # adaptive split width: a bucket of size c needs only
+            # ceil(log2(c / cap)) secondary bits to land sub-buckets
+            # near the cap — using all refine_planes bits would
+            # shatter a 2·cap bucket into 2^refine_planes slivers and
+            # destroy recall for no volume gain.
+            need_bits = F.least(
+                F.lit(refine_planes),
+                F.ceil(F.log2(F.col("_bc") / F.lit(max_bucket))),
+            ).cast("int")
+            sub = hyperplane_bucket(
+                F.col(vec_col), refine_planes, dims, plane_offset=n_planes
+            ).bitwiseAND(
+                F.pow(F.lit(2.0), need_bits).cast("bigint") - 1
+            )
+            b = b.withColumn(
+                "bucket",
+                F.when(
+                    F.col("_bc") > max_bucket,
+                    F.col("bucket")
+                    + (sub + 1) * F.lit(2**n_planes).cast("bigint"),
+                ).otherwise(F.col("bucket")),
+            )
+        # 2) hard cap: near-duplicate-heavy corpora (exactly the ones
+        #    you dedup) collapse into few buckets that NO plane family
+        #    can split — truncate the corpus side of each final bucket
+        #    to a deterministic hash-ranked max_bucket rows, so
+        #    candidate volume is ≤ max_bucket·N instead of Σ|bucket|².
+        #    The query side keeps every row: each vector still gets
+        #    neighbors, drawn from a stable subset of its bucket (the
+        #    same posting-list idea as dedup's max_df shingle cap).
+        b = b.drop("_bc")
+    b = tracked_cache(b)
+    right = b
+    if max_bucket is not None:
+        wb = Window.partitionBy("bucket").orderBy(
+            F.xxhash64(F.col(id_col)), F.col(id_col)
+        )
+        right = (
+            b.withColumn("_r", F.row_number().over(wb))
+            .filter(F.col("_r") <= max_bucket)
+            .drop("_r")
+        )
+    left = b.select(
+        "bucket",
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+    )
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            id_col,
+            cosine(F.col("_qv"), F.col(vec_col)).alias("cosine"),
+        )
+    )
+
+
 def ann_self_topk(
     corpus: DataFrame,
     k: int = 5,
@@ -428,6 +515,8 @@ def ann_self_topk(
     dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = 1024,
+    refine_planes: int = 6,
 ) -> DataFrame:
     """Approximate k-NN SELF-join: top-k same-bucket neighbors for
     EVERY corpus vector (the kNN-graph builder behind near-dup
@@ -437,31 +526,19 @@ def ann_self_topk(
     broadcasts: both sides carry the hyperplane bucket and meet in a
     bucket equi-join (shuffle keyed by bucket — per-bucket locality,
     no cross join), then a per-query ranked window keeps k. Self-match
-    is excluded. At 100 TB this is the only tenable all-pairs shape:
-    candidate volume is Σ_b |bucket_b|², bounded by the bucketing, not
-    N²."""
-    b = tracked_cache(
-        corpus.select(
-            F.col(id_col),
-            F.col(vec_col),
-            hyperplane_bucket(F.col(vec_col), n_planes, dims).alias(
-                "bucket"
-            ),
-        )
-    )
-    left = b.select(
-        "bucket",
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qv"),
-    )
-    scored = (
-        left.join(b, "bucket")
-        .filter(F.col("query_id") != F.col(id_col))
-        .select(
-            "query_id",
-            id_col,
-            cosine(F.col("_qv"), F.col(vec_col)).alias("cosine"),
-        )
+    is excluded.
+
+    Hot-bucket guard (on by default): buckets larger than
+    ``max_bucket`` are first re-split with ``refine_planes`` fresh
+    hyperplanes, then the corpus side of any bucket still over the cap
+    is truncated to a deterministic hash-ranked ``max_bucket`` rows.
+    Candidate volume is therefore ≤ ``max_bucket``·N — one skewed
+    bucket (near-duplicate-heavy corpora collapse into few buckets)
+    can no longer recreate the N² blowup Σ|bucket|² allows. Every
+    query row survives the guard; only its candidate pool is bounded.
+    ``max_bucket=None`` restores the unguarded join."""
+    scored = _self_candidates(
+        corpus, n_planes, dims, id_col, vec_col, max_bucket, refine_planes
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
