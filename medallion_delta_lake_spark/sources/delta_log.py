@@ -15,10 +15,21 @@ top of them. operators/upsert.py remains the default engine path
 (native MERGE when delta-spark is importable, else the
 parquet-snapshot fallback with identical semantics).
 
-Scope honesty: reader protocol 1 tables (plus feature-gated protocol 3
-whose readerFeatures are all supported). Column mapping and deletion
-vectors change file-data interpretation and are NOT implemented — the
-reader raises instead of silently returning wrong rows.
+Scope honesty: reader protocol 1-2 tables (plus feature-gated
+protocol 3 whose readerFeatures are all supported). Column mapping in
+``name`` mode is supported (physical→logical rename per the
+``delta.columnMapping.physicalName`` field metadata); ``id`` mode and
+deletion vectors change file-data interpretation in ways this reader
+does not implement — it raises instead of silently returning wrong
+rows.
+
+Concurrency: commits use O_EXCL put-if-absent, so two writers can
+never clobber one version. Pure appends retry on a lost race (their
+add actions are valid against any snapshot); overwrites and merges
+computed their actions against a snapshot that a concurrent commit
+invalidates, so they raise :class:`DeltaConcurrentWriteError` instead
+of silently dropping the other writer's rows — the same contract as
+Delta's ConcurrentModificationException family.
 
 Scale notes: the log replay is driver-side metadata work — O(actions
 since checkpoint), the same shape delta-rs and Delta's own Spark reader
@@ -38,14 +49,29 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 _UNSUPPORTED_READER_FEATURES = {"columnMapping", "deletionVectors", "v2Checkpoint"}
 
 
 class DeltaProtocolError(NotImplementedError):
     """The table uses a reader feature this minimal reader must not
-    silently misread (column mapping, deletion vectors, ...)."""
+    silently misread (id-mode column mapping, deletion vectors, ...)."""
+
+
+class DeltaConcurrentWriteError(RuntimeError):
+    """A concurrent commit landed between this transaction's snapshot
+    read and its commit attempt; retrying would silently drop the
+    other writer's changes, so the caller must re-read and re-apply
+    (Delta's ConcurrentModificationException contract)."""
+
+
+class DeltaSchemaMismatchError(ValueError):
+    """The DataFrame's schema or partitioning does not match the
+    table's committed metaData; writing it anyway would null-fill or
+    misread columns on the read path. Pass ``overwrite_schema=True``
+    with ``mode="overwrite"`` to evolve the table's metaData
+    deliberately (Delta's overwriteSchema contract)."""
 
 
 def _log_dir(path: str) -> str:
@@ -76,10 +102,30 @@ def _check_metadata(meta: dict) -> None:
     mode = (meta.get("configuration") or {}).get(
         "delta.columnMapping.mode", "none"
     )
-    if mode != "none":
+    if mode not in ("none", "name"):
+        # id mode resolves columns by parquet field id, which the
+        # name-keyed parquet scan below would misread
         raise DeltaProtocolError(
             f"delta.columnMapping.mode={mode} is not supported"
         )
+
+
+def _column_mapping(meta: dict, schema: StructType) -> dict[str, str]:
+    """logical name → physical name, from the schemaString's
+    ``delta.columnMapping.physicalName`` field metadata (only when the
+    table's columnMapping mode is ``name``; empty dict otherwise —
+    callers treat missing entries as identity)."""
+    mode = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    if mode != "name":
+        return {}
+    out = {}
+    for field in schema.fields:
+        phys = (field.metadata or {}).get("delta.columnMapping.physicalName")
+        if phys:
+            out[field.name] = phys
+    return out
 
 
 def _apply_action(state: dict, action: dict) -> None:
@@ -237,15 +283,20 @@ def read_delta(
         raise DeltaProtocolError("log contains no metaData action")
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = meta.get("partitionColumns") or []
+    mapping = _column_mapping(meta, schema)  # logical → physical
+    phys = lambda c: mapping.get(c, c)  # noqa: E731
     files = snap["files"]
     if filters:
         for f in filters:
             if len(f) != 3 or f[1] not in _SKIP_OPS:
                 raise ValueError(f"bad filter triple: {f!r}")
+        # stats and partitionValues are keyed by PHYSICAL names
+        phys_filters = [(phys(c), op, v) for c, op, v in filters]
+        phys_parts = [phys(c) for c in part_cols]
         files = {
             rel: add
             for rel, add in files.items()
-            if not _file_can_skip(add, filters, part_cols)
+            if not _file_can_skip(add, phys_filters, phys_parts)
         }
 
     def _with_filters(df: DataFrame) -> DataFrame:
@@ -260,33 +311,66 @@ def read_delta(
             df = df.filter(ops[op])
         return df
 
+    # strip field metadata (Spark would otherwise carry the column-
+    # mapping annotations into downstream schemas)
+    clean_schema = StructType(
+        [
+            StructField(f.name, f.dataType, f.nullable)
+            for f in schema.fields
+        ]
+    )
     if not files:
-        return _with_filters(spark.createDataFrame([], schema))
+        return _with_filters(spark.createDataFrame([], clean_schema))
+
+    def _rename_to_logical(df: DataFrame) -> DataFrame:
+        if not mapping:
+            return df
+        inv = {p: l for l, p in mapping.items()}
+        return df.select(
+            *[F.col(c).alias(inv.get(c, c)) for c in df.columns]
+        )
 
     if not part_cols:
+        # name-mode column mapping: data files carry PHYSICAL names
+        read_schema = StructType(
+            [
+                StructField(phys(f.name), f.dataType, f.nullable)
+                for f in clean_schema.fields
+            ]
+        )
         paths = [os.path.join(path, p) for p in files]
-        return _with_filters(spark.read.schema(schema).parquet(*paths))
+        return _with_filters(
+            _rename_to_logical(spark.read.schema(read_schema).parquet(*paths))
+        )
 
     # group files by partition tuple; one read per distinct tuple with
     # the partition literals reattached at their declared types
     by_part: dict[tuple, list[str]] = {}
     for rel, add in files.items():
         pv = add.get("partitionValues") or {}
-        key = tuple(pv.get(c) for c in part_cols)
+        key = tuple(
+            pv.get(phys(c), pv.get(c)) for c in part_cols
+        )
         by_part.setdefault(key, []).append(os.path.join(path, rel))
     data_schema = StructType(
-        [f for f in schema.fields if f.name not in part_cols]
+        [
+            StructField(phys(f.name), f.dataType, f.nullable)
+            for f in clean_schema.fields
+            if f.name not in part_cols
+        ]
     )
-    types = {f.name: f.dataType for f in schema.fields}
+    types = {f.name: f.dataType for f in clean_schema.fields}
     frames = []
-    for key, paths in sorted(by_part.items()):
-        df = spark.read.schema(data_schema).parquet(*paths)
+    for key, paths in sorted(
+        by_part.items(), key=lambda kv: tuple(map(str, kv[0]))
+    ):
+        df = _rename_to_logical(spark.read.schema(data_schema).parquet(*paths))
         for c, v in zip(part_cols, key):
             lit = (
                 F.lit(None) if v is None else F.lit(v)
             ).cast(types[c]).alias(c)
             df = df.withColumn(c, lit)
-        frames.append(df.select(*[f.name for f in schema.fields]))
+        frames.append(df.select(*[f.name for f in clean_schema.fields]))
     return _with_filters(reduce(DataFrame.unionByName, frames))
 
 
@@ -424,26 +508,76 @@ def _stage_data_files(
     return adds
 
 
-def _commit_version(path: str, build_actions) -> int:
+def _commit_version(
+    path: str, build_actions, read_version: int | None = None
+) -> int:
     """O_EXCL put-if-absent commit loop: pick the next version, ask
-    ``build_actions(version)`` for the action list (so a retry after a
-    lost race can re-resolve against the newly-committed state), and
-    atomically create the commit file. Returns the committed version."""
+    ``build_actions(version)`` for the action list, and atomically
+    create the commit file. Returns the committed version.
+
+    ``read_version`` carries the snapshot version the transaction's
+    actions were computed against. When None (pure appends — valid
+    against ANY snapshot), a lost race re-resolves and retries the
+    next version. When set (overwrite / MERGE — the remove set and the
+    merged data both came from that snapshot), a concurrent commit
+    landing first means our actions would erase the other writer's
+    changes, so :class:`DeltaConcurrentWriteError` is raised instead —
+    Delta's own conflict-detection contract."""
     log = os.path.join(path, "_delta_log")
     os.makedirs(log, exist_ok=True)
     while True:
         versions = _list_versions(log)
         version = (versions[-1] + 1) if versions else 0
+        if read_version is not None and version != read_version + 1:
+            raise DeltaConcurrentWriteError(
+                f"table at {path} advanced to version {version - 1} "
+                f"after this transaction read version {read_version}; "
+                "re-read and re-apply"
+            )
         actions = build_actions(version)
         commit = os.path.join(log, f"{version:020d}.json")
         try:
             fd = os.open(commit, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
-            continue  # lost the race: re-resolve and retry next version
+            if read_version is not None:
+                raise DeltaConcurrentWriteError(
+                    f"concurrent commit won version {version} at {path} "
+                    "during a non-append transaction; re-read and re-apply"
+                ) from None
+            continue  # append lost the race: re-resolve, retry next version
         with os.fdopen(fd, "w") as fh:
             for a in actions:
                 fh.write(json.dumps(a) + "\n")
         return version
+
+
+def _validate_against_meta(
+    df: DataFrame, meta: dict, partition_by: list[str], path: str
+) -> None:
+    """Reject writes whose schema or partitioning diverges from the
+    table's committed metaData: read_delta trusts the log's
+    schemaString, so a silent mismatch would null-fill drifted columns
+    or leave new partition columns unreattached (ADVICE r5). Name→type
+    equality, order-insensitive (the parquet scan resolves by name);
+    nullability is not load-bearing for the read path."""
+    committed = StructType.fromJson(json.loads(meta["schemaString"]))
+    want = {f.name: f.dataType.simpleString() for f in committed.fields}
+    have = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    if want != have:
+        drift = sorted(
+            set(want.items()) ^ set(have.items()), key=lambda kv: kv[0]
+        )
+        raise DeltaSchemaMismatchError(
+            f"schema drift vs table at {path}: {drift}; use "
+            "mode='overwrite' with overwrite_schema=True to evolve"
+        )
+    committed_parts = meta.get("partitionColumns") or []
+    if list(partition_by) != committed_parts:
+        raise DeltaSchemaMismatchError(
+            f"table at {path} is partitioned by {committed_parts}, "
+            f"not {list(partition_by)}; use mode='overwrite' with "
+            "overwrite_schema=True to repartition"
+        )
 
 
 def write_delta(
@@ -452,6 +586,8 @@ def write_delta(
     path: str,
     mode: str = "append",
     partition_by: list[str] | None = None,
+    overwrite_schema: bool = False,
+    _expect_version: int | None = None,
 ) -> int:
     """Write ``df`` to ``path`` as a REAL Delta table — data files plus
     a spec-conformant transaction-log commit — without delta-spark.
@@ -479,10 +615,31 @@ def write_delta(
 
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unsupported mode: {mode}")
+
+    snap = resolve_snapshot(path) if is_delta_table(path) else None
+    if (
+        snap is not None
+        and _expect_version is not None
+        and snap["version"] != _expect_version
+    ):
+        raise DeltaConcurrentWriteError(
+            f"table at {path} advanced to version {snap['version']} "
+            f"after the caller read version {_expect_version}; "
+            "re-read and re-apply"
+        )
+    if snap is not None and snap["meta"] is not None:
+        committed_parts = snap["meta"].get("partitionColumns") or []
+        if partition_by is None:
+            partition_by = committed_parts  # inherit, like Delta itself
+        if not (mode == "overwrite" and overwrite_schema):
+            _validate_against_meta(
+                df, snap["meta"], list(partition_by), path
+            )
     partition_by = list(partition_by or [])
     os.makedirs(path, exist_ok=True)
     now_ms = int(_time.time() * 1000)
     adds = _stage_data_files(df, path, partition_by, now_ms)
+    evolve = snap is not None and mode == "overwrite" and overwrite_schema
 
     def build(version: int) -> list[dict]:
         actions: list[dict] = []
@@ -509,6 +666,13 @@ def write_delta(
             )
         elif mode == "overwrite":
             prior = resolve_snapshot(path, version_as_of=version - 1)
+            if evolve:
+                # re-commit metaData: same table id, evolved schema /
+                # partitioning (Delta's overwriteSchema behavior)
+                new_meta = dict(prior["meta"] or {})
+                new_meta["schemaString"] = df.schema.json()
+                new_meta["partitionColumns"] = partition_by
+                actions.append({"metaData": new_meta})
             actions.extend(
                 {
                     "remove": {
@@ -522,7 +686,12 @@ def write_delta(
         actions.extend(adds)
         return actions
 
-    return _commit_version(path, build)
+    # overwrites computed their remove set (and callers their data)
+    # against `snap`; appends are snapshot-independent and may retry
+    read_version = (
+        snap["version"] if (snap is not None and mode == "overwrite") else None
+    )
+    return _commit_version(path, build, read_version=read_version)
 
 
 def _touched_partitions(
@@ -672,7 +841,13 @@ def upsert_delta_log(
     target = read_delta(spark, path)
     state = upsert_mod.merge_state(target, src, keys, delete_missing)
     if not part_cols:
-        return write_delta(spark, state, path, mode="overwrite")
+        return write_delta(
+            spark,
+            state,
+            path,
+            mode="overwrite",
+            _expect_version=snap["version"],
+        )
 
     touched = _touched_partitions(
         target, src, keys, part_cols, delete_missing
@@ -720,7 +895,9 @@ def upsert_delta_log(
         }
         return removes + adds + [info]
 
-    return _commit_version(path, build)
+    # the merged state was computed against `snap`; a concurrent
+    # commit in between must raise, not be silently overwritten
+    return _commit_version(path, build, read_version=snap["version"])
 
 
 def write_checkpoint(path: str) -> int:
@@ -765,13 +942,24 @@ def write_checkpoint(path: str) -> int:
     return version
 
 
-def vacuum(path: str, keep_versions: int = 1) -> list[str]:
+def vacuum(
+    path: str, keep_versions: int = 1, staging_ttl_s: float = 24 * 3600
+) -> list[str]:
     """Delete data files no longer referenced by the last
-    ``keep_versions`` snapshots (the GC step; uncommitted orphans from
-    crashed writes go too). Time travel further back than
-    ``keep_versions`` stops working — exactly Delta's own vacuum
-    trade-off, expressed in versions instead of hours so tests are
-    deterministic. Returns the deleted relative paths."""
+    ``keep_versions`` snapshots (the GC step). Time travel further
+    back than ``keep_versions`` stops working — exactly Delta's own
+    vacuum trade-off, expressed in versions instead of hours so tests
+    are deterministic. Returns the deleted relative paths.
+
+    ``_staging_*`` directories left by crashed writes are removed once
+    older than ``staging_ttl_s`` (mtime-judged) — young ones may
+    belong to an in-flight writer mid-stage. Like Delta's own VACUUM,
+    this must not run concurrently with active writers: a writer's
+    moved-but-not-yet-committed files are unreferenced by any snapshot
+    and would be collected."""
+    import shutil
+    import time as _time
+
     log = _log_dir(path)
     versions = _list_versions(log)
     if not versions:
@@ -782,6 +970,22 @@ def vacuum(path: str, keep_versions: int = 1) -> list[str]:
         if v >= keep_from:
             referenced |= set(resolve_snapshot(path, version_as_of=v)["files"])
     deleted = []
+    now = _time.time()
+    for entry in os.listdir(path):
+        full = os.path.join(path, entry)
+        if (
+            entry.startswith("_staging_")
+            and os.path.isdir(full)
+            and now - os.path.getmtime(full) > staging_ttl_s
+        ):
+            for root, _dirs, names in os.walk(full):
+                for name in names:
+                    if name.endswith(".parquet"):
+                        rel = os.path.relpath(
+                            os.path.join(root, name), path
+                        ).replace(os.sep, "/")
+                        deleted.append(rel)
+            shutil.rmtree(full)
     for root, _dirs, names in os.walk(path):
         if os.path.basename(root) == "_delta_log" or "_staging_" in root:
             continue

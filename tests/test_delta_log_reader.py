@@ -196,16 +196,95 @@ def test_unsupported_features_raise_not_misread(spark, tmp_path):
     with pytest.raises(delta_log.DeltaProtocolError):
         delta_log.read_delta(spark, t)
 
+    # id-mode column mapping resolves columns by parquet field id —
+    # a name-keyed scan would misread, so the reader must refuse
     t2 = str(tmp_path / "utab2")
     _write_parquet(spark, [(1, "a")], os.path.join(t2, "f0.parquet"))
     meta = _meta()
-    meta["metaData"]["configuration"] = {"delta.columnMapping.mode": "name"}
+    meta["metaData"]["configuration"] = {"delta.columnMapping.mode": "id"}
     _commit(t2, 0, [PROTO, meta, {"add": {
         "path": "f0.parquet", "partitionValues": {}, "size": 1,
         "modificationTime": 0, "dataChange": True,
     }}])
     with pytest.raises(delta_log.DeltaProtocolError):
         delta_log.read_delta(spark, t2)
+
+
+def _mapped_meta(partition_cols=()):
+    """metaData for a name-mode column-mapped table: logical names id/v
+    in the schemaString, physical names col-xid / col-xv in the field
+    metadata (the shape delta-spark writes per PROTOCOL.md §column-mapping)."""
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-xid"}},
+            {"name": "v", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-xv"}},
+        ],
+    }
+    return {
+        "metaData": {
+            "id": "00000000-0000-0000-0000-000000000001",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema),
+            "partitionColumns": list(partition_cols),
+            "configuration": {"delta.columnMapping.mode": "name"},
+        }
+    }
+
+
+def test_column_mapping_name_mode_read(spark, tmp_path):
+    """A name-mode column-mapped table (physical column names in the
+    data files, logical names in the schemaString) reads back with
+    LOGICAL column names and correct values."""
+    t = str(tmp_path / "mapped")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "`col-xid` long, `col-xv` string"
+    ).coalesce(1).write.mode("overwrite").parquet(t + "__tmp")
+    part = next(
+        f for f in os.listdir(t + "__tmp") if f.endswith(".parquet")
+    )
+    os.makedirs(t, exist_ok=True)
+    os.replace(os.path.join(t + "__tmp", part), os.path.join(t, "f0.parquet"))
+    _commit(t, 0, [PROTO, _mapped_meta(), {"add": {
+        "path": "f0.parquet", "partitionValues": {}, "size": 1,
+        "modificationTime": 0, "dataChange": True,
+    }}])
+    df = delta_log.read_delta(spark, t)
+    assert df.columns == ["id", "v"]
+    assert {(r.id, r.v) for r in df.collect()} == {(1, "a"), (2, "b")}
+    # file skipping with logical-name filters translates to the
+    # physical stats keys; result equality is the contract
+    got = delta_log.read_delta(spark, t, filters=[("id", "=", 2)])
+    assert [(r.id, r.v) for r in got.collect()] == [(2, "b")]
+
+
+def test_column_mapping_name_mode_partitioned(spark, tmp_path):
+    """Partitioned name-mode table: partitionValues are keyed by the
+    PHYSICAL name; the reader reattaches the logical column."""
+    t = str(tmp_path / "mappedp")
+    spark.createDataFrame(
+        [("a",)], "`col-xv` string"
+    ).coalesce(1).write.mode("overwrite").parquet(t + "__tmp")
+    part = next(
+        f for f in os.listdir(t + "__tmp") if f.endswith(".parquet")
+    )
+    os.makedirs(os.path.join(t, "col-xid=1"), exist_ok=True)
+    os.replace(
+        os.path.join(t + "__tmp", part),
+        os.path.join(t, "col-xid=1", "f0.parquet"),
+    )
+    _commit(t, 0, [PROTO, _mapped_meta(partition_cols=["id"]), {"add": {
+        "path": "col-xid=1/f0.parquet",
+        "partitionValues": {"col-xid": "1"}, "size": 1,
+        "modificationTime": 0, "dataChange": True,
+    }}])
+    df = delta_log.read_delta(spark, t)
+    assert sorted(df.columns) == ["id", "v"]
+    assert [(r.id, r.v) for r in df.collect()] == [(1, "a")]
 
 
 def test_write_delta_roundtrip_append_overwrite(spark, tmp_path):
@@ -619,3 +698,148 @@ def test_upsert_delta_log_matches_dict_model(spark, tmp_path):
             assert got == set(snap_model.items())
 
     run()
+
+
+def test_write_delta_rejects_schema_and_partition_drift(spark, tmp_path):
+    """Appends/overwrites whose schema or partitioning diverges from
+    the committed metaData raise instead of silently corrupting the
+    read path; overwrite_schema=True evolves the metaData (ADVICE r5)."""
+    t = str(tmp_path / "drift")
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    delta_log.write_delta(spark, df, t)
+
+    # column type drift
+    bad_type = spark.createDataFrame([(1, 2)], "id long, v long")
+    with pytest.raises(delta_log.DeltaSchemaMismatchError):
+        delta_log.write_delta(spark, bad_type, t, mode="append")
+    # extra column
+    wide = spark.createDataFrame([(1, "a", 0.5)], "id long, v string, w double")
+    with pytest.raises(delta_log.DeltaSchemaMismatchError):
+        delta_log.write_delta(spark, wide, t, mode="append")
+    # partitioning drift on a matching schema
+    with pytest.raises(delta_log.DeltaSchemaMismatchError):
+        delta_log.write_delta(
+            spark, df, t, mode="append", partition_by=["v"]
+        )
+    # overwrite without overwrite_schema: same rejection
+    with pytest.raises(delta_log.DeltaSchemaMismatchError):
+        delta_log.write_delta(spark, wide, t, mode="overwrite")
+
+    # deliberate evolution re-commits metaData and reads back evolved
+    v = delta_log.write_delta(
+        spark, wide, t, mode="overwrite", overwrite_schema=True
+    )
+    out = delta_log.read_delta(spark, t)
+    assert sorted(out.columns) == ["id", "v", "w"]
+    assert [(r.id, r.v, r.w) for r in out.collect()] == [(1, "a", 0.5)]
+    # subsequent appends validate against the EVOLVED metaData
+    delta_log.write_delta(
+        spark,
+        spark.createDataFrame([(2, "b", 1.5)], "id long, v string, w double"),
+        t,
+        mode="append",
+    )
+    assert delta_log.read_delta(spark, t).count() == 2
+    # pre-evolution versions still time-travel with the old schema's data
+    old = delta_log.read_delta(spark, t, version_as_of=v - 1)
+    assert [(r.id, r.v) for r in old.collect()] == [(1, "a")]
+
+
+def test_write_delta_append_inherits_partitioning(spark, tmp_path):
+    """An append without partition_by inherits the table's committed
+    partitioning instead of silently writing unpartitioned files."""
+    t = str(tmp_path / "inherit")
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y")], "id long, v string, part string"
+    )
+    delta_log.write_delta(spark, df, t, partition_by=["part"])
+    delta_log.write_delta(
+        spark,
+        spark.createDataFrame([(3, "c", "y")], "id long, v string, part string"),
+        t,
+        mode="append",
+    )
+    snap = delta_log.resolve_snapshot(t)
+    assert all(
+        a["partitionValues"].get("part") in ("x", "y")
+        for a in snap["files"].values()
+    )
+    got = {(r.id, r.part) for r in delta_log.read_delta(spark, t).collect()}
+    assert got == {(1, "x"), (2, "y"), (3, "y")}
+
+
+def test_concurrent_commit_conflict_raises_not_lost_update(spark, tmp_path):
+    """A commit landing between a transaction's snapshot read and its
+    own commit raises DeltaConcurrentWriteError for overwrites and
+    merges (whose actions came from the stale snapshot) — never a
+    silent lost update. Pure appends are snapshot-independent and
+    still succeed."""
+    t = str(tmp_path / "conc")
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    delta_log.write_delta(spark, df, t)
+
+    # simulate a concurrent writer: patch resolve_snapshot so the
+    # transaction reads version 0, then a real append lands before
+    # its commit attempt
+    real_resolve = delta_log.resolve_snapshot
+    state = {"raced": False}
+
+    def racing_resolve(path, version_as_of=None):
+        snap = real_resolve(path, version_as_of)
+        if not state["raced"] and version_as_of is None:
+            state["raced"] = True
+            delta_log.write_delta(
+                spark,
+                spark.createDataFrame([(9, "z")], "id long, v string"),
+                path,
+                mode="append",
+            )
+        return snap
+
+    import unittest.mock as mock
+
+    with mock.patch.object(
+        delta_log, "resolve_snapshot", side_effect=racing_resolve
+    ):
+        with pytest.raises(delta_log.DeltaConcurrentWriteError):
+            delta_log.write_delta(spark, df, t, mode="overwrite")
+    # the concurrent writer's row survived
+    got = {r.id for r in delta_log.read_delta(spark, t).collect()}
+    assert got == {1, 9}
+
+    # merge path: same contract
+    state["raced"] = False
+    with mock.patch.object(
+        delta_log, "resolve_snapshot", side_effect=racing_resolve
+    ):
+        with pytest.raises(delta_log.DeltaConcurrentWriteError):
+            delta_log.upsert_delta_log(
+                spark,
+                spark.createDataFrame([(1, "A")], "id long, v string"),
+                t,
+                keys=["id"],
+            )
+
+
+def test_vacuum_staging_age_gate(spark, tmp_path):
+    """Young _staging_ dirs (possibly an in-flight writer) survive
+    vacuum; stale ones from crashed writes are collected."""
+    t = str(tmp_path / "vtab")
+    delta_log.write_delta(
+        spark, spark.createDataFrame([(1, "a")], "id long, v string"), t
+    )
+    young = os.path.join(t, "_staging_young")
+    stale = os.path.join(t, "_staging_stale")
+    for d in (young, stale):
+        os.makedirs(d)
+        with open(os.path.join(d, "orphan.parquet"), "wb") as fh:
+            fh.write(b"x")
+    past = 1_000_000_000  # well before any TTL window
+    os.utime(stale, (past, past))
+
+    deleted = delta_log.vacuum(t, keep_versions=1)
+    assert os.path.isdir(young)
+    assert not os.path.exists(stale)
+    assert "_staging_stale/orphan.parquet" in deleted
+    # committed data untouched
+    assert delta_log.read_delta(spark, t).count() == 1
