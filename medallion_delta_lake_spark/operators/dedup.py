@@ -447,6 +447,7 @@ def incremental_neardup(
     bands: int = 4,
     fan_out: int | None = None,
     within_batch: bool = False,
+    batch_id: int | None = None,
 ) -> DataFrame:
     """Incremental near-dup detection against a persistent signature
     store (the daily-batch production shape: history is never
@@ -474,7 +475,19 @@ def incremental_neardup(
     The optional within-batch pass is a band-bucket self-join
     (Σ|bucket|² over batch-sized buckets, never N²). Store growth is
     4 narrow rows per surviving doc.
+
+    ``batch_id`` (streaming replay safety): when set, the store is
+    laid out hive-partitioned by ``ingest_batch`` and this call is
+    IDEMPOTENT for that id — the history probe EXCLUDES the batch's
+    own partition (so an at-least-once replay that already appended
+    its signatures doesn't label every doc a duplicate of itself) and
+    the surviving signatures land via partition-directory overwrite
+    rather than blind append (so a replay can't double-write). The
+    labels are deterministic (min matching id), so a replay reproduces
+    byte-identical output.
     """
+    import os as _os
+
     from medallion_delta_lake_spark.sources import writers
 
     new_sigs = tracked_cache(
@@ -485,7 +498,11 @@ def incremental_neardup(
     )
     candidates = []
     if writers.table_exists(spark, store_path):
-        store = spark.read.parquet(store_path).select(
+        store = spark.read.parquet(store_path)
+        if batch_id is not None and "ingest_batch" in store.columns:
+            # partition-pruned: replayed own-batch rows are not history
+            store = store.filter(F.col("ingest_batch") != F.lit(batch_id))
+        store = store.select(
             F.col(id_col).alias("_hist_id"), "band", "band_key"
         )
         candidates.append(
@@ -517,7 +534,13 @@ def incremental_neardup(
     )
     fresh_ids = labeled.filter(F.col("dup_of").isNull()).select(id_col)
     fresh_sigs = new_sigs.join(fresh_ids, id_col, "left_semi")
-    if writers.table_exists(spark, store_path):
+    if batch_id is not None:
+        # idempotent: overwriting the batch's own partition directory
+        # replaces any partial/duplicate output from a failed attempt
+        fresh_sigs.write.mode("overwrite").parquet(
+            _os.path.join(store_path, f"ingest_batch={batch_id}")
+        )
+    elif writers.table_exists(spark, store_path):
         fresh_sigs.write.mode("append").parquet(store_path)
     else:
         fresh_sigs.write.mode("overwrite").parquet(store_path)

@@ -414,6 +414,9 @@ def parse_media_header(b: bytes) -> tuple:
         i = 2
         while i + 9 < len(b) and b[i] == 0xFF:
             marker = b[i + 1]
+            if marker == 0xFF:  # 0xFF fill bytes before a marker (T.81 B.1.1.2)
+                i += 1
+                continue
             if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
                 i += 2
                 continue

@@ -77,13 +77,25 @@ def stream_dedup_ingest(
     the store means HISTORY IS NEVER RE-HASHED: each batch pays one
     hash pass over itself plus a (band, band_key)-keyed equi-join
     probe into the store, so a year of 100 TB ingest costs the same
-    per day on day 365 as on day 1. The file-source checkpoint makes
-    ingestion exactly-once: a re-run with the same checkpoint
-    reprocesses nothing, so the store/corpus can't double-append.
+    per day on day 365 as on day 1.
+
+    Delivery semantics: Structured Streaming's foreachBatch is
+    at-least-once, so the batch function is made IDEMPOTENT on
+    ``batch_id`` — both the signature store and the corpus are laid
+    out hive-partitioned by ``ingest_batch`` and each batch's output
+    lands via partition-directory OVERWRITE, while the history probe
+    excludes the batch's own partition (see
+    :func:`incremental_neardup`'s ``batch_id`` contract). A replay
+    therefore recomputes the same deterministic labels and replaces
+    its own partial output: no self-duplicate drops, no double
+    appends — effectively exactly-once end to end. Corpus readers see
+    an extra ``ingest_batch`` partition column (batch provenance).
     """
+    import os
+
     from medallion_delta_lake_spark.operators import dedup as dedup_mod
 
-    def dedup_batch(batch_df: DataFrame, _batch_id: int) -> None:
+    def dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         from pyspark.sql import functions as F
@@ -98,9 +110,12 @@ def stream_dedup_ingest(
             num_perm=num_perm,
             bands=bands,
             within_batch=True,
+            batch_id=batch_id,
         )
         novel = labeled.filter(F.col("dup_of").isNull()).drop("dup_of")
-        novel.write.mode("append").parquet(corpus_path)
+        novel.write.mode("overwrite").parquet(
+            os.path.join(corpus_path, f"ingest_batch={batch_id}")
+        )
 
     q = (
         sdf.writeStream.foreachBatch(dedup_batch)

@@ -147,3 +147,37 @@ def test_incremental_emb_neardup_within_batch(spark, tmp_path):
         assert r.vec_id in flagged
         assert flagged[r.vec_id] == r.vec_id - 10000
     assert out.filter(F.col("dup_of").isNull()).count() == e.count()
+
+
+def test_incremental_neardup_batch_id_replay_idempotent(spark, tmp_path):
+    """The at-least-once replay contract (ADVICE r5): with batch_id
+    set, a replay whose first attempt already appended its signatures
+    to the store must NOT label the batch's docs as duplicates of
+    themselves, and must not double-write the store — the failure mode
+    that permanently dropped documents under the append-based sink."""
+    store = str(tmp_path / "sig_store_replay")
+    base = _dup_corpus(spark, SF_SMOKE).filter(F.col("doc_id") < 100000)
+
+    out1 = dedup.incremental_neardup(
+        spark, base, store, fan_out=8, within_batch=True, batch_id=0
+    )
+    labels1 = {r.doc_id: r.dup_of for r in out1.collect()}
+    rows1 = spark.read.parquet(store).count()
+
+    # simulated foreachBatch replay: same batch, same id — the store
+    # already holds batch 0's own signatures
+    out2 = dedup.incremental_neardup(
+        spark, base, store, fan_out=8, within_batch=True, batch_id=0
+    )
+    labels2 = {r.doc_id: r.dup_of for r in out2.collect()}
+    assert labels2 == labels1  # deterministic, no self-duplicate drops
+    assert spark.read.parquet(store).count() == rows1  # overwrite, not append
+
+    # a LATER batch still sees batch 0 as history: re-arrivals flagged
+    rearrival = base.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 900000).alias("doc_id"), "text"
+    )
+    out3 = dedup.incremental_neardup(
+        spark, rearrival, store, fan_out=8, within_batch=True, batch_id=1
+    )
+    assert out3.filter(F.col("dup_of").isNull()).count() == 0

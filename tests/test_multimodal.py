@@ -178,6 +178,25 @@ def test_parse_media_header_real_formats():
     assert mm.parse_media_header(b"")[0] == "unknown"
 
 
+def test_parse_media_header_jpeg_fill_bytes():
+    """ITU T.81 B.1.1.2 allows any number of 0xFF fill bytes before a
+    marker; the parser must skip them instead of reading a bogus
+    segment length out of the padding."""
+    import struct
+
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    sof_payload = struct.pack(">BHHB", 8, 480, 640, 3) + bytes(9)
+    padded = (
+        b"\xff\xd8"
+        + b"\xff" * 5  # fill bytes straight after SOI
+        + b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
+        + b"\xff\xff\xff"  # fill bytes between segments
+        + b"\xff\xc0" + struct.pack(">H", len(sof_payload) + 2) + sof_payload
+        + b"\xff\xd9"
+    )
+    assert mm.parse_media_header(padded) == ("jpeg", 640, 480, 3, None, None)
+
+
 def test_media_headers_mapinpandas(spark):
     """The distributed profiling pass decodes mixed-format payloads in
     one Arrow-batched scan."""
