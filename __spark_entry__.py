@@ -50,68 +50,20 @@ def entry(spark: SparkSession) -> DataFrame:
     return _registry.QUERIES["q1-pricing-summary"](spark, "/root/testdata/sf0.001")
 
 
-# Round-5 rotation: the driver checks the first ~50 registered queries
-# per round. Order: (1) the 5 round-4 red rows, all fixed this round —
-# the 3 streaming queries broken by the testdata's TIMESTAMP_NTZ
-# re-encoding (event-time normalization now handles ns-int64 / us-NTZ /
-# us-TZ) and the 2 oracle-dtype artifacts (SUM(...) now CAST AS
-# BIGINT); (2) ops changed/added in round 5; (3) the least-recently-
-# verified ops (last green in CORRECTNESS_r02, computed from the
-# artifacts) so driver evidence stays fresh across the registry.
+# Round-6 rotation: the driver checks the first ~50 registered queries
+# per round. Order: (1) no reds to re-green (CORRECTNESS_r05 = 50/50);
+# (2) ops whose Spark code or oracle changed since the r5 snapshot —
+# dedup-ngram-jaccard / dedup-containment (max_df boilerplate cap now
+# ON by default, oracle models it) and sim-ann-self-topk (hot-bucket
+# guard); (3) least-recently-verified: the 10 r2-green ids that fell
+# off r5's 50-row window, then the r3-green cohort (alphabetical from
+# agg-argmax; the ~9 alphabetical-tail r3 ids spill to round 7).
 _DRIVER_PRIORITY = [
-    # round-4 red, fixed this round
-    "stream-window-agg",
-    "stream-session-agg",
-    "stream-stream-join",
-    "text-repetition-score",
-    "pack-sequences",
-    # round-5 added ops
-    "text-decontaminate",
-    "dedup-paragraph-blocks",
-    "mixture-token-budget",
-    "text-token-typicality",
-    "vector-quantize-int8",
-    "dedup-containment",
-    "corpus-shuffle-shards",
-    "split-train-holdout",
-    "split-leakage-audit",
-    "text-ngram-freq",
-    "vector-quantize-pq",
-    "sim-pq-adc-topk",
-    "text-quality-calibrate",
-    # least-recently-verified (green r2, not re-checked since)
-    "agg-avg-groupby-dynamic",
-    "agg-count-distinct",
-    "agg-cube",
-    "agg-rollup",
-    "dedup-embedding-cosine",
-    "dedup-exact-hash",
-    "dedup-full-row",
-    "dedup-latest-per-key",
-    "dedup-minhash-lsh",
-    "dedup-minhash-sig",
+    # changed in round 6 (re-verify first)
     "dedup-ngram-jaccard",
-    "dedup-simhash",
-    "dedup-simhash-pairs",
-    "derive-case-hour-avail",
-    "derive-interval-add",
-    "dropna-any",
-    "expr-round",
-    "filter-isnull",
-    "filter-range",
-    "join-anti",
-    "join-left-asof-eq",
-    "join-left-multi-eq",
-    "join-left-using",
-    "join-range-bands",
-    "join-semi",
-    "nn-assign",
-    "null-profile",
-    "project-rename-drop",
-    "project-select-expr",
-    "set-union",
-    "sim-ann-ivf",
-    "sim-cosine-topk",
+    "dedup-containment",
+    "sim-ann-self-topk",
+    # last green in r2 — fell off the r5 window at the 50-row cut
     "sim-knn-join",
     "sort-limit-topn",
     "stream-dedup",
@@ -122,17 +74,50 @@ _DRIVER_PRIORITY = [
     "topk-per-group",
     "upsert-merge-state",
     "window-agg-tumbling",
-    # next-least-recently-verified (green r3)
+    # last green in r3
     "agg-argmax",
     "agg-grouping-sets",
     "agg-salted-skew",
-    # ROUND-6 NOTE: rotate again — reds (if any) first, then round-6
-    # changes, then the r3-green cohort continuing from approx-distinct
-    # (the r5 window covered: the 5 r4 reds, the 9 r5-added ops
-    # corpus-shuffle-shards/split-train-holdout/split-leakage-audit/
-    # text-ngram-freq/text-decontaminate/dedup-paragraph-blocks/
-    # mixture-token-budget/text-token-typicality/vector-quantize-int8/
-    # dedup-containment, and the r2-green LRU cohort below).
+    "approx-distinct",
+    "approx-freq-items",
+    "approx-quantile",
+    "cond-funcs",
+    "dedup-cluster-assign",
+    "derive-morton-zorder",
+    "explode-outer-nulls",
+    "explode-token-freq",
+    "join-asof-nearest",
+    "join-null-safe",
+    "join-salted-skew",
+    "json-funcs",
+    "map-funcs",
+    "multimodal-byte-features",
+    "pandas-group-normalize",
+    "pandas-scalar-tokens",
+    "pivot-status",
+    "q1-sql-entry",
+    "q10-returned-items",
+    "q16-supplier-cnt",
+    "q17-small-quantity-revenue",
+    "q18-large-orders",
+    "q21-suppliers-waiting",
+    "q22-global-sales-opportunity",
+    "q3-shipping-priority",
+    "q4-order-priority",
+    "q5-local-supplier",
+    "q6-forecast-revenue",
+    "set-except",
+    "set-intersect",
+    "sim-ann-lsh",
+    "sort-paginate",
+    "stats-median-manual",
+    "stats-moments",
+    "string-funcs",
+    # ROUND-7 NOTE: rotate again — reds first, round-7 changes, then
+    # the rest of the r3 cohort (struct-funcs, time-funcs,
+    # unpivot-measures, window-agg-hopping, window-agg-session,
+    # window-lag-delta, window-rank-family, window-running-sum), then
+    # the r4-green cohort from agg-avg-of-sums.
 ]
 
 

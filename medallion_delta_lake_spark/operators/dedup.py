@@ -23,9 +23,10 @@ Scale notes (100 TB corpus): every join key here is a bigint; the
 labeled side of each self-join is the *posting list*, never the raw
 text, so shuffle volume is O(docs × shingles × 16 B), not O(corpus).
 Pathological shingles (boilerplate appearing in millions of docs)
-should be dropped with ``max_df`` before pair generation — that cap is
-the difference between a linear pass and a quadratic blowup; the
-default keeps everything for small-SF oracle parity.
+are dropped with ``max_df`` before pair generation — that cap is the
+difference between a linear pass and a quadratic blowup, so it is ON
+by default (:data:`DEFAULT_MAX_DF`); the registered queries' DuckDB
+oracles model the same cap, keeping parity exact.
 
 Hashing is the portable md5-prefix h64 (functions/hashing.py), so the
 DuckDB oracles in plans/queries_text.py reproduce results exactly.
@@ -49,6 +50,13 @@ from medallion_delta_lake_spark.functions.texts import (
     shingles,
     tokenize,
 )
+
+# Boilerplate cap for inverted-index pair generation: a shingle shared
+# by d docs emits O(d²) candidate pairs, so posting lists above this
+# document frequency are dropped before the self-join. 256 keeps every
+# realistic near-dup signal (any true near-dup pair shares many rarer
+# shingles too) while bounding the worst bucket at ~32k pairs.
+DEFAULT_MAX_DF = 256
 
 
 def exact_dedup_groups(
@@ -117,14 +125,18 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.6,
-    max_df: int | None = None,
+    max_df: int | None = DEFAULT_MAX_DF,
     fan_out: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by exact n-gram Jaccard ≥ threshold, generated
     with an inverted-index self-join (docs only pair up if they share a
     shingle — never a blind cross join). ``max_df`` drops shingles that
-    occur in more than that many documents before pair generation (the
-    boilerplate cap; essential at scale, off by default for parity)."""
+    occur in more than that many documents before pair generation —
+    the boilerplate cap, ON by default (:data:`DEFAULT_MAX_DF`): a
+    shingle shared by d documents emits O(d²) candidate pairs, so one
+    boilerplate header across a 100 TB corpus would otherwise melt the
+    join. Only candidate GENERATION is capped; the exact Jaccard score
+    still uses the full shingle sets. Pass ``max_df=None`` to disable."""
     sets_df = tracked_cache(shingle_hashes(df, text_col, id_col, n=n, fan_out=fan_out))
     postings = sets_df.select(
         F.col(id_col), F.explode("sh").alias("shingle_hash")
@@ -651,7 +663,7 @@ def containment_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
-    max_df: int | None = None,
+    max_df: int | None = DEFAULT_MAX_DF,
     fan_out: int | None = None,
 ) -> DataFrame:
     """Asymmetric near-dup pairs by n-gram CONTAINMENT: for a candidate
@@ -665,7 +677,8 @@ def containment_pairs(
     Same inverted-index candidate generation as
     :func:`ngram_jaccard_pairs` — docs only pair if they share a
     shingle, pairs travel as bigint ids, ``max_df`` caps boilerplate
-    postings at scale."""
+    postings at scale (ON by default — :data:`DEFAULT_MAX_DF`; the
+    containment score itself still uses the full sets)."""
     sets_df = tracked_cache(
         shingle_hashes(df, text_col, id_col, n=n, fan_out=fan_out)
     )

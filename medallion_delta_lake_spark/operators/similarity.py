@@ -70,11 +70,29 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    max_query_rows: int | None = 10_000,
 ) -> DataFrame:
     """Exact cosine top-k per query via broadcast cross join + ranked
     window. ``queries`` must be small (it is broadcast); the corpus
     side streams — no corpus shuffle until the (qid, cid, score)
-    window, which carries 24 bytes/candidate."""
+    window, which carries 24 bytes/candidate.
+
+    Guard: the query side is broadcast AND multiplies the corpus scan
+    (|Q|·|C| score rows), so a large query set silently turns this
+    into a cluster-melting cross join. If ``queries`` exceeds
+    ``max_query_rows`` (bounded probe — ``limit(n+1).count()``, never
+    a full scan), this raises and points at :func:`ann_topk` /
+    :func:`knn_join`, the bucketed paths built for large query sets.
+    Pass ``max_query_rows=None`` only when the blow-up is understood."""
+    if max_query_rows is not None:
+        probe = queries.limit(max_query_rows + 1).count()
+        if probe > max_query_rows:
+            raise ValueError(
+                f"brute_force_topk query side exceeds {max_query_rows} "
+                "rows; it would broadcast and cross-join the corpus "
+                f"{probe}+ times. Use ann_topk / knn_join for large "
+                "query sets, or raise max_query_rows deliberately."
+            )
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qv")

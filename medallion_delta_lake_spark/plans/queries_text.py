@@ -221,12 +221,23 @@ def dedup_exact_hash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _jaccard_sql(threshold: float) -> str:
+    # models dedup.DEFAULT_MAX_DF: candidate generation drops shingles
+    # above the boilerplate document-frequency cap; the exact score
+    # still uses the full shingle sets (same split as the Spark op)
     inter = "len(list_intersect(sa.sh, sb.sh))"
     return f"""
     postings AS (SELECT doc_id, unnest(sh) AS shingle_hash FROM sets),
+    kept AS (
+      SELECT shingle_hash FROM postings
+      GROUP BY shingle_hash HAVING COUNT(*) <= {dedup.DEFAULT_MAX_DF}
+    ),
+    capped AS (
+      SELECT p.doc_id, p.shingle_hash
+      FROM postings p JOIN kept k USING (shingle_hash)
+    ),
     pairs AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM postings a JOIN postings b
+      FROM capped a JOIN capped b
         ON a.shingle_hash = b.shingle_hash AND a.doc_id < b.doc_id
     ),
     scored AS (
@@ -1020,12 +1031,21 @@ def text_token_typicality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _containment_sql(threshold: float) -> str:
+    # same DEFAULT_MAX_DF candidate cap as _jaccard_sql
     inter = "len(list_intersect(sa.sh, sb.sh))"
     return f"""
     postings AS (SELECT doc_id, unnest(sh) AS shingle_hash FROM sets),
+    kept AS (
+      SELECT shingle_hash FROM postings
+      GROUP BY shingle_hash HAVING COUNT(*) <= {dedup.DEFAULT_MAX_DF}
+    ),
+    capped AS (
+      SELECT p.doc_id, p.shingle_hash
+      FROM postings p JOIN kept k USING (shingle_hash)
+    ),
     pairs AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM postings a JOIN postings b
+      FROM capped a JOIN capped b
         ON a.shingle_hash = b.shingle_hash AND a.doc_id < b.doc_id
     ),
     scored AS (

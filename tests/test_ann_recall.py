@@ -208,3 +208,21 @@ def test_ivf_nprobe_raises_recall_monotonically(spark):
     assert r[4] >= 0.83
     # nprobe=1 path must be unchanged by the refactor
     assert r[1] >= 0.60
+
+
+def test_brute_force_topk_size_guard(spark):
+    """The query side is broadcast and multiplies the corpus scan, so
+    an oversized query set must raise (pointing at the ANN paths)
+    instead of silently launching a |Q|x|C| cross join."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    e = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.rand(seed=7) for _ in range(4)]).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="ann_topk"):
+        sim.brute_force_topk(e, e, k=3, max_query_rows=10)
+    # within the cap: runs; None disables the guard entirely
+    assert sim.brute_force_topk(e, e, k=3, max_query_rows=50).count() > 0
+    assert sim.brute_force_topk(e, e, k=3, max_query_rows=None).count() > 0

@@ -66,3 +66,52 @@ def test_containment_catches_doc_inside_doc_that_jaccard_misses(spark):
     assert cont[(1, 2)] == 1.0  # small ⊂ big
     assert jacc[(1, 2)] < 0.2  # symmetric Jaccard can't see it
     assert (1, 3) not in cont and (2, 3) not in cont
+
+
+def test_max_df_truncates_boilerplate_postings(spark):
+    """The boilerplate cap: docs that share ONLY a high-document-
+    frequency shingle (a common header) must not pair up when the
+    shingle's posting list exceeds max_df — that truncation is what
+    keeps pair generation linear at corpus scale. Docs sharing rarer
+    shingles still pair, and the exact score is computed over the
+    FULL sets (the cap only gates candidate generation)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    header = "standard legal disclaimer header common to every page"
+    rows = [
+        (i, f"{header} unique body {i} " + " ".join(
+            f"tok{i}_{j}" for j in range(10)
+        ))
+        for i in range(12)
+    ]
+    # two genuine near-dups sharing rare shingles beyond the header
+    rows.append((100, "a very specific rare sentence about spark plans"))
+    rows.append((101, "a very specific rare sentence about spark plans too"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # header shingles have df=12 > max_df=5 → boilerplate-only pairs gone
+    capped = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(
+            df, threshold=0.0, max_df=5
+        ).collect()
+    }
+    assert (100, 101) in capped
+    assert not any(a < 100 and b < 100 for a, b in capped)
+
+    # uncapped: the 12 header-sharers all pair with each other
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(
+            df, threshold=0.0, max_df=None
+        ).collect()
+    }
+    assert sum(1 for a, b in uncapped if a < 100 and b < 100) == 12 * 11 // 2
+    # containment: same truncation contract
+    cont = {
+        (r.id_a, r.id_b)
+        for r in dedup.containment_pairs(
+            df, threshold=0.0, max_df=5
+        ).collect()
+    }
+    assert not any(a < 100 and b < 100 for a, b in cont)
