@@ -18,10 +18,15 @@ parquet-snapshot fallback with identical semantics).
 Scope honesty: reader protocol 1-2 tables (plus feature-gated
 protocol 3 whose readerFeatures are all supported). Column mapping in
 ``name`` mode is supported (physical→logical rename per the
-``delta.columnMapping.physicalName`` field metadata); ``id`` mode and
-deletion vectors change file-data interpretation in ways this reader
-does not implement — it raises instead of silently returning wrong
-rows.
+``delta.columnMapping.physicalName`` field metadata), and deletion
+vectors are supported on BOTH sides — reads subtract DV-flagged rows
+via the parquet scan's hidden ``_metadata.row_index``
+(:func:`_subtract_dvs`), and :func:`delete_delta_log` deletes rows by
+writing DVs instead of rewriting files, with
+:func:`optimize_delta_log` materializing them away at compaction time.
+``id``-mode column mapping changes file-data interpretation in ways
+this reader does not implement — it raises instead of silently
+returning wrong rows.
 
 Concurrency: commits use O_EXCL put-if-absent, so two writers can
 never clobber one version. Pure appends retry on a lost race (their
@@ -51,7 +56,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
-_UNSUPPORTED_READER_FEATURES = {"columnMapping", "deletionVectors", "v2Checkpoint"}
+_UNSUPPORTED_READER_FEATURES = {"columnMapping", "v2Checkpoint"}
 
 
 class DeltaProtocolError(NotImplementedError):
@@ -130,10 +135,9 @@ def _column_mapping(meta: dict, schema: StructType) -> dict[str, str]:
 
 def _apply_action(state: dict, action: dict) -> None:
     if "add" in action and action["add"]:
-        add = action["add"]
-        if add.get("deletionVector"):
-            raise DeltaProtocolError("deletion vectors are not supported")
-        state["files"][add["path"]] = add
+        # an add for an already-live path replaces its entry — that is
+        # how a DELETE attaches a deletion vector to an existing file
+        state["files"][action["add"]["path"]] = action["add"]
     elif "remove" in action and action["remove"]:
         state["files"].pop(action["remove"]["path"], None)
     elif "metaData" in action and action["metaData"]:
@@ -141,6 +145,7 @@ def _apply_action(state: dict, action: dict) -> None:
         state["meta"] = action["metaData"]
     elif "protocol" in action and action["protocol"]:
         _check_protocol(action["protocol"])
+        state["protocol"] = action["protocol"]
 
 
 def _read_checkpoint(state: dict, ckpt_file: str) -> None:
@@ -169,7 +174,7 @@ def resolve_snapshot(path: str, version_as_of: int | None = None) -> dict:
     if not versions and version_as_of is None:
         raise FileNotFoundError(f"empty _delta_log at {path}")
 
-    state: dict = {"files": {}, "meta": None}
+    state: dict = {"files": {}, "meta": None, "protocol": None}
     start = 0
     last_ckpt = os.path.join(log, "_last_checkpoint")
     if os.path.exists(last_ckpt):
@@ -205,7 +210,12 @@ def resolve_snapshot(path: str, version_as_of: int | None = None) -> dict:
         raise FileNotFoundError(
             f"version {version_as_of} not present in {log}"
         )
-    return {"version": target, "meta": state["meta"], "files": state["files"]}
+    return {
+        "version": target,
+        "meta": state["meta"],
+        "files": state["files"],
+        "protocol": state["protocol"],
+    }
 
 
 _SKIP_OPS = ("=", "<", "<=", ">", ">=")
@@ -311,6 +321,32 @@ def read_delta(
             df = df.filter(ops[op])
         return df
 
+    return _with_filters(_scan_adds(spark, path, meta, files))
+
+
+# helper columns for deletion-vector subtraction — stripped before the
+# scan result leaves _scan_adds
+_DV_BASE, _DV_RID = "__dv_file_base", "__dv_row_index"
+
+
+def _scan_adds(
+    spark: SparkSession,
+    path: str,
+    meta: dict,
+    files: dict,
+    keep_positions: bool = False,
+) -> DataFrame:
+    """DataFrame over exactly the given add actions, with partition
+    columns reattached at their declared types, name-mode column
+    mapping resolved, and deletion-vector rows subtracted.
+    ``keep_positions`` retains the ``_DV_BASE``/``_DV_RID`` physical
+    position columns in the result (the DELETE writer needs them to
+    build new deletion vectors)."""
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    part_cols = meta.get("partitionColumns") or []
+    mapping = _column_mapping(meta, schema)  # logical → physical
+    phys = lambda c: mapping.get(c, c)  # noqa: E731
+
     # strip field metadata (Spark would otherwise carry the column-
     # mapping annotations into downstream schemas)
     clean_schema = StructType(
@@ -320,7 +356,13 @@ def read_delta(
         ]
     )
     if not files:
-        return _with_filters(spark.createDataFrame([], clean_schema))
+        return spark.createDataFrame([], clean_schema)
+
+    dv_files = {
+        rel: add["deletionVector"]
+        for rel, add in files.items()
+        if add.get("deletionVector")
+    }
 
     def _rename_to_logical(df: DataFrame) -> DataFrame:
         if not mapping:
@@ -329,6 +371,29 @@ def read_delta(
         return df.select(
             *[F.col(c).alias(inv.get(c, c)) for c in df.columns]
         )
+
+    def _attach_meta(df: DataFrame) -> DataFrame:
+        """Per-row physical position, for DV subtraction: the parquet
+        scan's hidden ``_metadata`` struct yields the row index within
+        the file and the file path (basename suffices — data-file names
+        are uuid-unique table-wide, asserted below)."""
+        if not (dv_files or keep_positions):
+            return df
+        return df.select(
+            "*",
+            F.element_at(
+                F.split(F.col("_metadata.file_path"), "/"), -1
+            ).alias(_DV_BASE),
+            F.col("_metadata.row_index").alias(_DV_RID),
+        )
+
+    if dv_files:
+        bases = [os.path.basename(rel) for rel in files]
+        if len(set(bases)) != len(bases):
+            raise DeltaProtocolError(
+                "duplicate data-file basenames in a table with deletion "
+                "vectors; cannot key DV subtraction by file"
+            )
 
     if not part_cols:
         # name-mode column mapping: data files carry PHYSICAL names
@@ -339,39 +404,86 @@ def read_delta(
             ]
         )
         paths = [os.path.join(path, p) for p in files]
-        return _with_filters(
-            _rename_to_logical(spark.read.schema(read_schema).parquet(*paths))
+        out = _rename_to_logical(
+            _attach_meta(spark.read.schema(read_schema).parquet(*paths))
         )
+    else:
+        # group files by partition tuple; one read per distinct tuple
+        # with the partition literals reattached at their declared types
+        by_part: dict[tuple, list[str]] = {}
+        for rel, add in files.items():
+            pv = add.get("partitionValues") or {}
+            key = tuple(
+                pv.get(phys(c), pv.get(c)) for c in part_cols
+            )
+            by_part.setdefault(key, []).append(os.path.join(path, rel))
+        data_schema = StructType(
+            [
+                StructField(phys(f.name), f.dataType, f.nullable)
+                for f in clean_schema.fields
+                if f.name not in part_cols
+            ]
+        )
+        types = {f.name: f.dataType for f in clean_schema.fields}
+        out_cols = [f.name for f in clean_schema.fields] + (
+            [_DV_BASE, _DV_RID] if (dv_files or keep_positions) else []
+        )
+        frames = []
+        for key, paths in sorted(
+            by_part.items(), key=lambda kv: tuple(map(str, kv[0]))
+        ):
+            df = _rename_to_logical(
+                _attach_meta(spark.read.schema(data_schema).parquet(*paths))
+            )
+            for c, v in zip(part_cols, key):
+                lit = (
+                    F.lit(None) if v is None else F.lit(v)
+                ).cast(types[c]).alias(c)
+                df = df.withColumn(c, lit)
+            frames.append(df.select(*out_cols))
+        out = reduce(DataFrame.unionByName, frames)
 
-    # group files by partition tuple; one read per distinct tuple with
-    # the partition literals reattached at their declared types
-    by_part: dict[tuple, list[str]] = {}
-    for rel, add in files.items():
-        pv = add.get("partitionValues") or {}
-        key = tuple(
-            pv.get(phys(c), pv.get(c)) for c in part_cols
+    if dv_files:
+        out = _subtract_dvs(
+            spark, path, dv_files, out, drop=not keep_positions
         )
-        by_part.setdefault(key, []).append(os.path.join(path, rel))
-    data_schema = StructType(
-        [
-            StructField(phys(f.name), f.dataType, f.nullable)
-            for f in clean_schema.fields
-            if f.name not in part_cols
-        ]
+    return out
+
+
+def _subtract_dvs(
+    spark: SparkSession,
+    path: str,
+    dv_files: dict,
+    df: DataFrame,
+    drop: bool = True,
+) -> DataFrame:
+    """Drop the rows flagged by each file's deletion vector: resolve
+    every descriptor to its row indexes, build a (file basename, row
+    index) table, and broadcast anti-join it against the scan on the
+    hidden position columns.
+
+    Scale contract: DV resolution is O(total deleted rows) driver-side
+    metadata — the same order as delta-spark's own broadcast of DV
+    bitmaps to executors. Tables whose live DV cardinality has grown
+    past tens of millions should be compacted
+    (:func:`optimize_delta_log` materializes deletes and drops the
+    DVs), exactly Delta's own OPTIMIZE guidance."""
+    from medallion_delta_lake_spark.sources import deletion_vectors as _dv
+
+    pairs = [
+        (os.path.basename(rel), int(idx))
+        for rel, desc in sorted(dv_files.items())
+        for idx in _dv.dv_row_indexes(path, desc)
+    ]
+    deleted = spark.createDataFrame(
+        pairs, f"{_DV_BASE} string, {_DV_RID} bigint"
     )
-    types = {f.name: f.dataType for f in clean_schema.fields}
-    frames = []
-    for key, paths in sorted(
-        by_part.items(), key=lambda kv: tuple(map(str, kv[0]))
-    ):
-        df = _rename_to_logical(spark.read.schema(data_schema).parquet(*paths))
-        for c, v in zip(part_cols, key):
-            lit = (
-                F.lit(None) if v is None else F.lit(v)
-            ).cast(types[c]).alias(c)
-            df = df.withColumn(c, lit)
-        frames.append(df.select(*[f.name for f in clean_schema.fields]))
-    return _with_filters(reduce(DataFrame.unionByName, frames))
+    keep = df.join(
+        F.broadcast(deleted),
+        on=[_DV_BASE, _DV_RID],
+        how="left_anti",
+    )
+    return keep.drop(_DV_BASE, _DV_RID) if drop else keep
 
 
 def _list_versions(log: str) -> list[int]:
@@ -900,6 +1012,380 @@ def upsert_delta_log(
     return _commit_version(path, build, read_version=snap["version"])
 
 
+def _file_num_records(path: str, rel: str, add: dict) -> int:
+    """Physical row count of a data file — from the add action's logged
+    stats when present, else the parquet footer (O(footer) metadata)."""
+    s = add.get("stats")
+    s = json.loads(s) if isinstance(s, str) else (s or {})
+    if s.get("numRecords") is not None:
+        return int(s["numRecords"])
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(os.path.join(path, rel)).metadata.num_rows
+
+
+def _dv_protocol_actions(snap: dict) -> list[dict]:
+    """The protocol-upgrade action a commit must carry the first time
+    deletion vectors land in a table (PROTOCOL.md: DVs are a reader+
+    writer table feature, so minReaderVersion 3 / minWriterVersion 7
+    with the feature listed on both sides). Empty if the table already
+    advertises them."""
+    proto = snap.get("protocol") or {}
+    feats = set(proto.get("readerFeatures") or [])
+    if proto.get("minReaderVersion", 1) >= 3 and "deletionVectors" in feats:
+        return []
+    return [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": sorted(feats | {"deletionVectors"}),
+                "writerFeatures": sorted(
+                    set(proto.get("writerFeatures") or [])
+                    | {"deletionVectors"}
+                ),
+            }
+        }
+    ]
+
+
+def delete_delta_log(
+    spark: SparkSession,
+    path: str,
+    filters: list[tuple],
+    inline_threshold: int = 64,
+) -> dict:
+    """DELETE FROM a log-backed Delta table via **deletion vectors** —
+    no data file is rewritten. Returns
+    ``{"version", "deleted_rows", "files_removed", "files_with_new_dv"}``.
+
+    ``filters`` is a conjunction of ``(column, op, value)`` triples
+    (the same contract as :func:`read_delta`), used three ways:
+
+    1. **data skipping** — files whose logged min/max stats or
+       partitionValues prove the predicate empty are never scanned;
+    2. the surviving files are scanned ONCE with the hidden
+       ``_metadata.row_index`` to find matching physical positions
+       (existing DV rows are subtracted first, so a second DELETE
+       never re-deletes);
+    3. per file: all rows deleted → a plain ``remove`` action;
+       some rows deleted → the file is re-added with a merged
+       deletion vector (old DV ∪ new positions). Small DVs
+       (≤ ``inline_threshold`` rows) embed Z85-inline in the log;
+       larger ones pack into ONE ``deletion_vector_*.bin`` per commit
+       (delta-spark's own packing).
+
+    The commit also upgrades the table protocol to reader 3 / writer 7
+    with the ``deletionVectors`` feature on first use, exactly as
+    delta-spark does. Matching the reference scope: the reference
+    engine can only delete by full-partition rewrite through
+    ``DeltaTable.merge`` (silver_table_creation.py:47-66); row-level
+    DVs make selective deletes O(deleted rows), not O(table) — the
+    behavior modern Delta enables by default.
+
+    Scale notes: the scan is distributed and stat-pruned; only matched
+    (file, row-index) pairs — O(deleted rows this call) — pass through
+    the driver to be bitmap-encoded, the same order of driver work as
+    delta-spark's DV writer collecting bitmaps per file. Deletes of a
+    large fraction of the table should use partition overwrite
+    instead; :func:`optimize_delta_log` materializes accumulated DVs.
+    """
+    import time as _time
+
+    from medallion_delta_lake_spark.sources import deletion_vectors as _dv
+
+    if not filters:
+        raise ValueError(
+            "refusing DELETE with no predicate; use "
+            "write_delta(mode='overwrite') to truncate"
+        )
+    for f in filters:
+        if len(f) != 3 or f[1] not in _SKIP_OPS:
+            raise ValueError(f"bad filter triple: {f!r}")
+    snap = resolve_snapshot(path)
+    meta = snap["meta"]
+    if meta is None:
+        raise DeltaProtocolError("log contains no metaData action")
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    part_cols = meta.get("partitionColumns") or []
+    mapping = _column_mapping(meta, schema)
+    phys = lambda c: mapping.get(c, c)  # noqa: E731
+    phys_filters = [(phys(c), op, v) for c, op, v in filters]
+    phys_parts = [phys(c) for c in part_cols]
+    cand = {
+        rel: add
+        for rel, add in snap["files"].items()
+        if not _file_can_skip(add, phys_filters, phys_parts)
+    }
+    by_base = {os.path.basename(rel): rel for rel in cand}
+    if len(by_base) != len(cand):
+        raise DeltaProtocolError(
+            "duplicate data-file basenames; cannot key DVs by file"
+        )
+    now_ms = int(_time.time() * 1000)
+    matched: list = []
+    if cand:
+        scanned = _scan_adds(spark, path, meta, cand, keep_positions=True)
+        cond = reduce(
+            lambda a, b: a & b,
+            [
+                {
+                    "=": F.col(c) == F.lit(v),
+                    "<": F.col(c) < F.lit(v),
+                    "<=": F.col(c) <= F.lit(v),
+                    ">": F.col(c) > F.lit(v),
+                    ">=": F.col(c) >= F.lit(v),
+                }[op]
+                for c, op, v in filters
+            ],
+        )
+        matched = (
+            scanned.filter(cond)
+            .groupBy(_DV_BASE)
+            .agg(F.sort_array(F.collect_list(_DV_RID)).alias("idxs"))
+            .collect()
+        )
+
+    removes: list[dict] = []
+    new_dvs: dict[str, list[int]] = {}  # rel → merged indexes (file DV)
+    inline_dvs: dict[str, dict] = {}  # rel → inline descriptor
+    deleted_rows = 0
+    for row in matched:
+        rel = by_base[row[_DV_BASE]]
+        add = cand[rel]
+        deleted_rows += len(row["idxs"])
+        old = add.get("deletionVector")
+        old_idx = _dv.dv_row_indexes(path, old) if old else []
+        merged = sorted(set(old_idx) | set(int(i) for i in row["idxs"]))
+        if len(merged) >= _file_num_records(path, rel, add):
+            removes.append(rel)
+        elif len(merged) <= inline_threshold:
+            inline_dvs[rel] = _dv.inline_descriptor(merged)
+        else:
+            new_dvs[rel] = merged
+
+    descriptors = dict(inline_dvs)
+    if new_dvs:
+        descriptors.update(_dv.write_dv_file(path, new_dvs))
+
+    def build(version: int) -> list[dict]:
+        actions = _dv_protocol_actions(snap) if descriptors else []
+        for rel in removes:
+            r = {
+                "path": rel,
+                "deletionTimestamp": now_ms,
+                "dataChange": True,
+            }
+            if cand[rel].get("deletionVector"):
+                r["deletionVector"] = cand[rel]["deletionVector"]
+            actions.append({"remove": r})
+        for rel, desc in sorted(descriptors.items()):
+            old = cand[rel]
+            r = {
+                "path": rel,
+                "deletionTimestamp": now_ms,
+                "dataChange": True,
+            }
+            if old.get("deletionVector"):
+                r["deletionVector"] = old["deletionVector"]
+            # remove the (path, old-DV) entry BEFORE re-adding: replay
+            # is sequential, and readers keyed by (path, dvId) need the
+            # tombstone (PROTOCOL.md file-uniqueness contract)
+            actions.append({"remove": r})
+            new_add = {
+                k: v for k, v in old.items() if k != "deletionVector"
+            }
+            new_add["deletionVector"] = desc
+            new_add["dataChange"] = True
+            new_add["modificationTime"] = now_ms
+            actions.append({"add": new_add})
+        actions.append(
+            {
+                "commitInfo": {
+                    "operation": "DELETE",
+                    "operationParameters": {
+                        "predicate": json.dumps(
+                            [[c, op, str(v)] for c, op, v in filters]
+                        )
+                    },
+                }
+            }
+        )
+        return actions
+
+    version = _commit_version(path, build, read_version=snap["version"])
+    return {
+        "version": version,
+        "deleted_rows": deleted_rows,
+        "files_removed": len(removes),
+        "files_with_new_dv": len(descriptors),
+    }
+
+
+def optimize_delta_log(
+    spark: SparkSession,
+    path: str,
+    zorder_by: list[str] | None = None,
+    target_file_bytes: int = 128 << 20,
+    small_file_bytes: int | None = None,
+    zorder_bits: int = 16,
+) -> dict:
+    """OPTIMIZE for log-backed Delta tables: bin-pack small files and
+    (optionally) Z-order-cluster, committing ``remove``+``add`` with
+    ``dataChange: false`` — the spec's marker that a commit rearranges
+    bytes without changing table content (streaming readers skip it).
+    Returns ``{"version", "files_compacted", "files_written"}``.
+
+    Default mode selects, per partition, files smaller than
+    ``small_file_bytes`` (default ``target_file_bytes/2``) plus every
+    file carrying a deletion vector — compaction **materializes**
+    deletes, dropping the DV (Delta's own PURGE behavior) — and
+    rewrites them into ≈``total/target_file_bytes`` files.
+
+    ``zorder_by`` (one or two columns) rewrites ALL live files: one
+    column range-clusters directly; two numeric columns are min/max
+    normalized into ``2**zorder_bits`` buckets and interleaved with
+    :func:`~medallion_delta_lake_spark.functions.spatial.morton_key`,
+    then range-partitioned + locally sorted so every output file owns
+    a tight hyper-rectangle — with the per-file min/max stats written
+    at commit, later :func:`read_delta` filters on EITHER column skip
+    files (Delta's OPTIMIZE ZORDER, on this engine's own log).
+
+    Scale notes: the rewrite is Spark-distributed (range partitioner =
+    one sample pass + one shuffle); the driver only handles O(files)
+    metadata. No-op (nothing to compact) returns without committing.
+    """
+    import math
+    import time as _time
+
+    snap = resolve_snapshot(path)
+    meta = snap["meta"]
+    if meta is None:
+        raise DeltaProtocolError("log contains no metaData action")
+    part_cols = meta.get("partitionColumns") or []
+    small = (
+        small_file_bytes
+        if small_file_bytes is not None
+        else target_file_bytes // 2
+    )
+    if zorder_by:
+        if not 1 <= len(zorder_by) <= 2:
+            raise ValueError("zorder_by supports one or two columns")
+        if any(c in part_cols for c in zorder_by):
+            raise ValueError("cannot Z-order by a partition column")
+        selected = dict(snap["files"])
+    else:
+        by_part: dict[tuple, list[str]] = {}
+        for rel, add in snap["files"].items():
+            pv = add.get("partitionValues") or {}
+            by_part.setdefault(
+                tuple(pv.get(c) for c in part_cols), []
+            ).append(rel)
+        selected = {}
+        for rels in by_part.values():
+            pick = [
+                r
+                for r in rels
+                if snap["files"][r].get("size", 0) < small
+                or snap["files"][r].get("deletionVector")
+            ]
+            if len(pick) >= 2 or any(
+                snap["files"][r].get("deletionVector") for r in pick
+            ):
+                selected.update({r: snap["files"][r] for r in pick})
+    if not selected:
+        return {
+            "version": snap["version"],
+            "files_compacted": 0,
+            "files_written": 0,
+        }
+
+    df = _scan_adds(spark, path, meta, selected)  # DVs materialize here
+    total = sum(a.get("size", 0) for a in selected.values())
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    if zorder_by:
+        if len(zorder_by) == 1:
+            zkey = F.col(zorder_by[0])
+        else:
+            from medallion_delta_lake_spark.functions.spatial import (
+                morton_key,
+            )
+
+            a, b = zorder_by
+            stats = df.agg(
+                F.min(F.col(a).cast("double")).alias("la"),
+                F.max(F.col(a).cast("double")).alias("ha"),
+                F.min(F.col(b).cast("double")).alias("lb"),
+                F.max(F.col(b).cast("double")).alias("hb"),
+            ).first()
+
+            def bucket(col, lo, hi):
+                span = (hi - lo) or 1.0
+                return F.least(
+                    F.lit(2**zorder_bits - 1),
+                    F.floor(
+                        (F.col(col).cast("double") - F.lit(lo))
+                        / F.lit(span)
+                        * F.lit(2**zorder_bits - 1)
+                    ).cast("bigint"),
+                )
+
+            zkey = morton_key(
+                bucket(a, stats["la"] or 0.0, stats["ha"] or 0.0),
+                bucket(b, stats["lb"] or 0.0, stats["hb"] or 0.0),
+                bits=zorder_bits,
+            )
+        parts = [F.col(c) for c in part_cols]
+        df = (
+            df.withColumn("__zkey", zkey)
+            .repartitionByRange(n_out, *parts, F.col("__zkey"))
+            .sortWithinPartitions(*parts, F.col("__zkey"))
+            .drop("__zkey")
+        )
+    elif part_cols:
+        # hash on the partition tuple: each partition's rows land in
+        # one task → one output file per partition directory
+        df = df.repartition(n_out, *[F.col(c) for c in part_cols])
+    else:
+        df = df.repartition(n_out)
+
+    now_ms = int(_time.time() * 1000)
+    adds = _stage_data_files(df, path, part_cols, now_ms)
+    for a in adds:
+        a["add"]["dataChange"] = False
+
+    def build(version: int) -> list[dict]:
+        actions = []
+        for rel, old in sorted(selected.items()):
+            r = {
+                "path": rel,
+                "deletionTimestamp": now_ms,
+                "dataChange": False,
+            }
+            if old.get("deletionVector"):
+                r["deletionVector"] = old["deletionVector"]
+            actions.append({"remove": r})
+        actions.extend(adds)
+        actions.append(
+            {
+                "commitInfo": {
+                    "operation": "OPTIMIZE",
+                    "operationParameters": {
+                        "zOrderBy": json.dumps(zorder_by or [])
+                    },
+                }
+            }
+        )
+        return actions
+
+    version = _commit_version(path, build, read_version=snap["version"])
+    return {
+        "version": version,
+        "files_compacted": len(selected),
+        "files_written": len(adds),
+    }
+
+
 def write_checkpoint(path: str) -> int:
     """Write a parquet checkpoint of the current snapshot plus
     ``_last_checkpoint`` — the log-compaction step that keeps replay
@@ -922,7 +1408,10 @@ def write_checkpoint(path: str) -> int:
             return {k: _clean(x) for k, x in v.items()} or None
         return v
 
-    rows_proto = [{"minReaderVersion": 1, "minWriterVersion": 2}]
+    rows_proto = [
+        _clean(snap.get("protocol"))
+        or {"minReaderVersion": 1, "minWriterVersion": 2}
+    ]
     rows_meta = [_clean(snap["meta"])]
     rows_add = [_clean(a) for a in snap["files"].values()]
     n = 2 + len(rows_add)
@@ -964,15 +1453,35 @@ def vacuum(
     versions = _list_versions(log)
     if not versions:
         return []
+    from medallion_delta_lake_spark.sources.deletion_vectors import (
+        dv_relative_path,
+    )
+
     keep_from = max(versions) - max(keep_versions - 1, 0)
     referenced: set[str] = set()
     for v in versions:
         if v >= keep_from:
-            referenced |= set(resolve_snapshot(path, version_as_of=v)["files"])
+            files = resolve_snapshot(path, version_as_of=v)["files"]
+            referenced |= set(files)
+            for add in files.values():
+                desc = add.get("deletionVector")
+                if desc:
+                    dv_rel = dv_relative_path(desc)
+                    if dv_rel:
+                        referenced.add(dv_rel)
     deleted = []
     now = _time.time()
     for entry in os.listdir(path):
         full = os.path.join(path, entry)
+        if (
+            entry.startswith("_staging_")
+            and os.path.isfile(full)
+            and now - os.path.getmtime(full) > staging_ttl_s
+        ):
+            # a crashed DV writer's un-renamed temp file
+            os.remove(full)
+            deleted.append(entry)
+            continue
         if (
             entry.startswith("_staging_")
             and os.path.isdir(full)
@@ -990,7 +1499,10 @@ def vacuum(
         if os.path.basename(root) == "_delta_log" or "_staging_" in root:
             continue
         for name in names:
-            if not name.endswith(".parquet"):
+            is_dv = name.startswith("deletion_vector_") and name.endswith(
+                ".bin"
+            )
+            if not (name.endswith(".parquet") or is_dv):
                 continue
             rel = os.path.relpath(os.path.join(root, name), path).replace(
                 os.sep, "/"

@@ -1,0 +1,351 @@
+"""Deletion vectors on the pure-Python Delta log engine.
+
+Codec-level tests pin the public formats (Z85 — including the RFC
+draft's 'HelloWorld' test vector — and the portable Roaring layouts
+from RoaringFormatSpec / Delta PROTOCOL.md); engine-level tests run
+the full lifecycle: DELETE-by-DV (inline and file-backed), DV-merging
+second deletes, whole-file removal, time travel across deletes,
+filter+DV interplay, OPTIMIZE materialization (dataChange: false),
+checkpoint survival, vacuum GC of unreferenced DV files, and the
+concurrent-writer conflict guard.
+
+Reference parity note: the reference deletes only via whole-partition
+DeltaTable.merge rewrites (medallion_delta_lake/
+silver_table_creation.py:47-66); DV support exceeds it deliberately —
+see delta_log.delete_delta_log's docstring.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import struct
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from medallion_delta_lake_spark.sources import delta_log, deletion_vectors as dv
+
+
+# ---------------------------------------------------------------------------
+# codec
+
+
+def test_z85_known_vector_and_round_trip():
+    # the Z85 spec's reference vector
+    assert dv.z85_encode(bytes([0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B])) == "HelloWorld"
+    assert dv.z85_decode("HelloWorld") == bytes(
+        [0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B]
+    )
+    for n in (4, 16, 36):
+        b = bytes(range(n))
+        assert dv.z85_decode(dv.z85_encode(b)) == b
+    with pytest.raises(ValueError):
+        dv.z85_encode(b"abc")  # not a word multiple
+
+
+@pytest.mark.parametrize(
+    "values",
+    [
+        [],
+        [0],
+        [0, 1, 2, 5, 65535, 65536, 100000],
+        list(range(5000, 5200)),
+        sorted({(i * 2654435761) % 300000 for i in range(9000)}),  # bitmap containers
+        [7, 8, 2**33 + 5, 2**33 + 6, 2**34],  # multiple high-32 words
+    ],
+)
+def test_dv_serialize_round_trip(values):
+    assert dv.deserialize_dv(dv.serialize_dv(values)) == sorted(set(values))
+
+
+def test_roaring_run_container_parse():
+    # hand-built run+array bitmap (a layout our writer never emits but
+    # other Delta writers do): runs [10..20],[100..100] in key 0, array
+    # {7,9} in key 2
+    n = 2
+    cookie = 12347 | ((n - 1) << 16)
+    buf = (
+        struct.pack("<i", cookie)
+        + bytes([0b01])
+        + struct.pack("<HH", 0, 11)
+        + struct.pack("<HH", 2, 1)
+        + struct.pack("<H", 2)
+        + struct.pack("<HH", 10, 10)
+        + struct.pack("<HH", 100, 0)
+        + struct.pack("<2H", 7, 9)
+    )
+    vals, used = dv._deserialize_roaring32(buf, 0)
+    assert used == len(buf)
+    assert vals == list(range(10, 21)) + [100, (2 << 16) | 7, (2 << 16) | 9]
+
+
+def test_inline_descriptor_pads_to_word_boundary():
+    desc = dv.inline_descriptor([3, 4, 5])
+    assert desc["storageType"] == "i"
+    assert len(desc["pathOrInlineDv"]) % 5 == 0
+    assert desc["cardinality"] == 3
+    assert dv.dv_row_indexes("/nonexistent", desc) == [3, 4, 5]
+
+
+def test_dv_file_round_trip_and_checksum(tmp_path):
+    t = str(tmp_path)
+    wanted = {"a.parquet": [1, 5, 9], "sub/b.parquet": list(range(3000, 8000))}
+    descs = dv.write_dv_file(t, wanted)
+    for rel, desc in descs.items():
+        assert desc["storageType"] == "u"
+        assert dv.dv_row_indexes(t, desc) == sorted(wanted[rel])
+    # flip one payload byte → checksum must catch it
+    (bin_path,) = glob.glob(os.path.join(t, "deletion_vector_*.bin"))
+    blob = bytearray(open(bin_path, "rb").read())
+    blob[descs["a.parquet"]["offset"] + 4] ^= 0xFF
+    open(bin_path, "wb").write(bytes(blob))
+    with pytest.raises(ValueError, match="checksum"):
+        dv.dv_row_indexes(t, descs["a.parquet"])
+
+
+# ---------------------------------------------------------------------------
+# engine lifecycle
+
+
+def _make_table(spark, tmp_path, partitioned=True):
+    t = str(tmp_path / "tab")
+    # 4 tasks × 4 partition values → ≤16 files, each spanning the whole
+    # id range, so selective deletes hit files PARTIALLY (DV path) —
+    # without the repartition, local[32] writes ~1-row files that
+    # whole-file deletes would simply remove
+    df = (
+        spark.range(100)
+        .withColumn("grp", (F.col("id") % 4).cast("string"))
+        .withColumn("val", F.col("id") * 10)
+        .withColumn("slot", F.col("id") % 4)
+        .repartition(4, "slot")
+        .drop("slot")
+    )
+    delta_log.write_delta(
+        spark, df, t, mode="overwrite",
+        partition_by=["grp"] if partitioned else [],
+    )
+    return t
+
+
+def _ids(spark, t, **kw):
+    return sorted(r.id for r in delta_log.read_delta(spark, t, **kw).collect())
+
+
+def test_delete_inline_merge_and_time_travel(spark, tmp_path):
+    t = _make_table(spark, tmp_path)
+    r1 = delta_log.delete_delta_log(spark, t, [("val", "<", 200)])
+    assert r1["deleted_rows"] == 20 and r1["files_removed"] == 0
+    assert _ids(spark, t) == list(range(20, 100))
+    # second delete merges with the existing DVs (no double-delete)
+    r2 = delta_log.delete_delta_log(spark, t, [("id", ">=", 90)])
+    assert r2["deleted_rows"] == 10
+    assert _ids(spark, t) == list(range(20, 90))
+    # every pre-delete version stays readable
+    assert len(_ids(spark, t, version_as_of=0)) == 100
+    assert len(_ids(spark, t, version_as_of=r1["version"])) == 80
+    # protocol upgraded on first DV
+    proto = delta_log.resolve_snapshot(t)["protocol"]
+    assert proto["minReaderVersion"] == 3
+    assert "deletionVectors" in proto["readerFeatures"]
+
+
+def test_delete_file_backed_dvs(spark, tmp_path):
+    t = _make_table(spark, tmp_path)
+    r = delta_log.delete_delta_log(
+        spark, t, [("val", "<", 500)], inline_threshold=0
+    )
+    assert r["files_with_new_dv"] > 0
+    bins = glob.glob(os.path.join(t, "deletion_vector_*.bin"))
+    assert len(bins) == 1  # one packed DV file per commit
+    assert _ids(spark, t) == list(range(50, 100))
+    snap = delta_log.resolve_snapshot(t)
+    descs = [
+        a["deletionVector"]
+        for a in snap["files"].values()
+        if a.get("deletionVector")
+    ]
+    assert descs and all(d["storageType"] == "u" for d in descs)
+
+
+def test_delete_whole_partition_removes_files(spark, tmp_path):
+    t = _make_table(spark, tmp_path)
+    before = len(delta_log.resolve_snapshot(t)["files"])
+    r = delta_log.delete_delta_log(spark, t, [("grp", "=", "0")])
+    assert r["files_removed"] > 0 and r["files_with_new_dv"] == 0
+    after = delta_log.resolve_snapshot(t)["files"]
+    assert len(after) == before - r["files_removed"]
+    assert all(i % 4 != 0 for i in _ids(spark, t))
+
+
+def test_delete_skips_unmatched_files_by_stats(spark, tmp_path):
+    t = _make_table(spark, tmp_path)
+    snap = delta_log.resolve_snapshot(t)
+    # the predicate only matches grp='1'; partitionValues prove every
+    # other file untouched, so no other file gains a DV
+    delta_log.delete_delta_log(spark, t, [("grp", "=", "1"), ("id", "<", 50)])
+    after = delta_log.resolve_snapshot(t)["files"]
+    for rel, add in after.items():
+        if add.get("deletionVector"):
+            assert add["partitionValues"]["grp"] == "1", rel
+    assert snap["files"].keys() == after.keys()  # no rewrite, no removal
+
+
+def test_delete_no_match_still_commits_a_version(spark, tmp_path):
+    t = _make_table(spark, tmp_path)
+    v0 = delta_log.resolve_snapshot(t)["version"]
+    r = delta_log.delete_delta_log(spark, t, [("val", ">", 10_000)])
+    assert r["deleted_rows"] == 0
+    assert r["version"] == v0 + 1
+    assert len(_ids(spark, t)) == 100
+
+
+def test_read_filters_compose_with_dvs(spark, tmp_path):
+    t = _make_table(spark, tmp_path)
+    delta_log.delete_delta_log(spark, t, [("id", "<", 30)])
+    got = sorted(
+        r.id
+        for r in delta_log.read_delta(
+            spark, t, filters=[("val", "<", 700)]
+        ).collect()
+    )
+    assert got == list(range(30, 70))
+
+
+def test_delete_unpartitioned_table(spark, tmp_path):
+    t = _make_table(spark, tmp_path, partitioned=False)
+    delta_log.delete_delta_log(spark, t, [("id", ">=", 40), ("id", "<", 60)])
+    assert _ids(spark, t) == list(range(0, 40)) + list(range(60, 100))
+
+
+def test_delete_conflicts_with_concurrent_commit(spark, tmp_path):
+    t = _make_table(spark, tmp_path)
+    orig = delta_log.resolve_snapshot
+
+    raced = {"done": False}
+
+    def racing(path, version_as_of=None):
+        snap = orig(path, version_as_of)
+        if not raced["done"] and version_as_of is None:
+            raced["done"] = True
+            # another writer lands a commit after our snapshot read
+            v = snap["version"] + 1
+            with open(
+                os.path.join(path, "_delta_log", f"{v:020d}.json"), "w"
+            ) as fh:
+                fh.write(json.dumps({"commitInfo": {"operation": "X"}}) + "\n")
+        return snap
+
+    delta_log.resolve_snapshot, saved = racing, delta_log.resolve_snapshot
+    try:
+        with pytest.raises(delta_log.DeltaConcurrentWriteError):
+            delta_log.delete_delta_log(spark, t, [("id", "<", 5)])
+    finally:
+        delta_log.resolve_snapshot = saved
+
+
+def test_optimize_materializes_dvs_and_compacts(spark, tmp_path):
+    # round-robin into 8 tasks → ~8 small files in EACH grp directory,
+    # so bin-packing has something to pack
+    t = str(tmp_path / "tab8")
+    df = (
+        spark.range(100)
+        .withColumn("grp", (F.col("id") % 4).cast("string"))
+        .withColumn("val", F.col("id") * 10)
+        .repartition(8)
+    )
+    delta_log.write_delta(spark, df, t, mode="overwrite", partition_by=["grp"])
+    delta_log.delete_delta_log(spark, t, [("id", "<", 20)])
+    want = _ids(spark, t)
+    n_before = len(delta_log.resolve_snapshot(t)["files"])
+    res = delta_log.optimize_delta_log(spark, t, target_file_bytes=1 << 20)
+    assert res["files_compacted"] > 0
+    snap = delta_log.resolve_snapshot(t)
+    assert len(snap["files"]) < n_before
+    assert not any(a.get("deletionVector") for a in snap["files"].values())
+    assert _ids(spark, t) == want
+    # the commit is metadata-only table maintenance: dataChange false
+    log = os.path.join(t, "_delta_log", f"{res['version']:020d}.json")
+    for line in open(log):
+        a = json.loads(line)
+        for kind in ("add", "remove"):
+            if a.get(kind):
+                assert a[kind]["dataChange"] is False
+    # pre-optimize version still time-travels
+    assert _ids(spark, t, version_as_of=res["version"] - 1) == want
+
+
+def test_optimize_noop_commits_nothing(spark, tmp_path):
+    t = _make_table(spark, tmp_path)
+    delta_log.optimize_delta_log(spark, t, target_file_bytes=1 << 20)
+    v = delta_log.resolve_snapshot(t)["version"]
+    res = delta_log.optimize_delta_log(spark, t, target_file_bytes=1 << 20)
+    assert res["files_compacted"] == 0
+    assert delta_log.resolve_snapshot(t)["version"] == v
+
+
+def test_optimize_zorder_clusters_for_two_column_skipping(spark, tmp_path):
+    t = str(tmp_path / "ztab")
+    n = 16384
+    df = (
+        spark.range(n)
+        .withColumn("x", (F.col("id") * 2654435761 % n).cast("bigint"))
+        .withColumn("y", (F.col("id") * 40503 % n).cast("bigint"))
+        .repartition(8)
+    )
+    delta_log.write_delta(spark, df, t, mode="overwrite")
+    res = delta_log.optimize_delta_log(
+        spark, t, zorder_by=["x", "y"], target_file_bytes=16 << 10
+    )
+    assert res["files_written"] >= 8
+    snap = delta_log.resolve_snapshot(t)
+    part_cols: list = []
+    # with Z-order clustering, a selective predicate on EITHER column
+    # must stat-skip a solid majority of files (an x-range this narrow
+    # crosses only the z-curve cells straddling it; the sampled range
+    # partitioner makes boundaries approximate, hence 60%, not 25%)
+    for col in ("x", "y"):
+        flt = [(col, "<", n // 8)]
+        survivors = [
+            rel
+            for rel, add in snap["files"].items()
+            if not delta_log._file_can_skip(add, flt, part_cols)
+        ]
+        assert len(survivors) <= 0.6 * len(snap["files"]), (
+            col, len(survivors), len(snap["files"]),
+        )
+    # and correctness is untouched
+    got = delta_log.read_delta(spark, t, filters=[("x", "<", 100)]).count()
+    want = df.filter(F.col("x") < 100).count()
+    assert got == want
+
+
+def test_checkpoint_preserves_dvs_and_protocol(spark, tmp_path):
+    t = _make_table(spark, tmp_path)
+    delta_log.delete_delta_log(spark, t, [("id", "<", 25)])
+    want = _ids(spark, t)
+    delta_log.write_checkpoint(t)
+    assert _ids(spark, t) == want
+    proto = delta_log.resolve_snapshot(t)["protocol"]
+    assert "deletionVectors" in proto["readerFeatures"]
+
+
+def test_vacuum_keeps_referenced_dv_files_gcs_stale_ones(spark, tmp_path):
+    t = _make_table(spark, tmp_path)
+    delta_log.delete_delta_log(
+        spark, t, [("id", "<", 70)], inline_threshold=0
+    )
+    want = _ids(spark, t)
+    assert glob.glob(os.path.join(t, "deletion_vector_*.bin"))
+    # live DV referenced by the latest snapshot → vacuum must keep it
+    delta_log.vacuum(t, keep_versions=1, staging_ttl_s=0)
+    assert glob.glob(os.path.join(t, "deletion_vector_*.bin"))
+    assert _ids(spark, t) == want
+    # optimize materializes the DV; vacuum then collects the stale .bin
+    delta_log.optimize_delta_log(spark, t, target_file_bytes=1 << 20)
+    delta_log.vacuum(t, keep_versions=1, staging_ttl_s=0)
+    assert not glob.glob(os.path.join(t, "deletion_vector_*.bin"))
+    assert _ids(spark, t) == want

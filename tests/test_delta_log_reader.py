@@ -188,13 +188,26 @@ def test_unsupported_features_raise_not_misread(spark, tmp_path):
     _write_parquet(spark, [(1, "a")], os.path.join(t, "f0.parquet"))
     _commit(t, 0, [
         {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                      "readerFeatures": ["deletionVectors"]}},
+                      "readerFeatures": ["v2Checkpoint"]}},
         _meta(),
         {"add": {"path": "f0.parquet", "partitionValues": {}, "size": 1,
                  "modificationTime": 0, "dataChange": True}},
     ])
     with pytest.raises(delta_log.DeltaProtocolError):
         delta_log.read_delta(spark, t)
+
+    # deletionVectors, by contrast, ARE a supported reader feature now
+    t_dv = str(tmp_path / "utab_dv")
+    _write_parquet(spark, [(1, "a")], os.path.join(t_dv, "f0.parquet"))
+    _commit(t_dv, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        _meta(),
+        {"add": {"path": "f0.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ])
+    assert delta_log.read_delta(spark, t_dv).count() == 1
 
     # id-mode column mapping resolves columns by parquet field id —
     # a name-keyed scan would misread, so the reader must refuse
