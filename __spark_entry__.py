@@ -59,6 +59,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # off r5's 50-row window, then the r3-green cohort (alphabetical from
 # agg-argmax; the ~9 alphabetical-tail r3 ids spill to round 7).
 _DRIVER_PRIORITY = [
+    # NEW in round 6 (never driver-checked)
+    "stats-gini-impurity",
+    "ts-resample-ffill",
+    "window-anomaly-zscore",
+    "graph-pagerank-nations",
+    "join-interval-overlap",
+    "sample-importance-weighted",
+    "cluster-balance-stats",
     # changed in round 6 (re-verify first)
     "dedup-ngram-jaccard",
     "dedup-containment",
@@ -114,10 +122,12 @@ _DRIVER_PRIORITY = [
     "stats-moments",
     "string-funcs",
     # ROUND-7 NOTE: rotate again — reds first, round-7 changes, then
-    # the rest of the r3 cohort (struct-funcs, time-funcs,
-    # unpivot-measures, window-agg-hopping, window-agg-session,
-    # window-lag-delta, window-rank-family, window-running-sum), then
-    # the r4-green cohort from agg-avg-of-sums.
+    # the ~7 alphabetical-tail r3 ids pushed past the 50-row cut by
+    # round 6's seven new ops (from sim-ann-lsh onward), then the rest
+    # of the r3 cohort (struct-funcs, time-funcs, unpivot-measures,
+    # window-agg-hopping, window-agg-session, window-lag-delta,
+    # window-rank-family, window-running-sum), then the r4-green
+    # cohort from agg-avg-of-sums.
 ]
 
 

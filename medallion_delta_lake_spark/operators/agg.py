@@ -67,3 +67,39 @@ def approx_profile(df: DataFrame, distinct_cols: Sequence[str] = ()) -> DataFram
             F.approx_count_distinct(F.col(c)).alias(f"approx_distinct_{c}")
         )
     return df.agg(*aggs)
+
+
+def gini_impurity(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    class_col: str,
+) -> DataFrame:
+    """Per-group Gini impurity of a categorical column:
+    ``1 - Σ_c (n_c / n)²`` — the class-diversity measure (0 = one
+    class, →1 = uniform over many). Chosen over Shannon entropy for
+    the oracle-exactness contract: Gini is pure rational arithmetic
+    (integer counts, one IEEE division and multiply per class —
+    bit-identical in any engine), where entropy's log() differs at the
+    last ulp across libm implementations.
+
+    Kept integral to the last step: ``1 - Σn_c²/n²`` — the sums are
+    exact BIGINTs, the single closing division is one IEEE op. Two
+    partial-aggregating shuffles on (group, class) then (group):
+    map-side combine keeps shuffle rows at one per distinct pair per
+    partition; nothing driver-side. Output: group cols, ``n`` (rows),
+    ``n_classes``, ``gini``."""
+    counts = df.groupBy(*group_cols, class_col).agg(
+        F.count(F.lit(1)).alias("_n_c")
+    )
+    return counts.groupBy(*group_cols).agg(
+        F.sum("_n_c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        (
+            F.lit(1.0)
+            - F.sum(F.col("_n_c") * F.col("_n_c")).cast("double")
+            / (
+                F.sum("_n_c").cast("double")
+                * F.sum("_n_c").cast("double")
+            )
+        ).alias("gini"),
+    )

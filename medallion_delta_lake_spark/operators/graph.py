@@ -1,0 +1,102 @@
+"""Iterative graph analytics on DataFrames (SURVEY.md §2.11 extension
+surface — no reference counterpart; the closest sibling is the
+connected-components loop in operators/dedup.py:341).
+
+``pagerank`` is the canonical fixed-iteration power method expressed
+as pure DataFrame joins/aggregations — the shape GraphX/GraphFrames
+use underneath, with no RDD drop-down:
+
+    r'(v) = (1-d)/N + d · Σ_{u→v} r(u) · w(u,v) / W(u)
+
+Float-determinism contract (registry docstring): edge weights and
+out-degrees stay INTEGER; each per-edge contribution is a double
+computed by identical IEEE ops in any engine; per-node contribution
+sums accumulate in DECIMAL(38,12) so partitioning/order can't change
+the result. A fixed ``iters`` (not convergence-tested) keeps the
+computation ANSI-SQL-expressible for the oracle.
+
+Scale notes: each iteration is one equi-join of edges against the
+current ranks (shuffle keyed by src, then by dst for the partial-agg
+sum) — O(|E|) per iteration, executor-side throughout. For
+billion-edge graphs, checkpoint lineage every few iterations (the
+dedup CC loop shows the pattern); ranks (|V| rows) are the only
+iterated state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    damping: float = 0.85,
+    iters: int = 3,
+) -> DataFrame:
+    """Weighted PageRank over an integer-weighted edge list; returns
+    ``(id, rank)`` after exactly ``iters`` power iterations from the
+    uniform start. Dangling nodes (no out-edges) leak their mass per
+    the simple formulation — documented, and mirrored exactly by the
+    SQL oracle."""
+    from medallion_delta_lake_spark.operators.caching import tracked_cache
+
+    # materialize the (possibly expensive) edge derivation ONCE: every
+    # iteration re-joins against `e`, and without the cache Spark would
+    # replay the full upstream lineage per iteration (the plan audit
+    # showed 3× the base-table scans before this)
+    edges = tracked_cache(
+        edges.select(
+            F.col(src).alias(src),
+            F.col(dst).alias(dst),
+            F.col(weight).alias(weight),
+        )
+    )
+    nodes = tracked_cache(
+        edges.select(F.col(src).alias("id"))
+        .unionByName(edges.select(F.col(dst).alias("id")))
+        .distinct()
+    )
+    n_df = nodes.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    out_w = edges.groupBy(src).agg(
+        F.sum(F.col(weight)).cast("bigint").alias("_out_w")
+    )
+    e = tracked_cache(edges.join(out_w, src))
+    ranks = nodes.crossJoin(F.broadcast(n_df)).select(
+        "id", (F.lit(1.0) / F.col("_n")).alias("rank")
+    )
+    for i in range(iters):
+        if i and i % 5 == 0:
+            # cut the growing join lineage the same way the dedup CC
+            # loop does (dedup.py:383) — |V| rows, cheap to materialize
+            ranks = ranks.localCheckpoint()
+        contribs = e.join(
+            ranks, e[src] == ranks["id"]
+        ).select(
+            F.col(dst).alias("id"),
+            (
+                F.col("rank")
+                * F.col(weight).cast("double")
+                / F.col("_out_w").cast("double")
+            ).alias("_c"),
+        )
+        sums = contribs.groupBy("id").agg(
+            F.sum(F.col("_c").cast("decimal(38,12)"))
+            .cast("double")
+            .alias("_s")
+        )
+        ranks = (
+            nodes.join(sums, "id", "left")
+            .crossJoin(F.broadcast(n_df))
+            .select(
+                "id",
+                (
+                    (F.lit(1.0) - F.lit(damping)) / F.col("_n")
+                    + F.lit(damping) * F.coalesce(F.col("_s"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks

@@ -410,3 +410,75 @@ def range_join_bucketed(
         )
         .drop("_bucket")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    on: Sequence[str] = (),
+    bucket_width: float = 3600.0,
+    how: str = "inner",
+) -> DataFrame:
+    """Interval-overlap join — pair every left interval with every
+    right interval it overlaps (half-open semantics:
+    ``l_start < r_end AND r_start < l_end``), optionally within equi
+    ``on`` keys. Spark has no native interval join; the naive spelling
+    is a cross join with an inequality filter (a broadcast nested loop
+    that dies at scale), so both sides instead explode onto an integer
+    bucket grid of ``bucket_width`` (numeric or epoch-second units) and
+    meet in a bucket+keys EQUI-join. A pair overlapping k shared
+    buckets would emit k duplicates; it is counted exactly once by
+    keeping only the FIRST shared bucket —
+    ``max(floor(l_start/w), floor(r_start/w))`` — a pure predicate, no
+    distinct, no second shuffle.
+
+    Scale notes: shuffle is keyed by (bucket, keys); candidates are
+    bucket-local, so work is Σ_b |L_b|·|R_b| rather than |L|·|R|. Pick
+    ``bucket_width`` near the median interval length — intervals
+    spanning b buckets emit b rows. ``how="left"`` recovers unmatched
+    left intervals with a final keyed anti-union (two narrow columns).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported how: {how}")
+    w = float(bucket_width)
+    keys = list(on)
+
+    def buckets(start: str, end: str) -> Column:
+        # half-open end: an interval ending exactly on a bucket edge
+        # does not occupy that bucket
+        return F.sequence(
+            F.floor(F.col(start) / w).cast("bigint"),
+            F.greatest(
+                F.floor(F.col(start) / w),
+                F.ceil(F.col(end) / w) - 1,
+            ).cast("bigint"),
+        )
+
+    lb = left.withColumn("_bucket", F.explode(buckets(l_start, l_end)))
+    rb = right.withColumn("_bucket", F.explode(buckets(r_start, r_end)))
+    first_shared = F.greatest(
+        F.floor(F.col(l_start) / w), F.floor(F.col(r_start) / w)
+    ).cast("bigint")
+    joined = (
+        lb.join(rb, ["_bucket", *keys])
+        .filter(
+            (F.col(l_start) < F.col(r_end))
+            & (F.col(r_start) < F.col(l_end))
+        )
+        .filter(F.col("_bucket") == first_shared)
+        .drop("_bucket")
+    )
+    if how == "inner":
+        return joined
+    matched = joined.select(*keys, l_start, l_end).distinct()
+    unmatched = left.join(
+        matched, [*keys, l_start, l_end], "left_anti"
+    )
+    right_cols = [c for c in right.columns if c not in keys]
+    for c in right_cols:
+        unmatched = unmatched.withColumn(c, F.lit(None))
+    return joined.unionByName(unmatched)

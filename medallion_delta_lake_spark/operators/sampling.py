@@ -164,3 +164,26 @@ def mixture_token_budget(
             target.cast("double") / F.col("total_tokens").cast("double")
         ).alias("keep_rate"),
     )
+
+
+def sample_by_weight(
+    df: DataFrame,
+    id_col: str,
+    weight: Column,
+    salt: str = "",
+) -> DataFrame:
+    """Importance sampling with a PER-ROW keep probability: keep a row
+    iff ``h64(salt || id) % D < floor(weight · D)`` where ``weight``
+    is any deterministic [0, 1] expression (typically a quality score)
+    and D is the 10⁴ rate resolution. The high-weight rows survive at
+    their weight's rate, reproducibly — the quality-weighted corpus
+    downsampling step of a training mixture, without RNG state.
+
+    Same purity as the other samplers: one codegen predicate, zero
+    shuffle, engine-exact (floor of a double is IEEE-deterministic
+    when ``weight`` derives from integral columns)."""
+    ticket = (
+        h64(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+        % _DENOM
+    )
+    return df.filter(ticket < F.floor(weight * F.lit(float(_DENOM))))

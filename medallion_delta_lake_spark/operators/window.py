@@ -124,3 +124,120 @@ def sessionize(
             "n_events",
         )
     )
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_epoch_col: str,
+    id_col: str,
+    val_col: str,
+    step_s: int = 3600,
+) -> DataFrame:
+    """Time-series resampling with forward fill: per key, snap
+    observations onto a regular ``step_s``-second grid (epoch-second
+    buckets, kept as BIGINT so the grid is engine/timezone-exact),
+    keep the LAST observation per bucket (latest ``ts``, ties broken
+    by ``id_col``), then gap-fill empty buckets with the most recent
+    prior value. The grid spans each key's own [min, max] bucket.
+
+    Plan shape: one (key, bucket) aggregation, one per-key grid
+    generated from a two-row-per-key min/max agg (``sequence`` +
+    ``explode`` — executor-side, never a driver loop), one keyed left
+    join, one per-key ordered window for the fill. Each stage shuffles
+    on the key — at 100 TB the grid side is tiny (keys × buckets) and
+    AQE broadcast-joins it against the observations.
+
+    Output: key cols, ``bucket`` (epoch s), ``value`` (filled),
+    ``observed`` (false for gap rows)."""
+    keys = list(key_cols)
+    bucket = (
+        F.floor(F.col(ts_epoch_col) / F.lit(step_s)) * F.lit(step_s)
+    ).cast("bigint")
+    obs = df.select(
+        *keys,
+        bucket.alias("bucket"),
+        F.col(ts_epoch_col).alias("_ts"),
+        F.col(id_col).alias("_id"),
+        F.col(val_col).alias("_val"),
+    )
+    last_per_bucket = (
+        obs.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(*keys, "bucket").orderBy(
+                    F.col("_ts").desc(), F.col("_id").desc()
+                )
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select(*keys, "bucket", "_val")
+    )
+    grid = (
+        obs.groupBy(*keys)
+        .agg(
+            F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi")
+        )
+        .select(
+            *keys,
+            F.explode(
+                F.sequence("_lo", "_hi", F.lit(step_s).cast("bigint"))
+            ).alias("bucket"),
+        )
+    )
+    filled = grid.join(last_per_bucket, [*keys, "bucket"], "left")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return filled.select(
+        *keys,
+        "bucket",
+        F.last("_val", ignorenulls=True).over(w).alias("value"),
+        F.col("_val").isNotNull().alias("observed"),
+    )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    val_col: str,
+    n: int = 10,
+    threshold: float = 2.0,
+) -> DataFrame:
+    """Rolling z-score anomaly detection: score each value against the
+    mean/std of the PRECEDING ``n`` observations in its key's ordered
+    stream (the trailing window excludes the current row, so a spike
+    does not mask itself). Emits ``zscore`` (null until ``n`` prior
+    points exist or when the window is constant) and ``is_anomaly``
+    (|z| > threshold).
+
+    Float determinism: the rolling Σx and Σx² accumulate in
+    DECIMAL(38,6) (order-independent), and the closing arithmetic —
+    one division, one subtract, one sqrt — is IEEE-exact in any
+    engine (sqrt is correctly rounded, unlike log/exp). Plan: one
+    shuffle on the key, one sort, one window — the same frame
+    computes both sums."""
+    keys = list(key_cols)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(-n, -1)
+    )
+    v = F.col(val_col)
+    cnt = F.count(v).over(w)
+    s1 = F.sum(v.cast("decimal(38,6)")).over(w).cast("double")
+    s2 = F.sum((v * v).cast("decimal(38,6)")).over(w).cast("double")
+    mean = s1 / cnt
+    var = F.greatest(s2 / cnt - mean * mean, F.lit(0.0))
+    std = F.sqrt(var)
+    z = F.when(
+        (cnt >= n) & (std > 0), (v - mean) / std
+    )
+    return df.select(
+        "*",
+        z.alias("zscore"),
+        (F.abs(z) > threshold).alias("is_anomaly"),
+    )

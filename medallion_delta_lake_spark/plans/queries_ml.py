@@ -464,3 +464,56 @@ def sim_pq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_queries=5,
         k=5,
     )
+
+
+_BAL_K = 8
+
+
+@query(
+    "cluster-balance-stats",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cv FROM embeddings
+      WHERE vec_id < {_BAL_K}
+    ),
+    assign AS (
+      SELECT e.vec_id, c.cid,
+             {_dot_sql('e.embedding', 'c.cv')} AS dotp,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_dot_sql('e.embedding', 'c.cv')} DESC, c.cid ASC
+             ) AS rn
+      FROM embeddings e CROSS JOIN cent c
+    )
+    SELECT cid, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(dotp AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+             AS mean_dot
+    FROM assign WHERE rn = 1 GROUP BY cid
+    """,
+)
+def cluster_balance_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """clustering / balance diagnostics — corpus partitioned by its
+    deterministic coarse quantizer (first 8 ids as centroids, argmax
+    dot), reporting per-cluster size and mean affinity: the skew check
+    run before sharding a corpus by semantic cluster (a 90 %-in-one-
+    cluster corpus needs re-fit before cluster-parallel processing).
+    Assignment is the broadcast-NLJ + struct-min partial agg of
+    ivf_assign — shuffle carries one row per vector."""
+    e = table(spark, sf_dir, "embeddings")
+    cent = e.filter(F.col("vec_id") < _BAL_K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    assigned = sim.ivf_assign(e, F.broadcast(cent))
+    dotp = sim.dot(
+        sim.as_double("embedding"), sim.as_double("cv")
+    )
+    scored = assigned.join(F.broadcast(cent), "cid").select(
+        "cid", dotp.alias("dotp")
+    )
+    return scored.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (
+            F.sum(F.col("dotp").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_dot"),
+    )

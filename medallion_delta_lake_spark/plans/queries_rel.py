@@ -1784,3 +1784,299 @@ def json_typed_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_j.k").alias("k"),
         F.col("_j._corrupt_record").isNotNull().alias("is_corrupt"),
     )
+
+
+# ------------------------------------------------- round-6 additions
+
+
+@query(
+    "stats-gini-impurity",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS n_c
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           CAST(SUM(n_c) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(1.0 AS DOUBLE)
+             - CAST(SUM(n_c * n_c) AS DOUBLE)
+               / (CAST(SUM(n_c) AS DOUBLE) * CAST(SUM(n_c) AS DOUBLE))
+             AS gini
+    FROM c GROUP BY user_id
+    """,
+)
+def stats_gini_impurity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stats / Gini impurity — per-user class diversity of event_type
+    (behavioral-diversity profiling; also the split criterion of tree
+    learners). Integral until one closing IEEE division, so the oracle
+    is exact where entropy's log() would drift; two map-side-combined
+    shuffles (see operators/agg.py:gini_impurity)."""
+    from medallion_delta_lake_spark.operators import agg
+
+    ev = table(spark, sf_dir, "events")
+    return agg.gini_impurity(ev, ["user_id"], "event_type")
+
+
+@query(
+    "ts-resample-ffill",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id,
+             CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT)
+               AS bucket,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+             event_id, value
+      FROM events
+    ),
+    lastv AS (
+      SELECT user_id, bucket, value FROM (
+        SELECT user_id, bucket, value,
+               ROW_NUMBER() OVER (
+                 PARTITION BY user_id, bucket
+                 ORDER BY ts_s DESC, event_id DESC) AS rn
+        FROM obs) WHERE rn = 1
+    ),
+    bounds AS (
+      SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi
+      FROM obs GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(range(lo, hi + 3600, 3600)) AS bucket
+      FROM bounds
+    ),
+    j AS (
+      SELECT g.user_id, g.bucket, l.value AS v
+      FROM grid g LEFT JOIN lastv l
+        ON g.user_id = l.user_id AND g.bucket = l.bucket
+    )
+    SELECT user_id, CAST(bucket AS BIGINT) AS bucket,
+           LAST_VALUE(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS value,
+           v IS NOT NULL AS observed
+    FROM j
+    """,
+)
+def ts_resample_ffill_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """timeseries / resample + forward fill — each user's event stream
+    snapped onto an hourly grid with gaps carried forward (the
+    feature-store regularization step before any ML join). Grid is
+    generated executor-side per key; see operators/window.py:
+    resample_ffill for the 4-stage single-key-shuffle plan."""
+    from medallion_delta_lake_spark.operators.window import resample_ffill
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "value",
+        F.unix_timestamp("ts").alias("ts_s"),
+    )
+    return resample_ffill(
+        ev, ["user_id"], "ts_s", "event_id", "value", step_s=3600
+    )
+
+
+@query(
+    "window-anomaly-zscore",
+    oracle="""
+    WITH w AS (
+      SELECT event_id, user_id, value,
+        COUNT(value) OVER win AS cnt,
+        CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER win AS DOUBLE)
+          AS s1,
+        CAST(SUM(CAST(value * value AS DECIMAL(38,6))) OVER win
+          AS DOUBLE) AS s2
+      FROM events
+      WINDOW win AS (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+    ),
+    z AS (
+      SELECT event_id, user_id, value,
+        CASE WHEN cnt >= 10
+              AND sqrt(greatest(
+                    s2 / cnt - (s1 / cnt) * (s1 / cnt), 0.0)) > 0
+             THEN (value - s1 / cnt)
+                  / sqrt(greatest(
+                      s2 / cnt - (s1 / cnt) * (s1 / cnt), 0.0))
+        END AS zscore
+      FROM w
+    )
+    SELECT event_id, user_id, value, zscore,
+           abs(zscore) > CAST(2.0 AS DOUBLE) AS is_anomaly
+    FROM z
+    """,
+)
+def window_anomaly_zscore_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """window / rolling z-score anomaly flag — each event's value
+    scored against its user's trailing 10 observations (monitoring /
+    outlier-quarantine primitive). Trailing frame excludes the current
+    row so a spike can't mask itself; decimal-accumulated Σx and Σx²
+    keep the oracle exact (operators/window.py:rolling_zscore)."""
+    from medallion_delta_lake_spark.operators.window import rolling_zscore
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return rolling_zscore(
+        ev, ["user_id"], ["ts", "event_id"], "value", n=10, threshold=2.0
+    ).drop("ts")
+
+
+def _pagerank_oracle(damping: float = 0.85, iters: int = 3) -> str:
+    """Unrolled fixed-iteration PageRank as CTE chain (the SQL twin of
+    operators/graph.py:pagerank — same decimal contribution sums, same
+    IEEE closing arithmetic)."""
+    d = f"CAST({damping} AS DOUBLE)"
+    parts = [
+        """
+    WITH edges AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey  = c.c_custkey
+      JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+      GROUP BY c.c_nationkey, s.s_nationkey
+    ),
+    nodes AS (
+      SELECT DISTINCT id FROM (
+        SELECT src AS id FROM edges
+        UNION ALL SELECT dst AS id FROM edges)
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    outw AS (
+      SELECT src, CAST(SUM(w) AS BIGINT) AS out_w
+      FROM edges GROUP BY src
+    ),
+    e AS (SELECT edges.*, outw.out_w FROM edges JOIN outw USING (src)),
+    r0 AS (
+      SELECT id, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM nodes, nn
+    )"""
+    ]
+    prev = "r0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+    c{i} AS (
+      SELECT e.dst AS id,
+             CAST(SUM(CAST({prev}.rank * CAST(e.w AS DOUBLE)
+                 / CAST(e.out_w AS DOUBLE) AS DECIMAL(38,12)))
+               AS DOUBLE) AS s
+      FROM e JOIN {prev} ON e.src = {prev}.id
+      GROUP BY e.dst
+    ),
+    r{i} AS (
+      SELECT nodes.id,
+             (CAST(1.0 AS DOUBLE) - {d}) / nn.n
+               + {d} * COALESCE(c{i}.s, CAST(0.0 AS DOUBLE)) AS rank
+      FROM nodes LEFT JOIN c{i} ON nodes.id = c{i}.id, nn
+    )"""
+        )
+        prev = f"r{i}"
+    parts.append(
+        f"""
+    SELECT r.id AS nationkey, n.n_name, r.rank
+    FROM {prev} r JOIN nation n ON n.n_nationkey = r.id"""
+    )
+    return "".join(parts)
+
+
+@query("graph-pagerank-nations", oracle=_pagerank_oracle())
+def graph_pagerank_nations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graph / fixed-iteration weighted PageRank over the nation trade
+    graph (edges: customer nation → supplier nation, weighted by
+    lineitem count) — 'which nations sit at the center of the supply
+    network'. Each iteration is one edges⋈ranks equi-join + one
+    decimal-summed partial agg (operators/graph.py:pagerank); the
+    oracle unrolls the same three iterations as a CTE chain."""
+    from medallion_delta_lake_spark.operators.graph import pagerank
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .groupBy(
+            c["c_nationkey"].alias("src"),
+            s["s_nationkey"].alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    ranks = pagerank(edges, src="src", dst="dst", weight="w", iters=3)
+    return ranks.join(
+        F.broadcast(n), ranks["id"] == n["n_nationkey"]
+    ).select(
+        F.col("id").alias("nationkey"), "n_name", "rank"
+    )
+
+
+@query(
+    "join-interval-overlap",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, value,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+      FROM events
+    ),
+    hi AS (
+      SELECT user_id, event_id AS l_event_id,
+             ts_s AS l_start, ts_s + 7200 AS l_end
+      FROM ev WHERE value > CAST(100.0 AS DOUBLE)
+    ),
+    act AS (
+      SELECT user_id, event_id AS r_event_id,
+             ts_s AS r_start, ts_s + 1800 AS r_end
+      FROM ev
+    ),
+    pairs AS (
+      SELECT h.user_id, h.l_event_id, a.r_event_id
+      FROM hi h JOIN act a ON h.user_id = a.user_id
+       AND h.l_start < a.r_end AND a.r_start < h.l_end
+    )
+    SELECT user_id, l_event_id,
+           CAST(COUNT(*) AS BIGINT) AS n_overlap,
+           CAST(MIN(r_event_id) AS BIGINT) AS first_overlap_id
+    FROM pairs GROUP BY user_id, l_event_id
+    """,
+)
+def join_interval_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join / interval overlap — per user, each high-value event's 2 h
+    influence window paired against every 30 min activity window it
+    overlaps (the attribution/blast-radius join). Bucketed-grid
+    equi-join, NOT a cross join: candidates meet per (user, hour
+    bucket) and duplicates die by first-shared-bucket predicate
+    (operators/joins.py:interval_overlap_join); the oracle is the
+    naive inequality join."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "value",
+        F.unix_timestamp("ts").alias("ts_s"),
+    )
+    hi = ev.filter(F.col("value") > 100.0).select(
+        "user_id",
+        F.col("event_id").alias("l_event_id"),
+        F.col("ts_s").alias("l_start"),
+        (F.col("ts_s") + 7200).alias("l_end"),
+    )
+    act = ev.select(
+        "user_id",
+        F.col("event_id").alias("r_event_id"),
+        F.col("ts_s").alias("r_start"),
+        (F.col("ts_s") + 1800).alias("r_end"),
+    )
+    pairs = joins.interval_overlap_join(
+        hi, act, "l_start", "l_end", "r_start", "r_end",
+        on=["user_id"], bucket_width=3600.0,
+    )
+    return pairs.groupBy("user_id", "l_event_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_overlap"),
+        F.min("r_event_id").cast("bigint").alias("first_overlap_id"),
+    )

@@ -1286,3 +1286,31 @@ def text_quality_calibrate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     step before the quality gate; one window shuffle on the stratum
     key, broadcast rejoin of the tiny quartile frame)."""
     return ta.quality_calibrate(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "sample-importance-weighted",
+    oracle=f"""
+    SELECT doc_id, source, n_chars FROM documents
+    WHERE {h64_sql("'imp1' || CAST(doc_id AS VARCHAR)")} % 10000
+          < floor(least(CAST(1.0 AS DOUBLE),
+                        n_chars / CAST(2000.0 AS DOUBLE))
+                  * CAST(10000.0 AS DOUBLE))
+    """,
+)
+def sample_importance_weighted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sampling / importance-weighted — every document kept with its
+    OWN probability (here length-derived quality, capped at 1.0): the
+    quality-weighted downsampling step of a training mixture, by
+    portable hash instead of RNG so the kept set is identical on any
+    engine/partitioning/rerun. Pure codegen predicate, zero shuffle
+    (operators/sampling.py:sample_by_weight)."""
+    from medallion_delta_lake_spark.operators.sampling import sample_by_weight
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    weight = F.least(
+        F.lit(1.0), F.col("n_chars") / F.lit(2000.0)
+    )
+    return sample_by_weight(d, "doc_id", weight, salt="imp1")
