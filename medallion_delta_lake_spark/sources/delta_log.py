@@ -1386,6 +1386,124 @@ def optimize_delta_log(
     }
 
 
+def restore_delta_log(path: str, version: int) -> dict:
+    """RESTORE the table to an earlier ``version`` — as a NEW commit
+    (the old state becomes the newest state; history is never erased,
+    exactly Delta's own RESTORE semantics). Returns
+    ``{"version", "files_added", "files_removed"}``.
+
+    The commit removes every currently-live file absent from the
+    target snapshot and re-adds every target file missing from (or
+    carrying a different deletion vector than) the current one.
+    Restoring past files that vacuum already deleted is refused up
+    front — file-by-file existence is checked before any action is
+    written, matching Delta's missing-file RESTORE error."""
+    import time as _time
+
+    target = resolve_snapshot(path, version_as_of=version)
+    current = resolve_snapshot(path)
+    missing = [
+        rel
+        for rel in target["files"]
+        if not os.path.exists(os.path.join(path, rel))
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"cannot restore {path} to version {version}: "
+            f"{len(missing)} data files were vacuumed (first: "
+            f"{missing[0]})"
+        )
+    from medallion_delta_lake_spark.sources.deletion_vectors import (
+        dv_relative_path,
+    )
+
+    for add in target["files"].values():
+        desc = add.get("deletionVector")
+        rel = dv_relative_path(desc) if desc else None
+        if rel and not os.path.exists(os.path.join(path, rel)):
+            raise FileNotFoundError(
+                f"cannot restore {path} to version {version}: deletion "
+                f"vector file {rel} was vacuumed"
+            )
+    now_ms = int(_time.time() * 1000)
+    removes = [
+        rel for rel in current["files"] if rel not in target["files"]
+    ]
+    adds = [
+        add
+        for rel, add in target["files"].items()
+        if current["files"].get(rel) != add
+    ]
+
+    def build(v: int) -> list[dict]:
+        actions: list[dict] = []
+        if target["meta"] != current["meta"] and target["meta"]:
+            actions.append({"metaData": target["meta"]})
+        actions.extend(
+            {
+                "remove": {
+                    "path": rel,
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                }
+            }
+            for rel in removes
+        )
+        actions.extend({"add": dict(a)} for a in adds)
+        actions.append(
+            {
+                "commitInfo": {
+                    "operation": "RESTORE",
+                    "operationParameters": {"version": version},
+                }
+            }
+        )
+        return actions
+
+    new_version = _commit_version(
+        path, build, read_version=current["version"]
+    )
+    return {
+        "version": new_version,
+        "files_added": len(adds),
+        "files_removed": len(removes),
+    }
+
+
+def table_history(path: str) -> list[dict]:
+    """DESCRIBE HISTORY for a log-backed table: one entry per commit
+    (newest first) with the operation name/parameters from commitInfo
+    (when present) and add/remove action counts — the audit view the
+    reference exposes through Delta's own ``DeltaTable.history()``."""
+    log = _log_dir(path)
+    out = []
+    for v in reversed(_list_versions(log)):
+        adds = removes = 0
+        info: dict = {}
+        with open(os.path.join(log, f"{v:020d}.json")) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                a = json.loads(line)
+                if a.get("add"):
+                    adds += 1
+                elif a.get("remove"):
+                    removes += 1
+                elif a.get("commitInfo"):
+                    info = a["commitInfo"]
+        out.append(
+            {
+                "version": v,
+                "operation": info.get("operation"),
+                "operationParameters": info.get("operationParameters"),
+                "numAddedFiles": adds,
+                "numRemovedFiles": removes,
+            }
+        )
+    return out
+
+
 def write_checkpoint(path: str) -> int:
     """Write a parquet checkpoint of the current snapshot plus
     ``_last_checkpoint`` — the log-compaction step that keeps replay

@@ -349,3 +349,35 @@ def test_vacuum_keeps_referenced_dv_files_gcs_stale_ones(spark, tmp_path):
     delta_log.vacuum(t, keep_versions=1, staging_ttl_s=0)
     assert not glob.glob(os.path.join(t, "deletion_vector_*.bin"))
     assert _ids(spark, t) == want
+
+
+def test_restore_undoes_delete_and_keeps_history(spark, tmp_path):
+    t = _make_table(spark, tmp_path)
+    v0 = delta_log.resolve_snapshot(t)["version"]
+    delta_log.delete_delta_log(spark, t, [("id", "<", 40)])
+    assert len(_ids(spark, t)) == 60
+    res = delta_log.restore_delta_log(t, v0)
+    assert len(_ids(spark, t)) == 100
+    # the delete is still a time-travelable part of history
+    assert len(_ids(spark, t, version_as_of=res["version"] - 1)) == 60
+    ops = [h["operation"] for h in delta_log.table_history(t)]
+    assert ops[:2] == ["RESTORE", "DELETE"]
+
+
+def test_restore_refuses_when_vacuumed(spark, tmp_path):
+    t = _make_table(spark, tmp_path)
+    v0 = delta_log.resolve_snapshot(t)["version"]
+    df2 = delta_log.read_delta(spark, t).filter(F.col("id") < 10)
+    delta_log.write_delta(spark, df2, t, mode="overwrite")
+    delta_log.vacuum(t, keep_versions=1, staging_ttl_s=0)
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        delta_log.restore_delta_log(t, v0)
+
+
+def test_table_history_counts(spark, tmp_path):
+    t = _make_table(spark, tmp_path)
+    delta_log.delete_delta_log(spark, t, [("id", "<", 20)])
+    h = delta_log.table_history(t)
+    assert h[0]["operation"] == "DELETE"
+    assert h[0]["numAddedFiles"] == h[0]["numRemovedFiles"] > 0
+    assert h[-1]["version"] == 0
