@@ -328,6 +328,36 @@ def read_delta(
 # scan result leaves _scan_adds
 _DV_BASE, _DV_RID = "__dv_file_base", "__dv_row_index"
 
+_HIVE_SAFE = frozenset(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789_.-"
+)
+
+
+def _hive_layout_consistent(files: dict, part_cols: list[str]) -> bool:
+    """True when every live file's directory is exactly the hive path
+    its logged partitionValues imply (``col=value/...``), using only
+    characters that hive stores unescaped — the precondition for the
+    single-basePath fast scan. Values needing URL-escaping (spaces,
+    colons, ...) or files parked outside their hive directory fall
+    back to the grouped per-tuple read, which trusts partitionValues
+    alone."""
+    if any(set(c) - _HIVE_SAFE for c in part_cols):
+        return False
+    for rel, add in files.items():
+        pv = add.get("partitionValues") or {}
+        comps = []
+        for c in part_cols:
+            v = pv.get(c)
+            if v is None:
+                comps.append(f"{c}=__HIVE_DEFAULT_PARTITION__")
+            elif v and not set(v) - _HIVE_SAFE:
+                comps.append(f"{c}={v}")
+            else:
+                return False
+        if os.path.dirname(rel) != "/".join(comps):
+            return False
+    return True
+
 
 def _scan_adds(
     spark: SparkSession,
@@ -406,6 +436,26 @@ def _scan_adds(
         paths = [os.path.join(path, p) for p in files]
         out = _rename_to_logical(
             _attach_meta(spark.read.schema(read_schema).parquet(*paths))
+        )
+    elif not mapping and _hive_layout_consistent(files, part_cols):
+        # FAST PATH — every live file sits in a hive directory that
+        # agrees with its logged partitionValues (what this engine's
+        # own writer and delta-spark both produce). One basePath scan
+        # resolves the partition columns from the paths and casts them
+        # to the declared schema types: a 10 000-partition read is ONE
+        # DataFrame, not a 10 000-way driver-built union (the grouped
+        # fallback below stays for arbitrary add-file layouts, which
+        # the protocol permits).
+        paths = [os.path.join(path, p) for p in files]
+        out = _attach_meta(
+            spark.read.schema(clean_schema)
+            .option("basePath", path)
+            .parquet(*paths)
+        ).select(
+            *(
+                [f.name for f in clean_schema.fields]
+                + ([_DV_BASE, _DV_RID] if (dv_files or keep_positions) else [])
+            )
         )
     else:
         # group files by partition tuple; one read per distinct tuple

@@ -856,3 +856,50 @@ def test_vacuum_staging_age_gate(spark, tmp_path):
     assert "_staging_stale/orphan.parquet" in deleted
     # committed data untouched
     assert delta_log.read_delta(spark, t).count() == 1
+
+
+def test_partitioned_read_fast_path_is_single_scan(spark, tmp_path):
+    """Hive-consistent layouts must read as ONE basePath scan (no
+    per-partition union): a 10k-partition table would otherwise build
+    a 10k-way driver-side union plan."""
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "fast")
+    df = (
+        spark.range(200)
+        .withColumn("grp", (F.col("id") % 8).cast("string"))
+        .withColumn("v", F.col("id") * 2)
+    )
+    delta_log.write_delta(spark, df, t, mode="overwrite", partition_by=["grp"])
+    out = delta_log.read_delta(spark, t)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1, plan
+    assert "Union" not in plan, plan
+    assert out.count() == 200
+    got = out.filter(F.col("grp") == "3").agg(F.sum("v")).first()[0]
+    want = sum(i * 2 for i in range(200) if i % 8 == 3)
+    assert got == want
+
+
+def test_partitioned_read_falls_back_off_hive_layout(spark, tmp_path):
+    """A file parked OUTSIDE its hive directory (legal per the
+    protocol: partitionValues, not the path, is authoritative) must
+    still read correctly via the grouped fallback."""
+    t = str(tmp_path / "fb")
+    _write_parquet(spark, [(1, "a")], os.path.join(t, "g=x/f0.parquet"))
+    _write_parquet(spark, [(2, "b")], os.path.join(t, "stray.parquet"))
+    schema = json.loads(SCHEMA_STR)
+    schema["fields"].append(
+        {"name": "g", "type": "string", "nullable": True, "metadata": {}}
+    )
+    meta = _meta(partition_cols=["g"])
+    meta["metaData"]["schemaString"] = json.dumps(schema)
+    _commit(t, 0, [
+        PROTO, meta,
+        {"add": {"path": "g=x/f0.parquet", "partitionValues": {"g": "x"},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+        {"add": {"path": "stray.parquet", "partitionValues": {"g": "y"},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ])
+    got = {(r.id, r.g) for r in delta_log.read_delta(spark, t).collect()}
+    assert got == {(1, "x"), (2, "y")}
