@@ -60,6 +60,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # agg-argmax; the ~9 alphabetical-tail r3 ids spill to round 7).
 _DRIVER_PRIORITY = [
     # NEW in round 6 (never driver-checked)
+    "agg-mode-exact",
+    "dedup-url-canonical",
+    "text-html-strip",
+    "multimodal-dhash-bands",
     "stats-gini-impurity",
     "ts-resample-ffill",
     "window-anomaly-zscore",

@@ -103,3 +103,35 @@ def gini_impurity(
             )
         ).alias("gini"),
     )
+
+
+def mode_exact(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+) -> DataFrame:
+    """Exact per-group mode with a DETERMINISTIC tie-break (highest
+    count, then smallest value) — unlike ``F.mode``, whose tie winner
+    is partition-order-dependent and therefore irreproducible across
+    engines/runs. Output: group cols, ``mode_value``, ``mode_count``.
+
+    Plan: one (group, value) partial-aggregated count, one window
+    rank over the (far smaller) count table — the raw data shuffles
+    once, keyed by (group, value) with map-side combine."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(*group_cols, value_col).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("_n").desc(), F.col(value_col).asc()
+    )
+    return (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            *group_cols,
+            F.col(value_col).alias("mode_value"),
+            F.col("_n").cast("bigint").alias("mode_count"),
+        )
+    )

@@ -483,3 +483,52 @@ def media_headers(
     return df.select(id_col, "payload").mapInPandas(
         extract, schema=MEDIA_HEADER_SCHEMA
     )
+
+
+def dhash_bands(
+    df: DataFrame,
+    payload_col: str = "payload",
+    grid: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Perceptual difference-hash (dHash) over a binary payload, as a
+    pure codegen expression tree — the image near-dup index build,
+    with the byte stream standing in for decoded grayscale pixels
+    (the real pixel decode is env-gated in :func:`decode_image_features`;
+    the hashing stage downstream of it is EXACTLY this).
+
+    dHash: sample a ``grid × (grid+1)`` lattice of bytes at positions
+    ``floor(i·(n_bytes−1)/(cells−1))``, set bit (r, c) when
+    ``byte[r][c] < byte[r][c+1]``, giving ``grid²`` gradient-direction
+    bits that survive brightness/scale shifts on real pixels. The bits
+    pack into ``bands`` 16-bit integers (``band0..band{bands-1}``) —
+    the LSH banding for hamming-space lookup: near-dup images collide
+    on ≥1 band (same banded-join shape as dedup.simhash_pairs). No
+    UDF, no shuffle; at 100 TB this runs inside the scan.
+    """
+    cells = grid * (grid + 1)
+    hx = F.hex(F.col(payload_col))
+    nb = F.length(F.col(payload_col))
+    out = df.withColumn("_hx", hx).withColumn("_nb", nb)
+
+    def byte_at(i: int):
+        return F.expr(
+            f"CAST(conv(substring(_hx,"
+            f" CAST(({i} * (_nb - 1)) div {cells - 1} AS INT) * 2 + 1,"
+            f" 2), 16, 10) AS INT)"
+        )
+
+    bits_per_band = grid * grid // bands
+    cols = []
+    for b in range(bands):
+        acc = F.lit(0)
+        for j in range(bits_per_band):
+            k = b * bits_per_band + j
+            r, c = divmod(k, grid)
+            cell = r * (grid + 1) + c
+            bit = (byte_at(cell) < byte_at(cell + 1)).cast("int")
+            acc = acc + F.shiftleft(bit, j)
+        cols.append(acc.cast("bigint").alias(f"band{b}"))
+    return out.select(
+        *[c for c in df.columns if c not in ("_hx", "_nb")], *cols
+    ).drop("_hx", "_nb")

@@ -392,3 +392,70 @@ def quality_calibrate(
             ).cast("bigint").alias("n_below")
         )
     )
+
+
+def canonicalize_url(url: Column | str) -> Column:
+    """URL canonicalization for URL-keyed dedup: case-fold the scheme
+    and host (case-insensitive per RFC 3986 — the PATH stays
+    case-sensitive), drop a ``www.`` prefix, strip query string /
+    fragment, and trim trailing slashes. Crawl pipelines dedup on this
+    key before any content hash — the same page arrives as http/https,
+    with and without www, and with tracking params. Pure codegen
+    regexp chain, zero shuffle; every regex is RE2-safe so the DuckDB
+    oracle evaluates the identical patterns."""
+    u = F.col(url) if isinstance(url, str) else url
+    host = F.lower(F.regexp_extract(u, r"^[Hh][Tt][Tt][Pp][Ss]?://([^/]+)", 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    rest = F.regexp_replace(u, r"^[Hh][Tt][Tt][Pp][Ss]?://[^/]+", "")
+    rest = F.regexp_replace(rest, r"[#?].*$", "")
+    rest = F.regexp_replace(rest, r"/+$", "")
+    return F.concat(host, rest)
+
+
+def canonicalize_url_sql(expr: str) -> str:
+    """DuckDB twin of :func:`canonicalize_url` (identical values; the
+    'g' flag matches Spark's replace-all semantics)."""
+    host = (
+        f"regexp_replace(lower(regexp_extract({expr},"
+        f" '^[Hh][Tt][Tt][Pp][Ss]?://([^/]+)', 1)), '^www\\.', '', 'g')"
+    )
+    rest = (
+        f"regexp_replace(regexp_replace(regexp_replace({expr},"
+        f" '^[Hh][Tt][Tt][Pp][Ss]?://[^/]+', '', 'g'),"
+        f" '[#?].*$', '', 'g'), '/+$', '', 'g')"
+    )
+    return f"({host} || {rest})"
+
+
+_HTML_ENTITIES = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),  # LAST: '&amp;lt;' must not double-decode
+]
+
+
+def strip_html(
+    df: DataFrame, text_col: str = "html", out_col: str = "text_clean"
+) -> DataFrame:
+    """HTML → text for crawled corpora: drop <script>/<style> elements
+    WITH their contents, remove every remaining tag, decode the five
+    predefined XML entities (amp last so ``&amp;lt;`` decodes to
+    ``&lt;``, not ``<``), and collapse whitespace runs. Adds
+    ``out_col`` plus ``n_tags`` (tags removed — a markup-density
+    quality signal). The regexes are shared verbatim with the DuckDB
+    oracle (RE2-compatible: non-greedy ``.*?``, no backrefs); pure
+    codegen, zero shuffle — the shape of the WET-extraction pass over
+    a crawl at 100 TB."""
+    raw = F.col(text_col)
+    n_tags = (
+        F.size(F.split(raw, r"<[^>]+>")) - 1
+    ).cast("int")
+    s = F.regexp_replace(raw, r"(?is)<script[^>]*>.*?</script\s*>", " ")
+    s = F.regexp_replace(s, r"(?is)<style[^>]*>.*?</style\s*>", " ")
+    s = F.regexp_replace(s, r"<[^>]+>", " ")
+    for ent, ch in _HTML_ENTITIES:
+        s = F.replace(s, F.lit(ent), F.lit(ch))
+    s = F.trim(F.regexp_replace(s, r"\s+", " "))
+    return df.withColumn(out_col, s).withColumn("n_tags", n_tags)

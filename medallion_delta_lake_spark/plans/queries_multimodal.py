@@ -153,3 +153,54 @@ def multimodal_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = mm.attach_binary_payload(table(spark, sf_dir, "documents"))
     out = mm.resize_image(docs, out_w=32, out_h=32)
     return out.select("doc_id", "out_w", "out_h", "out_bytes")
+
+
+def _dhash_oracle(grid: int = 8, bands: int = 4) -> str:
+    """DuckDB twin of operators/multimodal.py:dhash_bands — same
+    lattice positions, same comparisons, same band packing."""
+    cells = grid * (grid + 1)
+
+    def byte_at(i: int) -> str:
+        return (
+            f"CAST(('0x' || substr(hx,"
+            f" CAST(({i} * (nb - 1)) // {cells - 1} AS INT) * 2 + 1,"
+            f" 2)) AS INT)"
+        )
+
+    bits_per_band = grid * grid // bands
+    band_cols = []
+    for b in range(bands):
+        terms = []
+        for j in range(bits_per_band):
+            k = b * bits_per_band + j
+            r, c = divmod(k, grid)
+            cell = r * (grid + 1) + c
+            terms.append(
+                f"(CASE WHEN {byte_at(cell)} < {byte_at(cell + 1)}"
+                f" THEN 1 ELSE 0 END << {j})"
+            )
+        band_cols.append(
+            "CAST(" + " + ".join(terms) + f" AS BIGINT) AS band{b}"
+        )
+    cols = ",\n           ".join(band_cols)
+    return f"""
+    WITH p AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS nb
+      FROM documents
+    )
+    SELECT doc_id,
+           {cols}
+    FROM p
+    """
+
+
+@query("multimodal-dhash-bands", oracle=_dhash_oracle())
+def multimodal_dhash_bands_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multimodal / perceptual dHash index build — 64 gradient bits
+    over a byte lattice of each payload, packed into 4 LSH bands for
+    hamming-space near-dup lookup (the image-dedup primitive; byte
+    stream stands in for the env-gated pixel decode). Pure codegen —
+    zero shuffle, no UDF (operators/multimodal.py:dhash_bands)."""
+    docs = mm.attach_binary_payload(table(spark, sf_dir, "documents"))
+    return mm.dhash_bands(docs.select("doc_id", "payload")).drop("payload")

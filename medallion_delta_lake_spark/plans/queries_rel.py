@@ -2080,3 +2080,34 @@ def join_interval_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_overlap"),
         F.min("r_event_id").cast("bigint").alias("first_overlap_id"),
     )
+
+
+@query(
+    "agg-mode-exact",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY user_id, event_type
+    ),
+    r AS (
+      SELECT user_id, event_type, n,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id
+               ORDER BY n DESC, event_type ASC) AS rn
+      FROM c
+    )
+    SELECT user_id, event_type AS mode_value,
+           CAST(n AS BIGINT) AS mode_count
+    FROM r WHERE rn = 1
+    """,
+)
+def agg_mode_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """agg / exact mode — each user's most frequent event type with a
+    deterministic tie-break (F.mode's tie winner is partition-order-
+    dependent, hence irreproducible). Raw rows shuffle once with
+    map-side combine; the rank window runs over the small count table
+    (operators/agg.py:mode_exact)."""
+    from medallion_delta_lake_spark.operators import agg
+
+    ev = table(spark, sf_dir, "events")
+    return agg.mode_exact(ev, ["user_id"], "event_type")

@@ -1314,3 +1314,125 @@ def sample_importance_weighted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1.0), F.col("n_chars") / F.lit(2000.0)
     )
     return sample_by_weight(d, "doc_id", weight, salt="imp1")
+
+
+_URL_SQL = (
+    "('HTTPS://WWW.' || source || '.Example.COM/Articles/Doc'"
+    " || CAST(doc_id % 40 AS VARCHAR)"
+    " || CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN '?utm_source=feed'"
+    " WHEN 1 THEN '/' WHEN 2 THEN '#section-2' ELSE '' END)"
+)
+
+
+@query(
+    "dedup-url-canonical",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id, {_URL_SQL} AS url FROM documents
+    ),
+    c AS (
+      SELECT doc_id, {ta.canonicalize_url_sql('url')} AS canonical_url
+      FROM u
+    )
+    SELECT canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_dups,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id
+    FROM c GROUP BY canonical_url
+    """,
+)
+def dedup_url_canonical_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup / URL canonicalization — crawl URLs collapsed onto their
+    canonical key (case-folded host, www/query/fragment/trailing-slash
+    stripped; path case preserved) and grouped to dup-sets with the
+    smallest doc_id as representative. The pre-content-hash dedup of
+    every crawl pipeline; canonicalization is a zero-shuffle codegen
+    regexp chain, the groupBy ships only (url, id)
+    (operators/text_analysis.py:canonicalize_url)."""
+    d = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://WWW."),
+        F.col("source"),
+        F.lit(".Example.COM/Articles/Doc"),
+        (F.col("doc_id") % 40).cast("string"),
+        F.when(F.col("doc_id") % 4 == 0, "?utm_source=feed")
+        .when(F.col("doc_id") % 4 == 1, "/")
+        .when(F.col("doc_id") % 4 == 2, "#section-2")
+        .otherwise(""),
+    )
+    c = d.select(
+        "doc_id", ta.canonicalize_url(url).alias("canonical_url")
+    )
+    return c.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dups"),
+        F.min("doc_id").cast("bigint").alias("keep_doc_id"),
+    )
+
+
+_HTML_WRAP_SQL = (
+    "('<html><head><script type=\"text/javascript\">var x = 1;"
+    "</script><style>p { color: red; }</style></head>"
+    "<body><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>"
+    "<p class=\"main\">' || text || ' &amp; more &lt;tags&gt;</p>"
+    "</body></html>')"
+)
+
+
+@query(
+    "text-html-strip",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, {_HTML_WRAP_SQL} AS html FROM documents
+    ),
+    s AS (
+      SELECT doc_id, html,
+        regexp_replace(regexp_replace(regexp_replace(html,
+          '(?is)<script[^>]*>.*?</script\\s*>', ' ', 'g'),
+          '(?is)<style[^>]*>.*?</style\\s*>', ' ', 'g'),
+          '<[^>]+>', ' ', 'g') AS detagged
+      FROM h
+    ),
+    e AS (
+      SELECT doc_id, html,
+        replace(replace(replace(replace(replace(detagged,
+          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+          '&#39;', chr(39)), '&amp;', '&') AS decoded
+      FROM s
+    )
+    SELECT doc_id,
+           trim(regexp_replace(decoded, '\\s+', ' ', 'g')) AS text_clean,
+           CAST(len(string_split_regex(html, '<[^>]+>')) - 1 AS INT)
+             AS n_tags,
+           length(trim(regexp_replace(decoded, '\\s+', ' ', 'g')))
+             AS clean_len
+    FROM e
+    """,
+)
+def text_html_strip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text / HTML→text extraction — documents wrapped in a planted
+    HTML shell (script+style elements, tags, entities), then stripped:
+    script/style dropped with contents, tags removed, the five XML
+    entities decoded (amp last), whitespace collapsed; n_tags doubles
+    as a markup-density signal. The WET-extraction pass of a crawl
+    pipeline as pure RE2-portable codegen — zero shuffle
+    (operators/text_analysis.py:strip_html)."""
+    d = table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(
+            '<html><head><script type="text/javascript">var x = 1;'
+            "</script><style>p { color: red; }</style></head>"
+            "<body><h1>Doc "
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit('</h1><p class="main">'),
+        F.col("text"),
+        F.lit(" &amp; more &lt;tags&gt;</p></body></html>"),
+    )
+    stripped = ta.strip_html(
+        d.select("doc_id", html.alias("html")), "html", "text_clean"
+    )
+    return stripped.select(
+        "doc_id",
+        "text_clean",
+        "n_tags",
+        F.length("text_clean").alias("clean_len"),
+    )

@@ -381,3 +381,41 @@ def test_table_history_counts(spark, tmp_path):
     assert h[0]["operation"] == "DELETE"
     assert h[0]["numAddedFiles"] == h[0]["numRemovedFiles"] > 0
     assert h[-1]["version"] == 0
+
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=2**40),
+            max_size=400,
+        )
+    )
+    def test_dv_codec_property_round_trip(values):
+        data = dv.serialize_dv(values)
+        assert dv.deserialize_dv(data) == sorted(set(values))
+        # inline descriptor round-trips through Z85 + padding too
+        desc = dv.inline_descriptor(values)
+        assert dv.dv_row_indexes("/nope", desc) == sorted(set(values))
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.integers(min_value=0, max_value=2**32 - 1),
+        st.integers(min_value=3500, max_value=6000),
+    )
+    def test_dv_codec_property_dense(seed, n):
+        # cardinalities straddling the 4096 array/bitmap container
+        # boundary — the layout switch must be invisible to readers
+        # (values derived from a small seed so hypothesis can shrink)
+        x, values = seed or 1, []
+        for _ in range(n):
+            x = (1103515245 * x + 12345) % (2**31)
+            values.append(x % 70_000)
+        assert dv.deserialize_dv(dv.serialize_dv(values)) == sorted(
+            set(values)
+        )
+
+except ImportError:  # hypothesis absent in a stripped env
+    pass
