@@ -146,13 +146,18 @@ def _apply_action(state: dict, action: dict) -> None:
     elif "protocol" in action and action["protocol"]:
         _check_protocol(action["protocol"])
         state["protocol"] = action["protocol"]
+    elif "txn" in action and action["txn"]:
+        txn = action["txn"]
+        state["txns"][txn["appId"]] = max(
+            txn["version"], state["txns"].get(txn["appId"], -1)
+        )
 
 
 def _read_checkpoint(state: dict, ckpt_file: str) -> None:
     import pyarrow.parquet as pq
 
     tbl = pq.read_table(ckpt_file)
-    for name in ("protocol", "metaData", "add", "remove"):
+    for name in ("protocol", "metaData", "add", "remove", "txn"):
         if name not in tbl.column_names:
             continue
         for v in tbl.column(name).to_pylist():
@@ -174,7 +179,12 @@ def resolve_snapshot(path: str, version_as_of: int | None = None) -> dict:
     if not versions and version_as_of is None:
         raise FileNotFoundError(f"empty _delta_log at {path}")
 
-    state: dict = {"files": {}, "meta": None, "protocol": None}
+    state: dict = {
+        "files": {},
+        "meta": None,
+        "protocol": None,
+        "txns": {},
+    }
     start = 0
     last_ckpt = os.path.join(log, "_last_checkpoint")
     if os.path.exists(last_ckpt):
@@ -215,6 +225,7 @@ def resolve_snapshot(path: str, version_as_of: int | None = None) -> dict:
         "meta": state["meta"],
         "files": state["files"],
         "protocol": state["protocol"],
+        "txns": state["txns"],
     }
 
 
@@ -742,6 +753,15 @@ def _validate_against_meta(
         )
 
 
+def last_txn_version(path: str, app_id: str) -> int:
+    """Highest SetTransaction version committed for ``app_id`` (-1 if
+    none) — the idempotence watermark a streaming writer consults
+    before re-applying a microbatch (Delta's ``txn`` contract)."""
+    if not is_delta_table(path):
+        return -1
+    return resolve_snapshot(path)["txns"].get(app_id, -1)
+
+
 def write_delta(
     spark: SparkSession,
     df: DataFrame,
@@ -749,6 +769,7 @@ def write_delta(
     mode: str = "append",
     partition_by: list[str] | None = None,
     overwrite_schema: bool = False,
+    txn: tuple[str, int] | None = None,
     _expect_version: int | None = None,
 ) -> int:
     """Write ``df`` to ``path`` as a REAL Delta table — data files plus
@@ -766,6 +787,13 @@ def write_delta(
     single-filesystem equivalent of Delta's put-if-absent commit
     protocol (object-store multi-cluster coordination is out of scope
     and documented as such).
+
+    ``txn=(app_id, version)`` attaches a SetTransaction action to the
+    commit — the protocol's exactly-once handshake for streaming
+    writers: a retried microbatch checks :func:`last_txn_version`
+    first and skips versions already recorded. The commit itself also
+    refuses to land if the same (appId, version) is already in the
+    snapshot, closing the check-then-write race.
 
     Scale notes: data files are written by Spark's normal distributed
     parquet writer (one task per partition); only the O(files) commit
@@ -805,6 +833,28 @@ def write_delta(
 
     def build(version: int) -> list[dict]:
         actions: list[dict] = []
+        if txn is not None:
+            app_id, txn_version = txn
+            prior_txns = (
+                resolve_snapshot(path, version_as_of=version - 1)["txns"]
+                if version > 0
+                else {}
+            )
+            if prior_txns.get(app_id, -1) >= txn_version:
+                raise DeltaConcurrentWriteError(
+                    f"transaction ({app_id}, {txn_version}) already "
+                    f"committed to {path}; a retried batch must be "
+                    "skipped, not re-applied"
+                )
+            actions.append(
+                {
+                    "txn": {
+                        "appId": app_id,
+                        "version": txn_version,
+                        "lastUpdated": now_ms,
+                    }
+                }
+            )
         if version == 0:
             actions.append(
                 {
@@ -1582,12 +1632,19 @@ def write_checkpoint(path: str) -> int:
     ]
     rows_meta = [_clean(snap["meta"])]
     rows_add = [_clean(a) for a in snap["files"].values()]
-    n = 2 + len(rows_add)
+    rows_txn = [
+        {"appId": app, "version": v}
+        for app, v in sorted(snap.get("txns", {}).items())
+    ]
+    n = 2 + len(rows_add) + len(rows_txn)
     cols = {
         "protocol": rows_proto + [None] * (n - 1),
         "metaData": [None] + rows_meta + [None] * (n - 2),
-        "add": [None, None] + rows_add,
+        "add": [None, None] + rows_add + [None] * len(rows_txn),
+        "txn": [None] * (2 + len(rows_add)) + rows_txn,
     }
+    if not rows_txn:
+        del cols["txn"]
     tbl = pa.table({k: pa.array(v) for k, v in cols.items()})
     pq.write_table(
         tbl, os.path.join(log, f"{version:020d}.checkpoint.parquet")

@@ -127,3 +127,52 @@ def stream_dedup_ingest(
     )
     q.awaitTermination()
     return q
+
+
+def stream_append_delta_log(
+    sdf: DataFrame,
+    spark: SparkSession,
+    path: str,
+    app_id: str,
+    partition_by: Sequence[str] | None = None,
+):
+    """Exactly-once streaming append into a LOG-BACKED Delta table via
+    the protocol's SetTransaction handshake: each microbatch commits
+    ``txn=(app_id, batch_id)`` alongside its add actions, and a
+    replayed batch (foreachBatch is at-least-once) is skipped when
+    ``last_txn_version`` already covers its id — the same mechanism
+    delta-spark's own streaming sink uses, here on the pure-Python log
+    engine. A lost check-then-write race is also closed commit-side
+    (write_delta refuses a duplicate (appId, version)).
+
+    Scale notes: the watermark probe is one snapshot resolution
+    (driver metadata); batch data flows through the normal distributed
+    parquet writer. Returns the finished query (availableNow)."""
+    from medallion_delta_lake_spark.sources import delta_log
+
+    def append_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if delta_log.last_txn_version(path, app_id) >= batch_id:
+            return  # replay of an already-committed batch
+        try:
+            delta_log.write_delta(
+                spark,
+                batch_df,
+                path,
+                mode="append",
+                partition_by=list(partition_by or []) or None,
+                txn=(app_id, batch_id),
+            )
+        except delta_log.DeltaConcurrentWriteError:
+            # another attempt of THIS batch won the race — idempotent
+            pass
+
+    q = (
+        sdf.writeStream.foreachBatch(append_batch)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation", path.rstrip("/") + "__append_checkpoint"
+        )
+        .start()
+    )
+    q.awaitTermination()
+    return q

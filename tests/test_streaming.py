@@ -317,3 +317,64 @@ def test_stream_dedup_ingest_incremental_store(spark, tmp_path):
 
     # re-run with nothing new: checkpoint admits nothing twice
     assert run_ingest() == [1, 2, 11]
+
+
+def test_stream_append_delta_log_exactly_once(spark, tmp_path):
+    """SetTransaction-gated streaming append: microbatches land as
+    txn-stamped commits on the log-backed table; re-running the same
+    source against a FRESH streaming checkpoint (so every batch
+    replays) must append nothing — last_txn_version already covers the
+    batch ids (Delta's txn idempotence contract)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from medallion_delta_lake_spark.sources import delta_log
+    from medallion_delta_lake_spark.streaming.sink import (
+        stream_append_delta_log,
+    )
+
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "tgt")
+    spark.range(40).withColumn("v", F.col("id") * 3).coalesce(2).write.parquet(src)
+
+    sdf = spark.readStream.schema("id long, v long").parquet(src)
+    stream_append_delta_log(sdf, spark, tgt, app_id="ingest-a")
+    assert delta_log.read_delta(spark, tgt).count() == 40
+    assert delta_log.last_txn_version(tgt, "ingest-a") >= 0
+    assert delta_log.last_txn_version(tgt, "other-app") == -1
+
+    # wipe the STREAM's checkpoint (not the table) → full replay
+    shutil.rmtree(tgt + "__append_checkpoint")
+    sdf2 = spark.readStream.schema("id long, v long").parquet(src)
+    stream_append_delta_log(sdf2, spark, tgt, app_id="ingest-a")
+    assert delta_log.read_delta(spark, tgt).count() == 40  # no dupes
+
+    # a different app id is a different transaction stream → appends
+    shutil.rmtree(tgt + "__append_checkpoint")
+    sdf3 = spark.readStream.schema("id long, v long").parquet(src)
+    stream_append_delta_log(sdf3, spark, tgt, app_id="ingest-b")
+    assert delta_log.read_delta(spark, tgt).count() == 80
+
+
+def test_txn_watermark_survives_checkpoint_and_duplicate_refused(
+    spark, tmp_path
+):
+    from pyspark.sql import functions as F
+
+    from medallion_delta_lake_spark.sources import delta_log
+
+    t = str(tmp_path / "txn_tab")
+    df = spark.range(5).withColumn("v", F.col("id"))
+    delta_log.write_delta(spark, df, t, mode="append", txn=("app", 7))
+    assert delta_log.last_txn_version(t, "app") == 7
+    # duplicate (appId, version) must be refused commit-side
+    import pytest as _pytest
+
+    with _pytest.raises(delta_log.DeltaConcurrentWriteError):
+        delta_log.write_delta(spark, df, t, mode="append", txn=("app", 7))
+    # checkpoint must carry the watermark forward
+    delta_log.write_checkpoint(t)
+    assert delta_log.last_txn_version(t, "app") == 7
+    delta_log.write_delta(spark, df, t, mode="append", txn=("app", 8))
+    assert delta_log.last_txn_version(t, "app") == 8
