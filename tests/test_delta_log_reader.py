@@ -903,3 +903,78 @@ def test_partitioned_read_falls_back_off_hive_layout(spark, tmp_path):
     ])
     got = {(r.id, r.g) for r in delta_log.read_delta(spark, t).collect()}
     assert got == {(1, "x"), (2, "y")}
+
+
+def test_upsert_file_scoped_touches_only_overlapping_files(spark, tmp_path):
+    """delete_missing=False merges must rewrite ONLY the files whose
+    logged key range can contain a source key (stats-granular MERGE) —
+    a small-batch upsert into a big table is O(touched files)."""
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "fscope")
+    # range-clustered files: ids 0..199 split into ~8 tight-range files
+    df = (
+        spark.range(200)
+        .withColumn("v", F.col("id") * 10)
+        .repartitionByRange(8, "id")
+        .sortWithinPartitions("id")
+    )
+    delta_log.write_delta(spark, df, t, mode="overwrite")
+    n_files = len(delta_log.resolve_snapshot(t)["files"])
+    assert n_files >= 6
+
+    # update two adjacent keys + insert one brand-new key
+    src = spark.createDataFrame(
+        [(10, 111), (11, 222), (1000, 333)], "id long, v long"
+    )
+    v = delta_log.upsert_delta_log(
+        spark, src, t, keys=["id"], delete_missing=False
+    )
+    # the commit removed only the files overlapping [10, 1000]'s hits —
+    # with tight ranges that is a strict subset of the table
+    log = os.path.join(t, "_delta_log", f"{v:020d}.json")
+    removed = sum(1 for line in open(log) if json.loads(line).get("remove"))
+    # keys 10 and 11 live in one (maybe two) range-clustered files;
+    # the far-away insert key 1000 must NOT widen the touch set
+    assert 0 < removed <= 2, removed
+    got = {r.id: r.v for r in delta_log.read_delta(spark, t).collect()}
+    assert len(got) == 201
+    assert got[10] == 111 and got[11] == 222 and got[1000] == 333
+    assert got[5] == 50  # untouched rows survive
+
+    # second increment entirely OUTSIDE every file's range → pure insert
+    src2 = spark.createDataFrame([(5000, 1)], "id long, v long")
+    v2 = delta_log.upsert_delta_log(
+        spark, src2, t, keys=["id"], delete_missing=False
+    )
+    log2 = os.path.join(t, "_delta_log", f"{v2:020d}.json")
+    acts = [json.loads(line) for line in open(log2)]
+    assert sum(1 for a in acts if a.get("remove")) == 0
+    assert sum(1 for a in acts if a.get("add")) >= 1
+    assert delta_log.read_delta(spark, t).count() == 202
+
+
+def test_upsert_file_scoped_matches_dict_model(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "fmodel")
+    delta_log.write_delta(
+        spark,
+        spark.range(50).withColumn("v", F.col("id")).repartitionByRange(4, "id"),
+        t,
+        mode="overwrite",
+    )
+    model = {i: i for i in range(50)}
+    steps = [
+        [(3, 100), (4, 101)],
+        [(60, 1), (3, 102)],
+        [(45, 7), (61, 8), (0, 9)],
+    ]
+    for batch in steps:
+        src = spark.createDataFrame(batch, "id long, v long")
+        delta_log.upsert_delta_log(
+            spark, src, t, keys=["id"], delete_missing=False
+        )
+        model.update(dict(batch))
+        got = {r.id: r.v for r in delta_log.read_delta(spark, t).collect()}
+        assert got == model
