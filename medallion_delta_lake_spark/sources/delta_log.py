@@ -176,7 +176,13 @@ def resolve_snapshot(path: str, version_as_of: int | None = None) -> dict:
         for f in os.listdir(log)
         if f.endswith(".json") and f[:20].isdigit()
     )
-    if not versions and version_as_of is None:
+    if (
+        not versions
+        and version_as_of is None
+        and not os.path.exists(os.path.join(log, "_last_checkpoint"))
+    ):
+        # a checkpoint alone is a complete snapshot (log cleanup may
+        # have removed every JSON commit it covers)
         raise FileNotFoundError(f"empty _delta_log at {path}")
 
     state: dict = {
@@ -193,14 +199,27 @@ def resolve_snapshot(path: str, version_as_of: int | None = None) -> dict:
         ckpt_version = ckpt_info["version"]
         # time travel to before the checkpoint replays raw JSONs instead
         if version_as_of is None or version_as_of >= ckpt_version:
-            if "parts" in ckpt_info:
-                raise DeltaProtocolError(
-                    "multi-part checkpoints are not supported"
+            n_parts = ckpt_info.get("parts")
+            if n_parts:
+                # multi-part layout (PROTOCOL.md): the state is split
+                # across {version}.checkpoint.{i}.{n}.parquet files —
+                # actions are disjoint, so part order is irrelevant
+                for i in range(1, n_parts + 1):
+                    _read_checkpoint(
+                        state,
+                        os.path.join(
+                            log,
+                            f"{ckpt_version:020d}.checkpoint."
+                            f"{i:010d}.{n_parts:010d}.parquet",
+                        ),
+                    )
+            else:
+                _read_checkpoint(
+                    state,
+                    os.path.join(
+                        log, f"{ckpt_version:020d}.checkpoint.parquet"
+                    ),
                 )
-            _read_checkpoint(
-                state,
-                os.path.join(log, f"{ckpt_version:020d}.checkpoint.parquet"),
-            )
             start = ckpt_version + 1
 
     target = version_as_of if version_as_of is not None else (
@@ -700,7 +719,14 @@ def _commit_version(
     os.makedirs(log, exist_ok=True)
     while True:
         versions = _list_versions(log)
-        version = (versions[-1] + 1) if versions else 0
+        latest = versions[-1] if versions else -1
+        # log cleanup may have deleted every JSON a checkpoint covers —
+        # the next version must still advance past the checkpoint
+        last_ckpt = os.path.join(log, "_last_checkpoint")
+        if os.path.exists(last_ckpt):
+            with open(last_ckpt) as fh:
+                latest = max(latest, json.load(fh)["version"])
+        version = latest + 1
         if read_version is not None and version != read_version + 1:
             raise DeltaConcurrentWriteError(
                 f"table at {path} advanced to version {version - 1} "
@@ -1610,6 +1636,170 @@ def optimize_delta_log(
     }
 
 
+def _rows_at_indexes(
+    spark: SparkSession,
+    path: str,
+    meta: dict,
+    rel: str,
+    add: dict,
+    indexes: list[int],
+) -> DataFrame:
+    """The physical rows of one data file at the given row indexes
+    (DV ignored — indexes address the raw file)."""
+    bare = {k: v for k, v in add.items() if k != "deletionVector"}
+    df = _scan_adds(spark, path, meta, {rel: bare}, keep_positions=True)
+    idx = spark.createDataFrame(
+        [(int(i),) for i in indexes], f"{_DV_RID} bigint"
+    )
+    return df.join(F.broadcast(idx), [_DV_RID], "inner").drop(
+        _DV_BASE, _DV_RID
+    )
+
+
+def table_changes(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Change data feed derived purely from the transaction log — the
+    rows each commit inserted and deleted, as the table's columns plus
+    ``_change_type`` (``insert`` / ``delete``) and ``_commit_version``
+    (Delta's ``table_changes`` reconstruction path for tables without
+    ``_change_data`` files).
+
+    Per commit: dataChange=false commits (OPTIMIZE, RESTORE metadata
+    shuffles) emit nothing; brand-new files emit their live rows as
+    inserts; removed-and-not-re-added files emit their pre-commit live
+    rows as deletes; a file re-added with a grown deletion vector
+    (DELETE-by-DV) emits exactly the newly-flagged row indexes as
+    deletes — and a shrunk DV (RESTORE) emits the resurrected rows as
+    inserts. A row UPDATE therefore appears as a delete+insert pair
+    under its commit version (exact row pairing needs CDC files,
+    which this writer does not produce — documented limitation, same
+    as Delta without ``delta.enableChangeDataFeed``).
+
+    Raises if a needed commit JSON was already cleaned away. Each
+    commit is decoded against its own metaData (schema evolution
+    safe). Scale: one stat-free scan per commit's touched files; the
+    log walk is driver metadata."""
+    from medallion_delta_lake_spark.sources import deletion_vectors as _dv
+
+    log = _log_dir(path)
+    current = resolve_snapshot(path)["version"]
+    hi = to_version if to_version is not None else current
+    frames: list[DataFrame] = []
+    empty_schema = None
+    for v in range(from_version, hi + 1):
+        commit = os.path.join(log, f"{v:020d}.json")
+        if not os.path.exists(commit):
+            raise FileNotFoundError(
+                f"commit {v} of {path} was cleaned; change feed "
+                "unavailable before the earliest retained commit"
+            )
+        actions = [
+            json.loads(line)
+            for line in open(commit)
+            if line.strip()
+        ]
+        snap_v = resolve_snapshot(path, version_as_of=v)
+        meta = snap_v["meta"]
+        if empty_schema is None and meta is not None:
+            empty_schema = StructType.fromJson(
+                json.loads(meta["schemaString"])
+            )
+        prior = (
+            resolve_snapshot(path, version_as_of=v - 1)
+            if v > 0
+            else {"files": {}}
+        )
+        adds = [
+            a["add"]
+            for a in actions
+            if a.get("add") and a["add"].get("dataChange", True)
+        ]
+        removes = [
+            a["remove"]
+            for a in actions
+            if a.get("remove") and a["remove"].get("dataChange", True)
+        ]
+        readded = {a["path"] for a in adds}
+
+        def _tag(df: DataFrame, kind: str) -> DataFrame:
+            return df.select(
+                "*",
+                F.lit(kind).alias("_change_type"),
+                F.lit(v).cast("bigint").alias("_commit_version"),
+            )
+
+        new_files = {
+            a["path"]: a for a in adds if a["path"] not in prior["files"]
+        }
+        if new_files:
+            frames.append(
+                _tag(_scan_adds(spark, path, meta, new_files), "insert")
+            )
+        for a in adds:
+            rel = a["path"]
+            if rel not in prior["files"]:
+                continue
+            old_desc = prior["files"][rel].get("deletionVector")
+            new_desc = a.get("deletionVector")
+            if old_desc == new_desc:
+                continue  # metadata-only re-add: content unchanged
+            old_idx = set(
+                _dv.dv_row_indexes(path, old_desc) if old_desc else []
+            )
+            new_idx = set(
+                _dv.dv_row_indexes(path, new_desc) if new_desc else []
+            )
+            newly_deleted = sorted(new_idx - old_idx)
+            resurrected = sorted(old_idx - new_idx)
+            if newly_deleted:
+                frames.append(
+                    _tag(
+                        _rows_at_indexes(
+                            spark, path, meta, rel, a, newly_deleted
+                        ),
+                        "delete",
+                    )
+                )
+            if resurrected:
+                frames.append(
+                    _tag(
+                        _rows_at_indexes(
+                            spark, path, meta, rel, a, resurrected
+                        ),
+                        "insert",
+                    )
+                )
+        gone = {
+            r["path"]: prior["files"][r["path"]]
+            for r in removes
+            if r["path"] not in readded and r["path"] in prior["files"]
+        }
+        if gone:
+            prior_meta = prior.get("meta") or meta
+            frames.append(
+                _tag(
+                    _scan_adds(spark, path, prior_meta, gone), "delete"
+                )
+            )
+    if not frames:
+        if empty_schema is None:
+            meta = resolve_snapshot(path)["meta"]
+            empty_schema = StructType.fromJson(
+                json.loads(meta["schemaString"])
+            )
+        base = spark.createDataFrame([], empty_schema)
+        return base.select(
+            "*",
+            F.lit("insert").alias("_change_type"),
+            F.lit(0).cast("bigint").alias("_commit_version"),
+        ).limit(0)
+    return reduce(DataFrame.unionByName, frames)
+
+
 def restore_delta_log(path: str, version: int) -> dict:
     """RESTORE the table to an earlier ``version`` — as a NEW commit
     (the old state becomes the newest state; history is never erased,
@@ -1728,12 +1918,18 @@ def table_history(path: str) -> list[dict]:
     return out
 
 
-def write_checkpoint(path: str) -> int:
+def write_checkpoint(path: str, parts: int | None = None) -> int:
     """Write a parquet checkpoint of the current snapshot plus
     ``_last_checkpoint`` — the log-compaction step that keeps replay
     cost O(actions since checkpoint) instead of O(table lifetime).
     After a checkpoint, pre-checkpoint JSON commits are only needed
     for time travel. Returns the checkpointed version.
+
+    ``parts`` splits the state across the protocol's multi-part layout
+    (``{v}.checkpoint.{i}.{n}.parquet``) — at many millions of add
+    actions a single parquet file becomes the metadata bottleneck, so
+    real writers shard it; part 1 carries protocol/metaData/txn and
+    the add actions round-robin across parts.
 
     Empty maps are encoded as nulls (pyarrow infers dicts as structs
     and parquet rejects childless structs; the reader treats null and
@@ -1760,22 +1956,65 @@ def write_checkpoint(path: str) -> int:
         {"appId": app, "version": v}
         for app, v in sorted(snap.get("txns", {}).items())
     ]
-    n = 2 + len(rows_add) + len(rows_txn)
-    cols = {
-        "protocol": rows_proto + [None] * (n - 1),
-        "metaData": [None] + rows_meta + [None] * (n - 2),
-        "add": [None, None] + rows_add + [None] * len(rows_txn),
-        "txn": [None] * (2 + len(rows_add)) + rows_txn,
-    }
-    if not rows_txn:
-        del cols["txn"]
-    tbl = pa.table({k: pa.array(v) for k, v in cols.items()})
-    pq.write_table(
-        tbl, os.path.join(log, f"{version:020d}.checkpoint.parquet")
-    )
+    total = 2 + len(rows_add) + len(rows_txn)
+
+    def _write_one(dest: str, proto, meta, adds, txns) -> None:
+        n = len(proto) + len(meta) + len(adds) + len(txns)
+        cols = {
+            "protocol": proto + [None] * (n - len(proto)),
+            "metaData": [None] * len(proto)
+            + meta
+            + [None] * (n - len(proto) - len(meta)),
+            "add": [None] * (len(proto) + len(meta))
+            + adds
+            + [None] * len(txns),
+            "txn": [None] * (n - len(txns)) + txns,
+        }
+        cols = {
+            k: v
+            for k, v in cols.items()
+            if any(x is not None for x in v)
+        }
+        if not cols:
+            # a part with no actions: zero-row file with an ignorable
+            # column so the parquet schema stays valid
+            pq.write_table(
+                pa.table({"commitInfo": pa.array([], type=pa.string())}),
+                dest,
+            )
+            return
+        pq.write_table(
+            pa.table({k: pa.array(v) for k, v in cols.items()}), dest
+        )
+
+    if parts and parts > 1:
+        shards: list[list] = [[] for _ in range(parts)]
+        for i, a in enumerate(rows_add):
+            shards[i % parts].append(a)
+        for i in range(1, parts + 1):
+            dest = os.path.join(
+                log,
+                f"{version:020d}.checkpoint.{i:010d}.{parts:010d}.parquet",
+            )
+            if i == 1:
+                _write_one(
+                    dest, rows_proto, rows_meta, shards[0], rows_txn
+                )
+            else:
+                _write_one(dest, [], [], shards[i - 1], [])
+        info = {"version": version, "size": total, "parts": parts}
+    else:
+        _write_one(
+            os.path.join(log, f"{version:020d}.checkpoint.parquet"),
+            rows_proto,
+            rows_meta,
+            rows_add,
+            rows_txn,
+        )
+        info = {"version": version, "size": total}
     tmp = os.path.join(log, "_last_checkpoint.tmp")
     with open(tmp, "w") as fh:
-        json.dump({"version": version, "size": n}, fh)
+        json.dump(info, fh)
     os.replace(tmp, os.path.join(log, "_last_checkpoint"))
     return version
 

@@ -419,3 +419,44 @@ try:
 
 except ImportError:  # hypothesis absent in a stripped env
     pass
+
+
+def test_table_changes_reconstructs_cdf(spark, tmp_path):
+    """Log-derived change feed: appends → inserts; DV deletes → exact
+    newly-flagged rows as deletes; whole-file removals → deletes;
+    OPTIMIZE (dataChange:false) → silence; RESTORE → resurrected rows
+    as inserts."""
+    t = _make_table(spark, tmp_path)  # v0: 100 rows
+    delta_log.delete_delta_log(spark, t, [("id", "<", 10)])  # v1
+    delta_log.write_delta(
+        spark,
+        spark.range(100, 105)
+        .withColumn("grp", (F.col("id") % 4).cast("string"))
+        .withColumn("val", F.col("id") * 10),
+        t,
+        mode="append",
+    )  # v2
+    delta_log.delete_delta_log(spark, t, [("id", ">=", 100)])  # v3 (files?)
+    opt = delta_log.optimize_delta_log(spark, t, target_file_bytes=1 << 20)  # v4
+
+    cdf = delta_log.table_changes(spark, t, 1).collect()
+    by = {}
+    for r in cdf:
+        by.setdefault((r._commit_version, r._change_type), set()).add(r.id)
+    assert by[(1, "delete")] == set(range(10))
+    assert by[(2, "insert")] == set(range(100, 105))
+    assert by[(3, "delete")] == set(range(100, 105))
+    assert not any(v == opt["version"] for v, _k in by)  # OPTIMIZE silent
+
+    # v0 insert of the full table
+    full = delta_log.table_changes(spark, t, 0, 0).collect()
+    assert {r.id for r in full} == set(range(100))
+    assert all(r._change_type == "insert" for r in full)
+
+    # RESTORE back past the first delete resurrects rows as inserts
+    res = delta_log.restore_delta_log(t, 0)
+    cdf_r = delta_log.table_changes(
+        spark, t, res["version"], res["version"]
+    ).collect()
+    ins = {r.id for r in cdf_r if r._change_type == "insert"}
+    assert set(range(10)).issubset(ins)

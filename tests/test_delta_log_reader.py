@@ -978,3 +978,47 @@ def test_upsert_file_scoped_matches_dict_model(spark, tmp_path):
         model.update(dict(batch))
         got = {r.id: r.v for r in delta_log.read_delta(spark, t).collect()}
         assert got == model
+
+
+def test_multipart_checkpoint_round_trip(spark, tmp_path):
+    """Multi-part checkpoints ({v}.checkpoint.{i}.{n}.parquet + parts
+    in _last_checkpoint) — both written by this engine and read back,
+    including parts > add-count (empty shards) and post-checkpoint
+    JSON replay."""
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "mp")
+    df = spark.range(60).withColumn("v", F.col("id") * 2).repartition(6)
+    delta_log.write_delta(spark, df, t, mode="overwrite")
+    delta_log.write_delta(
+        spark, df.limit(5), t, mode="append", txn=("appX", 3)
+    )
+    want = delta_log.read_delta(spark, t).count()
+    n_files = len(delta_log.resolve_snapshot(t)["files"])
+
+    v = delta_log.write_checkpoint(t, parts=3)
+    import glob as _glob
+    assert len(
+        _glob.glob(os.path.join(t, "_delta_log", f"{v:020d}.checkpoint.*"))
+    ) == 3
+    # remove every pre-checkpoint JSON: replay must come from the parts
+    for j in range(v + 1):
+        p = os.path.join(t, "_delta_log", f"{j:020d}.json")
+        if os.path.exists(p):
+            os.remove(p)
+    snap = delta_log.resolve_snapshot(t)
+    assert len(snap["files"]) == n_files
+    assert snap["txns"].get("appX") == 3
+    assert delta_log.read_delta(spark, t).count() == want
+
+    # post-checkpoint commits still apply on top
+    delta_log.write_delta(spark, df.limit(2), t, mode="append")
+    assert delta_log.read_delta(spark, t).count() == want + 2
+
+    # degenerate: more parts than adds → empty shards must round-trip
+    t2 = str(tmp_path / "mp2")
+    delta_log.write_delta(
+        spark, spark.range(3).coalesce(1), t2, mode="overwrite"
+    )
+    delta_log.write_checkpoint(t2, parts=5)
+    assert delta_log.read_delta(spark, t2).count() == 3

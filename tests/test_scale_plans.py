@@ -268,3 +268,34 @@ def test_leakage_audit_no_cartesian_no_text_shuffle(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "text#" not in line, line
+
+
+def test_interval_overlap_join_no_nested_loop(spark):
+    """The interval-overlap join must plan as a bucket equi-join — no
+    CartesianProduct / BroadcastNestedLoopJoin anywhere (the naive
+    inequality-join spelling Spark would otherwise choose dies at
+    scale)."""
+    from medallion_delta_lake_spark.plans.queries_rel import (
+        join_interval_overlap_q,
+    )
+
+    df = join_interval_overlap_q(spark, SF_SMOKE)
+    plan = _final_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    ), plan
+
+
+def test_pagerank_caches_edge_derivation(spark):
+    """Each PageRank iteration must re-join the CACHED edge table, not
+    replay the 4-way base-table join lineage (InMemoryTableScan shows
+    up; base tables are scanned a bounded number of times)."""
+    from medallion_delta_lake_spark.plans.queries_rel import (
+        graph_pagerank_nations_q,
+    )
+
+    df = graph_pagerank_nations_q(spark, SF_SMOKE)
+    plan = _final_plan(df)
+    assert "InMemoryTableScan" in plan, plan
