@@ -16,17 +16,18 @@ top of them. operators/upsert.py remains the default engine path
 parquet-snapshot fallback with identical semantics).
 
 Scope honesty: reader protocol 1-2 tables (plus feature-gated
-protocol 3 whose readerFeatures are all supported). Column mapping in
-``name`` mode is supported (physical→logical rename per the
-``delta.columnMapping.physicalName`` field metadata), and deletion
-vectors are supported on BOTH sides — reads subtract DV-flagged rows
-via the parquet scan's hidden ``_metadata.row_index``
-(:func:`_subtract_dvs`), and :func:`delete_delta_log` deletes rows by
-writing DVs instead of rewriting files, with
-:func:`optimize_delta_log` materializing them away at compaction time.
-``id``-mode column mapping changes file-data interpretation in ways
-this reader does not implement — it raises instead of silently
-returning wrong rows.
+protocol 3 whose readerFeatures are all supported). Column mapping is
+supported in BOTH modes — ``name`` (physical→logical rename per the
+``delta.columnMapping.physicalName`` field metadata) and ``id`` (the
+parquet scan resolves columns by field id via
+``spark.sql.parquet.fieldId.read.enabled``; physical names are
+ignored, as the spec requires). Deletion vectors are supported on
+both sides — reads subtract DV-flagged rows via the parquet scan's
+hidden ``_metadata.row_index`` (:func:`_subtract_dvs`), and
+:func:`delete_delta_log` deletes rows by writing DVs instead of
+rewriting files, with :func:`optimize_delta_log` materializing them
+away at compaction time. Unknown feature flags and v2 checkpoints
+still raise instead of silently returning wrong rows.
 
 Concurrency: commits use O_EXCL put-if-absent, so two writers can
 never clobber one version. Pure appends retry on a lost race (their
@@ -56,12 +57,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
-_UNSUPPORTED_READER_FEATURES = {"columnMapping", "v2Checkpoint"}
+_UNSUPPORTED_READER_FEATURES = {"v2Checkpoint"}
 
 
 class DeltaProtocolError(NotImplementedError):
     """The table uses a reader feature this minimal reader must not
-    silently misread (id-mode column mapping, deletion vectors, ...)."""
+    silently misread (v2 checkpoints, unknown columnMapping modes)."""
 
 
 class DeltaConcurrentWriteError(RuntimeError):
@@ -107,9 +108,7 @@ def _check_metadata(meta: dict) -> None:
     mode = (meta.get("configuration") or {}).get(
         "delta.columnMapping.mode", "none"
     )
-    if mode not in ("none", "name"):
-        # id mode resolves columns by parquet field id, which the
-        # name-keyed parquet scan below would misread
+    if mode not in ("none", "name", "id"):
         raise DeltaProtocolError(
             f"delta.columnMapping.mode={mode} is not supported"
         )
@@ -123,13 +122,33 @@ def _column_mapping(meta: dict, schema: StructType) -> dict[str, str]:
     mode = (meta.get("configuration") or {}).get(
         "delta.columnMapping.mode", "none"
     )
-    if mode != "name":
+    if mode not in ("name", "id"):
         return {}
     out = {}
     for field in schema.fields:
         phys = (field.metadata or {}).get("delta.columnMapping.physicalName")
         if phys:
             out[field.name] = phys
+    return out
+
+
+def _field_ids(meta: dict, schema: StructType) -> dict[str, int]:
+    """logical name → parquet field id, when the table's columnMapping
+    mode is ``id`` (``delta.columnMapping.id`` field metadata). Under
+    id mode the parquet column NAMES are unreliable — the ids are
+    authoritative, and Spark's scan resolves them natively once the
+    read schema carries ``parquet.field.id`` metadata and
+    ``spark.sql.parquet.fieldId.read.enabled`` is on."""
+    mode = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    if mode != "id":
+        return {}
+    out = {}
+    for field in schema.fields:
+        fid = (field.metadata or {}).get("delta.columnMapping.id")
+        if fid is not None:
+            out[field.name] = int(fid)
     return out
 
 
@@ -406,6 +425,23 @@ def _scan_adds(
     part_cols = meta.get("partitionColumns") or []
     mapping = _column_mapping(meta, schema)  # logical → physical
     phys = lambda c: mapping.get(c, c)  # noqa: E731
+    field_ids = _field_ids(meta, schema)  # logical → id (id mode only)
+    if field_ids:
+        # id mode: column NAMES in the data files are unreliable; the
+        # scan resolves by parquet field id (native Spark support)
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+
+    def _read_field(f: StructField) -> StructField:
+        """Read-schema field for a data column: physical name under
+        name mode; logical name + field-id metadata under id mode."""
+        if field_ids:
+            return StructField(
+                f.name,
+                f.dataType,
+                f.nullable,
+                {"parquet.field.id": field_ids.get(f.name, -1)},
+            )
+        return StructField(phys(f.name), f.dataType, f.nullable)
 
     # strip field metadata (Spark would otherwise carry the column-
     # mapping annotations into downstream schemas)
@@ -425,7 +461,7 @@ def _scan_adds(
     }
 
     def _rename_to_logical(df: DataFrame) -> DataFrame:
-        if not mapping:
+        if not mapping or field_ids:
             return df
         inv = {p: l for l, p in mapping.items()}
         return df.select(
@@ -456,12 +492,10 @@ def _scan_adds(
             )
 
     if not part_cols:
-        # name-mode column mapping: data files carry PHYSICAL names
+        # column mapping: physical names (name mode) or field ids (id
+        # mode) key the data files
         read_schema = StructType(
-            [
-                StructField(phys(f.name), f.dataType, f.nullable)
-                for f in clean_schema.fields
-            ]
+            [_read_field(f) for f in clean_schema.fields]
         )
         paths = [os.path.join(path, p) for p in files]
         out = _rename_to_logical(
@@ -499,7 +533,7 @@ def _scan_adds(
             by_part.setdefault(key, []).append(os.path.join(path, rel))
         data_schema = StructType(
             [
-                StructField(phys(f.name), f.dataType, f.nullable)
+                _read_field(f)
                 for f in clean_schema.fields
                 if f.name not in part_cols
             ]

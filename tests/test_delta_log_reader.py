@@ -209,12 +209,13 @@ def test_unsupported_features_raise_not_misread(spark, tmp_path):
     ])
     assert delta_log.read_delta(spark, t_dv).count() == 1
 
-    # id-mode column mapping resolves columns by parquet field id —
-    # a name-keyed scan would misread, so the reader must refuse
+    # an unknown columnMapping mode must still refuse, not misread
     t2 = str(tmp_path / "utab2")
     _write_parquet(spark, [(1, "a")], os.path.join(t2, "f0.parquet"))
     meta = _meta()
-    meta["metaData"]["configuration"] = {"delta.columnMapping.mode": "id"}
+    meta["metaData"]["configuration"] = {
+        "delta.columnMapping.mode": "bogus"
+    }
     _commit(t2, 0, [PROTO, meta, {"add": {
         "path": "f0.parquet", "partitionValues": {}, "size": 1,
         "modificationTime": 0, "dataChange": True,
@@ -1022,3 +1023,92 @@ def test_multipart_checkpoint_round_trip(spark, tmp_path):
     )
     delta_log.write_checkpoint(t2, parts=5)
     assert delta_log.read_delta(spark, t2).count() == 3
+
+
+def _write_id_mode_parquet(dest, ids, vs, field_ids=(1, 2),
+                           names=("col-7f3a", "col-9c2e")):
+    """Data file with SCRAMBLED physical names and authoritative
+    parquet field ids (what an id-mode Delta writer produces)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sch = pa.schema([
+        pa.field(names[0], pa.int64(),
+                 metadata={b"PARQUET:field_id": str(field_ids[0]).encode()}),
+        pa.field(names[1], pa.string(),
+                 metadata={b"PARQUET:field_id": str(field_ids[1]).encode()}),
+    ])
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    pq.write_table(
+        pa.table({names[0]: ids, names[1]: vs}, schema=sch), dest
+    )
+
+
+def _id_mode_meta(partition_cols=()):
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-7f3a"}},
+            {"name": "v", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-9c2e"}},
+        ],
+    }
+    if partition_cols:
+        schema["fields"].append(
+            {"name": "part", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 3,
+                          "delta.columnMapping.physicalName": "col-p1"}}
+        )
+    return {
+        "metaData": {
+            "id": "00000000-0000-0000-0000-00000000000a",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema),
+            "partitionColumns": list(partition_cols),
+            "configuration": {"delta.columnMapping.mode": "id"},
+        }
+    }
+
+
+def test_id_mode_column_mapping_read(spark, tmp_path):
+    """id-mode tables (modern writers' default under column mapping)
+    must resolve data columns by parquet FIELD ID — the physical
+    column names are deliberately scrambled here and must not
+    matter."""
+    t = str(tmp_path / "idtab")
+    _write_id_mode_parquet(os.path.join(t, "f0.parquet"), [1, 2], ["a", "b"])
+    _commit(t, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        _id_mode_meta(),
+        {"add": {"path": "f0.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ])
+    df = delta_log.read_delta(spark, t)
+    assert df.columns == ["id", "v"]
+    assert {(r.id, r.v) for r in df.collect()} == {(1, "a"), (2, "b")}
+
+
+def test_id_mode_partitioned_read_with_stats_skipping(spark, tmp_path):
+    t = str(tmp_path / "idptab")
+    _write_id_mode_parquet(os.path.join(t, "px/f0.parquet"), [1], ["a"])
+    _write_id_mode_parquet(os.path.join(t, "py/f1.parquet"), [2], ["b"])
+    _commit(t, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        _id_mode_meta(["part"]),
+        {"add": {"path": "px/f0.parquet",
+                 "partitionValues": {"col-p1": "x"}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+        {"add": {"path": "py/f1.parquet",
+                 "partitionValues": {"col-p1": "y"}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ])
+    df = delta_log.read_delta(spark, t)
+    assert set(df.columns) == {"id", "v", "part"}
+    got = {(r.id, r.v, r.part) for r in df.collect()}
+    assert got == {(1, "a", "x"), (2, "b", "y")}
+    # partition skipping works on the LOGICAL name
+    only_x = delta_log.read_delta(spark, t, filters=[("part", "=", "x")])
+    assert {(r.id, r.part) for r in only_x.collect()} == {(1, "x")}
