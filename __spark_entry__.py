@@ -60,6 +60,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # agg-argmax; the ~9 alphabetical-tail r3 ids spill to round 7).
 _DRIVER_PRIORITY = [
     # NEW in round 6 (never driver-checked)
+    "window-ewma-smooth",
+    "agg-weighted-median",
+    "stats-ks-two-sample",
+    "sample-temperature-mixture",
     "agg-mode-exact",
     "dedup-url-canonical",
     "text-html-strip",

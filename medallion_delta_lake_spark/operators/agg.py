@@ -135,3 +135,81 @@ def mode_exact(
             F.col("_n").cast("bigint").alias("mode_count"),
         )
     )
+
+
+def weighted_median(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    val_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Per-group type-1 weighted median: the smallest value whose
+    cumulative weight reaches half the group's total (exact, not a
+    sketch — the robust central-tendency stat when rows carry
+    volume/importance weights). Decimal-exact cumulative sums make the
+    threshold crossing engine-independent. One shuffle on the group
+    key, one sort; output: group cols, ``wmedian``."""
+    from pyspark.sql import Window
+
+    keys = list(group_cols)
+    w_ord = Window.partitionBy(*keys).orderBy(
+        F.col(val_col).asc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy(*keys)
+    cum = F.sum(F.col(weight_col).cast("decimal(38,6)")).over(w_ord)
+    total = F.sum(F.col(weight_col).cast("decimal(38,6)")).over(w_all)
+    flagged = df.select(
+        *keys,
+        F.col(val_col).alias("_v"),
+        (cum * 2 >= total).alias("_reach"),
+    )
+    return (
+        flagged.filter(F.col("_reach"))
+        .groupBy(*keys)
+        .agg(F.min("_v").alias("wmedian"))
+    )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    val_col: str,
+    flag_col: str,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic: the largest gap
+    between the empirical CDFs of the ``flag_col``=true and =false
+    populations of ``val_col`` — the standard drift detector between
+    two data slices (train vs serve, yesterday vs today). Cumulative
+    counts stay integral; the per-row CDF division and |gap| are
+    single IEEE ops, so the result is engine-exact. Plan: one
+    (value)-grouped count, one ordered window over the distinct-value
+    table (small), one max. Output one row:
+    ``(ks_stat, n_true, n_false)``."""
+    from pyspark.sql import Window
+
+    per_val = df.groupBy(F.col(val_col).alias("_v")).agg(
+        F.sum(F.when(F.col(flag_col), 1).otherwise(0)).alias("_a"),
+        F.sum(F.when(F.col(flag_col), 0).otherwise(1)).alias("_b"),
+    )
+    totals = per_val.agg(
+        F.sum("_a").cast("bigint").alias("n_true"),
+        F.sum("_b").cast("bigint").alias("n_false"),
+    )
+    # the ordered cumsum runs over the DISTINCT-value table (small);
+    # a single ordered partition is fine there — the raw data already
+    # pre-aggregated with map-side combine
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_val.select(
+        F.sum("_a").over(w).alias("_ca"),
+        F.sum("_b").over(w).alias("_cb"),
+    )
+    gaps = cum.crossJoin(F.broadcast(totals)).select(
+        "n_true",
+        "n_false",
+        F.abs(
+            F.col("_ca").cast("double") / F.col("n_true").cast("double")
+            - F.col("_cb").cast("double") / F.col("n_false").cast("double")
+        ).alias("_gap"),
+    )
+    return gaps.groupBy("n_true", "n_false").agg(
+        F.max("_gap").alias("ks_stat")
+    ).select("ks_stat", "n_true", "n_false")

@@ -187,3 +187,50 @@ def sample_by_weight(
         % _DENOM
     )
     return df.filter(ticket < F.floor(weight * F.lit(float(_DENOM))))
+
+
+def temperature_mixture_rates(
+    df: DataFrame,
+    strata_col: str,
+) -> DataFrame:
+    """Temperature-scaled mixture rates (T = 0.5): per-stratum keep
+    probability ∝ √n_s / n_s, scaled so the smallest stratum keeps
+    everything — the multilingual-corpus rebalancing rule (big sources
+    are downsampled toward the √-law share; exponent fixed at 0.5
+    because sqrt is correctly rounded IEEE, unlike pow, keeping the
+    oracle exact). Returns (stratum, n, keep_rate)."""
+    counts = df.groupBy(F.col(strata_col)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    min_n = counts.agg(F.min("n").alias("_min_n"))
+    return counts.crossJoin(F.broadcast(min_n)).select(
+        strata_col,
+        "n",
+        F.least(
+            F.lit(1.0),
+            F.sqrt(F.col("n").cast("double") * F.col("_min_n").cast("double"))
+            / F.col("n").cast("double"),
+        ).alias("keep_rate"),
+    )
+
+
+def sample_temperature_mixture(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Apply :func:`temperature_mixture_rates` by portable hash: keep
+    a row iff ``h64(salt||id) % D < floor(rate·D)``. The per-stratum
+    rate joins in as a broadcast (|strata| rows); selection stays a
+    per-row codegen predicate — the raw data never shuffles."""
+    rates = temperature_mixture_rates(df, strata_col)
+    ticket = (
+        h64(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+        % _DENOM
+    )
+    return (
+        df.join(F.broadcast(rates.select(strata_col, "keep_rate")), strata_col)
+        .filter(ticket < F.floor(F.col("keep_rate") * F.lit(float(_DENOM))))
+        .drop("keep_rate")
+    )

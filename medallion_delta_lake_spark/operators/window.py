@@ -241,3 +241,37 @@ def rolling_zscore(
         z.alias("zscore"),
         (F.abs(z) > threshold).alias("is_anomaly"),
     )
+
+
+def ewma_smooth(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    val_col: str,
+    alpha: float = 0.25,
+    lookback: int = 16,
+) -> DataFrame:
+    """Exponentially-weighted moving average per key — the classic
+    recursive smoother ``ewma = α·x + (1−α)·ewma`` — expressed as a
+    sequential fold over the trailing ``lookback`` ordered values
+    (collect over a bounded frame + ``F.aggregate``): windows are
+    recursion-free in SQL engines, but a bounded-frame fold IS the
+    recursion, truncated where the (1−α)^k weight is already ~0
+    (0.75¹⁶ ≈ 0.01). The fold is plain double multiply/add in frame
+    order — bit-identical to DuckDB's ``list_reduce`` over the same
+    frame (the registry's dot-product contract). One shuffle on the
+    key, one sort; the array is ≤``lookback`` doubles per row."""
+    keys = list(key_cols)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(-(lookback - 1), 0)
+    )
+    vals = F.collect_list(F.col(val_col)).over(w)
+    a = float(alpha)
+    ewma = F.aggregate(
+        F.slice(vals, 2, lookback),
+        F.element_at(vals, 1).cast("double"),
+        lambda acc, x: F.lit(a) * x + F.lit(1.0 - a) * acc,
+    )
+    return df.select("*", ewma.alias("ewma"))

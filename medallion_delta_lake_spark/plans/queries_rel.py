@@ -2111,3 +2111,111 @@ def agg_mode_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
     return agg.mode_exact(ev, ["user_id"], "event_type")
+
+
+@query(
+    "window-ewma-smooth",
+    oracle="""
+    WITH w AS (
+      SELECT event_id, user_id, value,
+             list(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS vals
+      FROM events
+    )
+    SELECT event_id, user_id, value,
+           list_reduce(vals, (acc, x) ->
+             CAST(0.25 AS DOUBLE) * x + CAST(0.75 AS DOUBLE) * acc)
+             AS ewma
+    FROM w
+    """,
+)
+def window_ewma_smooth_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """window / EWMA smoothing — per-user exponential moving average
+    of event values (α = 0.25), the recursion expressed as a bounded-
+    frame sequential fold (16 values ≈ weight decay to 1%), engine-
+    exact against DuckDB's list_reduce over the same frame
+    (operators/window.py:ewma_smooth)."""
+    from medallion_delta_lake_spark.operators.window import ewma_smooth
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return ewma_smooth(
+        ev, ["user_id"], ["ts", "event_id"], "value",
+        alpha=0.25, lookback=16,
+    ).drop("ts")
+
+
+@query(
+    "agg-weighted-median",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag, l_extendedprice AS v,
+             SUM(CAST(l_quantity AS DECIMAL(38,6))) OVER (
+               PARTITION BY l_returnflag ORDER BY l_extendedprice
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(CAST(l_quantity AS DECIMAL(38,6))) OVER (
+               PARTITION BY l_returnflag) AS total
+      FROM lineitem
+    )
+    SELECT l_returnflag, MIN(v) AS wmedian
+    FROM c WHERE cum * 2 >= total GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_median_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stats / exact weighted median — quantity-weighted median price
+    per return flag (type-1: smallest value whose cumulative weight
+    reaches half the total). Decimal cumsums make the crossing
+    engine-exact even under equal-value ties
+    (operators/agg.py:weighted_median)."""
+    from medallion_delta_lake_spark.operators import agg
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+    return agg.weighted_median(
+        li, ["l_returnflag"], "l_extendedprice", "l_quantity"
+    )
+
+
+@query(
+    "stats-ks-two-sample",
+    oracle="""
+    WITH pv AS (
+      SELECT value AS _v,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS _a,
+             SUM(CASE WHEN event_type = 'click' THEN 0 ELSE 1 END) AS _b
+      FROM events GROUP BY value
+    ),
+    t AS (
+      SELECT CAST(SUM(_a) AS BIGINT) AS n_true,
+             CAST(SUM(_b) AS BIGINT) AS n_false FROM pv
+    ),
+    c AS (
+      SELECT SUM(_a) OVER w AS _ca, SUM(_b) OVER w AS _cb FROM pv
+      WINDOW w AS (ORDER BY _v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    g AS (
+      SELECT n_true, n_false,
+             abs(CAST(_ca AS DOUBLE) / CAST(n_true AS DOUBLE)
+                 - CAST(_cb AS DOUBLE) / CAST(n_false AS DOUBLE)) AS gap
+      FROM c, t
+    )
+    SELECT MAX(gap) AS ks_stat, n_true, n_false
+    FROM g GROUP BY n_true, n_false
+    """,
+)
+def stats_ks_two_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stats / two-sample Kolmogorov–Smirnov — largest empirical-CDF
+    gap between click events' values and everything else (the drift
+    detector between two data slices). Integral cumulative counts,
+    one IEEE division per distinct value
+    (operators/agg.py:ks_two_sample)."""
+    from medallion_delta_lake_spark.operators import agg
+
+    ev = table(spark, sf_dir, "events").select(
+        "value", (F.col("event_type") == "click").alias("is_click")
+    )
+    return agg.ks_two_sample(ev, "value", "is_click")

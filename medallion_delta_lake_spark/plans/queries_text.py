@@ -1436,3 +1436,40 @@ def text_html_strip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tags",
         F.length("text_clean").alias("clean_len"),
     )
+
+
+@query(
+    "sample-temperature-mixture",
+    oracle=f"""
+    WITH c AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY source
+    ),
+    m AS (SELECT MIN(n) AS mn FROM c),
+    r AS (
+      SELECT source,
+             least(CAST(1.0 AS DOUBLE),
+                   sqrt(CAST(n AS DOUBLE) * CAST(mn AS DOUBLE))
+                     / CAST(n AS DOUBLE)) AS keep_rate
+      FROM c, m
+    )
+    SELECT d.doc_id, d.source FROM documents d JOIN r USING (source)
+    WHERE {h64_sql("'temp1' || CAST(doc_id AS VARCHAR)")} % 10000
+          < floor(keep_rate * CAST(10000.0 AS DOUBLE))
+    """,
+)
+def sample_temperature_mixture_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sampling / temperature-scaled mixture (T = 0.5) — per-source
+    keep rates ∝ √n so dominant sources shrink toward the √-law share
+    while the smallest keeps 100% (the multilingual rebalancing rule),
+    applied by portable hash. T fixed at 0.5 because sqrt is correctly
+    rounded IEEE (pow is not) — the oracle stays exact
+    (operators/sampling.py:sample_temperature_mixture)."""
+    from medallion_delta_lake_spark.operators.sampling import (
+        sample_temperature_mixture,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    return sample_temperature_mixture(
+        d, "doc_id", "source", salt="temp1"
+    ).select("doc_id", "source")

@@ -163,3 +163,74 @@ def test_sample_by_weight_rate_tracks_weight(spark):
         .collect()
     )
     assert a == b
+
+
+def test_ewma_matches_reference_recursion(spark):
+    from medallion_delta_lake_spark.operators.window import ewma_smooth
+
+    vals = [10.0, 20.0, 5.0, 40.0, 40.0, 1.0]
+    df = spark.createDataFrame(
+        [(1, i, v) for i, v in enumerate(vals)], "k int, t long, v double"
+    )
+    out = {
+        r.t: r.ewma
+        for r in ewma_smooth(
+            df, ["k"], ["t"], "v", alpha=0.25, lookback=16
+        ).collect()
+    }
+    acc = vals[0]
+    assert out[0] == acc
+    for i, v in enumerate(vals[1:], start=1):
+        acc = 0.25 * v + 0.75 * acc
+        assert out[i] == acc, (i, out[i], acc)
+
+
+def test_weighted_median_respects_weights(spark):
+    from medallion_delta_lake_spark.operators import agg
+
+    # values 1..4; weight mass concentrated on 4 pulls the median up
+    df = spark.createDataFrame(
+        [("g", 1.0, 1.0), ("g", 2.0, 1.0), ("g", 3.0, 1.0), ("g", 4.0, 10.0)],
+        "grp string, v double, w double",
+    )
+    got = agg.weighted_median(df, ["grp"], "v", "w").collect()[0]
+    assert got.wmedian == 4.0
+    # equal weights → ordinary type-1 median (lower of the middle pair)
+    df2 = spark.createDataFrame(
+        [("g", float(v), 1.0) for v in (1, 2, 3, 4)],
+        "grp string, v double, w double",
+    )
+    assert agg.weighted_median(df2, ["grp"], "v", "w").collect()[0].wmedian == 2.0
+
+
+def test_ks_two_sample_known_values(spark):
+    from medallion_delta_lake_spark.operators import agg
+
+    # disjoint supports → KS = 1
+    rows = [(float(v), True) for v in range(5)] + [
+        (float(v), False) for v in range(10, 15)
+    ]
+    df = spark.createDataFrame(rows, "v double, f boolean")
+    r = agg.ks_two_sample(df, "v", "f").collect()[0]
+    assert r.ks_stat == 1.0 and r.n_true == 5 and r.n_false == 5
+    # identical samples → KS = 0
+    rows2 = [(float(v), f) for v in range(5) for f in (True, False)]
+    r2 = agg.ks_two_sample(
+        spark.createDataFrame(rows2, "v double, f boolean"), "v", "f"
+    ).collect()[0]
+    assert r2.ks_stat == 0.0
+
+
+def test_temperature_mixture_rates_sqrt_law(spark):
+    import math as m
+
+    from medallion_delta_lake_spark.operators.sampling import (
+        temperature_mixture_rates,
+    )
+
+    df = spark.createDataFrame(
+        [("big",)] * 900 + [("small",)] * 100, "src string"
+    )
+    rates = {r.src: r for r in temperature_mixture_rates(df, "src").collect()}
+    assert rates["small"].keep_rate == 1.0  # smallest keeps everything
+    assert rates["big"].keep_rate == m.sqrt(900.0 * 100.0) / 900.0
