@@ -26,8 +26,10 @@ both sides — reads subtract DV-flagged rows via the parquet scan's
 hidden ``_metadata.row_index`` (:func:`_subtract_dvs`), and
 :func:`delete_delta_log` deletes rows by writing DVs instead of
 rewriting files, with :func:`optimize_delta_log` materializing them
-away at compaction time. Unknown feature flags and v2 checkpoints
-still raise instead of silently returning wrong rows.
+away at compaction time. V2 (manifest + sidecar) checkpoints replay
+on the read side. Reader features are WHITELISTED — a table listing a
+feature this reader does not implement raises instead of silently
+returning wrong rows, exactly the spec's contract.
 
 Concurrency: commits use O_EXCL put-if-absent, so two writers can
 never clobber one version. Pure appends retry on a lost race (their
@@ -57,7 +59,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
-_UNSUPPORTED_READER_FEATURES = {"v2Checkpoint"}
+# Whitelist, per the spec's contract: a reader must refuse any table
+# listing a readerFeature it does not implement. timestampNtz is pure
+# type support (Spark reads TIMESTAMP_NTZ natively) and
+# vacuumProtocolCheck imposes no read-path behavior.
+_SUPPORTED_READER_FEATURES = {
+    "columnMapping",
+    "deletionVectors",
+    "v2Checkpoint",
+    "timestampNtz",
+    "vacuumProtocolCheck",
+}
 
 
 class DeltaProtocolError(NotImplementedError):
@@ -94,7 +106,7 @@ def _check_protocol(proto: dict) -> None:
         return
     if proto.get("minReaderVersion", 1) >= 3:
         feats = set(proto.get("readerFeatures") or [])
-        bad = feats & _UNSUPPORTED_READER_FEATURES
+        bad = feats - _SUPPORTED_READER_FEATURES
         if bad:
             raise DeltaProtocolError(
                 f"unsupported Delta reader features: {sorted(bad)}"
@@ -173,6 +185,11 @@ def _apply_action(state: dict, action: dict) -> None:
 
 
 def _read_checkpoint(state: dict, ckpt_file: str) -> None:
+    """Apply one checkpoint parquet's actions — including the V2
+    layout, where the file is a MANIFEST whose ``sidecar`` actions
+    point at ``_delta_log/_sidecars/*.parquet`` files carrying the
+    add/remove bulk (PROTOCOL.md "V2 Spec Checkpoints"; the
+    ``checkpointMetadata`` action is bookkeeping and needs no state)."""
     import pyarrow.parquet as pq
 
     tbl = pq.read_table(ckpt_file)
@@ -182,6 +199,82 @@ def _read_checkpoint(state: dict, ckpt_file: str) -> None:
         for v in tbl.column(name).to_pylist():
             if v is not None:
                 _apply_action(state, {name: v})
+    if "sidecar" in tbl.column_names:
+        log = os.path.dirname(ckpt_file)
+        for sc in tbl.column("sidecar").to_pylist():
+            if sc is None:
+                continue
+            side = pq.read_table(
+                os.path.join(log, "_sidecars", sc["path"])
+            )
+            for name in ("add", "remove"):
+                if name not in side.column_names:
+                    continue
+                for v in side.column(name).to_pylist():
+                    if v is not None:
+                        _apply_action(state, {name: v})
+
+
+_CKPT_RE = None  # compiled lazily (module avoids importing re at top)
+
+
+def _ckpt_patterns():
+    global _CKPT_RE
+    if _CKPT_RE is None:
+        import re
+
+        _CKPT_RE = (
+            re.compile(r"^(\d{20})\.checkpoint\.parquet$"),
+            re.compile(r"^(\d{20})\.checkpoint\.[0-9a-fA-F-]{8,}\.parquet$"),
+            re.compile(
+                r"^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$"
+            ),
+        )
+    return _CKPT_RE
+
+
+def _discover_checkpoints(log: str) -> dict[int, list[str]]:
+    """version → checkpoint file names, from the directory listing:
+    classic single-file, V2 uuid-named manifests, and complete
+    multi-part sets (incomplete part sets are ignored — a crashed
+    checkpoint writer must not poison replay)."""
+    classic_re, v2_re, part_re = _ckpt_patterns()
+    out: dict[int, list[str]] = {}
+    parts: dict[int, dict[int, tuple[int, str]]] = {}
+    for f in os.listdir(log):
+        m = part_re.match(f)
+        if m:
+            v = int(m.group(1))
+            parts.setdefault(v, {})[int(m.group(2))] = (
+                int(m.group(3)),
+                f,
+            )
+            continue
+        m = classic_re.match(f) or v2_re.match(f)
+        if m:
+            out.setdefault(int(m.group(1)), []).append(f)
+    for v, got in parts.items():
+        n = next(iter(got.values()))[0]
+        if len(got) == n and all(i in got for i in range(1, n + 1)):
+            out.setdefault(v, []).extend(
+                got[i][1] for i in range(1, n + 1)
+            )
+    # keep at most one representation per version (classic preferred)
+    for v, names in out.items():
+        classics = [n for n in names if classic_re.match(n)]
+        out[v] = classics[:1] if classics else (
+            names[:1] if not part_re.match(names[0]) else names
+        )
+    return out
+
+
+def _find_checkpoint(log: str, version: int) -> str:
+    found = _discover_checkpoints(log).get(version)
+    if not found:
+        raise FileNotFoundError(
+            f"no checkpoint files for version {version} in {log}"
+        )
+    return os.path.join(log, found[0])
 
 
 def resolve_snapshot(path: str, version_as_of: int | None = None) -> dict:
@@ -233,13 +326,28 @@ def resolve_snapshot(path: str, version_as_of: int | None = None) -> dict:
                         ),
                     )
             else:
-                _read_checkpoint(
-                    state,
-                    os.path.join(
-                        log, f"{ckpt_version:020d}.checkpoint.parquet"
-                    ),
+                classic = os.path.join(
+                    log, f"{ckpt_version:020d}.checkpoint.parquet"
                 )
+                if os.path.exists(classic):
+                    _read_checkpoint(state, classic)
+                else:
+                    # V2 uuid-named manifest at the same version
+                    _read_checkpoint(
+                        state, _find_checkpoint(log, ckpt_version)
+                    )
             start = ckpt_version + 1
+    else:
+        # _last_checkpoint is an optimization, not a requirement —
+        # discover the newest usable checkpoint from the file listing
+        found = _discover_checkpoints(log)
+        for ckpt_version in sorted(found, reverse=True):
+            if version_as_of is not None and version_as_of < ckpt_version:
+                continue
+            for f in found[ckpt_version]:
+                _read_checkpoint(state, os.path.join(log, f))
+            start = ckpt_version + 1
+            break
 
     target = version_as_of if version_as_of is not None else (
         versions[-1] if versions else start - 1

@@ -188,7 +188,7 @@ def test_unsupported_features_raise_not_misread(spark, tmp_path):
     _write_parquet(spark, [(1, "a")], os.path.join(t, "f0.parquet"))
     _commit(t, 0, [
         {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                      "readerFeatures": ["v2Checkpoint"]}},
+                      "readerFeatures": ["someFutureFeature"]}},
         _meta(),
         {"add": {"path": "f0.parquet", "partitionValues": {}, "size": 1,
                  "modificationTime": 0, "dataChange": True}},
@@ -1112,3 +1112,61 @@ def test_id_mode_partitioned_read_with_stats_skipping(spark, tmp_path):
     # partition skipping works on the LOGICAL name
     only_x = delta_log.read_delta(spark, t, filters=[("part", "=", "x")])
     assert {(r.id, r.part) for r in only_x.collect()} == {(1, "x")}
+
+
+def test_v2_checkpoint_manifest_and_sidecars(spark, tmp_path):
+    """V2 checkpoints: a uuid-named manifest parquet carrying
+    protocol/metaData plus sidecar actions whose _sidecars/*.parquet
+    files hold the add bulk — replayed with NO _last_checkpoint file
+    (discovery from the listing) and with later JSON commits on top."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = str(tmp_path / "v2tab")
+    _write_parquet(spark, [(1, "a")], os.path.join(t, "f0.parquet"))
+    _write_parquet(spark, [(2, "b")], os.path.join(t, "f1.parquet"))
+    log = os.path.join(t, "_delta_log")
+    side_dir = os.path.join(log, "_sidecars")
+    os.makedirs(side_dir, exist_ok=True)
+
+    def add(p):
+        return {"path": p, "partitionValues": None, "size": 1,
+                "modificationTime": 0, "dataChange": True}
+
+    for i, p in enumerate(["f0.parquet", "f1.parquet"]):
+        pq.write_table(
+            pa.table({"add": pa.array([add(p)])}),
+            os.path.join(side_dir, f"sc-{i}.parquet"),
+        )
+    proto = {"minReaderVersion": 3, "minWriterVersion": 7,
+             "readerFeatures": ["v2Checkpoint"],
+             "writerFeatures": ["v2Checkpoint"]}
+    meta = {k: v for k, v in _meta()["metaData"].items()
+            if k not in ("configuration", "format")}
+    manifest = {
+        "checkpointMetadata": [{"version": 5}, None, None, None, None],
+        "protocol": [None, proto, None, None, None],
+        "metaData": [None, None, meta, None, None],
+        "sidecar": [None, None, None,
+                    {"path": "sc-0.parquet", "sizeInBytes": 1,
+                     "modificationTime": 0},
+                    {"path": "sc-1.parquet", "sizeInBytes": 1,
+                     "modificationTime": 0}],
+    }
+    pq.write_table(
+        pa.table({k: pa.array(v) for k, v in manifest.items()}),
+        os.path.join(
+            log, f"{5:020d}.checkpoint.80a083e8-7026-4e79-81be-64bd76c43a11.parquet"
+        ),
+    )
+    # NO _last_checkpoint; a post-checkpoint JSON commit adds f2
+    _write_parquet(spark, [(3, "c")], os.path.join(t, "f2.parquet"))
+    _commit(t, 6, [{"add": {
+        "path": "f2.parquet", "partitionValues": {}, "size": 1,
+        "modificationTime": 2, "dataChange": True,
+    }}])
+    snap = delta_log.resolve_snapshot(t)
+    assert snap["version"] == 6
+    assert set(snap["files"]) == {"f0.parquet", "f1.parquet", "f2.parquet"}
+    got = {(r.id, r.v) for r in delta_log.read_delta(spark, t).collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c")}
