@@ -842,6 +842,43 @@ def _stage_data_files(
     return adds
 
 
+def _stage_physical(
+    df: DataFrame,
+    path: str,
+    meta: dict | None,
+    part_cols: list[str],
+    now_ms: int,
+) -> list[dict]:
+    """Stage data files under the table's PHYSICAL column names when
+    column mapping is on (data files are keyed by physicalName — and,
+    in id mode, by parquet field id, which Spark's writer emits from
+    the ``parquet.field.id`` field metadata). A logical-named write
+    into a mapped table would read back as nulls. No mapping → plain
+    staging."""
+    if meta is None:
+        return _stage_data_files(df, path, list(part_cols), now_ms)
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    mapping = _column_mapping(meta, schema)
+    if not mapping:
+        return _stage_data_files(df, path, list(part_cols), now_ms)
+    ids = _field_ids(meta, schema)
+    cols = []
+    for c in df.columns:
+        phys = mapping.get(c, c)
+        if c in ids:
+            cols.append(
+                F.col(c).alias(phys, metadata={"parquet.field.id": ids[c]})
+            )
+        else:
+            cols.append(F.col(c).alias(phys))
+    return _stage_data_files(
+        df.select(*cols),
+        path,
+        [mapping.get(c, c) for c in part_cols],
+        now_ms,
+    )
+
+
 def _commit_version(
     path: str, build_actions, read_version: int | None = None
 ) -> int:
@@ -993,10 +1030,20 @@ def write_delta(
             _validate_against_meta(
                 df, snap["meta"], list(partition_by), path
             )
+        elif (snap["meta"].get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none"
+        ) != "none":
+            raise DeltaProtocolError(
+                "overwrite_schema on a column-mapped table would drop "
+                "the mapping metadata; evolve via rename_column / "
+                "explicit metaData instead"
+            )
     partition_by = list(partition_by or [])
     os.makedirs(path, exist_ok=True)
     now_ms = int(_time.time() * 1000)
-    adds = _stage_data_files(df, path, partition_by, now_ms)
+    adds = _stage_physical(
+        df, path, snap["meta"] if snap else None, partition_by, now_ms
+    )
     evolve = snap is not None and mode == "overwrite" and overwrite_schema
 
     def build(version: int) -> list[dict]:
@@ -1254,7 +1301,7 @@ def _upsert_file_scoped(
         merged = upsert_mod.merge_state(
             subset, src, keys, delete_missing=False
         )
-        adds = _stage_data_files(merged, path, part_cols, now_ms)
+        adds = _stage_physical(merged, path, meta, part_cols, now_ms)
 
     def build(version: int) -> list[dict]:
         actions = [
@@ -1358,9 +1405,10 @@ def upsert_delta_log(
     )
     now_ms = int(_time.time() * 1000)
     adds = (
-        _stage_data_files(
+        _stage_physical(
             _filter_to_partitions(state, part_cols, touched),
             path,
+            snap["meta"],
             part_cols,
             now_ms,
         )
@@ -1742,7 +1790,7 @@ def optimize_delta_log(
         df = df.repartition(n_out)
 
     now_ms = int(_time.time() * 1000)
-    adds = _stage_data_files(df, path, part_cols, now_ms)
+    adds = _stage_physical(df, path, meta, part_cols, now_ms)
     for a in adds:
         a["add"]["dataChange"] = False
 
@@ -2241,3 +2289,132 @@ def vacuum(
                 os.remove(os.path.join(root, name))
                 deleted.append(rel)
     return sorted(deleted)
+
+
+def enable_column_mapping(path: str) -> int:
+    """Turn on ``name``-mode column mapping for an existing log-backed
+    table — the prerequisite for metadata-only column renames. Every
+    field's ``physicalName`` is set to its CURRENT name, so every
+    already-written data file stays valid; ids are assigned
+    ordinally; the protocol advances to a mapping-capable version
+    (reader 2 / writer 5, or the ``columnMapping`` feature flag when
+    the table already runs table features). Idempotent: a table
+    already in name mode returns its current version unchanged."""
+    snap = resolve_snapshot(path)
+    meta = snap["meta"]
+    if meta is None:
+        raise DeltaProtocolError("log contains no metaData action")
+    conf = dict(meta.get("configuration") or {})
+    if conf.get("delta.columnMapping.mode", "none") == "name":
+        return snap["version"]
+    if conf.get("delta.columnMapping.mode", "none") != "none":
+        raise DeltaProtocolError(
+            "table already uses a different columnMapping mode"
+        )
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    new_fields = []
+    for i, f in enumerate(schema.fields, start=1):
+        md = dict(f.metadata or {})
+        md["delta.columnMapping.id"] = i
+        md["delta.columnMapping.physicalName"] = f.name
+        new_fields.append(
+            StructField(f.name, f.dataType, f.nullable, md)
+        )
+    conf["delta.columnMapping.mode"] = "name"
+    conf["delta.columnMapping.maxColumnId"] = str(len(schema.fields))
+    new_meta = dict(meta)
+    new_meta["schemaString"] = StructType(new_fields).json()
+    new_meta["configuration"] = conf
+
+    proto = snap.get("protocol") or {
+        "minReaderVersion": 1,
+        "minWriterVersion": 2,
+    }
+    actions: list[dict] = []
+    if proto.get("minReaderVersion", 1) >= 3:
+        feats_r = set(proto.get("readerFeatures") or [])
+        if "columnMapping" not in feats_r:
+            actions.append(
+                {
+                    "protocol": {
+                        **proto,
+                        "readerFeatures": sorted(
+                            feats_r | {"columnMapping"}
+                        ),
+                        "writerFeatures": sorted(
+                            set(proto.get("writerFeatures") or [])
+                            | {"columnMapping"}
+                        ),
+                    }
+                }
+            )
+    elif (
+        proto.get("minReaderVersion", 1) < 2
+        or proto.get("minWriterVersion", 2) < 5
+    ):
+        actions.append(
+            {
+                "protocol": {
+                    "minReaderVersion": max(
+                        2, proto.get("minReaderVersion", 1)
+                    ),
+                    "minWriterVersion": max(
+                        5, proto.get("minWriterVersion", 2)
+                    ),
+                }
+            }
+        )
+    actions.append({"metaData": new_meta})
+    actions.append(
+        {
+            "commitInfo": {
+                "operation": "SET COLUMN MAPPING",
+                "operationParameters": {"mode": "name"},
+            }
+        }
+    )
+    return _commit_version(
+        path, lambda _v: actions, read_version=snap["version"]
+    )
+
+
+def rename_column(path: str, old: str, new: str) -> int:
+    """ALTER TABLE ... RENAME COLUMN as a METADATA-ONLY commit — no
+    data file is touched: under name-mode column mapping the files
+    keep their physical names and only the logical name in the
+    schemaString changes (the operation that forces a full table
+    rewrite on plain parquet tables). Auto-enables mapping on first
+    use. Renaming a partition column updates ``partitionColumns``
+    too; partitionValues stay keyed by the unchanged physical name."""
+    enable_column_mapping(path)
+    snap = resolve_snapshot(path)
+    meta = snap["meta"]
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    names = [f.name for f in schema.fields]
+    if old not in names:
+        raise ValueError(f"no column {old!r} in {path} (have {names})")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists in {path}")
+    new_fields = [
+        StructField(new if f.name == old else f.name, f.dataType,
+                    f.nullable, dict(f.metadata or {}))
+        for f in schema.fields
+    ]
+    new_meta = dict(meta)
+    new_meta["schemaString"] = StructType(new_fields).json()
+    new_meta["partitionColumns"] = [
+        new if c == old else c
+        for c in (meta.get("partitionColumns") or [])
+    ]
+    actions = [
+        {"metaData": new_meta},
+        {
+            "commitInfo": {
+                "operation": "RENAME COLUMN",
+                "operationParameters": {"from": old, "to": new},
+            }
+        },
+    ]
+    return _commit_version(
+        path, lambda _v: actions, read_version=snap["version"]
+    )

@@ -1170,3 +1170,80 @@ def test_v2_checkpoint_manifest_and_sidecars(spark, tmp_path):
     assert set(snap["files"]) == {"f0.parquet", "f1.parquet", "f2.parquet"}
     got = {(r.id, r.v) for r in delta_log.read_delta(spark, t).collect()}
     assert got == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_rename_column_metadata_only(spark, tmp_path):
+    """RENAME COLUMN must be a metadata-only commit: zero data files
+    written, old files still resolve through their physical names,
+    later appends land under physical names, and time travel shows
+    the pre-rename schema."""
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "ren")
+    df = spark.range(10).withColumn("v", F.col("id") * 2).coalesce(2)
+    delta_log.write_delta(spark, df, t, mode="overwrite")
+    files_before = set(delta_log.resolve_snapshot(t)["files"])
+
+    v_ren = delta_log.rename_column(t, "v", "value")
+    snap = delta_log.resolve_snapshot(t)
+    assert set(snap["files"]) == files_before  # no rewrite
+    out = delta_log.read_delta(spark, t)
+    assert out.columns == ["id", "value"]
+    assert {(r.id, r.value) for r in out.collect()} == {
+        (i, i * 2) for i in range(10)
+    }
+    # pre-rename version keeps the old schema
+    old = delta_log.read_delta(spark, t, version_as_of=v_ren - 2)
+    assert old.columns == ["id", "v"]
+
+    # appends AFTER the rename present the new logical schema and
+    # must read back merged with the pre-rename files
+    df2 = (
+        spark.range(10, 15)
+        .withColumn("value", F.col("id") * 2)
+        .coalesce(1)
+    )
+    delta_log.write_delta(spark, df2, t, mode="append")
+    got = {(r.id, r.value) for r in delta_log.read_delta(spark, t).collect()}
+    assert got == {(i, i * 2) for i in range(15)}
+    # the appended file's data columns are PHYSICAL ("v"), not logical
+    import pyarrow.parquet as pq
+
+    new_files = set(delta_log.resolve_snapshot(t)["files"]) - files_before
+    for rel in new_files:
+        names = pq.ParquetFile(os.path.join(t, rel)).schema_arrow.names
+        assert "v" in names and "value" not in names, names
+
+
+def test_rename_partition_column_and_ops_after_rename(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "renp")
+    df = (
+        spark.range(40)
+        .withColumn("grp", (F.col("id") % 4).cast("string"))
+        .withColumn("v", F.col("id") * 2)
+        .repartition(4)
+    )
+    delta_log.write_delta(spark, df, t, mode="overwrite", partition_by=["grp"])
+    delta_log.rename_column(t, "grp", "bucket")
+    out = delta_log.read_delta(spark, t)
+    assert set(out.columns) == {"id", "bucket", "v"}
+    assert out.filter(F.col("bucket") == "1").count() == 10
+    # partition skipping on the NEW logical name
+    f = delta_log.read_delta(spark, t, filters=[("bucket", "=", "2")])
+    assert f.count() == 10
+    # DELETE-by-DV and OPTIMIZE still work on the renamed table
+    delta_log.delete_delta_log(spark, t, [("id", "<", 8)])
+    assert delta_log.read_delta(spark, t).count() == 32
+    delta_log.optimize_delta_log(spark, t, target_file_bytes=1 << 20)
+    assert delta_log.read_delta(spark, t).count() == 32
+    # MERGE after rename (file-scoped path stages physical names)
+    src = spark.createDataFrame(
+        [(8, "0", 999), (100, "0", 5)], "id long, bucket string, v long"
+    )
+    delta_log.upsert_delta_log(
+        spark, src, t, keys=["id"], delete_missing=False
+    )
+    got = {r.id: r.v for r in delta_log.read_delta(spark, t).collect()}
+    assert got[8] == 999 and got[100] == 5 and len(got) == 33
