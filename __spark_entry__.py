@@ -130,12 +130,13 @@ _DRIVER_PRIORITY = [
     "stats-moments",
     "string-funcs",
     # ROUND-7 NOTE: rotate again — reds first, round-7 changes, then
-    # the ~7 alphabetical-tail r3 ids pushed past the 50-row cut by
-    # round 6's seven new ops (from sim-ann-lsh onward), then the rest
-    # of the r3 cohort (struct-funcs, time-funcs, unpivot-measures,
-    # window-agg-hopping, window-agg-session, window-lag-delta,
-    # window-rank-family, window-running-sum), then the r4-green
-    # cohort from agg-avg-of-sums.
+    # the ~15 r3-cohort ids pushed past the 50-row cut by round 6's
+    # fifteen new ops (everything from dedup-cluster-assign onward in
+    # the list above), then the rest of the r3 cohort (struct-funcs,
+    # time-funcs, unpivot-measures, window-agg-hopping,
+    # window-agg-session, window-lag-delta, window-rank-family,
+    # window-running-sum), then the r4-green cohort from
+    # agg-avg-of-sums.
 ]
 
 
