@@ -213,3 +213,106 @@ def ks_two_sample(
     return gaps.groupBy("n_true", "n_false").agg(
         F.max("_gap").alias("ks_stat")
     ).select("ks_stat", "n_true", "n_false")
+
+
+def chi_square_independence(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+) -> DataFrame:
+    """Pearson χ² test of independence between two categorical
+    columns (the segment-vs-behavior association check): observed
+    counts stay integral, each expected count is ONE double division,
+    each cell's (O−E)²/E is plain IEEE arithmetic, and the cell sum
+    accumulates in DECIMAL(38,12) — engine-exact, like the Gini/KS
+    siblings. Plan: one (row, col) count with map-side combine, two
+    tiny marginal aggregations broadcast back onto the cells. Output
+    one row: ``(chi2, dof, n)``."""
+    from pyspark.sql import Window  # noqa: F401  (sibling-parity import)
+
+    observed = df.groupBy(
+        F.col(row_col).alias("_r"), F.col(col_col).alias("_c")
+    ).agg(F.count(F.lit(1)).alias("_o"))
+    # complete the grid: ZERO cells still contribute (0−E)²/E = E —
+    # dropping them (they never appear in the grouped counts) would
+    # understate the statistic exactly where dependence is strongest
+    grid = observed.select("_r").distinct().crossJoin(
+        observed.select("_c").distinct()
+    )
+    cells = grid.join(observed, ["_r", "_c"], "left").select(
+        "_r", "_c", F.coalesce(F.col("_o"), F.lit(0)).alias("_o")
+    )
+    row_tot = cells.groupBy("_r").agg(F.sum("_o").alias("_rt"))
+    col_tot = cells.groupBy("_c").agg(F.sum("_o").alias("_ct"))
+    totals = cells.agg(
+        F.sum("_o").cast("bigint").alias("_n"),
+        F.countDistinct("_r").alias("_nr"),
+        F.countDistinct("_c").alias("_nc"),
+    )
+    expected = (
+        F.col("_rt").cast("double")
+        * F.col("_ct").cast("double")
+        / F.col("_n").cast("double")
+    )
+    diff = F.col("_o").cast("double") - expected
+    # diff*diff, NOT pow(diff, 2): pow is not correctly-rounded IEEE
+    # and may differ across engines; multiplication is exact
+    e = (
+        cells.join(F.broadcast(row_tot), "_r")
+        .join(F.broadcast(col_tot), "_c")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "_n",
+            "_nr",
+            "_nc",
+            (diff * diff / expected).alias("_cell"),
+        )
+    )
+    return e.groupBy("_n", "_nr", "_nc").agg(
+        F.sum(F.col("_cell").cast("decimal(38,12)"))
+        .cast("double")
+        .alias("chi2")
+    ).select(
+        "chi2",
+        ((F.col("_nr") - 1) * (F.col("_nc") - 1))
+        .cast("bigint")
+        .alias("dof"),
+        F.col("_n").alias("n"),
+    )
+
+
+def percentile_bands(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    val_col: str,
+    percentiles: Sequence[float] = (0.25, 0.5, 0.75, 0.95),
+) -> DataFrame:
+    """Exact type-1 percentiles per group in ONE sort: the k-th order
+    statistic at k = ⌈p·n⌉ for each requested p (deterministic under
+    ties — the k-th sorted VALUE is well-defined whatever the tie
+    order). The multi-cutoff generalization of the manual median;
+    approx_quantile trades this exactness for sketches. Output: group
+    cols plus one ``p<pct>`` column per requested percentile."""
+    from pyspark.sql import Window
+
+    keys = list(group_cols)
+    w = Window.partitionBy(*keys).orderBy(F.col(val_col).asc())
+    ranked = df.select(
+        *keys,
+        F.col(val_col).alias("_v"),
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy(*keys)
+        ).alias("_n"),
+    )
+    aggs = [
+        F.min(
+            F.when(
+                F.col("_rn")
+                == F.ceil(F.lit(float(p)) * F.col("_n")).cast("bigint"),
+                F.col("_v"),
+            )
+        ).alias(f"p{int(p * 100)}")
+        for p in percentiles
+    ]
+    return ranked.groupBy(*keys).agg(*aggs)

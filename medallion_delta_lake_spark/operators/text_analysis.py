@@ -459,3 +459,65 @@ def strip_html(
         s = F.replace(s, F.lit(ent), F.lit(ch))
     s = F.trim(F.regexp_replace(s, r"\s+", " "))
     return df.withColumn(out_col, s).withColumn("n_tags", n_tags)
+
+
+def vocab_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    strata_col: str = "source",
+) -> DataFrame:
+    """Pairwise vocabulary overlap between corpus strata: per ordered
+    stratum pair, the distinct-token intersection size, both vocabulary
+    sizes, and the Jaccard similarity — the corpus-comparison
+    diagnostic run before mixing sources (near-identical vocabularies
+    signal near-duplicate feeds; disjoint ones, domain shift). All
+    counts integral, one closing IEEE division per pair.
+
+    Plan: explode → (stratum, token) distinct (shuffle carries tokens
+    once, map-side combined), a token-keyed self-join for
+    intersections — Σ postings², bounded by shared-vocabulary size,
+    never |corpus|² — and a broadcast of the |strata| vocab sizes."""
+    from medallion_delta_lake_spark.functions.texts import tokenize
+
+    tok = (
+        df.select(
+            F.col(strata_col).alias("_s"),
+            F.explode(tokenize(F.col(text_col))).alias("_t"),
+        )
+        .filter(F.col("_t") != "")
+        .distinct()
+    )
+    sizes = tok.groupBy("_s").agg(F.count(F.lit(1)).alias("_n"))
+    a = tok.select(F.col("_s").alias("src_a"), "_t")
+    b = tok.select(F.col("_s").alias("src_b"), "_t")
+    inter = (
+        a.join(b, "_t")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col("_s").alias("src_a"),
+                                     F.col("_n").alias("n_a"))),
+            "src_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("_s").alias("src_b"),
+                                     F.col("_n").alias("n_b"))),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+    )

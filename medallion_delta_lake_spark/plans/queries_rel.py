@@ -2219,3 +2219,93 @@ def stats_ks_two_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value", (F.col("event_type") == "click").alias("is_click")
     )
     return agg.ks_two_sample(ev, "value", "is_click")
+
+
+@query(
+    "stats-chi-square",
+    oracle="""
+    WITH observed AS (
+      SELECT CAST(user_id % 3 AS INT) AS _r, event_type AS _c,
+             COUNT(*) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    cells AS (
+      SELECT g._r, g._c, COALESCE(observed.o, 0) AS o
+      FROM (SELECT r._r, c._c
+            FROM (SELECT DISTINCT _r FROM observed) r
+            CROSS JOIN (SELECT DISTINCT _c FROM observed) c) g
+      LEFT JOIN observed ON g._r = observed._r AND g._c = observed._c
+    ),
+    rt AS (SELECT _r, SUM(o) AS rt FROM cells GROUP BY _r),
+    ct AS (SELECT _c, SUM(o) AS ct FROM cells GROUP BY _c),
+    tot AS (
+      SELECT CAST(SUM(o) AS BIGINT) AS n,
+             COUNT(DISTINCT _r) AS nr, COUNT(DISTINCT _c) AS nc
+      FROM cells
+    ),
+    e AS (
+      SELECT n, nr, nc,
+             (CAST(o AS DOUBLE)
+              - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                / CAST(n AS DOUBLE)) AS diff,
+             CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+               / CAST(n AS DOUBLE) AS expd
+      FROM cells JOIN rt USING (_r) JOIN ct USING (_c), tot
+    )
+    SELECT CAST(SUM(CAST(diff * diff / expd AS DECIMAL(38,12)))
+             AS DOUBLE) AS chi2,
+           CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+           n
+    FROM e GROUP BY n, nr, nc
+    """,
+)
+def stats_chi_square_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stats / Pearson χ² independence — user segment (id mod 3) vs
+    event type (the does-cohort-predict-behavior check). Integral
+    observed counts, one division per expected cell, diff·diff instead
+    of pow (pow is not correctly-rounded IEEE), decimal cell sum
+    (operators/agg.py:chi_square_independence)."""
+    from medallion_delta_lake_spark.operators import agg
+
+    ev = table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 3).cast("int").alias("segment"),
+        "event_type",
+    )
+    return agg.chi_square_independence(ev, "segment", "event_type")
+
+
+@query(
+    "agg-percentile-bands",
+    oracle="""
+    WITH r AS (
+      SELECT l_returnflag, l_extendedprice AS v,
+             ROW_NUMBER() OVER (
+               PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+      MIN(CASE WHEN rn = CAST(ceil(CAST(0.25 AS DOUBLE) * n) AS BIGINT)
+               THEN v END) AS p25,
+      MIN(CASE WHEN rn = CAST(ceil(CAST(0.5 AS DOUBLE) * n) AS BIGINT)
+               THEN v END) AS p50,
+      MIN(CASE WHEN rn = CAST(ceil(CAST(0.75 AS DOUBLE) * n) AS BIGINT)
+               THEN v END) AS p75,
+      MIN(CASE WHEN rn = CAST(ceil(CAST(0.95 AS DOUBLE) * n) AS BIGINT)
+               THEN v END) AS p95
+    FROM r GROUP BY l_returnflag
+    """,
+)
+def agg_percentile_bands_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stats / exact percentile bands — p25/p50/p75/p95 of price per
+    return flag in ONE per-group sort (k-th order statistics at
+    ⌈p·n⌉; deterministic under ties). The exact counterpart of the
+    approx-quantile sketch (operators/agg.py:percentile_bands)."""
+    from medallion_delta_lake_spark.operators import agg
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    return agg.percentile_bands(
+        li, ["l_returnflag"], "l_extendedprice", (0.25, 0.5, 0.75, 0.95)
+    )

@@ -1473,3 +1473,37 @@ def sample_temperature_mixture_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_temperature_mixture(
         d, "doc_id", "source", salt="temp1"
     ).select("doc_id", "source")
+
+
+@query(
+    "text-vocab-overlap",
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT source AS s, t FROM (
+        SELECT source, unnest({TOKS_SQL}) AS t FROM documents
+      ) WHERE t <> ''
+    ),
+    sizes AS (SELECT s, COUNT(*) AS n FROM tok GROUP BY s),
+    inter AS (
+      SELECT a.s AS src_a, b.s AS src_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM tok a JOIN tok b ON a.t = b.t AND a.s < b.s
+      GROUP BY a.s, b.s
+    )
+    SELECT src_a, src_b, n_common,
+           CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+           CAST(n_common AS DOUBLE)
+             / CAST(sa.n + sb.n - n_common AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.s = src_a
+    JOIN sizes sb ON sb.s = src_b
+    """,
+)
+def text_vocab_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text / cross-source vocabulary overlap — pairwise distinct-token
+    intersection + Jaccard between corpus sources (near-identical
+    vocabularies flag duplicate feeds; disjoint ones, domain shift —
+    the pre-mixing corpus diagnostic). Token-keyed postings join,
+    never documents (operators/text_analysis.py:vocab_overlap)."""
+    d = table(spark, sf_dir, "documents").select("source", "text")
+    return ta.vocab_overlap(d, "text", "source")

@@ -234,3 +234,56 @@ def test_temperature_mixture_rates_sqrt_law(spark):
     rates = {r.src: r for r in temperature_mixture_rates(df, "src").collect()}
     assert rates["small"].keep_rate == 1.0  # smallest keeps everything
     assert rates["big"].keep_rate == m.sqrt(900.0 * 100.0) / 900.0
+
+
+def test_chi_square_zero_for_independent_table(spark):
+    from medallion_delta_lake_spark.operators import agg
+
+    # perfectly proportional contingency table → chi2 == 0
+    rows = []
+    for r in ("a", "b"):
+        for c, k in (("x", 2), ("y", 4)):
+            rows += [(r, c)] * (k * (2 if r == "b" else 1))
+    df = spark.createDataFrame(rows, "r string, c string")
+    got = agg.chi_square_independence(df, "r", "c").collect()[0]
+    assert got.chi2 == 0.0 and got.dof == 1 and got.n == 18
+    # a fully determined table scores chi2 == n (2x2 extreme)
+    df2 = spark.createDataFrame(
+        [("a", "x")] * 5 + [("b", "y")] * 5, "r string, c string"
+    )
+    got2 = agg.chi_square_independence(df2, "r", "c").collect()[0]
+    assert got2.chi2 == 10.0
+
+
+def test_percentile_bands_known_order_stats(spark):
+    from medallion_delta_lake_spark.operators import agg
+
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in range(1, 101)], "grp string, v double"
+    )
+    got = agg.percentile_bands(
+        df, ["grp"], "v", (0.25, 0.5, 0.75, 0.95)
+    ).collect()[0]
+    assert (got.p25, got.p50, got.p75, got.p95) == (25.0, 50.0, 75.0, 95.0)
+
+
+def test_vocab_overlap_disjoint_and_identical(spark):
+    from medallion_delta_lake_spark.operators.text_analysis import (
+        vocab_overlap,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("s1", "alpha beta gamma"),
+            ("s2", "alpha beta gamma"),
+            ("s3", "delta epsilon"),
+        ],
+        "source string, text string",
+    )
+    got = {
+        (r.src_a, r.src_b): r for r in vocab_overlap(df).collect()
+    }
+    assert got[("s1", "s2")].jaccard == 1.0
+    assert got[("s1", "s2")].n_common == 3
+    assert ("s1", "s3") not in got  # zero overlap emits no row
+    assert ("s2", "s3") not in got
