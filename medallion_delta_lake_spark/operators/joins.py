@@ -482,3 +482,33 @@ def interval_overlap_join(
     for c in right_cols:
         unmatched = unmatched.withColumn(c, F.lit(None))
     return joined.unionByName(unmatched)
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    payload_cols: Sequence[str],
+    wide_threshold: int = 32,
+) -> DataFrame:
+    """Forward as-of join: each left row gets the payload of the
+    *earliest* right row with ``right_ts >= left_ts`` on the same key
+    — the "next event after" lookup (next maintenance slot, next
+    price reset), the time-mirror of :func:`asof_join`. Implemented
+    BY that mirror: negate both (numeric) time columns and run the
+    backward machinery, so the union-window plan, the inline/probe
+    dispatch, and the tie semantics (equal timestamps match) are all
+    inherited rather than re-derived."""
+    neg_l, neg_r = "__neg_lts", "__neg_rts"
+    out = asof_join(
+        left.withColumn(neg_l, -F.col(left_ts)),
+        right.withColumn(neg_r, -F.col(right_ts)).drop(right_ts),
+        keys,
+        neg_l,
+        neg_r,
+        payload_cols,
+        wide_threshold=wide_threshold,
+    )
+    return out.drop(neg_l, neg_r)

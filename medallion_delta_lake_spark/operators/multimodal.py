@@ -532,3 +532,66 @@ def dhash_bands(
     return out.select(
         *[c for c in df.columns if c not in ("_hx", "_nb")], *cols
     ).drop("_hx", "_nb")
+
+
+def dhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    max_hamming: int = 8,
+    grid: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Perceptual near-dup candidate pairs from banded dHashes: two
+    payloads are candidates when ANY 16-bit band collides (an LSH
+    guarantee: hamming ≤ bands−1 ⇒ some band equal, by pigeonhole),
+    then the exact hamming distance — Σ bit_count(band_a XOR band_b)
+    — verifies ≤ ``max_hamming``. The same band-join shape as
+    dedup.simhash_pairs, over the image-hash domain: shuffles carry
+    (id, band) ints, never payloads. Output: ``id_a, id_b, hamming``
+    (id_a < id_b)."""
+    from medallion_delta_lake_spark.operators.caching import tracked_cache
+
+    # materialize the hashes ONCE: both join sides reference them, and
+    # without the cache projection collapse would re-inline the whole
+    # 64-comparison lattice (including hex(payload) per sampled byte)
+    # into each side — measured 10.4 s → ~1 s at sf0.1
+    hashed = tracked_cache(
+        dhash_bands(
+            df.select(id_col, payload_col), payload_col,
+            grid=grid, bands=bands,
+        ).drop(payload_col)
+    )
+    band_cols = [f"band{b}" for b in range(bands)]
+    long_form = hashed.select(
+        F.col(id_col),
+        *band_cols,
+        F.posexplode(F.array(*[F.col(c) for c in band_cols])).alias(
+            "_band", "_key"
+        ),
+    )
+    left = long_form.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(c).alias(f"{c}_a") for c in band_cols],
+        "_band",
+        "_key",
+    )
+    right = long_form.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(c).alias(f"{c}_b") for c in band_cols],
+        "_band",
+        "_key",
+    )
+    hamming = sum(
+        F.bit_count(
+            F.col(f"{c}_a").bitwiseXOR(F.col(f"{c}_b"))
+        )
+        for c in band_cols
+    )
+    return (
+        left.join(right, ["_band", "_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

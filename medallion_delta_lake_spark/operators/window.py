@@ -275,3 +275,35 @@ def ewma_smooth(
         lambda acc, x: F.lit(a) * x + F.lit(1.0 - a) * acc,
     )
     return df.select("*", ewma.alias("ewma"))
+
+
+def streaks(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    day_col: str,
+) -> DataFrame:
+    """Consecutive-day activity streaks per key (gaps-and-islands over
+    an integer day number): distinct active days minus their per-key
+    rank is constant within a run, so grouping on that difference
+    yields the islands — all integer arithmetic, no iteration. Output:
+    key cols, ``n_active_days``, ``n_streaks``, ``longest_streak``,
+    ``current_streak_end`` (the last island's closing day). The
+    engagement metric behind every retention dashboard. Two keyed
+    shuffles: distinct days, then the island groupBy."""
+    keys = list(key_cols)
+    days = df.select(*keys, F.col(day_col).alias("_d")).distinct()
+    w = Window.partitionBy(*keys).orderBy("_d")
+    islands = days.select(
+        *keys,
+        "_d",
+        (F.col("_d") - F.row_number().over(w)).alias("_island"),
+    )
+    per_island = islands.groupBy(*keys, "_island").agg(
+        F.count(F.lit(1)).alias("_len"), F.max("_d").alias("_end")
+    )
+    return per_island.groupBy(*keys).agg(
+        F.sum("_len").cast("bigint").alias("n_active_days"),
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        F.max("_len").cast("bigint").alias("longest_streak"),
+        F.max("_end").cast("bigint").alias("current_streak_end"),
+    )

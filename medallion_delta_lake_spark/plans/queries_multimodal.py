@@ -204,3 +204,92 @@ def multimodal_dhash_bands_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero shuffle, no UDF (operators/multimodal.py:dhash_bands)."""
     docs = mm.attach_binary_payload(table(spark, sf_dir, "documents"))
     return mm.dhash_bands(docs.select("doc_id", "payload")).drop("payload")
+
+
+def _dhash_band_cols(grid: int = 8, bands: int = 4) -> str:
+    """The band-column SQL expressions of _dhash_oracle, reusable over
+    any CTE exposing (hx, nb)."""
+    cells = grid * (grid + 1)
+
+    def byte_at(i: int) -> str:
+        return (
+            f"CAST(('0x' || substr(hx,"
+            f" CAST(({i} * (nb - 1)) // {cells - 1} AS INT) * 2 + 1,"
+            f" 2)) AS INT)"
+        )
+
+    bits_per_band = grid * grid // bands
+    band_cols = []
+    for b in range(bands):
+        terms = []
+        for j in range(bits_per_band):
+            k = b * bits_per_band + j
+            r, c = divmod(k, grid)
+            cell = r * (grid + 1) + c
+            terms.append(
+                f"(CASE WHEN {byte_at(cell)} < {byte_at(cell + 1)}"
+                f" THEN 1 ELSE 0 END << {j})"
+            )
+        band_cols.append(
+            "CAST(" + " + ".join(terms) + f" AS BIGINT) AS band{b}"
+        )
+    return ",\n             ".join(band_cols)
+
+
+@query(
+    "multimodal-dhash-pairs",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text
+      FROM documents WHERE doc_id < 50
+    ),
+    p AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS nb
+      FROM corpus
+    ),
+    h AS (
+      SELECT doc_id,
+             {_dhash_band_cols()}
+      FROM p
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             bit_count(xor(a.band0, b.band0))
+               + bit_count(xor(a.band1, b.band1))
+               + bit_count(xor(a.band2, b.band2))
+               + bit_count(xor(a.band3, b.band3)) AS hamming
+      FROM h a JOIN h b
+        ON a.doc_id < b.doc_id
+       AND (a.band0 = b.band0 OR a.band1 = b.band1
+            OR a.band2 = b.band2 OR a.band3 = b.band3)
+    )
+    SELECT DISTINCT id_a, id_b, CAST(hamming AS INT) AS hamming
+    FROM pairs WHERE hamming <= 8
+    """,
+)
+def multimodal_dhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multimodal / perceptual near-dup pairs — banded-dHash LSH join
+    + exact hamming verify over a corpus with PLANTED duplicates
+    (each low-id payload re-ingested under a new id — the re-crawled
+    identical-image scenario; byte-identical payloads hash to hamming
+    0, and any naturally similar payloads surface too). Band collision
+    is the candidate
+    filter (pigeonhole: hamming ≤ 3 ⇒ some 16-bit band equal);
+    shuffles carry (id, band) ints only
+    (operators/multimodal.py:dhash_pairs)."""
+    from pyspark.sql import functions as F
+
+    d = table(spark, sf_dir, "documents")
+    planted = d.select("doc_id", "text").unionByName(
+        d.filter(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    payload = mm.attach_binary_payload(planted)
+    out = mm.dhash_pairs(payload, "doc_id", "payload", max_hamming=8)
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )

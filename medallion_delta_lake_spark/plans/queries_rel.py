@@ -2309,3 +2309,95 @@ def agg_percentile_bands_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.percentile_bands(
         li, ["l_returnflag"], "l_extendedprice", (0.25, 0.5, 0.75, 0.95)
     )
+
+
+@query(
+    "join-asof-forward",
+    oracle="""
+    WITH r AS (
+      SELECT o_custkey AS user_id,
+             CAST(floor(epoch(o_orderdate)) AS BIGINT) AS order_ts_s,
+             CAST(floor(epoch(o_orderdate)) AS BIGINT)
+               AS next_order_ts_s,
+             MAX(o_totalprice) AS next_order_total
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id,
+           CAST(floor(epoch(e.ts)) AS BIGINT) AS ts_s,
+           r.next_order_ts_s, r.next_order_total
+    FROM events e
+    ASOF LEFT JOIN r ON e.user_id = r.user_id
+     AND CAST(floor(epoch(e.ts)) AS BIGINT) <= r.order_ts_s
+    """,
+)
+def join_asof_forward_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join / forward as-of — the EARLIEST order at-or-after each
+    event, per user ("next purchase after this touchpoint": the
+    attribution mirror of the point-in-time lookup). Same
+    union-window machinery as the backward as-of, run on negated
+    timestamps (operators/joins.py:asof_join_forward); DuckDB's ASOF
+    handles the <= direction natively."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_s"),
+    )
+    orders = table(spark, sf_dir, "orders")
+    r = (
+        orders.groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.unix_timestamp("o_orderdate").alias("order_ts_s"),
+        )
+        .agg(F.max("o_totalprice").alias("next_order_total"))
+        .withColumn("next_order_ts_s", F.col("order_ts_s"))
+    )
+    return joins.asof_join_forward(
+        ev,
+        r,
+        ["user_id"],
+        "ts_s",
+        "order_ts_s",
+        ["next_order_ts_s", "next_order_total"],
+    )
+
+
+@query(
+    "window-streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS d
+      FROM events
+    ),
+    isl AS (
+      SELECT user_id, d,
+             d - ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY d) AS island
+      FROM days
+    ),
+    per AS (
+      SELECT user_id, island, COUNT(*) AS len, MAX(d) AS e
+      FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(SUM(len) AS BIGINT) AS n_active_days,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(MAX(len) AS BIGINT) AS longest_streak,
+           CAST(MAX(e) AS BIGINT) AS current_streak_end
+    FROM per GROUP BY user_id
+    """,
+)
+def window_streaks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """window / activity streaks — per-user consecutive-active-day
+    runs via the gaps-and-islands identity (day − rank is constant
+    within a run): active days, streak count, longest streak, last
+    streak's closing day. The retention-dashboard engagement metric,
+    all integer arithmetic
+    (operators/window.py:streaks)."""
+    from medallion_delta_lake_spark.operators.window import streaks
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("day"),
+    )
+    return streaks(ev, ["user_id"], "day")

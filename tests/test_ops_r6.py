@@ -287,3 +287,38 @@ def test_vocab_overlap_disjoint_and_identical(spark):
     assert got[("s1", "s2")].n_common == 3
     assert ("s1", "s3") not in got  # zero overlap emits no row
     assert ("s2", "s3") not in got
+
+
+def test_streaks_islands(spark):
+    from medallion_delta_lake_spark.operators.window import streaks
+
+    df = spark.createDataFrame(
+        [(1, d) for d in (10, 11, 12, 14, 20, 21)] + [(2, 5)],
+        "u int, day long",
+    )
+    got = {r.u: r for r in streaks(df, ["u"], "day").collect()}
+    assert got[1].n_active_days == 6
+    assert got[1].n_streaks == 3
+    assert got[1].longest_streak == 3
+    assert got[1].current_streak_end == 21
+    assert got[2].longest_streak == 1 and got[2].n_streaks == 1
+
+
+def test_asof_forward_picks_earliest_at_or_after(spark):
+    from medallion_delta_lake_spark.operators import joins
+
+    left = spark.createDataFrame(
+        [(1, 10), (1, 15), (1, 100)], "k int, ts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 15, "a"), (1, 50, "b")], "k int, rts long, payload string"
+    )
+    out = {
+        r.ts: r.payload
+        for r in joins.asof_join_forward(
+            left, right, ["k"], "ts", "rts", ["payload"]
+        ).collect()
+    }
+    assert out[10] == "a"   # next at-or-after 10 is 15
+    assert out[15] == "a"   # equal timestamp matches
+    assert out[100] is None  # nothing after
