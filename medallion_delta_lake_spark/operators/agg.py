@@ -316,3 +316,67 @@ def percentile_bands(
         for p in percentiles
     ]
     return ranked.groupBy(*keys).agg(*aggs)
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    val_col: str,
+    flag_col: str,
+) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) statistic between the
+    ``flag_col``=true and =false populations — the rank-based drift
+    test that, unlike KS, weighs WHERE the distributions shift, and
+    unlike the t-test assumes nothing about shape. Tie handling is the
+    standard midrank: every occurrence of a value gets rank
+    ``(count before it) + (ties + 1)/2``. Midranks are exact halves,
+    the rank-sum accumulates in DECIMAL — engine-exact throughout.
+    Plan identical to :func:`ks_two_sample`: one grouped count, one
+    ordered window over distinct values. Output one row:
+    ``(u_true, u_false, n_true, n_false)`` with
+    ``u_true + u_false = n_true·n_false``."""
+    from pyspark.sql import Window
+
+    per_val = df.groupBy(F.col(val_col).alias("_v")).agg(
+        F.sum(F.when(F.col(flag_col), 1).otherwise(0)).alias("_a"),
+        F.sum(F.when(F.col(flag_col), 0).otherwise(1)).alias("_b"),
+    )
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_val.select(
+        "_a",
+        "_b",
+        (
+            F.coalesce(F.sum(F.col("_a") + F.col("_b")).over(w), F.lit(0))
+            .cast("double")
+            + (F.col("_a") + F.col("_b") + 1).cast("double") / F.lit(2.0)
+        ).alias("_midrank"),
+    )
+    sums = ranked.agg(
+        F.sum(
+            (F.col("_a").cast("double") * F.col("_midrank")).cast(
+                "decimal(38,6)"
+            )
+        )
+        .cast("double")
+        .alias("_ra"),
+        F.sum("_a").cast("bigint").alias("n_true"),
+        F.sum("_b").cast("bigint").alias("n_false"),
+    )
+    return sums.select(
+        (
+            F.col("_ra")
+            - F.col("n_true").cast("double")
+            * (F.col("n_true") + 1).cast("double")
+            / F.lit(2.0)
+        ).alias("u_true"),
+        (
+            F.col("n_true").cast("double") * F.col("n_false").cast("double")
+            - (
+                F.col("_ra")
+                - F.col("n_true").cast("double")
+                * (F.col("n_true") + 1).cast("double")
+                / F.lit(2.0)
+            )
+        ).alias("u_false"),
+        "n_true",
+        "n_false",
+    )

@@ -2401,3 +2401,153 @@ def window_streaks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("day"),
     )
     return streaks(ev, ["user_id"], "day")
+
+
+@query(
+    "stats-mann-whitney-u",
+    oracle="""
+    WITH pv AS (
+      SELECT value AS _v,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS _a,
+             SUM(CASE WHEN event_type = 'click' THEN 0 ELSE 1 END) AS _b
+      FROM events GROUP BY value
+    ),
+    rk AS (
+      SELECT _a, _b,
+             CAST(COALESCE(SUM(_a + _b) OVER (
+               ORDER BY _v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS DOUBLE)
+             + CAST(_a + _b + 1 AS DOUBLE) / CAST(2.0 AS DOUBLE)
+               AS midrank
+      FROM pv
+    ),
+    s AS (
+      SELECT CAST(SUM(CAST(CAST(_a AS DOUBLE) * midrank
+                    AS DECIMAL(38,6))) AS DOUBLE) AS ra,
+             CAST(SUM(_a) AS BIGINT) AS n_true,
+             CAST(SUM(_b) AS BIGINT) AS n_false
+      FROM rk
+    )
+    SELECT ra - CAST(n_true AS DOUBLE) * CAST(n_true + 1 AS DOUBLE)
+             / CAST(2.0 AS DOUBLE) AS u_true,
+           CAST(n_true AS DOUBLE) * CAST(n_false AS DOUBLE)
+             - (ra - CAST(n_true AS DOUBLE) * CAST(n_true + 1 AS DOUBLE)
+                  / CAST(2.0 AS DOUBLE)) AS u_false,
+           n_true, n_false
+    FROM s
+    """,
+)
+def stats_mann_whitney_u_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stats / Mann–Whitney U — rank-sum drift test between click
+    events' values and the rest (the shape-free location test next to
+    KS). Midrank tie handling in exact halves, decimal rank-sum
+    (operators/agg.py:mann_whitney_u)."""
+    from medallion_delta_lake_spark.operators import agg
+
+    ev = table(spark, sf_dir, "events").select(
+        "value", (F.col("event_type") == "click").alias("is_click")
+    )
+    return agg.mann_whitney_u(ev, "value", "is_click")
+
+
+@query(
+    "join-asof-nearest-abs",
+    oracle="""
+    WITH r AS (
+      SELECT o_custkey AS user_id,
+             CAST(floor(epoch(o_orderdate)) AS BIGINT) AS order_ts_s,
+             MAX(o_totalprice) AS order_total
+      FROM orders GROUP BY o_custkey, o_orderdate
+    ),
+    ev AS (
+      SELECT event_id, user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+      FROM events
+    ),
+    back AS (
+      SELECT e.event_id, e.user_id, e.ts_s,
+             r.order_ts_s AS prev_ts, r.order_total AS prev_total
+      FROM ev e ASOF LEFT JOIN r
+        ON e.user_id = r.user_id AND e.ts_s >= r.order_ts_s
+    ),
+    paired AS (
+      SELECT b.event_id, b.user_id, b.ts_s, b.prev_ts, b.prev_total,
+             r.order_ts_s AS next_ts, r.order_total AS next_total
+      FROM back b ASOF LEFT JOIN r
+        ON b.user_id = r.user_id AND b.ts_s <= r.order_ts_s
+    )
+    SELECT event_id, user_id, ts_s,
+      CASE WHEN prev_ts IS NULL THEN next_ts
+           WHEN next_ts IS NULL THEN prev_ts
+           WHEN ts_s - prev_ts <= next_ts - ts_s THEN prev_ts
+           ELSE next_ts END AS nearest_ts,
+      CASE WHEN prev_ts IS NULL THEN next_total
+           WHEN next_ts IS NULL THEN prev_total
+           WHEN ts_s - prev_ts <= next_ts - ts_s THEN prev_total
+           ELSE next_total END AS nearest_total
+    FROM paired
+    """,
+)
+def join_asof_nearest_abs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join / nearest-in-time as-of — the order CLOSEST to each event
+    in either direction (ties to the earlier side): one backward and
+    one forward as-of chained, then a per-row CASE — two narrow
+    union-window passes, never a range join. The event-to-context
+    alignment when delays run both ways (operators/joins.py:asof_join
+    + asof_join_forward)."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_timestamp("ts").alias("ts_s")
+    )
+    orders = table(spark, sf_dir, "orders")
+    r = orders.groupBy(
+        F.col("o_custkey").alias("user_id"),
+        F.unix_timestamp("o_orderdate").alias("order_ts_s"),
+    ).agg(F.max("o_totalprice").alias("order_total"))
+    back = joins.asof_join(
+        ev,
+        r.select(
+            "user_id",
+            "order_ts_s",
+            F.col("order_ts_s").alias("prev_ts"),
+            F.col("order_total").alias("prev_total"),
+        ),
+        ["user_id"],
+        "ts_s",
+        "order_ts_s",
+        ["prev_ts", "prev_total"],
+    )
+    both = joins.asof_join_forward(
+        back,
+        r.select(
+            "user_id",
+            "order_ts_s",
+            F.col("order_ts_s").alias("next_ts"),
+            F.col("order_total").alias("next_total"),
+        ),
+        ["user_id"],
+        "ts_s",
+        "order_ts_s",
+        ["next_ts", "next_total"],
+    )
+    prev_closer = (
+        F.col("prev_ts").isNotNull()
+        & (
+            F.col("next_ts").isNull()
+            | (
+                F.col("ts_s") - F.col("prev_ts")
+                <= F.col("next_ts") - F.col("ts_s")
+            )
+        )
+    )
+    return both.select(
+        "event_id",
+        "user_id",
+        "ts_s",
+        F.when(prev_closer, F.col("prev_ts"))
+        .otherwise(F.col("next_ts"))
+        .alias("nearest_ts"),
+        F.when(prev_closer, F.col("prev_total"))
+        .otherwise(F.col("next_total"))
+        .alias("nearest_total"),
+    )

@@ -322,3 +322,23 @@ def test_asof_forward_picks_earliest_at_or_after(spark):
     assert out[10] == "a"   # next at-or-after 10 is 15
     assert out[15] == "a"   # equal timestamp matches
     assert out[100] is None  # nothing after
+
+
+def test_mann_whitney_known_values(spark):
+    from medallion_delta_lake_spark.operators import agg
+
+    # all true-values below all false-values → u_true = 0
+    rows = [(float(v), True) for v in range(5)] + [
+        (float(v), False) for v in range(10, 15)
+    ]
+    r = agg.mann_whitney_u(
+        spark.createDataFrame(rows, "v double, f boolean"), "v", "f"
+    ).collect()[0]
+    assert r.u_true == 0.0 and r.u_false == 25.0
+    # identical samples (full ties) → U splits evenly: n²/2 each
+    rows2 = [(float(v), f) for v in range(4) for f in (True, False)]
+    r2 = agg.mann_whitney_u(
+        spark.createDataFrame(rows2, "v double, f boolean"), "v", "f"
+    ).collect()[0]
+    assert r2.u_true == 8.0 and r2.u_false == 8.0
+    assert r2.u_true + r2.u_false == r2.n_true * r2.n_false
