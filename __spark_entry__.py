@@ -60,6 +60,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # agg-argmax; the ~9 alphabetical-tail r3 ids spill to round 7).
 _DRIVER_PRIORITY = [
     # NEW in round 6 (never driver-checked)
+    "window-ohlc-bars",
+    "events-markov-transitions",
+    "stats-cramers-v",
     "stats-mann-whitney-u",
     "join-asof-nearest-abs",
     "join-asof-forward",
@@ -138,8 +141,8 @@ _DRIVER_PRIORITY = [
     "stats-moments",
     "string-funcs",
     # ROUND-7 NOTE: rotate again — reds first, round-7 changes, then
-    # the ~23 r3-cohort ids pushed past the 50-row cut by round 6's
-    # twenty-three new ops (everything from dedup-cluster-assign onward in
+    # the ~26 r3-cohort ids pushed past the 50-row cut by round 6's
+    # twenty-six new ops (everything from dedup-cluster-assign onward in
     # the list above), then the rest of the r3 cohort (struct-funcs,
     # time-funcs, unpivot-measures, window-agg-hopping,
     # window-agg-session, window-lag-delta, window-rank-family,

@@ -2551,3 +2551,199 @@ def join_asof_nearest_abs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("next_total"))
         .alias("nearest_total"),
     )
+
+
+@query(
+    "window-ohlc-bars",
+    oracle="""
+    WITH e AS (
+      SELECT user_id,
+             CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT)
+               AS bucket,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+             event_id, value
+      FROM events
+    ),
+    rk AS (
+      SELECT *,
+        ROW_NUMBER() OVER (PARTITION BY user_id, bucket
+                           ORDER BY ts_s ASC, event_id ASC) AS rn_a,
+        ROW_NUMBER() OVER (PARTITION BY user_id, bucket
+                           ORDER BY ts_s DESC, event_id DESC) AS rn_d
+      FROM e
+    )
+    SELECT user_id, bucket,
+           MIN(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MIN(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS volume
+    FROM rk GROUP BY user_id, bucket
+    """,
+)
+def window_ohlc_bars_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """window / OHLC bars — hourly open/high/low/close/volume per user
+    (the candlestick downsampling every time-series store ships;
+    open/close by deterministic first/last ordering, not
+    partition-order-dependent first()/last() aggregates). One keyed
+    sort computes both rank directions; decimal volume."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "value",
+        F.unix_timestamp("ts").alias("ts_s"),
+    )
+    bucket = (F.floor(F.col("ts_s") / 3600) * 3600).cast("bigint")
+    w_a = Window.partitionBy("user_id", "bucket").orderBy(
+        F.col("ts_s").asc(), F.col("event_id").asc()
+    )
+    w_d = Window.partitionBy("user_id", "bucket").orderBy(
+        F.col("ts_s").desc(), F.col("event_id").desc()
+    )
+    rk = ev.withColumn("bucket", bucket).select(
+        "user_id",
+        "bucket",
+        "value",
+        F.row_number().over(w_a).alias("rn_a"),
+        F.row_number().over(w_d).alias("rn_d"),
+    )
+    return rk.groupBy("user_id", "bucket").agg(
+        F.min(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.min(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("volume"),
+    )
+
+
+@query(
+    "events-markov-transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    t AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ),
+    tot AS (SELECT prev_type, SUM(n) AS n_from FROM t GROUP BY prev_type)
+    SELECT t.prev_type, t.next_type,
+           CAST(t.n AS BIGINT) AS n,
+           CAST(t.n AS DOUBLE) / CAST(tot.n_from AS DOUBLE) AS p
+    FROM t JOIN tot ON t.prev_type = tot.prev_type
+    """,
+)
+def events_markov_transitions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """analytics / Markov transition matrix — event-type bigram counts
+    and per-from-state probabilities over each user's ordered stream
+    (the user-journey model behind next-action prediction and funnel
+    anomaly detection). One keyed sort for the lag, integral counts,
+    one closing division."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    t = seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = t.groupBy(F.col("prev_type").alias("_pt")).agg(
+        F.sum("n").alias("n_from")
+    )
+    return t.join(
+        F.broadcast(tot), t["prev_type"] == tot["_pt"]
+    ).select(
+        "prev_type",
+        "next_type",
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("n").cast("double") / F.col("n_from").cast("double")).alias(
+            "p"
+        ),
+    )
+
+
+@query(
+    "stats-cramers-v",
+    oracle="""
+    WITH observed AS (
+      SELECT CAST(user_id % 3 AS INT) AS _r, event_type AS _c,
+             COUNT(*) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    cells AS (
+      SELECT g._r, g._c, COALESCE(observed.o, 0) AS o
+      FROM (SELECT r._r, c._c
+            FROM (SELECT DISTINCT _r FROM observed) r
+            CROSS JOIN (SELECT DISTINCT _c FROM observed) c) g
+      LEFT JOIN observed ON g._r = observed._r AND g._c = observed._c
+    ),
+    rt AS (SELECT _r, SUM(o) AS rt FROM cells GROUP BY _r),
+    ct AS (SELECT _c, SUM(o) AS ct FROM cells GROUP BY _c),
+    tot AS (
+      SELECT CAST(SUM(o) AS BIGINT) AS n,
+             COUNT(DISTINCT _r) AS nr, COUNT(DISTINCT _c) AS nc
+      FROM cells
+    ),
+    e AS (
+      SELECT n, nr, nc,
+             (CAST(o AS DOUBLE)
+              - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                / CAST(n AS DOUBLE)) AS diff,
+             CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+               / CAST(n AS DOUBLE) AS expd
+      FROM cells JOIN rt USING (_r) JOIN ct USING (_c), tot
+    ),
+    x AS (
+      SELECT CAST(SUM(CAST(diff * diff / expd AS DECIMAL(38,12)))
+               AS DOUBLE) AS chi2, n, nr, nc
+      FROM e GROUP BY n, nr, nc
+    )
+    SELECT sqrt(chi2 / (CAST(n AS DOUBLE)
+             * CAST(least(nr - 1, nc - 1) AS DOUBLE))) AS cramers_v,
+           chi2, n
+    FROM x
+    """,
+)
+def stats_cramers_v_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stats / Cramér's V — the [0, 1] effect size of the χ²
+    association (χ² itself grows with n; V is the comparable-across-
+    tables strength). Composes the χ² operator with one sqrt
+    (correctly-rounded IEEE) — same grid-completed contingency core
+    (operators/agg.py:chi_square_independence)."""
+    from medallion_delta_lake_spark.operators import agg
+
+    ev = table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 3).cast("int").alias("segment"),
+        "event_type",
+    )
+    chi = agg.chi_square_independence(ev, "segment", "event_type")
+    # dof = (nr-1)(nc-1); min(nr-1, nc-1) recovered via the marginals
+    ev2 = ev.agg(
+        F.countDistinct("segment").alias("_nr"),
+        F.countDistinct("event_type").alias("_nc"),
+    )
+    return chi.crossJoin(F.broadcast(ev2)).select(
+        F.sqrt(
+            F.col("chi2")
+            / (
+                F.col("n").cast("double")
+                * F.least(F.col("_nr") - 1, F.col("_nc") - 1).cast(
+                    "double"
+                )
+            )
+        ).alias("cramers_v"),
+        "chi2",
+        "n",
+    )
