@@ -237,44 +237,55 @@ def _discover_checkpoints(log: str) -> dict[int, list[str]]:
     """version → checkpoint file names, from the directory listing:
     classic single-file, V2 uuid-named manifests, and complete
     multi-part sets (incomplete part sets are ignored — a crashed
-    checkpoint writer must not poison replay)."""
+    checkpoint writer must not poison replay). Multi-part fragments
+    are keyed by (version, part-count) so two coexisting attempts with
+    different part counts are each validated for completeness on their
+    own — a mixed set must never pass the check (ADVICE r6)."""
     classic_re, v2_re, part_re = _ckpt_patterns()
     out: dict[int, list[str]] = {}
-    parts: dict[int, dict[int, tuple[int, str]]] = {}
+    parts: dict[tuple[int, int], dict[int, str]] = {}
     for f in os.listdir(log):
         m = part_re.match(f)
         if m:
-            v = int(m.group(1))
-            parts.setdefault(v, {})[int(m.group(2))] = (
-                int(m.group(3)),
-                f,
-            )
+            v, i, n = int(m.group(1)), int(m.group(2)), int(m.group(3))
+            parts.setdefault((v, n), {})[i] = f
             continue
         m = classic_re.match(f) or v2_re.match(f)
         if m:
             out.setdefault(int(m.group(1)), []).append(f)
-    for v, got in parts.items():
-        n = next(iter(got.values()))[0]
+    complete_parts: dict[int, list[str]] = {}
+    for (v, n), got in sorted(parts.items()):
         if len(got) == n and all(i in got for i in range(1, n + 1)):
-            out.setdefault(v, []).extend(
-                got[i][1] for i in range(1, n + 1)
+            # smallest complete part-count wins (any complete set is a
+            # full snapshot; taking exactly one keeps replay single)
+            complete_parts.setdefault(
+                v, [got[i] for i in range(1, n + 1)]
             )
-    # keep at most one representation per version (classic preferred)
-    for v, names in out.items():
-        classics = [n for n in names if classic_re.match(n)]
-        out[v] = classics[:1] if classics else (
-            names[:1] if not part_re.match(names[0]) else names
-        )
+    # keep at most one representation per version: classic preferred,
+    # then a complete multi-part set, then a V2 manifest
+    for v in set(out) | set(complete_parts):
+        names = out.get(v, [])
+        classics = [x for x in names if classic_re.match(x)]
+        if classics:
+            out[v] = classics[:1]
+        elif v in complete_parts:
+            out[v] = complete_parts[v]
+        else:
+            out[v] = names[:1]
     return out
 
 
-def _find_checkpoint(log: str, version: int) -> str:
+def _checkpoint_files(log: str, version: int) -> list[str]:
+    """Full paths of every file making up the checkpoint at ``version``
+    — ONE file for classic/V2 manifests, ALL parts of a multi-part set
+    (returning just the first part would silently drop the add actions
+    carried by the others, ADVICE r6)."""
     found = _discover_checkpoints(log).get(version)
     if not found:
         raise FileNotFoundError(
             f"no checkpoint files for version {version} in {log}"
         )
-    return os.path.join(log, found[0])
+    return [os.path.join(log, f) for f in found]
 
 
 def resolve_snapshot(path: str, version_as_of: int | None = None) -> dict:
@@ -292,9 +303,12 @@ def resolve_snapshot(path: str, version_as_of: int | None = None) -> dict:
         not versions
         and version_as_of is None
         and not os.path.exists(os.path.join(log, "_last_checkpoint"))
+        and not _discover_checkpoints(log)
     ):
         # a checkpoint alone is a complete snapshot (log cleanup may
-        # have removed every JSON commit it covers)
+        # have removed every JSON commit it covers — and
+        # _last_checkpoint is an optimization, not a requirement, so
+        # listing-discovered checkpoints count too)
         raise FileNotFoundError(f"empty _delta_log at {path}")
 
     state: dict = {
@@ -332,10 +346,13 @@ def resolve_snapshot(path: str, version_as_of: int | None = None) -> dict:
                 if os.path.exists(classic):
                     _read_checkpoint(state, classic)
                 else:
-                    # V2 uuid-named manifest at the same version
-                    _read_checkpoint(
-                        state, _find_checkpoint(log, ckpt_version)
-                    )
+                    # _last_checkpoint's "parts" field is OPTIONAL — a
+                    # third-party writer may omit it even for a
+                    # multi-part checkpoint, so apply EVERY file of the
+                    # discovered representation at this version (V2
+                    # manifest or full part set), not just the first
+                    for f in _checkpoint_files(log, ckpt_version):
+                        _read_checkpoint(state, f)
             start = ckpt_version + 1
     else:
         # _last_checkpoint is an optimization, not a requirement —
@@ -516,6 +533,21 @@ def _hive_layout_consistent(files: dict, part_cols: list[str]) -> bool:
     return True
 
 
+def _physical_layout(fpath: str) -> dict[int, str]:
+    """parquet field id → physical column name, from the file's footer
+    schema (pyarrow surfaces the id as ``PARQUET:field_id`` field
+    metadata). O(footer) driver metadata — the same cost class as the
+    per-file stats collection."""
+    import pyarrow.parquet as pq
+
+    out: dict[int, str] = {}
+    for fld in pq.read_schema(fpath):
+        fid = (fld.metadata or {}).get(b"PARQUET:field_id")
+        if fid is not None:
+            out[int(fid)] = fld.name
+    return out
+
+
 def _scan_adds(
     spark: SparkSession,
     path: str,
@@ -528,28 +560,34 @@ def _scan_adds(
     mapping resolved, and deletion-vector rows subtracted.
     ``keep_positions`` retains the ``_DV_BASE``/``_DV_RID`` physical
     position columns in the result (the DELETE writer needs them to
-    build new deletion vectors)."""
+    build new deletion vectors).
+
+    Under id-mode column mapping the parquet column NAMES are
+    unreliable — each file's authoritative id → physical-name map is
+    read from its footer and files sharing a layout are scanned
+    together with that layout's physical schema, then renamed to
+    logical names. (Spark's native field-id resolution needs the
+    session-global ``spark.sql.parquet.fieldId.read.enabled``, which
+    is consulted at EXECUTION time — setting it here would leak
+    id-mode behavior into every later parquet read in the session,
+    ADVICE r6; footer-driven resolution keeps the scan self-contained.)
+    """
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = meta.get("partitionColumns") or []
     mapping = _column_mapping(meta, schema)  # logical → physical
     phys = lambda c: mapping.get(c, c)  # noqa: E731
     field_ids = _field_ids(meta, schema)  # logical → id (id mode only)
-    if field_ids:
-        # id mode: column NAMES in the data files are unreliable; the
-        # scan resolves by parquet field id (native Spark support)
-        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
 
-    def _read_field(f: StructField) -> StructField:
-        """Read-schema field for a data column: physical name under
-        name mode; logical name + field-id metadata under id mode."""
-        if field_ids:
-            return StructField(
-                f.name,
-                f.dataType,
-                f.nullable,
-                {"parquet.field.id": field_ids.get(f.name, -1)},
-            )
-        return StructField(phys(f.name), f.dataType, f.nullable)
+    def _id_layout(rel: str, data_fields: list[StructField]) -> tuple:
+        """Per-file physical name for each logical data field, resolved
+        by field id from the footer; ids absent from the file get a
+        placeholder name Spark null-fills (a column added after the
+        file was written)."""
+        fmap = _physical_layout(os.path.join(path, rel))
+        return tuple(
+            fmap.get(field_ids.get(f.name, -1)) or f"__absent_{i}"
+            for i, f in enumerate(data_fields)
+        )
 
     # strip field metadata (Spark would otherwise carry the column-
     # mapping annotations into downstream schemas)
@@ -567,14 +605,6 @@ def _scan_adds(
         for rel, add in files.items()
         if add.get("deletionVector")
     }
-
-    def _rename_to_logical(df: DataFrame) -> DataFrame:
-        if not mapping or field_ids:
-            return df
-        inv = {p: l for l, p in mapping.items()}
-        return df.select(
-            *[F.col(c).alias(inv.get(c, c)) for c in df.columns]
-        )
 
     def _attach_meta(df: DataFrame) -> DataFrame:
         """Per-row physical position, for DV subtraction: the parquet
@@ -599,17 +629,63 @@ def _scan_adds(
                 "vectors; cannot key DV subtraction by file"
             )
 
-    if not part_cols:
-        # column mapping: physical names (name mode) or field ids (id
-        # mode) key the data files
+    extras = [_DV_BASE, _DV_RID] if (dv_files or keep_positions) else []
+
+    def _read_group(
+        rels: list[str],
+        data_fields: list[StructField],
+        layout: tuple | None,
+    ) -> DataFrame:
+        """ONE scan over files sharing a physical layout, renamed to
+        logical names: id mode passes the footer-derived ``layout``;
+        name mode (layout=None) uses the metadata's physicalName map
+        (identity when unmapped — the alias projection collapses)."""
+        names = (
+            layout
+            if layout is not None
+            else tuple(phys(f.name) for f in data_fields)
+        )
         read_schema = StructType(
-            [_read_field(f) for f in clean_schema.fields]
+            [
+                StructField(n, f.dataType, f.nullable)
+                for n, f in zip(names, data_fields)
+            ]
         )
-        paths = [os.path.join(path, p) for p in files]
-        out = _rename_to_logical(
-            _attach_meta(spark.read.schema(read_schema).parquet(*paths))
+        raw = _attach_meta(
+            spark.read.schema(read_schema).parquet(
+                *[os.path.join(path, r) for r in rels]
+            )
         )
-    elif not mapping and _hive_layout_consistent(files, part_cols):
+        return raw.select(
+            *[
+                F.col(f"`{n}`").alias(f.name)
+                for n, f in zip(names, data_fields)
+            ],
+            *extras,
+        )
+
+    if not part_cols:
+        data_fields = list(clean_schema.fields)
+        if field_ids:
+            by_layout: dict[tuple, list[str]] = {}
+            for rel in files:
+                by_layout.setdefault(
+                    _id_layout(rel, data_fields), []
+                ).append(rel)
+            out = reduce(
+                DataFrame.unionByName,
+                [
+                    _read_group(rels, data_fields, layout)
+                    for layout, rels in sorted(by_layout.items())
+                ],
+            )
+        else:
+            out = _read_group(list(files), data_fields, None)
+    elif (
+        not mapping
+        and not field_ids
+        and _hive_layout_consistent(files, part_cols)
+    ):
         # FAST PATH — every live file sits in a hive directory that
         # agrees with its logged partitionValues (what this engine's
         # own writer and delta-spark both produce). One basePath scan
@@ -630,33 +706,31 @@ def _scan_adds(
             )
         )
     else:
-        # group files by partition tuple; one read per distinct tuple
-        # with the partition literals reattached at their declared types
+        # group files by (partition tuple, physical layout); one read
+        # per group with the partition literals reattached at their
+        # declared types (layout is only non-None under id mapping)
+        data_fields = [
+            f for f in clean_schema.fields if f.name not in part_cols
+        ]
         by_part: dict[tuple, list[str]] = {}
         for rel, add in files.items():
             pv = add.get("partitionValues") or {}
             key = tuple(
                 pv.get(phys(c), pv.get(c)) for c in part_cols
             )
-            by_part.setdefault(key, []).append(os.path.join(path, rel))
-        data_schema = StructType(
-            [
-                _read_field(f)
-                for f in clean_schema.fields
-                if f.name not in part_cols
-            ]
-        )
+            lay = _id_layout(rel, data_fields) if field_ids else None
+            by_part.setdefault((key, lay), []).append(rel)
         types = {f.name: f.dataType for f in clean_schema.fields}
-        out_cols = [f.name for f in clean_schema.fields] + (
-            [_DV_BASE, _DV_RID] if (dv_files or keep_positions) else []
-        )
+        out_cols = [f.name for f in clean_schema.fields] + extras
         frames = []
-        for key, paths in sorted(
-            by_part.items(), key=lambda kv: tuple(map(str, kv[0]))
+        for (key, lay), rels in sorted(
+            by_part.items(),
+            key=lambda kv: (
+                tuple(map(str, kv[0][0])),
+                tuple(map(str, kv[0][1] or ())),
+            ),
         ):
-            df = _rename_to_logical(
-                _attach_meta(spark.read.schema(data_schema).parquet(*paths))
-            )
+            df = _read_group(rels, data_fields, lay)
             for c, v in zip(part_cols, key):
                 lit = (
                     F.lit(None) if v is None else F.lit(v)
@@ -726,6 +800,22 @@ def _rel_partition_values(rel: str, part_cols: list[str]) -> dict:
             if k in part_cols:
                 vals[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else v
     return vals
+
+
+def _remove_action(rel: str, add: dict, now_ms: int) -> dict:
+    """Remove action for a live add entry, carrying its deletionVector
+    descriptor when present — the (path, dvId) pair is the file's
+    identity under PROTOCOL.md's file-uniqueness contract, so a
+    tombstone that drops the dvId would not match what readers keyed
+    (ADVICE r6: every rewrite path must do what DELETE/OPTIMIZE do)."""
+    r = {
+        "path": rel,
+        "deletionTimestamp": now_ms,
+        "dataChange": True,
+    }
+    if add.get("deletionVector"):
+        r["deletionVector"] = add["deletionVector"]
+    return r
 
 
 def _stats_jsonable(v):
@@ -958,6 +1048,60 @@ def _validate_against_meta(
         )
 
 
+def _evolve_schema_for_merge(
+    df: DataFrame, meta: dict, partition_by: list[str], path: str
+) -> dict | None:
+    """metaData action payload for an additive ``mergeSchema`` write —
+    the reference opts into Delta schema evolution on EVERY append
+    (``.option('mergeSchema','true')``, bronze_table_creation.py:26,
+    31,41,46,51,56), so a daily feed that gains a column must widen the
+    table instead of erroring. Returns the updated metaData dict when
+    ``df`` carries new columns (appended after the committed fields,
+    nullable — old files null-fill them at read), or None when the
+    committed schema already covers ``df``. Non-additive drift (a
+    common column changing type, a partitioning change) still raises
+    :class:`DeltaSchemaMismatchError` — evolution never silently
+    rewrites meaning."""
+    committed = StructType.fromJson(json.loads(meta["schemaString"]))
+    want = {f.name: f.dataType.simpleString() for f in committed.fields}
+    have = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    mismatched = sorted(
+        c for c in set(want) & set(have) if want[c] != have[c]
+    )
+    if mismatched:
+        raise DeltaSchemaMismatchError(
+            f"non-additive schema drift vs table at {path}: columns "
+            f"{mismatched} change type "
+            f"({[(c, want[c], have[c]) for c in mismatched]}); "
+            "mergeSchema only ADDS columns — use mode='overwrite' with "
+            "overwrite_schema=True to retype"
+        )
+    committed_parts = meta.get("partitionColumns") or []
+    if list(partition_by) != committed_parts:
+        raise DeltaSchemaMismatchError(
+            f"table at {path} is partitioned by {committed_parts}, "
+            f"not {list(partition_by)}; mergeSchema cannot repartition"
+        )
+    new_cols = [f for f in df.schema.fields if f.name not in want]
+    if not new_cols:
+        return None
+    if (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    ) != "none":
+        raise DeltaProtocolError(
+            "additive evolution on a column-mapped table requires "
+            "assigning physicalName/field-id metadata to the new "
+            "columns; evolve via enable_column_mapping-aware DDL "
+            "instead"
+        )
+    new_fields = list(committed.fields) + [
+        StructField(f.name, f.dataType, True) for f in new_cols
+    ]
+    new_meta = dict(meta)
+    new_meta["schemaString"] = StructType(new_fields).json()
+    return new_meta
+
+
 def last_txn_version(path: str, app_id: str) -> int:
     """Highest SetTransaction version committed for ``app_id`` (-1 if
     none) — the idempotence watermark a streaming writer consults
@@ -974,6 +1118,7 @@ def write_delta(
     mode: str = "append",
     partition_by: list[str] | None = None,
     overwrite_schema: bool = False,
+    merge_schema: bool = False,
     txn: tuple[str, int] | None = None,
     _expect_version: int | None = None,
 ) -> int:
@@ -1022,21 +1167,29 @@ def write_delta(
             f"after the caller read version {_expect_version}; "
             "re-read and re-apply"
         )
+    evolved_meta: dict | None = None
     if snap is not None and snap["meta"] is not None:
         committed_parts = snap["meta"].get("partitionColumns") or []
         if partition_by is None:
             partition_by = committed_parts  # inherit, like Delta itself
-        if not (mode == "overwrite" and overwrite_schema):
-            _validate_against_meta(
+        if mode == "overwrite" and overwrite_schema:
+            if (snap["meta"].get("configuration") or {}).get(
+                "delta.columnMapping.mode", "none"
+            ) != "none":
+                raise DeltaProtocolError(
+                    "overwrite_schema on a column-mapped table would "
+                    "drop the mapping metadata; evolve via "
+                    "rename_column / explicit metaData instead"
+                )
+        elif merge_schema:
+            # Delta's mergeSchema: additive evolution (new nullable
+            # columns widen the table; anything else still raises)
+            evolved_meta = _evolve_schema_for_merge(
                 df, snap["meta"], list(partition_by), path
             )
-        elif (snap["meta"].get("configuration") or {}).get(
-            "delta.columnMapping.mode", "none"
-        ) != "none":
-            raise DeltaProtocolError(
-                "overwrite_schema on a column-mapped table would drop "
-                "the mapping metadata; evolve via rename_column / "
-                "explicit metaData instead"
+        else:
+            _validate_against_meta(
+                df, snap["meta"], list(partition_by), path
             )
     partition_by = list(partition_by or [])
     os.makedirs(path, exist_ok=True)
@@ -1100,23 +1253,28 @@ def write_delta(
                 new_meta["schemaString"] = df.schema.json()
                 new_meta["partitionColumns"] = partition_by
                 actions.append({"metaData": new_meta})
+            elif evolved_meta is not None:
+                actions.append({"metaData": evolved_meta})
             actions.extend(
-                {
-                    "remove": {
-                        "path": rel,
-                        "deletionTimestamp": now_ms,
-                        "dataChange": True,
-                    }
-                }
-                for rel in prior["files"]
+                {"remove": _remove_action(rel, a, now_ms)}
+                for rel, a in prior["files"].items()
             )
+        elif evolved_meta is not None:
+            # append with mergeSchema: the widened metaData lands in
+            # the same commit as the adds (real Delta's behavior)
+            actions.append({"metaData": evolved_meta})
         actions.extend(adds)
         return actions
 
     # overwrites computed their remove set (and callers their data)
-    # against `snap`; appends are snapshot-independent and may retry
+    # against `snap`; appends are snapshot-independent and may retry —
+    # EXCEPT when this append evolves the schema: a concurrent
+    # metadata change must conflict, not be clobbered
     read_version = (
-        snap["version"] if (snap is not None and mode == "overwrite") else None
+        snap["version"]
+        if snap is not None
+        and (mode == "overwrite" or evolved_meta is not None)
+        else None
     )
     return _commit_version(path, build, read_version=read_version)
 
@@ -1246,29 +1404,43 @@ def _upsert_file_scoped(
 
     from medallion_delta_lake_spark.operators import upsert as upsert_mod
 
-    key0 = keys[0]
     meta = snap["meta"]
     bounds = src.agg(
-        F.min(key0).alias("lo"), F.max(key0).alias("hi")
+        F.count(F.lit(1)).alias("_n"),
+        *[F.min(k).alias(f"_lo_{i}") for i, k in enumerate(keys)],
+        *[F.max(k).alias(f"_hi_{i}") for i, k in enumerate(keys)],
     ).first()
-    lo = _stats_jsonable(bounds["lo"])
-    hi = _stats_jsonable(bounds["hi"])
+    src_rows = bounds["_n"]
+    los = [_stats_jsonable(bounds[f"_lo_{i}"]) for i in range(len(keys))]
+    his = [_stats_jsonable(bounds[f"_hi_{i}"]) for i in range(len(keys))]
 
     def overlaps(add: dict) -> bool:
+        """A file can hold a source key only if, on EVERY key column,
+        its logged [min,max] intersects the source's range — each key
+        value of a matched row lies in both (round-7: all key columns
+        prune, not just the leading one — multi-key tables whose
+        leading key is low-selectivity pruned poorly before). Absent
+        or non-comparable stats never prune (bounds-only contract)."""
         s = add.get("stats")
         s = json.loads(s) if isinstance(s, str) else (s or {})
-        fmin = (s.get("minValues") or {}).get(key0)
-        fmax = (s.get("maxValues") or {}).get(key0)
-        if fmin is None or fmax is None:
-            return True  # stat-less file: must assume it matches
-        try:
-            return not (fmax < lo or fmin > hi)
-        except TypeError:
-            return True
+        minv = s.get("minValues") or {}
+        maxv = s.get("maxValues") or {}
+        for k, lo, hi in zip(keys, los, his):
+            if lo is None or hi is None:
+                continue  # all-null source key column: no range to cut
+            fmin, fmax = minv.get(k), maxv.get(k)
+            if fmin is None or fmax is None:
+                continue  # stat-less column: must assume it matches
+            try:
+                if fmax < lo or fmin > hi:
+                    return False
+            except TypeError:
+                continue
+        return True
 
     candidates = (
         {rel: add for rel, add in snap["files"].items() if overlaps(add)}
-        if lo is not None
+        if src_rows
         else {}
     )
     touched: dict = {}
@@ -1296,7 +1468,7 @@ def _upsert_file_scoped(
             }
     now_ms = int(_time.time() * 1000)
     adds: list[dict] = []
-    if lo is not None:
+    if src_rows:
         subset = _scan_adds(spark, path, meta, touched)
         merged = upsert_mod.merge_state(
             subset, src, keys, delete_missing=False
@@ -1305,13 +1477,7 @@ def _upsert_file_scoped(
 
     def build(version: int) -> list[dict]:
         actions = [
-            {
-                "remove": {
-                    "path": rel,
-                    "deletionTimestamp": now_ms,
-                    "dataChange": True,
-                }
-            }
+            {"remove": _remove_action(rel, touched[rel], now_ms)}
             for rel in touched
         ]
         actions.extend(adds)
@@ -1323,6 +1489,123 @@ def _upsert_file_scoped(
                         "predicate": json.dumps(keys),
                         "filesRewritten": len(touched),
                         "scope": "file",
+                    },
+                }
+            }
+        )
+        return actions
+
+    return _commit_version(path, build, read_version=snap["version"])
+
+
+def _upsert_sync_file_scoped(
+    spark: SparkSession,
+    src: DataFrame,
+    path: str,
+    keys: list[str],
+    snap: dict,
+) -> int:
+    """FILE-granular MERGE for ``delete_missing=True`` on an
+    UNPARTITIONED table (round-7: the last O(table)-rewrite posture).
+    A full-source sync must see every target key (any file may hold a
+    key the source deleted), so stats pruning cannot cut the *scan* —
+    but it can cut the *rewrite*: one column-pruned pass over
+    (keys, non-key fingerprint, file) classifies each target row as
+    deleted / changed / unchanged, and only files holding a deleted or
+    changed row are rewritten. Inserts land in the new files. A 2-key
+    delta against a 1000-file table commits remove/add for the few
+    touched files; the other 998 add actions ride through untouched.
+
+    Shape: target side is projected to (keys, 64-bit fingerprint,
+    file basename) — payload never shuffles; ONE left join against the
+    same projection of the source finds the touched files (collect is
+    O(touched files), commit-metadata-sized); the rewrite content is
+    ``src`` semi-joined to the touched files' keys plus ``src``
+    anti-joined to all target keys (brand-new keys) — the same
+    merge-state algebra as the partition-scoped path, at file grain."""
+    import time as _time
+
+    meta = snap["meta"]
+    files = snap["files"]
+    by_base = {os.path.basename(rel): rel for rel in files}
+    if len(by_base) != len(files):
+        # ambiguous basenames: cannot attribute rows to files
+        return write_delta(
+            spark,
+            src,
+            path,
+            mode="overwrite",
+            _expect_version=snap["version"],
+        )
+    non_keys = [c for c in src.columns if c not in keys]
+
+    def fp(df: DataFrame):
+        return (
+            F.xxhash64(
+                F.to_json(F.struct(*[F.col(c) for c in non_keys]))
+            )
+            if non_keys
+            else F.lit(0).cast("long")
+        )
+
+    scanned = _scan_adds(spark, path, meta, files, keep_positions=True)
+    tgt = scanned.select(
+        *keys, fp(scanned).alias("_t_fp"), F.col(_DV_BASE)
+    )
+    s_side = src.select(*keys, fp(src).alias("_s_fp"))
+    j = tgt.join(s_side, on=keys, how="left")
+    touched_bases = [
+        r[_DV_BASE]
+        for r in j.filter(
+            F.col("_s_fp").isNull()  # key absent from source: delete
+            | (F.col("_s_fp") != F.col("_t_fp"))  # changed: update
+        )
+        .select(_DV_BASE)
+        .distinct()
+        .collect()
+    ]
+    touched = {by_base[b]: files[by_base[b]] for b in touched_bases}
+    now_ms = int(_time.time() * 1000)
+
+    # rewrite content: source rows replacing the touched files' keys,
+    # plus brand-new keys (not in ANY target file). Unchanged rows of
+    # untouched files never move.
+    touched_keys = (
+        _scan_adds(spark, path, meta, touched).select(*keys).distinct()
+        if touched
+        else None
+    )
+    inserts = src.join(
+        scanned.select(*keys).distinct(), on=keys, how="left_anti"
+    )
+    new_content = (
+        src.join(touched_keys, on=keys, how="left_semi").unionByName(
+            inserts
+        )
+        if touched_keys is not None
+        else inserts
+    )
+    adds = [
+        a
+        for a in _stage_physical(new_content, path, meta, [], now_ms)
+        if not a["add"].get("stats")
+        or json.loads(a["add"]["stats"]).get("numRecords", 1)
+    ]
+
+    def build(version: int) -> list[dict]:
+        actions = [
+            {"remove": _remove_action(rel, touched[rel], now_ms)}
+            for rel in touched
+        ]
+        actions.extend(adds)
+        actions.append(
+            {
+                "commitInfo": {
+                    "operation": "MERGE",
+                    "operationParameters": {
+                        "predicate": json.dumps(keys),
+                        "filesRewritten": len(touched),
+                        "scope": "file-sync",
                     },
                 }
             }
@@ -1354,9 +1637,10 @@ def upsert_delta_log(
     state is rewritten, and the commit carries remove/add actions for
     those partitions alone — every other partition's add actions ride
     through untouched, so a 1-key merge into a 10 000-partition table
-    is O(1 partition) of I/O, not O(table). Unpartitioned tables fall
-    back to the whole-snapshot overwrite (no sub-unit to scope to
-    until per-file stats land).
+    is O(1 partition) of I/O, not O(table). Unpartitioned tables get a
+    **file-scoped** sync (:func:`_upsert_sync_file_scoped`, round 7):
+    one column-pruned key/fingerprint pass classifies rows, and only
+    files holding a deleted or changed key are rewritten.
 
     Crash safety beats the directory-swap fallback: new data files are
     invisible until the single O_EXCL commit file lands, so a crash at
@@ -1389,16 +1673,13 @@ def upsert_delta_log(
         # merges must see every key, so they take the partition/full
         # paths below.
         return _upsert_file_scoped(spark, src, path, keys, snap, part_cols)
+    if not part_cols:
+        # full-source sync on an unpartitioned table: file-granular
+        # rewrite (round-7) — only files holding a deleted or changed
+        # key are removed/re-added; everything else rides through
+        return _upsert_sync_file_scoped(spark, src, path, keys, snap)
     target = read_delta(spark, path)
     state = upsert_mod.merge_state(target, src, keys, delete_missing)
-    if not part_cols:
-        return write_delta(
-            spark,
-            state,
-            path,
-            mode="overwrite",
-            _expect_version=snap["version"],
-        )
 
     touched = _touched_partitions(
         target, src, keys, part_cols, delete_missing
@@ -1422,13 +1703,7 @@ def upsert_delta_log(
     def build(version: int) -> list[dict]:
         prior = resolve_snapshot(path, version_as_of=version - 1)
         removes = [
-            {
-                "remove": {
-                    "path": rel,
-                    "deletionTimestamp": now_ms,
-                    "dataChange": True,
-                }
-            }
+            {"remove": _remove_action(rel, a, now_ms)}
             for rel, a in prior["files"].items()
             if tuple(
                 (a.get("partitionValues") or {}).get(c)
@@ -1494,10 +1769,13 @@ def delete_delta_log(
     path: str,
     filters: list[tuple],
     inline_threshold: int = 64,
+    max_dv_rows_per_file: int = 100_000,
+    rewrite_fraction: float = 0.8,
 ) -> dict:
     """DELETE FROM a log-backed Delta table via **deletion vectors** —
-    no data file is rewritten. Returns
-    ``{"version", "deleted_rows", "files_removed", "files_with_new_dv"}``.
+    small deletes never rewrite a data file. Returns
+    ``{"version", "deleted_rows", "files_removed", "files_rewritten",
+    "files_with_new_dv"}``.
 
     ``filters`` is a conjunction of ``(column, op, value)`` triples
     (the same contract as :func:`read_delta`), used three ways:
@@ -1508,12 +1786,18 @@ def delete_delta_log(
        ``_metadata.row_index`` to find matching physical positions
        (existing DV rows are subtracted first, so a second DELETE
        never re-deletes);
-    3. per file: all rows deleted → a plain ``remove`` action;
-       some rows deleted → the file is re-added with a merged
-       deletion vector (old DV ∪ new positions). Small DVs
-       (≤ ``inline_threshold`` rows) embed Z85-inline in the log;
-       larger ones pack into ONE ``deletion_vector_*.bin`` per commit
-       (delta-spark's own packing).
+    3. per file (classified from a per-file COUNT pass, O(files)
+       driver metadata — never the indexes themselves): all rows
+       deleted → a plain ``remove`` action; more than
+       ``max_dv_rows_per_file`` rows or ≥ ``rewrite_fraction`` of the
+       file deleted → the file is REWRITTEN without the matched rows
+       (a DV that large is pure overhead, and collecting its indexes
+       would put O(deleted rows) in driver memory — round-7 bound);
+       otherwise the file is re-added with a merged deletion vector
+       (old DV ∪ new positions). Small DVs (≤ ``inline_threshold``
+       rows) embed Z85-inline in the log; larger ones pack into ONE
+       ``deletion_vector_*.bin`` per commit (delta-spark's own
+       packing).
 
     The commit also upgrades the table protocol to reader 3 / writer 7
     with the ``deletionVectors`` feature on first use, exactly as
@@ -1523,12 +1807,13 @@ def delete_delta_log(
     DVs make selective deletes O(deleted rows), not O(table) — the
     behavior modern Delta enables by default.
 
-    Scale notes: the scan is distributed and stat-pruned; only matched
-    (file, row-index) pairs — O(deleted rows this call) — pass through
-    the driver to be bitmap-encoded, the same order of driver work as
-    delta-spark's DV writer collecting bitmaps per file. Deletes of a
-    large fraction of the table should use partition overwrite
-    instead; :func:`optimize_delta_log` materializes accumulated DVs.
+    Scale notes: the scan is distributed and stat-pruned; the driver
+    first collects only per-file match COUNTS (O(files)), and row
+    indexes are collected solely for files staying under
+    ``max_dv_rows_per_file`` — so driver memory is O(small-delete) by
+    construction, with big per-file deletes routed to a distributed
+    file rewrite instead. :func:`optimize_delta_log` materializes
+    accumulated DVs.
     """
     import time as _time
 
@@ -1563,7 +1848,9 @@ def delete_delta_log(
             "duplicate data-file basenames; cannot key DVs by file"
         )
     now_ms = int(_time.time() * 1000)
-    matched: list = []
+    scanned = None
+    cond = None
+    counts: dict[str, int] = {}  # file basename → matched-row count
     if cand:
         scanned = _scan_adds(spark, path, meta, cand, keep_positions=True)
         cond = reduce(
@@ -1579,30 +1866,82 @@ def delete_delta_log(
                 for c, op, v in filters
             ],
         )
+        counts = {
+            r[_DV_BASE]: r["_n"]
+            for r in scanned.filter(cond)
+            .groupBy(_DV_BASE)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .collect()
+        }
+
+    # classify each touched file from counts alone — indexes are only
+    # ever collected for the DV-bound (small) class
+    removes: list[str] = []
+    rewrites: list[str] = []
+    dv_bound: list[str] = []
+    deleted_rows = 0
+    for base, n in sorted(counts.items()):
+        rel = by_base[base]
+        add = cand[rel]
+        deleted_rows += n
+        old = add.get("deletionVector")
+        # the scan already subtracts the old DV, so new matches are
+        # disjoint from it: merged cardinality = old + new exactly
+        n_old = (
+            int(
+                old.get("cardinality")
+                or len(_dv.dv_row_indexes(path, old))
+            )
+            if old
+            else 0
+        )
+        n_total = _file_num_records(path, rel, add)
+        if n_old + n >= n_total:
+            removes.append(rel)
+        elif (
+            n > max_dv_rows_per_file
+            or (n_old + n) >= rewrite_fraction * n_total
+        ):
+            rewrites.append(rel)
+        else:
+            dv_bound.append(rel)
+
+    new_dvs: dict[str, list[int]] = {}  # rel → merged indexes (file DV)
+    inline_dvs: dict[str, dict] = {}  # rel → inline descriptor
+    if dv_bound:
+        bases = [os.path.basename(r) for r in dv_bound]
         matched = (
             scanned.filter(cond)
+            .filter(F.col(_DV_BASE).isin(bases))
             .groupBy(_DV_BASE)
             .agg(F.sort_array(F.collect_list(_DV_RID)).alias("idxs"))
             .collect()
         )
+        for row in matched:
+            rel = by_base[row[_DV_BASE]]
+            add = cand[rel]
+            old = add.get("deletionVector")
+            old_idx = _dv.dv_row_indexes(path, old) if old else []
+            merged = sorted(
+                set(old_idx) | set(int(i) for i in row["idxs"])
+            )
+            if len(merged) <= inline_threshold:
+                inline_dvs[rel] = _dv.inline_descriptor(merged)
+            else:
+                new_dvs[rel] = merged
 
-    removes: list[dict] = []
-    new_dvs: dict[str, list[int]] = {}  # rel → merged indexes (file DV)
-    inline_dvs: dict[str, dict] = {}  # rel → inline descriptor
-    deleted_rows = 0
-    for row in matched:
-        rel = by_base[row[_DV_BASE]]
-        add = cand[rel]
-        deleted_rows += len(row["idxs"])
-        old = add.get("deletionVector")
-        old_idx = _dv.dv_row_indexes(path, old) if old else []
-        merged = sorted(set(old_idx) | set(int(i) for i in row["idxs"]))
-        if len(merged) >= _file_num_records(path, rel, add):
-            removes.append(rel)
-        elif len(merged) <= inline_threshold:
-            inline_dvs[rel] = _dv.inline_descriptor(merged)
-        else:
-            new_dvs[rel] = merged
+    rewrite_adds: list[dict] = []
+    if rewrites:
+        # distributed rewrite: the file minus the matched rows (rows
+        # where the predicate is NULL are KEPT — only provable matches
+        # delete, same as the filter(cond) match side)
+        keep = ~F.coalesce(cond, F.lit(False))
+        content = _scan_adds(
+            spark, path, meta, {r: cand[r] for r in rewrites}
+        ).filter(keep)
+        rewrite_adds = _stage_physical(
+            content, path, meta, part_cols, now_ms
+        )
 
     descriptors = dict(inline_dvs)
     if new_dvs:
@@ -1610,15 +1949,11 @@ def delete_delta_log(
 
     def build(version: int) -> list[dict]:
         actions = _dv_protocol_actions(snap) if descriptors else []
-        for rel in removes:
-            r = {
-                "path": rel,
-                "deletionTimestamp": now_ms,
-                "dataChange": True,
-            }
-            if cand[rel].get("deletionVector"):
-                r["deletionVector"] = cand[rel]["deletionVector"]
-            actions.append({"remove": r})
+        for rel in removes + rewrites:
+            actions.append(
+                {"remove": _remove_action(rel, cand[rel], now_ms)}
+            )
+        actions.extend(rewrite_adds)
         for rel, desc in sorted(descriptors.items()):
             old = cand[rel]
             r = {
@@ -1658,6 +1993,7 @@ def delete_delta_log(
         "version": version,
         "deleted_rows": deleted_rows,
         "files_removed": len(removes),
+        "files_rewritten": len(rewrites),
         "files_with_new_dv": len(descriptors),
     }
 
@@ -2044,13 +2380,7 @@ def restore_delta_log(path: str, version: int) -> dict:
         if target["meta"] != current["meta"] and target["meta"]:
             actions.append({"metaData": target["meta"]})
         actions.extend(
-            {
-                "remove": {
-                    "path": rel,
-                    "deletionTimestamp": now_ms,
-                    "dataChange": True,
-                }
-            }
+            {"remove": _remove_action(rel, current["files"][rel], now_ms)}
             for rel in removes
         )
         actions.extend({"add": dict(a)} for a in adds)
@@ -2108,7 +2438,9 @@ def table_history(path: str) -> list[dict]:
     return out
 
 
-def write_checkpoint(path: str, parts: int | None = None) -> int:
+def write_checkpoint(
+    path: str, parts: int | None = None, v2: bool = False
+) -> int:
     """Write a parquet checkpoint of the current snapshot plus
     ``_last_checkpoint`` — the log-compaction step that keeps replay
     cost O(actions since checkpoint) instead of O(table lifetime).
@@ -2121,11 +2453,59 @@ def write_checkpoint(path: str, parts: int | None = None) -> int:
     real writers shard it; part 1 carries protocol/metaData/txn and
     the add actions round-robin across parts.
 
+    ``v2`` writes the protocol's V2 layout instead (round-7): a
+    uuid-named MANIFEST (``{v}.checkpoint.{uuid}.parquet``) carrying
+    checkpointMetadata/protocol/metaData/txn plus ``sidecar`` pointers
+    into ``_delta_log/_sidecars/*.parquet`` files holding the add
+    actions — the format v2Checkpoint-feature readers prefer. Writing
+    it on a table whose protocol does not yet advertise the feature
+    first lands ONE protocol-upgrade commit (feature adoption is a
+    table change, exactly how real Delta enables
+    ``delta.checkpointPolicy=v2``), so the checkpointed version is
+    that commit's. Mutually exclusive with ``parts``.
+
     Empty maps are encoded as nulls (pyarrow infers dicts as structs
     and parquet rejects childless structs; the reader treats null and
     {} identically)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
+
+    if v2 and parts:
+        raise ValueError("v2 checkpoints shard via sidecars, not parts")
+    if v2:
+        snap = resolve_snapshot(path)
+        proto = snap.get("protocol") or {}
+        feats = set(proto.get("readerFeatures") or [])
+        if not (
+            proto.get("minReaderVersion", 1) >= 3
+            and "v2Checkpoint" in feats
+        ):
+            upgraded = {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": sorted(feats | {"v2Checkpoint"}),
+                    "writerFeatures": sorted(
+                        set(proto.get("writerFeatures") or [])
+                        | {"v2Checkpoint"}
+                    ),
+                }
+            }
+            _commit_version(
+                path,
+                lambda v: [
+                    upgraded,
+                    {
+                        "commitInfo": {
+                            "operation": "UPGRADE PROTOCOL",
+                            "operationParameters": {
+                                "feature": "v2Checkpoint"
+                            },
+                        }
+                    },
+                ],
+                read_version=snap["version"],
+            )
 
     snap = resolve_snapshot(path)
     version = snap["version"]
@@ -2177,7 +2557,54 @@ def write_checkpoint(path: str, parts: int | None = None) -> int:
             pa.table({k: pa.array(v) for k, v in cols.items()}), dest
         )
 
-    if parts and parts > 1:
+    if v2:
+        import time as _time
+        import uuid as _uuid
+
+        side_dir = os.path.join(log, "_sidecars")
+        os.makedirs(side_dir, exist_ok=True)
+        sc_name = f"{_uuid.uuid4().hex}.parquet"
+        sc_dest = os.path.join(side_dir, sc_name)
+        if rows_add:
+            pq.write_table(pa.table({"add": pa.array(rows_add)}), sc_dest)
+        else:  # empty table: schema-valid placeholder (cf. _write_one)
+            pq.write_table(
+                pa.table(
+                    {"commitInfo": pa.array([], type=pa.string())}
+                ),
+                sc_dest,
+            )
+        manifest = os.path.join(
+            log, f"{version:020d}.checkpoint.{_uuid.uuid4().hex}.parquet"
+        )
+        ckpt_meta = [{"version": version}]
+        sidecars = [
+            {
+                "path": sc_name,
+                "sizeInBytes": os.path.getsize(sc_dest),
+                "modificationTime": int(_time.time() * 1000),
+            }
+        ]
+        rows = {
+            "checkpointMetadata": ckpt_meta,
+            "protocol": rows_proto,
+            "metaData": rows_meta,
+            "txn": rows_txn,
+            "sidecar": sidecars,
+        }
+        n = sum(len(v) for v in rows.values())
+        cols = {}
+        off = 0
+        for name, vals in rows.items():
+            if not vals:
+                continue
+            cols[name] = pa.array(
+                [None] * off + vals + [None] * (n - off - len(vals))
+            )
+            off += len(vals)
+        pq.write_table(pa.table(cols), manifest)
+        info = {"version": version, "size": total}
+    elif parts and parts > 1:
         shards: list[list] = [[] for _ in range(parts)]
         for i, a in enumerate(rows_add):
             shards[i % parts].append(a)
@@ -2273,8 +2700,12 @@ def vacuum(
                         ).replace(os.sep, "/")
                         deleted.append(rel)
             shutil.rmtree(full)
-    for root, _dirs, names in os.walk(path):
+    for root, dirs, names in os.walk(path):
         if os.path.basename(root) == "_delta_log" or "_staging_" in root:
+            # prune the descent too: _delta_log/_sidecars carries V2
+            # checkpoint sidecar parquets — log artifacts, never
+            # vacuum-able data files
+            dirs[:] = []
             continue
         for name in names:
             is_dv = name.startswith("deletion_vector_") and name.endswith(

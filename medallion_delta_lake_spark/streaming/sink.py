@@ -166,11 +166,18 @@ def stream_append_delta_log(
             # another attempt of THIS batch won the race — idempotent
             pass
 
+    # per-app checkpoint dir: two streams with different app_ids
+    # appending to the same table must not share (and clobber) one
+    # Spark streaming checkpoint's offsets/batch ids (ADVICE r6)
+    import re
+
+    safe_app = re.sub(r"[^A-Za-z0-9._-]", "_", app_id)
     q = (
         sdf.writeStream.foreachBatch(append_batch)
         .trigger(availableNow=True)
         .option(
-            "checkpointLocation", path.rstrip("/") + "__append_checkpoint"
+            "checkpointLocation",
+            f"{path.rstrip('/')}__append_checkpoint_{safe_app}",
         )
         .start()
     )
