@@ -50,69 +50,22 @@ def entry(spark: SparkSession) -> DataFrame:
     return _registry.QUERIES["q1-pricing-summary"](spark, "/root/testdata/sf0.001")
 
 
-# Round-6 rotation: the driver checks the first ~50 registered queries
-# per round. Order: (1) no reds to re-green (CORRECTNESS_r05 = 50/50);
-# (2) ops whose Spark code or oracle changed since the r5 snapshot —
-# dedup-ngram-jaccard / dedup-containment (max_df boilerplate cap now
-# ON by default, oracle models it) and sim-ann-self-topk (hot-bucket
-# guard); (3) least-recently-verified: the 10 r2-green ids that fell
-# off r5's 50-row window, then the r3-green cohort (alphabetical from
-# agg-argmax; the ~9 alphabetical-tail r3 ids spill to round 7).
+# Round-7 rotation: the driver checks the first ~50 registered queries
+# per round. Order: (1) no reds to re-green (CORRECTNESS_r06 = 50/50);
+# (2) ops whose Spark code or oracle changed in round 7 —
+# stats-chi-square / stats-cramers-v (marginals-from-observed plan,
+# 15 → 5 exchanges, oracle rewritten to the same grid-from-marginals
+# shape); (3) least-recently-verified: the 27 r3-green ids pushed past
+# round 6's 50-row cut, the r3 alphabetical tail, then the r4-green
+# cohort (its remainder spills to round 8).
 _DRIVER_PRIORITY = [
-    # NEW in round 6 (never driver-checked)
-    "window-ohlc-bars",
-    "events-markov-transitions",
-    "stats-cramers-v",
-    "stats-mann-whitney-u",
-    "join-asof-nearest-abs",
-    "join-asof-forward",
-    "window-streaks",
-    "multimodal-dhash-pairs",
+    # NEW in round 7 (never driver-checked)
+    "window-max-drawdown",
+    "stats-spearman-rho",
+    # changed in round 7 (re-verify first)
     "stats-chi-square",
-    "agg-percentile-bands",
-    "text-vocab-overlap",
-    "window-ewma-smooth",
-    "agg-weighted-median",
-    "stats-ks-two-sample",
-    "sample-temperature-mixture",
-    "agg-mode-exact",
-    "dedup-url-canonical",
-    "text-html-strip",
-    "multimodal-dhash-bands",
-    "stats-gini-impurity",
-    "ts-resample-ffill",
-    "window-anomaly-zscore",
-    "graph-pagerank-nations",
-    "join-interval-overlap",
-    "sample-importance-weighted",
-    "cluster-balance-stats",
-    # changed in round 6 (re-verify first)
-    "dedup-ngram-jaccard",
-    "dedup-containment",
-    "sim-ann-self-topk",
-    # last green in r2 — fell off the r5 window at the 50-row cut
-    "sim-knn-join",
-    "sort-limit-topn",
-    "stream-dedup",
-    "text-fingerprint",
-    "text-lang-id",
-    "text-quality-score",
-    "text-token-stats",
-    "topk-per-group",
-    "upsert-merge-state",
-    "window-agg-tumbling",
-    # last green in r3
-    "agg-argmax",
-    "agg-grouping-sets",
-    "agg-salted-skew",
-    "approx-distinct",
-    "approx-freq-items",
-    "approx-quantile",
-    "cond-funcs",
-    "dedup-cluster-assign",
-    "derive-morton-zorder",
-    "explode-outer-nulls",
-    "explode-token-freq",
+    "stats-cramers-v",
+    # last green in r3 — fell past round 6's 50-row cut
     "join-asof-nearest",
     "join-null-safe",
     "join-salted-skew",
@@ -140,14 +93,44 @@ _DRIVER_PRIORITY = [
     "stats-median-manual",
     "stats-moments",
     "string-funcs",
-    # ROUND-7 NOTE: rotate again — reds first, round-7 changes, then
-    # the ~26 r3-cohort ids pushed past the 50-row cut by round 6's
-    # twenty-six new ops (everything from dedup-cluster-assign onward in
-    # the list above), then the rest of the r3 cohort (struct-funcs,
-    # time-funcs, unpivot-measures, window-agg-hopping,
-    # window-agg-session, window-lag-delta, window-rank-family,
-    # window-running-sum), then the r4-green cohort from
-    # agg-avg-of-sums.
+    # r3 alphabetical tail
+    "struct-funcs",
+    "time-funcs",
+    "unpivot-measures",
+    "window-agg-hopping",
+    "window-agg-session",
+    "window-lag-delta",
+    "window-rank-family",
+    "window-running-sum",
+    # last green in r4
+    "agg-avg-of-sums",
+    "dq-constraint-check",
+    "json-typed-parse",
+    "q12-shipmode-priority",
+    "agg-collect-array",
+    "array-funcs",
+    "q2-min-cost-supplier",
+    "q7-volume-shipping",
+    "q8-market-share",
+    "q9-product-profit",
+    "q11-important-stock",
+    "q13-customer-distribution",
+    "q14-promo-revenue",
+    "q15-top-supplier",
+    "q19-disjunctive-predicates",
+    "q20-potential-promotion",
+    # ROUND-8 NOTE: rotate again — reds first, round-8 changes, then
+    # the remaining r4 cohort (multimodal-frame-sample,
+    # multimodal-audio-chunks, multimodal-resize, text-scrub-pii,
+    # text-tfidf-stats, text-lang-id-ngram, text-edit-distance,
+    # text-strip-boilerplate, sample-stratified-hash,
+    # sample-fixed-per-stratum, agg-vector-mean, stream-stateful-stats,
+    # stream-static-join, join-full-outer, window-value-family,
+    # window-ntile-binning, window-rolling-agg, string-like-family,
+    # agg-bitwise, agg-histogram, stats-corr, impute-group-mean,
+    # normalize-group-zscore, cohort-retention, funnel-analysis,
+    # snapshot-diff, join-range-bucketed, q1-pricing-summary,
+    # filter-neq, filter-neq-chain), then the r5 cohort.
 ]
 
 

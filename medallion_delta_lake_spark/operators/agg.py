@@ -225,26 +225,30 @@ def chi_square_independence(
     counts stay integral, each expected count is ONE double division,
     each cell's (O−E)²/E is plain IEEE arithmetic, and the cell sum
     accumulates in DECIMAL(38,12) — engine-exact, like the Gini/KS
-    siblings. Plan: one (row, col) count with map-side combine, two
-    tiny marginal aggregations broadcast back onto the cells. Output
-    one row: ``(chi2, dof, n)``."""
-    from pyspark.sql import Window  # noqa: F401  (sibling-parity import)
+    siblings. Output one row: ``(chi2, dof, n)``.
 
-    observed = df.groupBy(
-        F.col(row_col).alias("_r"), F.col(col_col).alias("_c")
-    ).agg(F.count(F.lit(1)).alias("_o"))
-    # complete the grid: ZERO cells still contribute (0−E)²/E = E —
-    # dropping them (they never appear in the grouped counts) would
-    # understate the statistic exactly where dependence is strongest
-    grid = observed.select("_r").distinct().crossJoin(
-        observed.select("_c").distinct()
+    The grid is completed — ZERO cells still contribute (0−E)²/E = E;
+    dropping them (they never appear in the grouped counts) would
+    understate the statistic exactly where dependence is strongest —
+    but it is built FROM THE MARGINAL TABLES (row_tot × col_tot), so
+    the grid rows arrive already carrying rt and ct and no marginal is
+    ever recomputed against the completed grid (round-7: the r6 plan
+    derived marginals from the grid and re-derived the grid per
+    consumer — 15 exchanges for a |r|·|c| table; this shape is one
+    grouped count, three tiny aggregations off it, then broadcast-only
+    joins). The grouped count is tracked-cached: four consumers
+    (both marginals, the totals, the grid join) would otherwise each
+    re-run the fact scan + shuffle."""
+    from medallion_delta_lake_spark.operators.caching import tracked_cache
+
+    observed = tracked_cache(
+        df.groupBy(
+            F.col(row_col).alias("_r"), F.col(col_col).alias("_c")
+        ).agg(F.count(F.lit(1)).alias("_o"))
     )
-    cells = grid.join(observed, ["_r", "_c"], "left").select(
-        "_r", "_c", F.coalesce(F.col("_o"), F.lit(0)).alias("_o")
-    )
-    row_tot = cells.groupBy("_r").agg(F.sum("_o").alias("_rt"))
-    col_tot = cells.groupBy("_c").agg(F.sum("_o").alias("_ct"))
-    totals = cells.agg(
+    row_tot = observed.groupBy("_r").agg(F.sum("_o").alias("_rt"))
+    col_tot = observed.groupBy("_c").agg(F.sum("_o").alias("_ct"))
+    totals = observed.agg(
         F.sum("_o").cast("bigint").alias("_n"),
         F.countDistinct("_r").alias("_nr"),
         F.countDistinct("_c").alias("_nc"),
@@ -258,8 +262,13 @@ def chi_square_independence(
     # diff*diff, NOT pow(diff, 2): pow is not correctly-rounded IEEE
     # and may differ across engines; multiplication is exact
     e = (
-        cells.join(F.broadcast(row_tot), "_r")
-        .join(F.broadcast(col_tot), "_c")
+        row_tot.crossJoin(F.broadcast(col_tot))
+        .join(F.broadcast(observed), ["_r", "_c"], "left")
+        .select(
+            "_rt",
+            "_ct",
+            F.coalesce(F.col("_o"), F.lit(0)).alias("_o"),
+        )
         .crossJoin(F.broadcast(totals))
         .select(
             "_n",

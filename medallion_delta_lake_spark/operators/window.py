@@ -307,3 +307,37 @@ def streaks(
         F.max("_len").cast("bigint").alias("longest_streak"),
         F.max("_end").cast("bigint").alias("current_streak_end"),
     )
+
+
+def max_drawdown(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    val_col: str,
+) -> DataFrame:
+    """Maximum drawdown per key — the largest peak-to-trough drop of
+    ``val_col`` along the ordered series (the risk metric behind every
+    portfolio/PnL monitor, and the "how far did this counter regress"
+    check for monotonic-ish metrics). Running cumulative MAX over the
+    ordered frame, per-row drawdown = running_max − value (one exact
+    IEEE subtraction — no accumulation, so doubles are engine-stable),
+    then one grouped MAX. Output per key: ``max_drawdown``, ``peak``,
+    ``n_points``. One shuffle on the key + one sort; ``order_cols``
+    must make the ordering total (ties would make running-max
+    frame-order-dependent)."""
+    keys = list(key_cols)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dd = F.max(F.col(val_col)).over(w) - F.col(val_col)
+    return (
+        df.select(*keys, F.col(val_col).alias("_v"), dd.alias("_dd"))
+        .groupBy(*keys)
+        .agg(
+            F.max("_dd").alias("max_drawdown"),
+            F.max("_v").alias("peak"),
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        )
+    )

@@ -2229,19 +2229,18 @@ def stats_ks_two_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
              COUNT(*) AS o
       FROM events GROUP BY 1, 2
     ),
-    cells AS (
-      SELECT g._r, g._c, COALESCE(observed.o, 0) AS o
-      FROM (SELECT r._r, c._c
-            FROM (SELECT DISTINCT _r FROM observed) r
-            CROSS JOIN (SELECT DISTINCT _c FROM observed) c) g
-      LEFT JOIN observed ON g._r = observed._r AND g._c = observed._c
-    ),
-    rt AS (SELECT _r, SUM(o) AS rt FROM cells GROUP BY _r),
-    ct AS (SELECT _c, SUM(o) AS ct FROM cells GROUP BY _c),
+    rt AS (SELECT _r, SUM(o) AS rt FROM observed GROUP BY _r),
+    ct AS (SELECT _c, SUM(o) AS ct FROM observed GROUP BY _c),
     tot AS (
       SELECT CAST(SUM(o) AS BIGINT) AS n,
              COUNT(DISTINCT _r) AS nr, COUNT(DISTINCT _c) AS nc
-      FROM cells
+      FROM observed
+    ),
+    cells AS (
+      SELECT rt._r, ct._c, rt.rt, ct.ct, COALESCE(observed.o, 0) AS o
+      FROM rt CROSS JOIN ct
+      LEFT JOIN observed
+        ON rt._r = observed._r AND ct._c = observed._c
     ),
     e AS (
       SELECT n, nr, nc,
@@ -2250,7 +2249,7 @@ def stats_ks_two_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / CAST(n AS DOUBLE)) AS diff,
              CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
                / CAST(n AS DOUBLE) AS expd
-      FROM cells JOIN rt USING (_r) JOIN ct USING (_c), tot
+      FROM cells, tot
     )
     SELECT CAST(SUM(CAST(diff * diff / expd AS DECIMAL(38,12)))
              AS DOUBLE) AS chi2,
@@ -2682,19 +2681,18 @@ def events_markov_transitions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
              COUNT(*) AS o
       FROM events GROUP BY 1, 2
     ),
-    cells AS (
-      SELECT g._r, g._c, COALESCE(observed.o, 0) AS o
-      FROM (SELECT r._r, c._c
-            FROM (SELECT DISTINCT _r FROM observed) r
-            CROSS JOIN (SELECT DISTINCT _c FROM observed) c) g
-      LEFT JOIN observed ON g._r = observed._r AND g._c = observed._c
-    ),
-    rt AS (SELECT _r, SUM(o) AS rt FROM cells GROUP BY _r),
-    ct AS (SELECT _c, SUM(o) AS ct FROM cells GROUP BY _c),
+    rt AS (SELECT _r, SUM(o) AS rt FROM observed GROUP BY _r),
+    ct AS (SELECT _c, SUM(o) AS ct FROM observed GROUP BY _c),
     tot AS (
       SELECT CAST(SUM(o) AS BIGINT) AS n,
              COUNT(DISTINCT _r) AS nr, COUNT(DISTINCT _c) AS nc
-      FROM cells
+      FROM observed
+    ),
+    cells AS (
+      SELECT rt._r, ct._c, rt.rt, ct.ct, COALESCE(observed.o, 0) AS o
+      FROM rt CROSS JOIN ct
+      LEFT JOIN observed
+        ON rt._r = observed._r AND ct._c = observed._c
     ),
     e AS (
       SELECT n, nr, nc,
@@ -2703,7 +2701,7 @@ def events_markov_transitions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / CAST(n AS DOUBLE)) AS diff,
              CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
                / CAST(n AS DOUBLE) AS expd
-      FROM cells JOIN rt USING (_r) JOIN ct USING (_c), tot
+      FROM cells, tot
     ),
     x AS (
       SELECT CAST(SUM(CAST(diff * diff / expd AS DECIMAL(38,12)))
@@ -2746,4 +2744,160 @@ def stats_cramers_v_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cramers_v"),
         "chi2",
         "n",
+    )
+
+
+@query(
+    "window-max-drawdown",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, value,
+             MAX(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - value AS dd
+      FROM events
+    )
+    SELECT user_id,
+           MAX(dd) AS max_drawdown,
+           MAX(value) AS peak,
+           COUNT(*) AS n_points
+    FROM w GROUP BY user_id
+    """,
+)
+def window_max_drawdown_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """window / maximum drawdown — largest peak-to-trough drop of each
+    user's ``value`` series in event order (the PnL/metric-regression
+    risk gauge). Running cumulative MAX + ONE exact IEEE subtraction
+    per row (no accumulation → engine-stable doubles), one grouped
+    MAX; ordering made total by the (ts, event_id) tie-break. One
+    shuffle on the key, one sort — the per-key series never leaves
+    its partition (operators/window.py:max_drawdown)."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return window.max_drawdown(
+        ev,
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        val_col="value",
+    )
+
+
+@query(
+    "stats-spearman-rho",
+    # doubled midranks keep every rank integral (midrank of a tie run
+    # is a .5 — ×2 stays exact); sums in DECIMAL(38,0), one double
+    # division + two sqrt at the close (correctly-rounded IEEE)
+    oracle="""
+    WITH fx AS (
+      SELECT l_quantity AS v, COUNT(*) AS c FROM lineitem GROUP BY 1
+    ),
+    rx AS (
+      SELECT v,
+             CAST(2 * COALESCE(SUM(c) OVER (
+                    ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ), 0) + c + 1 AS BIGINT) AS d
+      FROM fx
+    ),
+    fy AS (
+      SELECT l_discount AS v, COUNT(*) AS c FROM lineitem GROUP BY 1
+    ),
+    ry AS (
+      SELECT v,
+             CAST(2 * COALESCE(SUM(c) OVER (
+                    ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ), 0) + c + 1 AS BIGINT) AS d
+      FROM fy
+    ),
+    j AS (
+      SELECT rx.d AS dx, ry.d AS dy
+      FROM lineitem l
+      JOIN rx ON l.l_quantity = rx.v
+      JOIN ry ON l.l_discount = ry.v
+    ),
+    s AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(dx AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(dy AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(dx * dy AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(dx * dx AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(dy * dy AS DECIMAL(38,0))) AS DOUBLE) AS syy
+      FROM j
+    )
+    SELECT n,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+             AS spearman_rho
+    FROM s
+    """,
+)
+def stats_spearman_rho_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stats / Spearman rank correlation — the monotone-association
+    twin of Pearson r (robust to outliers and nonlinearity; the
+    feature-screening staple). Midranks with exact tie handling via
+    VALUE-FREQUENCY rank maps: both columns have bounded distinct
+    values, so the global ranking that normally needs a total sort
+    collapses to a tiny frequency table + cumulative count, broadcast
+    back onto the fact rows — the fact table never sorts and never
+    shuffles on value (the 100 TB shape; a continuous-valued column
+    would need a range-partitioned two-pass rank instead). Doubled
+    midranks stay integral, sums are DECIMAL(38,0)-exact, and the
+    close is one division + two sqrt — engine-identical."""
+    li = table(spark, sf_dir, "lineitem")
+
+    def rank_map(col: str):
+        freq = li.groupBy(F.col(col).alias("_v")).agg(
+            F.count(F.lit(1)).alias("_c")
+        )
+        cum = F.coalesce(
+            F.sum("_c").over(
+                Window.orderBy("_v").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        )
+        # doubled midrank: 2·(rows before + 1) + (ties − 1) = 2·cum + c + 1
+        return freq.select(
+            "_v",
+            (2 * cum + F.col("_c") + 1).cast("bigint").alias("_d"),
+        )
+
+    rx = rank_map("l_quantity").withColumnsRenamed(
+        {"_v": "_vx", "_d": "dx"}
+    )
+    ry = rank_map("l_discount").withColumnsRenamed(
+        {"_v": "_vy", "_d": "dy"}
+    )
+    j = (
+        li.select("l_quantity", "l_discount")
+        .join(F.broadcast(rx), F.col("l_quantity") == F.col("_vx"))
+        .join(F.broadcast(ry), F.col("l_discount") == F.col("_vy"))
+    )
+
+    def ds(c):
+        return F.sum(c.cast("decimal(38,0)")).cast("double")
+
+    dx, dy = F.col("dx"), F.col("dy")
+    s = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        ds(dx).alias("sx"),
+        ds(dy).alias("sy"),
+        ds(dx * dy).alias("sxy"),
+        ds(dx * dx).alias("sxx"),
+        ds(dy * dy).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    return s.select(
+        "n",
+        (
+            (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+            )
+        ).alias("spearman_rho"),
     )

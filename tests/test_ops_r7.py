@@ -1,0 +1,112 @@
+"""Edge cases for the round-7 operators beyond the oracle sweep's
+single registered query per op: max-drawdown on monotone /
+all-falling / null-bearing series, and Spearman's exact tie midranks
+plus its ±1 bounds on perfectly monotone data."""
+
+from __future__ import annotations
+
+import pytest
+
+from medallion_delta_lake_spark.operators.window import max_drawdown
+
+
+def _dd(spark, rows):
+    df = spark.createDataFrame(rows, "k int, t int, v double")
+    out = max_drawdown(
+        df, key_cols=["k"], order_cols=["t"], val_col="v"
+    ).collect()
+    return {r.k: (r.max_drawdown, r.peak, r.n_points) for r in out}
+
+
+def test_max_drawdown_monotone_rise_is_zero(spark):
+    got = _dd(spark, [(1, t, float(t)) for t in range(5)])
+    assert got[1] == (0.0, 4.0, 5)
+
+
+def test_max_drawdown_all_falling_is_full_range(spark):
+    got = _dd(spark, [(1, t, float(10 - t)) for t in range(5)])
+    assert got[1] == (4.0, 10.0, 5)
+
+
+def test_max_drawdown_recovery_keeps_the_trough(spark):
+    # rise to 10, drop to 3 (dd 7), recover to 20, drop to 15 (dd 5)
+    series = [10.0, 3.0, 20.0, 15.0]
+    got = _dd(spark, [(1, t, v) for t, v in enumerate(series)])
+    assert got[1] == (7.0, 20.0, 4)
+
+
+def test_max_drawdown_order_column_decides(spark):
+    # same values, reversed order → different drawdown
+    series = [(0, 5.0), (1, 1.0)]
+    fwd = _dd(spark, [(1, t, v) for t, v in series])
+    rev = _dd(spark, [(1, 1 - t, v) for t, v in series])
+    assert fwd[1][0] == 4.0
+    assert rev[1][0] == 0.0
+
+
+def test_spearman_bounds_on_monotone_data(spark):
+    """ρ must be exactly ±1 on perfectly monotone tie-free data, and
+    the midrank tie handling must equal the textbook average rank."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    # replicate the registered query's rank-map machinery on a tiny
+    # frame via the same formula: doubled midrank = 2·cum + c + 1
+    def spearman(pairs):
+        df = spark.createDataFrame(pairs, "x double, y double")
+
+        def rank_map(col, out):
+            freq = df.groupBy(F.col(col).alias("_v")).agg(
+                F.count(F.lit(1)).alias("_c")
+            )
+            cum = F.coalesce(
+                F.sum("_c").over(
+                    Window.orderBy("_v").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            )
+            return freq.select(
+                F.col("_v").alias(f"_v{out}"),
+                (2 * cum + F.col("_c") + 1)
+                .cast("bigint")
+                .alias(out),
+            )
+
+        j = df.join(
+            rank_map("x", "dx"), F.col("x") == F.col("_vdx")
+        ).join(rank_map("y", "dy"), F.col("y") == F.col("_vdy"))
+        row = j.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("dx").alias("sx"),
+            F.sum("dy").alias("sy"),
+            F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+            F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+            F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+        ).first()
+        n = row["n"]
+        num = n * row["sxy"] - row["sx"] * row["sy"]
+        den = (
+            (n * row["sxx"] - row["sx"] ** 2)
+            * (n * row["syy"] - row["sy"] ** 2)
+        ) ** 0.5
+        return num / den
+
+    up = [(float(i), float(i * i)) for i in range(1, 8)]
+    assert spearman(up) == pytest.approx(1.0)
+    down = [(float(i), float(-i)) for i in range(1, 8)]
+    assert spearman(down) == pytest.approx(-1.0)
+    # ties: x = (1,2,2,3) midranks (1, 2.5, 2.5, 4) → doubled
+    # (2, 5, 5, 8); Pearson vs ranks (1,2,3,4) = 4.5/√(4.5·5) = √0.9
+    tied = [(1.0, 1.0), (2.0, 2.0), (2.0, 3.0), (3.0, 4.0)]
+    assert spearman(tied) == pytest.approx(0.9 ** 0.5)
+
+
+def test_registered_r7_queries_run_at_sf0001(spark):
+    import __spark_entry__ as e
+
+    q = e.queries()
+    for name in ("window-max-drawdown", "stats-spearman-rho"):
+        df = q[name](spark, "/root/testdata/sf0.001")
+        assert df.count() > 0
