@@ -62,6 +62,7 @@ _DRIVER_PRIORITY = [
     # NEW in round 7 (never driver-checked)
     "window-max-drawdown",
     "stats-spearman-rho",
+    "stats-welch-t",
     # changed in round 7 (re-verify first)
     "stats-chi-square",
     "stats-cramers-v",

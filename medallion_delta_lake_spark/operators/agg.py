@@ -389,3 +389,62 @@ def mann_whitney_u(
         "n_true",
         "n_false",
     )
+
+
+def welch_t(
+    df: DataFrame,
+    val_col: str,
+    flag_col: str,
+) -> DataFrame:
+    """Welch's unequal-variance t statistic between the
+    ``flag_col``=true and =false populations of ``val_col`` — the
+    mean-shift drift test completing the KS (distribution) and
+    Mann–Whitney (rank) siblings. Means and variances come from
+    DECIMAL(38,6)-exact Σx / Σx² per population (one grouped pass with
+    map-side combine; no float accumulation order anywhere), and the
+    close is a fixed expression tree of IEEE divisions, one sqrt, and
+    the Welch–Satterthwaite dof — every op correctly rounded, so the
+    result is engine-exact. Output one row:
+    ``(t_stat, dof, n_true, n_false)``."""
+    flag = F.col(flag_col).cast("boolean")
+    v = F.col(val_col)
+    s = df.filter(v.isNotNull()).agg(
+        F.count(F.when(flag, 1)).alias("_n1"),
+        F.count(F.when(~flag, 1)).alias("_n2"),
+        F.sum(F.when(flag, v).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("_s1"),
+        F.sum(F.when(~flag, v).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("_s2"),
+        F.sum(F.when(flag, v * v).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("_q1"),
+        F.sum(F.when(~flag, v * v).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("_q2"),
+    )
+    n1 = F.col("_n1").cast("double")
+    n2 = F.col("_n2").cast("double")
+    m1 = F.col("_s1") / n1
+    m2 = F.col("_s2") / n2
+    # sample variance via the decimal-exact sums: (n·Σx² − (Σx)²)/(n(n−1))
+    var1 = (n1 * F.col("_q1") - F.col("_s1") * F.col("_s1")) / (
+        n1 * (n1 - F.lit(1.0))
+    )
+    var2 = (n2 * F.col("_q2") - F.col("_s2") * F.col("_s2")) / (
+        n2 * (n2 - F.lit(1.0))
+    )
+    se1 = var1 / n1
+    se2 = var2 / n2
+    t_stat = (m1 - m2) / F.sqrt(se1 + se2)
+    dof = ((se1 + se2) * (se1 + se2)) / (
+        (se1 * se1) / (n1 - F.lit(1.0))
+        + (se2 * se2) / (n2 - F.lit(1.0))
+    )
+    return s.select(
+        t_stat.alias("t_stat"),
+        dof.alias("dof"),
+        F.col("_n1").alias("n_true"),
+        F.col("_n2").alias("n_false"),
+    )

@@ -2901,3 +2901,55 @@ def stats_spearman_rho_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("spearman_rho"),
     )
+
+
+@query(
+    "stats-welch-t",
+    # identical op tree to the Spark side: decimal-exact sums, then a
+    # fixed chain of IEEE divisions + one sqrt (correctly rounded)
+    oracle="""
+    WITH s AS (
+      SELECT COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n1,
+             COUNT(CASE WHEN NOT (event_type = 'click') THEN 1 END) AS n2,
+             CAST(SUM(CASE WHEN event_type = 'click'
+                  THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE) AS s1,
+             CAST(SUM(CASE WHEN NOT (event_type = 'click')
+                  THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE) AS s2,
+             CAST(SUM(CASE WHEN event_type = 'click'
+                  THEN CAST(value * value AS DECIMAL(38,6)) END)
+                  AS DOUBLE) AS q1,
+             CAST(SUM(CASE WHEN NOT (event_type = 'click')
+                  THEN CAST(value * value AS DECIMAL(38,6)) END)
+                  AS DOUBLE) AS q2
+      FROM events WHERE value IS NOT NULL
+    ),
+    e AS (
+      SELECT CAST(n1 AS BIGINT) AS n_true, CAST(n2 AS BIGINT) AS n_false,
+             (n1 * q1 - s1 * s1) / (n1 * (n1 - 1.0)) / n1 AS se1,
+             (n2 * q2 - s2 * s2) / (n2 * (n2 - 1.0)) / n2 AS se2,
+             s1 / n1 AS m1, s2 / n2 AS m2, n1, n2
+      FROM s
+    )
+    SELECT (m1 - m2) / sqrt(se1 + se2) AS t_stat,
+           ((se1 + se2) * (se1 + se2))
+             / ((se1 * se1) / (n1 - 1.0) + (se2 * se2) / (n2 - 1.0))
+             AS dof,
+           n_true, n_false
+    FROM e
+    """,
+)
+def stats_welch_t_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stats / Welch's unequal-variance t — mean-shift drift between
+    click and non-click event values, completing the drift-test
+    family (KS = distribution shape, Mann–Whitney = rank order,
+    Welch = mean). One grouped pass with map-side combine produces
+    decimal-exact per-population Σx/Σx²; the statistic and the
+    Welch–Satterthwaite dof close in a fixed IEEE expression tree —
+    engine-exact, no float accumulation anywhere
+    (operators/agg.py:welch_t)."""
+    from medallion_delta_lake_spark.operators import agg
+
+    ev = table(spark, sf_dir, "events").select(
+        "value", (F.col("event_type") == "click").alias("is_click")
+    )
+    return agg.welch_t(ev, "value", "is_click")

@@ -1504,17 +1504,21 @@ def _upsert_sync_file_scoped(
     path: str,
     keys: list[str],
     snap: dict,
+    part_cols: list[str],
 ) -> int:
-    """FILE-granular MERGE for ``delete_missing=True`` on an
-    UNPARTITIONED table (round-7: the last O(table)-rewrite posture).
-    A full-source sync must see every target key (any file may hold a
-    key the source deleted), so stats pruning cannot cut the *scan* —
-    but it can cut the *rewrite*: one column-pruned pass over
-    (keys, non-key fingerprint, file) classifies each target row as
-    deleted / changed / unchanged, and only files holding a deleted or
-    changed row are rewritten. Inserts land in the new files. A 2-key
-    delta against a 1000-file table commits remove/add for the few
-    touched files; the other 998 add actions ride through untouched.
+    """FILE-granular MERGE for ``delete_missing=True`` (round-7: the
+    last O(table)- and O(partition)-rewrite postures). A full-source
+    sync must see every target key (any file may hold a key the source
+    deleted), so pruning cannot cut the *scan* — but it can cut the
+    *rewrite*: one column-pruned pass over (keys, non-key fingerprint,
+    file) classifies each target row as deleted / changed / unchanged,
+    and only files holding a deleted or changed row are rewritten —
+    delta-spark's own findTouchedFiles granularity. Inserts land in
+    new files (hive-partitioned when the table is). A 2-key delta
+    against a 1000-file table commits remove/add for the few touched
+    files; the other 998 add actions ride through untouched — and in a
+    100-file partition a 1-key update rewrites 1 file, not 100 (the
+    partition-scoped r6 posture).
 
     Shape: target side is projected to (keys, 64-bit fingerprint,
     file basename) — payload never shuffles; ONE left join against the
@@ -1522,21 +1526,14 @@ def _upsert_sync_file_scoped(
     O(touched files), commit-metadata-sized); the rewrite content is
     ``src`` semi-joined to the touched files' keys plus ``src``
     anti-joined to all target keys (brand-new keys) — the same
-    merge-state algebra as the partition-scoped path, at file grain."""
+    merge-state algebra as merge_state, at file grain. A changed
+    partition-column value changes the fingerprint, so a moved row's
+    old file rewrites and its new row lands in the new directory."""
     import time as _time
 
     meta = snap["meta"]
     files = snap["files"]
     by_base = {os.path.basename(rel): rel for rel in files}
-    if len(by_base) != len(files):
-        # ambiguous basenames: cannot attribute rows to files
-        return write_delta(
-            spark,
-            src,
-            path,
-            mode="overwrite",
-            _expect_version=snap["version"],
-        )
     non_keys = [c for c in src.columns if c not in keys]
 
     def fp(df: DataFrame):
@@ -1587,7 +1584,7 @@ def _upsert_sync_file_scoped(
     )
     adds = [
         a
-        for a in _stage_physical(new_content, path, meta, [], now_ms)
+        for a in _stage_physical(new_content, path, meta, part_cols, now_ms)
         if not a["add"].get("stats")
         or json.loads(a["add"]["stats"]).get("numRecords", 1)
     ]
@@ -1629,18 +1626,16 @@ def upsert_delta_log(
     against a REAL log-backed Delta table, without delta-spark.
     Returns the committed version.
 
-    Partitioned tables get a **partition-scoped rewrite** — the shape
-    of Delta's own MERGE (touched-file rewrite,
-    silver_table_creation.py:47-66), at partition granularity: a keyed
-    diff finds the partitions whose content actually changes
-    (:func:`_touched_partitions`), only those partitions' post-merge
-    state is rewritten, and the commit carries remove/add actions for
-    those partitions alone — every other partition's add actions ride
-    through untouched, so a 1-key merge into a 10 000-partition table
-    is O(1 partition) of I/O, not O(table). Unpartitioned tables get a
-    **file-scoped** sync (:func:`_upsert_sync_file_scoped`, round 7):
-    one column-pruned key/fingerprint pass classifies rows, and only
-    files holding a deleted or changed key are rewritten.
+    Full-source syncs are **file-granular** (round 7,
+    :func:`_upsert_sync_file_scoped`) — the granularity of Delta's own
+    MERGE (touched-file rewrite, silver_table_creation.py:47-66): one
+    column-pruned key/fingerprint pass classifies every row, and only
+    files holding a deleted or changed key are rewritten — partitioned
+    or not. A 1-key merge into a 10 000-file table is O(1 file) of
+    I/O, not O(table) and not O(partition). Tables with ambiguous
+    data-file basenames (a third-party layout this engine never
+    produces) fall back to the r6 partition-scoped rewrite
+    (:func:`_touched_partitions`) or, unpartitioned, a full overwrite.
 
     Crash safety beats the directory-swap fallback: new data files are
     invisible until the single O_EXCL commit file lands, so a crash at
@@ -1673,11 +1668,27 @@ def upsert_delta_log(
         # merges must see every key, so they take the partition/full
         # paths below.
         return _upsert_file_scoped(spark, src, path, keys, snap, part_cols)
+    by_base = {os.path.basename(rel): rel for rel in snap["files"]}
+    if len(by_base) == len(snap["files"]):
+        # full-source sync, FILE-granular (round-7): only files holding
+        # a deleted or changed key are removed/re-added; everything
+        # else — including sibling files of touched partitions — rides
+        # through the commit untouched
+        return _upsert_sync_file_scoped(
+            spark, src, path, keys, snap, part_cols
+        )
     if not part_cols:
-        # full-source sync on an unpartitioned table: file-granular
-        # rewrite (round-7) — only files holding a deleted or changed
-        # key are removed/re-added; everything else rides through
-        return _upsert_sync_file_scoped(spark, src, path, keys, snap)
+        # ambiguous basenames (third-party layout), nothing to scope to
+        return write_delta(
+            spark,
+            src,
+            path,
+            mode="overwrite",
+            _expect_version=snap["version"],
+        )
+    # ambiguous basenames on a partitioned table: partition-scoped
+    # rewrite (rows cannot be attributed to files, but they can to
+    # partitions via the partition columns themselves)
     target = read_delta(spark, path)
     state = upsert_mod.merge_state(target, src, keys, delete_missing)
 

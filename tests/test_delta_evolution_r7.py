@@ -179,6 +179,50 @@ def test_sync_merge_unpartitioned_is_file_scoped(spark, tmp_path):
     assert old.count() == 200
 
 
+def test_sync_merge_is_file_scoped_within_partitions(spark, tmp_path):
+    """On a PARTITIONED table the sync merge is file-granular INSIDE
+    partitions too (round-7; the r6 posture rewrote whole touched
+    partitions): a 1-key update in a many-file partition rewrites only
+    that key's host file — sibling files of the same partition ride
+    through the commit untouched."""
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "syncpart")
+    # one partition, ~6 range-clustered files inside it
+    base = (
+        spark.range(120)
+        .select(
+            F.col("id"),
+            (F.col("id") * 10).alias("v"),
+            F.lit("p0").alias("part"),
+        )
+        .repartitionByRange(6, "id")
+        .sortWithinPartitions("id")
+    )
+    delta_log.write_delta(
+        spark, base, t, mode="overwrite", partition_by=["part"]
+    )
+    n_files = len(delta_log.resolve_snapshot(t)["files"])
+    assert n_files >= 5
+
+    rows = [
+        (i, 999 if i == 60 else i * 10, "p0") for i in range(120)
+    ]
+    src = spark.createDataFrame(rows, "id long, v long, part string")
+    v = delta_log.upsert_delta_log(
+        spark, src, t, keys=["id"], delete_missing=True
+    )
+    acts = [
+        json.loads(line)
+        for line in open(
+            os.path.join(t, "_delta_log", f"{v:020d}.json")
+        )
+    ]
+    assert sum(1 for a in acts if a.get("remove")) == 1  # host of id=60
+    got = {r.id: r.v for r in delta_log.read_delta(spark, t).collect()}
+    assert got[60] == 999 and got[0] == 0 and len(got) == 120
+
+
 def test_sync_merge_no_change_is_metadata_only(spark, tmp_path):
     """Re-syncing an identical source must rewrite NOTHING — the
     commit carries no remove and no data-bearing add actions."""

@@ -562,11 +562,11 @@ def test_write_delta_stats_and_file_skipping(spark, tmp_path):
 
 def test_upsert_delta_log_partition_scoped_rewrite(spark, tmp_path):
     """MERGE on a partitioned log-backed table must rewrite ONLY the
-    partitions whose content changes: a 1-key update commits remove/add
-    actions for that key's partition alone, a partition emptied by
-    delete-if-absent gets removes with no adds, untouched partitions'
-    add actions (file paths) survive verbatim, and state + time travel
-    match the whole-table semantics."""
+    files whose content changes (round-7: file-granular even inside
+    partitions): a 1-key update commits remove/add actions for that
+    key's host file alone, a partition emptied by delete-if-absent
+    gets removes with no adds, untouched files' add actions survive
+    verbatim, and state + time travel match whole-table semantics."""
     t = str(tmp_path / "pstab")
     rows = [(i, f"v{i}", f"p{i % 10}") for i in range(20)]
     df = spark.createDataFrame(rows, "id long, v string, part string")
@@ -632,14 +632,22 @@ def test_upsert_delta_log_partition_scoped_rewrite(spark, tmp_path):
 
 def test_upsert_partition_scoped_key_moves_partition(spark, tmp_path):
     """A row whose partition-column value changes moves between
-    directories: the merge must rewrite BOTH the old and new
-    partition."""
+    directories: the merge rewrites the moved row's OLD host file and
+    lands the row in the new directory — while the new partition's
+    pre-existing files (unchanged rows) ride through untouched
+    (round-7 file granularity; the r6 partition scope rewrote the
+    whole destination partition too)."""
     t = str(tmp_path / "pmtab")
     df = spark.createDataFrame(
         [(1, "a", "x"), (2, "b", "y"), (3, "c", "z")],
         "id long, v string, part string",
     )
     delta_log.upsert_delta_log(spark, df, t, keys=["id"], partition_by=["part"])
+    files_v0 = {
+        rel
+        for rel in delta_log.resolve_snapshot(t)["files"]
+        if rel.startswith("part=y/")
+    }
     src = spark.createDataFrame(
         [(1, "a", "y"), (2, "b", "y"), (3, "c", "z")],
         "id long, v string, part string",
@@ -652,8 +660,11 @@ def test_upsert_partition_scoped_key_moves_partition(spark, tmp_path):
     add_parts = {
         a["add"]["partitionValues"]["part"] for a in actions if "add" in a
     }
-    assert rm_parts == {"part=x", "part=y"}
-    assert add_parts == {"y"}  # x emptied, y rewritten with both rows
+    assert rm_parts == {"part=x"}  # only the moved row's old host file
+    assert add_parts == {"y"}  # the moved row lands in y
+    # y's pre-existing (unchanged) files survive verbatim
+    files_v1 = set(delta_log.resolve_snapshot(t)["files"])
+    assert files_v0 <= files_v1
     got = {
         (r.id, r.v, r.part)
         for r in delta_log.read_delta(spark, t).collect()

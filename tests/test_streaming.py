@@ -344,17 +344,24 @@ def test_stream_append_delta_log_exactly_once(spark, tmp_path):
     assert delta_log.last_txn_version(tgt, "ingest-a") >= 0
     assert delta_log.last_txn_version(tgt, "other-app") == -1
 
+    # checkpoint dirs are PER APP ID (r6 ADVICE: two apps appending to
+    # one table must not clobber each other's offsets/batch ids)
+    import os
+
+    assert os.path.isdir(tgt + "__append_checkpoint_ingest-a")
+
     # wipe the STREAM's checkpoint (not the table) → full replay
-    shutil.rmtree(tgt + "__append_checkpoint")
+    shutil.rmtree(tgt + "__append_checkpoint_ingest-a")
     sdf2 = spark.readStream.schema("id long, v long").parquet(src)
     stream_append_delta_log(sdf2, spark, tgt, app_id="ingest-a")
     assert delta_log.read_delta(spark, tgt).count() == 40  # no dupes
 
     # a different app id is a different transaction stream → appends
-    shutil.rmtree(tgt + "__append_checkpoint")
+    # (its checkpoint dir is its own; no rmtree needed)
     sdf3 = spark.readStream.schema("id long, v long").parquet(src)
     stream_append_delta_log(sdf3, spark, tgt, app_id="ingest-b")
     assert delta_log.read_delta(spark, tgt).count() == 80
+    assert os.path.isdir(tgt + "__append_checkpoint_ingest-b")
 
 
 def test_txn_watermark_survives_checkpoint_and_duplicate_refused(
