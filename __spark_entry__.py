@@ -63,6 +63,7 @@ _DRIVER_PRIORITY = [
     "window-max-drawdown",
     "stats-spearman-rho",
     "stats-welch-t",
+    "sample-mixture-epochs",
     # changed in round 7 (re-verify first)
     "stats-chi-square",
     "stats-cramers-v",

@@ -234,3 +234,57 @@ def sample_temperature_mixture(
         .filter(ticket < F.floor(F.col("keep_rate") * F.lit(float(_DENOM))))
         .drop("keep_rate")
     )
+
+
+def mixture_epochs(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    epochs: Mapping[str, float],
+    default_epochs: float = 1.0,
+    salt: str = "ep0",
+) -> DataFrame:
+    """Fractional-EPOCH mixture materialization — the upsampling twin
+    of :func:`sample_stratified_hash` (which only downsamples): a
+    pretraining mixture often specifies "2.5 epochs of wiki, 0.4 of
+    crawl", so each row must emit ``floor(e)`` full copies plus one
+    more with probability ``frac(e)``. The fractional copy is decided
+    by portable hash (``h64(salt||id) % D < frac·D``) — the emitted
+    multiset is a pure function of (salt, id), identical on any
+    engine/partitioning/rerun, and per-row INDEPENDENT of the integer
+    copies (every replica of a kept id is emitted together, which is
+    what epoch semantics mean).
+
+    Output: input columns plus ``epoch_idx`` (0-based copy number) —
+    downstream shard-shuffling can then disperse the copies. Zero
+    shuffle: one CASE for e, one hash predicate, one
+    ``explode(sequence)`` — all codegen; rows with 0 copies are
+    filtered before the explode."""
+    e_expr = F.lit(float(default_epochs))
+    for value, e in sorted(epochs.items()):
+        e_expr = F.when(
+            F.col(strata_col) == value, float(e)
+        ).otherwise(e_expr)
+    whole = F.floor(e_expr)
+    frac = e_expr - whole
+    ticket = F.pmod(
+        h64(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+        F.lit(_DENOM),
+    )
+    extra = (ticket < F.floor(frac * F.lit(float(_DENOM)))).cast(
+        "bigint"
+    )
+    n = (whole.cast("bigint") + extra).alias("_n_copies")
+    return (
+        df.select("*", n)
+        .filter(F.col("_n_copies") > 0)
+        .select(
+            *df.columns,
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("bigint"),
+                    F.col("_n_copies") - F.lit(1).cast("bigint"),
+                )
+            ).alias("epoch_idx"),
+        )
+    )

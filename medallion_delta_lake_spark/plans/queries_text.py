@@ -1507,3 +1507,54 @@ def text_vocab_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     never documents (operators/text_analysis.py:vocab_overlap)."""
     d = table(spark, sf_dir, "documents").select("source", "text")
     return ta.vocab_overlap(d, "text", "source")
+
+
+@query(
+    "sample-mixture-epochs",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             CASE WHEN source = 'src0' THEN 2.5
+                  WHEN source = 'src1' THEN 0.4
+                  WHEN source = 'src2' THEN 0.0
+                  ELSE 1.0 END AS e
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source,
+             CAST(floor(e) AS BIGINT)
+             + CASE WHEN {h64_sql("'ep7' || CAST(doc_id AS VARCHAR)")}
+                         % 10000
+                         < floor((e - floor(e))
+                                 * CAST(10000.0 AS DOUBLE))
+                    THEN 1 ELSE 0 END AS n
+      FROM d
+    )
+    SELECT doc_id, source,
+           CAST(unnest(range(0, n)) AS BIGINT) AS epoch_idx
+    FROM c WHERE n > 0
+    """,
+)
+def sample_mixture_epochs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sampling / fractional-epoch mixture — materialize "2.5 epochs
+    of src0, 0.4 of src1, 0 of src2, 1 of the rest": floor(e) full
+    copies per doc plus a portable-hash-decided extra for the
+    fraction, each tagged ``epoch_idx``. The UPSAMPLING half of
+    mixture planning (stratified-hash only downsamples) — the emitted
+    multiset is a pure function of (salt, doc_id), reproducible on
+    any engine/partitioning. Zero shuffle: CASE + hash predicate +
+    explode(sequence), all codegen
+    (operators/sampling.py:mixture_epochs)."""
+    from medallion_delta_lake_spark.operators.sampling import (
+        mixture_epochs,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    return mixture_epochs(
+        d,
+        "doc_id",
+        "source",
+        {"src0": 2.5, "src1": 0.4, "src2": 0.0},
+        default_epochs=1.0,
+        salt="ep7",
+    )

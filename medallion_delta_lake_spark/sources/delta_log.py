@@ -92,6 +92,16 @@ class DeltaSchemaMismatchError(ValueError):
     deliberately (Delta's overwriteSchema contract)."""
 
 
+class DeltaInvariantViolationError(ValueError):
+    """The write violates a table invariant the committed metaData
+    declares — a NOT NULL column (schemaString nullable=false, the
+    protocol's Column Invariants / writer version 2) or a CHECK
+    constraint (``delta.constraints.<name>`` configuration, writer
+    version 3). Writers MUST enforce these or refuse to write
+    (PROTOCOL.md); silently committing would let readers see rows the
+    table's own contract forbids."""
+
+
 def _log_dir(path: str) -> str:
     return os.path.join(path, "_delta_log")
 
@@ -1048,6 +1058,177 @@ def _validate_against_meta(
         )
 
 
+def _check_constraints(meta: dict) -> dict[str, str]:
+    """constraint name → SQL expression, from the metaData's
+    ``delta.constraints.<name>`` configuration keys (PROTOCOL.md
+    CHECK constraints, writer version 3)."""
+    conf = meta.get("configuration") or {}
+    return {
+        k[len("delta.constraints."):]: v
+        for k, v in conf.items()
+        if k.startswith("delta.constraints.")
+    }
+
+
+def _is_append_only(meta: dict | None) -> bool:
+    return (
+        meta is not None
+        and ((meta.get("configuration") or {}).get("delta.appendOnly"))
+        == "true"
+    )
+
+
+def _refuse_if_append_only(meta: dict | None, path: str, op: str) -> None:
+    if _is_append_only(meta):
+        raise DeltaProtocolError(
+            f"table at {path} sets delta.appendOnly=true; {op} would "
+            "remove or change existing rows (appendOnly writer "
+            "feature: only appends and dataChange=false maintenance "
+            "are allowed)"
+        )
+
+
+def _enforce_invariants(df: DataFrame, meta: dict | None, path: str) -> None:
+    """Refuse a write whose rows violate the committed metaData's
+    invariants: NOT NULL columns (schemaString nullable=false) and
+    CHECK constraints (``delta.constraints.*``) — the protocol's
+    writer-enforcement contract. ONE short-circuiting pass over the
+    increment (``limit(1)``), and only when the table actually
+    declares an invariant — invariant-free tables pay nothing. A CHECK
+    is violated only when its expression is FALSE (NULL passes, the
+    SQL-standard semantics real Delta follows)."""
+    if meta is None:
+        return
+    committed = StructType.fromJson(json.loads(meta["schemaString"]))
+    conds = []
+    labels = []
+    for f in committed.fields:
+        if not f.nullable and f.name in df.columns:
+            conds.append(F.col(f.name).isNull())
+            labels.append(f"NOT NULL {f.name}")
+    for name, expr in sorted(_check_constraints(meta).items()):
+        conds.append(~F.coalesce(F.expr(expr), F.lit(True)))
+        labels.append(f"CHECK {name}: {expr}")
+    if not conds:
+        return
+    bad = df.filter(reduce(lambda a, b: a | b, conds)).limit(1)
+    hit = bad.collect()
+    if hit:
+        raise DeltaInvariantViolationError(
+            f"write to {path} violates a table invariant "
+            f"({'; '.join(labels)}); first offending row: {hit[0]}"
+        )
+
+
+def set_table_properties(path: str, props: dict[str, str]) -> int:
+    """ALTER TABLE SET TBLPROPERTIES for a log-backed table: commit an
+    updated metaData whose configuration carries ``props`` — the entry
+    point for ``delta.appendOnly`` and any other table property. The
+    protocol action is metadata-only (no file I/O); enforcement
+    happens on later writes. Returns the committed version."""
+    snap = resolve_snapshot(path)
+    meta = dict(snap["meta"] or {})
+    conf = dict(meta.get("configuration") or {})
+    conf.update(props)
+    meta["configuration"] = conf
+
+    def build(version: int) -> list[dict]:
+        return [
+            {"metaData": meta},
+            {
+                "commitInfo": {
+                    "operation": "SET TBLPROPERTIES",
+                    "operationParameters": {
+                        "properties": json.dumps(props)
+                    },
+                }
+            },
+        ]
+
+    return _commit_version(path, build, read_version=snap["version"])
+
+
+def add_check_constraint(
+    spark: SparkSession, path: str, name: str, expr: str
+) -> int:
+    """ALTER TABLE ADD CONSTRAINT: verify EVERY existing row satisfies
+    ``expr`` (one short-circuiting scan — a constraint that the
+    current data violates must not be committed, real Delta's
+    behavior), then commit metaData with
+    ``delta.constraints.<name>`` and a writer-version-3 protocol
+    upgrade when needed. Returns the committed version."""
+    snap = resolve_snapshot(path)
+    meta = snap["meta"]
+    existing = _scan_adds(spark, path, meta, snap["files"])
+    bad = existing.filter(
+        ~F.coalesce(F.expr(expr), F.lit(True))
+    ).limit(1)
+    hit = bad.collect()
+    if hit:
+        raise DeltaInvariantViolationError(
+            f"cannot add constraint {name} ({expr}) to {path}: "
+            f"existing row violates it: {hit[0]}"
+        )
+    new_meta = dict(meta)
+    conf = dict(new_meta.get("configuration") or {})
+    conf[f"delta.constraints.{name}"] = expr
+    new_meta["configuration"] = conf
+    proto = snap.get("protocol") or {}
+
+    def build(version: int) -> list[dict]:
+        actions: list[dict] = []
+        if (
+            proto.get("minWriterVersion", 2) < 3
+            and proto.get("minReaderVersion", 1) < 3
+        ):
+            # checkConstraints = writer version 3 (legacy numbering)
+            actions.append(
+                {
+                    "protocol": {
+                        "minReaderVersion": proto.get(
+                            "minReaderVersion", 1
+                        ),
+                        "minWriterVersion": 3,
+                    }
+                }
+            )
+        actions.append({"metaData": new_meta})
+        actions.append(
+            {
+                "commitInfo": {
+                    "operation": "ADD CONSTRAINT",
+                    "operationParameters": {"name": name, "expr": expr},
+                }
+            }
+        )
+        return actions
+
+    return _commit_version(path, build, read_version=snap["version"])
+
+
+def drop_check_constraint(path: str, name: str) -> int:
+    """ALTER TABLE DROP CONSTRAINT: metadata-only removal."""
+    snap = resolve_snapshot(path)
+    meta = dict(snap["meta"] or {})
+    conf = dict(meta.get("configuration") or {})
+    if conf.pop(f"delta.constraints.{name}", None) is None:
+        raise KeyError(f"no constraint {name} on {path}")
+    meta["configuration"] = conf
+
+    def build(version: int) -> list[dict]:
+        return [
+            {"metaData": meta},
+            {
+                "commitInfo": {
+                    "operation": "DROP CONSTRAINT",
+                    "operationParameters": {"name": name},
+                }
+            },
+        ]
+
+    return _commit_version(path, build, read_version=snap["version"])
+
+
 def _evolve_schema_for_merge(
     df: DataFrame, meta: dict, partition_by: list[str], path: str
 ) -> dict | None:
@@ -1191,6 +1372,9 @@ def write_delta(
             _validate_against_meta(
                 df, snap["meta"], list(partition_by), path
             )
+        if mode == "overwrite":
+            _refuse_if_append_only(snap["meta"], path, "overwrite")
+        _enforce_invariants(df, snap["meta"], path)
     partition_by = list(partition_by or [])
     os.makedirs(path, exist_ok=True)
     now_ms = int(_time.time() * 1000)
@@ -1662,6 +1846,11 @@ def upsert_delta_log(
             f"table at {path} is partitioned by {part_cols}, "
             f"not {list(partition_by)}"
         )
+    _refuse_if_append_only(snap["meta"], path, "MERGE")
+    # unchanged rows riding through were valid when written (and
+    # constraints only commit after validating existing data), so
+    # checking the source increment is sufficient
+    _enforce_invariants(src, snap["meta"], path)
     if not delete_missing:
         # incremental merge: stats-pruned FILE-granular rewrite (no
         # full-table pass; see _upsert_file_scoped). delete-if-absent
@@ -1842,6 +2031,7 @@ def delete_delta_log(
     meta = snap["meta"]
     if meta is None:
         raise DeltaProtocolError("log contains no metaData action")
+    _refuse_if_append_only(meta, path, "DELETE")
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = meta.get("partitionColumns") or []
     mapping = _column_mapping(meta, schema)
@@ -2731,6 +2921,92 @@ def vacuum(
                 os.remove(os.path.join(root, name))
                 deleted.append(rel)
     return sorted(deleted)
+
+
+def cleanup_log(path: str, keep_versions: int = 10) -> list[str]:
+    """Transaction-LOG retention (the sibling of :func:`vacuum`, which
+    collects data files): delete commit JSONs no longer needed for
+    snapshot resolution or the last ``keep_versions`` of time travel,
+    plus checkpoints they superseded — Delta's
+    ``delta.logRetentionDuration`` cleanup, expressed in versions so
+    tests are deterministic. A commit JSON is deletable only when a
+    checkpoint AT OR BEFORE the retention cutoff covers it (replay
+    must never need a deleted commit). Returns deleted file names.
+
+    Time travel below the cutoff stops working, exactly like real
+    Delta's cleaned logs; :func:`table_changes` raises for cleaned
+    ranges (documented contract)."""
+    log = _log_dir(path)
+    versions = _list_versions(log)
+    if not versions:
+        return []
+    ckpts = _discover_checkpoints(log)
+    if not ckpts:
+        return []  # nothing can be cleaned without a covering checkpoint
+    cutoff = max(versions) - max(keep_versions - 1, 0)
+    # newest checkpoint at or before the cutoff — JSONs strictly below
+    # it are replay-redundant AND outside the retention window
+    covered = [c for c in sorted(ckpts) if c <= cutoff]
+    if not covered:
+        return []
+    base = covered[-1]
+    deleted: list[str] = []
+    for v in versions:
+        if v < base:
+            os.remove(os.path.join(log, f"{v:020d}.json"))
+            deleted.append(f"{v:020d}.json")
+    # checkpoints superseded by `base` (and their parts/manifests);
+    # V2 manifests' sidecars go with them
+    import pyarrow.parquet as pq
+
+    for c in sorted(ckpts):
+        if c >= base:
+            continue
+        for fname in ckpts[c]:
+            full = os.path.join(log, fname)
+            if not os.path.exists(full):
+                continue
+            try:
+                tbl = pq.read_table(full, columns=None)
+                if "sidecar" in tbl.column_names:
+                    for sc in tbl.column("sidecar").to_pylist():
+                        if sc and sc.get("path"):
+                            scf = os.path.join(
+                                log, "_sidecars", sc["path"]
+                            )
+                            if os.path.exists(scf):
+                                os.remove(scf)
+                                deleted.append(
+                                    f"_sidecars/{sc['path']}"
+                                )
+            except Exception:
+                pass
+            os.remove(full)
+            deleted.append(fname)
+    return sorted(deleted)
+
+
+def changes_since(
+    spark: SparkSession, path: str, last_version: int
+) -> tuple[DataFrame | None, int]:
+    """Incremental consumption API — the poll-side of a Delta
+    streaming source: returns ``(changes, current_version)`` where
+    ``changes`` is :func:`table_changes` for every commit AFTER
+    ``last_version`` (None when the table has not advanced). A
+    consumer persists ``current_version`` as its cursor and calls
+    again later; each commit's rows are tagged ``_change_type`` /
+    ``_commit_version``, so exactly-once downstream processing needs
+    only the cursor — the same contract as delta-spark's
+    ``readChangeFeed`` with ``startingVersion``."""
+    current = resolve_snapshot(path)["version"]
+    if current <= last_version:
+        return None, current
+    return (
+        table_changes(
+            spark, path, last_version + 1, to_version=current
+        ),
+        current,
+    )
 
 
 def enable_column_mapping(path: str) -> int:

@@ -439,6 +439,148 @@ def test_delete_null_predicate_rows_survive_rewrite(spark, tmp_path):
     assert got == [i for i in range(100) if i % 10 == 0 or i >= 95]
 
 
+def test_append_only_table_refuses_mutations(spark, tmp_path):
+    """delta.appendOnly=true: appends still land, but overwrite,
+    MERGE, and DELETE raise (the appendOnly writer feature — existing
+    data can never be removed or changed); OPTIMIZE remains allowed
+    (dataChange=false maintenance)."""
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "aponly")
+    delta_log.write_delta(
+        spark, spark.range(10).withColumn("v", F.col("id")), t
+    )
+    delta_log.set_table_properties(t, {"delta.appendOnly": "true"})
+
+    delta_log.write_delta(
+        spark,
+        spark.createDataFrame([(100, 1)], "id long, v long"),
+        t,
+        mode="append",
+    )
+    assert delta_log.read_delta(spark, t).count() == 11
+
+    with pytest.raises(delta_log.DeltaProtocolError):
+        delta_log.write_delta(
+            spark,
+            spark.createDataFrame([(0, 0)], "id long, v long"),
+            t,
+            mode="overwrite",
+        )
+    with pytest.raises(delta_log.DeltaProtocolError):
+        delta_log.upsert_delta_log(
+            spark,
+            spark.createDataFrame([(0, 99)], "id long, v long"),
+            t,
+            keys=["id"],
+        )
+    with pytest.raises(delta_log.DeltaProtocolError):
+        delta_log.delete_delta_log(spark, t, [("id", "<", 5)])
+    # maintenance (dataChange=false) still allowed
+    delta_log.optimize_delta_log(spark, t, target_file_bytes=1 << 20)
+    assert delta_log.read_delta(spark, t).count() == 11
+
+
+def test_check_constraints_enforced_on_writes(spark, tmp_path):
+    """CHECK constraints: adding one validates existing data first;
+    later appends and merges violating it raise; NULL passes (the
+    SQL-standard semantics); dropping it re-opens the gate."""
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "ck")
+    delta_log.write_delta(
+        spark,
+        spark.createDataFrame(
+            [(1, 10), (2, 20), (3, None)], "id long, v long"
+        ),
+        t,
+    )
+    # a constraint the current data violates must not commit
+    with pytest.raises(delta_log.DeltaInvariantViolationError):
+        delta_log.add_check_constraint(spark, t, "v_big", "v > 15")
+    delta_log.add_check_constraint(spark, t, "v_pos", "v > 0")
+    snap = delta_log.resolve_snapshot(t)
+    assert (
+        snap["meta"]["configuration"]["delta.constraints.v_pos"]
+        == "v > 0"
+    )
+    # checkConstraints = legacy writer version 3
+    assert snap["protocol"]["minWriterVersion"] >= 3
+
+    # violating append refused, row NOT committed
+    with pytest.raises(delta_log.DeltaInvariantViolationError):
+        delta_log.write_delta(
+            spark,
+            spark.createDataFrame([(4, -5)], "id long, v long"),
+            t,
+            mode="append",
+        )
+    assert delta_log.read_delta(spark, t).count() == 3
+    # NULL passes the CHECK (standard semantics)
+    delta_log.write_delta(
+        spark,
+        spark.createDataFrame([(5, None)], "id long, v long"),
+        t,
+        mode="append",
+    )
+    # violating MERGE refused too
+    with pytest.raises(delta_log.DeltaInvariantViolationError):
+        delta_log.upsert_delta_log(
+            spark,
+            spark.createDataFrame([(1, -1)], "id long, v long"),
+            t,
+            keys=["id"],
+            delete_missing=False,
+        )
+    delta_log.drop_check_constraint(t, "v_pos")
+    delta_log.write_delta(
+        spark,
+        spark.createDataFrame([(6, -5)], "id long, v long"),
+        t,
+        mode="append",
+    )
+    assert delta_log.read_delta(spark, t).count() == 5
+
+
+def test_not_null_invariant_enforced(spark, tmp_path):
+    """A committed schema with nullable=false on a column makes null
+    appends refuse (the protocol's Column Invariants / writer v2)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "nn")
+    delta_log.write_delta(
+        spark, spark.range(3).withColumn("v", F.col("id")), t
+    )
+    # flip v to NOT NULL by rewriting the committed schemaString
+    snap = delta_log.resolve_snapshot(t)
+    meta = dict(snap["meta"])
+    sch = _json.loads(meta["schemaString"])
+    for f in sch["fields"]:
+        if f["name"] == "v":
+            f["nullable"] = False
+    meta["schemaString"] = _json.dumps(sch)
+    log = os.path.join(t, "_delta_log")
+    with open(os.path.join(log, f"{snap['version'] + 1:020d}.json"), "w") as fh:
+        fh.write(_json.dumps({"metaData": meta}) + "\n")
+
+    with pytest.raises(delta_log.DeltaInvariantViolationError):
+        delta_log.write_delta(
+            spark,
+            spark.createDataFrame([(9, None)], "id long, v long"),
+            t,
+            mode="append",
+        )
+    delta_log.write_delta(
+        spark,
+        spark.createDataFrame([(9, 9)], "id long, v long"),
+        t,
+        mode="append",
+    )
+    assert delta_log.read_delta(spark, t).count() == 4
+
+
 def test_v2_checkpoint_write_round_trip(spark, tmp_path):
     """write_checkpoint(v2=True) emits a manifest + sidecar pair a
     cold reader replays (round-7: the write side of the V2 layout the
@@ -500,6 +642,81 @@ def test_v2_checkpoint_write_round_trip(spark, tmp_path):
 
     with pytest.raises(ValueError):
         delta_log.write_checkpoint(t, parts=2, v2=True)
+
+
+def test_cleanup_log_retention(spark, tmp_path):
+    """Log retention: commit JSONs below the newest checkpoint at or
+    before the retention cutoff are deleted (replay comes from the
+    checkpoint), newer history keeps time-traveling, and cleanup
+    without a covering checkpoint is a no-op."""
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "logret")
+    delta_log.write_delta(
+        spark, spark.range(5).withColumn("v", F.col("id")), t
+    )
+    for i in range(6):  # versions 1..6
+        delta_log.write_delta(
+            spark,
+            spark.createDataFrame([(100 + i, 1)], "id long, v long"),
+            t,
+            mode="append",
+        )
+    # no checkpoint yet → nothing cleanable
+    assert delta_log.cleanup_log(t, keep_versions=2) == []
+
+    delta_log.write_checkpoint(t)  # at version 6
+    delta_log.write_delta(
+        spark,
+        spark.createDataFrame([(200, 2)], "id long, v long"),
+        t,
+        mode="append",
+    )  # version 7
+    deleted = delta_log.cleanup_log(t, keep_versions=2)
+    # cutoff = 7-1 = 6; checkpoint at 6 covers everything below it
+    assert deleted == [f"{v:020d}.json" for v in range(6)]
+    # snapshot + recent time travel still work
+    assert delta_log.read_delta(spark, t).count() == 12
+    assert (
+        delta_log.read_delta(spark, t, version_as_of=6).count() == 11
+    )
+    # time travel below the cleaned range is gone (documented)
+    with pytest.raises(Exception):
+        delta_log.read_delta(spark, t, version_as_of=2).collect()
+
+
+def test_changes_since_cursor(spark, tmp_path):
+    """Incremental consumption: changes_since returns only the
+    commits after the cursor and the new cursor; no advance → None."""
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "cursor")
+    delta_log.write_delta(
+        spark, spark.range(3).withColumn("v", F.col("id")), t
+    )
+    df, cur = delta_log.changes_since(spark, t, -1)
+    assert cur == 0 and df.count() == 3
+    assert set(df.select("_change_type").distinct().toPandas()["_change_type"]) == {"insert"}
+
+    none_df, cur2 = delta_log.changes_since(spark, t, cur)
+    assert none_df is None and cur2 == cur
+
+    delta_log.write_delta(
+        spark,
+        spark.createDataFrame([(50, 1)], "id long, v long"),
+        t,
+        mode="append",
+    )
+    delta_log.delete_delta_log(spark, t, [("id", "=", 0)])
+    df2, cur3 = delta_log.changes_since(spark, t, cur)
+    assert cur3 == cur + 2
+    got = {
+        (r.id, r._change_type, r._commit_version)
+        for r in df2.collect()
+    }
+    assert (50, "insert", 1) in got
+    assert (0, "delete", 2) in got
+    assert len(got) == 2
 
 
 def test_id_mode_read_leaves_session_conf_alone(spark, tmp_path):
