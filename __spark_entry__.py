@@ -64,6 +64,7 @@ _DRIVER_PRIORITY = [
     "stats-spearman-rho",
     "stats-welch-t",
     "sample-mixture-epochs",
+    "window-cusum-drift",
     # changed in round 7 (re-verify first)
     "stats-chi-square",
     "stats-cramers-v",

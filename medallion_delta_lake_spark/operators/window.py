@@ -341,3 +341,46 @@ def max_drawdown(
             F.count(F.lit(1)).cast("bigint").alias("n_points"),
         )
     )
+
+
+def cusum_drift(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    val_col: str,
+    target,
+) -> DataFrame:
+    """One-sided CUSUM drift statistic per key — the change-point
+    control chart ``S_i = max(0, S_{i-1} + (x_i − target))`` whose
+    maximum flags a sustained upward shift from ``target``. The
+    recursion has a CLOSED FORM over prefix sums: with
+    ``P_i = Σ_{j≤i}(x_j − target)``, ``S_i = P_i − min_{j≤i} P_j`` —
+    so two cumulative windows replace the sequential fold. Prefix sums
+    accumulate in DECIMAL(38,6) (engine-exact; the subtraction of two
+    exact decimals is exact), and ``target`` is any deterministic
+    column/literal. Output per key: ``cusum_max`` (the drift
+    statistic, ≥0), ``n_points``. One shuffle on the key, one sort."""
+    keys = list(key_cols)
+    ords = [F.col(c) for c in order_cols]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*ords)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dev = (F.col(val_col) - target).cast("decimal(38,6)")
+    # two projections: window functions cannot nest in one expression;
+    # both windows share the (partition, sort), so ONE shuffle + sort
+    with_prefix = df.select(
+        *keys, *[F.col(c) for c in order_cols], F.sum(dev).over(w).alias("_p")
+    )
+    excursion = F.col("_p") - F.min("_p").over(w)
+    return (
+        with_prefix.select(*keys, excursion.alias("_s"))
+        .groupBy(*keys)
+        .agg(
+            F.greatest(F.max("_s"), F.lit(0).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("cusum_max"),
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        )
+    )

@@ -2953,3 +2953,64 @@ def stats_welch_t_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value", (F.col("event_type") == "click").alias("is_click")
     )
     return agg.welch_t(ev, "value", "is_click")
+
+
+@query(
+    "window-cusum-drift",
+    # same op tree as the Spark side: decimal-exact global mean, two
+    # cumulative windows sharing one (key, ts) sort, decimal prefix
+    # arithmetic, one closing double cast
+    oracle="""
+    WITH tgt AS (
+      SELECT CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+               / COUNT(value) AS mu
+      FROM events WHERE value IS NOT NULL
+    ),
+    p AS (
+      SELECT user_id, ts, event_id,
+             SUM(CAST(value - mu AS DECIMAL(38,6))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS pfx
+      FROM events, tgt
+    ),
+    s AS (
+      SELECT user_id,
+             pfx - MIN(pfx) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS exc
+      FROM p
+    )
+    SELECT user_id,
+           CAST(greatest(MAX(exc), CAST(0 AS DECIMAL(38,6)))
+                AS DOUBLE) AS cusum_max,
+           COUNT(*) AS n_points
+    FROM s GROUP BY user_id
+    """,
+)
+def window_cusum_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """window / one-sided CUSUM drift — the change-point control chart
+    max_i max(0, S_{i-1} + (x_i − μ)) per user, flagging a sustained
+    upward shift of event values from the corpus mean. The recursion
+    collapses to a CLOSED FORM over prefix sums (S_i = P_i − min_{j≤i}
+    P_j), so two cumulative windows sharing ONE (key, ts) sort replace
+    a sequential fold; prefix sums accumulate in DECIMAL(38,6) —
+    engine-exact (operators/window.py:cusum_drift)."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    ).filter(F.col("value").isNotNull())
+    mu = ev.agg(
+        (
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
+            / F.count("value")
+        ).alias("_mu")
+    )
+    withmu = ev.crossJoin(F.broadcast(mu))
+    return window.cusum_drift(
+        withmu,
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        val_col="value",
+        target=F.col("_mu"),
+    )

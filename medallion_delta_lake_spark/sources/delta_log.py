@@ -450,11 +450,57 @@ def _file_can_skip(
     return False
 
 
+def _commit_timestamp(log: str, version: int) -> float:
+    """Commit time in epoch seconds: commitInfo.timestamp (ms) when
+    the commit carries one, else the commit file's mtime — the same
+    two sources real Delta consults for timestamp-based time travel
+    (modulo its monotonicity adjustment; file mtimes on one filesystem
+    are already monotone per writer)."""
+    f = os.path.join(log, f"{version:020d}.json")
+    try:
+        with open(f) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                a = json.loads(line)
+                if a.get("commitInfo") and a["commitInfo"].get(
+                    "timestamp"
+                ):
+                    return a["commitInfo"]["timestamp"] / 1000.0
+    except FileNotFoundError:
+        pass
+    return os.path.getmtime(f)
+
+
+def version_at_timestamp(path: str, ts: float) -> int:
+    """Greatest version whose commit time is ≤ ``ts`` (epoch seconds)
+    — Delta's ``timestampAsOf`` resolution. Raises if ``ts`` predates
+    the earliest RETAINED commit (cleaned log ranges cannot be
+    timestamp-resolved, same as real Delta)."""
+    log = _log_dir(path)
+    versions = _list_versions(log)
+    if not versions:
+        raise FileNotFoundError(f"no commits at {path}")
+    best = None
+    for v in versions:
+        if _commit_timestamp(log, v) <= ts:
+            best = v
+    if best is None:
+        earliest = _commit_timestamp(log, versions[0])
+        raise ValueError(
+            f"timestamp {ts} predates the earliest retained commit "
+            f"of {path} (version {versions[0]} at {earliest})"
+        )
+    return best
+
+
 def read_delta(
     spark: SparkSession,
     path: str,
     version_as_of: int | None = None,
     filters: list[tuple] | None = None,
+    timestamp_as_of: float | None = None,
 ) -> DataFrame:
     """Read a Delta table by pure log replay (no delta-spark).
 
@@ -462,7 +508,9 @@ def read_delta(
     (a Spark StructType JSON — public format); partition columns are
     reattached from each file's ``partitionValues`` and cast to their
     declared types, so the result matches what Delta's own reader
-    returns.
+    returns. ``timestamp_as_of`` (epoch seconds) time-travels to the
+    last commit at or before that instant (Delta's ``timestampAsOf``);
+    mutually exclusive with ``version_as_of``.
 
     ``filters`` — an optional conjunction of ``(column, op, value)``
     triples (op in ``= < <= > >=``) — is applied BOTH as file-level
@@ -471,6 +519,13 @@ def read_delta(
     data-skipping behavior) and as an ordinary DataFrame filter, so the
     result equals read-then-filter while the I/O drops to the
     surviving files."""
+    if timestamp_as_of is not None:
+        if version_as_of is not None:
+            raise ValueError(
+                "version_as_of and timestamp_as_of are mutually "
+                "exclusive"
+            )
+        version_as_of = version_at_timestamp(path, timestamp_as_of)
     snap = resolve_snapshot(path, version_as_of)
     meta = snap["meta"]
     if meta is None:

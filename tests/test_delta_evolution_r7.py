@@ -644,6 +644,61 @@ def test_v2_checkpoint_write_round_trip(spark, tmp_path):
         delta_log.write_checkpoint(t, parts=2, v2=True)
 
 
+def test_timestamp_time_travel(spark, tmp_path):
+    """timestampAsOf: a read at an instant between two commits sees
+    the earlier snapshot; a pre-table timestamp raises; commitInfo
+    timestamps take precedence over file mtimes when present."""
+    import os as _os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "tstravel")
+    delta_log.write_delta(
+        spark, spark.range(3).withColumn("v", F.col("id")), t
+    )
+    t0 = _time.time()
+    _time.sleep(1.1)
+    delta_log.write_delta(
+        spark,
+        spark.createDataFrame([(50, 1)], "id long, v long"),
+        t,
+        mode="append",
+    )
+    assert delta_log.version_at_timestamp(t, t0) == 0
+    assert (
+        delta_log.read_delta(spark, t, timestamp_as_of=t0).count() == 3
+    )
+    assert (
+        delta_log.read_delta(
+            spark, t, timestamp_as_of=_time.time()
+        ).count()
+        == 4
+    )
+    with pytest.raises(ValueError):
+        delta_log.version_at_timestamp(t, t0 - 10_000)
+    with pytest.raises(ValueError):
+        delta_log.read_delta(
+            spark, t, version_as_of=0, timestamp_as_of=t0
+        )
+    # commitInfo.timestamp (ms) wins over mtime when present
+    log = _os.path.join(t, "_delta_log")
+    with open(_os.path.join(log, f"{2:020d}.json"), "w") as fh:
+        fh.write(
+            json.dumps(
+                {
+                    "commitInfo": {
+                        "operation": "X",
+                        "timestamp": int((t0 + 3600) * 1000),
+                    }
+                }
+            )
+            + "\n"
+        )
+    assert delta_log.version_at_timestamp(t, t0 + 1800) == 1
+    assert delta_log.version_at_timestamp(t, t0 + 7200) == 2
+
+
 def test_cleanup_log_retention(spark, tmp_path):
     """Log retention: commit JSONs below the newest checkpoint at or
     before the retention cutoff are deleted (replay comes from the

@@ -110,3 +110,59 @@ def test_registered_r7_queries_run_at_sf0001(spark):
     for name in ("window-max-drawdown", "stats-spearman-rho"):
         df = q[name](spark, "/root/testdata/sf0.001")
         assert df.count() > 0
+
+
+def test_cusum_drift_known_series(spark):
+    """CUSUM with target 0: prefix sums P=(1,-1,2,5), running min
+    (1,-1,-1,-1) → excursions (0,0,3,6) → max 6. All-below-target
+    series clamps to 0."""
+    from pyspark.sql import functions as F
+
+    from medallion_delta_lake_spark.operators.window import cusum_drift
+
+    df = spark.createDataFrame(
+        [(1, 0, 1.0), (1, 1, -2.0), (1, 2, 3.0), (1, 3, 3.0),
+         (2, 0, -1.0), (2, 1, -1.0)],
+        "k int, t int, v double",
+    )
+    out = {
+        r.k: (r.cusum_max, r.n_points)
+        for r in cusum_drift(
+            df, ["k"], ["t"], "v", F.lit(0.0)
+        ).collect()
+    }
+    assert out[1] == (6.0, 4)
+    assert out[2] == (0.0, 2)
+
+
+def test_mixture_epochs_copy_counts(spark):
+    """floor(e) copies always; the fractional extra decided by hash;
+    zero-epoch strata vanish; epoch_idx is a clean 0..n-1 range."""
+    from medallion_delta_lake_spark.operators.sampling import (
+        mixture_epochs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 50 else ("z" if i < 80 else "cut"))
+         for i in range(100)],
+        "doc_id long, src string",
+    )
+    out = mixture_epochs(
+        df, "doc_id", "src", {"a": 2.5, "cut": 0.0}, default_epochs=1.0
+    ).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r.epoch_idx)
+    # "cut" rows vanish entirely
+    assert all(d < 80 for d in by_doc)
+    # default stratum: exactly one copy
+    for d in range(50, 80):
+        assert by_doc[d] == [0]
+    # 2.5-epoch stratum: 2 or 3 copies, contiguous indexes
+    counts = {len(v) for d, v in by_doc.items() if d < 50}
+    assert counts <= {2, 3} and counts == {2, 3}
+    for d in range(50):
+        assert sorted(by_doc[d]) == list(range(len(by_doc[d])))
+    # ~half get the fractional copy (hash-decided, deterministic)
+    n3 = sum(1 for d, v in by_doc.items() if d < 50 and len(v) == 3)
+    assert 10 <= n3 <= 40
