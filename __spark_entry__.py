@@ -65,6 +65,9 @@ _DRIVER_PRIORITY = [
     "stats-welch-t",
     "sample-mixture-epochs",
     "window-cusum-drift",
+    "join-asof-tolerance",
+    "stats-autocorr-lag1",
+    "multimodal-frame-dedup",
     # changed in round 7 (re-verify first)
     "stats-chi-square",
     "stats-cramers-v",

@@ -512,3 +512,46 @@ def asof_join_forward(
         wide_threshold=wide_threshold,
     )
     return out.drop(neg_l, neg_r)
+
+
+def asof_join_tolerance(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    payload_cols: Sequence[str],
+    tolerance,
+    wide_threshold: int = 32,
+) -> DataFrame:
+    """As-of join with a MAX-STALENESS bound — the feature-store
+    point-in-time lookup contract: a match older than ``tolerance``
+    (same units as the ts columns) is as good as no match, so its
+    payload columns are nulled. A thin layer over :func:`asof_join`:
+    the matched right timestamp rides along as one extra carried
+    column and a single null-out projection applies the bound — the
+    union-window plan (one keyed shuffle, no range join) is untouched.
+    ``tolerance`` may be a literal or Column."""
+    carry = "_asof_matched_ts"
+    r2 = right.withColumn(carry, F.col(right_ts))
+    out = asof_join(
+        left,
+        r2,
+        keys=keys,
+        left_ts=left_ts,
+        right_ts=right_ts,
+        payload_cols=list(payload_cols) + [carry],
+        wide_threshold=wide_threshold,
+    )
+    stale = F.col(carry).isNull() | (
+        (F.col(left_ts) - F.col(carry)) > tolerance
+    )
+    return out.select(
+        *[
+            F.when(stale, F.lit(None)).otherwise(F.col(c)).alias(c)
+            if c in payload_cols
+            else F.col(c)
+            for c in out.columns
+            if c != carry
+        ]
+    )

@@ -595,3 +595,103 @@ def dhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def frame_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    n_frames: int = 4,
+    frame_len: int = 64,
+    max_hamming: int = 8,
+    min_shared_frames: int = 2,
+    grid: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """VIDEO-level near-duplicate pairs from temporally-aligned frame
+    dHashes — the re-uploaded/re-encoded-video detector: sample
+    ``n_frames`` evenly-spaced ``frame_len``-byte windows per payload
+    (pure ``substring`` — the codegen twin of :func:`sample_frames`'s
+    geometry), dHash each frame, and call two payloads near-dups when
+    ≥ ``min_shared_frames`` of their SAME-INDEX frames are within
+    ``max_hamming``. Frame alignment keys the join (a clip matches a
+    clip, not a coincidence of unrelated frames), and the banded-LSH
+    candidate filter + exact verify is :func:`dhash_pairs`' shape with
+    ``frame_idx`` added to the join key — shuffles carry
+    (id, frame_idx, band) ints, payloads never leave the scan.
+    Output: ``id_a, id_b, n_shared_frames`` (id_a < id_b)."""
+    from medallion_delta_lake_spark.operators.caching import tracked_cache
+
+    step_div = max(n_frames - 1, 1)
+    frames = (
+        df.select(id_col, payload_col)
+        .withColumn("_nb", F.length(F.col(payload_col)))
+        .select(
+            id_col,
+            payload_col,
+            "_nb",
+            F.explode(
+                F.array(*[F.lit(i) for i in range(n_frames)])
+            ).alias("frame_idx"),
+        )
+        .withColumn(
+            "_off",
+            F.expr(
+                f"CAST(frame_idx * greatest(_nb - {frame_len}, 0) "
+                f"DIV {step_div} AS INT)"
+            ),
+        )
+        .withColumn(
+            "frame_bytes",
+            F.expr(f"substring(`{payload_col}`, _off + 1, {frame_len})"),
+        )
+        .filter(F.length("frame_bytes") >= 2)
+    )
+    hashed = tracked_cache(
+        dhash_bands(
+            frames.select(id_col, "frame_idx", "frame_bytes"),
+            "frame_bytes",
+            grid=grid,
+            bands=bands,
+        ).drop("frame_bytes")
+    )
+    band_cols = [f"band{b}" for b in range(bands)]
+    long_form = hashed.select(
+        F.col(id_col),
+        "frame_idx",
+        *band_cols,
+        F.posexplode(F.array(*[F.col(c) for c in band_cols])).alias(
+            "_band", "_key"
+        ),
+    )
+    left = long_form.select(
+        F.col(id_col).alias("id_a"),
+        "frame_idx",
+        *[F.col(c).alias(f"{c}_a") for c in band_cols],
+        "_band",
+        "_key",
+    )
+    right = long_form.select(
+        F.col(id_col).alias("id_b"),
+        "frame_idx",
+        *[F.col(c).alias(f"{c}_b") for c in band_cols],
+        "_band",
+        "_key",
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"{c}_a").bitwiseXOR(F.col(f"{c}_b")))
+        for c in band_cols
+    )
+    shared = (
+        left.join(right, ["frame_idx", "_band", "_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "frame_idx", hamming.alias("_h"))
+        .filter(F.col("_h") <= max_hamming)
+        .select("id_a", "id_b", "frame_idx")
+        .distinct()
+    )
+    return (
+        shared.groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_frames"))
+        .filter(F.col("n_shared_frames") >= min_shared_frames)
+    )

@@ -293,3 +293,82 @@ def multimodal_dhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
     )
+
+
+@query(
+    "multimodal-frame-dedup",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text
+      FROM documents WHERE doc_id < 50
+    ),
+    p AS (
+      SELECT doc_id, hex(encode(text)) AS full_hx,
+             octet_length(encode(text)) AS fnb
+      FROM corpus
+    ),
+    f AS (
+      SELECT doc_id, CAST(i AS INT) AS frame_idx,
+             substr(full_hx,
+                    CAST(i * greatest(fnb - 64, 0) // 3 AS INT) * 2 + 1,
+                    CAST(least(64, fnb
+                               - (i * greatest(fnb - 64, 0) // 3))
+                         AS INT) * 2) AS hx,
+             CAST(least(64, fnb - (i * greatest(fnb - 64, 0) // 3))
+                  AS INT) AS nb
+      FROM p, unnest(range(0, 4)) AS r(i)
+      WHERE least(64, fnb - (i * greatest(fnb - 64, 0) // 3)) >= 2
+    ),
+    h AS (
+      SELECT doc_id, frame_idx,
+             {_dhash_band_cols()}
+      FROM f
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.frame_idx,
+             bit_count(xor(a.band0, b.band0))
+               + bit_count(xor(a.band1, b.band1))
+               + bit_count(xor(a.band2, b.band2))
+               + bit_count(xor(a.band3, b.band3)) AS hamming
+      FROM h a JOIN h b
+        ON a.doc_id < b.doc_id AND a.frame_idx = b.frame_idx
+       AND (a.band0 = b.band0 OR a.band1 = b.band1
+            OR a.band2 = b.band2 OR a.band3 = b.band3)
+    ),
+    shared AS (
+      SELECT DISTINCT id_a, id_b, frame_idx
+      FROM pairs WHERE hamming <= 8
+    )
+    SELECT id_a, id_b, COUNT(*) AS n_shared_frames
+    FROM shared GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    """,
+)
+def multimodal_frame_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multimodal / video-level near-dup — temporally-aligned frame
+    dHash matching over a corpus with PLANTED re-ingested payloads:
+    two videos are near-dups when ≥2 of their same-index sampled
+    frames land within hamming 8 (the re-uploaded-clip detector;
+    frame alignment keys the join so a clip matches a clip, not a
+    coincidence of unrelated frames). Frame slicing is pure codegen
+    substring; shuffles carry (id, frame_idx, band) ints
+    (operators/multimodal.py:frame_neardup_pairs)."""
+    from pyspark.sql import functions as F
+
+    d = table(spark, sf_dir, "documents")
+    planted = d.select("doc_id", "text").unionByName(
+        d.filter(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    payload = mm.attach_binary_payload(planted)
+    return mm.frame_neardup_pairs(
+        payload,
+        "doc_id",
+        "payload",
+        n_frames=4,
+        frame_len=64,
+        max_hamming=8,
+        min_shared_frames=2,
+    )

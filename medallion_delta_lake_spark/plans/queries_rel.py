@@ -3014,3 +3014,128 @@ def window_cusum_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         val_col="value",
         target=F.col("_mu"),
     )
+
+
+@query(
+    "join-asof-tolerance",
+    oracle="""
+    WITH r AS (
+      SELECT o_custkey AS user_id,
+             CAST(floor(epoch(o_orderdate)) AS BIGINT) AS order_ts_s,
+             MAX(o_totalprice) AS order_total
+      FROM orders GROUP BY 1, 2
+    ),
+    a AS (
+      SELECT e.event_id, e.user_id,
+             CAST(floor(epoch(e.ts)) AS BIGINT) AS ts_s,
+             r.order_ts_s, r.order_total
+      FROM events e
+      ASOF LEFT JOIN r
+        ON e.user_id = r.user_id
+       AND CAST(floor(epoch(e.ts)) AS BIGINT) >= r.order_ts_s
+    )
+    SELECT event_id, user_id, ts_s,
+           CASE WHEN order_ts_s IS NULL
+                  OR ts_s - order_ts_s > 2592000
+                THEN NULL ELSE order_total END AS order_total
+    FROM a
+    """,
+)
+def join_asof_tolerance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join / as-of with max staleness — the feature-store
+    point-in-time contract: each event takes its user's latest order
+    total, but a match older than 30 days is as good as none (stale
+    features must read NULL, not silently serve). Same union-window
+    plan as join-asof-nearest, plus one carried timestamp and one
+    null-out projection; DuckDB ASOF + CASE oracle
+    (operators/joins.py:asof_join_tolerance)."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_timestamp("ts").alias("ts_s")
+    )
+    orders = table(spark, sf_dir, "orders")
+    right = orders.groupBy(
+        F.col("o_custkey").alias("user_id"),
+        F.unix_timestamp("o_orderdate").alias("order_ts_s"),
+    ).agg(F.max("o_totalprice").alias("order_total"))
+    return joins.asof_join_tolerance(
+        ev,
+        right,
+        keys=["user_id"],
+        left_ts="ts_s",
+        right_ts="order_ts_s",
+        payload_cols=["order_total"],
+        tolerance=F.lit(2592000),
+    )
+
+
+@query(
+    "stats-autocorr-lag1",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, value AS x,
+             LAG(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS y
+      FROM events
+    ),
+    q AS (
+      SELECT user_id, x, y FROM p
+      WHERE x IS NOT NULL AND y IS NOT NULL
+    ),
+    s AS (
+      SELECT user_id, COUNT(*) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy
+      FROM q GROUP BY user_id
+    )
+    SELECT user_id, n,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+             AS autocorr_lag1
+    FROM s WHERE n >= 2
+    """,
+)
+def stats_autocorr_lag1_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stats / lag-1 autocorrelation per user — the serial-dependence
+    diagnostic (is each user's value series momentum-driven or
+    white?): Pearson r between the series and its one-step lag, pairs
+    built by one lag window on the per-user sort, moments from
+    DECIMAL(38,6)-exact sums (the stats-corr contract applied to
+    lagged pairs). One keyed sort + one grouped pass."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", F.col("value").alias("x")
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        "user_id", "x", F.lag("x").over(w).alias("y")
+    ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+
+    def ds(c):
+        return F.sum(c.cast("decimal(38,6)")).cast("double")
+
+    x, y = F.col("x"), F.col("y")
+    s = pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        ds(x).alias("sx"),
+        ds(y).alias("sy"),
+        ds(x * y).alias("sxy"),
+        ds(x * x).alias("sxx"),
+        ds(y * y).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    return s.filter(F.col("n") >= 2).select(
+        "user_id",
+        "n",
+        (
+            (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+            )
+        ).alias("autocorr_lag1"),
+    )

@@ -166,3 +166,56 @@ def test_mixture_epochs_copy_counts(spark):
     # ~half get the fractional copy (hash-decided, deterministic)
     n3 = sum(1 for d, v in by_doc.items() if d < 50 and len(v) == 3)
     assert 10 <= n3 <= 40
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    from pyspark.sql import functions as F
+
+    from medallion_delta_lake_spark.operators.joins import (
+        asof_join_tolerance,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 100), (1, 250), (2, 100)], "k int, t long"
+    )
+    right = spark.createDataFrame(
+        [(1, 90, 9.0), (1, 95, 9.5)], "k int, rt long, pay double"
+    )
+    out = {
+        (r.k, r.t): r.pay
+        for r in asof_join_tolerance(
+            left,
+            right,
+            keys=["k"],
+            left_ts="t",
+            right_ts="rt",
+            payload_cols=["pay"],
+            tolerance=F.lit(50),
+        ).collect()
+    }
+    assert out[(1, 100)] == 9.5  # 5s stale: within tolerance
+    assert out[(1, 250)] is None  # 155s stale: nulled
+    assert out[(2, 100)] is None  # no match at all
+
+
+def test_frame_neardup_finds_planted_video_dups(spark):
+    from pyspark.sql import functions as F
+
+    from medallion_delta_lake_spark.operators.multimodal import (
+        frame_neardup_pairs,
+    )
+
+    base = [(i, f"clip-{i}-" + "x" * 300 + f"tail{i}") for i in range(6)]
+    planted = base + [(100 + i, t) for i, t in base[:2]]  # 2 re-uploads
+    df = spark.createDataFrame(planted, "doc_id long, text string").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    out = {
+        (r.id_a, r.id_b): r.n_shared_frames
+        for r in frame_neardup_pairs(
+            df, min_shared_frames=2
+        ).collect()
+    }
+    # each planted copy matches its original on all 4 frames
+    assert out[(0, 100)] == 4
+    assert out[(1, 101)] == 4
