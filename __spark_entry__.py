@@ -68,6 +68,7 @@ _DRIVER_PRIORITY = [
     "join-asof-tolerance",
     "stats-autocorr-lag1",
     "multimodal-frame-dedup",
+    "stream-cusum-monitor",
     # changed in round 7 (re-verify first)
     "stats-chi-square",
     "stats-cramers-v",

@@ -373,7 +373,12 @@ def cusum_drift(
     with_prefix = df.select(
         *keys, *[F.col(c) for c in order_cols], F.sum(dev).over(w).alias("_p")
     )
-    excursion = F.col("_p") - F.min("_p").over(w)
+    # the closed form is S_i = P_i − min_{0≤j≤i} P_j with P_0 = 0, so
+    # the running minimum must include the empty prefix's 0 — without
+    # it an all-positive run would read as no drift at its first rows
+    excursion = F.col("_p") - F.least(
+        F.min("_p").over(w), F.lit(0).cast("decimal(38,6)")
+    )
     return (
         with_prefix.select(*keys, excursion.alias("_s"))
         .groupBy(*keys)

@@ -2976,10 +2976,19 @@ def stats_welch_t_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
       SELECT user_id,
-             pfx - MIN(pfx) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-             ) AS exc
+             -- CASE, not least(): DuckDB's least() promotes
+             -- DECIMAL(38,6) to DOUBLE, breaking decimal exactness
+             pfx - (CASE WHEN MIN(pfx) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW
+                    ) > CAST(0 AS DECIMAL(38,6))
+                    THEN CAST(0 AS DECIMAL(38,6))
+                    ELSE MIN(pfx) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW
+                    ) END) AS exc
       FROM p
     )
     SELECT user_id,
@@ -2991,10 +3000,9 @@ def stats_welch_t_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_cusum_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """window / one-sided CUSUM drift — the change-point control chart
-    max_i max(0, S_{i-1} + (x_i − μ)) per user, flagging a sustained
+    max_i of S_i = max(0, S_{i-1} + (x_i − μ)), S_0 = 0, per user, flagging a sustained
     upward shift of event values from the corpus mean. The recursion
-    collapses to a CLOSED FORM over prefix sums (S_i = P_i − min_{j≤i}
-    P_j), so two cumulative windows sharing ONE (key, ts) sort replace
+    collapses to a CLOSED FORM over prefix sums (S_i = P_i − min(0, min_{j≤i} P_j)), so two cumulative windows sharing ONE (key, ts) sort replace
     a sequential fold; prefix sums accumulate in DECIMAL(38,6) —
     engine-exact (operators/window.py:cusum_drift)."""
     ev = table(spark, sf_dir, "events").select(

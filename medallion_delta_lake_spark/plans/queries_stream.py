@@ -156,3 +156,49 @@ def stream_static_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type", "c_mktsegment"
     )
     return se.run_available_now(joined, "append", spark)
+
+
+@query(
+    "stream-cusum-monitor",
+    # single-file source → one availableNow microbatch → the update
+    # emission IS the final statistic; integer-cents state makes it
+    # equal the batch closed form exactly (all-BIGINT SQL: no decimal
+    # promotion anywhere)
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts, event_id,
+             SUM(CAST(round(value * 100, 0) AS BIGINT) - 500) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS pfx
+      FROM events WHERE value IS NOT NULL
+    ),
+    s AS (
+      SELECT user_id,
+             pfx - least(0, MIN(pfx) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             )) AS exc
+      FROM p
+    )
+    SELECT user_id,
+           CAST(greatest(MAX(exc), 0) AS DOUBLE) / 100.0 AS cusum_max,
+           COUNT(*) AS n_points
+    FROM s GROUP BY user_id
+    """,
+)
+def stream_cusum_monitor_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming / CUSUM drift alarm — applyInPandasWithState
+    maintaining the one-sided change-point statistic per user against
+    a fixed $5.00 target, emitted each microbatch (the monitoring twin
+    of the batch window-cusum-drift). Four integer-cents longs of
+    state per key — exact, so the maintained value equals the batch
+    closed form bit-for-bit after ordered arrival
+    (streaming/stateful.py:cusum_monitor)."""
+    from medallion_delta_lake_spark.streaming import stateful
+
+    sdf = se.read_events_stream(spark, sf_dir)
+    return se.run_available_now(
+        stateful.cusum_monitor(sdf, target=5.0), "update", spark,
+        num_state_partitions=8,
+    )

@@ -74,3 +74,87 @@ def user_running_stats(sdf: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+CUSUM_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("cusum_max", DoubleType()),
+        StructField("n_points", LongType()),
+    ]
+)
+CUSUM_STATE = StructType(
+    [
+        StructField("prefix_cents", LongType()),
+        StructField("min_prefix_cents", LongType()),
+        StructField("max_exc_cents", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def cusum_monitor(sdf: DataFrame, target: float) -> DataFrame:
+    """Streaming one-sided CUSUM drift monitor per user — the
+    change-point alarm maintained incrementally:
+    ``S_i = max(0, S_{i-1} + (x_i − target))`` with the running
+    maximum emitted every microbatch the key appears in. State is four
+    integer-cents longs (prefix sum, its running minimum capped at 0,
+    the max excursion, n) — exact, so after ordered arrival the
+    maintained statistic equals the batch closed form
+    (operators/window.py:cusum_drift with the same fixed target)
+    bit-for-bit. Rows are sorted by (ts, event_id) WITHIN each batch;
+    cross-batch order is arrival order — the usual streaming-CUSUM
+    contract (a late row shifts when drift is noticed, not whether).
+    """
+    import numpy as np
+
+    target_cents = int(round(target * 100))
+
+    def fn(key, pdfs, state: GroupState):
+        p, mn, mx, n = (
+            state.get if state.exists else (0, 0, 0, 0)
+        )
+        for pdf in pdfs:
+            pdf = pdf.dropna(subset=["value"]).sort_values(
+                ["ts", "event_id"]
+            )
+            if not len(pdf):
+                continue
+            dev = (
+                (pdf["value"] * 100).round().astype("int64")
+                - target_cents
+            ).to_numpy()
+            prefix = p + np.cumsum(dev)
+            run_min = np.minimum(np.minimum.accumulate(prefix), mn)
+            exc = prefix - np.minimum(run_min, 0)
+            p = int(prefix[-1])
+            mn = int(run_min[-1])
+            mx = max(mx, int(exc.max()))
+            n += len(pdf)
+        state.update((p, mn, mx, n))
+        if n:  # a key whose rows were all-null emits nothing
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": key[0],
+                        "cusum_max": mx / 100.0,
+                        "n_points": n,
+                    }
+                ]
+            )
+        else:
+            yield pd.DataFrame(
+                {"user_id": [], "cusum_max": [], "n_points": []}
+            )
+
+    return (
+        sdf.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=CUSUM_OUTPUT,
+            stateStructType=CUSUM_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

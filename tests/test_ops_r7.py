@@ -219,3 +219,62 @@ def test_frame_neardup_finds_planted_video_dups(spark):
     # each planted copy matches its original on all 4 frames
     assert out[(0, 100)] == 4
     assert out[(1, 101)] == 4
+
+
+def test_stream_cusum_matches_batch_across_microbatches(spark, tmp_path):
+    """The streaming CUSUM's state must span microbatches: feeding the
+    per-user-ordered series as two time-split files (one per batch)
+    yields the same final statistic as the batch closed form."""
+    from pyspark.sql import functions as F
+
+    from medallion_delta_lake_spark.operators.window import cusum_drift
+    from medallion_delta_lake_spark.streaming import stateful
+    from medallion_delta_lake_spark.streaming import events as se
+
+    rows = [
+        (u, i, float(v))
+        for u in (1, 2)
+        for i, v in enumerate([3, 9, 1, 12, 8, 2, 14, 6])
+    ]
+    df = spark.createDataFrame(rows, "user_id long, n int, value double").select(
+        "user_id",
+        F.to_timestamp(F.lit("2024-01-01")).alias("t0"),
+        (F.col("n") * 60).alias("off"),
+        F.col("n").cast("long").alias("event_id"),
+        "value",
+    ).select(
+        "user_id",
+        (F.col("t0") + F.make_interval(secs=F.col("off"))).alias("ts"),
+        "event_id",
+        "value",
+    )
+    src = str(tmp_path / "cusum_src")
+    # time-split files: earlier half lands first (ordered arrival)
+    df.filter(F.col("event_id") < 4).coalesce(1).write.parquet(src)
+    df.filter(F.col("event_id") >= 4).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    sdf = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = se.run_available_now(
+        stateful.cusum_monitor(sdf, target=5.0), "update", spark
+    )
+    # update mode re-emits per batch: keep the LAST emission per user
+    final = {}
+    for r in out.collect():
+        final[r.user_id] = (r.cusum_max, r.n_points)
+
+    batch = {
+        r.user_id: (r.cusum_max, r.n_points)
+        for r in cusum_drift(
+            df, ["user_id"], ["ts", "event_id"], "value", F.lit(5.0)
+        ).collect()
+    }
+    assert set(final) == {1, 2}
+    for u in final:
+        assert final[u][1] == 8
+        assert final[u] == batch[u], (final[u], batch[u])
