@@ -2978,6 +2978,171 @@ def vacuum(
     return sorted(deleted)
 
 
+def convert_to_delta(
+    spark: SparkSession,
+    path: str,
+    partition_by: list[str] | None = None,
+) -> int:
+    """CONVERT TO DELTA, in place: turn an existing parquet directory
+    (hive-partitioned when ``partition_by`` names the directory keys)
+    into a log-backed Delta table by committing protocol + metaData +
+    one add action per existing file — **no data file is rewritten or
+    moved** (real Delta's CONVERT contract). Schema comes from
+    Spark's parquet reader (partition columns typed by path
+    inference); per-file stats come from the footers, so data
+    skipping works immediately. Returns the committed version (0).
+
+    Scale notes: O(files) driver metadata (the same order as any
+    commit) + one footer read per file for stats; zero data I/O."""
+    import time as _time
+    import uuid
+
+    if is_delta_table(path):
+        raise ValueError(f"{path} is already a Delta table")
+    partition_by = list(partition_by or [])
+    reader = spark.read
+    if partition_by:
+        reader = reader.option("basePath", path)
+    df = reader.parquet(path)
+    schema = StructType(
+        [
+            StructField(f.name, f.dataType, f.nullable)
+            for f in df.schema.fields
+        ]
+    )
+    missing = [c for c in partition_by if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"partition columns {missing} not found in {path}"
+        )
+    now_ms = int(_time.time() * 1000)
+    adds: list[dict] = []
+    for root, _dirs, names in os.walk(path):
+        if "_delta_log" in root or "_staging_" in root:
+            continue
+        for name in names:
+            if not name.endswith(".parquet"):
+                continue
+            rel = os.path.relpath(os.path.join(root, name), path)
+            add = {
+                "path": rel.replace(os.sep, "/"),
+                "partitionValues": _rel_partition_values(
+                    rel, partition_by
+                ),
+                "size": os.path.getsize(os.path.join(path, rel)),
+                "modificationTime": now_ms,
+                "dataChange": True,
+            }
+            stats = _parquet_file_stats(os.path.join(path, rel))
+            if stats is not None:
+                add["stats"] = stats
+            adds.append({"add": add})
+    if not adds:
+        raise FileNotFoundError(f"no parquet files under {path}")
+
+    def build(version: int) -> list[dict]:
+        return [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {
+                "metaData": {
+                    "id": str(uuid.uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": schema.json(),
+                    "partitionColumns": partition_by,
+                    "configuration": {},
+                    "createdTime": now_ms,
+                }
+            },
+            *adds,
+            {
+                "commitInfo": {
+                    "operation": "CONVERT",
+                    "operationParameters": {
+                        "numFiles": len(adds),
+                        "partitionedBy": json.dumps(partition_by),
+                    },
+                }
+            },
+        ]
+
+    return _commit_version(path, build)
+
+
+def clone_delta(src: str, dst: str) -> int:
+    """SHALLOW CLONE: create a NEW Delta table at ``dst`` whose add
+    actions reference the SOURCE's data files by absolute path — zero
+    data copy, O(metadata) (+ the source's deletion-vector files,
+    which are table-root-relative and therefore copied into the clone
+    root so their descriptors stay valid). The clone has its own
+    table id, log, and history (version 0 = the clone commit); later
+    writes to either table never touch the other's files — a clone
+    MERGE/DELETE stages ITS new files under ``dst`` and merely drops
+    references to source files. Vacuuming the SOURCE can break a
+    clone that still references removed files, exactly real Delta's
+    documented shallow-clone caveat."""
+    import shutil
+    import time as _time
+    import uuid
+
+    from medallion_delta_lake_spark.sources.deletion_vectors import (
+        dv_relative_path,
+    )
+
+    snap = resolve_snapshot(src)
+    if snap["meta"] is None:
+        raise DeltaProtocolError("source log has no metaData")
+    if is_delta_table(dst):
+        raise ValueError(f"{dst} is already a Delta table")
+    os.makedirs(dst, exist_ok=True)
+    now_ms = int(_time.time() * 1000)
+    adds = []
+    for rel, add in snap["files"].items():
+        new_add = dict(add)
+        new_add["path"] = os.path.abspath(
+            os.path.join(src, rel)
+        ).replace(os.sep, "/")
+        desc = add.get("deletionVector")
+        if desc:
+            dv_rel = dv_relative_path(desc)
+            if dv_rel:  # storageType "u": copy the bin, keep descriptor
+                dest = os.path.join(dst, dv_rel)
+                if not os.path.exists(dest):
+                    shutil.copy(os.path.join(src, dv_rel), dest)
+        adds.append({"add": new_add})
+    new_meta = dict(snap["meta"])
+    new_meta["id"] = str(uuid.uuid4())
+
+    def build(version: int) -> list[dict]:
+        actions: list[dict] = []
+        if snap.get("protocol"):
+            actions.append({"protocol": snap["protocol"]})
+        else:
+            actions.append(
+                {
+                    "protocol": {
+                        "minReaderVersion": 1,
+                        "minWriterVersion": 2,
+                    }
+                }
+            )
+        actions.append({"metaData": new_meta})
+        actions.extend(adds)
+        actions.append(
+            {
+                "commitInfo": {
+                    "operation": "CLONE",
+                    "operationParameters": {
+                        "source": src,
+                        "sourceVersion": snap["version"],
+                    },
+                }
+            }
+        )
+        return actions
+
+    return _commit_version(dst, build)
+
+
 def cleanup_log(path: str, keep_versions: int = 10) -> list[str]:
     """Transaction-LOG retention (the sibling of :func:`vacuum`, which
     collects data files): delete commit JSONs no longer needed for

@@ -858,3 +858,108 @@ def test_id_mode_read_leaves_session_conf_alone(spark, tmp_path):
     }
     assert got == {(0, "s0"), (1, "s1"), (2, "s2")}
     assert spark.conf.get(key, None) == before
+
+
+def test_convert_to_delta_in_place(spark, tmp_path):
+    """CONVERT TO DELTA: an existing hive-partitioned parquet dir
+    becomes a log-backed table without moving a single file; stats
+    land so skipping works; subsequent Delta ops run normally."""
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "plainpq")
+    df = spark.range(100).select(
+        "id",
+        (F.col("id") * 2).alias("v"),
+        (F.col("id") % 3).cast("int").alias("part"),
+    )
+    df.write.partitionBy("part").parquet(t)
+    files_before = sorted(
+        os.path.join(r, n)
+        for r, _, ns in os.walk(t)
+        for n in ns
+        if n.endswith(".parquet")
+    )
+    v = delta_log.convert_to_delta(spark, t, partition_by=["part"])
+    assert v == 0
+    files_after = sorted(
+        os.path.join(r, n)
+        for r, _, ns in os.walk(t)
+        for n in ns
+        if n.endswith(".parquet") and "_delta_log" not in r
+    )
+    assert files_before == files_after  # nothing moved or rewritten
+
+    out = delta_log.read_delta(spark, t)
+    assert out.count() == 100
+    # hive path inference types the partition key (ints here)
+    assert {
+        r.part for r in out.select("part").distinct().collect()
+    } == {0, 1, 2}
+    # stats landed → a filtered read prunes and still answers right
+    got = delta_log.read_delta(spark, t, filters=[("id", "<", 10)])
+    assert got.count() == 10
+    # the table now takes normal Delta mutations
+    delta_log.upsert_delta_log(
+        spark,
+        spark.createDataFrame([(1000, 1, 0)], "id long, v long, part int"),
+        t,
+        keys=["id"],
+        delete_missing=False,
+    )
+    assert delta_log.read_delta(spark, t).count() == 101
+    with pytest.raises(ValueError):
+        delta_log.convert_to_delta(spark, t)  # already Delta
+
+
+def test_shallow_clone_zero_copy(spark, tmp_path):
+    """SHALLOW CLONE: the clone reads the source's files by absolute
+    path with zero data copy; writes to the clone never touch the
+    source; DV files travel so DV'd sources clone correctly."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "csrc")
+    dst = str(tmp_path / "cdst")
+    delta_log.write_delta(
+        spark,
+        spark.range(50).withColumn("v", F.col("id")).repartition(3),
+        src,
+    )
+    delta_log.delete_delta_log(spark, src, [("id", "=", 7)])  # add a DV
+    delta_log.clone_delta(src, dst)
+
+    # zero data-file copy: dst holds no parquet outside its log
+    dst_parquet = [
+        n
+        for r, _, ns in os.walk(dst)
+        for n in ns
+        if n.endswith(".parquet") and "_delta_log" not in r
+    ]
+    assert dst_parquet == []
+    got = {r.id for r in delta_log.read_delta(spark, dst).collect()}
+    assert got == set(range(50)) - {7}
+
+    # writes diverge: clone mutates, source unchanged
+    delta_log.upsert_delta_log(
+        spark,
+        spark.createDataFrame([(0, 999)], "id long, v long"),
+        dst,
+        keys=["id"],
+        delete_missing=False,
+    )
+    assert {
+        r.v
+        for r in delta_log.read_delta(spark, dst)
+        .filter(F.col("id") == 0)
+        .collect()
+    } == {999}
+    assert {
+        r.v
+        for r in delta_log.read_delta(spark, src)
+        .filter(F.col("id") == 0)
+        .collect()
+    } == {0}
+    # distinct table ids
+    assert (
+        delta_log.resolve_snapshot(src)["meta"]["id"]
+        != delta_log.resolve_snapshot(dst)["meta"]["id"]
+    )
