@@ -69,6 +69,7 @@ _DRIVER_PRIORITY = [
     "stats-autocorr-lag1",
     "multimodal-frame-dedup",
     "stream-cusum-monitor",
+    "graph-triangle-count",
     # changed in round 7 (re-verify first)
     "stats-chi-square",
     "stats-cramers-v",

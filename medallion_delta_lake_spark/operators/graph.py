@@ -100,3 +100,47 @@ def pagerank(
             )
         )
     return ranks
+
+
+def triangle_count(edges: DataFrame, src: str = "a", dst: str = "b") -> DataFrame:
+    """Exact triangle count of an undirected simple graph, as the
+    canonical distributed plan: canonicalize each edge to (lo, hi),
+    dedup, then one ordered two-hop join (a<b<c) probed against the
+    edge set — every triangle is counted exactly once at its ordered
+    orientation, and the ordering predicate keeps the join from
+    exploding on high-degree vertices (each wedge is built only at
+    its smallest endpoint). Three shuffles on int vertex ids; no
+    adjacency ever collects. Output one row: ``(n_triangles,
+    n_edges, n_vertices)``."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("_u"),
+            F.greatest(F.col(src), F.col(dst)).alias("_v"),
+        )
+        .filter(F.col("_u") < F.col("_v"))  # drops self-loops
+        .distinct()
+    )
+    e1 = e.select(F.col("_u").alias("x"), F.col("_v").alias("y"))
+    e2 = e.select(F.col("_u").alias("y"), F.col("_v").alias("z"))
+    wedges = e1.join(e2, "y").select("x", "y", "z")
+    closing = e.select(
+        F.col("_u").alias("x"), F.col("_v").alias("z")
+    )
+    tri = wedges.join(closing, ["x", "z"])
+    stats = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    verts = (
+        e.select(F.col("_u").alias("v"))
+        .unionByName(e.select(F.col("_v").alias("v")))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_vertices"))
+    )
+    return (
+        tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(verts))
+        .select(
+            "n_triangles",
+            F.col("n_edges").cast("bigint").alias("n_edges"),
+            F.col("n_vertices").cast("bigint").alias("n_vertices"),
+        )
+    )

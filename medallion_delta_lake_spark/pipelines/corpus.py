@@ -146,3 +146,105 @@ def clean_corpus(
         ],
     )
     return final_docs, stats
+
+
+def materialize_training_mix(
+    spark: SparkSession,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strata_col: str = "source",
+    epochs: Mapping[str, float] | None = None,
+    default_epochs: float = 1.0,
+    n_shards: int = 8,
+    seq_tokens: int = 2048,
+    salt: str = "mix0",
+) -> tuple[DataFrame, DataFrame]:
+    """The step AFTER cleaning: turn a curated corpus into the epoch-
+    expanded, shuffled, sequence-packed shards a pretraining data
+    loader streams. Returns ``(assignment, sequences)``:
+
+    - ``assignment`` — one row per document REPLICA:
+      (id, epoch_idx, stratum, n_tokens, shard, shard_pos, seq_id);
+    - ``sequences`` — the packing manifest: one row per training
+      sequence (shard, seq_id, n_docs, n_tokens, docs — the ordered
+      (id, epoch_idx) structs the loader concatenates).
+
+    Composition (all deterministic in (salt, id): identical shards on
+    any engine/partitioning/rerun):
+
+    1. :func:`sampling.mixture_epochs` — "2.5 epochs of wiki" becomes
+       floor/fractional replicas tagged ``epoch_idx``;
+    2. :func:`sampling.shuffle_shards` keyed on (id, epoch_idx) — the
+       two copies of a document land in independent positions (an
+       epoch-aware permutation, not back-to-back duplicates);
+    3. greedy contiguous packing: within each shard, the running token
+       count in shuffle order is integer-divided by ``seq_tokens`` —
+       one window per shard, the pack-sequences plan.
+
+    Scale shape: token counts ride an (id, ticket, n_tokens) spine —
+    text is touched once (tokenize) and never shuffled; every later
+    stage moves ≤24-byte rows. Production joins ``assignment`` back
+    to the payload by id and writes ``partitionBy(shard)``."""
+    from pyspark.sql import Window as W
+
+    from medallion_delta_lake_spark.functions.texts import tokenize
+
+    base = docs.select(
+        F.col(id_col),
+        F.col(strata_col),
+        F.size(tokenize(text_col)).alias("n_tokens"),
+    )
+    reps = sampling.mixture_epochs(
+        base,
+        id_col,
+        strata_col,
+        epochs or {},
+        default_epochs=default_epochs,
+        salt=f"{salt}-e",
+    ).withColumn(
+        "_rid",
+        F.concat(
+            F.col(id_col).cast("string"),
+            F.lit("#"),
+            F.col("epoch_idx").cast("string"),
+        ),
+    )
+    sharded = sampling.shuffle_shards(reps, "_rid", n_shards, salt=f"{salt}-s")
+    w = (
+        W.partitionBy("shard")
+        .orderBy("shard_pos")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    assignment = sharded.withColumn(
+        "seq_id",
+        (
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+            / F.lit(seq_tokens)
+        ).cast("bigint"),
+    ).select(
+        id_col,
+        "epoch_idx",
+        strata_col,
+        "n_tokens",
+        "shard",
+        "shard_pos",
+        "seq_id",
+    )
+    sequences = (
+        assignment.groupBy("shard", "seq_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("shard_pos"),
+                        F.col(id_col).alias("doc_id"),
+                        F.col("epoch_idx"),
+                    )
+                )
+            ).alias("docs"),
+        )
+    )
+    return assignment, sequences

@@ -3147,3 +3147,51 @@ def stats_autocorr_lag1_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("autocorr_lag1"),
     )
+
+
+@query(
+    "graph-triangle-count",
+    oracle="""
+    WITH raw AS (
+      SELECT l_orderkey % 500 AS p, l_partkey % 500 AS q
+      FROM lineitem
+    ),
+    e AS (
+      SELECT DISTINCT least(p, q) AS u, greatest(p, q) AS v
+      FROM raw WHERE least(p, q) < greatest(p, q)
+    ),
+    tri AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM e e1
+      JOIN e e2 ON e2.u = e1.v
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    s AS (SELECT COUNT(*) AS n_edges FROM e),
+    vv AS (
+      SELECT COUNT(*) AS n_vertices FROM (
+        SELECT u AS x FROM e UNION SELECT v AS x FROM e
+      )
+    )
+    SELECT CAST(n_triangles AS BIGINT) AS n_triangles,
+           CAST(n_edges AS BIGINT) AS n_edges,
+           CAST(n_vertices AS BIGINT) AS n_vertices
+    FROM tri, s, vv
+    """,
+)
+def graph_triangle_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graph / exact triangle count — the clustering-coefficient core
+    and the classic test of whether a join engine can do graphs:
+    canonicalized ordered edges, a two-hop wedge join built only at
+    each wedge's smallest endpoint (the ordering predicate is what
+    stops high-degree vertices exploding), probed against the edge
+    set. Graph = hash-projected order↔part incidence from lineitem
+    (bounded 500-node id space so the density is sf-stable). Three
+    int-keyed shuffles, no adjacency collect
+    (operators/graph.py:triangle_count)."""
+    from medallion_delta_lake_spark.operators.graph import triangle_count
+
+    li = table(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 500).alias("a"),
+        (F.col("l_partkey") % 500).alias("b"),
+    )
+    return triangle_count(li, "a", "b")

@@ -1125,6 +1125,36 @@ def _check_constraints(meta: dict) -> dict[str, str]:
     }
 
 
+def _generated_columns(meta: dict) -> dict[str, str]:
+    """column name → generation expression, from the schemaString's
+    ``delta.generationExpression`` field metadata (PROTOCOL.md
+    Generated Columns, writer version 4)."""
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    out = {}
+    for f in schema.fields:
+        expr = (f.metadata or {}).get("delta.generationExpression")
+        if expr:
+            out[f.name] = expr
+    return out
+
+
+def _apply_generated_columns(df: DataFrame, meta: dict) -> DataFrame:
+    """Compute any generated column ABSENT from ``df`` (the writer
+    fills it, real Delta's behavior); present columns are left for
+    :func:`_enforce_invariants` to validate against their expression."""
+    gen = _generated_columns(meta)
+    if not gen:
+        return df
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    types = {f.name: f.dataType for f in schema.fields}
+    for col, expr in sorted(gen.items()):
+        if col not in df.columns:
+            df = df.withColumn(
+                col, F.expr(expr).cast(types[col])
+            )
+    return df
+
+
 def _is_append_only(meta: dict | None) -> bool:
     return (
         meta is not None
@@ -1164,6 +1194,13 @@ def _enforce_invariants(df: DataFrame, meta: dict | None, path: str) -> None:
     for name, expr in sorted(_check_constraints(meta).items()):
         conds.append(~F.coalesce(F.expr(expr), F.lit(True)))
         labels.append(f"CHECK {name}: {expr}")
+    for col, expr in sorted(_generated_columns(meta).items()):
+        if col in df.columns:
+            # an explicitly-provided value must EQUAL the generation
+            # expression (null-safely) — Delta's generated-column
+            # write contract; absent columns were already filled
+            conds.append(~F.col(col).eqNullSafe(F.expr(expr)))
+            labels.append(f"GENERATED {col} AS {expr}")
     if not conds:
         return
     bad = df.filter(reduce(lambda a, b: a | b, conds)).limit(1)
@@ -1405,6 +1442,9 @@ def write_delta(
         )
     evolved_meta: dict | None = None
     if snap is not None and snap["meta"] is not None:
+        # fill absent generated columns BEFORE schema validation (the
+        # writer computes them; provided values are validated below)
+        df = _apply_generated_columns(df, snap["meta"])
         committed_parts = snap["meta"].get("partitionColumns") or []
         if partition_by is None:
             partition_by = committed_parts  # inherit, like Delta itself
@@ -1463,11 +1503,16 @@ def write_delta(
                 }
             )
         if version == 0:
+            # generatedColumns = legacy writer version 4
+            has_gen = any(
+                (f.metadata or {}).get("delta.generationExpression")
+                for f in df.schema.fields
+            )
             actions.append(
                 {
                     "protocol": {
                         "minReaderVersion": 1,
-                        "minWriterVersion": 2,
+                        "minWriterVersion": 4 if has_gen else 2,
                     }
                 }
             )

@@ -147,3 +147,58 @@ def test_curation_to_training_shards_composition(spark):
     b = sorted(map(tuple, again.collect()))
     assert a == b
     cleaned.unpersist(); split.unpersist(); shards.unpersist()
+
+
+def test_materialize_training_mix_reproducible_and_packed(spark):
+    """The epoch→shuffle→pack composition: epochs honored per replica,
+    packing contiguous in shuffle order, bins within budget except
+    where one long doc overflows, and the whole thing a pure function
+    of (salt, id) — a rerun is byte-identical."""
+    from pyspark.sql import functions as F
+
+    from medallion_delta_lake_spark.pipelines.corpus import (
+        materialize_training_mix,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, "wiki" if i % 2 == 0 else "web", "tok " * (5 + i % 17))
+            for i in range(120)
+        ],
+        "doc_id long, source string, text string",
+    )
+    kw = dict(
+        epochs={"wiki": 2.0, "web": 0.5},
+        n_shards=4,
+        seq_tokens=64,
+        salt="t0",
+    )
+    a1, s1 = materialize_training_mix(spark, docs, **kw)
+    a2, s2 = materialize_training_mix(spark, docs, **kw)
+    rows1 = sorted(tuple(r) for r in a1.collect())
+    rows2 = sorted(tuple(r) for r in a2.collect())
+    assert rows1 == rows2  # deterministic end to end
+
+    by_doc: dict = {}
+    for r in a1.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.epoch_idx)
+    # wiki docs appear exactly twice (epochs=2.0), with idx {0,1}
+    for d in range(0, 120, 2):
+        assert by_doc[d] == {0, 1}
+    # web docs appear at most once (epochs=0.5), roughly half
+    web_present = [d for d in range(1, 120, 2) if d in by_doc]
+    assert all(by_doc[d] == {0} for d in web_present)
+    assert 15 <= len(web_present) <= 45
+
+    # packing: contiguous shard_pos runs per (shard, seq_id), and a
+    # sequence never exceeds budget + one doc's overflow
+    seqs = s1.collect()
+    assert sum(r.n_docs for r in seqs) == len(rows1)
+    max_doc = max(r.n_tokens for r in a1.collect())
+    assert all(r.n_tokens <= 64 + max_doc for r in seqs)
+    for r in seqs:
+        positions = [d.shard_pos for d in r.docs]
+        assert positions == sorted(positions)
+        assert positions == list(
+            range(positions[0], positions[0] + len(positions))
+        )

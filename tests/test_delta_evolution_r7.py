@@ -963,3 +963,57 @@ def test_shallow_clone_zero_copy(spark, tmp_path):
         delta_log.resolve_snapshot(src)["meta"]["id"]
         != delta_log.resolve_snapshot(dst)["meta"]["id"]
     )
+
+
+def test_generated_columns(spark, tmp_path):
+    """Generated columns (writer v4): declared at creation via
+    ``delta.generationExpression`` field metadata; absent on write →
+    the writer computes them; present-but-wrong → refuse; correct
+    explicit values pass."""
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "gencol")
+    base = spark.range(5).select(
+        "id",
+        (F.col("id") * 2).alias("v"),
+        (F.col("id") % 2).cast("int").alias(
+            "id_bucket", metadata={"delta.generationExpression": "id % 2"}
+        ),
+    )
+    delta_log.write_delta(spark, base, t)
+    proto = delta_log.resolve_snapshot(t)["protocol"]
+    assert proto["minWriterVersion"] == 4
+
+    # absent generated column: writer fills it
+    delta_log.write_delta(
+        spark,
+        spark.createDataFrame([(10, 20), (11, 22)], "id long, v long"),
+        t,
+        mode="append",
+    )
+    got = {
+        r.id: r.id_bucket
+        for r in delta_log.read_delta(spark, t).collect()
+    }
+    assert got[10] == 0 and got[11] == 1 and len(got) == 7
+
+    # wrong explicit value: refused
+    with pytest.raises(delta_log.DeltaInvariantViolationError):
+        delta_log.write_delta(
+            spark,
+            spark.createDataFrame(
+                [(12, 24, 9)], "id long, v long, id_bucket int"
+            ),
+            t,
+            mode="append",
+        )
+    # correct explicit value: accepted
+    delta_log.write_delta(
+        spark,
+        spark.createDataFrame(
+            [(12, 24, 0)], "id long, v long, id_bucket int"
+        ),
+        t,
+        mode="append",
+    )
+    assert delta_log.read_delta(spark, t).count() == 8
