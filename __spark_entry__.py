@@ -52,12 +52,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Round-7 rotation: the driver checks the first ~50 registered queries
 # per round. Order: (1) no reds to re-green (CORRECTNESS_r06 = 50/50);
-# (2) ops whose Spark code or oracle changed in round 7 —
-# stats-chi-square / stats-cramers-v (marginals-from-observed plan,
-# 15 → 5 exchanges, oracle rewritten to the same grid-from-marginals
-# shape); (3) least-recently-verified: the 27 r3-green ids pushed past
-# round 6's 50-row cut, the r3 alphabetical tail, then the r4-green
-# cohort (its remainder spills to round 8).
+# (2) the 10 ops NEW in round 7 (never driver-checked) and the 2 whose
+# Spark code + oracle changed — stats-chi-square / stats-cramers-v
+# (marginals-from-observed plan, 15 → 6 exchanges, oracle rewritten to
+# the same grid-from-marginals shape); (3) least-recently-verified:
+# the 27 r3-green ids pushed past round 6's 50-row cut, the r3
+# alphabetical tail, then the r4-green cohort (its remainder spills to
+# round 8).
 _DRIVER_PRIORITY = [
     # NEW in round 7 (never driver-checked)
     "window-max-drawdown",

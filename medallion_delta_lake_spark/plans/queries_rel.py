@@ -3153,7 +3153,7 @@ def stats_autocorr_lag1_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "graph-triangle-count",
     oracle="""
     WITH raw AS (
-      SELECT l_orderkey % 500 AS p, l_partkey % 500 AS q
+      SELECT l_orderkey % 20000 AS p, l_partkey % 20000 AS q
       FROM lineitem
     ),
     e AS (
@@ -3185,13 +3185,13 @@ def graph_triangle_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     each wedge's smallest endpoint (the ordering predicate is what
     stops high-degree vertices exploding), probed against the edge
     set. Graph = hash-projected order↔part incidence from lineitem
-    (bounded 500-node id space so the density is sf-stable). Three
+    (bounded 20000-node id space keeps avg degree ~30 at sf0.1 — wedge count, the cost driver, stays quadratic in DEGREE, not nodes). Three
     int-keyed shuffles, no adjacency collect
     (operators/graph.py:triangle_count)."""
     from medallion_delta_lake_spark.operators.graph import triangle_count
 
     li = table(spark, sf_dir, "lineitem").select(
-        (F.col("l_orderkey") % 500).alias("a"),
-        (F.col("l_partkey") % 500).alias("b"),
+        (F.col("l_orderkey") % 20000).alias("a"),
+        (F.col("l_partkey") % 20000).alias("b"),
     )
     return triangle_count(li, "a", "b")
