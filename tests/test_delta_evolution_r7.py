@@ -1017,3 +1017,77 @@ def test_generated_columns(spark, tmp_path):
         mode="append",
     )
     assert delta_log.read_delta(spark, t).count() == 8
+
+
+def test_delete_family_matches_dict_model(spark, tmp_path):
+    """Model-based DELETE: random predicates with random DV caps and
+    rewrite fractions — whatever mix of inline-DV / file-DV / rewrite /
+    full-remove the classifier picks, the surviving rows must equal
+    the dict model and every prior version must stay time-travelable."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pyspark.sql import functions as F
+
+    pred = st.tuples(
+        st.sampled_from(["<", "<=", ">", ">=", "="]),
+        st.integers(-5, 55),
+    )
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        steps=st.lists(pred, min_size=1, max_size=3),
+        cap=st.sampled_from([1, 5, 100_000]),
+        frac=st.sampled_from([0.3, 0.8, 1.1]),
+    )
+    def run(steps, cap, frac):
+        import uuid
+
+        t = str(tmp_path / f"dmodel{uuid.uuid4().hex[:8]}")
+        delta_log.write_delta(
+            spark,
+            spark.range(50).withColumn("v", F.col("id") * 3).repartition(4),
+            t,
+            mode="overwrite",
+        )
+        model = {i: i * 3 for i in range(50)}
+        ops = {
+            "<": lambda a, b: a < b,
+            "<=": lambda a, b: a <= b,
+            ">": lambda a, b: a > b,
+            ">=": lambda a, b: a >= b,
+            "=": lambda a, b: a == b,
+        }
+        versions = [dict(model)]
+        for op, val in steps:
+            delta_log.delete_delta_log(
+                spark,
+                t,
+                [("id", op, val)],
+                max_dv_rows_per_file=cap,
+                rewrite_fraction=frac,
+            )
+            model = {
+                k: x for k, x in model.items() if not ops[op](k, val)
+            }
+            versions.append(dict(model))
+            got = {
+                r.id: r.v
+                for r in delta_log.read_delta(spark, t).collect()
+            }
+            assert got == model, (op, val, cap, frac)
+        # every intermediate state still time-travels exactly
+        for v, expect in enumerate(versions):
+            got = {
+                r.id: r.v
+                for r in delta_log.read_delta(
+                    spark, t, version_as_of=v
+                ).collect()
+            }
+            assert got == expect, (v, cap, frac)
+
+    run()
