@@ -1091,3 +1091,70 @@ def test_delete_family_matches_dict_model(spark, tmp_path):
             assert got == expect, (v, cap, frac)
 
     run()
+
+
+def test_merge_schema_chain_matches_model(spark, tmp_path):
+    """Model-based mergeSchema: a random chain of appends, each
+    carrying a random subset of known columns plus possibly a brand-new
+    one, must equal the null-filled union model at every step, with
+    the committed schema = first-seen column order."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    pool = ["c1", "c2", "c3", "c4"]
+    step = st.tuples(
+        st.lists(st.sampled_from(pool), min_size=0, max_size=3, unique=True),
+        st.integers(1, 3),  # rows in the batch
+    )
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(steps=st.lists(step, min_size=1, max_size=4))
+    def run(steps):
+        import uuid
+
+        t = str(tmp_path / f"evmodel{uuid.uuid4().hex[:8]}")
+        delta_log.write_delta(
+            spark,
+            spark.createDataFrame([(0, 0)], "id long, base long"),
+            t,
+        )
+        model = [{"id": 0, "base": 0}]
+        known = ["id", "base"]
+        next_id = 1
+        for extra_cols, n_rows in steps:
+            cols = ["id"] + extra_cols
+            rows = []
+            for _ in range(n_rows):
+                rows.append(
+                    tuple([next_id] + [next_id * 10] * len(extra_cols))
+                )
+                model.append(
+                    {"id": next_id, **{c: next_id * 10 for c in extra_cols}}
+                )
+                next_id += 1
+            schema = ", ".join(f"{c} long" for c in cols)
+            delta_log.write_delta(
+                spark,
+                spark.createDataFrame(rows, schema),
+                t,
+                mode="append",
+                merge_schema=True,
+            )
+            for c in extra_cols:
+                if c not in known:
+                    known.append(c)
+            got_df = delta_log.read_delta(spark, t)
+            assert got_df.columns == known  # first-seen order
+            got = sorted(
+                tuple(r[c] for c in known) for r in got_df.collect()
+            )
+            want = sorted(
+                tuple(m.get(c) for c in known) for m in model
+            )
+            assert got == want
+
+    run()
