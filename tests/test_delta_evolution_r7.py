@@ -1158,3 +1158,53 @@ def test_merge_schema_chain_matches_model(spark, tmp_path):
             assert got == want
 
     run()
+
+
+def test_concurrent_appends_all_land_once(spark, tmp_path):
+    """Multi-writer stress: N threads racing appends through the
+    O_EXCL commit loop — every batch lands exactly once, versions are
+    dense, and no append is lost or doubled."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "conc_stress")
+    delta_log.write_delta(
+        spark, spark.createDataFrame([(0, -1)], "id long, w long"), t
+    )
+    n_threads, per_thread = 4, 3
+    errs: list = []
+
+    def writer(k: int) -> None:
+        try:
+            for j in range(per_thread):
+                delta_log.write_delta(
+                    spark,
+                    spark.createDataFrame(
+                        [(1000 * (k + 1) + j, k)], "id long, w long"
+                    ),
+                    t,
+                    mode="append",
+                )
+        except Exception as ex:  # pragma: no cover - surfaced below
+            errs.append(ex)
+
+    threads = [
+        threading.Thread(target=writer, args=(k,))
+        for k in range(n_threads)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs, errs
+
+    out = delta_log.read_delta(spark, t)
+    assert out.count() == 1 + n_threads * per_thread
+    ids = sorted(r.id for r in out.select("id").collect())
+    assert len(ids) == len(set(ids))  # nothing doubled
+    snap = delta_log.resolve_snapshot(t)
+    assert snap["version"] == n_threads * per_thread  # dense versions
+    # history shows one commit per append
+    hist = delta_log.table_history(t)
+    assert len(hist) == n_threads * per_thread + 1
