@@ -71,6 +71,7 @@ _DRIVER_PRIORITY = [
     "multimodal-frame-dedup",
     "stream-cusum-monitor",
     "graph-triangle-count",
+    "approx-hll-mergeable",
     # changed in round 7 (re-verify first)
     "stats-chi-square",
     "stats-cramers-v",

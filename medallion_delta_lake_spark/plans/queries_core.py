@@ -675,3 +675,49 @@ def upsert_merge_state_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return upsert.merge_state(
         target, source, keys=["o_orderkey"], delete_missing=False
     )
+
+
+@query(
+    "approx-hll-mergeable",
+    # the sketch BYTES are engine-specific; the oracle checks the
+    # merge algebra's published bound instead: the union of per-source
+    # sketches must estimate the GLOBAL distinct count within 3×rsd
+    # (lgConfigK=12 → rsd ≈ 1.04/√2¹² ≈ 0.0163), and the flag must be
+    # TRUE — the property that makes incremental distinct counting
+    # work at all
+    oracle="""
+    SELECT COUNT(DISTINCT user_id) AS n_exact,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_sketches,
+           TRUE AS within_bound
+    FROM events
+    """,
+)
+def approx_hll_mergeable_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx / MERGEABLE HLL sketches (Apache DataSketches,
+    F.hll_sketch_agg) — the incremental-distinct pattern 100 TB
+    pipelines need: each partition/day/source aggregates its OWN
+    sketch once, and any rollup is a cheap sketch UNION instead of a
+    re-scan of history (approx_count_distinct gives a number you
+    cannot merge later). Here: one sketch per event_type, unioned
+    into the global distinct-user estimate, self-checked against the
+    exact count within 3×rsd — the bound the oracle pins."""
+    ev = table(spark, sf_dir, "events")
+    per_source = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", 12).alias("_sk")
+    )
+    unioned = per_source.agg(
+        F.hll_sketch_estimate(
+            F.hll_union_agg("_sk", True)
+        ).alias("_est"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sketches"),
+    )
+    exact = ev.agg(F.countDistinct("user_id").alias("n_exact"))
+    rsd = 1.04 / (2.0 ** 12) ** 0.5
+    return exact.crossJoin(F.broadcast(unioned)).select(
+        "n_exact",
+        "n_sketches",
+        (
+            F.abs(F.col("_est") - F.col("n_exact"))
+            <= 3 * rsd * F.col("n_exact")
+        ).alias("within_bound"),
+    )
