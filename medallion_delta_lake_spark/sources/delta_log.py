@@ -3401,3 +3401,252 @@ def rename_column(path: str, old: str, new: str) -> int:
     return _commit_version(
         path, lambda _v: actions, read_version=snap["version"]
     )
+
+
+def merge_delta_log(
+    spark: SparkSession,
+    source: DataFrame,
+    path: str,
+    keys: list[str],
+    clauses: list[dict],
+) -> int:
+    """GENERAL Delta MERGE with ordered clause semantics — the full
+    ``whenMatched`` / ``whenNotMatched`` / ``whenNotMatchedBySource``
+    surface delta-spark exposes (the engine's generic ``upsert`` is
+    the SCD-1 special case). Each clause is a dict::
+
+        {"when": "matched" | "not_matched" | "not_matched_by_source",
+         "action": "update" | "delete" | "insert",
+         "condition": SQL over aliases s (source) and d (target), or None,
+         "set"/"values": {column: SQL over s and d}}
+
+    Semantics (Delta's): per target/source row pair, the FIRST clause
+    of its match class whose condition holds fires; no clause firing
+    means the row is kept (matched / by-source) or not inserted
+    (not-matched). Conditions and assignments are ordinary SQL — they
+    compile into ONE declarative full-outer-join query Catalyst
+    optimizes; nothing is interpreted per row.
+
+    Execution is FILE-SCOPED like the SCD-1 path: the merge query
+    carries each target row's physical file, only files where some
+    clause actually fired are rewritten (plus new files for inserts),
+    and everything else rides through the commit. Multiple source
+    rows matching one target key raise (Delta's multiple-match
+    error). Key columns cannot be assigned (a changed ON value makes
+    the match self-referential — same restriction as the engine's
+    upsert; real Delta allows it with subtle semantics we refuse
+    rather than approximate).
+
+    Invariants (appendOnly / NOT NULL / CHECK / generated columns)
+    are enforced on the merged output of rewritten files + inserts."""
+    import time as _time
+    import uuid as _uuid
+
+    kinds = {"matched", "not_matched", "not_matched_by_source"}
+    for cl in clauses:
+        if cl.get("when") not in kinds:
+            raise ValueError(f"bad clause 'when': {cl!r}")
+        act = cl.get("action")
+        if cl["when"] == "matched" and act not in ("update", "delete"):
+            raise ValueError(f"matched clause must update/delete: {cl!r}")
+        if cl["when"] == "not_matched" and act != "insert":
+            raise ValueError(f"not_matched clause must insert: {cl!r}")
+        if cl["when"] == "not_matched_by_source" and act not in (
+            "update",
+            "delete",
+        ):
+            raise ValueError(
+                f"not_matched_by_source clause must update/delete: {cl!r}"
+            )
+        # UPDATE may not reassign the ON keys (a changed match value
+        # is self-referential); INSERT must of course provide them
+        for col in cl.get("set") or {}:
+            if col in keys:
+                raise ValueError(
+                    f"clause assigns key column {col!r}; key updates "
+                    "are not supported"
+                )
+
+    snap = resolve_snapshot(path)
+    meta = snap["meta"]
+    if meta is None:
+        raise DeltaProtocolError("log contains no metaData action")
+    _refuse_if_append_only(meta, path, "MERGE")
+    part_cols = meta.get("partitionColumns") or []
+    files = snap["files"]
+    by_base = {os.path.basename(rel): rel for rel in files}
+    if len(by_base) != len(files):
+        raise DeltaProtocolError(
+            "duplicate data-file basenames; cannot file-scope MERGE"
+        )
+    out_cols = [
+        f.name
+        for f in StructType.fromJson(
+            json.loads(meta["schemaString"])
+        ).fields
+    ]
+
+    # multiple source matches per key = Delta's runtime error
+    dup = (
+        source.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"source has multiple rows for key {tuple(dup[0])[:-1]}; "
+            "Delta MERGE requires at most one source match per target row"
+        )
+
+    run_id = _uuid.uuid4().hex[:12]
+    dview, sview = f"_merge_d_{run_id}", f"_merge_s_{run_id}"
+    scanned = _scan_adds(spark, path, meta, files, keep_positions=True)
+    scanned.createOrReplaceTempView(dview)
+    source.createOrReplaceTempView(sview)
+    try:
+        on = " AND ".join(f"d.`{k}` <=> s.`{k}`" for k in keys)
+
+        def chain(kind: str, fire_fmt, default: str) -> str:
+            """First-true CASE over the clauses of one match class."""
+            arms = []
+            for i, cl in enumerate(clauses):
+                if cl["when"] != kind:
+                    continue
+                cond = cl.get("condition") or "TRUE"
+                arms.append(f"WHEN ({cond}) THEN {fire_fmt(i, cl)}")
+            if not arms:
+                return default
+            return "CASE " + " ".join(arms) + f" ELSE {default} END"
+
+        def val(col: str) -> str:
+            """Post-merge value of ``col`` for every row class."""
+            m = chain(
+                "matched",
+                lambda i, cl: (
+                    (cl.get("set") or {}).get(col, f"d.`{col}`")
+                    if cl["action"] == "update"
+                    else "NULL"  # deleted rows are filtered by _keep
+                ),
+                f"d.`{col}`",
+            )
+            n = chain(
+                "not_matched",
+                lambda i, cl: (cl.get("values") or {}).get(col, "NULL"),
+                "NULL",
+            )
+            b = chain(
+                "not_matched_by_source",
+                lambda i, cl: (
+                    (cl.get("set") or {}).get(col, f"d.`{col}`")
+                    if cl["action"] == "update"
+                    else "NULL"
+                ),
+                f"d.`{col}`",
+            )
+            return (
+                "CASE WHEN d._d_ex IS NOT NULL AND s._s_ex IS NOT NULL "
+                f"THEN {m} WHEN s._s_ex IS NOT NULL THEN {n} "
+                f"ELSE {b} END AS `{col}`"
+            )
+
+        keep = (
+            "CASE WHEN d._d_ex IS NOT NULL AND s._s_ex IS NOT NULL THEN "
+            + chain(
+                "matched",
+                lambda i, cl: str(cl["action"] == "update").upper(),
+                "TRUE",
+            )
+            + " WHEN s._s_ex IS NOT NULL THEN "
+            + chain("not_matched", lambda i, cl: "TRUE", "FALSE")
+            + " ELSE "
+            + chain(
+                "not_matched_by_source",
+                lambda i, cl: str(cl["action"] == "update").upper(),
+                "TRUE",
+            )
+            + " END AS _keep"
+        )
+        fired = (
+            "CASE WHEN d._d_ex IS NOT NULL AND s._s_ex IS NOT NULL THEN "
+            + chain("matched", lambda i, cl: "TRUE", "FALSE")
+            + " WHEN s._s_ex IS NOT NULL THEN FALSE ELSE "
+            + chain(
+                "not_matched_by_source", lambda i, cl: "TRUE", "FALSE"
+            )
+            + " END AS _fired"
+        )
+        select_cols = ",\n  ".join(
+            [val(c) for c in out_cols]
+            + [keep, fired, f"d.`{_DV_BASE}` AS _file"]
+        )
+        sql = f"""
+        SELECT {select_cols}
+        FROM (SELECT *, 1 AS _d_ex FROM {dview}) d
+        FULL OUTER JOIN (SELECT *, 1 AS _s_ex FROM {sview}) s
+          ON {on}
+        """
+        merged = spark.sql(sql)
+        from medallion_delta_lake_spark.operators.caching import (
+            tracked_cache,
+        )
+
+        merged = tracked_cache(merged)
+        touched_bases = [
+            r["_file"]
+            for r in merged.filter(
+                F.col("_fired") & F.col("_file").isNotNull()
+            )
+            .select("_file")
+            .distinct()
+            .collect()
+        ]
+        touched = {
+            by_base[b]: files[by_base[b]] for b in touched_bases
+        }
+        # new content: surviving rows of touched files + inserts
+        content = merged.filter(
+            F.col("_keep")
+            & (
+                F.col("_file").isNull()
+                | F.col("_file").isin(touched_bases)
+            )
+        ).select(*out_cols)
+        _enforce_invariants(content, meta, path)
+        now_ms = int(_time.time() * 1000)
+        adds = [
+            a
+            for a in _stage_physical(
+                content, path, meta, part_cols, now_ms
+            )
+            if not a["add"].get("stats")
+            or json.loads(a["add"]["stats"]).get("numRecords", 1)
+        ]
+        merged.unpersist()
+
+        def build(version: int) -> list[dict]:
+            actions = [
+                {"remove": _remove_action(rel, touched[rel], now_ms)}
+                for rel in touched
+            ]
+            actions.extend(adds)
+            actions.append(
+                {
+                    "commitInfo": {
+                        "operation": "MERGE",
+                        "operationParameters": {
+                            "predicate": json.dumps(keys),
+                            "clauses": len(clauses),
+                            "filesRewritten": len(touched),
+                            "scope": "file-general",
+                        },
+                    }
+                }
+            )
+            return actions
+
+        return _commit_version(path, build, read_version=snap["version"])
+    finally:
+        spark.catalog.dropTempView(dview)
+        spark.catalog.dropTempView(sview)

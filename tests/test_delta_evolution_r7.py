@@ -1208,3 +1208,127 @@ def test_concurrent_appends_all_land_once(spark, tmp_path):
     # history shows one commit per append
     hist = delta_log.table_history(t)
     assert len(hist) == n_threads * per_thread + 1
+
+
+def test_general_merge_clause_semantics(spark, tmp_path):
+    """General MERGE: conditional update + delete + insert +
+    by-source clauses with first-true ordering, against a dict model;
+    the commit stays file-scoped (untouched files ride through)."""
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "gmerge")
+    delta_log.write_delta(
+        spark,
+        spark.range(20)
+        .select(
+            "id",
+            (F.col("id") * 10).alias("v"),
+            F.lit("live").alias("status"),
+        )
+        .repartitionByRange(4, "id")
+        .sortWithinPartitions("id"),
+        t,
+        mode="overwrite",
+    )
+    files_v0 = set(delta_log.resolve_snapshot(t)["files"])
+
+    # source: ids 0..5 and 100; id 0 big value, id 1 small, id 2 poison
+    src = spark.createDataFrame(
+        [(0, 999), (1, 3), (2, -1), (3, 35), (4, 45), (5, 55), (100, 7)],
+        "id long, sv long",
+    )
+    clauses = [
+        # ordered matched clauses: poison rows delete FIRST, then big
+        # updates, then small ones take a floor value
+        {"when": "matched", "action": "delete",
+         "condition": "s.sv < 0"},
+        {"when": "matched", "action": "update",
+         "condition": "s.sv > d.v",
+         "set": {"v": "s.sv", "status": "'bumped'"}},
+        {"when": "matched", "action": "update",
+         "condition": "s.sv <= 5", "set": {"v": "CAST(0 AS BIGINT)"}},
+        # unmatched source rows with sv > 0 insert
+        {"when": "not_matched", "action": "insert",
+         "condition": "s.sv > 0",
+         "values": {"id": "s.id", "v": "s.sv",
+                    "status": "'new'"}},
+        # target rows the source no longer covers get flagged stale
+        # when their id is high enough
+        {"when": "not_matched_by_source", "action": "update",
+         "condition": "d.id >= 18", "set": {"status": "'stale'"}},
+    ]
+    v = delta_log.merge_delta_log(spark, src, t, ["id"], clauses)
+
+    got = {
+        r.id: (r.v, r.status)
+        for r in delta_log.read_delta(spark, t).collect()
+    }
+    model = {i: (i * 10, "live") for i in range(20)}
+    del model[2]  # poison deleted
+    model[0] = (999, "bumped")  # 999 > 0
+    model[1] = (0, "live")  # 3 <= 10 not > v; 3 <= 5 → floor clause
+    model[3] = (35, "bumped")  # 35 > 30
+    model[4] = (45, "bumped")
+    model[5] = (55, "bumped")
+    model[100] = (7, "new")
+    model[18] = (180, "stale")
+    model[19] = (190, "stale")
+    assert got == model
+
+    # file scoping: files holding only untouched ids (6..15 region)
+    # ride through the commit
+    acts = [
+        json.loads(line)
+        for line in open(
+            os.path.join(t, "_delta_log", f"{v:020d}.json")
+        )
+    ]
+    removed = {a["remove"]["path"] for a in acts if a.get("remove")}
+    assert removed < files_v0  # strict subset
+    info = next(a["commitInfo"] for a in acts if a.get("commitInfo"))
+    assert info["operationParameters"]["scope"] == "file-general"
+    # time travel to pre-merge
+    assert (
+        delta_log.read_delta(spark, t, version_as_of=v - 1).count()
+        == 20
+    )
+
+
+def test_general_merge_guards(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "gmguard")
+    delta_log.write_delta(
+        spark, spark.range(5).withColumn("v", F.col("id")), t
+    )
+    dup_src = spark.createDataFrame(
+        [(1, 10), (1, 20)], "id long, sv long"
+    )
+    with pytest.raises(ValueError, match="multiple rows"):
+        delta_log.merge_delta_log(
+            spark,
+            dup_src,
+            t,
+            ["id"],
+            [
+                {"when": "matched", "action": "update",
+                 "set": {"v": "s.sv"}}
+            ],
+        )
+    src = spark.createDataFrame([(1, 10)], "id long, sv long")
+    with pytest.raises(ValueError, match="key column"):
+        delta_log.merge_delta_log(
+            spark,
+            src,
+            t,
+            ["id"],
+            [
+                {"when": "matched", "action": "update",
+                 "set": {"id": "s.id + 1"}}
+            ],
+        )
+    with pytest.raises(ValueError, match="must insert"):
+        delta_log.merge_delta_log(
+            spark, src, t, ["id"],
+            [{"when": "not_matched", "action": "update", "set": {}}],
+        )
