@@ -3195,3 +3195,78 @@ def graph_triangle_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_partkey") % 20000).alias("b"),
     )
     return triangle_count(li, "a", "b")
+
+
+@query(
+    "merge-clause-state",
+    # first-true ordering replicated: delete clause tested before the
+    # VIP update, by-source fallback for customers with no orders
+    oracle="""
+    WITH src AS (
+      SELECT o_custkey AS c_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS total,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT d.c_custkey,
+           CASE WHEN s.c_custkey IS NOT NULL
+                     AND NOT (s.n_orders = 1 AND s.total < 50000)
+                     AND s.total > 400000
+                THEN d.c_acctbal + 1000.0
+                ELSE d.c_acctbal END AS c_acctbal,
+           CASE WHEN s.c_custkey IS NULL THEN 'DORMANT'
+                WHEN NOT (s.n_orders = 1 AND s.total < 50000)
+                     AND s.total > 400000 THEN 'VIP'
+                ELSE d.c_mktsegment END AS c_mktsegment
+    FROM customer d LEFT JOIN src s ON d.c_custkey = s.c_custkey
+    WHERE NOT (s.c_custkey IS NOT NULL
+               AND s.n_orders = 1 AND s.total < 50000)
+    """,
+)
+def merge_clause_state_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mutation / general MERGE state — the full clause surface
+    (ordered first-true: conditional DELETE, then a conditional
+    UPDATE mixing d and s values, then a BY-SOURCE fallback) computed
+    as one declarative full-outer-join plan over customer⋈order
+    totals: one-order small customers purge, >400k customers get a
+    VIP bump, order-less customers flag DORMANT. The pure-state twin
+    of sources/delta_log.py:merge_delta_log (same
+    general_merge_state core the committed MERGE file-scopes with)."""
+    from medallion_delta_lake_spark.sources.delta_log import (
+        general_merge_state,
+    )
+
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    src = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("total"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    clauses = [
+        {"when": "matched", "action": "delete",
+         "condition": "s.n_orders = 1 AND s.total < 50000"},
+        {"when": "matched", "action": "update",
+         "condition": "s.total > 400000",
+         "set": {"c_acctbal": "d.c_acctbal + 1000.0",
+                 "c_mktsegment": "'VIP'"}},
+        {"when": "not_matched_by_source", "action": "update",
+         "set": {"c_mktsegment": "'DORMANT'"}},
+    ]
+    merged = general_merge_state(
+        cust,
+        src,
+        ["c_custkey"],
+        clauses,
+        out_cols=["c_custkey", "c_acctbal", "c_mktsegment"],
+    )
+    return merged.filter(F.col("_keep")).select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )

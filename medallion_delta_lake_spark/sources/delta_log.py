@@ -3403,6 +3403,110 @@ def rename_column(path: str, old: str, new: str) -> int:
     )
 
 
+
+def general_merge_state(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    clauses: list[dict],
+    out_cols: list[str],
+    file_col: str | None = None,
+) -> DataFrame:
+    """Row classification of a general MERGE as ONE declarative
+    full-outer-join plan: every target/source pair gets its post-merge
+    column values (ordered first-true clause semantics, conditions and
+    assignments as SQL over the ``d``/``s`` aliases) plus ``_keep``
+    (row survives), ``_fired`` (some clause acted on it) and ``_file``
+    (the target row's physical file when ``file_col`` names one —
+    what :func:`merge_delta_log` scopes its rewrite with). Pure
+    DataFrame algebra — alias-qualified expressions, no temp views,
+    nothing interpreted per row."""
+    d = target.withColumn("_d_ex", F.lit(1)).alias("d")
+    s = source.withColumn("_s_ex", F.lit(1)).alias("s")
+    on = reduce(
+        lambda a, b: a & b,
+        [F.expr(f"d.`{k}` <=> s.`{k}`") for k in keys],
+    )
+    j = d.join(s, on, "full_outer")
+
+    def chain(kind: str, fire_fmt, default: str) -> str:
+        """First-true CASE over the clauses of one match class."""
+        arms = []
+        for i, cl in enumerate(clauses):
+            if cl["when"] != kind:
+                continue
+            cond = cl.get("condition") or "TRUE"
+            arms.append(f"WHEN ({cond}) THEN {fire_fmt(i, cl)}")
+        if not arms:
+            return default
+        return "CASE " + " ".join(arms) + f" ELSE {default} END"
+
+    matched_pred = "d._d_ex IS NOT NULL AND s._s_ex IS NOT NULL"
+
+    def val(col: str) -> str:
+        m = chain(
+            "matched",
+            lambda i, cl: (
+                (cl.get("set") or {}).get(col, f"d.`{col}`")
+                if cl["action"] == "update"
+                else "NULL"  # deleted rows are filtered by _keep
+            ),
+            f"d.`{col}`",
+        )
+        n = chain(
+            "not_matched",
+            lambda i, cl: (cl.get("values") or {}).get(col, "NULL"),
+            "NULL",
+        )
+        b = chain(
+            "not_matched_by_source",
+            lambda i, cl: (
+                (cl.get("set") or {}).get(col, f"d.`{col}`")
+                if cl["action"] == "update"
+                else "NULL"
+            ),
+            f"d.`{col}`",
+        )
+        return (
+            f"CASE WHEN {matched_pred} THEN {m} "
+            f"WHEN s._s_ex IS NOT NULL THEN {n} ELSE {b} END"
+        )
+
+    keep = (
+        f"CASE WHEN {matched_pred} THEN "
+        + chain(
+            "matched",
+            lambda i, cl: str(cl["action"] == "update").upper(),
+            "TRUE",
+        )
+        + " WHEN s._s_ex IS NOT NULL THEN "
+        + chain("not_matched", lambda i, cl: "TRUE", "FALSE")
+        + " ELSE "
+        + chain(
+            "not_matched_by_source",
+            lambda i, cl: str(cl["action"] == "update").upper(),
+            "TRUE",
+        )
+        + " END"
+    )
+    fired = (
+        f"CASE WHEN {matched_pred} THEN "
+        + chain("matched", lambda i, cl: "TRUE", "FALSE")
+        + " WHEN s._s_ex IS NOT NULL THEN FALSE ELSE "
+        + chain("not_matched_by_source", lambda i, cl: "TRUE", "FALSE")
+        + " END"
+    )
+    cols = [F.expr(val(c)).alias(c) for c in out_cols]
+    cols.append(F.expr(keep).alias("_keep"))
+    cols.append(F.expr(fired).alias("_fired"))
+    cols.append(
+        F.expr(f"d.`{file_col}`").alias("_file")
+        if file_col
+        else F.lit(None).cast("string").alias("_file")
+    )
+    return j.select(*cols)
+
+
 def merge_delta_log(
     spark: SparkSession,
     source: DataFrame,
@@ -3440,7 +3544,6 @@ def merge_delta_log(
     Invariants (appendOnly / NOT NULL / CHECK / generated columns)
     are enforced on the merged output of rewritten files + inserts."""
     import time as _time
-    import uuid as _uuid
 
     kinds = {"matched", "not_matched", "not_matched_by_source"}
     for cl in clauses:
@@ -3500,153 +3603,66 @@ def merge_delta_log(
             "Delta MERGE requires at most one source match per target row"
         )
 
-    run_id = _uuid.uuid4().hex[:12]
-    dview, sview = f"_merge_d_{run_id}", f"_merge_s_{run_id}"
     scanned = _scan_adds(spark, path, meta, files, keep_positions=True)
-    scanned.createOrReplaceTempView(dview)
-    source.createOrReplaceTempView(sview)
-    try:
-        on = " AND ".join(f"d.`{k}` <=> s.`{k}`" for k in keys)
+    merged = general_merge_state(
+        scanned, source, keys, clauses, out_cols, file_col=_DV_BASE
+    )
+    from medallion_delta_lake_spark.operators.caching import (
+        tracked_cache,
+    )
 
-        def chain(kind: str, fire_fmt, default: str) -> str:
-            """First-true CASE over the clauses of one match class."""
-            arms = []
-            for i, cl in enumerate(clauses):
-                if cl["when"] != kind:
-                    continue
-                cond = cl.get("condition") or "TRUE"
-                arms.append(f"WHEN ({cond}) THEN {fire_fmt(i, cl)}")
-            if not arms:
-                return default
-            return "CASE " + " ".join(arms) + f" ELSE {default} END"
+    merged = tracked_cache(merged)
+    touched_bases = [
+        r["_file"]
+        for r in merged.filter(
+            F.col("_fired") & F.col("_file").isNotNull()
+        )
+        .select("_file")
+        .distinct()
+        .collect()
+    ]
+    touched = {
+        by_base[b]: files[by_base[b]] for b in touched_bases
+    }
+    # new content: surviving rows of touched files + inserts
+    content = merged.filter(
+        F.col("_keep")
+        & (
+            F.col("_file").isNull()
+            | F.col("_file").isin(touched_bases)
+        )
+    ).select(*out_cols)
+    _enforce_invariants(content, meta, path)
+    now_ms = int(_time.time() * 1000)
+    adds = [
+        a
+        for a in _stage_physical(
+            content, path, meta, part_cols, now_ms
+        )
+        if not a["add"].get("stats")
+        or json.loads(a["add"]["stats"]).get("numRecords", 1)
+    ]
+    merged.unpersist()
 
-        def val(col: str) -> str:
-            """Post-merge value of ``col`` for every row class."""
-            m = chain(
-                "matched",
-                lambda i, cl: (
-                    (cl.get("set") or {}).get(col, f"d.`{col}`")
-                    if cl["action"] == "update"
-                    else "NULL"  # deleted rows are filtered by _keep
-                ),
-                f"d.`{col}`",
-            )
-            n = chain(
-                "not_matched",
-                lambda i, cl: (cl.get("values") or {}).get(col, "NULL"),
-                "NULL",
-            )
-            b = chain(
-                "not_matched_by_source",
-                lambda i, cl: (
-                    (cl.get("set") or {}).get(col, f"d.`{col}`")
-                    if cl["action"] == "update"
-                    else "NULL"
-                ),
-                f"d.`{col}`",
-            )
-            return (
-                "CASE WHEN d._d_ex IS NOT NULL AND s._s_ex IS NOT NULL "
-                f"THEN {m} WHEN s._s_ex IS NOT NULL THEN {n} "
-                f"ELSE {b} END AS `{col}`"
-            )
-
-        keep = (
-            "CASE WHEN d._d_ex IS NOT NULL AND s._s_ex IS NOT NULL THEN "
-            + chain(
-                "matched",
-                lambda i, cl: str(cl["action"] == "update").upper(),
-                "TRUE",
-            )
-            + " WHEN s._s_ex IS NOT NULL THEN "
-            + chain("not_matched", lambda i, cl: "TRUE", "FALSE")
-            + " ELSE "
-            + chain(
-                "not_matched_by_source",
-                lambda i, cl: str(cl["action"] == "update").upper(),
-                "TRUE",
-            )
-            + " END AS _keep"
-        )
-        fired = (
-            "CASE WHEN d._d_ex IS NOT NULL AND s._s_ex IS NOT NULL THEN "
-            + chain("matched", lambda i, cl: "TRUE", "FALSE")
-            + " WHEN s._s_ex IS NOT NULL THEN FALSE ELSE "
-            + chain(
-                "not_matched_by_source", lambda i, cl: "TRUE", "FALSE"
-            )
-            + " END AS _fired"
-        )
-        select_cols = ",\n  ".join(
-            [val(c) for c in out_cols]
-            + [keep, fired, f"d.`{_DV_BASE}` AS _file"]
-        )
-        sql = f"""
-        SELECT {select_cols}
-        FROM (SELECT *, 1 AS _d_ex FROM {dview}) d
-        FULL OUTER JOIN (SELECT *, 1 AS _s_ex FROM {sview}) s
-          ON {on}
-        """
-        merged = spark.sql(sql)
-        from medallion_delta_lake_spark.operators.caching import (
-            tracked_cache,
-        )
-
-        merged = tracked_cache(merged)
-        touched_bases = [
-            r["_file"]
-            for r in merged.filter(
-                F.col("_fired") & F.col("_file").isNotNull()
-            )
-            .select("_file")
-            .distinct()
-            .collect()
+    def build(version: int) -> list[dict]:
+        actions = [
+            {"remove": _remove_action(rel, touched[rel], now_ms)}
+            for rel in touched
         ]
-        touched = {
-            by_base[b]: files[by_base[b]] for b in touched_bases
-        }
-        # new content: surviving rows of touched files + inserts
-        content = merged.filter(
-            F.col("_keep")
-            & (
-                F.col("_file").isNull()
-                | F.col("_file").isin(touched_bases)
-            )
-        ).select(*out_cols)
-        _enforce_invariants(content, meta, path)
-        now_ms = int(_time.time() * 1000)
-        adds = [
-            a
-            for a in _stage_physical(
-                content, path, meta, part_cols, now_ms
-            )
-            if not a["add"].get("stats")
-            or json.loads(a["add"]["stats"]).get("numRecords", 1)
-        ]
-        merged.unpersist()
-
-        def build(version: int) -> list[dict]:
-            actions = [
-                {"remove": _remove_action(rel, touched[rel], now_ms)}
-                for rel in touched
-            ]
-            actions.extend(adds)
-            actions.append(
-                {
-                    "commitInfo": {
-                        "operation": "MERGE",
-                        "operationParameters": {
-                            "predicate": json.dumps(keys),
-                            "clauses": len(clauses),
-                            "filesRewritten": len(touched),
-                            "scope": "file-general",
-                        },
-                    }
+        actions.extend(adds)
+        actions.append(
+            {
+                "commitInfo": {
+                    "operation": "MERGE",
+                    "operationParameters": {
+                        "predicate": json.dumps(keys),
+                        "clauses": len(clauses),
+                        "filesRewritten": len(touched),
+                        "scope": "file-general",
+                    },
                 }
-            )
-            return actions
+            }
+        )
+        return actions
 
-        return _commit_version(path, build, read_version=snap["version"])
-    finally:
-        spark.catalog.dropTempView(dview)
-        spark.catalog.dropTempView(sview)
+    return _commit_version(path, build, read_version=snap["version"])
