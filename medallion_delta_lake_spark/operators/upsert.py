@@ -111,8 +111,22 @@ def upsert(
 
     if delta_available():
         _upsert_delta(spark, src, path, keys, delete_missing)
-    else:
-        _upsert_parquet_snapshot(spark, src, path, keys, partition_col, delete_missing)
+        return
+    from medallion_delta_lake_spark.sources import delta_log
+
+    if delta_log.is_delta_table(path):
+        # a LOG-BACKED table must mutate through its transaction log —
+        # the parquet-snapshot swap would orphan the log and resurrect
+        # time-traveled files (round-7: mixed-API footgun closed)
+        delta_log.upsert_delta_log(
+            spark,
+            src,
+            path,
+            keys=list(keys),
+            delete_missing=delete_missing,
+        )
+        return
+    _upsert_parquet_snapshot(spark, src, path, keys, partition_col, delete_missing)
 
 
 def _upsert_delta(
@@ -211,6 +225,21 @@ def delete_keys(
             keys_df.alias("s"), cond
         ).whenMatchedDelete().execute()
         return before - spark.read.format("delta").load(path).count()
+
+    from medallion_delta_lake_spark.sources import delta_log as _dl
+
+    if _dl.is_delta_table(path):
+        # log-backed: a native log DELETE via the general MERGE
+        # (matched rows die; the commit is file-scoped + time-travelable)
+        before = _dl.read_delta(spark, path).count()
+        _dl.merge_delta_log(
+            spark,
+            keys_df.select(*keys).dropDuplicates(list(keys)),
+            path,
+            list(keys),
+            [{"when": "matched", "action": "delete"}],
+        )
+        return before - _dl.read_delta(spark, path).count()
 
     staging = path.rstrip("/") + "__staging"
     old = path.rstrip("/") + "__old"

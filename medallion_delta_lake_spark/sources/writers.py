@@ -51,6 +51,20 @@ def write_append(
     merge_schema: bool = True,
 ) -> None:
     """Append write with optional hive partitioning + schema evolution."""
+    from medallion_delta_lake_spark.sources import delta_log
+
+    if not delta_available() and delta_log.is_delta_table(path):
+        # log-backed table: bare parquet files would be INVISIBLE to
+        # the log's readers — append through the transaction log
+        delta_log.write_delta(
+            df.sparkSession,
+            df,
+            path,
+            mode="append",
+            partition_by=[partition_col] if partition_col else None,
+            merge_schema=merge_schema,
+        )
+        return
     writer = df.write.format(_fmt()).mode("append")
     if merge_schema:
         writer = writer.option("mergeSchema", "true")
@@ -63,6 +77,18 @@ def write_overwrite(
     df: DataFrame, path: str, partition_col: str | None = None
 ) -> None:
     """Idempotent full overwrite (dimension tables)."""
+    from medallion_delta_lake_spark.sources import delta_log
+
+    if not delta_available() and delta_log.is_delta_table(path):
+        delta_log.write_delta(
+            df.sparkSession,
+            df,
+            path,
+            mode="overwrite",
+            partition_by=[partition_col] if partition_col else None,
+            overwrite_schema=True,
+        )
+        return
     writer = df.write.format(_fmt()).mode("overwrite")
     if delta_available():
         writer = writer.option("overwriteSchema", "true")
@@ -101,7 +127,17 @@ def compact(
     groups (the poor man's Z-order; under Delta use OPTIMIZE ZORDER).
     Uses the same crash-safe staging/swap as the snapshot upsert.
     """
+    from medallion_delta_lake_spark.sources import delta_log
     from medallion_delta_lake_spark.sources.readers import scan_table
+
+    if not delta_available() and delta_log.is_delta_table(path):
+        # log-backed: the staging/dir-swap would orphan the log —
+        # compaction is the log engine's OPTIMIZE (sort_cols map to
+        # the Z-order clustering key)
+        delta_log.optimize_delta_log(
+            spark, path, zorder_by=list(sort_cols) if sort_cols else None
+        )
+        return
 
     staging = path.rstrip("/") + "__staging"
     old = path.rstrip("/") + "__old"

@@ -1332,3 +1332,68 @@ def test_general_merge_guards(spark, tmp_path):
             spark, src, t, ["id"],
             [{"when": "not_matched", "action": "update", "set": {}}],
         )
+
+
+def test_generic_apis_route_to_log_engine(spark, tmp_path):
+    """The engine's generic upsert / write_append / write_overwrite /
+    delete_keys / compact, pointed at a LOG-BACKED table without
+    delta-spark, must mutate THROUGH the transaction log — never the
+    parquet-snapshot swap (which would orphan the log and resurrect
+    time-traveled files)."""
+    from pyspark.sql import functions as F
+
+    from medallion_delta_lake_spark.operators import upsert as up
+    from medallion_delta_lake_spark.sources import writers
+
+    t = str(tmp_path / "route")
+    delta_log.write_delta(
+        spark, spark.range(10).withColumn("v", F.col("id")), t
+    )
+    v0 = delta_log.resolve_snapshot(t)["version"]
+
+    # generic upsert → log-native MERGE commit
+    up.upsert(
+        spark,
+        spark.createDataFrame([(3, 99), (50, 1)], "id long, v long"),
+        t,
+        keys=["id"],
+        delete_missing=False,
+    )
+    snap = delta_log.resolve_snapshot(t)
+    assert snap["version"] == v0 + 1  # one commit, log intact
+    got = {r.id: r.v for r in delta_log.read_delta(spark, t).collect()}
+    assert got[3] == 99 and got[50] == 1 and len(got) == 11
+
+    # generic append → add actions, visible to log readers
+    writers.write_append(
+        spark.createDataFrame([(60, 2)], "id long, v long"), t
+    )
+    assert delta_log.read_delta(spark, t).count() == 12
+
+    # delete_keys → MERGE-delete commit, count returned
+    n = up.delete_keys(
+        spark,
+        t,
+        delta_log.read_delta(spark, t).filter(F.col("id") >= 50),
+        keys=["id"],
+    )
+    assert n == 2
+    assert delta_log.read_delta(spark, t).count() == 10
+
+    # compact → OPTIMIZE commit (log survives, content identical)
+    before = {
+        (r.id, r.v) for r in delta_log.read_delta(spark, t).collect()
+    }
+    writers.compact(spark, t, target_files=1, sort_cols=["id"])
+    after = {
+        (r.id, r.v) for r in delta_log.read_delta(spark, t).collect()
+    }
+    assert before == after
+    assert delta_log.is_delta_table(t)
+
+    # overwrite → remove+add commit, old versions still travel
+    writers.write_overwrite(
+        spark.createDataFrame([(1, 1)], "id long, v long"), t
+    )
+    assert delta_log.read_delta(spark, t).count() == 1
+    assert delta_log.read_delta(spark, t, version_as_of=v0).count() == 10
