@@ -3666,3 +3666,146 @@ def merge_delta_log(
         return actions
 
     return _commit_version(path, build, read_version=snap["version"])
+
+
+def update_delta_log(
+    spark: SparkSession,
+    path: str,
+    filters: list[tuple],
+    assignments: dict[str, str],
+) -> dict:
+    """UPDATE ... SET ... WHERE for a log-backed table — the third
+    member of the DML triad (DELETE-by-DV and MERGE already exist).
+    ``filters`` is the same ``(column, op, value)`` conjunction the
+    DELETE takes (stats/partition pruning applies identically);
+    ``assignments`` maps column → SQL expression over the row's own
+    columns. Only files PROVABLY containing a matched row are
+    rewritten — candidates come from data skipping, then one scan
+    marks the files with actual matches; everything else rides
+    through. Returns ``{"version", "updated_rows",
+    "files_rewritten"}``.
+
+    Generated columns whose inputs an assignment touches are
+    RECOMPUTED (explicitly assigned ones are validated instead);
+    NOT NULL / CHECK invariants are enforced on the rewritten
+    content. A changed partition-column value moves rows between
+    directories via the normal hive staging."""
+    import time as _time
+
+    if not filters:
+        raise ValueError("refusing UPDATE with no predicate")
+    for f in filters:
+        if len(f) != 3 or f[1] not in _SKIP_OPS:
+            raise ValueError(f"bad filter triple: {f!r}")
+    if not assignments:
+        raise ValueError("UPDATE needs at least one assignment")
+    snap = resolve_snapshot(path)
+    meta = snap["meta"]
+    if meta is None:
+        raise DeltaProtocolError("log contains no metaData action")
+    _refuse_if_append_only(meta, path, "UPDATE")
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    out_cols = [f.name for f in schema.fields]
+    unknown = sorted(set(assignments) - set(out_cols))
+    if unknown:
+        raise ValueError(f"assignments to unknown columns: {unknown}")
+    mapping = _column_mapping(meta, schema)
+    phys = lambda c: mapping.get(c, c)  # noqa: E731
+    part_cols = meta.get("partitionColumns") or []
+    phys_filters = [(phys(c), op, v) for c, op, v in filters]
+    phys_parts = [phys(c) for c in part_cols]
+    cand = {
+        rel: add
+        for rel, add in snap["files"].items()
+        if not _file_can_skip(add, phys_filters, phys_parts)
+    }
+    by_base = {os.path.basename(rel): rel for rel in cand}
+    if len(by_base) != len(cand):
+        raise DeltaProtocolError(
+            "duplicate data-file basenames; cannot file-scope UPDATE"
+        )
+    cond = (
+        reduce(
+            lambda a, b: a & b,
+            [
+                {
+                    "=": F.col(c) == F.lit(v),
+                    "<": F.col(c) < F.lit(v),
+                    "<=": F.col(c) <= F.lit(v),
+                    ">": F.col(c) > F.lit(v),
+                    ">=": F.col(c) >= F.lit(v),
+                }[op]
+                for c, op, v in filters
+            ],
+        )
+        if cand
+        else F.lit(False)
+    )
+    touched: dict = {}
+    updated_rows = 0
+    if cand:
+        scanned = _scan_adds(spark, path, meta, cand, keep_positions=True)
+        hits = (
+            scanned.filter(cond)
+            .groupBy(_DV_BASE)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .collect()
+        )
+        touched = {by_base[r[_DV_BASE]]: cand[by_base[r[_DV_BASE]]] for r in hits}
+        updated_rows = sum(r["_n"] for r in hits)
+    now_ms = int(_time.time() * 1000)
+    adds: list[dict] = []
+    if touched:
+        rows = _scan_adds(spark, path, meta, touched)
+        matched = F.coalesce(cond, F.lit(False))
+        gen = _generated_columns(meta)
+        types = {f.name: f.dataType for f in schema.fields}
+        content = rows.select(
+            *[
+                (
+                    F.when(matched, F.expr(assignments[c]).cast(types[c]))
+                    .otherwise(F.col(c))
+                    .alias(c)
+                    if c in assignments
+                    else F.col(c)
+                )
+                for c in out_cols
+            ]
+        )
+        # recompute generated columns the update may have staled
+        # (explicitly assigned ones are validated by the invariants)
+        stale_gen = [c for c in gen if c not in assignments]
+        if stale_gen:
+            content = _apply_generated_columns(
+                content.drop(*stale_gen), meta
+            ).select(*out_cols)
+        _enforce_invariants(content, meta, path)
+        adds = _stage_physical(content, path, meta, part_cols, now_ms)
+
+    def build(version: int) -> list[dict]:
+        actions = [
+            {"remove": _remove_action(rel, touched[rel], now_ms)}
+            for rel in touched
+        ]
+        actions.extend(adds)
+        actions.append(
+            {
+                "commitInfo": {
+                    "operation": "UPDATE",
+                    "operationParameters": {
+                        "predicate": json.dumps(
+                            [[c, op, str(v)] for c, op, v in filters]
+                        ),
+                        "filesRewritten": len(touched),
+                    },
+                }
+            }
+        )
+        return actions
+
+    version = _commit_version(path, build, read_version=snap["version"])
+    return {
+        "version": version,
+        "updated_rows": updated_rows,
+        "files_rewritten": len(touched),
+    }

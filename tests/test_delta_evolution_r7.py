@@ -1397,3 +1397,90 @@ def test_generic_apis_route_to_log_engine(spark, tmp_path):
     )
     assert delta_log.read_delta(spark, t).count() == 1
     assert delta_log.read_delta(spark, t, version_as_of=v0).count() == 10
+
+
+def test_update_delta_log(spark, tmp_path):
+    """UPDATE: stats-pruned file-scoped rewrite with SQL assignments;
+    DV interplay (updated files' deleted rows stay deleted), generated
+    columns recompute, invariants hold, partition moves work."""
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "upd")
+    delta_log.write_delta(
+        spark,
+        spark.range(100)
+        .withColumn("v", F.col("id") * 10)
+        .repartitionByRange(5, "id")
+        .sortWithinPartitions("id"),
+        t,
+        mode="overwrite",
+    )
+    r = delta_log.update_delta_log(
+        spark, t, [("id", ">=", 90)], {"v": "v + 1"}
+    )
+    assert r["updated_rows"] == 10
+    assert 0 < r["files_rewritten"] <= 2  # range-clustered pruning
+    got = {x.id: x.v for x in delta_log.read_delta(spark, t).collect()}
+    assert got[95] == 951 and got[10] == 100 and len(got) == 100
+    # time travel to pre-update
+    v0 = delta_log.read_delta(spark, t, version_as_of=r["version"] - 1)
+    assert {x.v for x in v0.filter(F.col("id") == 95).collect()} == {950}
+
+    # UPDATE composes with deletion vectors: DV'd rows stay deleted
+    delta_log.delete_delta_log(spark, t, [("id", "=", 91)])
+    delta_log.update_delta_log(
+        spark, t, [("id", ">=", 90)], {"v": "v + 1000"}
+    )
+    got = {x.id: x.v for x in delta_log.read_delta(spark, t).collect()}
+    assert 91 not in got and got[95] == 1951 and len(got) == 99
+
+    # no-match UPDATE: a commit with zero file actions
+    r3 = delta_log.update_delta_log(
+        spark, t, [("id", ">", 10_000)], {"v": "0"}
+    )
+    assert r3["updated_rows"] == 0 and r3["files_rewritten"] == 0
+
+    with pytest.raises(ValueError):
+        delta_log.update_delta_log(spark, t, [], {"v": "0"})
+    with pytest.raises(ValueError):
+        delta_log.update_delta_log(
+            spark, t, [("id", "=", 1)], {"nope": "0"}
+        )
+
+
+def test_update_recomputes_generated_and_enforces_checks(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "updgen")
+    base = spark.range(10).select(
+        "id",
+        (F.col("id") * 10).alias("v"),
+        (F.col("id") * 10 % 7).cast("long").alias(
+            "v_mod", metadata={"delta.generationExpression": "v % 7"}
+        ),
+    )
+    delta_log.write_delta(spark, base, t)
+    delta_log.add_check_constraint(spark, t, "v_cap", "v < 1000")
+
+    delta_log.update_delta_log(
+        spark, t, [("id", "=", 3)], {"v": "v + 5"}
+    )
+    row = (
+        delta_log.read_delta(spark, t)
+        .filter(F.col("id") == 3)
+        .collect()[0]
+    )
+    assert row.v == 35 and row.v_mod == 35 % 7  # generated recomputed
+
+    # an update that would break the CHECK is refused atomically
+    with pytest.raises(delta_log.DeltaInvariantViolationError):
+        delta_log.update_delta_log(
+            spark, t, [("id", "=", 3)], {"v": "v + 100000"}
+        )
+    assert (
+        delta_log.read_delta(spark, t)
+        .filter(F.col("id") == 3)
+        .collect()[0]
+        .v
+        == 35
+    )
