@@ -183,3 +183,40 @@ def stream_append_delta_log(
     )
     q.awaitTermination()
     return q
+
+
+def stream_merge_clauses(
+    sdf: DataFrame,
+    spark: SparkSession,
+    path: str,
+    keys: Sequence[str],
+    clauses: Sequence[dict],
+):
+    """Streaming face of the GENERAL MERGE: each microbatch runs the
+    full whenMatched/whenNotMatched clause list against the log-backed
+    table (availableNow; returns the finished query). The same
+    ordered first-true semantics as sources/delta_log.merge_delta_log
+    — e.g. a CDC feed whose rows carry an ``op`` column can route
+    deletes/updates/inserts in ONE sink instead of pre-splitting the
+    stream. Per-batch source keys are deduped by the caller's clause
+    conditions' contract (multiple matches per key raise, same as the
+    batch path)."""
+    from medallion_delta_lake_spark.sources import delta_log
+
+    def merge_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        delta_log.merge_delta_log(
+            spark, batch_df, path, list(keys), list(clauses)
+        )
+
+    q = (
+        sdf.writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation", path.rstrip("/") + "__merge_checkpoint"
+        )
+        .start()
+    )
+    q.awaitTermination()
+    return q

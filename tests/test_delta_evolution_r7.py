@@ -1484,3 +1484,42 @@ def test_update_recomputes_generated_and_enforces_checks(spark, tmp_path):
         .v
         == 35
     )
+
+
+def test_stream_merge_clauses_cdc_routing(spark, tmp_path):
+    """One streaming sink routes a CDC feed's upserts AND deletes via
+    the general MERGE clause list — no stream pre-splitting."""
+    from pyspark.sql import functions as F
+
+    from medallion_delta_lake_spark.streaming.sink import (
+        stream_merge_clauses,
+    )
+
+    t = str(tmp_path / "cdc_t")
+    src = str(tmp_path / "cdc_src")
+    delta_log.write_delta(
+        spark, spark.range(5).withColumn("v", F.col("id") * 10), t
+    )
+    feed = spark.createDataFrame(
+        [(1, 111, "u"), (3, 0, "d"), (9, 90, "u")],
+        "id long, nv long, op string",
+    )
+    feed.coalesce(1).write.parquet(src)
+    sdf = spark.readStream.schema(feed.schema).parquet(src)
+    stream_merge_clauses(
+        sdf,
+        spark,
+        t,
+        ["id"],
+        [
+            {"when": "matched", "action": "delete",
+             "condition": "s.op = 'd'"},
+            {"when": "matched", "action": "update",
+             "condition": "s.op = 'u'", "set": {"v": "s.nv"}},
+            {"when": "not_matched", "action": "insert",
+             "condition": "s.op = 'u'",
+             "values": {"id": "s.id", "v": "s.nv"}},
+        ],
+    )
+    got = {r.id: r.v for r in delta_log.read_delta(spark, t).collect()}
+    assert got == {0: 0, 1: 111, 2: 20, 4: 40, 9: 90}
