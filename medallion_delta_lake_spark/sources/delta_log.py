@@ -2938,13 +2938,19 @@ def write_checkpoint(
 
 
 def vacuum(
-    path: str, keep_versions: int = 1, staging_ttl_s: float = 24 * 3600
+    path: str,
+    keep_versions: int = 1,
+    staging_ttl_s: float = 24 * 3600,
+    dry_run: bool = False,
 ) -> list[str]:
     """Delete data files no longer referenced by the last
     ``keep_versions`` snapshots (the GC step). Time travel further
     back than ``keep_versions`` stops working — exactly Delta's own
     vacuum trade-off, expressed in versions instead of hours so tests
     are deterministic. Returns the deleted relative paths.
+    ``dry_run=True`` (VACUUM ... DRY RUN) returns what WOULD be
+    deleted without touching anything — the pre-flight every prod
+    vacuum should run.
 
     ``_staging_*`` directories left by crashed writes are removed once
     older than ``staging_ttl_s`` (mtime-judged) — young ones may
@@ -2985,7 +2991,8 @@ def vacuum(
             and now - os.path.getmtime(full) > staging_ttl_s
         ):
             # a crashed DV writer's un-renamed temp file
-            os.remove(full)
+            if not dry_run:
+                os.remove(full)
             deleted.append(entry)
             continue
         if (
@@ -3000,7 +3007,8 @@ def vacuum(
                             os.path.join(root, name), path
                         ).replace(os.sep, "/")
                         deleted.append(rel)
-            shutil.rmtree(full)
+            if not dry_run:
+                shutil.rmtree(full)
     for root, dirs, names in os.walk(path):
         if os.path.basename(root) == "_delta_log" or "_staging_" in root:
             # prune the descent too: _delta_log/_sidecars carries V2
@@ -3018,7 +3026,8 @@ def vacuum(
                 os.sep, "/"
             )
             if rel not in referenced:
-                os.remove(os.path.join(root, name))
+                if not dry_run:
+                    os.remove(os.path.join(root, name))
                 deleted.append(rel)
     return sorted(deleted)
 
@@ -3809,3 +3818,60 @@ def update_delta_log(
         "updated_rows": updated_rows,
         "files_rewritten": len(touched),
     }
+
+
+def table_detail(path: str) -> dict:
+    """DESCRIBE DETAIL: one metadata summary of the current snapshot —
+    numFiles, total sizeInBytes, numRows (from logged stats; None when
+    any file lacks them), partitionColumns, table properties, feature
+    protocol, version and table id. Pure log metadata, no data I/O."""
+    snap = resolve_snapshot(path)
+    meta = snap["meta"] or {}
+    files = snap["files"]
+    n_rows: int | None = 0
+    size = 0
+    dv_rows = 0
+    for add in files.values():
+        size += int(add.get("size") or 0)
+        st = add.get("stats")
+        st = json.loads(st) if isinstance(st, str) else (st or {})
+        if n_rows is not None and st.get("numRecords") is not None:
+            n_rows += int(st["numRecords"])
+        else:
+            n_rows = None
+        desc = add.get("deletionVector")
+        if desc:
+            dv_rows += int(desc.get("cardinality") or 0)
+    if n_rows is not None:
+        n_rows -= dv_rows
+    return {
+        "format": (meta.get("format") or {}).get("provider", "parquet"),
+        "id": meta.get("id"),
+        "version": snap["version"],
+        "numFiles": len(files),
+        "sizeInBytes": size,
+        "numRows": n_rows,
+        "numDeletionVectors": sum(
+            1 for a in files.values() if a.get("deletionVector")
+        ),
+        "partitionColumns": meta.get("partitionColumns") or [],
+        "properties": meta.get("configuration") or {},
+        "protocol": snap.get("protocol"),
+    }
+
+
+def maybe_checkpoint(path: str, interval: int = 10) -> int | None:
+    """Auto-checkpoint policy (Delta's ``checkpointInterval``): write
+    a checkpoint when ``interval`` or more commits have landed since
+    the last one (or ever, for a young table past the interval).
+    Returns the checkpointed version, or None when nothing was due —
+    the call writers make after each commit to keep replay O(interval)
+    without thinking about it."""
+    log = _log_dir(path)
+    versions = _list_versions(log)
+    if not versions:
+        return None
+    last_ckpt = max(_discover_checkpoints(log), default=-1)
+    if versions[-1] - last_ckpt >= interval:
+        return write_checkpoint(path)
+    return None

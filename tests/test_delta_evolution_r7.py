@@ -1523,3 +1523,40 @@ def test_stream_merge_clauses_cdc_routing(spark, tmp_path):
     )
     got = {r.id: r.v for r in delta_log.read_delta(spark, t).collect()}
     assert got == {0: 0, 1: 111, 2: 20, 4: 40, 9: 90}
+
+
+def test_table_detail_and_auto_checkpoint_and_dry_run(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "detail")
+    delta_log.write_delta(
+        spark,
+        spark.range(30).withColumn("v", F.col("id")).repartition(3),
+        t,
+        partition_by=[],
+    )
+    delta_log.delete_delta_log(spark, t, [("id", "=", 5)])
+    d = delta_log.table_detail(t)
+    assert d["numRows"] == 29  # DV cardinality subtracted
+    assert d["numFiles"] >= 3 and d["sizeInBytes"] > 0
+    assert d["numDeletionVectors"] == 1
+    assert d["version"] == 1 and d["partitionColumns"] == []
+
+    # auto-checkpoint: not due at interval 10, due at 2
+    assert delta_log.maybe_checkpoint(t, interval=10) is None
+    assert delta_log.maybe_checkpoint(t, interval=2) == 1
+    assert delta_log.maybe_checkpoint(t, interval=2) is None  # fresh
+
+    # vacuum dry-run: lists but does not delete
+    delta_log.write_delta(
+        spark,
+        spark.createDataFrame([(99, 1)], "id long, v long"),
+        t,
+        mode="overwrite",
+    )
+    would = delta_log.vacuum(t, keep_versions=1, dry_run=True)
+    assert would
+    still = delta_log.read_delta(spark, t, version_as_of=1)
+    assert still.count() == 29  # old version untouched by dry run
+    deleted = delta_log.vacuum(t, keep_versions=1)
+    assert sorted(deleted) == sorted(would)
