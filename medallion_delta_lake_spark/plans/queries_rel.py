@@ -3270,3 +3270,166 @@ def merge_clause_state_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.filter(F.col("_keep")).select(
         "c_custkey", "c_acctbal", "c_mktsegment"
     )
+
+
+@query(
+    "agg-gini-coefficient",
+    # G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx): integer ranks over the
+    # sorted values, decimal-exact sums (the rank-weighted sum at
+    # scale 2 — its scaled magnitude must stay far from 2^53 or the
+    # double→decimal conversion rounds differently across engines),
+    # ONE closing division —
+    # engine-identical (ties broken by the unique order key, and the
+    # identity is tie-order-invariant because equal values swap freely)
+    oracle="""
+    WITH r AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS spend
+      FROM orders GROUP BY o_custkey
+    ),
+    k AS (
+      SELECT spend,
+             ROW_NUMBER() OVER (ORDER BY spend, o_custkey) AS i
+      FROM r
+    ),
+    s AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(spend AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(i * spend AS DECIMAL(38,2))) AS DOUBLE)
+               AS six
+      FROM k
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           (2.0 * six - (n + 1.0) * sx) / (n * sx) AS gini
+    FROM s
+    """,
+)
+def agg_gini_coefficient_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stats / Gini COEFFICIENT of customer spend — the inequality
+    measure (0 = everyone equal, →1 = one whale), distinct from the
+    classification Gini impurity. Closed form over the sorted series:
+    G = (2Σ i·x_(i) − (n+1)Σx)/(nΣx) — one global sort of the
+    (already tiny) per-customer aggregate, decimal-exact sums, one
+    IEEE division. The revenue-concentration diagnostic every
+    marketplace dashboard carries."""
+    from pyspark.sql import Window as W
+
+    spend = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("spend")
+        )
+    )
+    ranked = spend.select(
+        "spend",
+        F.row_number()
+        .over(W.orderBy("spend", "o_custkey"))
+        .alias("i"),
+    )
+
+    def ds(c):
+        return F.sum(c.cast("decimal(38,6)")).cast("double")
+
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        ds(F.col("spend")).alias("sx"),
+        F.sum((F.col("i") * F.col("spend")).cast("decimal(38,2)"))
+        .cast("double")
+        .alias("six"),
+    )
+    n = F.col("n").cast("double")
+    return s.select(
+        F.col("n").cast("bigint").alias("n"),
+        (
+            (2.0 * F.col("six") - (n + 1.0) * F.col("sx"))
+            / (n * F.col("sx"))
+        ).alias("gini"),
+    )
+
+
+@query(
+    "stats-benford-deviation",
+    # Benford probabilities as EXACT 1e14-scaled integer literals
+    # (log10(1+1/d) precomputed — no runtime log, whose last ulp
+    # differs across libm); the deviation is pure int64 arithmetic
+    # with one closing decimal→double cast and one division
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(o_totalprice AS BIGINT) AS VARCHAR),
+                         1, 1) AS INT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    c AS (SELECT digit, COUNT(*) AS cnt FROM d GROUP BY digit),
+    t AS (SELECT SUM(cnt) AS n FROM c),
+    e AS (
+      SELECT digit, cnt, n,
+             CASE digit
+               WHEN 1 THEN 30102999566398
+               WHEN 2 THEN 17609125905568
+               WHEN 3 THEN 12493873660830
+               WHEN 4 THEN 9691001300806
+               WHEN 5 THEN 7918124604762
+               WHEN 6 THEN 6694678963061
+               WHEN 7 THEN 5799194697769
+               WHEN 8 THEN 5115252244738
+               WHEN 9 THEN 4575749056068
+             END AS p14
+      FROM c, t
+    )
+    SELECT CAST(CAST(SUM(CAST(abs(cnt * 100000000000000 - p14 * n)
+                              AS DECIMAL(38,0))) AS DOUBLE)
+                / (CAST(MAX(n) AS DOUBLE) * 100000000000000.0)
+                AS DOUBLE) AS total_variation,
+           CAST(MAX(n) AS BIGINT) AS n
+    FROM e
+    """,
+)
+def stats_benford_deviation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stats / Benford first-digit deviation — the classic
+    fraud/data-fabrication screen: total-variation distance between
+    the observed leading-digit distribution of order totals and
+    Benford's law. The nine log10(1+1/d) probabilities are HARDCODED
+    literals (runtime log() differs in the last ulp across libm
+    implementations — the same reason the Gini/χ² family avoids it),
+    so the whole statistic is grouped integer counts, one division
+    per digit, and a decimal sum — engine-exact."""
+    # round(log10(1+1/d) * 1e14): EXACT integer spec constants — the
+    # whole statistic is then integer arithmetic up to one final
+    # decimal→double cast and one division
+    benford14 = {
+        1: 30102999566398, 2: 17609125905568, 3: 12493873660830,
+        4: 9691001300806, 5: 7918124604762, 6: 6694678963061,
+        7: 5799194697769, 8: 5115252244738, 9: 4575749056068,
+    }
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") >= 1
+    )
+    digits = o.select(
+        F.substring(
+            F.col("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    c = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("cnt"))
+    p14 = F.create_map(
+        *[F.lit(x) for kv in benford14.items() for x in kv]
+    )[F.col("digit")]
+    t = c.agg(F.sum("cnt").alias("n"))
+    e = c.crossJoin(F.broadcast(t)).select(
+        F.abs(
+            F.col("cnt") * F.lit(100_000_000_000_000) - p14 * F.col("n")
+        ).alias("dev14"),
+        "n",
+    )
+    return e.agg(
+        (
+            F.sum(F.col("dev14").cast("decimal(38,0)")).cast("double")
+            / (F.max("n").cast("double") * F.lit(1e14))
+        ).alias("total_variation"),
+        F.max("n").cast("bigint").alias("n"),
+    )

@@ -3875,3 +3875,65 @@ def maybe_checkpoint(path: str, interval: int = 10) -> int | None:
     if versions[-1] - last_ckpt >= interval:
         return write_checkpoint(path)
     return None
+
+
+def repair_table(path: str, dry_run: bool = False) -> dict:
+    """FSCK REPAIR TABLE: drop add actions whose data files (or
+    deletion-vector files) are MISSING from storage — the recovery
+    step after an out-of-band deletion (someone rm'd files, an
+    over-eager external cleaner, a restored-from-partial-backup
+    table). A missing data file makes every read of the table throw;
+    repairing commits removes for the dangling references so the rest
+    of the table is readable again (data in those files is lost
+    either way — repair makes the loss explicit and bounded).
+    ``dry_run=True`` only reports. Returns ``{"version" (or None),
+    "dangling": [...]}."""
+    from medallion_delta_lake_spark.sources.deletion_vectors import (
+        dv_relative_path,
+    )
+    import time as _time
+
+    snap = resolve_snapshot(path)
+    dangling = []
+    for rel, add in snap["files"].items():
+        fpath = (
+            rel if os.path.isabs(rel) else os.path.join(path, rel)
+        )
+        missing = not os.path.exists(fpath)
+        if not missing:
+            desc = add.get("deletionVector")
+            if desc:
+                dv_rel = dv_relative_path(desc)
+                if dv_rel and not os.path.exists(
+                    os.path.join(path, dv_rel)
+                ):
+                    missing = True  # DV gone: rows can't be subtracted
+        if missing:
+            dangling.append(rel)
+    if dry_run or not dangling:
+        return {"version": None, "dangling": sorted(dangling)}
+    now_ms = int(_time.time() * 1000)
+
+    def build(version: int) -> list[dict]:
+        actions = [
+            {
+                "remove": _remove_action(
+                    rel, snap["files"][rel], now_ms
+                )
+            }
+            for rel in dangling
+        ]
+        actions.append(
+            {
+                "commitInfo": {
+                    "operation": "FSCK",
+                    "operationParameters": {
+                        "numRemovedFiles": len(dangling)
+                    },
+                }
+            }
+        )
+        return actions
+
+    version = _commit_version(path, build, read_version=snap["version"])
+    return {"version": version, "dangling": sorted(dangling)}

@@ -1560,3 +1560,30 @@ def test_table_detail_and_auto_checkpoint_and_dry_run(spark, tmp_path):
     assert still.count() == 29  # old version untouched by dry run
     deleted = delta_log.vacuum(t, keep_versions=1)
     assert sorted(deleted) == sorted(would)
+
+
+def test_repair_table_drops_dangling_references(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "fsck")
+    delta_log.write_delta(
+        spark,
+        spark.range(40).withColumn("v", F.col("id")).repartition(4),
+        t,
+    )
+    # simulate an out-of-band deletion of one data file
+    snap = delta_log.resolve_snapshot(t)
+    victim = sorted(snap["files"])[0]
+    os.remove(os.path.join(t, victim))
+
+    with pytest.raises(Exception):
+        delta_log.read_delta(spark, t).count()  # broken table
+
+    rep0 = delta_log.repair_table(t, dry_run=True)
+    assert rep0["dangling"] == [victim] and rep0["version"] is None
+    rep = delta_log.repair_table(t)
+    assert rep["dangling"] == [victim]
+    out = delta_log.read_delta(spark, t)
+    assert 0 < out.count() < 40  # readable again, loss bounded
+    # clean table: repair is a no-op
+    assert delta_log.repair_table(t)["dangling"] == []
