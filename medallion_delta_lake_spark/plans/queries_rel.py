@@ -3433,3 +3433,137 @@ def stats_benford_deviation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("total_variation"),
         F.max("n").cast("bigint").alias("n"),
     )
+
+
+@query(
+    "ts-seasonal-naive",
+    # hour-of-day baseline = decimal-exact per-hour mean; residual is
+    # one IEEE subtraction per row — the additive seasonal decompose
+    oracle="""
+    WITH b AS (
+      SELECT CAST(extract(hour FROM ts) AS INT) AS hod,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+               / COUNT(value) AS baseline
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    )
+    SELECT e.event_id, CAST(extract(hour FROM e.ts) AS INT) AS hod,
+           e.value, b.baseline,
+           e.value - b.baseline AS residual
+    FROM events e JOIN b ON CAST(extract(hour FROM e.ts) AS INT) = b.hod
+    WHERE e.value IS NOT NULL
+    """,
+)
+def ts_seasonal_naive_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """timeseries / seasonal-naive decomposition — the hour-of-day
+    baseline (decimal-exact per-hour mean, 24 rows, broadcast back)
+    and each event's residual: the first model every anomaly detector
+    is benchmarked against, and the de-seasonalizing step before
+    drift tests. One grouped pass + a broadcast join; residual is a
+    single IEEE subtraction, engine-exact."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    withhod = ev.select(
+        "event_id", F.hour("ts").alias("hod"), "value"
+    )
+    b = withhod.groupBy("hod").agg(
+        (
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
+            / F.count("value")
+        ).alias("baseline")
+    )
+    return withhod.join(F.broadcast(b), "hod").select(
+        "event_id",
+        "hod",
+        "value",
+        "baseline",
+        (F.col("value") - F.col("baseline")).alias("residual"),
+    )
+
+
+@query(
+    "window-winsorize",
+    # clamp to the per-type exact p05/p95 order statistics (type-1,
+    # k = ceil(p·n)) — comparisons and the clamp are order operations,
+    # no arithmetic at all beyond the rank window
+    oracle="""
+    WITH r AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY value, event_id
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n,
+             event_id
+      FROM events WHERE value IS NOT NULL
+    ),
+    cuts AS (
+      SELECT event_type,
+             MIN(CASE WHEN rn = CAST(ceil(0.05 * n) AS BIGINT)
+                      THEN value END) AS lo,
+             MIN(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+                      THEN value END) AS hi
+      FROM r GROUP BY event_type
+    )
+    SELECT r.event_id, r.event_type, r.value,
+           CASE WHEN r.value < c.lo THEN c.lo
+                WHEN r.value > c.hi THEN c.hi
+                ELSE r.value END AS winsorized,
+           (r.value < c.lo OR r.value > c.hi) AS clamped
+    FROM r JOIN cuts c ON r.event_type = c.event_type
+    """,
+)
+def window_winsorize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stats / winsorization — clamp each event's value to its type's
+    exact [p05, p95] order statistics (the outlier-taming step before
+    means/regressions that medians can't replace). Type-1 quantiles
+    at k = ⌈p·n⌉ from one rank window (ties broken by event_id, and
+    the k-th sorted VALUE is tie-order-invariant); the clamp itself
+    is pure comparisons — zero arithmetic, engine-exact. One keyed
+    sort + a broadcast of the 2-value-per-group cut table."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    ).select("event_id", "event_type", "value")
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    r = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(W.partitionBy("event_type"))
+        .alias("n"),
+    )
+    cuts = r.groupBy("event_type").agg(
+        F.min(
+            F.when(
+                F.col("rn")
+                == F.ceil(0.05 * F.col("n")).cast("bigint"),
+                F.col("value"),
+            )
+        ).alias("lo"),
+        F.min(
+            F.when(
+                F.col("rn")
+                == F.ceil(0.95 * F.col("n")).cast("bigint"),
+                F.col("value"),
+            )
+        ).alias("hi"),
+    )
+    j = r.join(F.broadcast(cuts), "event_type")
+    win = (
+        F.when(F.col("value") < F.col("lo"), F.col("lo"))
+        .when(F.col("value") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("value"))
+    )
+    return j.select(
+        "event_id",
+        "event_type",
+        "value",
+        win.alias("winsorized"),
+        (
+            (F.col("value") < F.col("lo"))
+            | (F.col("value") > F.col("hi"))
+        ).alias("clamped"),
+    )
