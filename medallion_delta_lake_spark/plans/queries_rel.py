@@ -3567,3 +3567,71 @@ def window_winsorize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("value") > F.col("hi"))
         ).alias("clamped"),
     )
+
+
+@query(
+    "scd2-history-build",
+    # validity intervals from the ordered change stream: valid_to =
+    # next change's date (LEAD), NULL for the current row — all
+    # window/ordering ops, no arithmetic
+    oracle="""
+    WITH ch AS (
+      SELECT o_custkey, o_orderdate AS valid_from, o_orderpriority,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey, o_orderdate
+               ORDER BY o_orderkey DESC
+             ) AS rn
+      FROM orders
+    ),
+    daily AS (SELECT * FROM ch WHERE rn = 1),
+    hist AS (
+      SELECT o_custkey, valid_from, o_orderpriority,
+             LEAD(valid_from) OVER (
+               PARTITION BY o_custkey ORDER BY valid_from
+             ) AS valid_to
+      FROM daily
+    )
+    SELECT o_custkey, valid_from, valid_to, o_orderpriority,
+           valid_to IS NULL AS is_current
+    FROM hist
+    """,
+)
+def scd2_history_build_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mutation / SCD TYPE-2 history build — turn a change stream
+    (here: each customer's daily order priority, latest order per day
+    winning deterministically) into validity intervals
+    [valid_from, valid_to) with an ``is_current`` flag: the dimension-
+    history table every warehouse keeps, and the right-hand side a
+    point-in-time (as-of) fact join consumes. One keyed window for
+    the daily winner, one LEAD window for the interval close — pure
+    ordering ops, engine-exact. At 100 TB both windows shuffle only
+    (key, date, priority) rows."""
+    from pyspark.sql import Window as W
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").alias("valid_from"),
+        "o_orderpriority",
+        "o_orderkey",
+    )
+    w_day = W.partitionBy("o_custkey", "valid_from").orderBy(
+        F.col("o_orderkey").desc()
+    )
+    daily = (
+        o.withColumn("rn", F.row_number().over(w_day))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "o_orderkey")
+    )
+    w_hist = W.partitionBy("o_custkey").orderBy("valid_from")
+    return daily.select(
+        "o_custkey",
+        "valid_from",
+        F.lead("valid_from").over(w_hist).alias("valid_to"),
+        "o_orderpriority",
+    ).select(
+        "o_custkey",
+        "valid_from",
+        "valid_to",
+        "o_orderpriority",
+        F.col("valid_to").isNull().alias("is_current"),
+    )
