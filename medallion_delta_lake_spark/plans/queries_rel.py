@@ -3635,3 +3635,54 @@ def scd2_history_build_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.col("valid_to").isNull().alias("is_current"),
     )
+
+
+@query(
+    "window-range-frame-sum",
+    # RANGE frame: every event sums its user's values within the
+    # trailing hour BY TIMESTAMP VALUE (not row count) — peers at
+    # equal ts all see the same frame, which is what makes the result
+    # tie-order-invariant; decimal accumulation keeps it engine-exact
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (
+             PARTITION BY user_id
+             ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS hour_sum
+    FROM events WHERE value IS NOT NULL
+    """,
+)
+def window_range_frame_sum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """window / RANGE frame — each event's trailing-hour value sum per
+    user, framed by TIMESTAMP DISTANCE instead of row count (the
+    rows-frame rolling ops elsewhere answer "last N events"; this
+    answers "last hour", sparse or dense). RANGE frames make peers at
+    the same ordering value share one frame, so the result is
+    tie-order-invariant by construction; the sum accumulates in
+    DECIMAL(38,6) — engine-exact. One shuffle on the key, one sort."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    ).select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_s"),
+        "value",
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_s")
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_s",
+        F.sum(F.col("value").cast("decimal(38,6)"))
+        .over(w)
+        .cast("double")
+        .alias("hour_sum"),
+    )
