@@ -3686,3 +3686,77 @@ def window_range_frame_sum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("hour_sum"),
     )
+
+
+@query(
+    "agg-pareto-abc",
+    # decimal cumsum over the spend-sorted customers; class cutoffs
+    # compare exact decimals against decimal fractions of the exact
+    # total — no floats until the output share column
+    oracle="""
+    WITH r AS (
+      SELECT o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS spend
+      FROM orders GROUP BY o_custkey
+    ),
+    c AS (
+      SELECT o_custkey, spend,
+             SUM(spend) OVER (
+               ORDER BY spend DESC, o_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum,
+             SUM(spend) OVER () AS total
+      FROM r
+    )
+    SELECT o_custkey,
+           CAST(spend AS DOUBLE) AS spend,
+           CASE WHEN cum * 100 <= total * 80 THEN 'A'
+                WHEN cum * 100 <= total * 95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM c
+    """,
+)
+def agg_pareto_abc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stats / Pareto ABC classification — rank customers by spend and
+    class them A (the first 80% of revenue), B (next 15%), C (tail):
+    the whale-cutoff / inventory-ABC analysis behind every account
+    tier. The cumulative sum runs in EXACT decimal over the
+    deterministic (spend desc, key) order, and the 80/95 cutoffs
+    compare scaled decimals (cum·100 ≤ total·80) — integer-exact
+    boundary decisions, no float thresholds. One tiny sort of the
+    per-customer aggregate."""
+    from pyspark.sql import Window as W
+
+    r = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias(
+                "spend"
+            )
+        )
+    )
+    w = (
+        W.orderBy(F.col("spend").desc(), F.col("o_custkey"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    c = r.select(
+        "o_custkey",
+        "spend",
+        F.sum("spend").over(w).alias("cum"),
+        F.sum("spend").over(
+            W.orderBy(F.lit(1)).rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        ).alias("total"),
+    )
+    return c.select(
+        "o_custkey",
+        F.col("spend").cast("double").alias("spend"),
+        F.when(
+            F.col("cum") * 100 <= F.col("total") * 80, "A"
+        )
+        .when(F.col("cum") * 100 <= F.col("total") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
