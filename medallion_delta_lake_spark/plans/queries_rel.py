@@ -3760,3 +3760,53 @@ def agg_pareto_abc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("C")
         .alias("abc_class"),
     )
+
+
+@query(
+    "window-gap-report",
+    # integer epoch-second arithmetic end to end
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+             LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_s
+      FROM events
+    )
+    SELECT user_id, prev_s AS gap_start_s, ts_s AS gap_end_s,
+           ts_s - prev_s AS gap_s
+    FROM o
+    WHERE prev_s IS NOT NULL AND ts_s - prev_s > 21600
+    """,
+)
+def window_gap_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """monitoring / data-gap report — every silent interval longer
+    than 6 hours in each user's event stream, as (start, end,
+    duration) rows: the missing-data detector a feed-health dashboard
+    runs (sessionization groups activity; this reports the HOLES).
+    One lag window over integer epoch seconds — all-integer
+    arithmetic, one keyed sort."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.unix_timestamp("ts").alias("ts_s"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id",
+        "ts_s",
+        F.lag("ts_s").over(w).alias("prev_s"),
+    )
+    return o.filter(
+        F.col("prev_s").isNotNull()
+        & ((F.col("ts_s") - F.col("prev_s")) > 21600)
+    ).select(
+        "user_id",
+        F.col("prev_s").alias("gap_start_s"),
+        F.col("ts_s").alias("gap_end_s"),
+        (F.col("ts_s") - F.col("prev_s")).alias("gap_s"),
+    )
