@@ -52,7 +52,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Round-7 rotation: the driver checks the first ~50 registered queries
 # per round. Order: (1) no reds to re-green (CORRECTNESS_r06 = 50/50);
-# (2) the 21 ops NEW in round 7 (never driver-checked) and the 2 whose
+# (2) the 22 ops NEW in round 7 (never driver-checked) and the 2 whose
 # Spark code + oracle changed — stats-chi-square / stats-cramers-v
 # (marginals-from-observed plan, 15 → 6 exchanges, oracle rewritten to
 # the same grid-from-marginals shape); (3) least-recently-verified:
@@ -81,6 +81,7 @@ _DRIVER_PRIORITY = [
     "window-range-frame-sum",
     "agg-pareto-abc",
     "window-gap-report",
+    "agg-weekly-growth",
     # changed in round 7 (re-verify first)
     "stats-chi-square",
     "stats-cramers-v",

@@ -3810,3 +3810,56 @@ def window_gap_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts_s").alias("gap_end_s"),
         (F.col("ts_s") - F.col("prev_s")).alias("gap_s"),
     )
+
+
+@query(
+    "agg-weekly-growth",
+    # weekly decimal-exact revenue, then ONE division per week pair —
+    # week boundaries via integer epoch-day arithmetic (no engine
+    # week-of-year disagreements)
+    oracle="""
+    WITH w AS (
+      SELECT CAST(floor(epoch(o_orderdate)) AS BIGINT)
+               // 86400 // 7 AS week,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT week, revenue,
+           revenue / LAG(revenue) OVER (ORDER BY week) - 1.0
+             AS wow_growth
+    FROM w
+    """,
+)
+def agg_weekly_growth_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """analytics / week-over-week growth — weekly revenue plus its
+    relative change vs the prior week (the headline BI metric). Week
+    buckets come from integer epoch arithmetic (epoch DIV 86400 DIV 7,
+    all-integer — a float division truncated one boundary differently
+    across engines before this) rather than engine week-of-year functions, whose ISO/locale
+    conventions disagree; weekly sums are decimal-exact and the growth
+    is ONE division — engine-identical. One grouped pass + a 52-row
+    window."""
+    from pyspark.sql import Window as W
+
+    w = (
+        table(spark, sf_dir, "orders")
+        .groupBy(
+            F.expr(
+                "unix_timestamp(o_orderdate) DIV 86400 DIV 7"
+            ).alias("week")
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    return w.select(
+        "week",
+        "revenue",
+        (
+            F.col("revenue") / F.lag("revenue").over(W.orderBy("week"))
+            - 1.0
+        ).alias("wow_growth"),
+    )
