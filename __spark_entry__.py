@@ -50,107 +50,78 @@ def entry(spark: SparkSession) -> DataFrame:
     return _registry.QUERIES["q1-pricing-summary"](spark, "/root/testdata/sf0.001")
 
 
-# Round-7 rotation: the driver checks the first ~50 registered queries
-# per round. Order: (1) no reds to re-green (CORRECTNESS_r06 = 50/50);
-# (2) the 22 ops NEW in round 7 (never driver-checked) and the 2 whose
-# Spark code + oracle changed — stats-chi-square / stats-cramers-v
-# (marginals-from-observed plan, 15 → 6 exchanges, oracle rewritten to
-# the same grid-from-marginals shape); (3) least-recently-verified:
-# the 27 r3-green ids pushed past round 6's 50-row cut, the r3
-# alphabetical tail, then the r4-green cohort (its remainder spills to
-# round 8).
+# Round-8 rotation: the driver checks the first ~50 registered queries
+# per round. Order: (1) ops whose code CHANGED in round 8
+# (merge-clause-state: general_merge_state grew insertAll-default
+# semantics for value-less insert clauses); (2) ops NEW in round 8
+# (appended at the top as they land); (3) least-recently-verified:
+# the r4-green cohort that round 7's 50-row window could not reach
+# (last driver-checked in CORRECTNESS_r04), then the r5 cohort.
 _DRIVER_PRIORITY = [
-    # NEW in round 7 (never driver-checked)
-    "window-max-drawdown",
-    "stats-spearman-rho",
-    "stats-welch-t",
-    "sample-mixture-epochs",
-    "window-cusum-drift",
-    "join-asof-tolerance",
-    "stats-autocorr-lag1",
-    "multimodal-frame-dedup",
-    "stream-cusum-monitor",
-    "graph-triangle-count",
-    "approx-hll-mergeable",
+    # changed in round 8 (re-verify first)
     "merge-clause-state",
-    "agg-gini-coefficient",
-    "stats-benford-deviation",
-    "ts-seasonal-naive",
-    "window-winsorize",
-    "scd2-history-build",
-    "window-range-frame-sum",
-    "agg-pareto-abc",
-    "window-gap-report",
-    "agg-weekly-growth",
-    # changed in round 7 (re-verify first)
-    "stats-chi-square",
-    "stats-cramers-v",
-    # last green in r3 — fell past round 6's 50-row cut
-    "join-asof-nearest",
-    "join-null-safe",
-    "join-salted-skew",
-    "json-funcs",
-    "map-funcs",
-    "multimodal-byte-features",
-    "pandas-group-normalize",
-    "pandas-scalar-tokens",
-    "pivot-status",
-    "q1-sql-entry",
-    "q10-returned-items",
-    "q16-supplier-cnt",
-    "q17-small-quantity-revenue",
-    "q18-large-orders",
-    "q21-suppliers-waiting",
-    "q22-global-sales-opportunity",
-    "q3-shipping-priority",
-    "q4-order-priority",
-    "q5-local-supplier",
-    "q6-forecast-revenue",
-    "set-except",
-    "set-intersect",
-    "sim-ann-lsh",
-    "sort-paginate",
-    "stats-median-manual",
-    "stats-moments",
-    "string-funcs",
-    # r3 alphabetical tail
-    "struct-funcs",
-    "time-funcs",
-    "unpivot-measures",
-    "window-agg-hopping",
-    "window-agg-session",
-    "window-lag-delta",
-    "window-rank-family",
-    "window-running-sum",
-    # last green in r4
-    "agg-avg-of-sums",
-    "dq-constraint-check",
-    "json-typed-parse",
-    "q12-shipmode-priority",
-    "agg-collect-array",
-    "array-funcs",
-    "q2-min-cost-supplier",
-    "q7-volume-shipping",
-    "q8-market-share",
-    "q9-product-profit",
-    "q11-important-stock",
-    "q13-customer-distribution",
-    "q14-promo-revenue",
-    "q15-top-supplier",
-    "q19-disjunctive-predicates",
-    "q20-potential-promotion",
-    # ROUND-8 NOTE: rotate again — reds first, round-8 changes, then
-    # the remaining r4 cohort (multimodal-frame-sample,
-    # multimodal-audio-chunks, multimodal-resize, text-scrub-pii,
-    # text-tfidf-stats, text-lang-id-ngram, text-edit-distance,
-    # text-strip-boilerplate, sample-stratified-hash,
-    # sample-fixed-per-stratum, agg-vector-mean, stream-stateful-stats,
-    # stream-static-join, join-full-outer, window-value-family,
-    # window-ntile-binning, window-rolling-agg, string-like-family,
-    # agg-bitwise, agg-histogram, stats-corr, impute-group-mean,
-    # normalize-group-zscore, cohort-retention, funnel-analysis,
-    # snapshot-diff, join-range-bucketed, q1-pricing-summary,
-    # filter-neq, filter-neq-chain), then the r5 cohort.
+    # NEW in round 8
+    "scd2-incremental-upsert",
+    "dedup-cc-bigstar",
+    "stats-theil-sen",
+    "window-holt-linear",
+    "agg-hyperloglog-groups",
+    "join-interval-overlap",
+    "stats-permutation-test",
+    "text-simhash-soft-cluster",
+    "sample-reservoir-per-key",
+    "window-regime-segments",
+    # r4 cohort — last driver-checked in round 4
+    "multimodal-frame-sample",
+    "multimodal-audio-chunks",
+    "multimodal-resize",
+    "text-scrub-pii",
+    "text-tfidf-stats",
+    "text-lang-id-ngram",
+    "text-edit-distance",
+    "text-strip-boilerplate",
+    "sample-stratified-hash",
+    "sample-fixed-per-stratum",
+    "agg-vector-mean",
+    "stream-stateful-stats",
+    "stream-static-join",
+    "join-full-outer",
+    "window-value-family",
+    "window-ntile-binning",
+    "window-rolling-agg",
+    "string-like-family",
+    "agg-bitwise",
+    "agg-histogram",
+    "stats-corr",
+    "impute-group-mean",
+    "normalize-group-zscore",
+    "cohort-retention",
+    "funnel-analysis",
+    "snapshot-diff",
+    "join-range-bucketed",
+    "q1-pricing-summary",
+    "filter-neq",
+    "filter-neq-chain",
+    # r5 cohort spill (least-recently-verified after the r4 set)
+    "agg-grouping-sets",
+    "agg-cube-rollup",
+    "dedup-exact-hash",
+    "dedup-ngram-jaccard",
+    "dedup-minhash-sig",
+    "dedup-minhash-lsh",
+    "dedup-simhash",
+    "sim-cosine-topk",
+    "text-token-stats",
+    "text-quality-score",
+    "text-lang-id",
+    "text-fingerprint",
+    # ROUND-9 NOTE: rotate again — reds first, round-9 changes, then
+    # the remaining r5 cohort (dedup-simhash-pairs, sim-knn-join,
+    # sample-temperature-mix, sample-token-budget, mixture-epoch-plan,
+    # multimodal-meta-profile, window-ewma-smooth, window-streaks,
+    # window-ohlc-bars, ts-resample-ffill, topk-per-group,
+    # stats-ks-two-sample, stats-mann-whitney-u, stats-gini-impurity,
+    # ...), then the r6 cohort.
 ]
 
 

@@ -90,6 +90,24 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+    # VERDICT r7 #6: the driver's BENCH_rN.json keeps only a truncated
+    # tail, losing ~140 per-query timings for cross-round comparison.
+    # Persist the FULL result in-repo, round-stamped when the driver
+    # exports the round number, else overwriting "latest".
+    results_dir = Path(__file__).resolve().parent / "bench_results"
+    results_dir.mkdir(exist_ok=True)
+    rnd = os.environ.get("SPARK_GRAFT_ROUND")
+    if not rnd:
+        # infer: the driver writes BENCH_r{N}.json AFTER running bench,
+        # so the current round is max(existing)+1
+        seen = [
+            int(m.group(1))
+            for p in Path(__file__).resolve().parent.glob("BENCH_r*.json")
+            if (m := re.match(r"BENCH_r(\d+)\.json$", p.name))
+        ]
+        rnd = str(max(seen) + 1 if seen else 0)
+    fname = f"r{int(rnd):02d}.json"
+    (results_dir / fname).write_text(json.dumps(out, indent=1) + "\n")
     print(json.dumps(out))
     spark.stop()
 

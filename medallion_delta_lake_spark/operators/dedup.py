@@ -409,8 +409,123 @@ def neardup_clusters(
         changed = flagged.filter(F.col("_chg")).count()
         labels = flagged.drop("_chg")
         if changed == 0:
-            break
-    return labels
+            return labels
+    # an unconverged return would silently hand back WRONG cluster ids
+    # (VERDICT r7 #7) — fail loudly and name the long-chain remedy
+    raise RuntimeError(
+        f"min-label propagation did not converge in {max_iter} rounds "
+        "(graph diameter exceeds max_iter); use neardup_clusters_star "
+        "— O(log n) rounds — for long-chain graphs"
+    )
+
+
+def neardup_clusters_star(
+    ids_df: DataFrame,
+    pairs_df: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components by ALTERNATING large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC'14) — the O(log n)-round posture for graphs with
+    LONG CHAINS, where :func:`neardup_clusters`'s min-label
+    propagation needs O(diameter) rounds (VERDICT r7 #7). Same output
+    contract: (id, cluster = component minimum id).
+
+    Per round, two grouped passes over the edge list:
+
+    * **large-star**: every node u computes m = min(u ∪ Γ(u)) and
+      re-points each STRICTLY GREATER neighbor at m — long tails
+      collapse toward small ids without ever increasing edge count;
+    * **small-star**: every node u re-points its ≤ neighbors (and
+      itself) at their minimum — the local star flattens.
+
+    Both passes are a groupBy(min) + self-join on int ids; no
+    adjacency list ever materializes on one executor, so a
+    billion-edge graph runs at shuffle bandwidth. Convergence is
+    detected by an order-insensitive edge-set fingerprint (count +
+    xor-ish hash sum), one tiny aggregate per round.
+
+    Raises ``RuntimeError`` if ``max_iter`` rounds don't converge
+    (2·log₂(n) rounds suffice per the paper, so 25 covers any graph
+    this engine will meet; an unconverged return would silently
+    mislabel — fail loudly instead)."""
+    e = pairs_df.select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    # undirected edge set, kept symmetric so one groupBy(u) sees the
+    # full neighborhood of every node
+    edges = tracked_cache(
+        e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+    )
+
+    def _fingerprint(df: DataFrame):
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal accumulation: a long sum of 64-bit hashes
+            # overflows under ANSI mode
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    def _sym(df: DataFrame) -> DataFrame:
+        return (
+            df.filter(F.col("u") != F.col("v"))
+            .unionByName(
+                df.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    fp = _fingerprint(edges)
+    for _ in range(max_iter):
+        mins = edges.groupBy("u").agg(
+            F.least(F.col("u"), F.min("v")).alias("m")
+        )
+        # large-star: (v, m_u) for every neighbor v > u
+        large = _sym(
+            edges.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        ).localCheckpoint()
+        # small-star over the large-star output: (v, m_u) for v ≤ u,
+        # plus (u, m_u) so the center stays attached
+        small_mins = (
+            large.filter(F.col("v") <= F.col("u"))
+            .groupBy("u")
+            .agg(F.least(F.col("u"), F.min("v")).alias("m"))
+        )
+        small = _sym(
+            large.filter(F.col("v") <= F.col("u"))
+            .join(small_mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(
+                small_mins.select(
+                    F.col("u"), F.col("m").alias("v")
+                )
+            )
+        ).localCheckpoint()
+        new_fp = _fingerprint(small)
+        edges = small
+        if new_fp == fp:
+            # fixpoint: every component is a star around its minimum
+            lbl = edges.groupBy("u").agg(F.min("v").alias("_mn"))
+            return ids_df.select(id_col).join(
+                lbl, ids_df[id_col] == lbl["u"], "left"
+            ).select(
+                F.col(id_col),
+                F.least(
+                    F.col(id_col), F.coalesce("_mn", F.col(id_col))
+                ).alias("cluster"),
+            )
+        fp = new_fp
+    raise RuntimeError(
+        f"star contraction did not converge in {max_iter} rounds — "
+        "graph larger than 2^(max_iter/2) nodes? raise max_iter"
+    )
 
 
 def banded_signatures(

@@ -1558,3 +1558,46 @@ def sample_mixture_epochs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         default_epochs=1.0,
         salt="ep7",
     )
+
+
+@query(
+    "dedup-cc-bigstar",
+    # same transitive-closure truth as dedup-cluster-assign: cluster =
+    # MIN over the reachable set (recursive CTE); the thing under test
+    # is the ALTERNATE distributed algorithm, not different semantics
+    oracle=f"""
+    WITH RECURSIVE {_LSH_SCORED_CTE},
+    good AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.5),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM good
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM good
+    ),
+    walk(doc_id, node) AS (
+      SELECT doc_id, doc_id AS node FROM corpus
+      UNION
+      SELECT w.doc_id, e.dst AS node
+      FROM walk w JOIN edges e ON e.src = w.node
+    )
+    SELECT doc_id, MIN(node) AS cluster FROM walk GROUP BY doc_id
+    """,
+)
+def dedup_cc_bigstar_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup / connected components by large-star/small-star
+    contraction (Kiveris et al. SoCC'14) over the MinHash-LSH pair
+    graph — the O(log n)-round alternative to dedup-cluster-assign's
+    O(diameter) min-label propagation, for graphs with long chains
+    (VERDICT r7 #7). Identical output contract (doc → component
+    minimum), verified against the same recursive-CTE oracle and a
+    union-find reference + 512-node path graph in
+    tests/test_dedup_clusters.py."""
+    corpus = _dup_corpus(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(
+        corpus,
+        n=3,
+        num_perm=_NUM_PERM,
+        bands=_BANDS,
+        threshold=0.5,
+        fan_out=spark.sparkContext.defaultParallelism,
+    )
+    return dedup.neardup_clusters_star(corpus.select("doc_id"), pairs)

@@ -1,0 +1,137 @@
+"""CDC ``_change_data`` write path (VERDICT r7 #5).
+
+Tables with ``delta.enableChangeDataFeed=true`` get real cdc files
+from UPDATE and general MERGE, so :func:`table_changes` shows paired
+``update_preimage``/``update_postimage`` rows instead of the
+delete+insert derivation. Non-CDF tables keep the derivation
+(delta-spark's behavior without the property).
+"""
+
+from __future__ import annotations
+
+import os
+
+from medallion_delta_lake_spark.sources import delta_log
+
+
+def _src(spark, rows):
+    return spark.createDataFrame(rows, "k int, v int").coalesce(1)
+
+
+def _cdf_table(spark, path, rows):
+    delta_log.write_delta(spark, _src(spark, rows), path)
+    delta_log.set_table_properties(
+        path, {"delta.enableChangeDataFeed": "true"}
+    )
+
+
+def _feed(spark, path, v):
+    return sorted(
+        (r.k, r.v, r._change_type)
+        for r in delta_log.table_changes(spark, path, v, v).collect()
+    )
+
+
+def test_update_emits_paired_images(spark, tmp_path):
+    t = str(tmp_path / "t")
+    _cdf_table(spark, t, [(1, 10), (2, 20), (3, 30)])
+    out = delta_log.update_delta_log(
+        spark, t, [("k", "<=", 2)], {"v": "v + 1"}
+    )
+    assert out["updated_rows"] == 2
+    assert _feed(spark, t, out["version"]) == [
+        (1, 10, "update_preimage"),
+        (1, 11, "update_postimage"),
+        (2, 20, "update_preimage"),
+        (2, 21, "update_postimage"),
+    ]
+    # the cdc files live under _change_data/ and are commit-referenced
+    assert os.path.isdir(os.path.join(t, "_change_data"))
+    # table content matches the postimages
+    got = {(r.k, r.v) for r in delta_log.read_delta(spark, t).collect()}
+    assert got == {(1, 11), (2, 21), (3, 30)}
+
+
+def test_update_without_cdf_keeps_derivation(spark, tmp_path):
+    t = str(tmp_path / "t")
+    delta_log.write_delta(spark, _src(spark, [(1, 10)]), t)
+    out = delta_log.update_delta_log(
+        spark, t, [("k", "=", 1)], {"v": "v + 1"}
+    )
+    types = {c for _, _, c in _feed(spark, t, out["version"])}
+    assert types == {"insert", "delete"}  # unpaired derivation
+    assert not os.path.isdir(os.path.join(t, "_change_data"))
+
+
+def test_merge_emits_insert_update_delete(spark, tmp_path):
+    t = str(tmp_path / "t")
+    _cdf_table(spark, t, [(1, 10), (2, 20), (3, 30)])
+    v = delta_log.merge_delta_log(
+        spark,
+        _src(spark, [(1, 11), (4, 40)]),
+        t,
+        keys=["k"],
+        clauses=[
+            {"when": "matched", "action": "update", "set": {"v": "s.v"}},
+            {"when": "not_matched", "action": "insert"},
+            {
+                "when": "not_matched_by_source",
+                "action": "delete",
+                "condition": "d.k = 2",
+            },
+        ],
+    )
+    assert _feed(spark, t, v) == [
+        (1, 10, "update_preimage"),
+        (1, 11, "update_postimage"),
+        (2, 20, "delete"),
+        (4, 40, "insert"),
+    ]
+    got = {(r.k, r.v) for r in delta_log.read_delta(spark, t).collect()}
+    assert got == {(1, 11), (3, 30), (4, 40)}
+
+
+def test_noop_update_emits_no_cdc(spark, tmp_path):
+    t = str(tmp_path / "t")
+    _cdf_table(spark, t, [(1, 10)])
+    out = delta_log.update_delta_log(
+        spark, t, [("k", "=", 99)], {"v": "v + 1"}
+    )
+    assert out["updated_rows"] == 0
+    assert _feed(spark, t, out["version"]) == []
+
+
+def test_feed_spans_cdc_and_derived_commits(spark, tmp_path):
+    """A range covering both a CDF UPDATE and a plain append merges
+    cleanly: cdc commits read from files, others derive."""
+    t = str(tmp_path / "t")
+    _cdf_table(spark, t, [(1, 10)])
+    u = delta_log.update_delta_log(
+        spark, t, [("k", "=", 1)], {"v": "v * 2"}
+    )
+    delta_log.write_delta(spark, _src(spark, [(2, 2)]), t, mode="append")
+    rows = sorted(
+        (r.k, r.v, r._change_type, r._commit_version)
+        for r in delta_log.table_changes(
+            spark, t, u["version"]
+        ).collect()
+    )
+    assert rows == [
+        (1, 10, "update_preimage", u["version"]),
+        (1, 20, "update_postimage", u["version"]),
+        (2, 2, "insert", u["version"] + 1),
+    ]
+
+
+def test_vacuum_keeps_retained_cdc_files(spark, tmp_path):
+    t = str(tmp_path / "t")
+    _cdf_table(spark, t, [(1, 10), (2, 20)])
+    u = delta_log.update_delta_log(
+        spark, t, [("k", "=", 1)], {"v": "0"}
+    )
+    deleted = delta_log.vacuum(t, keep_versions=10)
+    assert not any(d.startswith("_change_data/") for d in deleted)
+    assert _feed(spark, t, u["version"]) == [
+        (1, 0, "update_postimage"),
+        (1, 10, "update_preimage"),
+    ]

@@ -115,3 +115,51 @@ def test_max_df_truncates_boilerplate_postings(spark):
         ).collect()
     }
     assert not any(a < 100 and b < 100 for a, b in cont)
+
+
+def test_star_contraction_matches_union_find(spark):
+    corpus = _dup_corpus(spark, SF_SMOKE)
+    pairs_df = dedup.minhash_lsh_pairs(corpus, n=3, threshold=0.5)
+    pairs = [(r.id_a, r.id_b) for r in pairs_df.collect()]
+    ids = [r.doc_id for r in corpus.select("doc_id").collect()]
+    got = {
+        r.doc_id: r.cluster
+        for r in dedup.neardup_clusters_star(
+            corpus.select("doc_id"), pairs_df
+        ).collect()
+    }
+    assert got == _union_find(ids, pairs)
+
+
+def test_star_contraction_pathological_chain(spark):
+    """A 512-node path graph: diameter 511, so min-label propagation
+    at its default max_iter=20 must FAIL LOUDLY (never return wrong
+    labels), while star contraction converges in O(log n) rounds and
+    labels every node with the chain head (VERDICT r7 #7)."""
+    import pytest
+
+    n = 512
+    ids = spark.range(n).selectExpr("id AS doc_id")
+    chain = spark.range(n - 1).selectExpr(
+        "id AS id_a", "id + 1 AS id_b"
+    )
+    got = {
+        r.doc_id: r.cluster
+        for r in dedup.neardup_clusters_star(ids, chain).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.neardup_clusters(ids, chain, max_iter=5)
+
+
+def test_star_contraction_isolated_and_multi_component(spark):
+    ids = spark.range(10).selectExpr("id AS doc_id")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 7)], "id_a long, id_b long"
+    )
+    got = {
+        r.doc_id: r.cluster
+        for r in dedup.neardup_clusters_star(ids, pairs).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7, 8: 7, 9: 9}

@@ -677,7 +677,7 @@ def test_upsert_delta_log_matches_dict_model(spark, tmp_path):
     folding the same batches into a plain dict (source wins on matched
     keys; delete_missing decides survivors) — with every intermediate
     state still reachable by time travel afterwards."""
-    from hypothesis import HealthCheck, given, settings
+    from hypothesis import HealthCheck, example, given, settings
     from hypothesis import strategies as st
 
     batch = st.dictionaries(st.integers(0, 6), st.integers(0, 3), max_size=5)
@@ -685,8 +685,12 @@ def test_upsert_delta_log_matches_dict_model(spark, tmp_path):
     @settings(
         max_examples=5,
         deadline=None,
+        derandomize=True,  # VERDICT r7: no green-by-draw-luck
         suppress_health_check=[HealthCheck.function_scoped_fixture],
     )
+    # the r7 crash sequence: create → empty full-sync (0 live files) →
+    # another delete_missing merge against the zero-file snapshot
+    @example(steps=[({1: 1}, False), ({}, True), ({2: 2}, True)])
     @given(steps=st.lists(st.tuples(batch, st.booleans()), min_size=1, max_size=3))
     def run(steps):
         import uuid
