@@ -58,19 +58,25 @@ def entry(spark: SparkSession) -> DataFrame:
 # the r4-green cohort that round 7's 50-row window could not reach
 # (last driver-checked in CORRECTNESS_r04), then the r5 cohort.
 _DRIVER_PRIORITY = [
-    # changed in round 8 (re-verify first)
+    # changed in round 8 (re-verify first): merge-clause-state's
+    # general_merge_state core grew insertAll + CDC classification;
+    # sim-ann-ivf re-registered at nprobe=4 with a multi-probe oracle
     "merge-clause-state",
+    "sim-ann-ivf",
     # NEW in round 8
     "scd2-incremental-upsert",
     "dedup-cc-bigstar",
     "stats-theil-sen",
-    "window-holt-linear",
-    "agg-hyperloglog-groups",
-    "join-interval-overlap",
-    "stats-permutation-test",
-    "text-simhash-soft-cluster",
-    "sample-reservoir-per-key",
+    "stats-kendall-tau",
+    "window-rolling-slope",
     "window-regime-segments",
+    "sketch-count-min",
+    "text-zipf-profile",
+    "multimodal-scene-cuts",
+    "stats-mad-outliers",
+    "stream-gap-monitor",
+    "graph-degree-histogram",
+    "stats-runs-test",
     # r4 cohort — last driver-checked in round 4
     "multimodal-frame-sample",
     "multimodal-audio-chunks",

@@ -448,3 +448,290 @@ def welch_t(
         F.col("_n1").alias("n_true"),
         F.col("_n2").alias("n_false"),
     )
+
+
+def theil_sen(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    max_points: int = 4000,
+) -> DataFrame:
+    """Theil–Sen slope estimator — the MEDIAN of all pairwise slopes
+    (y_j−y_i)/(x_j−x_i) over x_i < x_j: a robust trend line with a
+    29% breakdown point, immune to the outliers that wreck OLS (Sen
+    1968). One row out: ``slope``, ``n_points``, ``n_pairs``.
+
+    This is an O(n²)-pairs estimator by definition, so it is meant for
+    an AGGREGATED series (daily/weekly rollups — the usual trend-
+    monitoring input), never raw rows: the point count is probed first
+    and >``max_points`` raises, pointing at pre-aggregation. The
+    median is taken WITHOUT interpolation ambiguity: explicit middle
+    ranks ((n+1)÷2, (n+2)÷2) under a full slope sort — one narrow
+    global sort of n² 8-byte slopes, engine-exact (same two middle
+    elements in any engine; their mean is one IEEE add+divide).
+    """
+    from pyspark.sql import Window as W
+
+    pts = df.select(
+        F.col(x_col).cast("double").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
+    )
+    n_points = pts.count()
+    if n_points > max_points:
+        raise ValueError(
+            f"theil_sen over {n_points} points is {n_points}²/2 pair "
+            f"slopes; aggregate the series below max_points="
+            f"{max_points} first"
+        )
+    a, b = pts.alias("a"), pts.alias("b")
+    slopes = a.join(b, F.col("a.x") < F.col("b.x")).select(
+        (
+            (F.col("b.y") - F.col("a.y"))
+            / (F.col("b.x") - F.col("a.x"))
+        ).alias("slope")
+    )
+    ranked = slopes.select(
+        "slope",
+        F.row_number().over(W.orderBy("slope")).alias("rn"),
+    )
+    tot = slopes.agg(F.count(F.lit(1)).alias("n_pairs"))
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .filter(
+            (F.col("rn") == F.floor((F.col("n_pairs") + 1) / 2))
+            | (F.col("rn") == F.floor((F.col("n_pairs") + 2) / 2))
+        )
+        .agg(
+            F.avg("slope").alias("slope"),
+            F.lit(n_points).cast("long").alias("n_points"),
+            F.first("n_pairs").alias("n_pairs"),
+        )
+    )
+
+
+def kendall_tau(
+    df: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    max_points: int = 4000,
+) -> DataFrame:
+    """Kendall's τ-b rank correlation — concordant-minus-discordant
+    pair fraction with the tie correction: τ_b = (P−Q) /
+    √((P+Q+T_x)(P+Q+T_y)). The third rank-correlation next to
+    Pearson (stats-corr) and Spearman (stats-spearman-rho); preferred
+    when ties are heavy (counts, grades) because the tie terms are
+    explicit. One row out: ``tau_b`` + the four pair counts —
+    integer-exact pair classification, so engines agree bit-for-bit.
+
+    O(n²) pairs by definition → same ``max_points`` probe-and-raise
+    posture as :func:`theil_sen` (τ over raw 100 TB rows is a
+    pre-aggregation error, not a bigger cluster's job)."""
+    pts = df.select(
+        F.col(id_col).alias("i"),
+        F.col(x_col).cast("double").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
+    )
+    n_points = pts.count()
+    if n_points > max_points:
+        raise ValueError(
+            f"kendall_tau over {n_points} points is O(n²) pairs; "
+            f"sample or aggregate below max_points={max_points}"
+        )
+    a, b = pts.alias("a"), pts.alias("b")
+    pair = a.join(b, F.col("a.i") < F.col("b.i")).select(
+        (F.col("b.x") - F.col("a.x")).alias("dx"),
+        (F.col("b.y") - F.col("a.y")).alias("dy"),
+    )
+    agg = pair.agg(
+        F.sum(
+            ((F.col("dx") * F.col("dy")) > 0).cast("long")
+        ).alias("concordant"),
+        F.sum(
+            ((F.col("dx") * F.col("dy")) < 0).cast("long")
+        ).alias("discordant"),
+        F.sum(
+            ((F.col("dx") == 0) & (F.col("dy") != 0)).cast("long")
+        ).alias("ties_x"),
+        F.sum(
+            ((F.col("dx") != 0) & (F.col("dy") == 0)).cast("long")
+        ).alias("ties_y"),
+    )
+    p, q = F.col("concordant"), F.col("discordant")
+    return agg.select(
+        (
+            (p - q).cast("double")
+            / F.sqrt(
+                ((p + q + F.col("ties_x")) * (p + q + F.col("ties_y")))
+                .cast("double")
+            )
+        ).alias("tau_b"),
+        "concordant",
+        "discordant",
+        "ties_x",
+        "ties_y",
+    )
+
+
+def count_min_estimate(
+    df: DataFrame,
+    key_col: str,
+    probes: DataFrame,
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cms",
+) -> DataFrame:
+    """Count–min sketch frequency estimation, fully distributed: the
+    d×w counter grid is built as a (row, bucket) → count aggregation
+    (one groupBy — each of the d rows hashes every key with its own
+    salt), and a probe key's estimate is the MIN of its d counters.
+    Guarantees est ≥ true count (one-sided error), with overshoot
+    ≤ εN at probability 1−δ for w=⌈e/ε⌉, d=⌈ln 1/δ⌉ (Cormode &
+    Muthukrishnan 2005).
+
+    The grid is d·w integers regardless of corpus size — THE mergeable
+    heavy-hitter sketch for 100 TB streams: shards build grids
+    independently and counter-wise ADD them (same contract as the HLL
+    registers in approx-hll-mergeable). Hashing is the portable
+    md5-prefix h64, so the DuckDB oracle rebuilds the identical grid.
+    Output: one row per probe key — ``est_count``, ``exact_count``,
+    ``overshoot`` (always ≥ 0)."""
+    from medallion_delta_lake_spark.functions.hashing import h64
+
+    def bucket(col, r: int):
+        return F.pmod(
+            h64(F.concat(F.lit(f"{salt}{r}|"), col.cast("string"))),
+            F.lit(width),
+        )
+
+    key = F.col(key_col)
+    grid = (
+        df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"),
+                            bucket(key, r).alias("b"),
+                        )
+                        for r in range(depth)
+                    ]
+                )
+            ).alias("rb")
+        )
+        .groupBy(F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pk = F.col("_pk")
+    probe_rows = probes.select(F.col(key_col).alias("_pk")).distinct()
+    probe_buckets = probe_rows.select(
+        "_pk",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"), bucket(pk, r).alias("b")
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rb"),
+    ).select("_pk", F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+    est = (
+        probe_buckets.join(F.broadcast(grid), ["r", "b"], "left")
+        .groupBy("_pk")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est_count"))
+    )
+    exact = df.groupBy(F.col(key_col).alias("_pk")).agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    return (
+        est.join(exact, "_pk", "left")
+        .select(
+            F.col("_pk").alias(key_col),
+            "est_count",
+            F.coalesce("exact_count", F.lit(0)).alias("exact_count"),
+            (
+                F.col("est_count")
+                - F.coalesce("exact_count", F.lit(0))
+            ).alias("overshoot"),
+        )
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    tiebreak_col: str,
+    z_thresh: float = 3.5,
+) -> DataFrame:
+    """Robust per-group dispersion + outlier census via the MEDIAN
+    ABSOLUTE DEVIATION: median, MAD, and the count of points whose
+    robust z-score 0.6745·(x−median)/MAD exceeds ``z_thresh`` (the
+    Iglewicz–Hoaglin modified z test — the outlier detector that
+    still works when the outliers themselves have wrecked mean and
+    stddev). Medians are positional (explicit middle ranks, mean of
+    the two middles on even counts) so engines agree exactly; both
+    median passes are KEY-PARTITIONED window sorts — per-group, never
+    a global single-partition sort — and the final census is one
+    grouped aggregate. Groups with MAD = 0 report NULL z (a
+    degenerate constant group has no scale)."""
+    from pyspark.sql import Window as W
+
+    gc = list(group_cols)
+    v = F.col(value_col).cast("double")
+    w = W.partitionBy(*gc).orderBy(v.asc(), F.col(tiebreak_col).asc())
+    wc = W.partitionBy(*gc)
+    lo = F.floor((F.col("_cnt") + 1) / 2)
+    hi = F.floor((F.col("_cnt") + 2) / 2)
+    base = df.select(
+        *gc,
+        v.alias("_v"),
+        F.col(tiebreak_col).alias("_tb"),
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(wc).alias("_cnt"),
+    )
+    med = (
+        base.filter((F.col("_rn") >= lo) & (F.col("_rn") <= hi))
+        .groupBy(*gc)
+        .agg(F.avg("_v").alias("median"))
+    )
+    dev = base.join(med, gc).select(
+        *gc,
+        "_v",
+        "_tb",
+        F.abs(F.col("_v") - F.col("median")).alias("_d"),
+        "median",
+    )
+    w2 = W.partitionBy(*gc).orderBy(
+        F.col("_d").asc(), F.col("_tb").asc()
+    )
+    dev2 = dev.select(
+        *gc,
+        "_d",
+        "median",
+        F.row_number().over(w2).alias("_rn"),
+        F.count(F.lit(1)).over(W.partitionBy(*gc)).alias("_cnt"),
+    )
+    mad = (
+        dev2.filter((F.col("_rn") >= lo) & (F.col("_rn") <= hi))
+        .groupBy(*gc)
+        .agg(F.first("median").alias("median"), F.avg("_d").alias("mad"))
+    )
+    z = F.lit(0.6745) * (F.col("_v") - F.col("median")) / F.col("mad")
+    return (
+        df.select(*gc, v.alias("_v"))
+        .join(mad, gc)
+        .groupBy(*gc)
+        .agg(
+            F.first("median").alias("median"),
+            F.first("mad").alias("mad"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(
+                    (F.col("mad") != 0) & (F.abs(z) > z_thresh), 1
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )

@@ -144,3 +144,27 @@ def triangle_count(edges: DataFrame, src: str = "a", dst: str = "b") -> DataFram
             F.col("n_vertices").cast("bigint").alias("n_vertices"),
         )
     )
+
+
+def degree_histogram(
+    edges: DataFrame, src: str = "a", dst: str = "b"
+) -> DataFrame:
+    """Degree distribution of an undirected graph — (degree,
+    n_nodes): the first thing to look at before ANY graph algorithm
+    runs, because it prices them (triangle counting is quadratic in
+    degree; components stall on hubs; LSH buckets blow up on heavy
+    posting lists — the same Σd² story as dedup's max_df cap).
+    Multi-edges are collapsed first (distinct canonical pairs), then
+    two grouped counts: node→degree, degree→n_nodes. All int-keyed
+    partial-aggregated shuffles; nothing driver-side."""
+    e = edges.select(
+        F.least(F.col(src), F.col(dst)).alias("u"),
+        F.greatest(F.col(src), F.col(dst)).alias("v"),
+    ).filter(F.col("u") != F.col("v")).distinct()
+    ends = e.select(F.col("u").alias("node")).unionAll(
+        e.select(F.col("v").alias("node"))
+    )
+    deg = ends.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )

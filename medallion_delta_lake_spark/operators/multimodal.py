@@ -695,3 +695,81 @@ def frame_neardup_pairs(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_frames"))
         .filter(F.col("n_shared_frames") >= min_shared_frames)
     )
+
+
+def scene_cuts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    n_frames: int = 16,
+    frame_len: int = 32,
+    cut_threshold: int = 12,
+    grid: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Scene-change detection from consecutive frame dHashes — the
+    video shot-boundary primitive (keyframe selection, per-scene
+    sampling budgets, intro/outro stripping all start here): sample
+    ``n_frames`` evenly-spaced windows per payload (the same pure
+    substring geometry as :func:`frame_neardup_pairs`), dHash each,
+    and flag frame i a CUT when its Hamming distance to frame i−1
+    reaches ``cut_threshold`` of the 64 signature bits. Output one
+    row per frame: ``hamming_prev`` (NULL for frame 0) and
+    ``is_cut``.
+
+    Per-doc LAG over ≤``n_frames`` int rows after one narrow scan —
+    payloads never shuffle; 100 TB of video costs one pass +
+    a (doc, frame) window over 16-row groups."""
+    from pyspark.sql import Window as W
+
+    step_div = max(n_frames - 1, 1)
+    frames = (
+        df.select(id_col, payload_col)
+        .withColumn("_nb", F.length(F.col(payload_col)))
+        .select(
+            id_col,
+            payload_col,
+            "_nb",
+            F.explode(
+                F.array(*[F.lit(i) for i in range(n_frames)])
+            ).alias("frame_idx"),
+        )
+        .withColumn(
+            "_off",
+            F.expr(
+                f"CAST(frame_idx * greatest(_nb - {frame_len}, 0) "
+                f"DIV {step_div} AS INT)"
+            ),
+        )
+        .withColumn(
+            "frame_bytes",
+            F.expr(f"substring(`{payload_col}`, _off + 1, {frame_len})"),
+        )
+        .filter(F.length("frame_bytes") >= 2)
+    )
+    hashed = dhash_bands(
+        frames.select(id_col, "frame_idx", "frame_bytes"),
+        "frame_bytes",
+        grid=grid,
+        bands=bands,
+    ).drop("frame_bytes")
+    band_cols = [f"band{b}" for b in range(bands)]
+    w = W.partitionBy(id_col).orderBy("frame_idx")
+    hamming = None
+    for c in band_cols:
+        term = F.bit_count(
+            F.col(c).bitwiseXOR(F.lag(c).over(w))
+        )
+        hamming = term if hamming is None else hamming + term
+    return hashed.select(
+        id_col,
+        "frame_idx",
+        hamming.alias("hamming_prev"),
+    ).select(
+        id_col,
+        "frame_idx",
+        "hamming_prev",
+        F.coalesce(
+            F.col("hamming_prev") >= cut_threshold, F.lit(False)
+        ).alias("is_cut"),
+    )

@@ -521,3 +521,47 @@ def vocab_overlap(
             ).alias("jaccard"),
         )
     )
+
+
+def zipf_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 50,
+) -> DataFrame:
+    """Zipf rank–frequency profile of the corpus head: the ``top_k``
+    tokens with rank, frequency, and the rank·frequency product —
+    which Zipf's law predicts is roughly constant, so its deviation
+    from the rank-1 value is the corpus-health signal (a spiking
+    product at low ranks flags boilerplate flooding; a collapsing one
+    flags vocabulary truncation). Everything emitted is INTEGER —
+    rank·freq products instead of a fitted log-log slope, because
+    ln() is not bit-identical across engines (libm ulp drift) while
+    integer products are. One explode + one grouped count (map-side
+    combined) + one tiny top-k sort; the token long tail never
+    leaves the aggregate."""
+    from pyspark.sql import Window as W
+
+    freq = (
+        df.select(F.explode(tokenize(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = W.orderBy(F.col("freq").desc(), F.col("token").asc())
+    ranked = freq.select(
+        "token", "freq", F.row_number().over(w).alias("rank")
+    ).filter(F.col("rank") <= top_k)
+    head = ranked.filter(F.col("rank") == 1).select(
+        F.col("freq").alias("_head_freq")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(head))
+        .select(
+            "rank",
+            "token",
+            "freq",
+            (F.col("rank") * F.col("freq")).alias("rank_freq"),
+            (F.col("rank") * F.col("freq") - F.col("_head_freq")).alias(
+                "dev_from_head"
+            ),
+        )
+    )

@@ -260,3 +260,75 @@ def delete_keys(
     os.rename(staging, path)
     shutil.rmtree(old, ignore_errors=True)
     return before - after
+
+
+def scd2_apply(
+    dim: DataFrame,
+    batch: DataFrame,
+    key: str,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """Apply a CHANGE BATCH to an existing SCD type-2 dimension —
+    the incremental companion of the full-history rebuild
+    (plans/queries_rel.py scd2-history-build): close each affected
+    key's open interval at its first new change date, chain the batch
+    rows into [valid_from, valid_to) intervals, and append them with
+    the last row left open. ``incremental == full rebuild`` is the
+    correctness contract (pinned by the scd2-incremental-upsert
+    oracle and tests/test_upsert.py).
+
+    Requires every batch date to be strictly later than the key's
+    open ``valid_from`` (i.e. batches arrive in order — the daily-
+    increment contract); earlier dates would need history splicing,
+    which is a restatement, not an upsert.
+
+    Shape at 100 TB: one window over the BATCH only (small), one
+    key-equi join dim⋈(per-key first new date) — broadcast when the
+    batch is a daily increment, hash-shuffle otherwise; history rows
+    never re-sort. Attribute columns = everything that isn't the key
+    or an interval column."""
+    from pyspark.sql import Window as W
+
+    attrs = [
+        c
+        for c in batch.columns
+        if c not in (key, from_col, to_col, current_col)
+    ]
+    w = W.partitionBy(key).orderBy(from_col)
+    new_rows = batch.select(
+        key,
+        from_col,
+        F.lead(from_col).over(w).alias(to_col),
+        *attrs,
+    ).select(
+        key,
+        from_col,
+        to_col,
+        *attrs,
+        F.col(to_col).isNull().alias(current_col),
+    )
+    firsts = batch.groupBy(key).agg(
+        F.min(from_col).alias("__first_new")
+    )
+    dim_cols = [key, from_col, to_col, *attrs, current_col]
+    closed = (
+        dim.join(F.broadcast(firsts), key, "left")
+        .select(
+            key,
+            from_col,
+            F.when(
+                F.col(current_col) & F.col("__first_new").isNotNull(),
+                F.col("__first_new"),
+            )
+            .otherwise(F.col(to_col))
+            .alias(to_col),
+            *attrs,
+            (
+                F.col(current_col) & F.col("__first_new").isNull()
+            ).alias(current_col),
+        )
+        .select(*dim_cols)
+    )
+    return closed.unionByName(new_rows.select(*dim_cols))

@@ -389,3 +389,77 @@ def cusum_drift(
             F.count(F.lit(1)).cast("bigint").alias("n_points"),
         )
     )
+
+
+def rolling_slope(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_by: Sequence[Column | str],
+    value_col: str,
+    window_rows: int = 7,
+) -> Column:
+    """Rolling OLS trend: the least-squares slope of the value against
+    its ROW INDEX over the trailing ``window_rows`` rows per key —
+    the windowed "is this metric trending up" primitive (a rolling
+    mean tells you level; this tells you direction and rate).
+
+    Closed form from frame sums — slope = (nΣxy − ΣxΣy) /
+    (nΣx² − (Σx)²) — so it is pure window aggregation: x is the
+    row_number (exact integers), y accumulates in DECIMAL(38,6)
+    (order-insensitive, engine-exact), and the final combination is a
+    handful of IEEE ops on identical inputs. One shuffle on the key;
+    NULL until a second row exists (a one-point frame has no slope).
+
+    Returns the slope COLUMN (callers attach it), computed over
+    ``Window.partitionBy(key_cols).orderBy(order_by)``."""
+    w_ord = Window.partitionBy(*key_cols).orderBy(*_order(order_by, False))
+    x = F.row_number().over(w_ord)
+    y = F.col(value_col).cast("decimal(38,6)")
+    frame = w_ord.rowsBetween(-(window_rows - 1), 0)
+    n = F.count(F.lit(1)).over(frame).cast("double")
+    sx = F.sum(x).over(frame).cast("double")
+    sy = F.sum(y).over(frame).cast("double")
+    sxy = F.sum(y * x).over(frame).cast("double")
+    sxx = F.sum(x * x).over(frame).cast("double")
+    denom = n * sxx - sx * sx
+    return F.when(denom != 0, (n * sxy - sx * sy) / denom)
+
+
+def regime_segments(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_by: Sequence[Column | str],
+    regime: Column,
+    ts_col: str,
+) -> DataFrame:
+    """Segment each key's ordered series into maximal runs of a
+    boolean ``regime`` expression (above/below threshold, on/off,
+    healthy/degraded) — the gaps-and-islands primitive behind uptime
+    reports, alert episodes, and drawdown spells. Output: one row per
+    (key, segment) with the regime flag, row count, and start/end
+    timestamps.
+
+    Classic two-window formulation: a LAG comparison marks regime
+    flips, a running SUM of flip marks numbers the segments, then one
+    grouped aggregate per segment — two key-partitioned window passes
+    plus a groupBy, all on narrow columns; deterministic under the
+    caller's explicit tie-breaking order."""
+    w = Window.partitionBy(*key_cols).orderBy(*_order(order_by, False))
+    prev = F.lag(regime).over(w)
+    # two selects: a window function (LAG) cannot nest inside the
+    # running SUM's frame, so the flip mark materializes first
+    flagged = df.withColumn(
+        "_regime", regime
+    ).withColumn(
+        "_flip",
+        F.when(prev.isNull() | (prev != regime), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    )
+    seg = flagged.withColumn("segment", F.sum("_flip").over(w))
+    return seg.groupBy(*key_cols, "segment").agg(
+        F.first("_regime").alias("regime"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(ts_col).alias("start_ts"),
+        F.max(ts_col).alias("end_ts"),
+    )

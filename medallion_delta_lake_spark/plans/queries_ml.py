@@ -142,11 +142,14 @@ _N_CENTROIDS = 16
       FROM embeddings e CROSS JOIN cent c
     ),
     a2 AS (SELECT vec_id, embedding, cid FROM assign WHERE rn = 1),
+    probes AS (
+      SELECT vec_id, embedding, cid FROM assign
+      WHERE rn <= 4 AND vec_id < 5
+    ),
     scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
              {_cos_sql('q.embedding', 'c.embedding')} AS cosine
-      FROM a2 q JOIN a2 c ON q.cid = c.cid
-      WHERE q.vec_id < 5
+      FROM probes q JOIN a2 c ON q.cid = c.cid
     ),
     ranked AS (
       SELECT *, ROW_NUMBER() OVER (
@@ -159,12 +162,20 @@ _N_CENTROIDS = 16
 )
 def sim_ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """similarity / IVF ANN — deterministic coarse quantizer (first 16
-    ids as centroids), inverted-list probe (nprobe=1), exact rerank.
-    The second ANN family next to hyperplane LSH; at scale the probe is
-    an equi-join on the centroid id touching ~N/16 candidates."""
+    ids as centroids), MULTI-PROBE inverted-list scan (nprobe=4, the
+    recommended recall/cost point: 0.85 recall vs 0.77 at nprobe=1,
+    tests/test_ann_recall.py), exact rerank. Registered at nprobe=4 so
+    the registry and bench exercise the multi-probe plan — the
+    centroid ranking rides the broadcast query side; the probe stays
+    one equi-join on the centroid id touching ~nprobe·N/16
+    candidates (VERDICT r7 #8)."""
     e = table(spark, sf_dir, "embeddings")
     return sim.ivf_topk(
-        e.filter(F.col("vec_id") < 5), e, k=5, n_centroids=_N_CENTROIDS
+        e.filter(F.col("vec_id") < 5),
+        e,
+        k=5,
+        n_centroids=_N_CENTROIDS,
+        nprobe=4,
     )
 
 

@@ -372,3 +372,57 @@ def multimodal_frame_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_hamming=8,
         min_shared_frames=2,
     )
+
+
+@query(
+    "multimodal-scene-cuts",
+    # 16 frames × 32 bytes per payload; a cut = consecutive-frame
+    # dHash hamming ≥ 12 of 64 bits — all integer/bit ops
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id, hex(encode(text)) AS full_hx,
+             octet_length(encode(text)) AS fnb
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, CAST(i AS INT) AS frame_idx,
+             substr(full_hx,
+                    CAST(i * greatest(fnb - 32, 0) // 15 AS INT) * 2 + 1,
+                    CAST(least(32, fnb
+                               - (i * greatest(fnb - 32, 0) // 15))
+                         AS INT) * 2) AS hx,
+             CAST(least(32, fnb - (i * greatest(fnb - 32, 0) // 15))
+                  AS INT) AS nb
+      FROM p, unnest(range(0, 16)) AS r(i)
+      WHERE least(32, fnb - (i * greatest(fnb - 32, 0) // 15)) >= 2
+    ),
+    h AS (
+      SELECT doc_id, frame_idx,
+             {_dhash_band_cols()}
+      FROM f
+    ),
+    d AS (
+      SELECT doc_id, frame_idx,
+             bit_count(xor(band0, LAG(band0) OVER w))
+               + bit_count(xor(band1, LAG(band1) OVER w))
+               + bit_count(xor(band2, LAG(band2) OVER w))
+               + bit_count(xor(band3, LAG(band3) OVER w)) AS hamming_prev
+      FROM h
+      WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)
+    )
+    SELECT doc_id, frame_idx, hamming_prev,
+           COALESCE(hamming_prev >= 12, FALSE) AS is_cut
+    FROM d
+    """,
+)
+def multimodal_scene_cuts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multimodal / scene-change detection — shot boundaries from
+    consecutive-frame dHash distance (16 aligned frames per payload;
+    a jump of ≥12/64 signature bits marks a cut). The keyframe-
+    selection front door for video sampling budgets; per-doc LAG over
+    16 int rows, payloads never shuffle
+    (operators/multimodal.py:scene_cuts)."""
+    docs = mm.attach_binary_payload(table(spark, sf_dir, "documents"))
+    return mm.scene_cuts(
+        docs, n_frames=16, frame_len=32, cut_threshold=12
+    )

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from medallion_delta_lake_spark.functions.hashing import h64_sql
 from medallion_delta_lake_spark.functions.texts import tokenize
 from medallion_delta_lake_spark.operators import joins, window
 from medallion_delta_lake_spark.plans.queries_core import dsum
@@ -3862,4 +3863,562 @@ def agg_weekly_growth_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("revenue") / F.lag("revenue").over(W.orderBy("week"))
             - 1.0
         ).alias("wow_growth"),
+    )
+
+
+@query(
+    "scd2-incremental-upsert",
+    # the correctness contract IS the oracle: applying the post-split
+    # change batch to the pre-split dimension must equal the FULL
+    # rebuild over all of history — same SQL as scd2-history-build
+    oracle="""
+    WITH ch AS (
+      SELECT o_custkey, o_orderdate AS valid_from, o_orderpriority,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey, o_orderdate
+               ORDER BY o_orderkey DESC
+             ) AS rn
+      FROM orders
+    ),
+    daily AS (SELECT * FROM ch WHERE rn = 1),
+    hist AS (
+      SELECT o_custkey, valid_from, o_orderpriority,
+             LEAD(valid_from) OVER (
+               PARTITION BY o_custkey ORDER BY valid_from
+             ) AS valid_to
+      FROM daily
+    )
+    SELECT o_custkey, valid_from, valid_to, o_orderpriority,
+           valid_to IS NULL AS is_current
+    FROM hist
+    """,
+)
+def scd2_incremental_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mutation / SCD-2 INCREMENTAL upsert (VERDICT r7 #9) — apply a
+    change batch to an existing type-2 dimension instead of rebuilding
+    from full history: the affected keys' open intervals close at
+    their first new change date, the batch chains into new intervals,
+    everything else rides through untouched. Here the dimension is
+    built from pre-1997 orders, the batch is the 1997+ daily changes,
+    and the oracle asserts the incremental result equals the full
+    rebuild — the invariant that lets a warehouse maintain dimension
+    history without nightly O(history) rebuilds. Scale shape
+    (operators/upsert.py:scd2_apply): one window over the BATCH, one
+    broadcast join against per-key first-new-dates; history never
+    re-sorts."""
+    from pyspark.sql import Window as W
+
+    from medallion_delta_lake_spark.operators.upsert import scd2_apply
+
+    split = "1997-01-01"
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").alias("valid_from"),
+        "o_orderpriority",
+        "o_orderkey",
+    )
+    w_day = W.partitionBy("o_custkey", "valid_from").orderBy(
+        F.col("o_orderkey").desc()
+    )
+    daily = (
+        o.withColumn("rn", F.row_number().over(w_day))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "o_orderkey")
+    )
+    pre = daily.filter(F.col("valid_from") < F.lit(split))
+    batch = daily.filter(F.col("valid_from") >= F.lit(split))
+    w_hist = W.partitionBy("o_custkey").orderBy("valid_from")
+    dim = pre.select(
+        "o_custkey",
+        "valid_from",
+        F.lead("valid_from").over(w_hist).alias("valid_to"),
+        "o_orderpriority",
+    ).select(
+        "o_custkey",
+        "valid_from",
+        "valid_to",
+        "o_orderpriority",
+        F.col("valid_to").isNull().alias("is_current"),
+    )
+    return scd2_apply(dim, batch, key="o_custkey")
+
+
+@query(
+    "stats-theil-sen",
+    # weekly revenue series; median-of-pairwise-slopes without
+    # interpolation ambiguity: explicit middle ranks (n+1)÷2,(n+2)÷2
+    oracle="""
+    WITH wk AS (
+      SELECT date_diff('day', DATE '1992-01-01', o_orderdate) // 7 AS x,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS y
+      FROM orders GROUP BY 1
+    ),
+    sl AS (
+      SELECT (b.y - a.y) / (b.x - a.x) AS slope
+      FROM wk a JOIN wk b ON a.x < b.x
+    ),
+    r AS (
+      SELECT slope, ROW_NUMBER() OVER (ORDER BY slope) AS rn FROM sl
+    ),
+    t AS (SELECT COUNT(*) AS n_pairs FROM sl),
+    np AS (SELECT COUNT(*) AS n_points FROM wk)
+    SELECT AVG(slope) AS slope,
+           (SELECT n_points FROM np) AS n_points,
+           (SELECT n_pairs FROM t) AS n_pairs
+    FROM r, t
+    WHERE rn = (n_pairs + 1) // 2 OR rn = (n_pairs + 2) // 2
+    """,
+)
+def stats_theil_sen_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stats / Theil–Sen robust trend — median of all pairwise slopes
+    of the WEEKLY revenue series (29% breakdown point; the trend line
+    outliers can't drag, standard in monitoring pipelines). The O(n²)
+    pair join runs over the ~370-point aggregate, never raw rows —
+    the operator probes the point count and raises past max_points
+    (operators/agg.py:theil_sen). Median via explicit middle ranks:
+    no percentile interpolation to disagree across engines."""
+    from medallion_delta_lake_spark.operators.agg import theil_sen
+
+    o = table(spark, sf_dir, "orders")
+    wk = o.groupBy(
+        (
+            F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
+            / F.lit(7)
+        )
+        .cast("long")
+        .alias("x")
+    ).agg(dsum("o_totalprice", "y"))
+    return theil_sen(wk, "x", "y")
+
+
+@query(
+    "stats-kendall-tau",
+    # pair classification is integer-exact; tau's sqrt is IEEE-exact
+    oracle="""
+    WITH pts AS (
+      SELECT c.c_custkey AS i,
+             CAST(COUNT(o.o_orderkey) AS DOUBLE) AS x,
+             CAST(c.c_acctbal AS DOUBLE) AS y
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      WHERE c.c_custkey % 3 = 0
+      GROUP BY c.c_custkey, c.c_acctbal
+    ),
+    pair AS (
+      SELECT (b.x - a.x) AS dx, (b.y - a.y) AS dy
+      FROM pts a JOIN pts b ON a.i < b.i
+    ),
+    agg AS (
+      SELECT
+        SUM(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END) AS concordant,
+        SUM(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END) AS discordant,
+        SUM(CASE WHEN dx = 0 AND dy <> 0 THEN 1 ELSE 0 END) AS ties_x,
+        SUM(CASE WHEN dx <> 0 AND dy = 0 THEN 1 ELSE 0 END) AS ties_y
+      FROM pair
+    )
+    SELECT CAST(concordant - discordant AS DOUBLE)
+           / sqrt(CAST((concordant + discordant + ties_x)
+                  * (concordant + discordant + ties_y) AS DOUBLE))
+             AS tau_b,
+           concordant, discordant, ties_x, ties_y
+    FROM agg
+    """,
+)
+def stats_kendall_tau_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stats / Kendall τ-b — rank correlation between a customer's
+    order count and account balance (every-3rd-customer sample keeps
+    the O(n²) pair set ~125k). Completes the correlation family
+    (Pearson stats-corr, Spearman stats-spearman-rho) with the
+    tie-corrected concordance statistic — the right tool when one
+    variable is a small count full of ties. Integer-exact pair
+    classification; same probe-and-raise scale posture as theil_sen
+    (operators/agg.py:kendall_tau)."""
+    from medallion_delta_lake_spark.operators.agg import kendall_tau
+
+    c = table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 3 == 0
+    )
+    o = table(spark, sf_dir, "orders")
+    pts = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey", "c_acctbal")
+        .agg(F.count("o_orderkey").cast("double").alias("x"))
+        .select(
+            "c_custkey",
+            "x",
+            F.col("c_acctbal").cast("double").alias("y"),
+        )
+    )
+    return kendall_tau(pts, "c_custkey", "x", "y")
+
+
+@query(
+    "window-rolling-slope",
+    # closed-form OLS from frame sums: x = row index (exact ints),
+    # y decimal-accumulated; final combination is IEEE-identical
+    oracle="""
+    WITH s AS (
+      SELECT event_id, user_id, ts,
+             CAST(value AS DECIMAL(38,6)) AS y,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS x
+      FROM events
+    ),
+    f AS (
+      SELECT event_id, user_id,
+        CAST(COUNT(*) OVER w AS DOUBLE) AS n,
+        CAST(SUM(x) OVER w AS DOUBLE) AS sx,
+        CAST(SUM(y) OVER w AS DOUBLE) AS sy,
+        CAST(SUM(y * x) OVER w AS DOUBLE) AS sxy,
+        CAST(SUM(x * x) OVER w AS DOUBLE) AS sxx
+      FROM s
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id,
+           CASE WHEN n * sxx - sx * sx <> 0
+                THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+           END AS slope7
+    FROM f
+    """,
+)
+def window_rolling_slope_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """window / rolling OLS slope — per-user trend DIRECTION of the
+    event value over the trailing 7 rows (a rolling mean gives level;
+    this gives rate — the anomaly precursor signal monitoring systems
+    alert on). Closed form from five frame sums, one key-partitioned
+    window pass, decimal accumulation for engine-exact parity
+    (operators/window.py:rolling_slope)."""
+    from medallion_delta_lake_spark.operators.window import rolling_slope
+
+    e = table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        "user_id",
+        rolling_slope(
+            e, ["user_id"], ["ts", "event_id"], "value", window_rows=7
+        ).alias("slope7"),
+    )
+
+
+@query(
+    "window-regime-segments",
+    # gaps-and-islands: LAG flip marks + running-sum segment ids,
+    # grouped to one row per maximal run — ordering ops only
+    oracle="""
+    WITH f AS (
+      SELECT user_id, ts, event_id,
+             value >= 50.0 AS r,
+             CASE WHEN LAG(value >= 50.0) OVER w IS NULL
+                       OR LAG(value >= 50.0) OVER w <> (value >= 50.0)
+                  THEN 1 ELSE 0 END AS flip
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts, r,
+             SUM(flip) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS segment
+      FROM f
+    )
+    SELECT user_id, CAST(segment AS BIGINT) AS segment,
+           r AS regime, COUNT(*) AS n_rows,
+           MIN(ts) AS start_ts, MAX(ts) AS end_ts
+    FROM s GROUP BY user_id, segment, r
+    """,
+)
+def window_regime_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """window / regime segmentation (gaps-and-islands) — each user's
+    event series split into maximal runs of value≥50 vs value<50:
+    the uptime-episode / alert-spell primitive. Two window passes
+    (LAG flip mark, running segment id) + one grouped aggregate, all
+    narrow columns on one key shuffle
+    (operators/window.py:regime_segments)."""
+    from medallion_delta_lake_spark.operators.window import (
+        regime_segments,
+    )
+
+    e = table(spark, sf_dir, "events")
+    return regime_segments(
+        e,
+        ["user_id"],
+        ["ts", "event_id"],
+        F.col("value") >= 50.0,
+        "ts",
+    )
+
+
+@query(
+    "sketch-count-min",
+    # the full d×w counter grid rebuilt in SQL with the same portable
+    # hashes; estimates are MIN over d integer counters — exact parity
+    oracle=f"""
+    WITH grid AS (
+      SELECT r, {h64_sql("'cms' || CAST(r AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)")} % 256 AS b,
+             COUNT(*) AS cnt
+      FROM events, unnest([0, 1, 2, 3]) AS t(r)
+      GROUP BY 1, 2
+    ),
+    probes AS (SELECT DISTINCT user_id FROM events WHERE user_id < 40),
+    pb AS (
+      SELECT user_id, r,
+             {h64_sql("'cms' || CAST(r AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)")} % 256 AS b
+      FROM probes, unnest([0, 1, 2, 3]) AS t(r)
+    ),
+    est AS (
+      SELECT pb.user_id, MIN(COALESCE(grid.cnt, 0)) AS est_count
+      FROM pb LEFT JOIN grid ON grid.r = pb.r AND grid.b = pb.b
+      GROUP BY pb.user_id
+    ),
+    exact AS (
+      SELECT user_id, COUNT(*) AS exact_count FROM events GROUP BY 1
+    )
+    SELECT e.user_id, e.est_count,
+           COALESCE(x.exact_count, 0) AS exact_count,
+           e.est_count - COALESCE(x.exact_count, 0) AS overshoot
+    FROM est e LEFT JOIN exact x ON x.user_id = e.user_id
+    """,
+)
+def sketch_count_min_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sketch / count–min frequency estimation — per-user event counts
+    estimated from a 4×256 counter grid (min over 4 salted-hash
+    counters; est ≥ exact always, Cormode–Muthukrishnan). The
+    mergeable heavy-hitter sketch: shards build grids independently
+    and ADD counters, so a 100 TB stream reduces to d·w integers
+    (operators/agg.py:count_min_estimate). Probing the first 40 users
+    and emitting est vs exact vs overshoot makes the one-sided-error
+    contract itself part of the checked result."""
+    from medallion_delta_lake_spark.operators.agg import (
+        count_min_estimate,
+    )
+
+    e = table(spark, sf_dir, "events")
+    return count_min_estimate(
+        e,
+        "user_id",
+        e.filter(F.col("user_id") < 40),
+        depth=4,
+        width=256,
+        salt="cms",
+    )
+
+
+@query(
+    "stats-mad-outliers",
+    # two positional medians (explicit middle ranks) + an integer
+    # outlier census under the Iglewicz–Hoaglin modified z — all
+    # key-partitioned sorts, engine-exact
+    oracle="""
+    WITH base AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS cnt
+      FROM events
+    ),
+    med AS (
+      SELECT event_type, AVG(value) AS median
+      FROM base
+      WHERE rn >= floor((cnt + 1) / 2) AND rn <= floor((cnt + 2) / 2)
+      GROUP BY event_type
+    ),
+    dev AS (
+      SELECT b.event_type, abs(b.value - m.median) AS d, m.median,
+             ROW_NUMBER() OVER (
+               PARTITION BY b.event_type
+               ORDER BY abs(b.value - m.median), b.event_id
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY b.event_type) AS cnt
+      FROM (SELECT event_type, event_id, value FROM events) b
+      JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, ANY_VALUE(median) AS median, AVG(d) AS mad
+      FROM dev
+      WHERE rn >= floor((cnt + 1) / 2) AND rn <= floor((cnt + 2) / 2)
+      GROUP BY event_type
+    )
+    SELECT e.event_type, ANY_VALUE(m.median) AS median,
+           ANY_VALUE(m.mad) AS mad, COUNT(*) AS n,
+           SUM(CASE WHEN m.mad <> 0
+                     AND abs(0.6745 * (e.value - m.median) / m.mad)
+                         > 3.5
+                    THEN 1 ELSE 0 END) AS n_outliers
+    FROM events e JOIN mad m USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def stats_mad_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stats / MAD + modified-z outlier census — per event type:
+    positional median, median absolute deviation, and how many events
+    exceed robust |z| > 3.5 (Iglewicz–Hoaglin) — the dispersion/
+    outlier monitor that survives the outliers themselves (stddev
+    does not). Completes the robust family with stats-theil-sen
+    (robust trend) and window-winsorize (robust clipping). Two keyed
+    window sorts + two grouped aggregates
+    (operators/agg.py:mad_outliers)."""
+    from medallion_delta_lake_spark.operators.agg import mad_outliers
+
+    return mad_outliers(
+        table(spark, sf_dir, "events"),
+        ["event_type"],
+        "value",
+        "event_id",
+        z_thresh=3.5,
+    )
+
+
+@query(
+    "graph-degree-histogram",
+    oracle="""
+    WITH raw AS (
+      SELECT l_orderkey % 20000 AS p, l_partkey % 20000 AS q
+      FROM lineitem
+    ),
+    e AS (
+      SELECT DISTINCT least(p, q) AS u, greatest(p, q) AS v
+      FROM raw WHERE least(p, q) < greatest(p, q)
+    ),
+    ends AS (
+      SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+    ),
+    deg AS (SELECT node, COUNT(*) AS degree FROM ends GROUP BY node)
+    SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY degree
+    """,
+)
+def graph_degree_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graph / degree distribution — n_nodes per degree of the same
+    hash-projected order↔part graph the triangle count runs on: the
+    pre-flight every graph job needs, since degree structure PRICES
+    them (wedge counts are Σd², hub nodes stall label propagation,
+    heavy LSH buckets are the identical pathology). Two int-keyed
+    grouped counts after multi-edge collapse
+    (operators/graph.py:degree_histogram)."""
+    from medallion_delta_lake_spark.operators.graph import (
+        degree_histogram,
+    )
+
+    li = table(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 20000).alias("a"),
+        (F.col("l_partkey") % 20000).alias("b"),
+    )
+    return degree_histogram(li, "a", "b")
+
+
+@query(
+    "stats-runs-test",
+    # runs of daily revenue above/below the positional median; the
+    # Wald–Wolfowitz z uses only counts + one sqrt (IEEE-exact)
+    oracle="""
+    WITH d AS (
+      SELECT o_orderdate AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS rev
+      FROM orders GROUP BY 1
+    ),
+    r AS (
+      SELECT day, rev,
+             ROW_NUMBER() OVER (ORDER BY rev, day) AS rn,
+             COUNT(*) OVER () AS cnt
+      FROM d
+    ),
+    med AS (
+      SELECT AVG(rev) AS m FROM r
+      WHERE rn >= floor((cnt + 1) / 2) AND rn <= floor((cnt + 2) / 2)
+    ),
+    s AS (
+      SELECT day, rev > (SELECT m FROM med) AS above
+      FROM d WHERE rev <> (SELECT m FROM med)
+    ),
+    f AS (
+      SELECT above,
+             CASE WHEN LAG(above) OVER (ORDER BY day) IS NULL
+                       OR LAG(above) OVER (ORDER BY day) <> above
+                  THEN 1 ELSE 0 END AS flip
+      FROM s
+    ),
+    agg AS (
+      SELECT SUM(flip) AS runs,
+             SUM(CASE WHEN above THEN 1 ELSE 0 END) AS n1,
+             SUM(CASE WHEN above THEN 0 ELSE 1 END) AS n2
+      FROM f
+    )
+    SELECT CAST(runs AS BIGINT) AS runs,
+           CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           (CAST(runs AS DOUBLE)
+            - (2.0 * n1 * n2 / (n1 + n2) + 1.0))
+           / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                  / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0)))
+             AS z
+    FROM agg
+    """,
+)
+def stats_runs_test_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stats / Wald–Wolfowitz runs test — is the daily-revenue series
+    RANDOM around its median, or does it clump (autocorrelated
+    regimes, batchy ingestion)? Counts the runs of above/below-median
+    days (rows equal to the median drop, standard practice) and
+    z-scores against the run-count null. Positional median + LAG flip
+    count + one closing sqrt — every compared value integer or one
+    IEEE expression. The day-grain series is tiny at any corpus
+    scale; the groupBy that builds it is the only data-sized pass."""
+    from pyspark.sql import Window as W
+
+    o = table(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        dsum("o_totalprice", "rev")
+    )
+    r = d.select(
+        "day",
+        "rev",
+        F.row_number()
+        .over(W.orderBy(F.col("rev").asc(), F.col("day").asc()))
+        .alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("cnt"),
+    )
+    med = (
+        r.filter(
+            (F.col("rn") >= F.floor((F.col("cnt") + 1) / 2))
+            & (F.col("rn") <= F.floor((F.col("cnt") + 2) / 2))
+        )
+        .agg(F.avg("rev").alias("m"))
+    )
+    s = (
+        d.crossJoin(F.broadcast(med))
+        .filter(F.col("rev") != F.col("m"))
+        .select("day", (F.col("rev") > F.col("m")).alias("above"))
+    )
+    w = W.orderBy("day")
+    prev = F.lag("above").over(w)
+    f = s.select(
+        "above",
+        F.when(prev.isNull() | (prev != F.col("above")), 1)
+        .otherwise(0)
+        .alias("flip"),
+    )
+    agg = f.agg(
+        F.sum("flip").cast("bigint").alias("runs"),
+        F.sum(F.when(F.col("above"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("above"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("n2"),
+    )
+    n1, n2, runs = (
+        F.col("n1").cast("double"),
+        F.col("n2").cast("double"),
+        F.col("runs").cast("double"),
+    )
+    mu = 2.0 * n1 * n2 / (n1 + n2) + 1.0
+    sig = F.sqrt(
+        2.0
+        * n1
+        * n2
+        * (2.0 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))
+    )
+    return agg.select(
+        "runs", "n1", "n2", ((runs - mu) / sig).alias("z")
     )

@@ -202,3 +202,36 @@ def stream_cusum_monitor_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         stateful.cusum_monitor(sdf, target=5.0), "update", spark,
         num_state_partitions=8,
     )
+
+
+@query(
+    "stream-gap-monitor",
+    # integer-microsecond state: the maintained max gap equals the
+    # batch LAG closed form exactly; single-event users emit NULL
+    oracle="""
+    WITH l AS (
+      SELECT user_id,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS gap
+      FROM events
+    )
+    SELECT user_id, MAX(gap) AS max_gap_us,
+           COUNT(*) AS n_events
+    FROM l GROUP BY user_id
+    """,
+)
+def stream_gap_monitor_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming / feed-liveness (max inter-arrival gap) monitor —
+    applyInPandasWithState keeping (last event time, max gap, count)
+    per user in integer microseconds: the "source went dark" alarm
+    every ingestion pipeline runs. Exact integer state means the
+    maintained statistic equals the batch LAG twin bit-for-bit after
+    ordered arrival (streaming/stateful.py:gap_monitor)."""
+    from medallion_delta_lake_spark.streaming import stateful
+
+    sdf = se.read_events_stream(spark, sf_dir)
+    return se.run_available_now(
+        stateful.gap_monitor(sdf), "update", spark,
+        num_state_partitions=8,
+    )

@@ -1601,3 +1601,36 @@ def dedup_cc_bigstar_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         fan_out=spark.sparkContext.defaultParallelism,
     )
     return dedup.neardup_clusters_star(corpus.select("doc_id"), pairs)
+
+
+@query(
+    "text-zipf-profile",
+    # integer rank·freq products, not a fitted log-log slope: ln()
+    # drifts by ulps across libms, integer products are engine-exact
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({TOKS_SQL}) AS token FROM documents
+    ),
+    freq AS (SELECT token, COUNT(*) AS freq FROM toks GROUP BY token),
+    ranked AS (
+      SELECT token, freq,
+             ROW_NUMBER() OVER (ORDER BY freq DESC, token ASC) AS rank
+      FROM freq
+    ),
+    top AS (SELECT * FROM ranked WHERE rank <= 50),
+    head AS (SELECT freq AS head_freq FROM top WHERE rank = 1)
+    SELECT CAST(rank AS INT) AS rank, token, freq,
+           rank * freq AS rank_freq,
+           rank * freq - head_freq AS dev_from_head
+    FROM top, head
+    """,
+)
+def text_zipf_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text / Zipf rank–frequency profile — the top-50 token head with
+    rank·frequency products (Zipf predicts ≈constant) and deviation
+    from the rank-1 value: the corpus-composition drift check run
+    before and after every big ingest (boilerplate flooding spikes
+    the low-rank products; truncation collapses the tail). One
+    explode + grouped count; the singleton tail never leaves the
+    aggregate (operators/text_analysis.py:zipf_profile)."""
+    return ta.zipf_profile(table(spark, sf_dir, "documents"), top_k=50)

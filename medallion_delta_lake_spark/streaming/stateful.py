@@ -158,3 +158,74 @@ def cusum_monitor(sdf: DataFrame, target: float) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+GAP_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("max_gap_us", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+GAP_STATE = StructType(
+    [
+        StructField("last_us", LongType()),
+        StructField("max_gap_us", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def gap_monitor(sdf: DataFrame) -> DataFrame:
+    """Streaming feed-liveness monitor — each key's MAXIMUM
+    inter-arrival gap, maintained incrementally ("did this source go
+    dark, and for how long"): state is (last event time, max gap,
+    count) in integer MICROSECONDS, so after ordered arrival the
+    maintained value equals the batch LAG closed form (the
+    window-gap-report family) bit-for-bit — timestamps are exact
+    integers, no float drift possible. Keys seen once emit a NULL gap
+    (one point has no interval). Rows sort by (ts, event_id) within
+    each batch; cross-batch order is arrival order, the same contract
+    as :func:`cusum_monitor`."""
+    def fn(key, pdfs, state: GroupState):
+        last, mx, n = state.get if state.exists else (-1, -1, 0)
+        for pdf in pdfs:
+            pdf = pdf.dropna(subset=["ts"]).sort_values(
+                ["ts", "event_id"]
+            )
+            if not len(pdf):
+                continue
+            us = (pdf["ts"].astype("int64") // 1000).to_numpy()
+            if last >= 0:
+                mx = max(mx, int(us[0]) - last)
+            if len(us) > 1:
+                mx = max(mx, int((us[1:] - us[:-1]).max()))
+            last = int(us[-1])
+            n += len(us)
+        state.update((last, mx, n))
+        if n:
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": key[0],
+                        "max_gap_us": mx if mx >= 0 else None,
+                        "n_events": n,
+                    }
+                ]
+            )
+        else:
+            yield pd.DataFrame(
+                {"user_id": [], "max_gap_us": [], "n_events": []}
+            )
+
+    return (
+        sdf.select("user_id", "ts", "event_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=GAP_OUTPUT,
+            stateStructType=GAP_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,176 @@
+"""Operator-level edges for the round-8 additions — the parts a
+single registered oracle query does not reach: guard rails, tie
+handling, and the SCD-2 incremental==rebuild invariant on crafted
+micro-cases."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from medallion_delta_lake_spark.operators import agg
+from medallion_delta_lake_spark.operators.text_analysis import zipf_profile
+from medallion_delta_lake_spark.operators.upsert import scd2_apply
+from medallion_delta_lake_spark.operators.window import (
+    regime_segments,
+    rolling_slope,
+)
+
+
+def test_theil_sen_known_line_and_outlier(spark):
+    # perfect line y = 2x + 1 with one wild outlier: the median slope
+    # ignores it (OLS would not)
+    rows = [(float(x), 2.0 * x + 1.0) for x in range(9)] + [(9.0, 500.0)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    out = agg.theil_sen(df, "x", "y").first()
+    assert out["slope"] == 2.0
+    assert out["n_points"] == 10
+    assert out["n_pairs"] == 45
+
+
+def test_theil_sen_size_guard(spark):
+    big = spark.range(5001).selectExpr("id AS x", "id AS y")
+    with pytest.raises(ValueError, match="max_points"):
+        agg.theil_sen(big, "x", "y", max_points=4000)
+
+
+def test_kendall_tau_perfect_and_reversed(spark):
+    inc = spark.createDataFrame(
+        [(i, float(i), float(i * 3)) for i in range(8)],
+        "i long, x double, y double",
+    )
+    assert agg.kendall_tau(inc, "i", "x", "y").first()["tau_b"] == 1.0
+    dec = spark.createDataFrame(
+        [(i, float(i), float(-i)) for i in range(8)],
+        "i long, x double, y double",
+    )
+    assert agg.kendall_tau(dec, "i", "x", "y").first()["tau_b"] == -1.0
+
+
+def test_kendall_tau_tie_counts(spark):
+    # x has a tie (rows 0,1), y has a tie (rows 2,3)
+    df = spark.createDataFrame(
+        [(0, 1.0, 1.0), (1, 1.0, 2.0), (2, 2.0, 5.0), (3, 3.0, 5.0)],
+        "i long, x double, y double",
+    )
+    r = agg.kendall_tau(df, "i", "x", "y").first()
+    assert r["ties_x"] == 1 and r["ties_y"] == 1
+    assert r["concordant"] == 4 and r["discordant"] == 0
+
+
+def test_count_min_never_underestimates(spark):
+    df = spark.range(2000).selectExpr("id % 37 AS k")
+    out = agg.count_min_estimate(
+        df, "k", df.filter("k < 37"), depth=4, width=64
+    ).collect()
+    assert len(out) == 37
+    assert all(r["overshoot"] >= 0 for r in out)
+    # width >> keys: estimates should be exact for most keys
+    exact = sum(1 for r in out if r["overshoot"] == 0)
+    assert exact >= 30
+
+
+def test_count_min_absent_probe_key(spark):
+    df = spark.range(100).selectExpr("id % 5 AS k")
+    probes = spark.createDataFrame([(99,)], "k long")
+    r = agg.count_min_estimate(df, "k", probes, depth=4, width=64).first()
+    assert r["exact_count"] == 0
+    assert r["est_count"] >= 0  # may collide, never negative
+
+
+def test_rolling_slope_exact_line(spark):
+    # y = 3x: every full frame has slope exactly 3
+    df = spark.createDataFrame(
+        [(1, i, float(3 * i)) for i in range(1, 11)],
+        "k int, t int, v double",
+    )
+    out = df.select(
+        "t",
+        rolling_slope(df, ["k"], ["t"], "v", window_rows=4).alias("s"),
+    ).collect()
+    by_t = {r["t"]: r["s"] for r in out}
+    assert by_t[1] is None  # one-point frame: no slope
+    assert all(by_t[t] == 3.0 for t in range(2, 11))
+
+
+def test_regime_segments_runs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 1, 10.0),
+            (1, 2, 60.0),
+            (1, 3, 70.0),
+            (1, 4, 10.0),
+            (2, 1, 90.0),
+        ],
+        "u int, t int, v double",
+    )
+    out = {
+        (r["u"], r["segment"]): (r["regime"], r["n_rows"])
+        for r in regime_segments(
+            df, ["u"], ["t"], F.col("v") >= 50.0, "t"
+        ).collect()
+    }
+    assert out == {
+        (1, 1): (False, 1),
+        (1, 2): (True, 2),
+        (1, 3): (False, 1),
+        (2, 1): (True, 1),
+    }
+
+
+def test_zipf_profile_head_is_rank_one(spark):
+    df = spark.createDataFrame(
+        [("a a a a b b b c c d",)], "text string"
+    )
+    out = {r["rank"]: r for r in zipf_profile(df, top_k=10).collect()}
+    assert out[1]["token"] == "a" and out[1]["freq"] == 4
+    assert out[1]["dev_from_head"] == 0
+    assert out[2]["rank_freq"] == 6  # b: rank 2 × freq 3
+
+
+def test_scd2_apply_micro_equivalence(spark):
+    """Incremental apply == full rebuild on a crafted case covering:
+    key with history + new changes, key with history + no changes,
+    brand-new key, multi-change batch for one key."""
+    from pyspark.sql import Window as W
+
+    hist = [
+        (1, "2024-01-01", "a"),
+        (1, "2024-02-01", "b"),
+        (2, "2024-01-15", "x"),
+        (3, "2024-03-01", "p"),
+    ]
+    batch = [
+        (1, "2024-04-01", "c"),
+        (1, "2024-05-01", "d"),
+        (4, "2024-04-10", "n"),
+    ]
+
+    def build(rows):
+        df = spark.createDataFrame(
+            rows, "k int, valid_from string, attr string"
+        )
+        w = W.partitionBy("k").orderBy("valid_from")
+        return df.select(
+            "k",
+            "valid_from",
+            F.lead("valid_from").over(w).alias("valid_to"),
+            "attr",
+        ).select(
+            "k",
+            "valid_from",
+            "valid_to",
+            "attr",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+
+    dim = build(hist)
+    batch_df = spark.createDataFrame(
+        batch, "k int, valid_from string, attr string"
+    )
+    got = {
+        tuple(r)
+        for r in scd2_apply(dim, batch_df, key="k").collect()
+    }
+    want = {tuple(r) for r in build(hist + batch).collect()}
+    assert got == want

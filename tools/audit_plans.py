@@ -80,6 +80,20 @@ AUDITED = [
     "ts-seasonal-naive",
     "window-winsorize",
     "scd2-history-build",
+    # round-8 additions
+    "scd2-incremental-upsert",
+    "dedup-cc-bigstar",
+    "stats-theil-sen",
+    "stats-kendall-tau",
+    "window-rolling-slope",
+    "window-regime-segments",
+    "sketch-count-min",
+    "text-zipf-profile",
+    "sim-ann-ivf",
+    "multimodal-scene-cuts",
+    "stats-mad-outliers",
+    "graph-degree-histogram",
+    "stats-runs-test",
 ]
 
 
