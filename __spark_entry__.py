@@ -77,6 +77,7 @@ _DRIVER_PRIORITY = [
     "stream-gap-monitor",
     "graph-degree-histogram",
     "stats-runs-test",
+    "join-bloom-prefilter",
     # r4 cohort — last driver-checked in round 4
     "multimodal-frame-sample",
     "multimodal-audio-chunks",

@@ -470,46 +470,50 @@ def neardup_clusters_star(
         ).first()
         return (row["n"], row["h"])
 
-    def _sym(df: DataFrame) -> DataFrame:
-        return (
-            df.filter(F.col("u") != F.col("v"))
-            .unionByName(
-                df.select(F.col("v").alias("u"), F.col("u").alias("v"))
-            )
-            .filter(F.col("u") != F.col("v"))
-            .distinct()
-        )
+    def _swap(df: DataFrame) -> DataFrame:
+        return df.select(F.col("v").alias("u"), F.col("u").alias("v"))
 
     fp = _fingerprint(edges)
     for _ in range(max_iter):
+        # Every frame referenced twice in the round (large via its
+        # swap-union, lo via the min + join) MATERIALIZES before
+        # reuse: left as lineage, the final distinct recomputes the
+        # large-star subtree ~8× (measured 7.5 s/round); .cache()
+        # instead of checkpoint leaves InMemoryRelations that block
+        # AQE partition coalescing (measured 2× worse). Eager
+        # localCheckpoints keep each reuse O(1) and the stage graph
+        # AQE-sized.
         mins = edges.groupBy("u").agg(
             F.least(F.col("u"), F.min("v")).alias("m")
         )
-        # large-star: (v, m_u) for every neighbor v > u
-        large = _sym(
+        # large-star: (v, m_u) for every neighbor v > u; m ≤ u < v so
+        # no self loops possible
+        large = (
             edges.filter(F.col("v") > F.col("u"))
             .join(mins, "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
         ).localCheckpoint()
+        large_sym = large.unionByName(_swap(large))
         # small-star over the large-star output: (v, m_u) for v ≤ u,
         # plus (u, m_u) so the center stays attached
-        small_mins = (
-            large.filter(F.col("v") <= F.col("u"))
-            .groupBy("u")
-            .agg(F.least(F.col("u"), F.min("v")).alias("m"))
+        lo = large_sym.filter(
+            F.col("v") <= F.col("u")
+        ).localCheckpoint()
+        small_mins = lo.groupBy("u").agg(
+            F.least(F.col("u"), F.min("v")).alias("m")
         )
-        small = _sym(
-            large.filter(F.col("v") <= F.col("u"))
-            .join(small_mins, "u")
+        small = (
+            lo.join(small_mins, "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .unionByName(
-                small_mins.select(
-                    F.col("u"), F.col("m").alias("v")
-                )
+                small_mins.select(F.col("u"), F.col("m").alias("v"))
             )
-        ).localCheckpoint()
-        new_fp = _fingerprint(small)
-        edges = small
+        ).filter(F.col("u") != F.col("v"))
+        edges_new = (
+            small.unionByName(_swap(small)).distinct().localCheckpoint()
+        )
+        new_fp = _fingerprint(edges_new)
+        edges = edges_new
         if new_fp == fp:
             # fixpoint: every component is a star around its minimum
             lbl = edges.groupBy("u").agg(F.min("v").alias("_mn"))

@@ -4001,7 +4001,7 @@ def stats_theil_sen_q(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(COUNT(o.o_orderkey) AS DOUBLE) AS x,
              CAST(c.c_acctbal AS DOUBLE) AS y
       FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
-      WHERE c.c_custkey % 3 = 0
+      WHERE c.c_custkey % 31 = 0
       GROUP BY c.c_custkey, c.c_acctbal
     ),
     pair AS (
@@ -4026,8 +4026,8 @@ def stats_theil_sen_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stats_kendall_tau_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """stats / Kendall τ-b — rank correlation between a customer's
-    order count and account balance (every-3rd-customer sample keeps
-    the O(n²) pair set ~125k). Completes the correlation family
+    order count and account balance (every-31st-customer sample keeps
+    the O(n²) pair set bounded across bench SFs). Completes the correlation family
     (Pearson stats-corr, Spearman stats-spearman-rho) with the
     tie-corrected concordance statistic — the right tool when one
     variable is a small count full of ties. Integer-exact pair
@@ -4036,7 +4036,7 @@ def stats_kendall_tau_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from medallion_delta_lake_spark.operators.agg import kendall_tau
 
     c = table(spark, sf_dir, "customer").filter(
-        F.col("c_custkey") % 3 == 0
+        F.col("c_custkey") % 31 == 0
     )
     o = table(spark, sf_dir, "orders")
     pts = (
@@ -4422,3 +4422,37 @@ def stats_runs_test_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "runs", "n1", "n2", ((runs - mu) / sig).alias("z")
     )
+
+
+@query(
+    "join-bloom-prefilter",
+    # result is EXACTLY the semi join (the bloom only prunes early),
+    # so the oracle is the plain IN-subquery
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey IN (
+      SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+    )
+    """,
+)
+def join_bloom_prefilter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join / bloom-prefiltered semi join — orders of high-balance
+    customers, with the build side's keys folded into a broadcast
+    64 Kbit bloom bitmap that drops non-matching probe rows BEFORE
+    any shuffle; survivors take the exact left_semi, so the result is
+    identical to the plain semi join while the heavy side's shuffle
+    carries only candidates (the pattern worth persisting across
+    daily runs at 100 TB). Portable-hash bitmap, false-positive rate
+    <1% at this build size (operators/joins.py:bloom_semi_join)."""
+    from medallion_delta_lake_spark.operators.joins import (
+        bloom_semi_join,
+    )
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = table(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal") > 9000
+    )
+    return bloom_semi_join(o, c, key="o_custkey", other_key="c_custkey")

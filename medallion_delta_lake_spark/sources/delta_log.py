@@ -2063,7 +2063,17 @@ def _upsert_sync_file_scoped(
         )
         return actions
 
-    return _commit_version(path, build, read_version=snap["version"])
+    # A full-source sync READS every live file (any file may hold a
+    # key the source deleted), so any intervening add or remove is a
+    # true conflict; only file-free interlopers (txn markers,
+    # commitInfo-only) rebase.
+    return _commit_with_rebase(
+        path,
+        build,
+        read_version=snap["version"],
+        our_removed=set(snap["files"]),
+        add_conflicts=lambda add: True,
+    )
 
 
 def upsert_delta_log(
@@ -3987,7 +3997,54 @@ def merge_delta_log(
         )
         return actions
 
-    return _commit_version(path, build, read_version=snap["version"])
+    # Optimistic-concurrency rebase, clause-aware: a by-source clause
+    # reads EVERY target row (any intervening add conflicts) and a
+    # not-matched clause's insert decisions read every file (any
+    # intervening remove conflicts); otherwise only files whose
+    # key-range stats overlap the source's keys do.
+    has_by_source = any(
+        cl["when"] == "not_matched_by_source" for cl in clauses
+    )
+    has_not_matched = any(cl["when"] == "not_matched" for cl in clauses)
+    if has_by_source:
+        add_conflicts = lambda add: True  # noqa: E731
+    else:
+        bounds = source.agg(
+            *[F.min(k).alias(f"_lo_{i}") for i, k in enumerate(keys)],
+            *[F.max(k).alias(f"_hi_{i}") for i, k in enumerate(keys)],
+        ).first()
+        los = [
+            _stats_jsonable(bounds[f"_lo_{i}"]) for i in range(len(keys))
+        ]
+        his = [
+            _stats_jsonable(bounds[f"_hi_{i}"]) for i in range(len(keys))
+        ]
+
+        def add_conflicts(add: dict) -> bool:
+            s = add.get("stats")
+            s = json.loads(s) if isinstance(s, str) else (s or {})
+            minv = s.get("minValues") or {}
+            maxv = s.get("maxValues") or {}
+            for k, lo, hi in zip(keys, los, his):
+                if lo is None or hi is None:
+                    continue
+                fmin, fmax = minv.get(k), maxv.get(k)
+                if fmin is None or fmax is None:
+                    continue
+                try:
+                    if fmax < lo or fmin > hi:
+                        return False
+                except TypeError:
+                    continue
+            return True
+
+    return _commit_with_rebase(
+        path,
+        build,
+        read_version=snap["version"],
+        our_removed=set(files) if has_not_matched else set(touched),
+        add_conflicts=add_conflicts,
+    )
 
 
 def update_delta_log(

@@ -135,3 +135,66 @@ def test_vacuum_keeps_retained_cdc_files(spark, tmp_path):
         (1, 0, "update_postimage"),
         (1, 10, "update_preimage"),
     ]
+
+
+def test_incremental_agg_maintenance(spark, tmp_path):
+    """A maintained groupBy aggregate folded forward from the change
+    feed equals the full recompute after every mutation kind — the
+    paired update images are what make the UPDATE net out correctly."""
+    from medallion_delta_lake_spark.operators.incremental import (
+        aggregate_table,
+        apply_changes_to_agg,
+    )
+
+    t = str(tmp_path / "t")
+    rows = [(k, k % 3, float(10 * k)) for k in range(1, 9)]
+    delta_log.write_delta(
+        spark,
+        spark.createDataFrame(rows, "k int, g int, v double").coalesce(1),
+        t,
+    )
+    delta_log.set_table_properties(
+        t, {"delta.enableChangeDataFeed": "true"}
+    )
+    base = delta_log.read_delta(spark, t)
+    agg = aggregate_table(base, ["g"], ["v"]).localCheckpoint()
+    v0 = delta_log.resolve_snapshot(t)["version"]
+
+    # one UPDATE, one MERGE (update+insert+by-source delete)
+    delta_log.update_delta_log(spark, t, [("g", "=", 0)], {"v": "v + 5"})
+    delta_log.merge_delta_log(
+        spark,
+        spark.createDataFrame(
+            [(1, 0, 1.5), (99, 2, 100.0)], "k int, g int, v double"
+        ).coalesce(1),
+        t,
+        keys=["k"],
+        clauses=[
+            {"when": "matched", "action": "update", "set": {"v": "s.v"}},
+            {"when": "not_matched", "action": "insert"},
+            {
+                "when": "not_matched_by_source",
+                "action": "delete",
+                "condition": "d.k >= 7",
+            },
+        ],
+    )
+    feed = delta_log.table_changes(spark, t, v0 + 1)
+    maintained = apply_changes_to_agg(agg, feed, ["g"], ["v"])
+    recomputed = aggregate_table(
+        delta_log.read_delta(spark, t), ["g"], ["v"]
+    )
+    got = {tuple(r) for r in maintained.collect()}
+    want = {tuple(r) for r in recomputed.collect()}
+    assert got == want
+
+    # a delete that empties a group drops it from the aggregate
+    v1 = delta_log.resolve_snapshot(t)["version"]
+    delta_log.delete_delta_log(spark, t, [("g", "=", 1)])
+    feed2 = delta_log.table_changes(spark, t, v1 + 1)
+    m2 = apply_changes_to_agg(maintained, feed2, ["g"], ["v"])
+    r2 = aggregate_table(delta_log.read_delta(spark, t), ["g"], ["v"])
+    assert {tuple(r) for r in m2.collect()} == {
+        tuple(r) for r in r2.collect()
+    }
+    assert not any(r["g"] == 1 for r in m2.collect())

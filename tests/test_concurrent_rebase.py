@@ -254,3 +254,83 @@ def test_three_thread_disjoint_merges_all_commit(spark, tmp_path):
     for lo in (1, 101, 201):
         assert (lo, -lo) in got and (lo + 1, -(lo + 1)) in got
         assert (lo + 2, lo + 2) in got  # untouched bystander rows
+
+
+def test_general_merge_rebase_and_conflict(spark, tmp_path, monkeypatch):
+    """Clause-aware general-MERGE rebase: an update-only MERGE over a
+    disjoint key range rebases past a concurrent disjoint merge; the
+    SAME race with a by-source clause (which reads every target row)
+    still raises."""
+    upd_only = [
+        {"when": "matched", "action": "update", "set": {"v": "s.v"}},
+    ]
+    t = str(tmp_path / "t")
+    _two_file_table(spark, t)
+    _race(
+        monkeypatch,
+        lambda: delta_log.upsert_delta_log(
+            spark,
+            _src(spark, [(101, -101)]),
+            t,
+            keys=["k"],
+            delete_missing=False,
+        ),
+    )
+    delta_log.merge_delta_log(
+        spark, _src(spark, [(1, -1)]), t, keys=["k"], clauses=upd_only
+    )
+    got = _rows(spark, t)
+    assert (1, -1) in got and (101, -101) in got
+
+    t2 = str(tmp_path / "t2")
+    _two_file_table(spark, t2)
+    _race(
+        monkeypatch,
+        lambda: delta_log.upsert_delta_log(
+            spark,
+            _src(spark, [(101, -101)]),
+            t2,
+            keys=["k"],
+            delete_missing=False,
+        ),
+    )
+    with pytest.raises(delta_log.DeltaConcurrentWriteError):
+        delta_log.merge_delta_log(
+            spark,
+            _src(spark, [(1, -1)]),
+            t2,
+            keys=["k"],
+            clauses=upd_only
+            + [{"when": "not_matched_by_source", "action": "delete",
+                "condition": "d.k > 1000"}],
+        )
+
+
+def test_sync_upsert_rebases_only_past_file_free_commits(
+    spark, tmp_path, monkeypatch
+):
+    """delete_missing sync reads every live file: a concurrent
+    file-touching merge raises, a commitInfo-only interloper (e.g. a
+    no-change merge) rebases."""
+    t = str(tmp_path / "t")
+    _two_file_table(spark, t)
+    # no-change incremental merge commits commitInfo-only
+    _race(
+        monkeypatch,
+        lambda: delta_log.upsert_delta_log(
+            spark,
+            _src(spark, [(999, 999)]),
+            t,
+            keys=["k"],
+            delete_missing=False,
+        ),
+    )
+    # interloper ADDED a file (insert of key 999) → sync must raise
+    with pytest.raises(delta_log.DeltaConcurrentWriteError):
+        delta_log.upsert_delta_log(
+            spark,
+            _src(spark, [(k, k) for k in range(1, 6)]),
+            t,
+            keys=["k"],
+            delete_missing=True,
+        )

@@ -222,29 +222,58 @@ def test_delete_unpartitioned_table(spark, tmp_path):
 
 
 def test_delete_conflicts_with_concurrent_commit(spark, tmp_path):
-    t = _make_table(spark, tmp_path)
+    """Round-8 optimistic-concurrency contract: a DELETE losing the
+    commit race REBASES past a provably disjoint interloper
+    (commitInfo-only here) and still commits — but an interloper whose
+    commit changed metaData raises, because the DELETE's validation
+    and staged schema are stale (the old unconditional-raise behavior
+    survives only for true conflicts)."""
     orig = delta_log.resolve_snapshot
 
-    raced = {"done": False}
+    def _race_with(payload: dict):
+        raced = {"done": False}
 
-    def racing(path, version_as_of=None):
-        snap = orig(path, version_as_of)
-        if not raced["done"] and version_as_of is None:
-            raced["done"] = True
-            # another writer lands a commit after our snapshot read
-            v = snap["version"] + 1
-            with open(
-                os.path.join(path, "_delta_log", f"{v:020d}.json"), "w"
-            ) as fh:
-                fh.write(json.dumps({"commitInfo": {"operation": "X"}}) + "\n")
-        return snap
+        def racing(path, version_as_of=None):
+            snap = orig(path, version_as_of)
+            if not raced["done"] and version_as_of is None:
+                raced["done"] = True
+                v = snap["version"] + 1
+                with open(
+                    os.path.join(
+                        path, "_delta_log", f"{v:020d}.json"
+                    ),
+                    "w",
+                ) as fh:
+                    fh.write(json.dumps(payload) + "\n")
+            return snap
 
-    delta_log.resolve_snapshot, saved = racing, delta_log.resolve_snapshot
+        return racing
+
+    # disjoint interloper: rebase succeeds, the delete lands
+    t = _make_table(spark, tmp_path)
+    delta_log.resolve_snapshot = _race_with(
+        {"commitInfo": {"operation": "X"}}
+    )
+    try:
+        out = delta_log.delete_delta_log(spark, t, [("id", "<", 5)])
+        assert out["deleted_rows"] > 0
+    finally:
+        delta_log.resolve_snapshot = orig
+    assert not any(
+        r.id < 5 for r in delta_log.read_delta(spark, t).collect()
+    )
+
+    # metadata-changing interloper: still a hard conflict
+    t2 = str(tmp_path / "tab_conflict")
+    df = spark.range(10).selectExpr("id", "id % 2 AS grp")
+    delta_log.write_delta(spark, df, t2)
+    meta = delta_log.resolve_snapshot(t2)["meta"]
+    delta_log.resolve_snapshot = _race_with({"metaData": meta})
     try:
         with pytest.raises(delta_log.DeltaConcurrentWriteError):
-            delta_log.delete_delta_log(spark, t, [("id", "<", 5)])
+            delta_log.delete_delta_log(spark, t2, [("id", "<", 5)])
     finally:
-        delta_log.resolve_snapshot = saved
+        delta_log.resolve_snapshot = orig
 
 
 def test_optimize_materializes_dvs_and_compacts(spark, tmp_path):

@@ -94,6 +94,7 @@ AUDITED = [
     "stats-mad-outliers",
     "graph-degree-histogram",
     "stats-runs-test",
+    "join-bloom-prefilter",
 ]
 
 
