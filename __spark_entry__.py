@@ -78,6 +78,9 @@ _DRIVER_PRIORITY = [
     "graph-degree-histogram",
     "stats-runs-test",
     "join-bloom-prefilter",
+    "agg-latency-histogram",
+    "window-bollinger-bands",
+    "text-ngram-novelty",
     # r4 cohort — last driver-checked in round 4
     "multimodal-frame-sample",
     "multimodal-audio-chunks",

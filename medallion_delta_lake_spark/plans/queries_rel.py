@@ -4456,3 +4456,136 @@ def join_bloom_prefilter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_acctbal") > 9000
     )
     return bloom_semi_join(o, c, key="o_custkey", other_key="c_custkey")
+
+
+@query(
+    "agg-latency-histogram",
+    # power-of-2 buckets via binary-string length — bin() is identical
+    # in both engines where floor(log2()) could drift at the last ulp
+    oracle="""
+    WITH v AS (
+      SELECT event_type,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL
+    ),
+    b AS (
+      SELECT event_type, length(bin(cents)) - 1 AS bucket
+      FROM v WHERE cents >= 1
+    )
+    SELECT event_type, CAST(bucket AS INT) AS bucket,
+           CAST(2 ** bucket AS BIGINT) AS bucket_lo,
+           CAST(2 ** (bucket + 1) - 1 AS BIGINT) AS bucket_hi,
+           COUNT(*) AS n
+    FROM b GROUP BY event_type, bucket
+    """,
+)
+def agg_latency_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """agg / power-of-2 (HdrHistogram-style) value histogram — event
+    values bucketed by binary magnitude per type: the constant-memory
+    latency/size profile every serving system keeps, mergeable by
+    bucket addition. Bucket = bit-length of the integer cents — the
+    engine-exact spelling of floor(log2(x)), which can drift at exact
+    powers of two across libms. One grouped count with map-side
+    combine; at 100 TB the output is ~64 rows per group."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    b = e.select(
+        "event_type", cents.alias("cents")
+    ).filter(F.col("cents") >= 1).select(
+        "event_type",
+        (F.length(F.bin("cents")) - 1).cast("int").alias("bucket"),
+    )
+    return b.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(
+        "event_type",
+        "bucket",
+        F.expr("CAST(shiftleft(CAST(1 AS BIGINT), bucket) AS BIGINT)")
+        .alias("bucket_lo"),
+        F.expr(
+            "CAST(shiftleft(CAST(1 AS BIGINT), bucket + 1) - 1 AS BIGINT)"
+        ).alias("bucket_hi"),
+        "n",
+    )
+
+
+@query(
+    "window-bollinger-bands",
+    # mean ± 2σ from decimal-exact frame sums; sqrt is IEEE-exact, so
+    # the bands and the outside-flag match bit-for-bit
+    oracle="""
+    WITH s AS (
+      SELECT event_id, user_id, ts, value,
+             CAST(value AS DECIMAL(38,6)) AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    f AS (
+      SELECT event_id, user_id, value,
+        CAST(COUNT(*) OVER w AS DOUBLE) AS n,
+        CAST(SUM(y) OVER w AS DOUBLE) AS sy,
+        CAST(SUM(y * y) OVER w AS DOUBLE) AS syy
+      FROM s
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id,
+           CASE WHEN n >= 2 THEN sy / n END AS mid,
+           CASE WHEN n >= 2
+                THEN sy / n + 2.0 * sqrt((n * syy - sy * sy)
+                                         / (n * (n - 1.0))) END AS upper,
+           CASE WHEN n >= 2
+                THEN sy / n - 2.0 * sqrt((n * syy - sy * sy)
+                                         / (n * (n - 1.0))) END AS lower,
+           CASE WHEN n >= 2
+                THEN value > sy / n + 2.0 * sqrt((n * syy - sy * sy)
+                                                 / (n * (n - 1.0)))
+                     OR value < sy / n - 2.0 * sqrt((n * syy - sy * sy)
+                                                    / (n * (n - 1.0)))
+           END AS outside
+    FROM f
+    """,
+)
+def window_bollinger_bands_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """window / Bollinger bands — trailing-20 mean ± 2 sample-σ per
+    user with an outside-the-band flag: the volatility envelope that
+    separates "moved a lot" from "moved abnormally for ITS recent
+    regime" (pairs with window-anomaly-zscore's global z). σ comes
+    from decimal-exact frame sums (n·Σy²−(Σy)²)/(n(n−1)) closed form —
+    one keyed sort carries count/sum/sum-of-squares together."""
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    y = F.col("value").cast("decimal(38,6)")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        -19, 0
+    )
+    n = F.count(F.lit(1)).over(w).cast("double")
+    sy = F.sum(y).over(w).cast("double")
+    syy = F.sum(y * y).over(w).cast("double")
+    base = e.select(
+        "event_id",
+        "user_id",
+        "value",
+        n.alias("n"),
+        sy.alias("sy"),
+        syy.alias("syy"),
+    )
+    nn, s1, s2 = F.col("n"), F.col("sy"), F.col("syy")
+    mid = s1 / nn
+    sd = F.sqrt((nn * s2 - s1 * s1) / (nn * (nn - 1.0)))
+    ok = nn >= 2
+    upper, lower = mid + 2.0 * sd, mid - 2.0 * sd
+    return base.select(
+        "event_id",
+        "user_id",
+        F.when(ok, mid).alias("mid"),
+        F.when(ok, upper).alias("upper"),
+        F.when(ok, lower).alias("lower"),
+        F.when(
+            ok, (F.col("value") > upper) | (F.col("value") < lower)
+        ).alias("outside"),
+    )

@@ -1634,3 +1634,74 @@ def text_zipf_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode + grouped count; the singleton tail never leaves the
     aggregate (operators/text_analysis.py:zipf_profile)."""
     return ta.zipf_profile(table(spark, sf_dir, "documents"), top_k=50)
+
+
+@query(
+    "text-ngram-novelty",
+    # distinct-trigram doc-frequency: a doc's novelty = share of its
+    # distinct trigrams appearing in NO other doc — integer counts +
+    # one closing division
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {TOKS_SQL} AS t FROM documents
+    ),
+    g AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(0, len(t) - 3 + 1),
+                    i -> array_to_string(t[i+1:i+3], ' '))) AS ngram
+      FROM toks WHERE len(t) >= 3
+    ),
+    df AS (SELECT ngram, COUNT(*) AS ndocs FROM g GROUP BY ngram)
+    SELECT g.doc_id,
+           COUNT(*) AS n_grams,
+           SUM(CASE WHEN df.ndocs = 1 THEN 1 ELSE 0 END) AS n_novel,
+           CAST(SUM(CASE WHEN df.ndocs = 1 THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS novelty
+    FROM g JOIN df USING (ngram)
+    GROUP BY g.doc_id
+    """,
+)
+def text_ngram_novelty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text / n-gram novelty — per document, the fraction of its
+    distinct trigrams that occur in NO other document: the
+    memorization-risk / boilerplate dial (novelty ≈ 0 is templated or
+    duplicated content; ≈ 1 is unique prose) used to weight training
+    mixtures. One explode + distinct, one trigram doc-frequency
+    aggregate, one hash join back on the gram id — text itself never
+    joins; at 100 TB the df table is the corpus vocabulary, shuffled
+    once with map-side combine."""
+    from medallion_delta_lake_spark.functions.texts import tokenize
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize("text").alias("t")).filter(
+        F.size("t") >= 3
+    )
+    g = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 3), "
+                "i -> concat_ws(' ', slice(t, i + 1, 3)))"
+            )
+        ).alias("ngram"),
+    ).distinct()
+    dfreq = g.groupBy("ngram").agg(F.count(F.lit(1)).alias("ndocs"))
+    return (
+        g.join(dfreq, "ngram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("ndocs") == 1, 1).otherwise(0)).alias(
+                "n_novel"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            (
+                F.col("n_novel").cast("double")
+                / F.col("n_grams").cast("double")
+            ).alias("novelty"),
+        )
+    )

@@ -95,6 +95,9 @@ AUDITED = [
     "graph-degree-histogram",
     "stats-runs-test",
     "join-bloom-prefilter",
+    "agg-latency-histogram",
+    "window-bollinger-bands",
+    "text-ngram-novelty",
 ]
 
 
