@@ -3651,6 +3651,115 @@ def rename_column(path: str, old: str, new: str) -> int:
 
 
 
+def add_column(
+    path: str, name: str, dtype: str, comment: str | None = None
+) -> int:
+    """ALTER TABLE ... ADD COLUMN as a METADATA-ONLY commit: the new
+    field appends to the schemaString (nullable — existing files
+    null-fill on read, the same contract as mergeSchema appends) and
+    no data file is touched. Under column mapping the field gets a
+    FRESH physical name and the next column id, so a previously
+    dropped same-named column's bytes can never resurrect."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    snap = resolve_snapshot(path)
+    meta = snap["meta"]
+    if meta is None:
+        raise DeltaProtocolError("log contains no metaData action")
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    if name in [f.name for f in schema.fields]:
+        raise ValueError(f"column {name!r} already exists in {path}")
+    dt = _parse_datatype_string(dtype)
+    md: dict = {}
+    if comment:
+        md["comment"] = comment
+    conf = dict(meta.get("configuration") or {})
+    if conf.get("delta.columnMapping.mode", "none") == "name":
+        import uuid
+
+        next_id = int(conf.get("delta.columnMapping.maxColumnId", 0)) + 1
+        md["delta.columnMapping.id"] = next_id
+        md["delta.columnMapping.physicalName"] = (
+            f"col-{uuid.uuid4().hex}"
+        )
+        conf["delta.columnMapping.maxColumnId"] = str(next_id)
+    new_meta = dict(meta)
+    new_meta["schemaString"] = StructType(
+        list(schema.fields) + [StructField(name, dt, True, md)]
+    ).json()
+    new_meta["configuration"] = conf
+    actions = [
+        {"metaData": new_meta},
+        {
+            "commitInfo": {
+                "operation": "ADD COLUMNS",
+                "operationParameters": {
+                    "columns": json.dumps([{name: dtype}])
+                },
+            }
+        },
+    ]
+    return _commit_version(
+        path, lambda _v: actions, read_version=snap["version"]
+    )
+
+
+def drop_column(path: str, name: str) -> int:
+    """ALTER TABLE ... DROP COLUMN — a LOGICAL drop under column
+    mapping (auto-enabled, same as rename): the field leaves the
+    schemaString, its bytes stay in the data files until files rewrite
+    for other reasons (delta-spark's contract; REORG/OPTIMIZE is the
+    physical purge). Refuses partition columns, the last remaining
+    column, and columns referenced by CHECK constraints or generated
+    columns — dropping those would silently change write-path
+    semantics."""
+    import re as _re
+
+    enable_column_mapping(path)
+    snap = resolve_snapshot(path)
+    meta = snap["meta"]
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    names = [f.name for f in schema.fields]
+    if name not in names:
+        raise ValueError(f"no column {name!r} in {path} (have {names})")
+    if name in (meta.get("partitionColumns") or []):
+        raise ValueError(
+            f"cannot drop partition column {name!r}; repartition the "
+            "table first"
+        )
+    if len(names) == 1:
+        raise ValueError("cannot drop the only column of a table")
+    word = _re.compile(rf"(?<![A-Za-z0-9_`]){_re.escape(name)}(?![A-Za-z0-9_])")
+    for cname, expr in _check_constraints(meta).items():
+        if word.search(expr):
+            raise ValueError(
+                f"column {name!r} is referenced by CHECK constraint "
+                f"{cname!r} ({expr}); drop the constraint first"
+            )
+    for gcol, gexpr in _generated_columns(meta).items():
+        if gcol != name and word.search(gexpr):
+            raise ValueError(
+                f"column {name!r} feeds generated column {gcol!r} "
+                f"({gexpr}); drop that column first"
+            )
+    new_meta = dict(meta)
+    new_meta["schemaString"] = StructType(
+        [f for f in schema.fields if f.name != name]
+    ).json()
+    actions = [
+        {"metaData": new_meta},
+        {
+            "commitInfo": {
+                "operation": "DROP COLUMNS",
+                "operationParameters": {"columns": json.dumps([name])},
+            }
+        },
+    ]
+    return _commit_version(
+        path, lambda _v: actions, read_version=snap["version"]
+    )
+
+
 def general_merge_state(
     target: DataFrame,
     source: DataFrame,

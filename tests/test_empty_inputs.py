@@ -160,3 +160,86 @@ def test_round3_operators_on_empty_inputs(spark):
         [], "vec_id long, embedding array<double>"
     )
     assert sim.kmeans_centroids(empty_vecs, k=4, max_iter=1).count() == 0
+
+
+def test_round8_ops_on_empty_inputs(spark):
+    """Round-8 operators degrade to empty/NULL results, never raise."""
+    from pyspark.sql import functions as F
+
+    from medallion_delta_lake_spark.operators import agg as agg_ops
+    from medallion_delta_lake_spark.operators import dedup
+    from medallion_delta_lake_spark.operators import multimodal as mm
+    from medallion_delta_lake_spark.operators.graph import degree_histogram
+    from medallion_delta_lake_spark.operators.joins import bloom_semi_join
+    from medallion_delta_lake_spark.operators.text_analysis import (
+        zipf_profile,
+    )
+    from medallion_delta_lake_spark.operators.upsert import scd2_apply
+    from medallion_delta_lake_spark.operators.window import (
+        regime_segments,
+        rolling_slope,
+    )
+
+    empty_ev = spark.createDataFrame(
+        [], "event_id long, user_id long, ts timestamp, value double"
+    )
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    empty_pairs = spark.createDataFrame([], "id_a long, id_b long")
+    empty_kv = spark.createDataFrame([], "k int, v int")
+
+    assert (
+        empty_ev.select(
+            rolling_slope(
+                empty_ev, ["user_id"], ["ts", "event_id"], "value"
+            ).alias("s")
+        ).count()
+        == 0
+    )
+    assert (
+        regime_segments(
+            empty_ev, ["user_id"], ["ts", "event_id"],
+            F.col("value") >= 0, "ts",
+        ).count()
+        == 0
+    )
+    assert (
+        agg_ops.count_min_estimate(empty_ev, "user_id", empty_ev).count()
+        == 0
+    )
+    assert (
+        agg_ops.mad_outliers(
+            empty_ev, ["user_id"], "value", "event_id"
+        ).count()
+        == 0
+    )
+    r = agg_ops.kendall_tau(
+        empty_ev, "event_id", "value", "user_id"
+    ).first()
+    assert r["tau_b"] is None
+    assert zipf_profile(empty_docs).count() == 0
+    assert degree_histogram(empty_pairs, "id_a", "id_b").count() == 0
+    # star CC over no edges: every id is its own cluster
+    ids = spark.range(3).selectExpr("id AS doc_id")
+    got = {
+        (r.doc_id, r.cluster)
+        for r in dedup.neardup_clusters_star(ids, empty_pairs).collect()
+    }
+    assert got == {(0, 0), (1, 1), (2, 2)}
+    # bloom semi join: empty build side filters everything
+    probe = spark.createDataFrame([(1, 1)], "k int, v int")
+    assert bloom_semi_join(probe, empty_kv, key="k").count() == 0
+    assert bloom_semi_join(empty_kv, probe, key="k").count() == 0
+    # scene cuts on empty payloads
+    assert (
+        mm.scene_cuts(mm.attach_binary_payload(empty_docs)).count() == 0
+    )
+    # scd2 apply with an empty batch is the identity
+    dim = spark.createDataFrame(
+        [(1, "2024-01-01", None, "a", True)],
+        "k int, valid_from string, valid_to string, attr string, "
+        "is_current boolean",
+    )
+    batch = spark.createDataFrame([], "k int, valid_from string, attr string")
+    assert {tuple(r) for r in scd2_apply(dim, batch, key="k").collect()} == {
+        (1, "2024-01-01", None, "a", True)
+    }
