@@ -81,6 +81,8 @@ _DRIVER_PRIORITY = [
     "agg-latency-histogram",
     "window-bollinger-bands",
     "text-ngram-novelty",
+    "stats-brown-forsythe",
+    "sample-quality-audit",
     # r4 cohort — last driver-checked in round 4
     "multimodal-frame-sample",
     "multimodal-audio-chunks",

@@ -88,3 +88,38 @@ def apply_changes_to_agg(
         ],
     )
     return merged.filter(F.col("n") > 0)
+
+
+def replicate_from_changes(
+    replica: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+) -> DataFrame:
+    """Downstream table REPLICATION from a change feed — the other
+    canonical CDC consumer next to aggregate maintenance: fold a
+    (possibly multi-commit) ``table_changes`` batch into a replica row
+    set so it equals the source table at the feed's end version,
+    without ever scanning the source. Per key, the LATEST non-preimage
+    action wins (each commit emits at most one of insert / delete /
+    update_postimage per key): delete removes the key, anything else
+    replaces it. One grouped latest-per-key pass over the CHANGED rows
+    + one key anti-join against the replica — O(changed keys), not
+    O(table)."""
+    from pyspark.sql import Window as W
+
+    keys = list(keys)
+    acts = changes.filter(F.col("_change_type") != "update_preimage")
+    w = W.partitionBy(*keys).orderBy(F.col("_commit_version").desc())
+    latest = (
+        acts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    data_cols = [c for c in replica.columns]
+    survivors = replica.join(
+        latest.select(*keys).distinct(), keys, "left_anti"
+    )
+    upserts = latest.filter(F.col("_change_type") != "delete").select(
+        *data_cols
+    )
+    return survivors.unionByName(upserts)

@@ -4589,3 +4589,115 @@ def window_bollinger_bands_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ok, (F.col("value") > upper) | (F.col("value") < lower)
         ).alias("outside"),
     )
+
+
+@query(
+    "stats-brown-forsythe",
+    # variance-homogeneity F on |x − group median|: exact positional
+    # medians, decimal-accumulated sums of squares, one closing ratio
+    oracle="""
+    WITH r AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS cnt
+      FROM events
+    ),
+    med AS (
+      SELECT event_type, AVG(value) AS m
+      FROM r
+      WHERE rn >= floor((cnt + 1) / 2) AND rn <= floor((cnt + 2) / 2)
+      GROUP BY event_type
+    ),
+    z AS (
+      SELECT e.event_type,
+             CAST(abs(e.value - m.m) AS DECIMAL(38,6)) AS z
+      FROM events e JOIN med m USING (event_type)
+    ),
+    grp AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(z) AS DOUBLE) AS sz,
+             CAST(SUM(z * z) AS DOUBLE) AS szz
+      FROM z GROUP BY event_type
+    ),
+    tot AS (
+      SELECT COUNT(*) AS k, SUM(n) AS big_n,
+             CAST(SUM(CAST(sz AS DECIMAL(38,6))) AS DOUBLE) AS all_sz
+      FROM grp
+    )
+    SELECT (SELECT CAST(k AS BIGINT) FROM tot) AS k,
+           (SELECT CAST(big_n AS BIGINT) FROM tot) AS big_n,
+           (CAST(big_n - k AS DOUBLE) / (k - 1.0))
+           * SUM(n * (sz / n - all_sz / big_n)
+                   * (sz / n - all_sz / big_n))
+           / SUM(szz - sz * sz / n) AS f_stat
+    FROM grp, tot
+    GROUP BY k, big_n, all_sz
+    """,
+)
+def stats_brown_forsythe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stats / Brown–Forsythe variance-homogeneity F — are the event
+    types' value SPREADS equal? One-way ANOVA on |x − group median|
+    (the median-based Levene variant — robust to the non-normality
+    that wrecks Bartlett's test): the gatekeeper before any
+    pooled-variance comparison (Welch stats-welch-t sidesteps it for
+    2 groups; this covers k groups). Exact positional medians, decimal
+    sums of squares, a handful of IEEE ops to close — two grouped
+    passes + one keyed sort, no driver math."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    )
+    w = W.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    wc = W.partitionBy("event_type")
+    r = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("cnt"),
+    )
+    med = (
+        r.filter(
+            (F.col("rn") >= F.floor((F.col("cnt") + 1) / 2))
+            & (F.col("rn") <= F.floor((F.col("cnt") + 2) / 2))
+        )
+        .groupBy("event_type")
+        .agg(F.avg("value").alias("m"))
+    )
+    z = ev.join(med, "event_type").select(
+        "event_type",
+        F.abs(F.col("value") - F.col("m"))
+        .cast("decimal(38,6)")
+        .alias("z"),
+    )
+    grp = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("z").cast("double").alias("sz"),
+        F.sum(F.col("z") * F.col("z")).cast("double").alias("szz"),
+    )
+    tot = grp.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("big_n"),
+        F.sum(F.col("sz").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("all_sz"),
+    )
+    j = grp.crossJoin(F.broadcast(tot))
+    n, sz, szz = F.col("n"), F.col("sz"), F.col("szz")
+    k, bn, asz = F.col("k"), F.col("big_n"), F.col("all_sz")
+    dev = sz / n - asz / bn
+    return j.groupBy("k", "big_n").agg(
+        (
+            ((F.first(bn) - F.first(k)).cast("double")
+             / (F.first(k) - F.lit(1.0)))
+            * F.sum(n * dev * dev)
+            / F.sum(szz - sz * sz / n)
+        ).alias("f_stat")
+    ).select(
+        F.col("k").cast("bigint").alias("k"),
+        F.col("big_n").cast("bigint").alias("big_n"),
+        "f_stat",
+    )

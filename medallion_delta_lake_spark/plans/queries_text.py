@@ -1705,3 +1705,90 @@ def text_ngram_novelty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+@query(
+    "sample-quality-audit",
+    # per-type KS distance between the 10% portable-hash sample and
+    # the rest: integer cumulative counts, one IEEE division per row
+    oracle=f"""
+    WITH flagged AS (
+      SELECT event_type, value,
+             {h64_sql("'qa' || CAST(event_id AS VARCHAR)")} % 10 = 0
+               AS in_sample
+      FROM events
+    ),
+    per_val AS (
+      SELECT event_type, value,
+             SUM(CASE WHEN in_sample THEN 1 ELSE 0 END) AS a,
+             SUM(CASE WHEN in_sample THEN 0 ELSE 1 END) AS b
+      FROM flagged GROUP BY event_type, value
+    ),
+    cum AS (
+      SELECT event_type,
+             SUM(a) OVER w AS ca, SUM(b) OVER w AS cb,
+             SUM(a) OVER p AS na, SUM(b) OVER p AS nb
+      FROM per_val
+      WINDOW w AS (PARTITION BY event_type ORDER BY value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             p AS (PARTITION BY event_type)
+    )
+    SELECT event_type,
+           MAX(abs(CAST(ca AS DOUBLE) / na
+                   - CAST(cb AS DOUBLE) / nb)) AS ks_stat,
+           CAST(MAX(na) AS BIGINT) AS n_sample,
+           CAST(MAX(nb) AS BIGINT) AS n_rest
+    FROM cum GROUP BY event_type
+    """,
+)
+def sample_quality_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sampling / sample-bias audit — per event type, the KS distance
+    between the deterministic 10% hash sample and the remaining 90% of
+    the value distribution: the QA gate that catches a sampling key
+    correlated with the measure (the classic silent bias when sampling
+    by an id that encodes time or shard). Hash-flag → per-(type,value)
+    counts → one keyed cumulative window over the DISTINCT-value
+    table — the raw rows shuffle once, pre-aggregated with map-side
+    combine."""
+    from medallion_delta_lake_spark.functions.hashing import h64
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    flagged = e.select(
+        "event_type",
+        "value",
+        (
+            F.pmod(
+                h64(F.concat(F.lit("qa"), F.col("event_id").cast("string"))),
+                F.lit(10),
+            )
+            == 0
+        ).alias("in_sample"),
+    )
+    per_val = flagged.groupBy("event_type", "value").agg(
+        F.sum(F.when(F.col("in_sample"), 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("in_sample"), 0).otherwise(1)).alias("b"),
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    p = W.partitionBy("event_type")
+    cum = per_val.select(
+        "event_type",
+        F.sum("a").over(w).alias("ca"),
+        F.sum("b").over(w).alias("cb"),
+        F.sum("a").over(p).alias("na"),
+        F.sum("b").over(p).alias("nb"),
+    )
+    return cum.groupBy("event_type").agg(
+        F.max(
+            F.abs(
+                F.col("ca").cast("double") / F.col("na")
+                - F.col("cb").cast("double") / F.col("nb")
+            )
+        ).alias("ks_stat"),
+        F.max("na").cast("bigint").alias("n_sample"),
+        F.max("nb").cast("bigint").alias("n_rest"),
+    )

@@ -198,3 +198,41 @@ def test_incremental_agg_maintenance(spark, tmp_path):
         tuple(r) for r in r2.collect()
     }
     assert not any(r["g"] == 1 for r in m2.collect())
+
+
+def test_replication_from_change_feed(spark, tmp_path):
+    """A replica folded forward from the change feed equals the source
+    table after a multi-commit mutation series (UPDATE, MERGE with
+    insert+delete, DELETE) — per key the latest action wins."""
+    from medallion_delta_lake_spark.operators.incremental import (
+        replicate_from_changes,
+    )
+
+    t = str(tmp_path / "t")
+    _cdf_table(spark, t, [(1, 10), (2, 20), (3, 30), (4, 40)])
+    replica = delta_log.read_delta(spark, t).localCheckpoint()
+    v0 = delta_log.resolve_snapshot(t)["version"]
+
+    delta_log.update_delta_log(spark, t, [("k", "<=", 2)], {"v": "v + 1"})
+    delta_log.merge_delta_log(
+        spark,
+        _src(spark, [(1, 100), (9, 90)]),
+        t,
+        keys=["k"],
+        clauses=[
+            {"when": "matched", "action": "update", "set": {"v": "s.v"}},
+            {"when": "not_matched", "action": "insert"},
+            {
+                "when": "not_matched_by_source",
+                "action": "delete",
+                "condition": "d.k = 3",
+            },
+        ],
+    )
+    delta_log.delete_delta_log(spark, t, [("k", "=", 4)])
+
+    feed = delta_log.table_changes(spark, t, v0 + 1)
+    folded = replicate_from_changes(replica, feed, ["k"])
+    got = {(r.k, r.v) for r in folded.collect()}
+    want = {(r.k, r.v) for r in delta_log.read_delta(spark, t).collect()}
+    assert got == want == {(1, 100), (2, 21), (9, 90)}

@@ -98,6 +98,8 @@ AUDITED = [
     "agg-latency-histogram",
     "window-bollinger-bands",
     "text-ngram-novelty",
+    "stats-brown-forsythe",
+    "sample-quality-audit",
 ]
 
 
