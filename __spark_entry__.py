@@ -83,6 +83,10 @@ _DRIVER_PRIORITY = [
     "text-ngram-novelty",
     "stats-brown-forsythe",
     "sample-quality-audit",
+    "agg-markov-transition",
+    "join-fuzzy-blocked",
+    "udtf-chunk-windows",
+    "pandas-udaf-median",
     # r4 cohort — last driver-checked in round 4
     "multimodal-frame-sample",
     "multimodal-audio-chunks",

@@ -78,3 +78,65 @@ def group_normalize(
     return df.groupBy(*keys).applyInPandas(center, schema=schema).select(
         *in_cols, out_col
     )
+
+
+def chunk_windows_udtf():
+    """Arrow-optimized Python UDTF (SURVEY §2.11 `udtf`): split a text
+    into OVERLAPPING word windows — ``window_words`` words with
+    ``stride`` starts — the RAG/context chunking primitive (overlap
+    preserves answers that straddle a boundary). A UDTF is the right
+    API when one input row yields a VARIABLE number of structured rows
+    and the expansion logic wants imperative code; Arrow batching
+    keeps it off the row-at-a-time slow path (this module's ban
+    stands — plain ``F.udf`` remains absent). The built-in twin is an
+    explode over slice(); the UDTF form exists to cover the surface
+    and for chunkers whose boundary rules outgrow expressions.
+
+    Returns the decorated class (register with
+    ``spark.udtf.register``); emission is deterministic: chunk index,
+    text, and word count derive only from the input string."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="chunk_idx int, chunk string, n_words int",
+        useArrow=True,
+    )
+    class ChunkWindows:
+        def eval(self, text: str, window_words: int, stride: int):
+            toks = [t for t in (text or "").split(" ") if t]
+            start, idx = 0, 0
+            while start < len(toks):
+                chunk = toks[start : start + window_words]
+                yield idx, " ".join(chunk), len(chunk)
+                idx += 1
+                start += stride
+
+    return ChunkWindows
+
+
+def grouped_median_udaf(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+) -> DataFrame:
+    """Vectorized pandas UDAF (SURVEY §2.11 `udaf`): exact per-group
+    median via a GROUPED_AGG ``pandas_udf`` — each group's values
+    arrive as ONE Arrow-backed series, the aggregate returns one
+    scalar (the third pandas surface next to scalar and grouped-map).
+    np.median sorts, so the result is order-independent and matches
+    the positional-median SQL oracle exactly (odd n: the middle
+    element verbatim; even n: one IEEE mean of the two middles).
+    Production code should prefer the built-in ``percentile``/window
+    formulations (stats-median-manual) — this covers the UDAF API for
+    aggregates that genuinely need numpy."""
+    import numpy as np
+    from pyspark.sql.types import DoubleType
+
+    @F.pandas_udf(DoubleType())
+    def _median(v: pd.Series) -> float:
+        arr = v.dropna().to_numpy(dtype="float64")
+        return float(np.median(arr)) if arr.size else None
+
+    return df.groupBy(*group_cols).agg(
+        _median(F.col(value_col)).alias("median")
+    )

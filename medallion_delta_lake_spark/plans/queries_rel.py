@@ -4701,3 +4701,102 @@ def stats_brown_forsythe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("big_n").cast("bigint").alias("big_n"),
         "f_stat",
     )
+
+
+@query(
+    "agg-markov-transition",
+    # per-user consecutive event-type pairs → global transition counts
+    # and row-normalized probabilities: LAG + two grouped counts, all
+    # integers until one closing division
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev
+      FROM events
+    ),
+    pairs AS (
+      SELECT prev AS from_type, event_type AS to_type
+      FROM s WHERE prev IS NOT NULL
+    ),
+    cnt AS (
+      SELECT from_type, to_type, COUNT(*) AS n
+      FROM pairs GROUP BY from_type, to_type
+    ),
+    tot AS (
+      SELECT from_type, SUM(n) AS row_n FROM cnt GROUP BY from_type
+    )
+    SELECT c.from_type, c.to_type, c.n,
+           CAST(c.n AS DOUBLE) / t.row_n AS p
+    FROM cnt c JOIN tot t USING (from_type)
+    """,
+)
+def agg_markov_transition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """agg / first-order Markov transition matrix — which event type
+    follows which, across all user sessions: the behavioral-flow model
+    behind next-action prediction, funnel anomaly detection, and
+    session simulators. One keyed LAG (the only data-sized sort) then
+    two grouped counts over the tiny type×type matrix; probabilities
+    are one division over exact integer counts."""
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            "event_type",
+            F.lag("event_type").over(w).alias("prev"),
+        )
+        .filter(F.col("prev").isNotNull())
+        .select(
+            F.col("prev").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+    )
+    cnt = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = cnt.groupBy("from_type").agg(F.sum("n").alias("row_n"))
+    return cnt.join(tot, "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.col("row_n")).alias("p"),
+    )
+
+
+@query(
+    "pandas-udaf-median",
+    # np.median(sorted array) == the positional median: odd n is the
+    # middle element verbatim, even n one IEEE mean of the two middles
+    oracle="""
+    WITH r AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS cnt
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type, AVG(value) AS median
+    FROM r
+    WHERE rn >= floor((cnt + 1) / 2) AND rn <= floor((cnt + 2) / 2)
+    GROUP BY event_type
+    """,
+)
+def pandas_udaf_median_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """udaf / per-group median as a vectorized pandas GROUPED_AGG UDF —
+    the §2.11 UDAF surface (whole group → one Arrow series → one
+    scalar), verified exactly against the positional-median oracle
+    (np.median's sort makes it order-independent). Production medians
+    stay on the built-in window path (stats-median-manual); this op
+    covers the API for aggregates that genuinely need numpy
+    (operators/pandas_ops.py:grouped_median_udaf)."""
+    from medallion_delta_lake_spark.operators.pandas_ops import (
+        grouped_median_udaf,
+    )
+
+    e = table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    return grouped_median_udaf(e, ["event_type"], "value")

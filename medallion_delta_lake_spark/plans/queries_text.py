@@ -1792,3 +1792,126 @@ def sample_quality_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("na").cast("bigint").alias("n_sample"),
         F.max("nb").cast("bigint").alias("n_rest"),
     )
+
+
+@query(
+    "join-fuzzy-blocked",
+    # blocked edit-distance join: candidates meet on (length bucket ±,
+    # first char) keys — never all-pairs — then exact levenshtein ≤ 2
+    # verifies (identical integer DP in both engines)
+    oracle=f"""
+    WITH w AS (
+      SELECT DISTINCT unnest({TOKS_SQL}) AS word FROM documents
+    ),
+    t AS (
+      SELECT word, length(word) AS ln, substr(word, 1, 1) AS c1
+      FROM w WHERE length(word) >= 4
+    ),
+    cand AS (
+      SELECT a.word AS word_a, b.word AS word_b
+      FROM t a JOIN t b
+        ON a.c1 = b.c1 AND b.ln BETWEEN a.ln - 2 AND a.ln + 2
+       AND a.word < b.word
+    )
+    SELECT word_a, word_b,
+           CAST(levenshtein(word_a, word_b) AS INT) AS dist
+    FROM cand
+    WHERE levenshtein(word_a, word_b) <= 2
+    """,
+)
+def join_fuzzy_blocked_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join / blocked fuzzy (edit-distance ≤ 2) self-join over the
+    corpus vocabulary — the typo/variant clustering primitive
+    (query normalization, OCR cleanup, vocab merging). The naive
+    spelling is an all-pairs levenshtein (quadratic in vocabulary);
+    blocking on (first char, ±2 length band) turns it into an
+    equi-join on the char with a band predicate — candidates are
+    block-local, and only they pay the O(mn) distance DP. At 100 TB
+    the vocabulary (not the corpus) is the join input, shuffled once
+    by block key."""
+    from medallion_delta_lake_spark.functions.texts import tokenize
+
+    docs = table(spark, sf_dir, "documents")
+    w = (
+        docs.select(F.explode(tokenize("text")).alias("word"))
+        .distinct()
+        .filter(F.length("word") >= 4)
+        .select(
+            "word",
+            F.length("word").alias("ln"),
+            F.substring("word", 1, 1).alias("c1"),
+        )
+    )
+    a = w.select(
+        F.col("word").alias("word_a"),
+        F.col("ln").alias("ln_a"),
+        "c1",
+    )
+    b = w.select(
+        F.col("word").alias("word_b"),
+        F.col("ln").alias("ln_b"),
+        "c1",
+    )
+    cand = a.join(b, "c1").filter(
+        (F.col("ln_b") >= F.col("ln_a") - 2)
+        & (F.col("ln_b") <= F.col("ln_a") + 2)
+        & (F.col("word_a") < F.col("word_b"))
+    )
+    return (
+        cand.select(
+            "word_a",
+            "word_b",
+            F.levenshtein("word_a", "word_b").alias("dist"),
+        )
+        .filter(F.col("dist") <= 2)
+    )
+
+
+@query(
+    "udtf-chunk-windows",
+    # overlapping 10-word windows, stride 5 — the DuckDB twin slices
+    # the token list at the same starts; strings + ints only
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, toks,
+             unnest(range(0, 1 + greatest(len(toks) - 1, 0) // 5))
+               AS i
+      FROM d
+    ),
+    c AS (
+      SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+             array_to_string(toks[i * 5 + 1 : i * 5 + 10], ' ')
+               AS chunk,
+             CAST(len(toks[i * 5 + 1 : i * 5 + 10]) AS INT) AS n_words
+      FROM idx WHERE i * 5 < len(toks)
+    )
+    SELECT doc_id, chunk_idx, chunk, n_words FROM c
+    """,
+)
+def udtf_chunk_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """udtf / overlapping context chunks — every document split into
+    10-word windows starting every 5 words (the RAG chunking shape:
+    overlap keeps boundary-straddling answers intact), via an
+    Arrow-optimized Python UDTF in a LATERAL join — the §2.11 UDTF
+    surface (one row → variable structured rows with imperative
+    boundary logic). Arrow batching keeps it vectorized; the chunk
+    explosion runs inside the scan stage, nothing shuffles
+    (operators/pandas_ops.py:chunk_windows_udtf)."""
+    from medallion_delta_lake_spark.operators.pandas_ops import (
+        chunk_windows_udtf,
+    )
+
+    spark.udtf.register("chunk_windows", chunk_windows_udtf())
+    table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "_docs_for_chunks"
+    )
+    return spark.sql(
+        "SELECT d.doc_id, c.chunk_idx, c.chunk, c.n_words "
+        "FROM _docs_for_chunks d, "
+        "LATERAL chunk_windows(d.text, 10, 5) c"
+    )

@@ -106,3 +106,35 @@ def test_dropped_column_invisible_to_merge(spark, tmp_path):
         delete_missing=True,
     )
     assert {r.id for r in delta_log.read_delta(spark, t).collect()} == {2, 3}
+
+
+def test_optimize_purges_dropped_column_bytes(spark, tmp_path):
+    """REORG-style physical purge: OPTIMIZE rewrites live files
+    through the CURRENT logical schema, so a dropped column's bytes
+    leave the parquet footprint (and a later re-add still reads NULL
+    for rewritten files — physically, not just via mapping)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    import os
+
+    t = _t(spark, tmp_path)
+    delta_log.write_delta(
+        spark,
+        spark.createDataFrame([(3, "c")], "id int, v string").coalesce(1),
+        t,
+        mode="append",
+    )
+    delta_log.drop_column(t, "v")
+    out = delta_log.optimize_delta_log(spark, t, small_file_bytes=1 << 30)
+    assert out["files_compacted"] == 2
+    snap = delta_log.resolve_snapshot(t)
+    for rel in snap["files"]:
+        cols = pq.ParquetFile(os.path.join(t, rel)).schema_arrow.names
+        assert all("v" not in c for c in cols), cols
+    assert {r.id for r in delta_log.read_delta(spark, t).collect()} == {
+        1,
+        2,
+        3,
+    }

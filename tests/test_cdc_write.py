@@ -236,3 +236,28 @@ def test_replication_from_change_feed(spark, tmp_path):
     got = {(r.k, r.v) for r in folded.collect()}
     want = {(r.k, r.v) for r in delta_log.read_delta(spark, t).collect()}
     assert got == want == {(1, 100), (2, 21), (9, 90)}
+
+
+def test_cdc_on_column_mapped_table(spark, tmp_path):
+    """CDF + column mapping: cdc files carry LOGICAL names (this
+    writer's documented contract), so the feed reads back correctly
+    even after a metadata-only RENAME."""
+    t = str(tmp_path / "t")
+    _cdf_table(spark, t, [(1, 10), (2, 20)])
+    delta_log.enable_column_mapping(t)
+    delta_log.rename_column(t, "v", "amount")
+    out = delta_log.update_delta_log(
+        spark, t, [("k", "=", 1)], {"amount": "amount + 5"}
+    )
+    rows = sorted(
+        (r.k, r.amount, r._change_type)
+        for r in delta_log.table_changes(
+            spark, t, out["version"], out["version"]
+        ).collect()
+    )
+    assert rows == [
+        (1, 10, "update_preimage"),
+        (1, 15, "update_postimage"),
+    ]
+    got = {(r.k, r.amount) for r in delta_log.read_delta(spark, t).collect()}
+    assert got == {(1, 15), (2, 20)}

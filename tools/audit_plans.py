@@ -100,6 +100,10 @@ AUDITED = [
     "text-ngram-novelty",
     "stats-brown-forsythe",
     "sample-quality-audit",
+    "agg-markov-transition",
+    "join-fuzzy-blocked",
+    "udtf-chunk-windows",
+    "pandas-udaf-median",
 ]
 
 
