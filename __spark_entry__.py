@@ -64,6 +64,8 @@ _DRIVER_PRIORITY = [
     "merge-clause-state",
     "sim-ann-ivf",
     # NEW in round 8
+    "drift-total-variation",
+    "drift-hellinger-cat",
     "scd2-incremental-upsert",
     "dedup-cc-bigstar",
     "stats-theil-sen",

@@ -4800,3 +4800,117 @@ def pandas_udaf_median_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").isNotNull()
     )
     return grouped_median_udaf(e, ["event_type"], "value")
+
+
+# ------------------------------------------------------- drift monitors
+
+
+@query(
+    "drift-total-variation",
+    # bucket assignment is a fixed IEEE chain over broadcast reference
+    # min/max; the distance is DECIMAL(19,0) cross-multiplication with
+    # one closing double division — log-free, engine-exact (PSI's ln()
+    # differs by 1 ulp across libms on ~3% of values, measured)
+    oracle="""
+    WITH base AS (
+      SELECT CAST(value AS DOUBLE) AS x,
+             ts >= TIMESTAMP '2024-01-16 00:00:00' AS cur
+      FROM events WHERE value IS NOT NULL
+    ),
+    e AS (SELECT MIN(x) AS mn, MAX(x) AS mx FROM base WHERE NOT cur),
+    b AS (
+      SELECT CASE WHEN mx = mn THEN 0
+                  ELSE LEAST(9, GREATEST(0,
+                    CAST(FLOOR((x - mn) / ((mx - mn) / 10.0)) AS INT)))
+             END AS bin,
+             cur
+      FROM base, e
+    ),
+    c AS (
+      SELECT bin,
+             COUNT(CASE WHEN NOT cur THEN 1 END) AS ref_cnt,
+             COUNT(CASE WHEN cur THEN 1 END) AS cur_cnt
+      FROM b GROUP BY bin
+    ),
+    t AS (SELECT CAST(SUM(ref_cnt) AS BIGINT) AS nr,
+                 CAST(SUM(cur_cnt) AS BIGINT) AS nc FROM c),
+    g AS (
+      SELECT bin, ref_cnt, cur_cnt,
+             abs(CAST(cur_cnt AS DECIMAL(19,0)) * CAST(nr AS DECIMAL(19,0))
+                 - CAST(ref_cnt AS DECIMAL(19,0)) * CAST(nc AS DECIMAL(19,0)))
+               AS dev,
+             CAST(nr AS DOUBLE) AS nr_d, CAST(nc AS DOUBLE) AS nc_d
+      FROM c, t
+    )
+    SELECT bin, ref_cnt, cur_cnt,
+           CAST(dev AS DOUBLE) / (nr_d * nc_d) AS gap,
+           CAST(SUM(dev) OVER () AS DOUBLE) / (2.0 * nr_d * nc_d)
+             AS tv_distance
+    FROM g
+    """,
+)
+def drift_total_variation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """drift / binned total-variation distance — the log-free ingest
+    drift monitor: value histograms of the first vs second half of the
+    month over 10 fixed-width buckets frozen to the reference min/max
+    (current out-of-range mass clamps into the edge buckets, so novel
+    values still count). Integer cross-multiplication keeps it exact
+    where PSI's ln() would drift a ulp across engines; scale shape is
+    one reference min/max pass + one 10-row map-side-combined groupBy
+    (operators/drift.py:binned_total_variation)."""
+    from medallion_delta_lake_spark.operators import drift
+
+    ev = table(spark, sf_dir, "events").select(
+        "value",
+        (F.col("ts") >= F.lit("2024-01-16 00:00:00").cast("timestamp"))
+        .alias("is_cur"),
+    )
+    return drift.binned_total_variation(ev, "value", "is_cur", bins=10)
+
+
+@query(
+    "drift-hellinger-cat",
+    # per-category sqrt((rc/nr)·(cc/nc)) terms (sqrt is correctly
+    # rounded IEEE in both engines) summed in ORDER BY category — the
+    # one order-sensitive double reduction runs in a deterministic
+    # cumulative window, identical in Spark and DuckDB
+    oracle="""
+    WITH c AS (
+      SELECT event_type AS cat,
+             COUNT(CASE WHEN NOT (isodow(ts) >= 6) THEN 1 END) AS rc,
+             COUNT(CASE WHEN isodow(ts) >= 6 THEN 1 END) AS cc
+      FROM events WHERE event_type IS NOT NULL
+      GROUP BY event_type
+    ),
+    t AS (SELECT CAST(SUM(rc) AS BIGINT) AS nr,
+                 CAST(SUM(cc) AS BIGINT) AS nc FROM c),
+    r AS (
+      SELECT SUM(sqrt((CAST(rc AS DOUBLE) / CAST(nr AS DOUBLE))
+                      * (CAST(cc AS DOUBLE) / CAST(nc AS DOUBLE))))
+               OVER (ORDER BY cat
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS bc_run,
+             nr, nc
+      FROM c, t
+    )
+    SELECT MAX(bc_run) AS bhattacharyya,
+           sqrt(1.0 - LEAST(1.0, MAX(bc_run))) AS hellinger,
+           CAST(MAX(nr) AS BIGINT) AS n_ref,
+           CAST(MAX(nc) AS BIGINT) AS n_cur,
+           COUNT(*) AS n_categories
+    FROM r
+    """,
+)
+def drift_hellinger_cat_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """drift / Hellinger distance between categorical mixes — did the
+    weekend event-type mix shift vs weekdays? Bhattacharyya
+    coefficient + Hellinger distance (H² ≤ TV ≤ H·√2), the log-free
+    sibling of JS divergence. One k-row grouped count with map-side
+    combine; the k sqrt terms sum in a deterministic ordered window
+    (operators/drift.py:categorical_bhattacharyya)."""
+    from medallion_delta_lake_spark.operators import drift
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", (F.weekday("ts") >= F.lit(5)).alias("is_wknd")
+    )
+    return drift.categorical_bhattacharyya(ev, "event_type", "is_wknd")
