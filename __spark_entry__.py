@@ -66,6 +66,8 @@ _DRIVER_PRIORITY = [
     # NEW in round 8
     "drift-total-variation",
     "drift-hellinger-cat",
+    "stats-kruskal-wallis",
+    "stats-jarque-bera",
     "scd2-incremental-upsert",
     "dedup-cc-bigstar",
     "stats-theil-sen",

@@ -735,3 +735,202 @@ def mad_outliers(
             ).alias("n_outliers"),
         )
     )
+
+
+def limb_double(col: "F.Column") -> "F.Column":
+    """Engine-exact DECIMAL(38,0)→DOUBLE conversion for NON-NEGATIVE
+    values that may exceed 2⁵³. A plain cast is NOT cross-engine safe
+    there: DuckDB's int128-decimal→double goes through a two-word
+    multiply and lands 1 ulp off the correctly-rounded value Spark/Java
+    produce (measured: 31293724858271074718 casts to ...f0 vs ...f1).
+    Splitting the zero-padded digit string into three 13-digit limbs
+    (each < 10¹³ ≪ 2⁵³, so each cast is exact) and recombining with the
+    fixed IEEE chain ``(a·10¹³ + b)·10¹³ + c`` is deterministic in any
+    IEEE engine — both engines now round in the same places. The SQL
+    mirror is the same lpad/substr expression."""
+    s = F.lpad(col.cast("string"), 39, "0")
+    a = F.substring(s, 1, 13).cast("double")
+    b = F.substring(s, 14, 13).cast("double")
+    c = F.substring(s, 27, 13).cast("double")
+    return (a * F.lit(1e13) + b) * F.lit(1e13) + c
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    val_col: str,
+    group_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Kruskal–Wallis H test — the k-group generalization of
+    Mann–Whitney: did ANY group's value distribution shift? Values are
+    integerized at ``scale`` (default cents) so ties are exact, then
+    ranked WITHOUT sorting the fact table: a value-frequency table
+    (bounded-distinct posture, same as Spearman/Mann–Whitney) yields
+    doubled midranks ``d = 2·cum + c + 1`` (kept integral so the
+    per-group rank sums accumulate in DECIMAL(38,0), exactly). The
+    per-group ``R_i²/n_i`` terms are the one order-sensitive double
+    reduction, so they sum in an ORDER BY group cumulative window
+    (deterministic addition order in any engine), and the close —
+    H, the tie-correction C = 1 − Σ(c³−c)/(N³−N), H_adj = H/C — is a
+    fixed IEEE chain of +,−,×,÷ (engine-exact; no transcendentals).
+
+    Scale shape: one grouped frequency pass with map-side combine, a
+    broadcast rank-map join back onto the fact rows, one k-row window.
+
+    Output one row: ``(h_stat, h_adj, dof, n, n_groups)``.
+    """
+    from pyspark.sql import Window as W
+
+    g = F.col(group_col)
+    iv = F.round(F.col(val_col).cast("double") * scale, 0).cast(
+        "bigint"
+    )
+    base = df.filter(
+        F.col(val_col).isNotNull() & g.isNotNull()
+    ).select(g.alias("_g"), iv.alias("_v"))
+    freq = base.groupBy("_v").agg(F.count(F.lit(1)).alias("_c"))
+    before = W.orderBy("_v").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    ranks = freq.select(
+        "_v",
+        (
+            2 * F.coalesce(F.sum("_c").over(before), F.lit(0))
+            + F.col("_c")
+            + 1
+        )
+        .cast("bigint")
+        .alias("_d"),
+    )
+    per_group = (
+        base.join(F.broadcast(ranks), "_v")
+        .groupBy("_g")
+        .agg(
+            F.count(F.lit(1)).alias("_ni"),
+            F.sum(F.col("_d").cast("decimal(38,0)")).alias("_sdd"),
+        )
+        .select(
+            "_g", "_ni", limb_double(F.col("_sdd")).alias("_sd")
+        )
+    )
+    ties = freq.agg(
+        F.sum(
+            (
+                F.col("_c").cast("decimal(38,0)")
+                * F.col("_c")
+                * F.col("_c")
+                - F.col("_c")
+            )
+        ).alias("_td"),
+        F.sum("_c").alias("_n"),
+    ).select(limb_double(F.col("_td")).alias("_t"), "_n")
+    term = (F.col("_sd") * F.col("_sd")) / (
+        F.lit(4.0) * F.col("_ni").cast("double")
+    )
+    seq = W.orderBy("_g").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    running = per_group.crossJoin(F.broadcast(ties)).select(
+        F.sum(term).over(seq).alias("_s_run"),
+        "_t",
+        "_n",
+    )
+    n_d = F.col("_n").cast("double")
+    s_val = F.max("_s_run")
+    h = (
+        F.lit(12.0) / (n_d * (n_d + F.lit(1.0))) * s_val
+        - F.lit(3.0) * (n_d + F.lit(1.0))
+    )
+    c_corr = F.lit(1.0) - F.col("_t") / (n_d * n_d * n_d - n_d)
+    return (
+        running.groupBy("_t", "_n")
+        .agg(
+            h.alias("h_stat"),
+            (h / c_corr).alias("h_adj"),
+            (F.count(F.lit(1)) - 1).alias("dof"),
+        )
+        .select(
+            "h_stat",
+            "h_adj",
+            F.col("dof").cast("bigint").alias("dof"),
+            F.col("_n").cast("bigint").alias("n"),
+            (F.col("dof") + 1).cast("bigint").alias("n_groups"),
+        )
+    )
+
+
+def jarque_bera(
+    df: DataFrame,
+    val_col: str,
+    group_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Jarque–Bera normality screen per group — flags non-Gaussian
+    feature distributions from skewness and excess kurtosis:
+    ``JB = n/6·(S² + (K−3)²/4)``. Values integerize at ``scale``
+    (cents by default) so the four raw power sums Σv..Σv⁴ accumulate
+    in DECIMAL(38,0) EXACTLY (v⁴ ≤ 1e19 per row, ~1e31 summed at
+    petabyte row counts — inside decimal range, where a double→decimal
+    cast of v⁴ would already be engine-divergent). Central moments and
+    the standardized close are a fixed IEEE chain (+,−,×,÷,sqrt only;
+    ``m2^1.5`` spelled ``m2·sqrt(m2)``); the cents scale cancels in
+    the standardized moments. One grouped pass, map-side combined.
+
+    Output per group: ``(group, n, skewness, kurtosis, jb_stat)``.
+    """
+    g = F.col(group_col)
+    iv = F.round(F.col(val_col).cast("double") * scale, 0).cast(
+        "decimal(38,0)"
+    )
+    base = df.filter(
+        F.col(val_col).isNotNull() & g.isNotNull()
+    ).select(g.alias("_g"), iv.alias("_v"))
+    v = F.col("_v")
+    s = base.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("_d1"),
+        F.sum(v * v).alias("_d2"),
+        F.sum(v * v * v).alias("_d3"),
+        F.sum(v * v * v * v).alias("_d4"),
+    ).select(
+        "_g",
+        "n",
+        # limb conversion, not a plain cast: Σv⁴ exceeds 2⁵³ already at
+        # ~10⁴ rows of cents values, where DuckDB's decimal→double
+        # lands 1 ulp off Spark's
+        limb_double(F.col("_d1")).alias("_s1"),
+        limb_double(F.col("_d2")).alias("_s2"),
+        limb_double(F.col("_d3")).alias("_s3"),
+        limb_double(F.col("_d4")).alias("_s4"),
+    )
+    n_d = F.col("n").cast("double")
+    mu = F.col("_s1") / n_d
+    m2 = F.col("_s2") / n_d - mu * mu
+    m3 = (
+        F.col("_s3") / n_d
+        - F.lit(3.0) * mu * (F.col("_s2") / n_d)
+        + F.lit(2.0) * mu * mu * mu
+    )
+    m4 = (
+        F.col("_s4") / n_d
+        - F.lit(4.0) * mu * (F.col("_s3") / n_d)
+        + F.lit(6.0) * mu * mu * (F.col("_s2") / n_d)
+        - F.lit(3.0) * mu * mu * mu * mu
+    )
+    skew = m3 / (m2 * F.sqrt(m2))
+    kurt = m4 / (m2 * m2)
+    jb = (
+        n_d
+        / F.lit(6.0)
+        * (
+            skew * skew
+            + (kurt - F.lit(3.0)) * (kurt - F.lit(3.0)) / F.lit(4.0)
+        )
+    )
+    return s.select(
+        F.col("_g").alias(group_col),
+        "n",
+        skew.alias("skewness"),
+        kurt.alias("kurtosis"),
+        jb.alias("jb_stat"),
+    )

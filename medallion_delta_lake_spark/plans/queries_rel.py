@@ -4914,3 +4914,184 @@ def drift_hellinger_cat_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", (F.weekday("ts") >= F.lit(5)).alias("is_wknd")
     )
     return drift.categorical_bhattacharyya(ev, "event_type", "is_wknd")
+
+
+@query(
+    "stats-kruskal-wallis",
+    # doubled integral midranks from a value-frequency map (no fact
+    # sort), DECIMAL(38,0) rank sums, per-group R²/n terms summed in an
+    # ORDER BY group window, fixed IEEE close with tie correction
+    oracle="""
+    WITH base AS (
+      SELECT event_type AS g,
+             CAST(round(CAST(value AS DOUBLE) * 100, 0) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    f AS (SELECT v, COUNT(*) AS c FROM base GROUP BY v),
+    r AS (
+      SELECT v,
+             CAST(2 * COALESCE(SUM(c) OVER (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) + c + 1 AS BIGINT) AS d
+      FROM f
+    ),
+    pg0 AS (
+      SELECT b.g, COUNT(*) AS ni,
+             SUM(CAST(r.d AS DECIMAL(38,0))) AS sdd
+      FROM base b JOIN r ON b.v = r.v
+      GROUP BY b.g
+    ),
+    -- decimal→double via three exact 13-digit limbs (rank sums pass
+    -- 2^53 at ~10⁸ rows, where DuckDB's int128 cast drifts a ulp)
+    pg AS (
+      SELECT g, ni,
+             (CAST(substr(lpad(CAST(sdd AS VARCHAR),39,'0'),1,13) AS DOUBLE)
+                * 1e13
+              + CAST(substr(lpad(CAST(sdd AS VARCHAR),39,'0'),14,13)
+                     AS DOUBLE)) * 1e13
+              + CAST(substr(lpad(CAST(sdd AS VARCHAR),39,'0'),27,13)
+                     AS DOUBLE) AS sd
+      FROM pg0
+    ),
+    t0 AS (
+      SELECT SUM(CAST(c AS DECIMAL(12,0)) * c * c - c) AS td,
+             CAST(SUM(c) AS BIGINT) AS n
+      FROM f
+    ),
+    t AS (
+      SELECT (CAST(substr(lpad(CAST(td AS VARCHAR),39,'0'),1,13) AS DOUBLE)
+                * 1e13
+              + CAST(substr(lpad(CAST(td AS VARCHAR),39,'0'),14,13)
+                     AS DOUBLE)) * 1e13
+              + CAST(substr(lpad(CAST(td AS VARCHAR),39,'0'),27,13)
+                     AS DOUBLE) AS tt,
+             n
+      FROM t0
+    ),
+    run AS (
+      SELECT SUM((sd * sd) / (4.0 * CAST(ni AS DOUBLE)))
+               OVER (ORDER BY g
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS s_run,
+             tt, n
+      FROM pg, t
+    ),
+    cl AS (
+      SELECT 12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+               * MAX(s_run)
+               - 3.0 * (CAST(n AS DOUBLE) + 1.0) AS h_stat,
+             1.0 - tt / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                         * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))
+               AS c_corr,
+             COUNT(*) - 1 AS dof, n
+      FROM run GROUP BY tt, n
+    )
+    SELECT h_stat, h_stat / c_corr AS h_adj,
+           CAST(dof AS BIGINT) AS dof, n,
+           CAST(dof + 1 AS BIGINT) AS n_groups
+    FROM cl
+    """,
+)
+def stats_kruskal_wallis_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stats / Kruskal–Wallis H — the k-group rank ANOVA completing the
+    drift-test family (KS/Mann–Whitney are two-sample; this asks "did
+    ANY event-type's value distribution shift?"). Integer-cents values
+    make ties exact; the fact table never sorts — a bounded-distinct
+    frequency map broadcasts doubled midranks back
+    (operators/agg.py:kruskal_wallis)."""
+    from medallion_delta_lake_spark.operators import agg
+
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    return agg.kruskal_wallis(ev, "value", "event_type", scale=100)
+
+
+@query(
+    "stats-jarque-bera",
+    # integer-cents power sums Σv..Σv⁴ in DECIMAL (exact — a
+    # double→decimal cast of v⁴ would already diverge across engines);
+    # central moments + JB close in a fixed IEEE chain, m2^1.5 spelled
+    # m2·sqrt(m2)
+    oracle="""
+    WITH base AS (
+      SELECT event_type AS g,
+             CAST(round(CAST(value AS DOUBLE) * 100, 0)
+                  AS DECIMAL(9,0)) AS v
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    s AS (
+      SELECT g, COUNT(*) AS n,
+             SUM(v) AS d1,
+             SUM(v * v) AS d2,
+             SUM(v * v * v) AS d3,
+             -- DuckDB clamps DECIMAL(18)*DECIMAL(9) back to DECIMAL(18)
+             -- (range 10^18 < max v⁴), so stage the quartic as 19+18
+             SUM(CAST(v * v AS DECIMAL(19,0)) * (v * v)) AS d4
+      FROM base GROUP BY g
+    ),
+    -- decimal→double via three exact 13-digit limbs: DuckDB's int128
+    -- cast is 1 ulp off Spark's past 2^53; the limb recombination is
+    -- the same fixed IEEE chain in both engines
+    sl AS (
+      SELECT g, n,
+             (CAST(substr(lpad(CAST(d1 AS VARCHAR),39,'0'),1,13) AS DOUBLE)
+                * 1e13
+              + CAST(substr(lpad(CAST(d1 AS VARCHAR),39,'0'),14,13) AS DOUBLE))
+                * 1e13
+              + CAST(substr(lpad(CAST(d1 AS VARCHAR),39,'0'),27,13) AS DOUBLE)
+                AS s1,
+             (CAST(substr(lpad(CAST(d2 AS VARCHAR),39,'0'),1,13) AS DOUBLE)
+                * 1e13
+              + CAST(substr(lpad(CAST(d2 AS VARCHAR),39,'0'),14,13) AS DOUBLE))
+                * 1e13
+              + CAST(substr(lpad(CAST(d2 AS VARCHAR),39,'0'),27,13) AS DOUBLE)
+                AS s2,
+             (CAST(substr(lpad(CAST(d3 AS VARCHAR),39,'0'),1,13) AS DOUBLE)
+                * 1e13
+              + CAST(substr(lpad(CAST(d3 AS VARCHAR),39,'0'),14,13) AS DOUBLE))
+                * 1e13
+              + CAST(substr(lpad(CAST(d3 AS VARCHAR),39,'0'),27,13) AS DOUBLE)
+                AS s3,
+             (CAST(substr(lpad(CAST(d4 AS VARCHAR),39,'0'),1,13) AS DOUBLE)
+                * 1e13
+              + CAST(substr(lpad(CAST(d4 AS VARCHAR),39,'0'),14,13) AS DOUBLE))
+                * 1e13
+              + CAST(substr(lpad(CAST(d4 AS VARCHAR),39,'0'),27,13) AS DOUBLE)
+                AS s4
+      FROM s
+    ),
+    m AS (
+      SELECT g, n, s1, s2, s3, s4, CAST(n AS DOUBLE) AS nd,
+             s1 / CAST(n AS DOUBLE) AS mu
+      FROM sl
+    ),
+    c AS (
+      SELECT g, n, nd, mu,
+             s2 / nd - mu * mu AS m2,
+             s3 / nd - 3.0 * mu * (s2 / nd) + 2.0 * mu * mu * mu AS m3,
+             s4 / nd - 4.0 * mu * (s3 / nd)
+               + 6.0 * mu * mu * (s2 / nd)
+               - 3.0 * mu * mu * mu * mu AS m4
+      FROM m
+    ),
+    k AS (
+      SELECT g, n, nd,
+             m3 / (m2 * sqrt(m2)) AS skewness,
+             m4 / (m2 * m2) AS kurtosis
+      FROM c
+    )
+    SELECT g AS event_type, n, skewness, kurtosis,
+           nd / 6.0 * (skewness * skewness
+             + (kurtosis - 3.0) * (kurtosis - 3.0) / 4.0) AS jb_stat
+    FROM k
+    """,
+)
+def stats_jarque_bera_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stats / Jarque–Bera normality screen per event type — skewness,
+    excess kurtosis, and the JB statistic from integer-cents power
+    sums accumulated exactly in decimal (one grouped pass, map-side
+    combine; the cents scale cancels in the standardized moments)
+    (operators/agg.py:jarque_bera)."""
+    from medallion_delta_lake_spark.operators import agg
+
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    return agg.jarque_bera(ev, "value", "event_type", scale=100)

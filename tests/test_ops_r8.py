@@ -174,3 +174,67 @@ def test_scd2_apply_micro_equivalence(spark):
     }
     want = {tuple(r) for r in build(hist + batch).collect()}
     assert got == want
+
+
+def test_limb_double_exact_beyond_2_53(spark):
+    # the value where DuckDB's int128 decimal→double cast measurably
+    # lands 1 ulp off: limb conversion must equal Python's correctly
+    # rounded float()
+    from decimal import Decimal
+
+    big = 31293724858271074718
+    df = spark.createDataFrame([(Decimal(big),)], "x decimal(38,0)")
+    out = df.select(agg.limb_double(F.col("x")).alias("d")).first()["d"]
+    assert out == float(big)
+    small = spark.createDataFrame([(Decimal(12345),)], "x decimal(38,0)")
+    assert (
+        small.select(agg.limb_double(F.col("x")).alias("d")).first()["d"]
+        == 12345.0
+    )
+
+
+def test_kruskal_wallis_textbook_no_ties(spark):
+    # groups {1,2,3},{4,5,6},{7,8,9}: ranks 1..9, H = 7.2 exactly
+    rows = (
+        [("a", float(v)) for v in (1, 2, 3)]
+        + [("b", float(v)) for v in (4, 5, 6)]
+        + [("c", float(v)) for v in (7, 8, 9)]
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = agg.kruskal_wallis(df, "v", "g", scale=1).first()
+    assert r["n"] == 9 and r["n_groups"] == 3 and r["dof"] == 2
+    assert abs(r["h_stat"] - 7.2) < 1e-12
+    assert r["h_adj"] == r["h_stat"]  # no ties → C = 1
+
+
+def test_kruskal_wallis_tie_correction(spark):
+    # {1,1,2} vs {2,3,3}: midranks 1.5,1.5,3.5 | 3.5,5.5,5.5
+    # H = 12/42·(6.5²/3 + 14.5²/3) − 21; C = 1 − 18/210
+    rows = [("a", 1.0), ("a", 1.0), ("a", 2.0), ("b", 2.0), ("b", 3.0), ("b", 3.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = agg.kruskal_wallis(df, "v", "g", scale=1).first()
+    h = 12.0 / 42.0 * (6.5**2 / 3 + 14.5**2 / 3) - 21.0
+    assert abs(r["h_stat"] - h) < 1e-12
+    assert abs(r["h_adj"] - h / (1.0 - 18.0 / 210.0)) < 1e-12
+
+
+def test_jarque_bera_symmetric_micro(spark):
+    # {1,2,2,3}: skew 0, m2 = .5, m4 = .5 → kurt 2, JB = 4/6·(1/4)
+    df = spark.createDataFrame(
+        [("g", 1.0), ("g", 2.0), ("g", 2.0), ("g", 3.0)],
+        "g string, v double",
+    )
+    r = agg.jarque_bera(df, "v", "g", scale=1).first()
+    assert r["skewness"] == 0.0
+    assert abs(r["kurtosis"] - 2.0) < 1e-12
+    assert abs(r["jb_stat"] - 4.0 / 6.0 * 0.25) < 1e-12
+
+
+def test_jarque_bera_cents_scale_invariance(spark):
+    # the standardized moments must not depend on the cents scale
+    rows = [("g", v) for v in (1.37, 2.11, 2.11, 9.40, 3.55)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    a = agg.jarque_bera(df, "v", "g", scale=100).first()
+    b = agg.jarque_bera(df, "v", "g", scale=1000).first()
+    assert abs(a["skewness"] - b["skewness"]) < 1e-9
+    assert abs(a["jb_stat"] - b["jb_stat"]) < 1e-9
