@@ -68,6 +68,8 @@ _DRIVER_PRIORITY = [
     "drift-hellinger-cat",
     "stats-kruskal-wallis",
     "stats-jarque-bera",
+    "multimodal-aspect-buckets",
+    "window-rolling-autocorr",
     "scd2-incremental-upsert",
     "dedup-cc-bigstar",
     "stats-theil-sen",

@@ -773,3 +773,104 @@ def scene_cuts(
             F.col("hamming_prev") >= cut_threshold, F.lit(False)
         ).alias("is_cut"),
     )
+
+
+# (ratio_w, ratio_h) training buckets, SDXL-style: square, photo and
+# portrait/landscape pairs, and widescreen. Order is the tie-break.
+ASPECT_BUCKETS: tuple[tuple[int, int], ...] = (
+    (1, 1),
+    (4, 3),
+    (3, 4),
+    (3, 2),
+    (2, 3),
+    (16, 9),
+    (9, 16),
+)
+
+# LCM of the bucket ratio-heights {1,3,4,2,9,16} — scaling each
+# bucket's error by (lcm / hb) clears denominators so ratio closeness
+# compares in EXACT integers (|w/h − wb/hb| = |w·hb − wb·h|/(h·hb);
+# h is common per image, so weighting by lcm/hb makes errors
+# cross-bucket comparable without a single division)
+_ASPECT_LCM = 144
+
+
+def aspect_bucket_assign(
+    df: DataFrame,
+    width_col: str = "width",
+    height_col: str = "height",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign each image to the nearest training aspect-ratio bucket —
+    the batch-packing preprocessing every multi-resolution vision
+    trainer runs (images batch with like-shaped peers so a batch crops
+    to one canvas). Nearest is by TRUE ratio distance, computed in
+    exact integer arithmetic: for buckets b the error
+    ``|w·hb − wb·h| · (lcm/hb)`` orders identically to
+    ``|w/h − wb/hb|`` (positive common factors), so there is no float
+    comparison to disagree across engines; ties break on bucket order.
+
+    Scale shape: a broadcast 7-row bucket dim × the image table, one
+    per-image window min — the data-sized side never shuffles wider
+    than the (id) partition, and the whole assign collapses into one
+    whole-stage-codegen span (no UDF).
+
+    Output: one row per image ``(id, width, height, bucket_w,
+    bucket_h, ratio_err_scaled)``.
+    """
+    from pyspark.sql import Window as W
+
+    spark = df.sparkSession
+    buckets = spark.createDataFrame(
+        [
+            (i, wb, hb, _ASPECT_LCM // hb)
+            for i, (wb, hb) in enumerate(ASPECT_BUCKETS)
+        ],
+        "bidx int, bucket_w int, bucket_h int, hweight int",
+    )
+    w = F.col(width_col).cast("bigint")
+    h = F.col(height_col).cast("bigint")
+    err = (
+        F.abs(w * F.col("bucket_h") - F.col("bucket_w") * h)
+        * F.col("hweight")
+    ).alias("ratio_err_scaled")
+    ranked = (
+        df.select(id_col, width_col, height_col)
+        .crossJoin(F.broadcast(buckets))
+        .select(
+            id_col, width_col, height_col,
+            "bidx", "bucket_w", "bucket_h", err,
+        )
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                W.partitionBy(id_col).orderBy(
+                    "ratio_err_scaled", "bidx"
+                )
+            ),
+        )
+    )
+    return ranked.filter(F.col("_rn") == 1).drop("_rn", "bidx")
+
+
+def aspect_bucket_batches(
+    assigned: DataFrame,
+    batch_size: int = 64,
+) -> DataFrame:
+    """Collapse an :func:`aspect_bucket_assign` result into the batch
+    plan: per bucket, the image count, the number of ``batch_size``
+    batches (ceil), and the padding waste the trainer will pay in the
+    final partial batch — the numbers a packing scheduler consumes.
+    All-integer arithmetic."""
+    n = F.count(F.lit(1))
+    batches = F.floor(
+        (n + F.lit(batch_size - 1)) / F.lit(batch_size)
+    ).cast("bigint")
+    return (
+        assigned.groupBy("bucket_w", "bucket_h")
+        .agg(
+            n.alias("n_images"),
+            batches.alias("n_batches"),
+            (batches * batch_size - n).alias("pad_waste"),
+        )
+    )

@@ -463,3 +463,67 @@ def regime_segments(
         F.min(ts_col).alias("start_ts"),
         F.max(ts_col).alias("end_ts"),
     )
+
+
+def rolling_autocorr(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_by: Sequence[Column | str],
+    value_col: str,
+    window_rows: int = 20,
+    min_pairs: int = 5,
+) -> DataFrame:
+    """Rolling lag-1 autocorrelation per key — the windowed "has this
+    series gone momentum/mean-reverting" monitor (stats-autocorr-lag1
+    gives one number per key; this tracks HOW the serial dependence
+    evolves). Pearson over the trailing ``window_rows`` (x, lag-x)
+    pairs via the closed form from frame sums.
+
+    Exactness: rows with NULL values are dropped first (the observed
+    series), the per-row products cast to DECIMAL(38,6) — exact for
+    2-decimal inputs, and the FRAME bounds the accumulated magnitude
+    (≤ window_rows·max²·10⁶ ≪ 2⁵³), so the decimal→double casts stay
+    in the cross-engine-exact zone at ANY table size, unlike whole-
+    table power sums. The close is IEEE ops + two correctly-rounded
+    sqrts; degenerate frames (under ``min_pairs`` pairs or zero
+    variance) return NULL via explicit guards — never engine-specific
+    0/0 behavior.
+
+    Scale shape: one shuffle on the key, one sort per partition,
+    six frame aggregates sharing that single sort.
+
+    Output: ``key_cols + order cols + (n_pairs, roll_autocorr)``.
+    """
+    w_ord = Window.partitionBy(*key_cols).orderBy(
+        *_order(order_by, False)
+    )
+    vx = F.col(value_col)
+    base = df.filter(vx.isNotNull()).withColumn(
+        "_y", F.lag(vx).over(w_ord)
+    )
+    frame = w_ord.rowsBetween(-(window_rows - 1), 0)
+    vy = F.col("_y")
+    dec = "decimal(38,6)"
+    n = F.count(vy).over(frame)
+    sx = F.sum(
+        F.when(vy.isNotNull(), vx.cast(dec))
+    ).over(frame).cast("double")
+    sy = F.sum(vy.cast(dec)).over(frame).cast("double")
+    sxy = F.sum((vx * vy).cast(dec)).over(frame).cast("double")
+    sxx = F.sum(
+        F.when(vy.isNotNull(), (vx * vx).cast(dec))
+    ).over(frame).cast("double")
+    syy = F.sum((vy * vy).cast(dec)).over(frame).cast("double")
+    n_d = n.cast("double")
+    varx = n_d * sxx - sx * sx
+    vary = n_d * syy - sy * sy
+    corr = F.when(
+        (n >= min_pairs) & (varx > 0) & (vary > 0),
+        (n_d * sxy - sx * sy) / (F.sqrt(varx) * F.sqrt(vary)),
+    )
+    keep = [*key_cols, *[c for c in order_by if isinstance(c, str)]]
+    return base.select(
+        *keep,
+        n.cast("bigint").alias("n_pairs"),
+        corr.alias("roll_autocorr"),
+    )

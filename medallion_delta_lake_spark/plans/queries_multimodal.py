@@ -426,3 +426,59 @@ def multimodal_scene_cuts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.scene_cuts(
         docs, n_frames=16, frame_len=32, cut_threshold=12
     )
+
+
+@query(
+    "multimodal-aspect-buckets",
+    # the nearest-ratio argmin is EXACT integer arithmetic
+    # (|w·hb − wb·h|·(144/hb) orders like |w/h − wb/hb|), so the
+    # oracle replays it verbatim with a VALUES bucket dim
+    oracle="""
+    WITH geo AS (
+      SELECT doc_id,
+             CAST(128 + (doc_id * 37) % 1920 AS BIGINT) AS w,
+             CAST(128 + (doc_id * 73) % 1080 AS BIGINT) AS h
+      FROM documents
+    ),
+    b(bidx, bucket_w, bucket_h, hweight) AS (
+      VALUES (0,1,1,144), (1,4,3,48), (2,3,4,36), (3,3,2,72),
+             (4,2,3,48), (5,16,9,16), (6,9,16,9)
+    ),
+    ranked AS (
+      SELECT doc_id, bucket_w, bucket_h,
+             abs(w * bucket_h - bucket_w * h) * hweight AS err,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id
+               ORDER BY abs(w * bucket_h - bucket_w * h) * hweight,
+                        bidx
+             ) AS rn
+      FROM geo, b
+    )
+    SELECT bucket_w, bucket_h, COUNT(*) AS n_images,
+           CAST(floor((COUNT(*) + 63) / 64) AS BIGINT) AS n_batches,
+           CAST(floor((COUNT(*) + 63) / 64) AS BIGINT) * 64 - COUNT(*)
+             AS pad_waste
+    FROM ranked WHERE rn = 1
+    GROUP BY bucket_w, bucket_h
+    """,
+)
+def multimodal_aspect_buckets_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """multimodal / aspect-ratio bucketing — the multi-resolution
+    batch-packing plan (images batch with like-shaped peers; SDXL-style
+    bucket set). Geometry is synthesized deterministically from doc_id
+    (the container has no pixel decoder; the media-header ops prove the
+    real width/height path), then each image argmins over a broadcast
+    7-row bucket dim in exact integer ratio arithmetic and the batch
+    plan (ceil batches, padding waste) closes per bucket
+    (operators/multimodal.py:aspect_bucket_assign/_batches)."""
+    from pyspark.sql import functions as F
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (128 + (F.col("doc_id") * 37) % 1920).cast("bigint").alias("width"),
+        (128 + (F.col("doc_id") * 73) % 1080).cast("bigint").alias("height"),
+    )
+    assigned = mm.aspect_bucket_assign(docs, "width", "height", "doc_id")
+    return mm.aspect_bucket_batches(assigned, batch_size=64)

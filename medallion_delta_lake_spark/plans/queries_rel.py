@@ -5095,3 +5095,65 @@ def stats_jarque_bera_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events").select("event_type", "value")
     return agg.jarque_bera(ev, "value", "event_type", scale=100)
+
+
+@query(
+    "window-rolling-autocorr",
+    # six frame aggregates over ONE (key, ts) sort; DECIMAL(38,6)
+    # per-row products (exact for 2-decimal inputs), frame-bounded
+    # magnitudes keep every decimal→double cast under 2^53, explicit
+    # degenerate-frame guards instead of engine-specific 0/0
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_id, value,
+             lag(value) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    f AS (
+      SELECT user_id, event_id,
+             COUNT(y) OVER w AS n,
+             CAST(SUM(CASE WHEN y IS NOT NULL
+                  THEN CAST(value AS DECIMAL(38,6)) END) OVER w
+                  AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(38,6))) OVER w AS DOUBLE) AS sy,
+             CAST(SUM(CAST(value * y AS DECIMAL(38,6))) OVER w
+                  AS DOUBLE) AS sxy,
+             CAST(SUM(CASE WHEN y IS NOT NULL
+                  THEN CAST(value * value AS DECIMAL(38,6)) END) OVER w
+                  AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y * y AS DECIMAL(38,6))) OVER w
+                  AS DOUBLE) AS syy
+      FROM o
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id, CAST(n AS BIGINT) AS n_pairs,
+           CASE WHEN n >= 5
+                 AND CAST(n AS DOUBLE) * sxx - sx * sx > 0
+                 AND CAST(n AS DOUBLE) * syy - sy * sy > 0
+                THEN (CAST(n AS DOUBLE) * sxy - sx * sy)
+                     / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+                        * sqrt(CAST(n AS DOUBLE) * syy - sy * sy))
+           END AS roll_autocorr
+    FROM f
+    """,
+)
+def window_rolling_autocorr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """window / rolling lag-1 autocorrelation — per-user momentum vs
+    mean-reversion drift over the trailing 20 observed values (the
+    windowed evolution of stats-autocorr-lag1). One shuffle, one sort,
+    six frame sums sharing it (operators/window.py:rolling_autocorr)."""
+    from medallion_delta_lake_spark.operators import window as win
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return win.rolling_autocorr(
+        ev,
+        ["user_id"],
+        ["ts", "event_id"],
+        "value",
+        window_rows=20,
+        min_pairs=5,
+    ).drop("ts")

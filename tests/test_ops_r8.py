@@ -238,3 +238,92 @@ def test_jarque_bera_cents_scale_invariance(spark):
     b = agg.jarque_bera(df, "v", "g", scale=1000).first()
     assert abs(a["skewness"] - b["skewness"]) < 1e-9
     assert abs(a["jb_stat"] - b["jb_stat"]) < 1e-9
+
+
+def test_aspect_bucket_assign_known_ratios(spark):
+    from medallion_delta_lake_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame(
+        [(1, 1920, 1080), (2, 1000, 1000), (3, 800, 600), (4, 600, 900)],
+        "doc_id long, width int, height int",
+    )
+    out = {
+        r["doc_id"]: (r["bucket_w"], r["bucket_h"], r["ratio_err_scaled"])
+        for r in mm.aspect_bucket_assign(df).collect()
+    }
+    assert out[1] == (16, 9, 0)
+    assert out[2] == (1, 1, 0)
+    assert out[3] == (4, 3, 0)
+    assert out[4] == (2, 3, 0)
+
+
+def test_aspect_bucket_tie_breaks_on_order(spark):
+    from medallion_delta_lake_spark.operators import multimodal as mm
+
+    # 7:6 is exactly halfway between 1:1 (err 144) and 4:3 (err 144);
+    # bucket order makes 1:1 the deterministic winner
+    df = spark.createDataFrame(
+        [(1, 7, 6)], "doc_id long, width int, height int"
+    )
+    r = mm.aspect_bucket_assign(df).first()
+    assert (r["bucket_w"], r["bucket_h"]) == (1, 1)
+    assert r["ratio_err_scaled"] == 144
+
+
+def test_aspect_bucket_batches_padding(spark):
+    from medallion_delta_lake_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame(
+        [(i, 1920, 1080) for i in range(130)],
+        "doc_id long, width int, height int",
+    )
+    plan = mm.aspect_bucket_batches(
+        mm.aspect_bucket_assign(df), batch_size=64
+    ).first()
+    assert plan["n_images"] == 130
+    assert plan["n_batches"] == 3
+    assert plan["pad_waste"] == 62
+
+
+def test_rolling_autocorr_linear_series_is_one(spark):
+    from medallion_delta_lake_spark.operators.window import rolling_autocorr
+
+    df = spark.createDataFrame(
+        [("k", i, float(i)) for i in range(1, 31)],
+        "k string, i long, v double",
+    )
+    rows = rolling_autocorr(
+        df, ["k"], ["i"], "v", window_rows=20, min_pairs=5
+    ).collect()
+    full = [r for r in rows if r["n_pairs"] >= 5]
+    assert full and all(
+        abs(r["roll_autocorr"] - 1.0) < 1e-9 for r in full
+    )
+    # warm-up frames below min_pairs stay NULL
+    assert all(
+        r["roll_autocorr"] is None for r in rows if r["n_pairs"] < 5
+    )
+
+
+def test_rolling_autocorr_constant_series_is_null(spark):
+    from medallion_delta_lake_spark.operators.window import rolling_autocorr
+
+    df = spark.createDataFrame(
+        [("k", i, 5.0) for i in range(20)], "k string, i long, v double"
+    )
+    rows = rolling_autocorr(df, ["k"], ["i"], "v").collect()
+    assert all(r["roll_autocorr"] is None for r in rows)
+
+
+def test_rolling_autocorr_alternating_is_minus_one(spark):
+    from medallion_delta_lake_spark.operators.window import rolling_autocorr
+
+    df = spark.createDataFrame(
+        [("k", i, 1.0 if i % 2 == 0 else -1.0) for i in range(20)],
+        "k string, i long, v double",
+    )
+    rows = rolling_autocorr(df, ["k"], ["i"], "v").collect()
+    full = [r for r in rows if r["n_pairs"] >= 5]
+    assert full and all(
+        abs(r["roll_autocorr"] + 1.0) < 1e-9 for r in full
+    )
