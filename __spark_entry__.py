@@ -70,6 +70,7 @@ _DRIVER_PRIORITY = [
     "stats-jarque-bera",
     "multimodal-aspect-buckets",
     "window-rolling-autocorr",
+    "graph-jaccard-suppliers",
     "scd2-incremental-upsert",
     "dedup-cc-bigstar",
     "stats-theil-sen",

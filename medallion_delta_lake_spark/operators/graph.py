@@ -168,3 +168,69 @@ def degree_histogram(
     return deg.groupBy("degree").agg(
         F.count(F.lit(1)).alias("n_nodes")
     )
+
+
+def jaccard_neighbors(
+    edges: DataFrame,
+    node: str,
+    neighbor: str,
+    max_degree: int = 200,
+    min_common: int = 2,
+) -> DataFrame:
+    """Pairwise node similarity by shared neighborhoods: Jaccard
+    ``|N(a)∩N(b)| / |N(a)∪N(b)|`` over a bipartite edge list — the
+    entity-resolution / collaborative-filtering primitive ("suppliers
+    serving the same customers", "users touching the same items").
+
+    The all-pairs product is NEVER materialized: pairs arise only
+    through the wedge join (two nodes sharing a concrete neighbor), so
+    the cost is Σ_w d(w)² over neighbor-side degrees — the same
+    degree-quadratic bound as triangle counting. ``max_degree`` drops
+    hub neighbors (a neighbor shared by everyone carries no signal and
+    quadratic cost — the standard posting-list cap, same knob as the
+    dedup family's ``max_df``), making the blow-up explicit and
+    bounded. ``min_common`` prunes noise pairs before the degree join.
+
+    Exactness: counts are integers; Jaccard is one int/int double
+    division per pair. Canonical ``a < b`` ordering dedups pairs.
+
+    Output: ``(a, b, n_common, deg_a, deg_b, jaccard)``.
+    """
+    e = edges.select(
+        F.col(node).alias("_n"), F.col(neighbor).alias("_w")
+    ).distinct()
+    deg_w = e.groupBy("_w").agg(F.count(F.lit(1)).alias("_dw"))
+    kept = e.join(
+        F.broadcast(deg_w.filter(F.col("_dw") <= max_degree)), "_w"
+    ).select("_n", "_w")
+    deg_n = kept.groupBy("_n").agg(F.count(F.lit(1)).alias("_dn"))
+    lhs = kept.select(F.col("_n").alias("a"), "_w")
+    rhs = kept.select(F.col("_n").alias("b"), "_w")
+    common = (
+        lhs.join(rhs, "_w")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    da = deg_n.select(
+        F.col("_n").alias("a"), F.col("_dn").alias("deg_a")
+    )
+    db = deg_n.select(
+        F.col("_n").alias("b"), F.col("_dn").alias("deg_b")
+    )
+    # degree tables are per-node aggregates: small enough for AQE to
+    # auto-broadcast on real dims, correctly shuffle-joined when the
+    # node set itself is huge — no forced strategy
+    out = common.join(da, "a").join(db, "b")
+    union = F.col("deg_a") + F.col("deg_b") - F.col("n_common")
+    return out.select(
+        "a",
+        "b",
+        "n_common",
+        "deg_a",
+        "deg_b",
+        (
+            F.col("n_common").cast("double") / union.cast("double")
+        ).alias("jaccard"),
+    )

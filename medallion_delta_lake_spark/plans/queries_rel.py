@@ -5157,3 +5157,66 @@ def window_rolling_autocorr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         window_rows=20,
         min_pairs=5,
     ).drop("ts")
+
+
+@query(
+    "graph-jaccard-suppliers",
+    # wedge join bounded by the max_degree neighbor cap (hub customers
+    # carry no signal and quadratic cost); integer counts, one int/int
+    # division per surviving pair
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT l.l_suppkey AS n, o.o_custkey AS w
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_quantity >= 45
+    ),
+    dw AS (SELECT w, COUNT(*) AS dwc FROM e GROUP BY w),
+    kept AS (
+      SELECT e.n, e.w FROM e JOIN dw ON e.w = dw.w WHERE dw.dwc <= 50
+    ),
+    dn AS (SELECT n, COUNT(*) AS dnc FROM kept GROUP BY n),
+    common AS (
+      SELECT l.n AS a, r.n AS b, COUNT(*) AS n_common
+      FROM kept l JOIN kept r ON l.w = r.w AND l.n < r.n
+      GROUP BY l.n, r.n
+      HAVING COUNT(*) >= 2
+    )
+    SELECT a, b, n_common,
+           CAST(da.dnc AS BIGINT) AS deg_a,
+           CAST(db.dnc AS BIGINT) AS deg_b,
+           CAST(n_common AS DOUBLE)
+             / CAST(da.dnc + db.dnc - n_common AS DOUBLE) AS jaccard
+    FROM common
+    JOIN dn da ON common.a = da.n
+    JOIN dn db ON common.b = db.n
+    """,
+)
+def graph_jaccard_suppliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graph / Jaccard neighborhood similarity — which suppliers serve
+    the same customer base (the entity-resolution / co-purchase
+    primitive). Pairs exist only through the wedge join over shared
+    customers, so cost is degree-quadratic and the hub cap bounds it.
+    TPC-H's uniform purchasing makes the full graph DENSE (every
+    supplier pair overlaps), so the registered posture projects the
+    high-quantity slice — the realistic sparse regime; the operator
+    itself takes the projection as input
+    (operators/graph.py:jaccard_neighbors)."""
+    from medallion_delta_lake_spark.operators import graph
+
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 45)
+        .select("l_suppkey", "l_orderkey")
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    edges = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).select(
+        F.col("l_suppkey").alias("supp"),
+        F.col("o_custkey").alias("cust"),
+    )
+    return graph.jaccard_neighbors(
+        edges, "supp", "cust", max_degree=50, min_common=2
+    )

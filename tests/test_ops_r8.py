@@ -327,3 +327,50 @@ def test_rolling_autocorr_alternating_is_minus_one(spark):
     assert full and all(
         abs(r["roll_autocorr"] + 1.0) < 1e-9 for r in full
     )
+
+
+def test_jaccard_neighbors_micro(spark):
+    from medallion_delta_lake_spark.operators.graph import jaccard_neighbors
+
+    edges = spark.createDataFrame(
+        [(1, "w1"), (1, "w2"), (1, "w3"),
+         (2, "w2"), (2, "w3"), (2, "w4"),
+         (3, "w9")],
+        "n long, w string",
+    )
+    out = jaccard_neighbors(edges, "n", "w", max_degree=10, min_common=2)
+    rows = out.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["a"], r["b"], r["n_common"]) == (1, 2, 2)
+    assert r["deg_a"] == 3 and r["deg_b"] == 3
+    assert r["jaccard"] == 0.5
+
+
+def test_jaccard_neighbors_hub_cap_drops_hub_and_its_degree(spark):
+    from medallion_delta_lake_spark.operators.graph import jaccard_neighbors
+
+    # hub neighbor 'h' touches 4 nodes; with max_degree=3 it is
+    # dropped BEFORE degrees are counted, so pairs only share 'w'
+    edges = spark.createDataFrame(
+        [(i, "h") for i in (1, 2, 3, 4)] + [(1, "w"), (2, "w")],
+        "n long, w string",
+    )
+    out = jaccard_neighbors(edges, "n", "w", max_degree=3, min_common=1)
+    rows = out.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["a"], r["b"]) == (1, 2)
+    assert r["deg_a"] == 1 and r["deg_b"] == 1 and r["jaccard"] == 1.0
+
+
+def test_jaccard_neighbors_min_common_prunes(spark):
+    from medallion_delta_lake_spark.operators.graph import jaccard_neighbors
+
+    edges = spark.createDataFrame(
+        [(1, "w1"), (2, "w1"), (2, "w2"), (3, "w2")],
+        "n long, w string",
+    )
+    assert (
+        jaccard_neighbors(edges, "n", "w", min_common=2).count() == 0
+    )
