@@ -71,6 +71,8 @@ _DRIVER_PRIORITY = [
     "multimodal-aspect-buckets",
     "window-rolling-autocorr",
     "graph-jaccard-suppliers",
+    "agg-corr-matrix",
+    "events-attribution-lasttouch",
     "scd2-incremental-upsert",
     "dedup-cc-bigstar",
     "stats-theil-sen",

@@ -747,8 +747,15 @@ def limb_double(col: "F.Column") -> "F.Column":
     (each < 10¹³ ≪ 2⁵³, so each cast is exact) and recombining with the
     fixed IEEE chain ``(a·10¹³ + b)·10¹³ + c`` is deterministic in any
     IEEE engine — both engines now round in the same places. The SQL
-    mirror is the same lpad/substr expression."""
-    s = F.lpad(col.cast("string"), 39, "0")
+    mirror is the same lpad/substr expression.
+
+    Scaled decimals work too: a DECIMAL(38,s) prints with exactly
+    ``s`` fractional digits in both engines, so stripping the dot
+    yields the exact 10^s-scaled integer — the caller divides the
+    result by ``10^s`` (one more shared IEEE op)."""
+    s = F.lpad(
+        F.regexp_replace(col.cast("string"), "[.]", ""), 39, "0"
+    )
     a = F.substring(s, 1, 13).cast("double")
     b = F.substring(s, 14, 13).cast("double")
     c = F.substring(s, 27, 13).cast("double")
@@ -933,4 +940,74 @@ def jarque_bera(
         skew.alias("skewness"),
         kurt.alias("kurtosis"),
         jb.alias("jb_stat"),
+    )
+
+
+def corr_matrix(
+    df: DataFrame,
+    cols: Sequence[str],
+) -> DataFrame:
+    """Full Pearson correlation matrix over ``cols`` in ONE scan — the
+    feature-screening pass a pipeline runs before training (k columns
+    → k + k(k+1)/2 decimal sums in a single map-side-combined
+    aggregate; never k² passes). Rows with ANY null among ``cols``
+    drop first, so every pair sees the same n.
+
+    Exactness (inputs assumed non-negative with ≤ 2 decimals, e.g.
+    money/quantities): per-row products have ≤ 4 decimals and cast to
+    DECIMAL(38,4) INSIDE the safe zone (|x·y|·10⁴ ≪ 2⁵³ for values to
+    ~10⁵); sums accumulate exactly in decimal and convert to double
+    via :func:`limb_double` on the 10⁴-scaled integer (plain
+    decimal→double casts drift a ulp across engines past 2⁵³), and
+    the close per pair is the fixed IEEE Pearson form. Degenerate
+    (zero-variance) pairs return NULL via explicit guards.
+
+    Output: one row per unordered pair ``(var_x, var_y, n, corr)``,
+    exploded from the single aggregate row — still one scan.
+    """
+    cs = list(cols)
+    base = df.na.drop(subset=cs)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    dec = "decimal(38,4)"
+    for i, a in enumerate(cs):
+        aggs.append(F.sum(F.col(a).cast(dec)).alias(f"_s{i}"))
+        for j in range(i, len(cs)):
+            aggs.append(
+                F.sum((F.col(a) * F.col(cs[j])).cast(dec)).alias(
+                    f"_q{i}_{j}"
+                )
+            )
+    s = base.agg(*aggs)
+
+    def d(name: str) -> F.Column:
+        # limb over the dot-stripped DECIMAL(38,4) string = the exact
+        # 10⁴-scaled integer; one shared division closes the scale
+        return limb_double(F.col(name)) / F.lit(1e4)
+
+    n_d = F.col("n").cast("double")
+    pair_structs = []
+    for i, a in enumerate(cs):
+        for j in range(i + 1, len(cs)):
+            b = cs[j]
+            varx = n_d * d(f"_q{i}_{i}") - d(f"_s{i}") * d(f"_s{i}")
+            vary = n_d * d(f"_q{j}_{j}") - d(f"_s{j}") * d(f"_s{j}")
+            cov = n_d * d(f"_q{i}_{j}") - d(f"_s{i}") * d(f"_s{j}")
+            corr = F.when(
+                (varx > 0) & (vary > 0),
+                cov / (F.sqrt(varx) * F.sqrt(vary)),
+            )
+            pair_structs.append(
+                F.struct(
+                    F.lit(a).alias("var_x"),
+                    F.lit(b).alias("var_y"),
+                    corr.alias("corr"),
+                )
+            )
+    return s.select(
+        "n", F.explode(F.array(*pair_structs)).alias("_p")
+    ).select(
+        F.col("_p.var_x").alias("var_x"),
+        F.col("_p.var_y").alias("var_y"),
+        F.col("n").alias("n"),
+        F.col("_p.corr").alias("corr"),
     )

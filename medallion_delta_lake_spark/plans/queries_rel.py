@@ -5220,3 +5220,156 @@ def graph_jaccard_suppliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.jaccard_neighbors(
         edges, "supp", "cust", max_degree=50, min_common=2
     )
+
+
+def _corr_matrix_oracle() -> str:
+    """DuckDB twin of operators/agg.py:corr_matrix over the four
+    lineitem measures — same decimal sums, same limb conversion, same
+    IEEE Pearson close."""
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+    def limb(x: str) -> str:
+        # dot-stripped DECIMAL(38,4) string = exact 10⁴-scaled integer
+        pad = (
+            f"lpad(replace(CAST({x} AS VARCHAR), '.', ''),39,'0')"
+        )
+        # fully parenthesized: embedded in products, a bare `P / 1e4`
+        # would reassociate to `(A·P)/1e4` and round differently
+        return (
+            f"(((CAST(substr({pad},1,13) AS DOUBLE) * 1e13"
+            f" + CAST(substr({pad},14,13) AS DOUBLE)) * 1e13"
+            f" + CAST(substr({pad},27,13) AS DOUBLE)) / 1e4)"
+        )
+
+    sums = ["COUNT(*) AS n"]
+    for i, a in enumerate(cols):
+        sums.append(f"SUM(CAST({a} AS DECIMAL(38,4))) AS s{i}")
+        for j in range(i, len(cols)):
+            sums.append(
+                f"SUM(CAST({a} * {cols[j]} AS DECIMAL(38,4)))"
+                f" AS q{i}_{j}"
+            )
+    notnull = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+    pair_sql = []
+    for i, a in enumerate(cols):
+        for j in range(i + 1, len(cols)):
+            vx = (
+                f"CAST(n AS DOUBLE) * {limb(f'q{i}_{i}')}"
+                f" - {limb(f's{i}')} * {limb(f's{i}')}"
+            )
+            vy = (
+                f"CAST(n AS DOUBLE) * {limb(f'q{j}_{j}')}"
+                f" - {limb(f's{j}')} * {limb(f's{j}')}"
+            )
+            cov = (
+                f"CAST(n AS DOUBLE) * {limb(f'q{i}_{j}')}"
+                f" - {limb(f's{i}')} * {limb(f's{j}')}"
+            )
+            pair_sql.append(
+                f"SELECT '{a}' AS var_x, '{cols[j]}' AS var_y,"
+                " CAST(n AS BIGINT) AS n,"
+                f" CASE WHEN {vx} > 0 AND {vy} > 0"
+                f" THEN ({cov}) / (sqrt({vx}) * sqrt({vy}))"
+                " END AS corr FROM s"
+            )
+    return (
+        f"WITH s AS (SELECT {', '.join(sums)} FROM lineitem"
+        f" WHERE {notnull})\n"
+        + "\nUNION ALL\n".join(pair_sql)
+    )
+
+
+@query("agg-corr-matrix", oracle=_corr_matrix_oracle())
+def agg_corr_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """agg / one-scan Pearson correlation matrix — the feature screen
+    over lineitem's four measures: 14 decimal sums in a single
+    map-side-combined aggregate, limb-converted to double, six pair
+    rows exploded from the one aggregate row (never k² passes)
+    (operators/agg.py:corr_matrix)."""
+    from medallion_delta_lake_spark.operators import agg
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+    )
+    return agg.corr_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
+@query(
+    "events-attribution-lasttouch",
+    # one (user, ts) sort carries the last preceding non-purchase
+    # touch via IGNORE NULLS last_value; the 7-day lookback nulls
+    # stale touches to 'direct'; revenue sums in DECIMAL(38,6)
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER w AS touch_type,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN ts END IGNORE NULLS)
+               OVER w AS touch_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    p AS (
+      SELECT CASE WHEN touch_ts IS NOT NULL
+                   AND touch_ts >= ts - INTERVAL 7 DAY
+                  THEN touch_type ELSE 'direct' END AS channel,
+             value
+      FROM o WHERE event_type = 'purchase'
+    )
+    SELECT channel, COUNT(*) AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+             AS attributed_value
+    FROM p GROUP BY channel
+    """,
+)
+def events_attribution_lasttouch_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """events / last-touch attribution — each purchase credits the
+    user's most recent non-purchase touch within a 7-day lookback
+    (stale or absent touches fall to 'direct'); the marketing-
+    attribution staple completing funnel-analysis (step conversion)
+    and cohort-retention. One shuffle on the user key, one sort, two
+    IGNORE-NULLS carry windows sharing it, then a tiny grouped
+    rollup; revenue accumulates decimal-exact."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    touch_ts = F.when(F.col("event_type") != "purchase", F.col("ts"))
+    o = ev.select(
+        "event_type",
+        "ts",
+        "value",
+        F.last(touch, ignorenulls=True).over(w).alias("touch_type"),
+        F.last(touch_ts, ignorenulls=True).over(w).alias("touch_ts"),
+    )
+    p = o.filter(F.col("event_type") == "purchase").select(
+        F.when(
+            F.col("touch_ts").isNotNull()
+            & (
+                F.col("touch_ts")
+                >= F.col("ts") - F.expr("INTERVAL 7 DAY")
+            ),
+            F.col("touch_type"),
+        )
+        .otherwise(F.lit("direct"))
+        .alias("channel"),
+        "value",
+    )
+    return p.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(F.col("value").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("attributed_value"),
+    )

@@ -374,3 +374,31 @@ def test_jaccard_neighbors_min_common_prunes(spark):
     assert (
         jaccard_neighbors(edges, "n", "w", min_common=2).count() == 0
     )
+
+
+def test_corr_matrix_known_values(spark):
+    # x and y=2x perfectly correlated; z anti-correlated with x
+    rows = [(1.0, 2.0, 3.0), (2.0, 4.0, 2.0), (3.0, 6.0, 1.0)]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    out = {
+        (r["var_x"], r["var_y"]): r["corr"]
+        for r in agg.corr_matrix(df, ["x", "y", "z"]).collect()
+    }
+    assert abs(out[("x", "y")] - 1.0) < 1e-12
+    assert abs(out[("x", "z")] + 1.0) < 1e-12
+    assert abs(out[("y", "z")] + 1.0) < 1e-12
+
+
+def test_corr_matrix_constant_column_is_null(spark):
+    rows = [(1.0, 5.0), (2.0, 5.0), (3.0, 5.0)]
+    df = spark.createDataFrame(rows, "x double, c double")
+    r = agg.corr_matrix(df, ["x", "c"]).first()
+    assert r["corr"] is None
+
+
+def test_corr_matrix_null_rows_dropped_everywhere(spark):
+    rows = [(1.0, 1.0, None), (2.0, 2.0, 1.0), (3.0, 3.0, 2.0),
+            (4.0, 4.0, 3.0)]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    out = agg.corr_matrix(df, ["x", "y", "z"]).collect()
+    assert all(r["n"] == 3 for r in out)  # the null row drops for ALL pairs
