@@ -73,6 +73,7 @@ _DRIVER_PRIORITY = [
     "graph-jaccard-suppliers",
     "agg-corr-matrix",
     "events-attribution-lasttouch",
+    "stream-drift-monitor",
     "scd2-incremental-upsert",
     "dedup-cc-bigstar",
     "stats-theil-sen",

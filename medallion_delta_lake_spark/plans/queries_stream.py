@@ -235,3 +235,171 @@ def stream_gap_monitor_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         stateful.gap_monitor(sdf), "update", spark,
         num_state_partitions=8,
     )
+
+
+@query(
+    "stream-drift-monitor",
+    # single-file source → one availableNow microbatch in complete
+    # mode: the maintained per-(hour, bin) counts equal the batch
+    # histogram exactly; the TV close is integer cross-multiplication
+    # (the streaming twin of drift-total-variation)
+    oracle="""
+    WITH base AS (
+      SELECT ts, CAST(value AS DOUBLE) AS x
+      FROM events WHERE value IS NOT NULL
+    ),
+    e AS (
+      SELECT MIN(x) AS mn, MAX(x) AS mx FROM base
+      WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+    ),
+    rb AS (
+      SELECT CASE WHEN mx = mn THEN 0
+                  ELSE LEAST(9, GREATEST(0,
+                    CAST(FLOOR((x - mn) / ((mx - mn) / 10.0)) AS INT)))
+             END AS bin
+      FROM base, e WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+    ),
+    rh AS (SELECT bin, COUNT(*) AS rc FROM rb GROUP BY bin),
+    nr AS (SELECT CAST(SUM(rc) AS BIGINT) AS nrefv FROM rh),
+    sb AS (
+      SELECT date_trunc('hour', ts) AS w,
+             CASE WHEN mx = mn THEN 0
+                  ELSE LEAST(9, GREATEST(0,
+                    CAST(FLOOR((x - mn) / ((mx - mn) / 10.0)) AS INT)))
+             END AS bin
+      FROM base, e
+    ),
+    sc AS (SELECT w, bin, COUNT(*) AS n FROM sb GROUP BY w, bin),
+    grid AS (
+      SELECT w, CAST(b.bin AS INT) AS bin
+      FROM (SELECT DISTINCT w FROM sc),
+           (SELECT unnest(generate_series(0, 9)) AS bin) b
+    ),
+    g AS (
+      SELECT grid.w, grid.bin,
+             COALESCE(sc.n, 0) AS n, COALESCE(rh.rc, 0) AS rc
+      FROM grid
+      LEFT JOIN sc ON grid.w = sc.w AND grid.bin = sc.bin
+      LEFT JOIN rh ON grid.bin = rh.bin
+    ),
+    t AS (SELECT w, CAST(SUM(n) AS BIGINT) AS nw FROM g GROUP BY w)
+    SELECT g.w AS window_start, t.nw AS n_events,
+           CAST(SUM(abs(CAST(g.n AS DECIMAL(19,0)) * nrefv
+                        - CAST(g.rc AS DECIMAL(19,0)) * t.nw))
+                AS DOUBLE)
+             / (2.0 * CAST(t.nw AS DOUBLE) * CAST(nrefv AS DOUBLE))
+             AS tv_distance
+    FROM g JOIN t ON g.w = t.w, nr
+    GROUP BY g.w, t.nw, nrefv
+    """,
+)
+def stream_drift_monitor_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming / per-hour ingest drift monitor — the incremental twin
+    of drift-total-variation: each hourly window's value histogram is
+    maintained by the stream (one stateful windowed count over bins
+    frozen to the batch reference min/max) and scored against the
+    reference distribution with the same integer-exact TV close. The
+    reference edges ship as two literals (in production: a broadcast
+    config snapshot); the post-stream close runs over the tiny
+    (hours × 10 bins) grid so zero-count bins still contribute their
+    reference mass."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from medallion_delta_lake_spark.plans.registry import table as _t
+
+    split = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    edges = (
+        ev.filter(F.col("ts") < split)
+        .agg(
+            F.min(F.col("value").cast("double")).alias("mn"),
+            F.max(F.col("value").cast("double")).alias("mx"),
+        )
+        .first()
+    )
+    mn, mx = edges["mn"], edges["mx"]
+
+    def bin_expr(x: F.Column) -> F.Column:
+        raw = F.floor(
+            (x - F.lit(mn)) / ((F.lit(mx) - F.lit(mn)) / F.lit(10.0))
+        ).cast("int")
+        return (
+            F.when(F.lit(mx) == F.lit(mn), F.lit(0))
+            .otherwise(F.least(F.lit(9), F.greatest(F.lit(0), raw)))
+            .alias("bin")
+        )
+
+    # reference histogram (batch, 10 rows)
+    rh = (
+        ev.filter(F.col("ts") < split)
+        .select(bin_expr(F.col("value").cast("double")))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("rc"))
+    )
+    nref = rh.agg(F.sum("rc").cast("bigint").alias("nrefv")).first()[
+        "nrefv"
+    ]
+
+    # the streaming half: hourly histogram maintenance
+    sdf = se.read_events_stream(spark, sf_dir).filter(
+        F.col("value").isNotNull()
+    )
+    binned = sdf.select(
+        F.col("ts"), bin_expr(F.col("value").cast("double"))
+    )
+    agg = binned.groupBy(F.window("ts", "1 hour"), "bin").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    got = se.run_available_now(
+        agg, "complete", spark, num_state_partitions=8
+    ).select(
+        F.col("window.start").alias("w"),
+        F.col("bin").cast("int").alias("bin"),
+        "n",
+    )
+
+    # post-stream close over the tiny (hours × bins) grid
+    grid = (
+        got.select("w")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                spark.range(10).select(F.col("id").cast("int").alias("bin"))
+            )
+        )
+    )
+    g = (
+        grid.join(got, ["w", "bin"], "left")
+        .join(F.broadcast(rh), ["bin"], "left")
+        .select(
+            "w",
+            "bin",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            F.coalesce(F.col("rc"), F.lit(0)).alias("rc"),
+        )
+    )
+    wt = W.partitionBy("w")
+    dec = "decimal(19,0)"
+    g2 = g.select(
+        "w",
+        F.sum("n").over(wt).cast("bigint").alias("nw"),
+        F.abs(
+            F.col("n").cast(dec) * F.lit(nref)
+            - F.col("rc").cast(dec) * F.sum("n").over(wt).cast("bigint")
+        ).alias("dev"),
+    )
+    return g2.groupBy("w", "nw").agg(
+        (
+            F.sum("dev").cast("double")
+            / (
+                F.lit(2.0)
+                * F.col("nw").cast("double")
+                * F.lit(nref).cast("double")
+            )
+        ).alias("tv_distance")
+    ).select(
+        F.col("w").alias("window_start"),
+        F.col("nw").alias("n_events"),
+        "tv_distance",
+    )
