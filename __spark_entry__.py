@@ -142,12 +142,18 @@ _DRIVER_PRIORITY = [
     "text-lang-id",
     "text-fingerprint",
     # ROUND-9 NOTE: rotate again — reds first, round-9 changes, then
-    # the remaining r5 cohort (dedup-simhash-pairs, sim-knn-join,
-    # sample-temperature-mix, sample-token-budget, mixture-epoch-plan,
-    # multimodal-meta-profile, window-ewma-smooth, window-streaks,
-    # window-ohlc-bars, ts-resample-ffill, topk-per-group,
-    # stats-ks-two-sample, stats-mann-whitney-u, stats-gini-impurity,
-    # ...), then the r6 cohort.
+    # the r4-cohort tail the r8 window could not reach (the 10 late-r8
+    # additions pushed ~window-rolling-agg onward past index 50:
+    # window-rolling-agg, string-like-family, agg-bitwise,
+    # agg-histogram, stats-corr, impute-group-mean,
+    # normalize-group-zscore, cohort-retention, funnel-analysis,
+    # snapshot-diff, join-range-bucketed, q1-pricing-summary,
+    # filter-neq, filter-neq-chain), then the r5 cohort
+    # (dedup-simhash-pairs, sim-knn-join, sample-temperature-mix,
+    # sample-token-budget, mixture-epoch-plan, multimodal-meta-profile,
+    # window-ewma-smooth, window-streaks, window-ohlc-bars,
+    # ts-resample-ffill, topk-per-group, stats-ks-two-sample,
+    # stats-mann-whitney-u, stats-gini-impurity, ...), then r6.
 ]
 
 

@@ -979,10 +979,21 @@ def corr_matrix(
             )
     s = base.agg(*aggs)
 
+    # materialize every limb conversion ONCE as a plain double column:
+    # inlining the ~10-op limb expression into each of the 6 pair
+    # structs (6 limb instances per corr) exceeded Janino's generated-
+    # method limit — whole-stage codegen fell back to interpreted eval
+    # and the single-pass aggregate ran 10× slower (measured)
+    limbed = ["n"]
+    for c in s.columns:
+        if c.startswith("_"):
+            limbed.append(
+                (limb_double(F.col(c)) / F.lit(1e4)).alias(f"_l{c}")
+            )
+    s = s.select(*limbed)
+
     def d(name: str) -> F.Column:
-        # limb over the dot-stripped DECIMAL(38,4) string = the exact
-        # 10⁴-scaled integer; one shared division closes the scale
-        return limb_double(F.col(name)) / F.lit(1e4)
+        return F.col(f"_l_{name.lstrip('_')}")
 
     n_d = F.col("n").cast("double")
     pair_structs = []

@@ -5291,6 +5291,13 @@ def agg_corr_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select(
         "l_quantity", "l_extendedprice", "l_discount", "l_tax"
     )
+    # exact decimal summing is CPU-bound (BigDecimal per row); the
+    # single testdata file opens as ~3 splits, so fan the narrow
+    # 4-column projection out to every core first — on a real cluster
+    # the scan arrives in thousands of splits and this is a no-op
+    # posture (the shuffle moves 4 doubles/row, ~40x cheaper than the
+    # decimal work it parallelizes)
+    li = li.repartition(li.sparkSession.sparkContext.defaultParallelism)
     return agg.corr_matrix(
         li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     )

@@ -104,6 +104,17 @@ AUDITED = [
     "join-fuzzy-blocked",
     "udtf-chunk-windows",
     "pandas-udaf-median",
+    # round-8 late additions (drift family + friends)
+    "drift-total-variation",
+    "drift-hellinger-cat",
+    "stats-kruskal-wallis",
+    "stats-jarque-bera",
+    "multimodal-aspect-buckets",
+    "window-rolling-autocorr",
+    "graph-jaccard-suppliers",
+    "agg-corr-matrix",
+    "events-attribution-lasttouch",
+    "stream-drift-monitor",
 ]
 
 
