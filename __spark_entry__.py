@@ -74,6 +74,8 @@ _DRIVER_PRIORITY = [
     "agg-corr-matrix",
     "events-attribution-lasttouch",
     "stream-drift-monitor",
+    "sample-balanced-classes",
+    "agg-herfindahl",
     "scd2-incremental-upsert",
     "dedup-cc-bigstar",
     "stats-theil-sen",

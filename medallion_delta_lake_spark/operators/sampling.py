@@ -288,3 +288,39 @@ def mixture_epochs(
             ).alias("epoch_idx"),
         )
     )
+
+
+def balanced_downsample(
+    df: DataFrame,
+    class_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Class-balancing downsample: keep exactly ``min(class count)``
+    rows per class — the label-balancing step before training a
+    classifier on skewed data. Selection is DETERMINISTIC: rows rank
+    by the portable 60-bit hash of their id (ties by id), so the same
+    input always yields the same sample, on any engine, any partition
+    layout — no ``rand()`` seed drift, re-runs are reproducible.
+
+    Scale shape: one k-row class-count aggregate (broadcast), one
+    shuffle on the class key for the rank window. The window sorts
+    each class partition; for extreme single-class skew pre-split by
+    a salt and take per-salt quotas (same trick as join-salted-skew).
+
+    Output: the sampled rows ``(id_col, class_col)``.
+    """
+    from pyspark.sql import Window as W
+
+    counts = df.groupBy(class_col).agg(F.count(F.lit(1)).alias("_n"))
+    nmin = counts.agg(F.min("_n").alias("_nmin"))
+    w = W.partitionBy(class_col).orderBy(
+        h64(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    ranked = df.select(id_col, class_col).withColumn(
+        "_rn", F.row_number().over(w)
+    )
+    return (
+        ranked.crossJoin(F.broadcast(nmin))
+        .filter(F.col("_rn") <= F.col("_nmin"))
+        .select(id_col, class_col)
+    )

@@ -5380,3 +5380,125 @@ def events_attribution_lasttouch_q(
         .cast("double")
         .alias("attributed_value"),
     )
+
+
+@query(
+    "sample-balanced-classes",
+    # portable-hash rank (md5-based h64, identical in both engines)
+    # with id tie-break; exactly min-class-count rows per class
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+    ),
+    m AS (SELECT MIN(n) AS nmin FROM c),
+    r AS (
+      SELECT event_id, event_type,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY {h64_sql("CAST(event_id AS VARCHAR)")}, event_id
+             ) AS rn
+      FROM events
+    )
+    SELECT event_id, event_type FROM r, m WHERE rn <= nmin
+    """,
+)
+def sample_balanced_classes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sampling / class-balancing downsample — exactly min-class-count
+    rows per event type, selected by deterministic portable-hash rank
+    (reproducible across runs/engines/partitionings; no rand() seed
+    drift) (operators/sampling.py:balanced_downsample)."""
+    from medallion_delta_lake_spark.operators.sampling import (
+        balanced_downsample,
+    )
+
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type")
+    return balanced_downsample(ev, "event_type", "event_id")
+
+
+def _hhi_limb(x: str) -> str:
+    pad = f"lpad(replace(CAST({x} AS VARCHAR), '.', ''),39,'0')"
+    return (
+        f"(((CAST(substr({pad},1,13) AS DOUBLE) * 1e13"
+        f" + CAST(substr({pad},14,13) AS DOUBLE)) * 1e13"
+        f" + CAST(substr({pad},27,13) AS DOUBLE)) / 1e4)"
+    )
+
+
+@query(
+    "agg-herfindahl",
+    # per-supplier revenue in DECIMAL(38,4) (exact), limb-converted;
+    # the share² sum per nation runs in an ORDER BY suppkey window —
+    # the one order-sensitive double reduction, deterministic in both
+    # engines; HHI ∈ (1/k, 1]
+    oracle=f"""
+    WITH rev AS (
+      SELECT s.s_nationkey AS nation, l.l_suppkey AS supp,
+             SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                      AS DECIMAL(38,4))) AS r
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY s.s_nationkey, l.l_suppkey
+    ),
+    tot AS (
+      SELECT nation, SUM(r) AS t FROM rev GROUP BY nation
+    ),
+    shares AS (
+      SELECT rev.nation,
+             SUM(({_hhi_limb('r')} / {_hhi_limb('t')})
+                 * ({_hhi_limb('r')} / {_hhi_limb('t')}))
+               OVER (PARTITION BY rev.nation ORDER BY supp
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS hhi_run
+      FROM rev JOIN tot ON rev.nation = tot.nation
+    )
+    SELECT nation, MAX(hhi_run) AS hhi,
+           COUNT(*) AS n_suppliers
+    FROM shares GROUP BY nation
+    """,
+)
+def agg_herfindahl_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """agg / Herfindahl–Hirschman concentration index — how
+    concentrated is revenue among suppliers within each nation (the
+    market-concentration / data-source-diversity screen; HHI → 1 means
+    one supplier dominates, → 1/k means even split). Revenue
+    accumulates exactly in DECIMAL(38,4); the share² terms are the one
+    order-sensitive double sum, so they run in an ORDER BY supplier
+    cumulative window (deterministic addition order in any engine)
+    (plans/queries_rel.py)."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    sup = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    from medallion_delta_lake_spark.operators.agg import limb_double
+
+    rev = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy(
+            F.col("s_nationkey").alias("nation"),
+            F.col("l_suppkey").alias("supp"),
+        )
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).cast("decimal(38,4)")
+            ).alias("r")
+        )
+    )
+    tot = rev.groupBy("nation").agg(F.sum("r").alias("t"))
+    rd = limb_double(F.col("r")) / F.lit(1e4)
+    td = limb_double(F.col("t")) / F.lit(1e4)
+    seq = (
+        Window.partitionBy("nation")
+        .orderBy("supp")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    shares = rev.join(tot, "nation").select(
+        "nation",
+        F.sum((rd / td) * (rd / td)).over(seq).alias("hhi_run"),
+    )
+    return shares.groupBy("nation").agg(
+        F.max("hhi_run").alias("hhi"),
+        F.count(F.lit(1)).alias("n_suppliers"),
+    )

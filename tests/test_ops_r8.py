@@ -402,3 +402,38 @@ def test_corr_matrix_null_rows_dropped_everywhere(spark):
     df = spark.createDataFrame(rows, "x double, y double, z double")
     out = agg.corr_matrix(df, ["x", "y", "z"]).collect()
     assert all(r["n"] == 3 for r in out)  # the null row drops for ALL pairs
+
+
+def test_balanced_downsample_exact_min_per_class(spark):
+    from medallion_delta_lake_spark.operators.sampling import (
+        balanced_downsample,
+    )
+
+    rows = (
+        [(i, "a") for i in range(10)]
+        + [(100 + i, "b") for i in range(4)]
+        + [(200 + i, "c") for i in range(7)]
+    )
+    df = spark.createDataFrame(rows, "id long, cls string")
+    out = balanced_downsample(df, "cls", "id")
+    counts = {
+        r["cls"]: r["n"]
+        for r in out.groupBy("cls").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {"a": 4, "b": 4, "c": 4}
+    # deterministic: the same input yields the same ids
+    first = sorted(r["id"] for r in out.collect())
+    again = sorted(r["id"] for r in balanced_downsample(df, "cls", "id").collect())
+    assert first == again
+
+
+def test_herfindahl_extremes(spark):
+    qs = __import__("__spark_entry__").queries()
+    out = {
+        r["nation"]: r
+        for r in qs["agg-herfindahl"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    for r in out.values():
+        assert 1.0 / r["n_suppliers"] <= r["hhi"] <= 1.0 + 1e-12
