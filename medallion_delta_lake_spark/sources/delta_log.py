@@ -455,12 +455,10 @@ def _file_can_skip(
     return False
 
 
-def _commit_timestamp(log: str, version: int) -> float:
-    """Commit time in epoch seconds: commitInfo.timestamp (ms) when
-    the commit carries one, else the commit file's mtime — the same
-    two sources real Delta consults for timestamp-based time travel
-    (modulo its monotonicity adjustment; file mtimes on one filesystem
-    are already monotone per writer)."""
+def _commit_info_of(log: str, version: int) -> dict | None:
+    """The commitInfo dict of ``version``'s JSON commit, or None when
+    the file is cleaned up / carries none. O(1) — used per commit for
+    the in-commit-timestamp monotonic chain."""
     f = os.path.join(log, f"{version:020d}.json")
     try:
         with open(f) as fh:
@@ -469,13 +467,146 @@ def _commit_timestamp(log: str, version: int) -> float:
                 if not line:
                     continue
                 a = json.loads(line)
-                if a.get("commitInfo") and a["commitInfo"].get(
-                    "timestamp"
-                ):
-                    return a["commitInfo"]["timestamp"] / 1000.0
+                if a.get("commitInfo") is not None:
+                    return a["commitInfo"]
     except FileNotFoundError:
-        pass
-    return os.path.getmtime(f)
+        return None
+    return None
+
+
+def _commit_timestamp(log: str, version: int) -> float:
+    """Commit time in epoch seconds. Preference order matches real
+    Delta: commitInfo.inCommitTimestamp (the ICT table feature —
+    robust to file copies/rewrites that disturb mtimes), then
+    commitInfo.timestamp (ms), then the commit file's mtime (modulo
+    Delta's monotonicity adjustment; file mtimes on one filesystem are
+    already monotone per writer)."""
+    ci = _commit_info_of(log, version)
+    if ci is not None:
+        if ci.get("inCommitTimestamp"):
+            return ci["inCommitTimestamp"] / 1000.0
+        if ci.get("timestamp"):
+            return ci["timestamp"] / 1000.0
+    return os.path.getmtime(os.path.join(log, f"{version:020d}.json"))
+
+
+# legacy minWriterVersion → the capabilities it implied; an upgrade to
+# table features (writer v7) must list them explicitly (PROTOCOL.md)
+_LEGACY_WRITER_FEATURES = {
+    2: {"appendOnly", "invariants"},
+    3: {"checkConstraints"},
+    4: {"changeDataFeed", "generatedColumns"},
+    5: {"columnMapping"},
+    6: {"identityColumns"},
+}
+
+
+def _ict_enabled_in_conf(meta: dict | None) -> bool:
+    conf = (meta or {}).get("configuration") or {}
+    return (
+        str(conf.get("delta.enableInCommitTimestamps", "false")).lower()
+        == "true"
+    )
+
+
+def _apply_in_commit_timestamp(
+    path: str, log: str, version: int, actions: list[dict]
+) -> list[dict]:
+    """Decorate a commit with ``inCommitTimestamp`` when the table (or
+    this very commit's metaData) enables the ICT table feature —
+    Delta's monotonic commit clock: ``max(now, prev_ict + 1)``, so
+    timestamp time travel survives file copies and mtime skew.
+
+    Spec obligations handled here, centrally for every write path:
+    commitInfo becomes the FIRST action and carries the timestamp; the
+    ENABLING commit records ``delta.inCommitTimestampEnablement
+    Version/Timestamp`` provenance in its metaData and adopts the
+    ``inCommitTimestamp`` writer feature (protocol writer v7, legacy
+    implied features preserved)."""
+    import time as _time
+
+    meta_a = next(
+        (a["metaData"] for a in actions if a.get("metaData")), None
+    )
+    prev_ci = _commit_info_of(log, version - 1) if version > 0 else None
+    if meta_a is not None:
+        enabled = _ict_enabled_in_conf(meta_a)
+    elif prev_ci is not None:
+        enabled = "inCommitTimestamp" in prev_ci
+    elif version == 0:
+        enabled = False
+    else:
+        # previous JSON checkpoint-cleaned: the snapshot meta decides
+        enabled = _ict_enabled_in_conf(
+            resolve_snapshot(path).get("meta")
+        )
+    if not enabled:
+        return actions
+
+    prev_ict = (prev_ci or {}).get("inCommitTimestamp")
+    ict = max(
+        int(_time.time() * 1000),
+        (prev_ict + 1) if prev_ict else 0,
+    )
+    ci_action = next(
+        (a for a in actions if a.get("commitInfo") is not None), None
+    )
+    if ci_action is None:
+        ci_action = {"commitInfo": {}}
+        actions = [ci_action, *actions]
+    ci_action["commitInfo"]["inCommitTimestamp"] = ict
+
+    if prev_ict is None and meta_a is not None:
+        # first enablement: provenance properties + feature adoption
+        conf = dict(meta_a.get("configuration") or {})
+        conf.setdefault(
+            "delta.inCommitTimestampEnablementVersion", str(version)
+        )
+        conf.setdefault(
+            "delta.inCommitTimestampEnablementTimestamp", str(ict)
+        )
+        meta_a["configuration"] = conf
+        proto_a = next(
+            (a for a in actions if a.get("protocol")), None
+        )
+        if proto_a is None:
+            proto = (resolve_snapshot(path).get("protocol") or {}) if (
+                version > 0
+            ) else {}
+            proto_a = {
+                "protocol": {
+                    "minReaderVersion": proto.get("minReaderVersion", 1),
+                    "minWriterVersion": proto.get("minWriterVersion", 2),
+                    **(
+                        {"readerFeatures": proto["readerFeatures"]}
+                        if proto.get("readerFeatures")
+                        else {}
+                    ),
+                    **(
+                        {"writerFeatures": proto["writerFeatures"]}
+                        if proto.get("writerFeatures")
+                        else {}
+                    ),
+                }
+            }
+            actions = [proto_a, *actions]
+        p = proto_a["protocol"]
+        if (
+            p.get("minWriterVersion", 2) < 7
+            or "inCommitTimestamp"
+            not in (p.get("writerFeatures") or [])
+        ):
+            wf = set(p.get("writerFeatures") or [])
+            wv = p.get("minWriterVersion", 2)
+            if wv < 7:
+                for lv in range(2, wv + 1):
+                    wf |= _LEGACY_WRITER_FEATURES.get(lv, set())
+            p["minWriterVersion"] = 7
+            p["writerFeatures"] = sorted(wf | {"inCommitTimestamp"})
+
+    # spec: with ICT enabled, commitInfo must be the first action
+    others = [a for a in actions if a is not ci_action]
+    return [ci_action, *others]
 
 
 def version_at_timestamp(path: str, ts: float) -> int:
@@ -1146,7 +1277,9 @@ def _commit_version(
                 f"after this transaction read version {read_version}; "
                 "re-read and re-apply"
             )
-        actions = build_actions(version)
+        actions = _apply_in_commit_timestamp(
+            path, log, version, build_actions(version)
+        )
         commit = os.path.join(log, f"{version:020d}.json")
         try:
             fd = os.open(commit, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
