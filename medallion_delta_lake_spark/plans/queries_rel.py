@@ -5502,3 +5502,180 @@ def agg_herfindahl_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("hhi_run").alias("hhi"),
         F.count(F.lit(1)).alias("n_suppliers"),
     )
+
+
+@query(
+    "stats-wilson-ci",
+    # Wilson score interval: +,−,×,÷,sqrt only (z = 1.96 literal, the
+    # same double in both engines) — the binomial CI that behaves at
+    # small n and extreme rates, engine-exact unlike normal-approx ±
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             COUNT(CASE WHEN value > 100 THEN 1 END) AS k
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type
+    ),
+    c AS (
+      SELECT event_type, n, k,
+             CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+             CAST(n AS DOUBLE) AS nd
+      FROM s
+    ),
+    w AS (
+      SELECT event_type, n, k, p,
+             1.0 + (1.96 * 1.96) / nd AS denom,
+             p + (1.96 * 1.96) / (2.0 * nd) AS center,
+             1.96 * sqrt(p * (1.0 - p) / nd
+                         + (1.96 * 1.96) / (4.0 * nd * nd)) AS half
+      FROM c
+    )
+    SELECT event_type, n, k, p AS p_hat,
+           (center - half) / denom AS ci_lo,
+           (center + half) / denom AS ci_hi
+    FROM w
+    """,
+)
+def stats_wilson_ci_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stats / Wilson score interval — the proportion CI that stays
+    sane at small n and extreme rates (share of high-value events per
+    type, with bounds): one grouped count pass, then a fixed IEEE
+    chain of +,−,×,÷ and one sqrt per group — no normal-approx ± that
+    overshoots [0,1], no transcendentals (plans/queries_rel.py)."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("value") > 100, 1)).alias("k"),
+    )
+    nd = F.col("n").cast("double")
+    p = F.col("k").cast("double") / nd
+    z2 = F.lit(1.96) * F.lit(1.96)
+    denom = F.lit(1.0) + z2 / nd
+    center = p + z2 / (F.lit(2.0) * nd)
+    half = F.lit(1.96) * F.sqrt(
+        p * (F.lit(1.0) - p) / nd + z2 / (F.lit(4.0) * nd * nd)
+    )
+    return s.select(
+        "event_type",
+        "n",
+        "k",
+        p.alias("p_hat"),
+        ((center - half) / denom).alias("ci_lo"),
+        ((center + half) / denom).alias("ci_hi"),
+    )
+
+
+@query(
+    "events-sankey-paths",
+    # two LEADs over one (user, ts) sort, grouped triple counts,
+    # deterministic top-20 (count desc, path asc)
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type AS s1,
+             lead(event_type, 1) OVER w AS s2,
+             lead(event_type, 2) OVER w AS s3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    c AS (
+      SELECT s1, s2, s3, COUNT(*) AS n_paths
+      FROM o WHERE s2 IS NOT NULL AND s3 IS NOT NULL
+      GROUP BY s1, s2, s3
+    )
+    SELECT s1, s2, s3, n_paths FROM c
+    ORDER BY n_paths DESC, s1, s2, s3 LIMIT 20
+    """,
+)
+def events_sankey_paths_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events / top user journeys — the 3-step path counts a Sankey /
+    flow diagram consumes: two LEADs share one (user, ts) sort, triple
+    counts with map-side combine, deterministic top-20 (TakeOrdered —
+    no global sort materializes) (plans/queries_rel.py)."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        F.col("event_type").alias("s1"),
+        F.lead("event_type", 1).over(w).alias("s2"),
+        F.lead("event_type", 2).over(w).alias("s3"),
+    )
+    c = (
+        o.filter(F.col("s2").isNotNull() & F.col("s3").isNotNull())
+        .groupBy("s1", "s2", "s3")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+    )
+    return c.orderBy(
+        F.col("n_paths").desc(), "s1", "s2", "s3"
+    ).limit(20)
+
+
+@query(
+    "window-time-weighted-avg",
+    # Δt to the next event in integer epoch seconds (exact), value·Δt
+    # in DECIMAL(38,2) (2-decimal values × integer seconds — exact,
+    # day-bounded magnitudes stay far under 2^53), one closing division
+    oracle="""
+    WITH o AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, value,
+             CAST(epoch(lead(ts) OVER w) AS BIGINT)
+               - CAST(epoch(ts) AS BIGINT) AS dt
+      FROM events WHERE value IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id, CAST(ts AS DATE)
+                   ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, day,
+             SUM(CAST(value * dt AS DECIMAL(38,2))) AS num,
+             CAST(SUM(dt) AS BIGINT) AS secs,
+             COUNT(*) AS n_events
+      FROM o WHERE dt IS NOT NULL AND dt > 0
+      GROUP BY user_id, day
+    )
+    SELECT user_id, day,
+           CAST(num AS DOUBLE) / CAST(secs AS DOUBLE) AS twap,
+           secs AS total_secs, n_events
+    FROM s
+    """,
+)
+def window_time_weighted_avg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """window / time-weighted average (TWAP) — the irregular-series
+    average where each observation holds until the next one: per user
+    per day, Σ value·Δt / Σ Δt with Δt in exact integer seconds (the
+    last observation of a day carries no weight — no lookahead beyond
+    the day). One LEAD over one (user, day, ts) sort, decimal-exact
+    numerator (plans/queries_rel.py)."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    day = F.col("ts").cast("date")
+    w = Window.partitionBy("user_id", day).orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id",
+        day.alias("day"),
+        "value",
+        (
+            F.lead("ts").over(w).cast("long") - F.col("ts").cast("long")
+        ).alias("dt"),
+    )
+    s = (
+        o.filter(F.col("dt").isNotNull() & (F.col("dt") > 0))
+        .groupBy("user_id", "day")
+        .agg(
+            F.sum((F.col("value") * F.col("dt")).cast("decimal(38,2)"))
+            .alias("num"),
+            F.sum("dt").cast("bigint").alias("secs"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    return s.select(
+        "user_id",
+        "day",
+        (F.col("num").cast("double") / F.col("secs").cast("double"))
+        .alias("twap"),
+        F.col("secs").alias("total_secs"),
+        "n_events",
+    )
