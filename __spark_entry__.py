@@ -50,69 +50,62 @@ def entry(spark: SparkSession) -> DataFrame:
     return _registry.QUERIES["q1-pricing-summary"](spark, "/root/testdata/sf0.001")
 
 
-# Round-8 rotation: the driver checks the first ~50 registered queries
-# per round. Order: (1) ops whose code CHANGED in round 8
-# (merge-clause-state: general_merge_state grew insertAll-default
-# semantics for value-less insert clauses); (2) ops NEW in round 8
-# (appended at the top as they land); (3) least-recently-verified:
-# the r4-green cohort that round 7's 50-row window could not reach
-# (last driver-checked in CORRECTNESS_r04), then the r5 cohort.
+# Round-9 rotation: the driver checks the first ~50 registered queries
+# per round. Order: (1) ops whose code CHANGED in round 9 (the three
+# r8 reds, now fixed: twap's oracle regained floor(epoch()), wilson's
+# z² is double-cast in both engines, brown-forsythe's close moved to
+# the deterministic ORDER BY window); (2) the three r8 driver-reds
+# that don't reproduce locally (kendall/mad/novelty — green in 4-7
+# isolated re-runs; artifact evidence now persists on mismatch via
+# tests/oracle.py); (3) the one never-driver-checked id
+# (events-sankey-paths); (4) ops NEW in round 9; (5) the stale r3/r4
+# cohort (last driver evidence 5+ rounds old), oldest first.
 _DRIVER_PRIORITY = [
-    # changed in round 8 (re-verify first): merge-clause-state's
-    # general_merge_state core grew insertAll + CDC classification;
-    # sim-ann-ivf re-registered at nprobe=4 with a multi-probe oracle
-    "merge-clause-state",
-    "sim-ann-ivf",
-    # NEW in round 8
-    "drift-total-variation",
-    "drift-hellinger-cat",
-    "stats-kruskal-wallis",
-    "stats-jarque-bera",
-    "multimodal-aspect-buckets",
-    "window-rolling-autocorr",
-    "graph-jaccard-suppliers",
-    "agg-corr-matrix",
-    "events-attribution-lasttouch",
-    "stream-drift-monitor",
-    "sample-balanced-classes",
-    "agg-herfindahl",
-    "scd2-incremental-upsert",
-    "dedup-cc-bigstar",
-    "stats-theil-sen",
-    "stats-kendall-tau",
-    "window-rolling-slope",
-    "window-regime-segments",
-    "sketch-count-min",
-    "text-zipf-profile",
-    "multimodal-scene-cuts",
-    "stats-mad-outliers",
-    "stream-gap-monitor",
-    "graph-degree-histogram",
-    "stats-runs-test",
-    "join-bloom-prefilter",
-    "agg-latency-histogram",
-    "window-bollinger-bands",
-    "text-ngram-novelty",
+    # changed in round 9 — re-verify first
+    "window-time-weighted-avg",
+    "stats-wilson-ci",
     "stats-brown-forsythe",
-    "sample-quality-audit",
-    "agg-markov-transition",
-    "join-fuzzy-blocked",
-    "udtf-chunk-windows",
-    "pandas-udaf-median",
+    # r8 driver-reds, unreproduced locally — settle them
+    "stats-kendall-tau",
+    "stats-mad-outliers",
+    "text-ngram-novelty",
+    # never driver-checked (r8 snapshot-commit registration)
+    "events-sankey-paths",
+    # NEW in round 9 (inserted as they land)
+    "feature-point-in-time",
+    "window-mann-kendall",
+    "stats-cramers-v",
+    "agg-l-moments",
+    "events-rfm-scores",
+    "stats-grubbs-test",
+    "dedup-lsh-forest-topk",
+    "window-cusum-mean-shift",
+    # r3 cohort — last driver-checked in round 3
+    "unpivot-measures",
+    "window-running-sum",
+    "window-lag-delta",
+    "window-agg-session",
+    "time-funcs",
+    "window-agg-hopping",
+    "window-rank-family",
+    "struct-funcs",
     # r4 cohort — last driver-checked in round 4
-    "multimodal-frame-sample",
-    "multimodal-audio-chunks",
-    "multimodal-resize",
-    "text-scrub-pii",
-    "text-tfidf-stats",
-    "text-lang-id-ngram",
-    "text-edit-distance",
-    "text-strip-boilerplate",
-    "sample-stratified-hash",
-    "sample-fixed-per-stratum",
-    "agg-vector-mean",
-    "stream-stateful-stats",
-    "stream-static-join",
+    "q1-pricing-summary",
+    "filter-neq",
+    "filter-neq-chain",
+    "q12-shipmode-priority",
+    "agg-collect-array",
+    "array-funcs",
+    "q2-min-cost-supplier",
+    "q7-volume-shipping",
+    "q8-market-share",
+    "q9-product-profit",
+    "q11-important-stock",
+    "q13-customer-distribution",
+    "q14-promo-revenue",
+    "q15-top-supplier",
+    "q19-disjunctive-predicates",
+    "q20-potential-promotion",
     "join-full-outer",
     "window-value-family",
     "window-ntile-binning",
@@ -127,35 +120,12 @@ _DRIVER_PRIORITY = [
     "funnel-analysis",
     "snapshot-diff",
     "join-range-bucketed",
-    "q1-pricing-summary",
-    "filter-neq",
-    "filter-neq-chain",
-    # r5 cohort spill (least-recently-verified after the r4 set)
-    "agg-grouping-sets",
-    "agg-cube-rollup",
-    "dedup-exact-hash",
-    "dedup-ngram-jaccard",
-    "dedup-minhash-sig",
-    "dedup-minhash-lsh",
-    "dedup-simhash",
-    "sim-cosine-topk",
-    "text-token-stats",
-    "text-quality-score",
-    "text-lang-id",
-    "text-fingerprint",
-    # ROUND-9 NOTE: rotate again — reds first, round-9 changes, then
-    # the r4-cohort tail the r8 window could not reach (the 10 late-r8
-    # additions pushed ~window-rolling-agg onward past index 50:
-    # window-rolling-agg, string-like-family, agg-bitwise,
-    # agg-histogram, stats-corr, impute-group-mean,
-    # normalize-group-zscore, cohort-retention, funnel-analysis,
-    # snapshot-diff, join-range-bucketed, q1-pricing-summary,
-    # filter-neq, filter-neq-chain), then the r5 cohort
-    # (dedup-simhash-pairs, sim-knn-join, sample-temperature-mix,
-    # sample-token-budget, mixture-epoch-plan, multimodal-meta-profile,
-    # window-ewma-smooth, window-streaks, window-ohlc-bars,
-    # ts-resample-ffill, topk-per-group, stats-ks-two-sample,
-    # stats-mann-whitney-u, stats-gini-impurity, ...), then r6.
+    "agg-avg-of-sums",
+    "dq-constraint-check",
+    "json-typed-parse",
+    # ROUND-10 NOTE: whatever r4-cohort tail the 50-row window missed
+    # rolls first next round, then the r5 cohort (dedup family,
+    # sim-cosine-topk, text-token-stats, ...), then r6.
 ]
 
 

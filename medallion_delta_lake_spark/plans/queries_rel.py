@@ -4594,7 +4594,9 @@ def window_bollinger_bands_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stats-brown-forsythe",
     # variance-homogeneity F on |x − group median|: exact positional
-    # medians, decimal-accumulated sums of squares, one closing ratio
+    # medians, decimal-accumulated sums of squares; the k per-group
+    # double terms sum in a deterministic ORDER BY event_type window
+    # (the drift-hellinger pattern) so the close is run-stable
     oracle="""
     WITH r AS (
       SELECT event_type, value,
@@ -4624,15 +4626,26 @@ def window_bollinger_bands_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT COUNT(*) AS k, SUM(n) AS big_n,
              CAST(SUM(CAST(sz AS DECIMAL(38,6))) AS DOUBLE) AS all_sz
       FROM grp
-    )
-    SELECT (SELECT CAST(k AS BIGINT) FROM tot) AS k,
-           (SELECT CAST(big_n AS BIGINT) FROM tot) AS big_n,
-           (CAST(big_n - k AS DOUBLE) / (k - 1.0))
-           * SUM(n * (sz / n - all_sz / big_n)
+    ),
+    run AS (
+      SELECT k, big_n,
+             SUM(n * (sz / n - all_sz / big_n)
                    * (sz / n - all_sz / big_n))
-           / SUM(szz - sz * sz / n) AS f_stat
-    FROM grp, tot
-    GROUP BY k, big_n, all_sz
+               OVER (ORDER BY event_type
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS num_run,
+             SUM(szz - sz * sz / n)
+               OVER (ORDER BY event_type
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS den_run
+      FROM grp, tot
+    )
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(big_n AS BIGINT) AS big_n,
+           (CAST(big_n - k AS DOUBLE) / (k - 1.0))
+           * MAX(num_run) / MAX(den_run) AS f_stat
+    FROM run
+    GROUP BY k, big_n
     """,
 )
 def stats_brown_forsythe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4689,12 +4702,24 @@ def stats_brown_forsythe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     n, sz, szz = F.col("n"), F.col("sz"), F.col("szz")
     k, bn, asz = F.col("k"), F.col("big_n"), F.col("all_sz")
     dev = sz / n - asz / bn
-    return j.groupBy("k", "big_n").agg(
+    # the k per-group double terms are order-sensitive under F.sum;
+    # accumulate them in a deterministic ORDER BY event_type window
+    # (both terms are >= 0, so MAX of the running sum == the total)
+    wrun = W.orderBy("event_type").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    r = j.select(
+        k,
+        bn,
+        F.sum(n * dev * dev).over(wrun).alias("num_run"),
+        F.sum(szz - sz * sz / n).over(wrun).alias("den_run"),
+    )
+    return r.groupBy("k", "big_n").agg(
         (
             ((F.first(bn) - F.first(k)).cast("double")
              / (F.first(k) - F.lit(1.0)))
-            * F.sum(n * dev * dev)
-            / F.sum(szz - sz * sz / n)
+            * F.max("num_run")
+            / F.max("den_run")
         ).alias("f_stat")
     ).select(
         F.col("k").cast("bigint").alias("k"),
@@ -5525,10 +5550,13 @@ def agg_herfindahl_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     w AS (
       SELECT event_type, n, k, p,
-             1.0 + (1.96 * 1.96) / nd AS denom,
-             p + (1.96 * 1.96) / (2.0 * nd) AS center,
+             1.0 + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / nd
+               AS denom,
+             p + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+               / (2.0 * nd) AS center,
              1.96 * sqrt(p * (1.0 - p) / nd
-                         + (1.96 * 1.96) / (4.0 * nd * nd)) AS half
+                         + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+                           / (4.0 * nd * nd)) AS half
       FROM c
     )
     SELECT event_type, n, k, p AS p_hat,
@@ -5621,8 +5649,8 @@ def events_sankey_paths_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH o AS (
       SELECT user_id, CAST(ts AS DATE) AS day, value,
-             CAST(epoch(lead(ts) OVER w) AS BIGINT)
-               - CAST(epoch(ts) AS BIGINT) AS dt
+             CAST(floor(epoch(lead(ts) OVER w)) AS BIGINT)
+               - CAST(floor(epoch(ts)) AS BIGINT) AS dt
       FROM events WHERE value IS NOT NULL
       WINDOW w AS (PARTITION BY user_id, CAST(ts AS DATE)
                    ORDER BY ts, event_id)
