@@ -43,6 +43,10 @@ try:
     from medallion_delta_lake_spark.plans import queries_tpch  # noqa: F401,E402
 except ImportError:
     pass
+try:
+    from medallion_delta_lake_spark.plans import queries_feature  # noqa: F401,E402
+except ImportError:
+    pass
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -645,3 +645,61 @@ def bloom_semi_join(
         key,
         "left_semi",
     )
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    feature_cols: list[str] | None = None,
+    tolerance_days: int | None = None,
+) -> DataFrame:
+    """Feature-store point-in-time read: each fact row picks up the
+    SCD-2 dimension attributes that were valid AS OF its timestamp —
+    ``valid_from <= ts < valid_to`` (open ``valid_to`` = current row)
+    — with an optional staleness tolerance: a feature last updated
+    more than ``tolerance_days`` before the fact is masked to NULL and
+    flagged ``is_stale`` (the training-serving-skew guard every
+    feature platform enforces).
+
+    SCD-2 intervals are disjoint per key, so the interval predicate
+    matches at most one dimension row per fact — the join stays 1:≤1.
+    Physically this is an equi-join on ``key`` with the interval as a
+    post-join filter: one shuffle keyed on the entity id, no range
+    explosion, broadcastable when the dimension is small. Appended
+    columns: ``matched`` (a validity interval covered ts),
+    ``days_since_update`` (NULL when unmatched), ``is_stale``, and the
+    (masked) ``feature_cols``."""
+    feature_cols = list(feature_cols or [])
+    d = dim.select(
+        F.col(key).alias("_pit_key"),
+        F.col(valid_from).alias("_pit_from"),
+        F.col(valid_to).alias("_pit_to"),
+        *[F.col(c) for c in feature_cols],
+    )
+    cond = (
+        (facts[key] == d["_pit_key"])
+        & (d["_pit_from"] <= facts[ts_col])
+        & (d["_pit_to"].isNull() | (facts[ts_col] < d["_pit_to"]))
+    )
+    j = facts.join(d, cond, "left")
+    matched = F.col("_pit_key").isNotNull()
+    age = F.datediff(F.col(ts_col), F.col("_pit_from"))
+    if tolerance_days is None:
+        stale = F.when(matched, F.lit(False))
+    else:
+        stale = F.when(matched, age > F.lit(tolerance_days))
+    fresh = matched & ~F.coalesce(stale, F.lit(False))
+    out_feats = [
+        F.when(fresh, F.col(c)).alias(c) for c in feature_cols
+    ]
+    return j.select(
+        *[facts[c] for c in facts.columns],
+        matched.alias("matched"),
+        F.when(matched, age).alias("days_since_update"),
+        stale.alias("is_stale"),
+        *out_feats,
+    )

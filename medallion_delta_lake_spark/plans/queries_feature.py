@@ -1,0 +1,444 @@
+"""Round-9 extension surface: the feature-store read path
+(point-in-time join with staleness masking) plus trend / association /
+scoring / outlier / sampling / change-point operators a training-data
+platform runs daily.
+
+Determinism contracts are the registry's: integer/decimal accumulation
+everywhere a reduction crosses rows, per-row IEEE chains spelled
+identically in both engines, ordered-window summation for any
+order-sensitive double reduction, explicit tie-breaks on every window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from medallion_delta_lake_spark.functions.hashing import h64, h64_sql
+from medallion_delta_lake_spark.plans.registry import query, table
+
+# ------------------------------------------------- feature store
+
+
+@query(
+    "feature-point-in-time",
+    # SCD-2 dimension frozen at 1998-01-01 (daily priority history per
+    # customer), facts = every lineitem shipment; the as-of interval
+    # join is 1:<=1 by construction and the close is dates/ints/bools
+    oracle="""
+    WITH ch AS (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS valid_from,
+             o_orderpriority,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey, CAST(o_orderdate AS DATE)
+               ORDER BY o_orderkey DESC
+             ) AS rn
+      FROM orders WHERE o_orderdate < DATE '1998-01-01'
+    ),
+    hist AS (
+      SELECT o_custkey, valid_from, o_orderpriority,
+             LEAD(valid_from) OVER (
+               PARTITION BY o_custkey ORDER BY valid_from
+             ) AS valid_to
+      FROM ch WHERE rn = 1
+    ),
+    f AS (
+      SELECT l.l_orderkey, l.l_linenumber,
+             CAST(l.l_shipdate AS DATE) AS ship_date, o.o_custkey
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT f.l_orderkey, f.l_linenumber, f.ship_date, f.o_custkey,
+           h.o_custkey IS NOT NULL AS matched,
+           CASE WHEN h.o_custkey IS NOT NULL
+                THEN date_diff('day', h.valid_from, f.ship_date)
+           END AS days_since_update,
+           CASE WHEN h.o_custkey IS NOT NULL
+                THEN date_diff('day', h.valid_from, f.ship_date) > 365
+           END AS is_stale,
+           CASE WHEN h.o_custkey IS NOT NULL
+                 AND NOT (date_diff('day', h.valid_from, f.ship_date)
+                          > 365)
+                THEN h.o_orderpriority
+           END AS feat_priority
+    FROM f LEFT JOIN hist h
+      ON f.o_custkey = h.o_custkey
+     AND h.valid_from <= f.ship_date
+     AND (h.valid_to IS NULL OR f.ship_date < h.valid_to)
+    """,
+)
+def feature_point_in_time_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """feature store / point-in-time read — the capstone composition
+    of the SCD-2 history build and the as-of interval join: every
+    lineitem shipment picks up the customer's order-priority feature
+    exactly as it was valid on the ship date, from a dimension frozen
+    at 1998-01-01, with a 365-day staleness tolerance masking
+    too-old features to NULL (the training-serving-skew guard).
+    Shipments before a customer's first dimension row come back
+    unmatched; shipments long after the freeze come back stale —
+    both flagged, never silently wrong.
+
+    Physically: one equi-join shuffle keyed on the entity id with the
+    validity interval as a post-join filter (SCD-2 intervals are
+    disjoint, so 1:<=1 — no range explosion), exactly the 100 TB
+    backfill plan (operators/joins.py:point_in_time_join)."""
+    from medallion_delta_lake_spark.operators.joins import (
+        point_in_time_join,
+    )
+
+    o = table(spark, sf_dir, "orders")
+    day = F.col("o_orderdate").cast("date")
+    w_day = W.partitionBy("o_custkey", day).orderBy(
+        F.col("o_orderkey").desc()
+    )
+    daily = (
+        o.filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
+        .select(
+            "o_custkey",
+            day.alias("valid_from"),
+            "o_orderpriority",
+            F.row_number().over(
+                W.partitionBy("o_custkey", day).orderBy(
+                    F.col("o_orderkey").desc()
+                )
+            ).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    hist = daily.select(
+        "o_custkey",
+        "valid_from",
+        F.lead("valid_from")
+        .over(W.partitionBy("o_custkey").orderBy("valid_from"))
+        .alias("valid_to"),
+        "o_orderpriority",
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+    )
+    facts = li.join(
+        o.select("o_orderkey", "o_custkey"),
+        li["l_orderkey"] == F.col("o_orderkey"),
+    ).select("l_orderkey", "l_linenumber", "ship_date", "o_custkey")
+    return point_in_time_join(
+        facts,
+        hist,
+        key="o_custkey",
+        ts_col="ship_date",
+        feature_cols=["o_orderpriority"],
+        tolerance_days=365,
+    ).withColumnRenamed("o_orderpriority", "feat_priority")
+
+
+# ------------------------------------------------- trend / association
+
+
+@query(
+    "window-mann-kendall",
+    # S and the tie-corrected variance numerator are pure integers
+    # (pair sign census over each user's 30-day daily-count series);
+    # the close is /18.0, one sqrt, one division — IEEE-exact
+    oracle="""
+    WITH d AS (
+      SELECT user_id, CAST(ts AS DATE) AS dy, COUNT(*) AS c
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    s AS (
+      SELECT a.user_id,
+             SUM(CASE WHEN b.c > a.c THEN 1
+                      WHEN b.c < a.c THEN -1 ELSE 0 END) AS s_stat
+      FROM d a JOIN d b
+        ON a.user_id = b.user_id AND a.dy < b.dy
+      GROUP BY a.user_id
+    ),
+    n AS (SELECT user_id, COUNT(*) AS n_days FROM d GROUP BY user_id),
+    t AS (
+      SELECT user_id,
+             SUM(tc * (tc - 1) * (2 * tc + 5)) AS tie_term
+      FROM (SELECT user_id, c, COUNT(*) AS tc FROM d
+            GROUP BY user_id, c)
+      GROUP BY user_id
+    ),
+    j AS (
+      SELECT n.user_id, n.n_days,
+             COALESCE(s.s_stat, 0) AS s_stat,
+             CAST(n.n_days AS BIGINT) * (n.n_days - 1)
+               * (2 * n.n_days + 5) - t.tie_term AS var_num
+      FROM n JOIN t USING (user_id)
+      LEFT JOIN s ON s.user_id = n.user_id
+    )
+    SELECT user_id, n_days, s_stat, var_num,
+           CASE WHEN var_num <= 0 THEN 0.0
+                WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+                     / sqrt(CAST(var_num AS DOUBLE) / 18.0)
+                WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+                     / sqrt(CAST(var_num AS DOUBLE) / 18.0)
+                ELSE 0.0 END AS z_stat
+    FROM j
+    """,
+)
+def window_mann_kendall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """trend / Mann–Kendall test per user — is each user's daily
+    event count monotonically trending over the month? The
+    distribution-free trend test ops teams run on every metric
+    series: S = Σ sign(c_j − c_i) over ordered day pairs, the
+    tie-corrected variance, and the continuity-corrected z. S and
+    var_num are pure integer censuses (engine-exact by construction);
+    only the final z divides doubles. The pair self-join is bounded
+    by days²·users (30² here), keyed on user_id — never on the raw
+    event table."""
+    ev = table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("dy")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    a, b = d.alias("a"), d.alias("b")
+    s = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.dy") < F.col("b.dy")),
+        )
+        .groupBy(F.col("a.user_id").alias("user_id"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.c") > F.col("a.c"), 1)
+                .when(F.col("b.c") < F.col("a.c"), -1)
+                .otherwise(0)
+            ).alias("s_stat")
+        )
+    )
+    n = d.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_days"))
+    t = (
+        d.groupBy("user_id", "c")
+        .agg(F.count(F.lit(1)).alias("tc"))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.col("tc")
+                * (F.col("tc") - 1)
+                * (2 * F.col("tc") + 5)
+            ).alias("tie_term")
+        )
+    )
+    j = (
+        n.join(t, "user_id")
+        .join(s, "user_id", "left")
+        .select(
+            "user_id",
+            "n_days",
+            F.coalesce(F.col("s_stat"), F.lit(0)).alias("s_stat"),
+            (
+                F.col("n_days").cast("bigint")
+                * (F.col("n_days") - 1)
+                * (2 * F.col("n_days") + 5)
+                - F.col("tie_term")
+            ).alias("var_num"),
+        )
+    )
+    sig = F.sqrt(F.col("var_num").cast("double") / F.lit(18.0))
+    z = (
+        F.when(F.col("var_num") <= 0, F.lit(0.0))
+        .when(
+            F.col("s_stat") > 0,
+            (F.col("s_stat") - 1).cast("double") / sig,
+        )
+        .when(
+            F.col("s_stat") < 0,
+            (F.col("s_stat") + 1).cast("double") / sig,
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return j.select(
+        "user_id", "n_days", "s_stat", "var_num", z.alias("z_stat")
+    )
+
+
+@query(
+    "stats-cramers-v",
+    # chi-square over a 5x7 contingency table: integer observed
+    # counts; each cell's IEEE (o-e)^2/e term is quantized to
+    # DECIMAL(38,12) (exact cast — magnitude*1e12 << 2^53) so the
+    # 35-term reduction is exact decimal addition in ANY order (a
+    # 35-term ordered double window is NOT safe: DuckDB's windowed
+    # SUM reassociates via a segment tree and drifts 1 ulp)
+    oracle="""
+    WITH cell AS (
+      SELECT event_type, isodow(ts) AS dow, COUNT(*) AS o
+      FROM events GROUP BY event_type, isodow(ts)
+    ),
+    rt AS (SELECT event_type, SUM(o) AS r_tot FROM cell
+           GROUP BY event_type),
+    ct AS (SELECT dow, SUM(o) AS c_tot FROM cell GROUP BY dow),
+    tot AS (
+      SELECT CAST(SUM(o) AS BIGINT) AS n,
+             COUNT(DISTINCT event_type) AS r,
+             COUNT(DISTINCT dow) AS c
+      FROM cell
+    ),
+    term AS (
+      SELECT CAST(
+               (CAST(cell.o AS DOUBLE)
+                - CAST(rt.r_tot * ct.c_tot AS DOUBLE)
+                  / CAST(tot.n AS DOUBLE))
+               * (CAST(cell.o AS DOUBLE)
+                  - CAST(rt.r_tot * ct.c_tot AS DOUBLE)
+                    / CAST(tot.n AS DOUBLE))
+               / (CAST(rt.r_tot * ct.c_tot AS DOUBLE)
+                  / CAST(tot.n AS DOUBLE))
+             AS DECIMAL(38,12)) AS x,
+             tot.n, tot.r, tot.c
+      FROM cell
+      JOIN rt USING (event_type) JOIN ct USING (dow), tot
+    )
+    SELECT n, CAST(r AS BIGINT) AS n_rows, CAST(c AS BIGINT) AS n_cols,
+           CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+           CAST(SUM(x) AS DOUBLE) AS chi2,
+           sqrt(CAST(SUM(x) AS DOUBLE)
+                / CAST(n * LEAST(r - 1, c - 1) AS DOUBLE)) AS cramers_v
+    FROM term
+    GROUP BY n, r, c
+    """,
+)
+def stats_cramers_v_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stats / Cramér's V — strength of association between two
+    categoricals (event type × ISO weekday), the normalized
+    chi-square every feature-selection pass ranks candidate
+    categorical features with. Observed counts are integers; each
+    cell's (o−e)²/e is one fixed per-cell IEEE chain, quantized to
+    DECIMAL(38,12) (exact cast at this magnitude) so the 35-term
+    reduction is exact decimal addition in any order — at this k the
+    ordered-double-window pattern is NOT engine-stable (DuckDB's
+    windowed SUM reassociates via a segment tree). The close is one
+    division + sqrt. One grouped count with map-side combine — the
+    fact table shuffles only (type, dow) pairs."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", (F.weekday("ts") + 1).alias("dow")
+    )
+    cell = ev.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    rt = cell.groupBy("event_type").agg(F.sum("o").alias("r_tot"))
+    ct = cell.groupBy("dow").agg(F.sum("o").alias("c_tot"))
+    tot = cell.agg(
+        F.sum("o").cast("bigint").alias("n"),
+        F.countDistinct("event_type").alias("r"),
+        F.countDistinct("dow").alias("c"),
+    )
+    e = (F.col("r_tot") * F.col("c_tot")).cast("double") / F.col(
+        "n"
+    ).cast("double")
+    x = (
+        (F.col("o").cast("double") - e)
+        * (F.col("o").cast("double") - e)
+        / e
+    )
+    term = (
+        cell.join(rt, "event_type")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            x.cast("decimal(38,12)").alias("x"), "n", "r", "c"
+        )
+    )
+    return term.groupBy("n", "r", "c").agg(
+        F.sum("x").cast("double").alias("chi2")
+    ).select(
+        "n",
+        F.col("r").cast("bigint").alias("n_rows"),
+        F.col("c").cast("bigint").alias("n_cols"),
+        ((F.col("r") - 1) * (F.col("c") - 1))
+        .cast("bigint")
+        .alias("dof"),
+        "chi2",
+        F.sqrt(
+            F.col("chi2")
+            / (
+                F.col("n")
+                * F.least(F.col("r") - 1, F.col("c") - 1)
+            ).cast("double")
+        ).alias("cramers_v"),
+    )
+
+
+# ------------------------------------------------- scoring
+
+
+@query(
+    "events-rfm-scores",
+    # integer recency/frequency, decimal monetary; NTILE(5) quintiles
+    # with explicit user_id tie-breaks — ordering ops, engine-exact
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             MAX(CAST(ts AS DATE)) AS last_day,
+             COUNT(*) AS freq,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+               AS monetary
+      FROM events WHERE value IS NOT NULL
+      GROUP BY user_id
+    ),
+    g AS (SELECT MAX(CAST(ts AS DATE)) AS gmax FROM events),
+    m AS (
+      SELECT user_id,
+             date_diff('day', last_day, gmax) AS r_days,
+             freq, monetary
+      FROM u, g
+    )
+    SELECT user_id, r_days, freq, monetary,
+           NTILE(5) OVER (ORDER BY r_days ASC, user_id ASC) AS r_score,
+           NTILE(5) OVER (ORDER BY freq DESC, user_id ASC) AS f_score,
+           NTILE(5) OVER (ORDER BY monetary DESC, user_id ASC)
+             AS m_score,
+           NTILE(5) OVER (ORDER BY r_days ASC, user_id ASC) * 100
+           + NTILE(5) OVER (ORDER BY freq DESC, user_id ASC) * 10
+           + NTILE(5) OVER (ORDER BY monetary DESC, user_id ASC)
+             AS rfm_cell
+    FROM m
+    """,
+)
+def events_rfm_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scoring / RFM quintiles — recency (days since last event),
+    frequency, monetary (decimal-exact value sum) per user, each cut
+    into NTILE(5) quintiles with explicit user_id tie-breaks
+    (score 1 = most recent / most frequent / highest spend), plus the
+    composite RFM cell — the segmentation every lifecycle-marketing
+    and sample-weighting pipeline starts from. All ordering ops over
+    one per-user aggregate; at 100 TB the three global NTILEs run on
+    the (small) per-user rollup, not the fact table."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    u = ev.groupBy("user_id").agg(
+        F.max(F.col("ts").cast("date")).alias("last_day"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.col("value").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    g = table(spark, sf_dir, "events").agg(
+        F.max(F.col("ts").cast("date")).alias("gmax")
+    )
+    m = u.crossJoin(F.broadcast(g)).select(
+        "user_id",
+        F.datediff("gmax", "last_day").alias("r_days"),
+        "freq",
+        "monetary",
+    )
+    w_r = W.orderBy(F.col("r_days").asc(), F.col("user_id").asc())
+    w_f = W.orderBy(F.col("freq").desc(), F.col("user_id").asc())
+    w_m = W.orderBy(F.col("monetary").desc(), F.col("user_id").asc())
+    r_s = F.ntile(5).over(w_r)
+    f_s = F.ntile(5).over(w_f)
+    m_s = F.ntile(5).over(w_m)
+    return m.select(
+        "user_id",
+        "r_days",
+        "freq",
+        "monetary",
+        r_s.alias("r_score"),
+        f_s.alias("f_score"),
+        m_s.alias("m_score"),
+        (r_s * 100 + f_s * 10 + m_s).alias("rfm_cell"),
+    )

@@ -531,12 +531,15 @@ def _apply_in_commit_timestamp(
     prev_ci = _commit_info_of(log, version - 1) if version > 0 else None
     if meta_a is not None:
         enabled = _ict_enabled_in_conf(meta_a)
-    elif prev_ci is not None:
-        enabled = "inCommitTimestamp" in prev_ci
     elif version == 0:
         enabled = False
     else:
-        # previous JSON checkpoint-cleaned: the snapshot meta decides
+        # enablement is a table PROPERTY: the resolved snapshot's
+        # metaData configuration decides, never the previous commit's
+        # commitInfo — an intervening commit whose commitInfo lacks
+        # the key (external/older writer) must not silently disable
+        # ICT for all later commits. prev_ci is consulted only for
+        # the prev-ICT value in the monotonic max below.
         enabled = _ict_enabled_in_conf(
             resolve_snapshot(path).get("meta")
         )
@@ -1159,15 +1162,39 @@ def _stage_physical(
     the ``parquet.field.id`` field metadata). A logical-named write
     into a mapped table would read back as nulls. No mapping → plain
     staging."""
-    if meta is None:
+    cols = _physical_select(df, meta)
+    if cols is None:
         return _stage_data_files(df, path, list(part_cols), now_ms)
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     mapping = _column_mapping(meta, schema)
+    return _stage_data_files(
+        df.select(*cols),
+        path,
+        [mapping.get(c, c) for c in part_cols],
+        now_ms,
+    )
+
+
+def _physical_select(
+    df: DataFrame, meta: dict | None, passthrough: tuple[str, ...] = ()
+) -> list | None:
+    """Select list renaming the frame's LOGICAL columns to the table's
+    PHYSICAL names (carrying ``parquet.field.id`` metadata in id mode)
+    per the metaData's column mapping; ``None`` when the table has no
+    mapping. ``passthrough`` columns (CDF's ``_change_type``) keep
+    their names."""
+    if meta is None:
+        return None
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    mapping = _column_mapping(meta, schema)
     if not mapping:
-        return _stage_data_files(df, path, list(part_cols), now_ms)
+        return None
     ids = _field_ids(meta, schema)
     cols = []
     for c in df.columns:
+        if c in passthrough:
+            cols.append(F.col(c))
+            continue
         phys = mapping.get(c, c)
         if c in ids:
             cols.append(
@@ -1175,12 +1202,7 @@ def _stage_physical(
             )
         else:
             cols.append(F.col(c).alias(phys))
-    return _stage_data_files(
-        df.select(*cols),
-        path,
-        [mapping.get(c, c) for c in part_cols],
-        now_ms,
-    )
+    return cols
 
 
 def _cdf_enabled(meta: dict | None) -> bool:
@@ -1192,20 +1214,24 @@ def _cdf_enabled(meta: dict | None) -> bool:
 
 
 def _stage_cdc_files(
-    df: DataFrame, path: str, now_ms: int
+    df: DataFrame, path: str, now_ms: int, meta: dict | None = None
 ) -> list[dict]:
     """Stage change-data-feed rows (table columns + ``_change_type``)
     under ``_change_data/`` and return the ``cdc`` actions for the
     commit (PROTOCOL.md "Add CDC File"). ``dataChange`` is false per
     spec — cdc files describe a commit, they are not table content.
-    Deviation from delta-spark: files carry LOGICAL column names even
-    under column mapping (this writer and :func:`table_changes` are
-    each other's only consumers). An empty frame stages nothing, so a
-    no-op UPDATE/MERGE commits without cdc actions and the reader
-    falls back to (empty) log derivation for that version."""
+    Under column mapping, files carry PHYSICAL column names (same
+    path as :func:`_stage_physical`) so an external delta-spark CDF
+    reader resolves them; :func:`table_changes` maps back to logical
+    names. An empty frame stages nothing, so a no-op UPDATE/MERGE
+    commits without cdc actions and the reader falls back to (empty)
+    log derivation for that version."""
     import shutil
     import uuid
 
+    cols = _physical_select(df, meta, passthrough=("_change_type",))
+    if cols is not None:
+        df = df.select(*cols)
     staging = os.path.join(path, f"_staging_cdc_{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(staging)
     cdir = os.path.join(path, "_change_data")
@@ -2883,18 +2909,25 @@ def table_changes(
             # they are the COMPLETE change description for that commit
             # — add/remove are ignored for feed purposes (they would
             # double-count the same rows as unpaired delete+insert).
-            cols = [
-                f.name
-                for f in StructType.fromJson(
-                    json.loads(meta["schemaString"])
-                ).fields
-            ]
+            schema_v = StructType.fromJson(
+                json.loads(meta["schemaString"])
+            )
+            mapping = _column_mapping(meta, schema_v)
             cdf = spark.read.parquet(
                 *[os.path.join(path, c["path"]) for c in cdcs]
             )
+            # cdc files carry PHYSICAL names under column mapping;
+            # map back to logical (fall back to the logical name for
+            # pre-r9 files that staged logical names)
+            sel = [
+                F.col(mapping[f.name]).alias(f.name)
+                if f.name in mapping and mapping[f.name] in cdf.columns
+                else F.col(f.name)
+                for f in schema_v.fields
+            ]
             frames.append(
                 cdf.select(
-                    *cols,
+                    *sel,
                     "_change_type",
                     F.lit(v).cast("bigint").alias("_commit_version"),
                 )
@@ -4214,7 +4247,7 @@ def merge_delta_log(
                 )
             )
         )
-        cdc_actions = _stage_cdc_files(feed, path, now_ms)
+        cdc_actions = _stage_cdc_files(feed, path, now_ms, meta)
     merged.unpersist()
 
     def build(version: int) -> list[dict]:
@@ -4424,7 +4457,7 @@ def update_delta_log(
                 F.lit("update_postimage").alias("_change_type"),
             )
             cdc_actions = _stage_cdc_files(
-                pre.unionByName(post), path, now_ms
+                pre.unionByName(post), path, now_ms, meta
             )
 
     def build(version: int) -> list[dict]:

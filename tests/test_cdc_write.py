@@ -239,9 +239,12 @@ def test_replication_from_change_feed(spark, tmp_path):
 
 
 def test_cdc_on_column_mapped_table(spark, tmp_path):
-    """CDF + column mapping: cdc files carry LOGICAL names (this
-    writer's documented contract), so the feed reads back correctly
-    even after a metadata-only RENAME."""
+    """CDF + column mapping: cdc files carry PHYSICAL names on disk
+    (interoperable with external delta-spark CDF readers) and
+    :func:`table_changes` maps back to logical names, so the feed
+    reads back correctly even after a metadata-only RENAME."""
+    import pyarrow.parquet as pq
+
     t = str(tmp_path / "t")
     _cdf_table(spark, t, [(1, 10), (2, 20)])
     delta_log.enable_column_mapping(t)
@@ -261,3 +264,21 @@ def test_cdc_on_column_mapped_table(spark, tmp_path):
     ]
     got = {(r.k, r.amount) for r in delta_log.read_delta(spark, t).collect()}
     assert got == {(1, 15), (2, 20)}
+    # on-disk cdc parquet columns are the PHYSICAL names of the
+    # mapped table (plus _change_type), never the logical ones
+    snap = delta_log.resolve_snapshot(t)
+    fields = delta_log.json.loads(snap["meta"]["schemaString"])["fields"]
+    phys = {
+        f["metadata"]["delta.columnMapping.physicalName"]
+        for f in fields
+    }
+    cdir = os.path.join(t, "_change_data")
+    for name in os.listdir(cdir):
+        cols = set(
+            pq.ParquetFile(os.path.join(cdir, name)).schema_arrow.names
+        )
+        assert "_change_type" in cols
+        assert phys <= cols
+        # the renamed column's LOGICAL name must not appear — its
+        # physical name stays "v" (assigned at mapping enablement)
+        assert "amount" not in cols

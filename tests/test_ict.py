@@ -158,3 +158,49 @@ def test_ict_rows_roundtrip_and_history(spark, tmp_path):
     )
     got = dl.read_delta(spark, p)
     assert sorted(r["id"] for r in got.collect()) == [1, 2]
+
+
+def test_ict_survives_external_commit_without_commitinfo_key(
+    spark, tmp_path
+):
+    """Enablement is a table PROPERTY (metaData configuration), not a
+    property of the previous commit's commitInfo: an intervening
+    commit written by an external/older writer whose commitInfo lacks
+    ``inCommitTimestamp`` must not silently disable ICT for later
+    commits (ADVICE r8)."""
+    p = _mk(spark, tmp_path, [(1, "a")])
+    dl.set_table_properties(
+        p, {"delta.enableInCommitTimestamps": "true"}
+    )
+    # simulate an external writer: a bare add-only commit whose
+    # commitInfo has no inCommitTimestamp key
+    snap = dl.resolve_snapshot(p)
+    v_ext = snap["version"] + 1
+    log = os.path.join(p, "_delta_log")
+    with open(os.path.join(log, f"{v_ext:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"commitInfo": {"operation": "WRITE"}}) + "\n")
+    # a following engine commit must still carry a monotonic ICT
+    dl.write_delta(
+        spark,
+        spark.createDataFrame([(2, "b")], "id long, v string"),
+        p,
+        mode="append",
+    )
+    commits = _commits(p)
+    v_last = max(commits)
+    assert v_last > v_ext
+    ci = next(
+        a["commitInfo"]
+        for a in commits[v_last]
+        if a.get("commitInfo") is not None
+    )
+    assert "inCommitTimestamp" in ci
+    # monotonic vs the last ICT-bearing commit before the gap
+    prev_icts = [
+        a["commitInfo"]["inCommitTimestamp"]
+        for v, acts in commits.items()
+        if v < v_ext
+        for a in acts
+        if a.get("commitInfo") and "inCommitTimestamp" in a["commitInfo"]
+    ]
+    assert ci["inCommitTimestamp"] > max(prev_icts)
