@@ -82,7 +82,7 @@ _DRIVER_PRIORITY = [
     "agg-l-moments",
     "events-rfm-scores",
     "stats-grubbs-test",
-    "dedup-lsh-forest-topk",
+    "sample-weighted-reservoir",
     "window-cusum-mean-shift",
     # r3 cohort — last driver-checked in round 3
     "unpivot-measures",

@@ -762,6 +762,20 @@ def limb_double(col: "F.Column") -> "F.Column":
     return (a * F.lit(1e13) + b) * F.lit(1e13) + c
 
 
+def limb_double_sql(expr: str) -> str:
+    """DuckDB twin of :func:`limb_double` — the identical three-limb
+    chain as SQL text, FULLY parenthesized (an unparenthesized
+    trailing division reassociates inside products and rounds
+    differently). The caller appends ``/ 10^scale`` for scaled
+    decimals — also parenthesized."""
+    s = f"lpad(replace(CAST(({expr}) AS VARCHAR), '.', ''), 39, '0')"
+    return (
+        f"((CAST(substr({s}, 1, 13) AS DOUBLE) * 1e13"
+        f" + CAST(substr({s}, 14, 13) AS DOUBLE)) * 1e13"
+        f" + CAST(substr({s}, 27, 13) AS DOUBLE))"
+    )
+
+
 def kruskal_wallis(
     df: DataFrame,
     val_col: str,

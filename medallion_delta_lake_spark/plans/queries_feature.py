@@ -87,9 +87,6 @@ def feature_point_in_time_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = table(spark, sf_dir, "orders")
     day = F.col("o_orderdate").cast("date")
-    w_day = W.partitionBy("o_custkey", day).orderBy(
-        F.col("o_orderkey").desc()
-    )
     daily = (
         o.filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
         .select(
@@ -441,4 +438,352 @@ def events_rfm_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         f_s.alias("f_score"),
         m_s.alias("m_score"),
         (r_s * 100 + f_s * 10 + m_s).alias("rfm_cell"),
+    )
+
+
+# ------------------------------------------------- outliers / sampling
+
+
+@query(
+    "stats-grubbs-test",
+    # decimal-accumulated mean/sd (scale 4 keeps sum-of-squares well
+    # under 2^53), per-row |v-mean|/sd is one IEEE chain, MAX is
+    # order-insensitive — engine-exact with zero windows
+    oracle="""
+    WITH s AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sv,
+             CAST(SUM(CAST(value * value AS DECIMAL(38,4))) AS DOUBLE)
+               AS svv
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type
+    ),
+    m AS (
+      SELECT event_type, n, sv / CAST(n AS DOUBLE) AS mean_v,
+             sqrt((CAST(n AS DOUBLE) * svv - sv * sv)
+                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+               AS sd_v
+      FROM s
+    )
+    SELECT e.event_type, ANY_VALUE(m.n) AS n,
+           ANY_VALUE(m.mean_v) AS mean_v,
+           ANY_VALUE(m.sd_v) AS sd_v,
+           CASE WHEN ANY_VALUE(m.sd_v) = 0 THEN NULL
+                ELSE MAX(abs(e.value - m.mean_v) / m.sd_v)
+           END AS g_stat
+    FROM events e JOIN m USING (event_type)
+    WHERE e.value IS NOT NULL
+    GROUP BY e.event_type
+    """,
+)
+def stats_grubbs_test_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stats / Grubbs' outlier statistic per event type — the
+    max-studentized-deviation G = max|x−x̄|/s that decides "is the
+    most extreme point an outlier?", the single-outlier complement to
+    the MAD census (stats-mad-outliers flags many; Grubbs tests THE
+    worst one). Mean and sd come from decimal-exact sums; each row's
+    deviation ratio is one IEEE chain; MAX over identical per-row
+    doubles is order-insensitive — no windows, two grouped passes
+    with map-side combine and a broadcast join back."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sv"),
+        F.sum(
+            (F.col("value") * F.col("value")).cast("decimal(38,4)")
+        )
+        .cast("double")
+        .alias("svv"),
+    )
+    nd = F.col("n").cast("double")
+    m = s.select(
+        "event_type",
+        "n",
+        (F.col("sv") / nd).alias("mean_v"),
+        F.sqrt(
+            (nd * F.col("svv") - F.col("sv") * F.col("sv"))
+            / (nd * (nd - F.lit(1.0)))
+        ).alias("sd_v"),
+    )
+    j = ev.join(F.broadcast(m), "event_type")
+    return j.groupBy("event_type").agg(
+        F.first("n").alias("n"),
+        F.first("mean_v").alias("mean_v"),
+        F.first("sd_v").alias("sd_v"),
+        F.when(F.first("sd_v") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.max(
+                F.abs(F.col("value") - F.col("mean_v"))
+                / F.col("sd_v")
+            )
+        )
+        .alias("g_stat"),
+    )
+
+
+@query(
+    "sample-weighted-reservoir",
+    # deterministic weighted reservoir: portable-hash race keys
+    # (h mod 2^50, exact as DOUBLE) divided by the row's weight, one
+    # keyed rank per stratum — reproducible on any engine, any order
+    oracle=f"""
+    WITH w AS (
+      SELECT event_id, event_type, value,
+             CAST(({h64_sql("CAST(event_id AS VARCHAR)")})
+                  % 1125899906842624 AS DOUBLE) / value AS priority
+      FROM events WHERE value IS NOT NULL AND value > 0
+    ),
+    r AS (
+      SELECT event_id, event_type, value, priority,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY priority ASC, event_id ASC
+             ) AS rk
+      FROM w
+    )
+    SELECT event_id, event_type, value, rk
+    FROM r WHERE rk <= 20
+    """,
+)
+def sample_weighted_reservoir_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """sampling / deterministic weighted reservoir per stratum — keep
+    the k=20 rows per event type that win a hash race scaled by their
+    weight (higher value → smaller priority → more likely kept): the
+    reproducible weighted downsample a training mixture uses when
+    re-runs must pick the SAME rows on any cluster, any partitioning.
+    The race key is the portable 60-bit hash reduced mod 2^50 (exact
+    as a DOUBLE) over the row's weight — one IEEE division per row,
+    one rank per stratum; no RNG state, no driver pass. (A-Res with
+    -ln(u)/w is the textbook form; ln() is not bit-portable across
+    engines, so the uniform-race variant ships instead — same
+    monotone selection structure, deterministic everywhere.)"""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & (F.col("value") > 0)
+    )
+    pri = (
+        (h64(F.col("event_id").cast("string")) % F.lit(1125899906842624))
+        .cast("double")
+        / F.col("value")
+    )
+    w = ev.select(
+        "event_id", "event_type", "value", pri.alias("priority")
+    )
+    r = w.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.row_number()
+        .over(
+            W.partitionBy("event_type").orderBy(
+                F.col("priority").asc(), F.col("event_id").asc()
+            )
+        )
+        .alias("rk"),
+    )
+    return r.filter(F.col("rk") <= 20)
+
+
+# ------------------------------------------------- change detection
+
+
+@query(
+    "window-cusum-mean-shift",
+    # one-sided CUSUM via the running-minimum identity
+    # S_i = cum_i - min(0, min_{j<=i} cum_j): decimal running sums
+    # and mins are exact in any engine; no recursion needed
+    oracle="""
+    WITH d AS (
+      SELECT event_id, user_id, ts,
+             CAST(value AS DECIMAL(38,6)) - 100 AS dev
+      FROM events WHERE value IS NOT NULL
+    ),
+    c1 AS (
+      SELECT event_id, user_id, ts,
+             SUM(dev) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum
+      FROM d
+    ),
+    c AS (
+      SELECT event_id, user_id, cum,
+             MIN(cum) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS runmin
+      FROM c1
+    )
+    SELECT event_id, user_id,
+           CAST(CASE WHEN runmin < 0 THEN cum - runmin
+                     ELSE cum END AS DOUBLE) AS s_cusum,
+           CASE WHEN runmin < 0 THEN cum - runmin
+                ELSE cum END > 2000 AS alarm
+    FROM c
+    """,
+)
+def window_cusum_mean_shift_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """change detection / one-sided CUSUM per user — the classic
+    mean-shift detector S_i = max(0, S_{i-1} + (x_i − target)),
+    rewritten without recursion via the running-minimum identity
+    S_i = cum_i − min(0, min_{j≤i} cum_j) so it runs as two stacked
+    cumulative windows over one (user, ts) sort — the batch twin of
+    the streaming CUSUM op. Deviations accumulate in DECIMAL(38,6)
+    (exact, order-free); the alarm threshold compares decimals; only
+    the reported S casts to double. 100 TB: one shuffle on user_id,
+    no state, no UDF. CASE (not LEAST) keeps DuckDB from promoting
+    the decimal to double."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    d = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.col("value").cast("decimal(38,6)") - F.lit(100)).alias(
+            "dev"
+        ),
+    )
+    c = d.select(
+        "event_id",
+        "user_id",
+        F.sum("dev").over(w).alias("cum"),
+        F.min(F.sum("dev").over(w)).over(w).alias("runmin"),
+    )
+    s = F.when(
+        F.col("runmin") < 0, F.col("cum") - F.col("runmin")
+    ).otherwise(F.col("cum"))
+    return c.select(
+        "event_id",
+        "user_id",
+        s.cast("double").alias("s_cusum"),
+        (s > F.lit(2000)).alias("alarm"),
+    )
+
+
+# ------------------------------------------------- robust moments
+
+
+def _lmom_oracle() -> str:
+    from medallion_delta_lake_spark.operators.agg import limb_double_sql
+
+    b0 = limb_double_sql("b0s")
+    b1 = limb_double_sql("b1s")
+    b2 = limb_double_sql("b2s")
+    return f"""
+    WITH r AS (
+      SELECT event_type,
+             CAST(value AS DECIMAL(18,6)) AS y,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY value, event_id
+             ) AS rn
+      FROM events WHERE value IS NOT NULL
+    ),
+    s AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(y) AS b0s,
+             SUM(y * (rn - 1)) AS b1s,
+             SUM(y * ((rn - 1) * (rn - 2))) AS b2s
+      FROM r GROUP BY event_type
+    ),
+    d AS (
+      SELECT event_type, n,
+             ({b0} / 1e6) / CAST(n AS DOUBLE) AS b0,
+             ({b1} / 1e6)
+               / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+               AS b1,
+             ({b2} / 1e6)
+               / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+                  * (CAST(n AS DOUBLE) - 2.0)) AS b2
+      FROM s
+    )
+    SELECT event_type, n,
+           b0 AS l1,
+           2.0 * b1 - b0 AS l2,
+           (6.0 * b2 - 6.0 * b1 + b0) / (2.0 * b1 - b0) AS t3,
+           (2.0 * b1 - b0) / b0 AS l_cv
+    FROM d
+    """
+
+
+@query(
+    "agg-l-moments",
+    # probability-weighted moments from decimal-exact rank-weighted
+    # sums (the b2 sum passes 2^53, so both engines convert through
+    # the three-limb chain); the close is a fixed IEEE combination
+    oracle=_lmom_oracle(),
+)
+def agg_l_moments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stats / L-moments per event type — the order-statistics
+    moments (L-mean, L-scale, L-skewness t3, L-CV) hydrologists and
+    robust-stats pipelines prefer over classical moments: linear in
+    the data, so one wild outlier moves them O(1/n) instead of
+    O(x³). Computed from probability-weighted moments b0,b1,b2 =
+    rank-weighted sums: rank weights are exact integers, values are
+    DECIMAL(18,6), so each group's three sums are decimal-exact in
+    any order; the b2 sum exceeds 2^53, so both engines convert it
+    through the exact three-limb chain (operators/agg.py:limb_double)
+    before one shared IEEE close. One keyed rank sort + one grouped
+    pass."""
+    from medallion_delta_lake_spark.operators.agg import limb_double
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    r = ev.select(
+        "event_type",
+        F.col("value").cast("decimal(18,6)").alias("y"),
+        F.row_number()
+        .over(
+            W.partitionBy("event_type").orderBy("value", "event_id")
+        )
+        .alias("rn"),
+    )
+    s = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("b0s"),
+        F.sum(F.col("y") * (F.col("rn") - 1)).alias("b1s"),
+        F.sum(
+            F.col("y") * ((F.col("rn") - 1) * (F.col("rn") - 2))
+        ).alias("b2s"),
+    )
+    nd = F.col("n").cast("double")
+    b0 = (limb_double(F.col("b0s")) / F.lit(1e6)) / nd
+    b1 = (limb_double(F.col("b1s")) / F.lit(1e6)) / (
+        nd * (nd - F.lit(1.0))
+    )
+    b2 = (limb_double(F.col("b2s")) / F.lit(1e6)) / (
+        nd * (nd - F.lit(1.0)) * (nd - F.lit(2.0))
+    )
+    d = s.select(
+        "event_type", "n", b0.alias("b0"), b1.alias("b1"), b2.alias("b2")
+    )
+    return d.select(
+        "event_type",
+        "n",
+        F.col("b0").alias("l1"),
+        (F.lit(2.0) * F.col("b1") - F.col("b0")).alias("l2"),
+        (
+            (
+                F.lit(6.0) * F.col("b2")
+                - F.lit(6.0) * F.col("b1")
+                + F.col("b0")
+            )
+            / (F.lit(2.0) * F.col("b1") - F.col("b0"))
+        ).alias("t3"),
+        (
+            (F.lit(2.0) * F.col("b1") - F.col("b0")) / F.col("b0")
+        ).alias("l_cv"),
     )
