@@ -69,6 +69,7 @@ _DRIVER_PRIORITY = [
     "window-time-weighted-avg",
     "stats-wilson-ci",
     "stats-brown-forsythe",
+    "agg-herfindahl",
     # r8 driver-reds, unreproduced locally — settle them
     "stats-kendall-tau",
     "stats-mad-outliers",

@@ -255,10 +255,12 @@ def window_mann_kendall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stats-cramers-v",
     # chi-square over a 5x7 contingency table: integer observed
-    # counts; each cell's IEEE (o-e)^2/e term is quantized to
-    # DECIMAL(38,12) (exact cast — magnitude*1e12 << 2^53) so the
-    # 35-term reduction is exact decimal addition in ANY order (a
-    # 35-term ordered double window is NOT safe: DuckDB's windowed
+    # counts; each cell's IEEE (o-e)^2/e term is quantized via
+    # floor(x*1e12)->BIGINT (floor of the identical double is exact
+    # in both engines; double->DECIMAL casts are NOT — Spark rounds
+    # the shortest repr, DuckDB the binary value) so the 35-term
+    # reduction is exact integer addition in ANY order (a 35-term
+    # ordered double window is NOT safe either: DuckDB's windowed
     # SUM reassociates via a segment tree and drifts 1 ulp)
     oracle="""
     WITH cell AS (
@@ -275,24 +277,24 @@ def window_mann_kendall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cell
     ),
     term AS (
-      SELECT CAST(
-               (CAST(cell.o AS DOUBLE)
-                - CAST(rt.r_tot * ct.c_tot AS DOUBLE)
-                  / CAST(tot.n AS DOUBLE))
-               * (CAST(cell.o AS DOUBLE)
-                  - CAST(rt.r_tot * ct.c_tot AS DOUBLE)
-                    / CAST(tot.n AS DOUBLE))
-               / (CAST(rt.r_tot * ct.c_tot AS DOUBLE)
-                  / CAST(tot.n AS DOUBLE))
-             AS DECIMAL(38,12)) AS x,
+      SELECT CAST(floor(
+               ((CAST(cell.o AS DOUBLE)
+                 - CAST(rt.r_tot * ct.c_tot AS DOUBLE)
+                   / CAST(tot.n AS DOUBLE))
+                * (CAST(cell.o AS DOUBLE)
+                   - CAST(rt.r_tot * ct.c_tot AS DOUBLE)
+                     / CAST(tot.n AS DOUBLE))
+                / (CAST(rt.r_tot * ct.c_tot AS DOUBLE)
+                   / CAST(tot.n AS DOUBLE)))
+               * 1e12) AS BIGINT) AS xi,
              tot.n, tot.r, tot.c
       FROM cell
       JOIN rt USING (event_type) JOIN ct USING (dow), tot
     )
     SELECT n, CAST(r AS BIGINT) AS n_rows, CAST(c AS BIGINT) AS n_cols,
            CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
-           CAST(SUM(x) AS DOUBLE) AS chi2,
-           sqrt(CAST(SUM(x) AS DOUBLE)
+           CAST(SUM(xi) AS DOUBLE) / 1e12 AS chi2,
+           sqrt((CAST(SUM(xi) AS DOUBLE) / 1e12)
                 / CAST(n * LEAST(r - 1, c - 1) AS DOUBLE)) AS cramers_v
     FROM term
     GROUP BY n, r, c
@@ -303,13 +305,15 @@ def stats_cramers_v_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     categoricals (event type × ISO weekday), the normalized
     chi-square every feature-selection pass ranks candidate
     categorical features with. Observed counts are integers; each
-    cell's (o−e)²/e is one fixed per-cell IEEE chain, quantized to
-    DECIMAL(38,12) (exact cast at this magnitude) so the 35-term
-    reduction is exact decimal addition in any order — at this k the
-    ordered-double-window pattern is NOT engine-stable (DuckDB's
-    windowed SUM reassociates via a segment tree). The close is one
-    division + sqrt. One grouped count with map-side combine — the
-    fact table shuffles only (type, dow) pairs."""
+    cell's (o−e)²/e is one fixed per-cell IEEE chain, quantized via
+    floor(x·10¹²)→BIGINT — floor of the identical double is exact in
+    both engines, while double→DECIMAL casts and (at this k) the
+    ordered-double-window pattern are both engine-unstable (Spark
+    rounds the shortest repr vs DuckDB the binary value; DuckDB's
+    windowed SUM reassociates via a segment tree). The 35-term
+    reduction is exact integer addition in any order; the close is
+    one division + sqrt. One grouped count with map-side combine —
+    the fact table shuffles only (type, dow) pairs."""
     ev = table(spark, sf_dir, "events").select(
         "event_type", (F.weekday("ts") + 1).alias("dow")
     )
@@ -336,11 +340,11 @@ def stats_cramers_v_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(ct), "dow")
         .crossJoin(F.broadcast(tot))
         .select(
-            x.cast("decimal(38,12)").alias("x"), "n", "r", "c"
+            F.floor(x * F.lit(1e12)).alias("xi"), "n", "r", "c"
         )
     )
     return term.groupBy("n", "r", "c").agg(
-        F.sum("x").cast("double").alias("chi2")
+        (F.sum("xi").cast("double") / F.lit(1e12)).alias("chi2")
     ).select(
         "n",
         F.col("r").cast("bigint").alias("n_rows"),

@@ -5452,9 +5452,14 @@ def _hhi_limb(x: str) -> str:
 @query(
     "agg-herfindahl",
     # per-supplier revenue in DECIMAL(38,4) (exact), limb-converted;
-    # the share² sum per nation runs in an ORDER BY suppkey window —
-    # the one order-sensitive double reduction, deterministic in both
-    # engines; HHI ∈ (1/k, 1]
+    # each share² term (∈ (0,1], one IEEE chain per supplier) is
+    # quantized via floor(x·10¹⁵)→BIGINT — floor on the identical
+    # double is exact in both engines, unlike double→DECIMAL casts
+    # (Spark rounds the shortest repr HALF_UP, DuckDB the binary
+    # value) — so the per-nation reduction is exact integer addition
+    # in ANY order (the previous ORDER BY suppkey double window was a
+    # latent flake: DuckDB's windowed SUM reassociates via a segment
+    # tree once a nation has ≳32 suppliers); HHI ∈ (1/k, 1]
     oracle=f"""
     WITH rev AS (
       SELECT s.s_nationkey AS nation, l.l_suppkey AS supp,
@@ -5468,14 +5473,12 @@ def _hhi_limb(x: str) -> str:
     ),
     shares AS (
       SELECT rev.nation,
-             SUM(({_hhi_limb('r')} / {_hhi_limb('t')})
-                 * ({_hhi_limb('r')} / {_hhi_limb('t')}))
-               OVER (PARTITION BY rev.nation ORDER BY supp
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS hhi_run
+             CAST(floor((({_hhi_limb('r')} / {_hhi_limb('t')})
+                         * ({_hhi_limb('r')} / {_hhi_limb('t')}))
+                        * 1e15) AS BIGINT) AS sh2i
       FROM rev JOIN tot ON rev.nation = tot.nation
     )
-    SELECT nation, MAX(hhi_run) AS hhi,
+    SELECT nation, CAST(SUM(sh2i) AS DOUBLE) / 1e15 AS hhi,
            COUNT(*) AS n_suppliers
     FROM shares GROUP BY nation
     """,
@@ -5485,10 +5488,11 @@ def agg_herfindahl_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     concentrated is revenue among suppliers within each nation (the
     market-concentration / data-source-diversity screen; HHI → 1 means
     one supplier dominates, → 1/k means even split). Revenue
-    accumulates exactly in DECIMAL(38,4); the share² terms are the one
-    order-sensitive double sum, so they run in an ORDER BY supplier
-    cumulative window (deterministic addition order in any engine)
-    (plans/queries_rel.py)."""
+    accumulates exactly in DECIMAL(38,4); each share² term is one
+    IEEE chain per supplier, quantized to DECIMAL(38,15) (exact cast
+    at magnitude ≤ 1) so the per-nation sum is exact in any order —
+    an ORDER BY double window is NOT engine-stable past ~32 terms
+    (DuckDB windowed SUM = segment tree) (plans/queries_rel.py)."""
     li = table(spark, sf_dir, "lineitem").select(
         "l_suppkey", "l_extendedprice", "l_discount"
     )
@@ -5514,17 +5518,12 @@ def agg_herfindahl_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = rev.groupBy("nation").agg(F.sum("r").alias("t"))
     rd = limb_double(F.col("r")) / F.lit(1e4)
     td = limb_double(F.col("t")) / F.lit(1e4)
-    seq = (
-        Window.partitionBy("nation")
-        .orderBy("supp")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     shares = rev.join(tot, "nation").select(
         "nation",
-        F.sum((rd / td) * (rd / td)).over(seq).alias("hhi_run"),
+        F.floor(((rd / td) * (rd / td)) * F.lit(1e15)).alias("sh2i"),
     )
     return shares.groupBy("nation").agg(
-        F.max("hhi_run").alias("hhi"),
+        (F.sum("sh2i").cast("double") / F.lit(1e15)).alias("hhi"),
         F.count(F.lit(1)).alias("n_suppliers"),
     )
 

@@ -15,7 +15,16 @@ value-hash comparison against DuckDB is exact, not approximate):
 - ROUND on non-integer doubles is avoided (Spark rounds the shortest
   decimal repr HALF_UP, DuckDB rounds the binary value — they disagree
   on values like 123.45); rounding only ever applies to exactly
-  representable inputs (integers, halves).
+  representable inputs (integers, halves). The same split applies to
+  double→DECIMAL casts, so full-precision doubles are never cast to
+  decimal either.
+- A k-term reduction over per-row DOUBLES (one per group/cell) is
+  order-sensitive. k ≤ ~17: sum in a SUM() OVER (ORDER BY key ROWS
+  UNBOUNDED PRECEDING) window + MAX (sequential in both engines).
+  Larger k: DuckDB's windowed SUM reassociates (segment tree), so
+  quantize each term via floor(x·10^s)→BIGINT (floor of the identical
+  double is exact in both engines) and sum the integers — exact in
+  any order; divide by 10^s once at the close.
 """
 
 from __future__ import annotations

@@ -115,6 +115,19 @@ AUDITED = [
     "agg-corr-matrix",
     "events-attribution-lasttouch",
     "stream-drift-monitor",
+    # round-8 snapshot-commit ops (never audited in r8)
+    "events-sankey-paths",
+    "window-time-weighted-avg",
+    "stats-wilson-ci",
+    # round-9 additions
+    "feature-point-in-time",
+    "window-mann-kendall",
+    "stats-cramers-v",
+    "events-rfm-scores",
+    "stats-grubbs-test",
+    "sample-weighted-reservoir",
+    "window-cusum-mean-shift",
+    "agg-l-moments",
 ]
 
 
