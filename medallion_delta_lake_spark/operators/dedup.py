@@ -222,17 +222,35 @@ def minhash_lsh_pairs(
     output — LSH only bounds recall). This is the sub-quadratic scale
     path: the all-pairs comparison only ever happens inside a bucket."""
     rows_per_band = num_perm // bands
-    # cache shingle sets AND signatures: both are consumed twice (the
-    # banded self-join's two sides / the two jaccard-verify joins), and
-    # the md5+perm expression tree is the dominant per-row cost — one
-    # materialization instead of two at any scale. Tracked: callers
-    # release via operators.caching.release_caches() after their action.
-    sets_df = tracked_cache(shingle_hashes(df, text_col, id_col, n=n, fan_out=fan_out))
-    sig = tracked_cache(
-        sets_df.select(
-            F.col(id_col),
-            F.array(*minhash_signature_cols(F.col("sh"), num_perm)).alias("sig"),
+    # One grouped pass over the exploded shingle hashes yields BOTH
+    # the exact shingle set (jaccard verify) and the num_perm
+    # signature mins: min over the multiset == min over the set, so
+    # no distinct is needed, and the permutations run as FLAT codegen
+    # arithmetic with map-side combine instead of num_perm interpreted
+    # array-transform lambdas (HOFs are CodegenFallback; the lambda
+    # form also cost ~9 s of first-plan compile on this shape —
+    # measured, the whole dedup family's bench outlier). Cached: both
+    # frames are consumed twice (banded self-join sides / two
+    # jaccard-verify joins). Tracked: callers release via
+    # operators.caching.release_caches() after their action.
+    if fan_out:
+        df = df.repartition(fan_out)
+    exploded = df.select(
+        F.col(id_col), F.explode(shingles(text_col, n=n)).alias("_sg")
+    ).select(F.col(id_col), h64(F.col("_sg")).alias("_h"))
+    perm_mins = [
+        F.min(perm_hash(F.col("_h"), a, b)).alias(f"_m{i}")
+        for i, (a, b) in enumerate(minhash_params(num_perm))
+    ]
+    both = tracked_cache(
+        exploded.groupBy(id_col).agg(
+            F.collect_set("_h").alias("sh"), *perm_mins
         )
+    )
+    sets_df = both.select(id_col, "sh")
+    sig = both.select(
+        F.col(id_col),
+        F.array(*[f"_m{i}" for i in range(num_perm)]).alias("sig"),
     )
     banded = sig.select(
         F.col(id_col),
