@@ -85,6 +85,8 @@ _DRIVER_PRIORITY = [
     "stats-grubbs-test",
     "sample-weighted-reservoir",
     "window-cusum-mean-shift",
+    "normalize-quantile-map",
+    "ml-calibration-bins",
     # r3 cohort — last driver-checked in round 3
     "unpivot-measures",
     "window-running-sum",

@@ -791,3 +791,158 @@ def agg_l_moments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(2.0) * F.col("b1") - F.col("b0")) / F.col("b0")
         ).alias("l_cv"),
     )
+
+
+# ------------------------------------------------- distribution align
+
+
+@query(
+    "normalize-quantile-map",
+    # classic quantile normalization: each source's rank maps onto
+    # the pooled distribution's value at the proportional position —
+    # all integer ranks + one floor-division, a rank-keyed join back
+    oracle="""
+    WITH v AS (
+      SELECT event_id, event_type, value
+      FROM events WHERE value IS NOT NULL
+    ),
+    pooled AS (
+      SELECT value AS pv,
+             ROW_NUMBER() OVER (ORDER BY value, event_id) AS pr
+      FROM v
+    ),
+    tot AS (SELECT COUNT(*) AS n_all FROM v),
+    src AS (
+      SELECT event_id, event_type, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY value, event_id
+             ) AS r,
+             COUNT(*) OVER (PARTITION BY event_type) AS ns
+      FROM v
+    ),
+    m AS (
+      SELECT event_id, event_type, value,
+             ((r - 1) * n_all) // ns + 1 AS p
+      FROM src, tot
+    )
+    SELECT m.event_id, m.event_type, m.value,
+           pooled.pv AS mapped_value
+    FROM m JOIN pooled ON m.p = pooled.pr
+    """,
+)
+def normalize_quantile_map_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """normalization / quantile mapping across sources — force every
+    event type's value distribution onto the POOLED distribution by
+    aligning ranks (the batch-effect / source-skew equalizer:
+    microarray quantile normalization, applied to mixed-source
+    training feeds so no source's scale dominates). Each row's
+    within-source rank r of n_s maps to the pooled sorted value at
+    position ⌊(r−1)·N/n_s⌋+1 — all integer rank arithmetic + one
+    rank-keyed join, engine-exact with zero float ops.
+
+    Scale note: exact pooled ranks need a total order (here one global
+    rank window, same posture as the NTILE scorers); the 100 TB
+    variant swaps the pooled rank table for approx-quantile cutpoints
+    — the per-source machinery is unchanged."""
+    v = table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    ).select("event_id", "event_type", "value")
+    pooled = v.select(
+        F.col("value").alias("pv"),
+        F.row_number()
+        .over(W.orderBy("value", "event_id"))
+        .alias("pr"),
+    )
+    tot = v.agg(F.count(F.lit(1)).alias("n_all"))
+    src = v.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.row_number()
+        .over(
+            W.partitionBy("event_type").orderBy("value", "event_id")
+        )
+        .alias("r"),
+        F.count(F.lit(1))
+        .over(W.partitionBy("event_type"))
+        .alias("ns"),
+    )
+    m = src.crossJoin(F.broadcast(tot)).select(
+        "event_id",
+        "event_type",
+        "value",
+        (
+            F.expr("((r - 1) * n_all) div ns") + F.lit(1)
+        ).alias("p"),
+    )
+    return m.join(pooled, m["p"] == pooled["pr"]).select(
+        "event_id",
+        "event_type",
+        "value",
+        F.col("pv").alias("mapped_value"),
+    )
+
+
+@query(
+    "ml-calibration-bins",
+    # reliability-diagram bins: integer outcome counts, per-row score
+    # quantized via floor(s*1e12)->BIGINT before the bin mean so the
+    # reduction is exact integer addition; one int64->double cast to
+    # close (correctly rounded identically in both engines)
+    oracle="""
+    WITH g AS (
+      SELECT MAX(value) AS gmax FROM events WHERE value IS NOT NULL
+    ),
+    s AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+               AS y,
+             LEAST(CAST(floor((value / gmax) * 10) AS BIGINT), 9)
+               AS bin,
+             CAST(floor((value / gmax) * 1e12) AS BIGINT) AS si
+      FROM events, g WHERE value IS NOT NULL
+    )
+    SELECT bin, COUNT(*) AS n, SUM(y) AS n_pos,
+           CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS pos_rate,
+           CAST(SUM(si) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * 1e12) AS avg_score
+    FROM s GROUP BY bin
+    """,
+)
+def ml_calibration_bins_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ml eval / calibration (reliability) bins — bucket a [0,1]
+    score into deciles and compare each bin's observed positive rate
+    ('purchase') against its mean score: the reliability diagram /
+    ECE input every model-quality gate computes. Outcome counts are
+    integers; the per-row score is quantized floor(s·10¹²)→BIGINT so
+    bin means reduce as exact integer sums (the registry's order-free
+    quantization rule); closes are int/int divisions. One grouped
+    pass with map-side combine over a broadcast global max."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    g = ev.agg(F.max("value").alias("gmax"))
+    s = ev.crossJoin(F.broadcast(g)).select(
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("y"),
+        F.least(
+            F.floor((F.col("value") / F.col("gmax")) * 10),
+            F.lit(9).cast("bigint"),
+        ).alias("bin"),
+        F.floor(
+            (F.col("value") / F.col("gmax")) * F.lit(1e12)
+        ).alias("si"),
+    )
+    return s.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("n_pos"),
+        (
+            F.sum("y").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("pos_rate"),
+        (
+            F.sum("si").cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(1e12))
+        ).alias("avg_score"),
+    )

@@ -22,6 +22,8 @@ FEATURE_IDS = [
     "sample-weighted-reservoir",
     "window-cusum-mean-shift",
     "agg-l-moments",
+    "normalize-quantile-map",
+    "ml-calibration-bins",
 ]
 
 

@@ -128,6 +128,8 @@ AUDITED = [
     "sample-weighted-reservoir",
     "window-cusum-mean-shift",
     "agg-l-moments",
+    "normalize-quantile-map",
+    "ml-calibration-bins",
 ]
 
 

@@ -30,6 +30,8 @@ OPS = [
     "sample-weighted-reservoir",
     "window-cusum-mean-shift",
     "agg-l-moments",
+    "normalize-quantile-map",
+    "ml-calibration-bins",
 ]
 
 ID_COLS = {
