@@ -197,6 +197,14 @@ def _apply_action(state: dict, action: dict) -> None:
         state["txns"][txn["appId"]] = max(
             txn["version"], state["txns"].get(txn["appId"], -1)
         )
+    elif "domainMetadata" in action and action["domainMetadata"]:
+        dm = action["domainMetadata"]
+        if dm.get("removed"):
+            state.setdefault("domains", {}).pop(dm["domain"], None)
+        else:
+            state.setdefault("domains", {})[dm["domain"]] = dm.get(
+                "configuration", ""
+            )
 
 
 def _read_checkpoint(state: dict, ckpt_file: str) -> None:
@@ -208,7 +216,14 @@ def _read_checkpoint(state: dict, ckpt_file: str) -> None:
     import pyarrow.parquet as pq
 
     tbl = pq.read_table(ckpt_file)
-    for name in ("protocol", "metaData", "add", "remove", "txn"):
+    for name in (
+        "protocol",
+        "metaData",
+        "add",
+        "remove",
+        "txn",
+        "domainMetadata",
+    ):
         if name not in tbl.column_names:
             continue
         for v in tbl.column(name).to_pylist():
@@ -331,6 +346,7 @@ def resolve_snapshot(path: str, version_as_of: int | None = None) -> dict:
         "meta": None,
         "protocol": None,
         "txns": {},
+        "domains": {},
     }
     start = 0
     last_ckpt = os.path.join(log, "_last_checkpoint")
@@ -404,6 +420,7 @@ def resolve_snapshot(path: str, version_as_of: int | None = None) -> dict:
         "files": state["files"],
         "protocol": state["protocol"],
         "txns": state["txns"],
+        "domains": state.get("domains", {}),
     }
 
 
@@ -612,6 +629,269 @@ def _apply_in_commit_timestamp(
     return [ci_action, *others]
 
 
+ROW_TRACKING_DOMAIN = "delta.rowTracking"
+# physical-only materialized columns (present in data files written by
+# OPTIMIZE on row-tracked tables, never part of the logical schema)
+ROW_ID_PHYS = "_rowtracking_row_id"
+ROW_CV_PHYS = "_rowtracking_commit_version"
+
+
+def _row_tracking_enabled(meta: dict | None) -> bool:
+    conf = (meta or {}).get("configuration") or {}
+    return (
+        str(conf.get("delta.enableRowTracking", "false")).lower()
+        == "true"
+    )
+
+
+def _rt_high_water_mark(domains: dict) -> int:
+    cfg = domains.get(ROW_TRACKING_DOMAIN)
+    if not cfg:
+        return -1
+    try:
+        return int(json.loads(cfg).get("rowIdHighWaterMark", -1))
+    except (ValueError, TypeError):
+        return -1
+
+
+def _latest_meta(path: str) -> dict | None:
+    """The snapshot's metaData WITHOUT accumulating file state: walk
+    commit JSONs newest-first and return the first metaData action
+    (metaData commits are rare, so this is usually O(1) files);
+    fall back to a full replay when none is retained (checkpointed).
+    Keeps the per-commit row-tracking enablement check from costing a
+    full log replay on every write to an untracked table."""
+    log = _log_dir(path)
+    try:
+        versions = _list_versions(log)
+    except FileNotFoundError:
+        return None
+    for v in reversed(versions):
+        try:
+            with open(os.path.join(log, f"{v:020d}.json")) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if line:
+                        a = json.loads(line)
+                        if a.get("metaData"):
+                            return a["metaData"]
+        except FileNotFoundError:
+            break
+    try:
+        return resolve_snapshot(path).get("meta")
+    except FileNotFoundError:
+        return None
+
+
+def _apply_row_tracking(
+    path: str, version: int, actions: list[dict]
+) -> list[dict]:
+    """Decorate a commit with row-tracking bookkeeping when the table
+    enables the feature (PROTOCOL.md "Row Tracking"): every NEW add
+    action gets ``baseRowId`` (first fresh row id of the file — row i
+    holds id baseRowId + i) and ``defaultRowCommitVersion``, and the
+    ``delta.rowTracking`` domain's ``rowIdHighWaterMark`` advances by
+    the file's row count. A re-added file whose PRE-COMMIT snapshot
+    entry already carries a ``baseRowId`` (a DELETE attaching a
+    deletion vector) keeps that id — its surviving rows keep their
+    ids, the stability contract. Preservation is decided against the
+    snapshot, not the staged dict: a commit retry after a lost
+    append race re-enters here with dicts mutated by the failed
+    attempt, and those must be RE-assigned against the fresh
+    high-water mark, not skipped."""
+    adds = [a["add"] for a in actions if a.get("add")]
+    if not adds:
+        return actions
+    meta_a = next(
+        (a["metaData"] for a in actions if a.get("metaData")), None
+    )
+    if version == 0:
+        enabled = _row_tracking_enabled(meta_a)
+        hwm = -1
+        prior_files: dict = {}
+    else:
+        # cheap enablement gate first: untracked tables (the common
+        # case) must not pay a full log replay per commit
+        enabled = _row_tracking_enabled(
+            meta_a if meta_a is not None else _latest_meta(path)
+        )
+        if not enabled:
+            return actions
+        snap = resolve_snapshot(path)
+        hwm = _rt_high_water_mark(snap.get("domains") or {})
+        prior_files = snap["files"]
+    if not enabled:
+        return actions
+    assigned = False
+    for add in adds:
+        prior = prior_files.get(add["path"])
+        if prior is not None and "baseRowId" in prior:
+            add["baseRowId"] = prior["baseRowId"]
+            add["defaultRowCommitVersion"] = prior.get(
+                "defaultRowCommitVersion", version
+            )
+            continue
+        n = _file_num_records(path, add["path"], add)
+        add["baseRowId"] = hwm + 1
+        add["defaultRowCommitVersion"] = version
+        hwm += n
+        assigned = True
+    if not assigned:
+        return actions
+    actions.append(
+        {
+            "domainMetadata": {
+                "domain": ROW_TRACKING_DOMAIN,
+                "configuration": json.dumps(
+                    {"rowIdHighWaterMark": hwm}
+                ),
+                "removed": False,
+            }
+        }
+    )
+    return actions
+
+
+def enable_row_tracking(path: str) -> int:
+    """Turn on the row-tracking table feature: every subsequent add
+    gets fresh row ids (``baseRowId`` + position), the high-water mark
+    lives in the ``delta.rowTracking`` metadata domain, and OPTIMIZE
+    preserves ids by materializing them into the rewritten files.
+    Adopts writer features ``rowTracking`` + ``domainMetadata``
+    (writer v7, legacy implied features preserved) and records the
+    materialized column names in the table configuration. Idempotent."""
+    snap = resolve_snapshot(path)
+    meta = snap["meta"]
+    if meta is None:
+        raise DeltaProtocolError("log contains no metaData action")
+    if _row_tracking_enabled(meta):
+        return snap["version"]
+    new_meta = dict(meta)
+    conf = dict(new_meta.get("configuration") or {})
+    conf["delta.enableRowTracking"] = "true"
+    conf.setdefault(
+        "delta.rowTracking.materializedRowIdColumnName", ROW_ID_PHYS
+    )
+    conf.setdefault(
+        "delta.rowTracking.materializedRowCommitVersionColumnName",
+        ROW_CV_PHYS,
+    )
+    new_meta["configuration"] = conf
+
+    proto = snap.get("protocol") or {
+        "minReaderVersion": 1,
+        "minWriterVersion": 2,
+    }
+    wf = set(proto.get("writerFeatures") or [])
+    wv = proto.get("minWriterVersion", 2)
+    if wv < 7:
+        for lv in range(2, wv + 1):
+            wf |= _LEGACY_WRITER_FEATURES.get(lv, set())
+    new_proto = {
+        "minReaderVersion": proto.get("minReaderVersion", 1),
+        "minWriterVersion": 7,
+        **(
+            {"readerFeatures": proto["readerFeatures"]}
+            if proto.get("readerFeatures")
+            else {}
+        ),
+        "writerFeatures": sorted(
+            wf | {"rowTracking", "domainMetadata"}
+        ),
+    }
+
+    def build(_v: int) -> list[dict]:
+        # BACKFILL: re-add every live file (dataChange=false, content
+        # untouched) so _apply_row_tracking assigns each a baseRowId in
+        # this same commit — pre-enablement rows get ids immediately,
+        # the spec's backfill step without a data rewrite
+        readds = [
+            {"add": {**add, "dataChange": False}}
+            for _rel, add in sorted(snap["files"].items())
+        ]
+        return [
+            {"protocol": new_proto},
+            {"metaData": new_meta},
+            *readds,
+            {
+                "commitInfo": {
+                    "operation": "SET TBLPROPERTIES",
+                    "operationParameters": {
+                        "properties": json.dumps(
+                            {"delta.enableRowTracking": "true"}
+                        )
+                    },
+                }
+            },
+        ]
+
+    return _commit_version(path, build, read_version=snap["version"])
+
+
+def read_delta_row_ids(
+    spark: SparkSession, path: str, version_as_of: int | None = None
+) -> DataFrame:
+    """Snapshot read exposing Delta row tracking: the table's columns
+    plus ``_row_id`` and ``_row_commit_version``. Fresh ids derive as
+    ``baseRowId + row position``; files rewritten by OPTIMIZE carry
+    MATERIALIZED id/version columns which take precedence (that is
+    how ids survive compaction). The base map is a broadcast
+    (file → baseRowId) join keyed on the scan's hidden file metadata
+    — one scan, no extra shuffle of the data."""
+    snap = resolve_snapshot(path, version_as_of=version_as_of)
+    meta = snap["meta"]
+    if not _row_tracking_enabled(meta):
+        raise DeltaProtocolError(
+            f"row tracking is not enabled on {path}"
+        )
+    conf = meta.get("configuration") or {}
+    id_col = conf.get(
+        "delta.rowTracking.materializedRowIdColumnName", ROW_ID_PHYS
+    )
+    cv_col = conf.get(
+        "delta.rowTracking.materializedRowCommitVersionColumnName",
+        ROW_CV_PHYS,
+    )
+    df = _scan_adds(
+        spark,
+        path,
+        meta,
+        snap["files"],
+        keep_positions=True,
+        extra_phys_cols=[id_col, cv_col],
+    )
+    base_rows = [
+        (
+            os.path.basename(rel),
+            add.get("baseRowId"),
+            add.get("defaultRowCommitVersion"),
+        )
+        for rel, add in snap["files"].items()
+    ]
+    base = spark.createDataFrame(
+        base_rows, f"{_DV_BASE} string, __base_rid long, __dflt_rcv long"
+    )
+    out_cols = [
+        f.name
+        for f in StructType.fromJson(
+            json.loads(meta["schemaString"])
+        ).fields
+    ]
+    return (
+        df.join(F.broadcast(base), _DV_BASE)
+        .select(
+            *out_cols,
+            F.coalesce(
+                F.col(id_col),
+                F.col("__base_rid") + F.col(_DV_RID),
+            ).alias("_row_id"),
+            F.coalesce(F.col(cv_col), F.col("__dflt_rcv")).alias(
+                "_row_commit_version"
+            ),
+        )
+    )
+
+
 def version_at_timestamp(path: str, ts: float) -> int:
     """Greatest version whose commit time is ≤ ``ts`` (epoch seconds)
     — Delta's ``timestampAsOf`` resolution. Raises if ``ts`` predates
@@ -758,13 +1038,16 @@ def _scan_adds(
     meta: dict,
     files: dict,
     keep_positions: bool = False,
+    extra_phys_cols: list[str] | None = None,
 ) -> DataFrame:
     """DataFrame over exactly the given add actions, with partition
     columns reattached at their declared types, name-mode column
     mapping resolved, and deletion-vector rows subtracted.
     ``keep_positions`` retains the ``_DV_BASE``/``_DV_RID`` physical
     position columns in the result (the DELETE writer needs them to
-    build new deletion vectors).
+    build new deletion vectors). ``extra_phys_cols`` reads the named
+    PHYSICAL-ONLY long columns (row tracking's materialized id /
+    commit-version columns) — null-filled for files that lack them.
 
     Under id-mode column mapping the parquet column NAMES are
     unreliable — each file's authoritative id → physical-name map is
@@ -781,6 +1064,10 @@ def _scan_adds(
     mapping = _column_mapping(meta, schema)  # logical → physical
     phys = lambda c: mapping.get(c, c)  # noqa: E731
     field_ids = _field_ids(meta, schema)  # logical → id (id mode only)
+    extra_fields = [
+        StructField(c, LongType(), True)
+        for c in (extra_phys_cols or [])
+    ]
 
     def _id_layout(rel: str, data_fields: list[StructField]) -> tuple:
         """Per-file physical name for each logical data field, resolved
@@ -806,10 +1093,12 @@ def _scan_adds(
         # callers (DELETE/MERGE writers) select _DV_BASE/_DV_RID
         # unconditionally, and an empty frame missing them raises
         # UNRESOLVED_COLUMN — bricking sync-merge after an empty sync.
-        empty_schema = clean_schema
+        empty_schema = StructType(
+            list(clean_schema.fields) + extra_fields
+        )
         if keep_positions:
             empty_schema = StructType(
-                list(clean_schema.fields)
+                list(empty_schema.fields)
                 + [
                     StructField(_DV_BASE, StringType(), True),
                     StructField(_DV_RID, LongType(), True),
@@ -867,6 +1156,7 @@ def _scan_adds(
                 StructField(n, f.dataType, f.nullable)
                 for n, f in zip(names, data_fields)
             ]
+            + extra_fields
         )
         raw = _attach_meta(
             spark.read.schema(read_schema).parquet(
@@ -878,6 +1168,7 @@ def _scan_adds(
                 F.col(f"`{n}`").alias(f.name)
                 for n, f in zip(names, data_fields)
             ],
+            *[F.col(f"`{f.name}`") for f in extra_fields],
             *extras,
         )
 
@@ -913,12 +1204,15 @@ def _scan_adds(
         # the protocol permits).
         paths = [os.path.join(path, p) for p in files]
         out = _attach_meta(
-            spark.read.schema(clean_schema)
+            spark.read.schema(
+                StructType(list(clean_schema.fields) + extra_fields)
+            )
             .option("basePath", path)
             .parquet(*paths)
         ).select(
             *(
                 [f.name for f in clean_schema.fields]
+                + [f.name for f in extra_fields]
                 + ([_DV_BASE, _DV_RID] if (dv_files or keep_positions) else [])
             )
         )
@@ -938,7 +1232,11 @@ def _scan_adds(
             lay = _id_layout(rel, data_fields) if field_ids else None
             by_part.setdefault((key, lay), []).append(rel)
         types = {f.name: f.dataType for f in clean_schema.fields}
-        out_cols = [f.name for f in clean_schema.fields] + extras
+        out_cols = (
+            [f.name for f in clean_schema.fields]
+            + [f.name for f in extra_fields]
+            + extras
+        )
         frames = []
         for (key, lay), rels in sorted(
             by_part.items(),
@@ -1306,6 +1604,7 @@ def _commit_version(
         actions = _apply_in_commit_timestamp(
             path, log, version, build_actions(version)
         )
+        actions = _apply_row_tracking(path, version, actions)
         commit = os.path.join(log, f"{version:020d}.json")
         try:
             fd = os.open(commit, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -2727,7 +3026,54 @@ def optimize_delta_log(
             "files_written": 0,
         }
 
-    df = _scan_adds(spark, path, meta, selected)  # DVs materialize here
+    if _row_tracking_enabled(meta):
+        # row ids must SURVIVE compaction (PROTOCOL.md row tracking):
+        # resolve each surviving row's id (materialized column if the
+        # file was itself compacted before, else baseRowId + position)
+        # and write it into the new files as the materialized columns
+        _conf = meta.get("configuration") or {}
+        _idc = _conf.get(
+            "delta.rowTracking.materializedRowIdColumnName",
+            ROW_ID_PHYS,
+        )
+        _cvc = _conf.get(
+            "delta.rowTracking.materializedRowCommitVersionColumnName",
+            ROW_CV_PHYS,
+        )
+        df0 = _scan_adds(
+            spark,
+            path,
+            meta,
+            selected,
+            keep_positions=True,
+            extra_phys_cols=[_idc, _cvc],
+        )
+        _base = spark.createDataFrame(
+            [
+                (
+                    os.path.basename(rel),
+                    add.get("baseRowId"),
+                    add.get("defaultRowCommitVersion"),
+                )
+                for rel, add in selected.items()
+            ],
+            f"{_DV_BASE} string, __base_rid long, __dflt_rcv long",
+        )
+        df = (
+            df0.join(F.broadcast(_base), _DV_BASE)
+            .withColumn(
+                _idc,
+                F.coalesce(
+                    F.col(_idc), F.col("__base_rid") + F.col(_DV_RID)
+                ),
+            )
+            .withColumn(
+                _cvc, F.coalesce(F.col(_cvc), F.col("__dflt_rcv"))
+            )
+            .drop("__base_rid", "__dflt_rcv", _DV_BASE, _DV_RID)
+        )
+    else:
+        df = _scan_adds(spark, path, meta, selected)  # DVs materialize
     total = sum(a.get("size", 0) for a in selected.values())
     n_out = max(1, math.ceil(total / target_file_bytes))
     if zorder_by:
@@ -3220,10 +3566,21 @@ def write_checkpoint(
         {"appId": app, "version": v}
         for app, v in sorted(snap.get("txns", {}).items())
     ]
-    total = 2 + len(rows_add) + len(rows_txn)
+    rows_domain = [
+        {"domain": d, "configuration": c, "removed": False}
+        for d, c in sorted((snap.get("domains") or {}).items())
+    ]
+    total = 2 + len(rows_add) + len(rows_txn) + len(rows_domain)
 
-    def _write_one(dest: str, proto, meta, adds, txns) -> None:
-        n = len(proto) + len(meta) + len(adds) + len(txns)
+    def _write_one(dest: str, proto, meta, adds, txns, domains=()) -> None:
+        domains = list(domains)
+        n = (
+            len(proto)
+            + len(meta)
+            + len(adds)
+            + len(txns)
+            + len(domains)
+        )
         cols = {
             "protocol": proto + [None] * (n - len(proto)),
             "metaData": [None] * len(proto)
@@ -3231,8 +3588,11 @@ def write_checkpoint(
             + [None] * (n - len(proto) - len(meta)),
             "add": [None] * (len(proto) + len(meta))
             + adds
-            + [None] * len(txns),
-            "txn": [None] * (n - len(txns)) + txns,
+            + [None] * (len(txns) + len(domains)),
+            "txn": [None] * (n - len(txns) - len(domains))
+            + txns
+            + [None] * len(domains),
+            "domainMetadata": [None] * (n - len(domains)) + domains,
         }
         cols = {
             k: v
@@ -3284,6 +3644,7 @@ def write_checkpoint(
             "protocol": rows_proto,
             "metaData": rows_meta,
             "txn": rows_txn,
+            "domainMetadata": rows_domain,
             "sidecar": sidecars,
         }
         n = sum(len(v) for v in rows.values())
@@ -3309,7 +3670,12 @@ def write_checkpoint(
             )
             if i == 1:
                 _write_one(
-                    dest, rows_proto, rows_meta, shards[0], rows_txn
+                    dest,
+                    rows_proto,
+                    rows_meta,
+                    shards[0],
+                    rows_txn,
+                    rows_domain,
                 )
             else:
                 _write_one(dest, [], [], shards[i - 1], [])
@@ -3321,6 +3687,7 @@ def write_checkpoint(
             rows_meta,
             rows_add,
             rows_txn,
+            rows_domain,
         )
         info = {"version": version, "size": total}
     tmp = os.path.join(log, "_last_checkpoint.tmp")
