@@ -87,6 +87,7 @@ _DRIVER_PRIORITY = [
     "window-cusum-mean-shift",
     "normalize-quantile-map",
     "ml-calibration-bins",
+    "scan-python-datasource",
     # r3 cohort — last driver-checked in round 3
     "unpivot-measures",
     "window-running-sum",

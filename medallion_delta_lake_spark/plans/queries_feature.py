@@ -946,3 +946,62 @@ def ml_calibration_bins_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.count(F.lit(1)).cast("double") * F.lit(1e12))
         ).alias("avg_score"),
     )
+
+
+# ------------------------------------------------- source interop
+
+
+@query(
+    "scan-python-datasource",
+    # the aggregate over the datasource read must equal the same
+    # aggregate straight off the parquet: counts + decimal sums
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+             AS sum_value
+    FROM events
+    WHERE event_id % 7 = 0 AND value IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def scan_python_datasource_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """source / Python DataSource API round-trip — materialize a
+    deterministic events subset as a log-backed Delta table, read it
+    back through ``spark.read.format("mdls_delta")`` (the Spark 4
+    Python Data Source face of sources/delta_log.py: one input
+    partition per data file, Arrow record batches on the executor),
+    and aggregate. Oracle is the same aggregate straight off the
+    parquet — proving the format path loses and invents nothing.
+    The streaming face of the same source (append tailing, checkpoint
+    resume, skipChangeCommits) is pytest-only
+    (tests/test_python_datasource.py)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from medallion_delta_lake_spark.sources import (
+        delta_log as dl,
+        python_datasource as pds,
+    )
+
+    pds.register(spark)
+    sub = (
+        table(spark, sf_dir, "events")
+        .filter(
+            (F.col("event_id") % 7 == 0) & F.col("value").isNotNull()
+        )
+        .select("event_id", "event_type", "value")
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    p = os.path.join(
+        tempfile.gettempdir(), f"mdls_pds_scan_{tag}", "events_sub"
+    )
+    dl.write_delta(spark, sub.coalesce(4), p, mode="overwrite")
+    back = spark.read.format(pds.FORMAT_NAME).option("path", p).load()
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sum_value"),
+    )

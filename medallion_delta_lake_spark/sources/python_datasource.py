@@ -1,0 +1,281 @@
+"""PySpark Python Data Source (Spark 4 DataSource API) over the
+log-backed Delta engine: ``spark.read.format("mdls_delta")`` for batch
+snapshots and ``spark.readStream.format("mdls_delta")`` for the
+append-tailing streaming source — the standard-API face of
+``sources/delta_log.py``, so the table plugs into any Spark job (or
+pipeline definition) that speaks formats rather than this engine's
+Python functions.
+
+Scale shape: the driver handles O(files) metadata only; each input
+partition is ONE data file, read on the executor with pyarrow and
+emitted as Arrow record batches (the DataSource API's vectorized
+path). Deletion vectors are resolved to row-index sets on the driver
+(bounded by the engine's DV caps) and shipped inside the partition;
+partition-column values rejoin as constants. Name-mode column mapping
+resolves physical→logical on the executor; id-mode tables are routed
+to :func:`delta_log.read_delta` (footer-driven resolution) instead.
+
+The streaming reader follows delta-spark's source contract: offsets
+are log versions, each microbatch emits the rows ADDED in
+``(start, end]``; a data-changing remove (UPDATE/DELETE/MERGE) raises
+unless ``skipChangeCommits`` is set, in which case the whole commit is
+skipped; OPTIMIZE (dataChange=false) commits are silently ignored.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+FORMAT_NAME = "mdls_delta"
+
+
+@dataclass
+class _FilePartition(InputPartition):
+    table_path: str
+    rel_path: str
+    partition_values: dict = field(default_factory=dict)
+    dv_indexes: list = field(default_factory=list)
+    physical_names: dict = field(default_factory=dict)  # logical→phys
+
+
+def _spark_to_arrow_schema(schema: StructType):
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    return pa.schema(
+        [
+            pa.field(f.name, to_arrow_type(f.dataType), f.nullable)
+            for f in schema.fields
+        ]
+    )
+
+
+def _read_partition(part: _FilePartition, schema: StructType):
+    """Executor-side file read → Arrow batches in the declared schema
+    (physical→logical rename, partition constants, DV subtraction)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    target = _spark_to_arrow_schema(schema)
+    tbl = pq.read_table(
+        os.path.join(part.table_path, part.rel_path)
+    )
+    if part.dv_indexes:
+        keep = pc.invert(
+            pc.is_in(
+                pa.array(range(tbl.num_rows), type=pa.int64()),
+                value_set=pa.array(part.dv_indexes, type=pa.int64()),
+            )
+        )
+        tbl = tbl.filter(keep)
+    cols = []
+    for f in schema.fields:
+        if f.name in part.partition_values:
+            v = part.partition_values[f.name]
+            at = target.field(f.name).type
+            arr = pa.array([v] * tbl.num_rows).cast(at)
+            cols.append(arr)
+            continue
+        phys = part.physical_names.get(f.name, f.name)
+        at = target.field(f.name).type
+        if phys in tbl.column_names:
+            cols.append(tbl.column(phys).combine_chunks().cast(at))
+        else:  # column added after this file was written
+            cols.append(pa.nulls(tbl.num_rows, type=at))
+    out = pa.table(cols, schema=target)
+    yield from out.to_batches(max_chunksize=1 << 16)
+
+
+def _partitions_for(
+    table_path: str, meta: dict, files: dict
+) -> list[_FilePartition]:
+    from medallion_delta_lake_spark.sources import (
+        deletion_vectors as _dv,
+    )
+    from medallion_delta_lake_spark.sources.delta_log import (
+        _column_mapping,
+    )
+
+    conf = (meta.get("configuration") or {})
+    if conf.get("delta.columnMapping.mode", "none") == "id":
+        raise NotImplementedError(
+            "id-mode column mapping: use delta_log.read_delta "
+            "(footer-driven field-id resolution)"
+        )
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    mapping = _column_mapping(meta, schema)
+    part_cols = meta.get("partitionColumns") or []
+    phys = {c: mapping.get(c, c) for c in part_cols}
+    out = []
+    for rel, add in sorted(files.items()):
+        pv_raw = add.get("partitionValues") or {}
+        pv = {
+            c: pv_raw.get(phys[c], pv_raw.get(c)) for c in part_cols
+        }
+        desc = add.get("deletionVector")
+        idxs = (
+            list(_dv.dv_row_indexes(table_path, desc)) if desc else []
+        )
+        out.append(
+            _FilePartition(
+                table_path=table_path,
+                rel_path=rel,
+                partition_values=pv,
+                dv_indexes=idxs,
+                physical_names=dict(mapping),
+            )
+        )
+    return out
+
+
+class _BatchReader(DataSourceReader):
+    def __init__(self, options: dict, schema: StructType):
+        from medallion_delta_lake_spark.sources.delta_log import (
+            resolve_snapshot,
+        )
+
+        self._schema = schema
+        path = options["path"]
+        v = options.get("versionasof")
+        snap = resolve_snapshot(
+            path, version_as_of=int(v) if v is not None else None
+        )
+        self._parts = _partitions_for(path, snap["meta"], snap["files"])
+
+    def partitions(self):
+        return self._parts
+
+    def read(self, partition: _FilePartition):
+        yield from _read_partition(partition, self._schema)
+
+
+class _StreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict, schema: StructType):
+        from medallion_delta_lake_spark.sources.delta_log import (
+            resolve_snapshot,
+        )
+
+        self._schema = schema
+        self._path = options["path"]
+        self._skip_change = (
+            str(options.get("skipchangecommits", "false")).lower()
+            == "true"
+        )
+        sv = options.get("startingversion")
+        if sv is not None:
+            self._initial = int(sv) - 1
+        else:
+            self._initial = resolve_snapshot(self._path)["version"]
+
+    def initialOffset(self) -> dict:
+        return {"version": self._initial}
+
+    def latestOffset(self) -> dict:
+        from medallion_delta_lake_spark.sources.delta_log import (
+            resolve_snapshot,
+        )
+
+        return {
+            "version": resolve_snapshot(self._path)["version"]
+        }
+
+    def partitions(self, start: dict, end: dict):
+        from medallion_delta_lake_spark.sources.delta_log import (
+            resolve_snapshot,
+        )
+
+        log = os.path.join(self._path, "_delta_log")
+        parts: list[_FilePartition] = []
+        for v in range(start["version"] + 1, end["version"] + 1):
+            commit = os.path.join(log, f"{v:020d}.json")
+            if not os.path.exists(commit):
+                raise FileNotFoundError(
+                    f"commit {v} of {self._path} was cleaned; the "
+                    "stream cannot resume before the earliest "
+                    "retained commit"
+                )
+            with open(commit) as fh:
+                actions = [
+                    json.loads(ln) for ln in fh if ln.strip()
+                ]
+            adds = [
+                a["add"]
+                for a in actions
+                if a.get("add")
+                and a["add"].get("dataChange", True)
+            ]
+            removes = [
+                a["remove"]
+                for a in actions
+                if a.get("remove")
+                and a["remove"].get("dataChange", True)
+            ]
+            if removes:
+                if self._skip_change:
+                    continue  # whole commit skipped, delta's contract
+                raise RuntimeError(
+                    f"commit {v} of {self._path} changed existing "
+                    "data (UPDATE/DELETE/MERGE); the append-only "
+                    "stream cannot represent it — set "
+                    "skipChangeCommits to ignore such commits"
+                )
+            if not adds:
+                continue
+            meta = resolve_snapshot(self._path, version_as_of=v)[
+                "meta"
+            ]
+            parts.extend(
+                _partitions_for(
+                    self._path,
+                    meta,
+                    {a["path"]: a for a in adds},
+                )
+            )
+        return parts
+
+    def read(self, partition: _FilePartition):
+        yield from _read_partition(partition, self._schema)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are durable in the stream's own checkpoint
+
+
+class MdlsDeltaDataSource(DataSource):
+    """``format("mdls_delta")`` — batch + streaming reads of the
+    engine's log-backed Delta tables through Spark's standard source
+    API. Options: ``path`` (required), ``versionAsOf`` (batch),
+    ``startingVersion`` / ``skipChangeCommits`` (streaming)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self) -> StructType:
+        from medallion_delta_lake_spark.sources.delta_log import (
+            resolve_snapshot,
+        )
+
+        meta = resolve_snapshot(self.options["path"])["meta"]
+        return StructType.fromJson(json.loads(meta["schemaString"]))
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return _BatchReader(self.options, schema)
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        return _StreamReader(self.options, schema)
+
+
+def register(spark) -> None:
+    """Register the source on a session (idempotent)."""
+    spark.dataSource.register(MdlsDeltaDataSource)

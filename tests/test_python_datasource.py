@@ -1,0 +1,157 @@
+"""Python DataSource API face of the log-backed Delta engine
+(sources/python_datasource.py): batch parity with read_delta (DVs,
+time travel, renamed columns, partitioned tables), and the streaming
+source's delta-spark contract (append tailing, checkpoint resume,
+change-commit rejection, skipChangeCommits)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from medallion_delta_lake_spark.sources import delta_log as dl
+from medallion_delta_lake_spark.sources import python_datasource as pds
+
+
+@pytest.fixture(scope="module")
+def dspark(spark):
+    pds.register(spark)
+    return spark
+
+
+def _mk(spark, tmp_path, rows, name="t", partition_by=None):
+    p = str(tmp_path / name)
+    df = spark.createDataFrame(rows, "id long, v string").coalesce(2)
+    dl.write_delta(spark, df, p, partition_by=partition_by)
+    return p
+
+
+def _batch(spark, p, **opts):
+    r = spark.read.format(pds.FORMAT_NAME).option("path", p)
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_batch_matches_read_delta_with_dv_and_rename(dspark, tmp_path):
+    p = _mk(dspark, tmp_path, [(i, f"v{i}") for i in range(10)])
+    dl.delete_delta_log(dspark, p, [("id", "=", 3)])
+    dl.enable_column_mapping(p)
+    dl.rename_column(p, "v", "label")
+    via_ds = {(r.id, r.label) for r in _batch(dspark, p).collect()}
+    via_engine = {
+        (r.id, r.label) for r in dl.read_delta(dspark, p).collect()
+    }
+    assert via_ds == via_engine
+    assert (3, "v3") not in via_ds and len(via_ds) == 9
+
+
+def test_batch_time_travel(dspark, tmp_path):
+    p = _mk(dspark, tmp_path, [(1, "a")])
+    dl.write_delta(
+        dspark,
+        dspark.createDataFrame([(2, "b")], "id long, v string").coalesce(1),
+        p,
+        mode="append",
+    )
+    assert _batch(dspark, p).count() == 2
+    assert _batch(dspark, p, versionAsOf="0").count() == 1
+
+
+def test_batch_partitioned_table(dspark, tmp_path):
+    p = str(tmp_path / "pt")
+    df = dspark.createDataFrame(
+        [(i, i % 3, f"v{i}") for i in range(12)],
+        "id long, grp int, v string",
+    )
+    dl.write_delta(dspark, df, p, partition_by=["grp"])
+    got = {
+        (r.id, r.grp, r.v) for r in _batch(dspark, p).collect()
+    }
+    assert got == {(i, i % 3, f"v{i}") for i in range(12)}
+    # partition column round-trips at its declared int type
+    assert dict(_batch(dspark, p).dtypes)["grp"] == "int"
+
+
+def _run_stream(spark, p, ck, out, skip=False):
+    sdf = (
+        spark.readStream.format(pds.FORMAT_NAME)
+        .option("path", p)
+        .option("startingVersion", "0")
+        .option("skipChangeCommits", "true" if skip else "false")
+        .load()
+    )
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_stream_appends_resume_and_change_commits(dspark, tmp_path):
+    p = _mk(dspark, tmp_path, [(1, "a")])
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    dl.write_delta(
+        dspark,
+        dspark.createDataFrame([(2, "b")], "id long, v string").coalesce(1),
+        p,
+        mode="append",
+    )
+    _run_stream(dspark, p, ck, out)
+    got = {(r.id, r.v) for r in dspark.read.parquet(out).collect()}
+    assert got == {(1, "a"), (2, "b")}
+    # resume from the checkpoint: only NEW rows flow
+    dl.write_delta(
+        dspark,
+        dspark.createDataFrame(
+            [(3, "c"), (4, "d")], "id long, v string"
+        ).coalesce(1),
+        p,
+        mode="append",
+    )
+    _run_stream(dspark, p, ck, out)
+    got = {(r.id, r.v) for r in dspark.read.parquet(out).collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c"), (4, "d")}
+    # a data-changing commit fails the append-only stream...
+    dl.delete_delta_log(dspark, p, [("id", "=", 1)])
+    dl.write_delta(
+        dspark,
+        dspark.createDataFrame([(5, "e")], "id long, v string").coalesce(1),
+        p,
+        mode="append",
+    )
+    from pyspark.errors.exceptions.captured import (
+        StreamingQueryException,
+    )
+
+    with pytest.raises(StreamingQueryException):
+        _run_stream(dspark, p, ck, out)
+    # ...unless skipChangeCommits skips it; the later append flows
+    _run_stream(dspark, p, ck, out, skip=True)
+    got = {(r.id, r.v) for r in dspark.read.parquet(out).collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c"), (4, "d"), (5, "e")}
+
+
+def test_optimize_commit_is_silent_for_stream(dspark, tmp_path):
+    p = _mk(dspark, tmp_path, [(i, f"v{i}") for i in range(6)])
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    _run_stream(dspark, p, ck, out)
+    n0 = dspark.read.parquet(out).count()
+    dl.optimize_delta_log(dspark, p, target_file_bytes=1 << 20)
+    _run_stream(dspark, p, ck, out)  # dataChange=false: nothing new
+    assert dspark.read.parquet(out).count() == n0
+
+
+def test_id_mode_routes_to_engine_reader(dspark, tmp_path):
+    p = _mk(dspark, tmp_path, [(1, "a")])
+    snap = dl.resolve_snapshot(p)
+    meta = dict(snap["meta"])
+    conf = dict(meta.get("configuration") or {})
+    conf["delta.columnMapping.mode"] = "id"
+    meta["configuration"] = conf
+    with pytest.raises(NotImplementedError):
+        pds._partitions_for(p, meta, snap["files"])

@@ -24,6 +24,7 @@ FEATURE_IDS = [
     "agg-l-moments",
     "normalize-quantile-map",
     "ml-calibration-bins",
+    "scan-python-datasource",
 ]
 
 
