@@ -32,9 +32,11 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 FORMAT_NAME = "mdls_delta"
 
@@ -252,10 +254,11 @@ class _StreamReader(DataSourceStreamReader):
 
 
 class MdlsDeltaDataSource(DataSource):
-    """``format("mdls_delta")`` — batch + streaming reads of the
-    engine's log-backed Delta tables through Spark's standard source
-    API. Options: ``path`` (required), ``versionAsOf`` (batch),
-    ``startingVersion`` / ``skipChangeCommits`` (streaming)."""
+    """``format("mdls_delta")`` — batch + streaming reads and batch
+    writes of the engine's log-backed Delta tables through Spark's
+    standard source API. Options: ``path`` (required), ``versionAsOf``
+    (batch read), ``startingVersion`` / ``skipChangeCommits``
+    (streaming read)."""
 
     @classmethod
     def name(cls) -> str:
@@ -275,7 +278,196 @@ class MdlsDeltaDataSource(DataSource):
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         return _StreamReader(self.options, schema)
 
+    def writer(self, schema: StructType, overwrite: bool):
+        return _BatchWriter(self.options, schema, overwrite)
+
 
 def register(spark) -> None:
     """Register the source on a session (idempotent)."""
     spark.dataSource.register(MdlsDeltaDataSource)
+
+
+# ----------------------------------------------------------- writer
+
+
+@dataclass
+class _WriteMessage(WriterCommitMessage):
+    rel_path: str | None = None
+    num_records: int = 0
+
+
+class _BatchWriter(DataSourceWriter):
+    """``df.write.format("mdls_delta")`` — executors stage one parquet
+    file per task directly under the table path; the driver's
+    ``commit`` turns the staged files into ONE atomic log commit
+    (creation, append, or overwrite), exactly write_delta's division
+    of labor through the standard writer API. ``abort`` unlinks the
+    staged files, so a failed job leaves no live data. Partitioned
+    and column-mapped targets are routed to
+    :func:`delta_log.write_delta` (hive layout / physical staging)."""
+
+    def __init__(self, options: dict, schema: StructType, overwrite: bool):
+        from medallion_delta_lake_spark.sources import delta_log as dl
+
+        self._path = options["path"]
+        self._schema = schema
+        self._overwrite = overwrite
+        # fail fast on the driver, before any executor writes
+        if dl.is_delta_table(self._path):
+            snap = dl.resolve_snapshot(self._path)
+            meta = snap["meta"]
+            if meta.get("partitionColumns"):
+                raise NotImplementedError(
+                    "partitioned target: use delta_log.write_delta "
+                    "(hive-layout staging)"
+                )
+            if (meta.get("configuration") or {}).get(
+                "delta.columnMapping.mode", "none"
+            ) != "none":
+                raise NotImplementedError(
+                    "column-mapped target: use delta_log.write_delta "
+                    "(physical-name staging)"
+                )
+            table_schema = StructType.fromJson(
+                json.loads(meta["schemaString"])
+            )
+            ours = [(f.name, f.dataType.simpleString()) for f in schema.fields]
+            theirs = [
+                (f.name, f.dataType.simpleString())
+                for f in table_schema.fields
+            ]
+            if ours != theirs:
+                raise ValueError(
+                    f"schema mismatch writing to {self._path}: "
+                    f"{ours} vs table {theirs}"
+                )
+
+    def write(self, iterator) -> _WriteMessage:
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = list(iterator)
+        if not rows:
+            return _WriteMessage()
+        target = _spark_to_arrow_schema(self._schema)
+        arrays = [
+            pa.array(
+                [r[i] for r in rows], type=target.field(i).type
+            )
+            for i in range(len(self._schema.fields))
+        ]
+        tbl = pa.table(arrays, schema=target)
+        os.makedirs(self._path, exist_ok=True)
+        name = f"part-{uuid.uuid4().hex}.parquet"
+        pq.write_table(tbl, os.path.join(self._path, name))
+        return _WriteMessage(rel_path=name, num_records=tbl.num_rows)
+
+    def commit(self, messages) -> None:
+        import time as _time
+
+        from medallion_delta_lake_spark.sources import delta_log as dl
+
+        now_ms = int(_time.time() * 1000)
+        adds = []
+        for m in messages:
+            if m is None or m.rel_path is None:
+                continue
+            full = os.path.join(self._path, m.rel_path)
+            add = {
+                "path": m.rel_path,
+                "partitionValues": {},
+                "size": os.path.getsize(full),
+                "modificationTime": now_ms,
+                "dataChange": True,
+            }
+            stats = dl._parquet_file_stats(full)
+            if stats is not None:
+                add["stats"] = stats
+            adds.append({"add": add})
+
+        if dl.is_delta_table(self._path):
+            snap = dl.resolve_snapshot(self._path)
+
+            def build(version: int) -> list[dict]:
+                actions: list[dict] = []
+                if self._overwrite:
+                    for rel, old in sorted(snap["files"].items()):
+                        actions.append(
+                            {
+                                "remove": dl._remove_action(
+                                    rel, old, now_ms
+                                )
+                            }
+                        )
+                actions.extend(adds)
+                actions.append(
+                    {
+                        "commitInfo": {
+                            "operation": "WRITE",
+                            "operationParameters": {
+                                "mode": "Overwrite"
+                                if self._overwrite
+                                else "Append",
+                                "source": FORMAT_NAME,
+                            },
+                        }
+                    }
+                )
+                return actions
+
+            dl._commit_version(
+                self._path,
+                build,
+                read_version=snap["version"] if self._overwrite else None,
+            )
+            return
+
+        import uuid as _uuid
+
+        clean = StructType(
+            [
+                StructField(f.name, f.dataType, f.nullable)
+                for f in self._schema.fields
+            ]
+        )
+        meta = {
+            "id": str(_uuid.uuid4()),
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": clean.json(),
+            "partitionColumns": [],
+            "configuration": {},
+            "createdTime": now_ms,
+        }
+
+        def build0(version: int) -> list[dict]:
+            return [
+                {
+                    "protocol": {
+                        "minReaderVersion": 1,
+                        "minWriterVersion": 2,
+                    }
+                },
+                {"metaData": meta},
+                *adds,
+                {
+                    "commitInfo": {
+                        "operation": "WRITE",
+                        "operationParameters": {
+                            "mode": "ErrorIfExists",
+                            "source": FORMAT_NAME,
+                        },
+                    }
+                },
+            ]
+
+        dl._commit_version(self._path, build0)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and m.rel_path is not None:
+                try:
+                    os.unlink(os.path.join(self._path, m.rel_path))
+                except FileNotFoundError:
+                    pass

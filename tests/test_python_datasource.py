@@ -155,3 +155,74 @@ def test_id_mode_routes_to_engine_reader(dspark, tmp_path):
     meta["configuration"] = conf
     with pytest.raises(NotImplementedError):
         pds._partitions_for(p, meta, snap["files"])
+
+
+def test_format_write_create_append_overwrite(dspark, tmp_path):
+    p = str(tmp_path / "w")
+    df = dspark.createDataFrame(
+        [(i, f"v{i}") for i in range(6)], "id long, v string"
+    ).repartition(2)
+    df.write.format(pds.FORMAT_NAME).option("path", p).mode(
+        "append"
+    ).save()
+    assert dl.is_delta_table(p)
+    assert dl.read_delta(dspark, p).count() == 6
+    dspark.createDataFrame([(9, "x")], "id long, v string").coalesce(
+        1
+    ).write.format(pds.FORMAT_NAME).option("path", p).mode(
+        "append"
+    ).save()
+    # round-trip: format write -> format read
+    got = {
+        (r.id, r.v)
+        for r in _batch(dspark, p).collect()
+    }
+    assert got == {(i, f"v{i}") for i in range(6)} | {(9, "x")}
+    dspark.createDataFrame([(1, "only")], "id long, v string").coalesce(
+        1
+    ).write.format(pds.FORMAT_NAME).option("path", p).mode(
+        "overwrite"
+    ).save()
+    assert [(r.id, r.v) for r in _batch(dspark, p).collect()] == [
+        (1, "only")
+    ]
+    # overwrite is a logical delete: time travel still works
+    assert _batch(dspark, p, versionAsOf="1").count() == 7
+    # stats land on the adds (data skipping works for format writes)
+    snap = dl.resolve_snapshot(p)
+    assert all("stats" in a for a in snap["files"].values())
+
+
+def test_format_write_schema_mismatch_rejected(dspark, tmp_path):
+    p = str(tmp_path / "w2")
+    dspark.createDataFrame([(1, "a")], "id long, v string").coalesce(
+        1
+    ).write.format(pds.FORMAT_NAME).option("path", p).mode(
+        "append"
+    ).save()
+    with pytest.raises(Exception, match="schema mismatch"):
+        dspark.createDataFrame([(1.5,)], "x double").write.format(
+            pds.FORMAT_NAME
+        ).option("path", p).mode("append").save()
+
+
+def test_format_write_assigns_row_tracking_ids(dspark, tmp_path):
+    """Format writes flow through _commit_version, so a row-tracked
+    table gets baseRowIds on format-written files too."""
+    p = str(tmp_path / "w3")
+    dspark.createDataFrame([(1, "a")], "id long, v string").coalesce(
+        1
+    ).write.format(pds.FORMAT_NAME).option("path", p).mode(
+        "append"
+    ).save()
+    dl.enable_row_tracking(p)
+    dspark.createDataFrame(
+        [(2, "b"), (3, "c")], "id long, v string"
+    ).coalesce(1).write.format(pds.FORMAT_NAME).option(
+        "path", p
+    ).mode("append").save()
+    ids = {
+        r.id: r._row_id
+        for r in dl.read_delta_row_ids(dspark, p).collect()
+    }
+    assert sorted(ids.values()) == [0, 1, 2]
