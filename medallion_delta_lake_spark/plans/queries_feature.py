@@ -993,9 +993,13 @@ def scan_python_datasource_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_id", "event_type", "value")
     )
+    # per-process dir: a concurrent harness (driver + local sweep)
+    # must not race on the same table path
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     p = os.path.join(
-        tempfile.gettempdir(), f"mdls_pds_scan_{tag}", "events_sub"
+        tempfile.gettempdir(),
+        f"mdls_pds_scan_{tag}_{os.getpid()}",
+        "events_sub",
     )
     dl.write_delta(spark, sub.coalesce(4), p, mode="overwrite")
     back = spark.read.format(pds.FORMAT_NAME).option("path", p).load()

@@ -327,13 +327,14 @@ def resolve_snapshot(path: str, version_as_of: int | None = None) -> dict:
     versions = sorted(
         int(f[:20])
         for f in os.listdir(log)
-        if f.endswith(".json") and f[:20].isdigit()
+        if len(f) == 25 and f.endswith(".json") and f[:20].isdigit()
     )
     if (
         not versions
         and version_as_of is None
         and not os.path.exists(os.path.join(log, "_last_checkpoint"))
         and not _discover_checkpoints(log)
+        and not _discover_compactions(log)
     ):
         # a checkpoint alone is a complete snapshot (log cleanup may
         # have removed every JSON commit it covers — and
@@ -397,19 +398,43 @@ def resolve_snapshot(path: str, version_as_of: int | None = None) -> dict:
             start = ckpt_version + 1
             break
 
-    target = version_as_of if version_as_of is not None else (
-        versions[-1] if versions else start - 1
-    )
-    for v in versions:
-        if v < start or v > target:
+    compacts = _discover_compactions(log)
+    target = version_as_of if version_as_of is not None else max(
+        versions + [e for _s, e in compacts] + [start - 1]
+    ) if (versions or compacts) else start - 1
+    vset = set(versions)
+    v = start
+    while v <= target:
+        # prefer a log-compaction file covering [v, b<=target]: one
+        # read replaces b-v+1 commit reads (PROTOCOL.md Log Compaction)
+        cov = max(
+            (e for s, e in compacts if s == v and e <= target),
+            default=None,
+        )
+        if cov is not None:
+            with open(
+                os.path.join(
+                    log, f"{v:020d}.{cov:020d}.compacted.json"
+                )
+            ) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if line:
+                        _apply_action(state, json.loads(line))
+            v = cov + 1
             continue
-        with open(os.path.join(log, f"{v:020d}.json")) as fh:
-            for line in fh:
-                line = line.strip()
-                if line:
-                    _apply_action(state, json.loads(line))
+        commit = os.path.join(log, f"{v:020d}.json")
+        if v in vset:
+            with open(commit) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if line:
+                        _apply_action(state, json.loads(line))
+        v += 1
+    c_ends = [e for _s, e in compacts]
     if version_as_of is not None and (
-        not versions or version_as_of > max(versions + [start - 1])
+        (not versions and not c_ends)
+        or version_as_of > max(versions + c_ends + [start - 1])
     ):
         raise FileNotFoundError(
             f"version {version_as_of} not present in {log}"
@@ -1297,13 +1322,106 @@ def _subtract_dvs(
     return keep.drop(_DV_BASE, _DV_RID) if drop else keep
 
 
+def _discover_compactions(log: str) -> list[tuple[int, int]]:
+    """(start, end) ranges of log-compaction files
+    (``{start}.{end}.compacted.json`` — PROTOCOL.md Log Compaction)
+    present in the log directory."""
+    import re as _re
+
+    if not os.path.isdir(log):
+        return []
+    pat = _re.compile(r"^(\d{20})\.(\d{20})\.compacted\.json$")
+    out = []
+    for f in os.listdir(log):
+        m = pat.match(f)
+        if m:
+            out.append((int(m.group(1)), int(m.group(2))))
+    return sorted(out)
+
+
+def write_log_compaction(path: str, start: int, end: int) -> str:
+    """Write a log-compaction file ``{start}.{end}.compacted.json``
+    containing the RECONCILED actions of commits ``start..end``
+    (PROTOCOL.md "Log Compaction Files"): per-path final add/remove
+    disposition, last metaData/protocol, max txn per appId, last
+    domainMetadata per domain. Readers substitute the one file for the
+    whole commit range during replay — an O(1)-file fast path between
+    checkpoints. The source commits remain authoritative (log cleanup
+    is still governed by checkpoints); compaction only accelerates
+    replay. Returns the file path."""
+    log = _log_dir(path)
+    if start > end:
+        raise ValueError(f"invalid compaction range [{start}, {end}]")
+    adds: dict[str, dict] = {}
+    removes: dict[str, dict] = {}
+    meta = None
+    proto = None
+    txns: dict[str, int] = {}
+    domains: dict[str, dict] = {}
+    for v in range(start, end + 1):
+        commit = os.path.join(log, f"{v:020d}.json")
+        if not os.path.exists(commit):
+            raise FileNotFoundError(
+                f"commit {v} of {path} missing; cannot compact a "
+                "range with holes"
+            )
+        with open(commit) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                a = json.loads(line)
+                if a.get("add"):
+                    adds[a["add"]["path"]] = a["add"]
+                    removes.pop(a["add"]["path"], None)
+                elif a.get("remove"):
+                    removes[a["remove"]["path"]] = a["remove"]
+                    adds.pop(a["remove"]["path"], None)
+                elif a.get("metaData"):
+                    meta = a["metaData"]
+                elif a.get("protocol"):
+                    proto = a["protocol"]
+                elif a.get("txn"):
+                    t = a["txn"]
+                    txns[t["appId"]] = max(
+                        t["version"], txns.get(t["appId"], -1)
+                    )
+                elif a.get("domainMetadata"):
+                    dm = a["domainMetadata"]
+                    domains[dm["domain"]] = dm
+    dest = os.path.join(
+        log, f"{start:020d}.{end:020d}.compacted.json"
+    )
+    tmp = dest + ".tmp"
+    with open(tmp, "w") as fh:
+        if proto is not None:
+            fh.write(json.dumps({"protocol": proto}) + "\n")
+        if meta is not None:
+            fh.write(json.dumps({"metaData": meta}) + "\n")
+        for app, tv in sorted(txns.items()):
+            fh.write(
+                json.dumps({"txn": {"appId": app, "version": tv}})
+                + "\n"
+            )
+        for _d, dm in sorted(domains.items()):
+            fh.write(json.dumps({"domainMetadata": dm}) + "\n")
+        for rel in sorted(removes):
+            fh.write(json.dumps({"remove": removes[rel]}) + "\n")
+        for rel in sorted(adds):
+            fh.write(json.dumps({"add": adds[rel]}) + "\n")
+    os.replace(tmp, dest)
+    return dest
+
+
 def _list_versions(log: str) -> list[int]:
     if not os.path.isdir(log):
         return []
     return sorted(
         int(f[:20])
         for f in os.listdir(log)
-        if f.endswith(".json") and f[:20].isdigit()
+        # exactly %020d.json — log-compaction files
+        # ({start}.{end}.compacted.json) also start with 20 digits
+        if len(f) == 25 and f.endswith(".json") and f[:20].isdigit()
     )
 
 
@@ -1589,11 +1707,14 @@ def _commit_version(
         versions = _list_versions(log)
         latest = versions[-1] if versions else -1
         # log cleanup may have deleted every JSON a checkpoint covers —
-        # the next version must still advance past the checkpoint
+        # the next version must still advance past the checkpoint (and
+        # past any log-compaction range whose source JSONs are gone)
         last_ckpt = os.path.join(log, "_last_checkpoint")
         if os.path.exists(last_ckpt):
             with open(last_ckpt) as fh:
                 latest = max(latest, json.load(fh)["version"])
+        for _s, e in _discover_compactions(log):
+            latest = max(latest, e)
         version = latest + 1
         if read_version is not None and version != read_version + 1:
             raise DeltaConcurrentWriteError(
