@@ -5043,6 +5043,37 @@ def maybe_checkpoint(path: str, interval: int = 10) -> int | None:
     return None
 
 
+def maybe_compact_log(
+    path: str, interval: int = 10
+) -> tuple[int, int] | None:
+    """Auto log-compaction policy (the cheap sibling of
+    :func:`maybe_checkpoint` — delta-spark's minorCompaction.interval):
+    when ``interval`` consecutive commits since the last compaction /
+    checkpoint have no compaction covering them, write ONE
+    ``{start}.{end}.compacted.json`` over that range. Keeps replay
+    O(commits/interval) file reads between checkpoints without the
+    cost of a full state snapshot. Returns the compacted (start, end)
+    range, or None when nothing was due."""
+    log = _log_dir(path)
+    versions = _list_versions(log)
+    if not versions:
+        return None
+    covered = max(
+        [e for _s, e in _discover_compactions(log)]
+        + [max(_discover_checkpoints(log), default=-1)],
+        default=-1,
+    )
+    start = covered + 1
+    pending = [v for v in versions if v >= start]
+    if len(pending) >= interval and pending == list(
+        range(start, start + len(pending))
+    ):
+        end = start + interval - 1
+        write_log_compaction(path, start, end)
+        return (start, end)
+    return None
+
+
 def repair_table(path: str, dry_run: bool = False) -> dict:
     """FSCK REPAIR TABLE: drop add actions whose data files (or
     deletion-vector files) are MISSING from storage — the recovery

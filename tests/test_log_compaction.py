@@ -129,3 +129,43 @@ def test_compaction_preserves_domains_and_row_tracking(spark, tmp_path):
     for k, v in before.items():
         assert after[k] == v
     assert after[8] == max(before.values()) + 1  # hwm survived
+
+
+def test_maybe_compact_log_policy(spark, tmp_path):
+    p = str(tmp_path / "t2")
+    dl.write_delta(
+        spark,
+        spark.createDataFrame([(0, "x")], "id long, v string").coalesce(1),
+        p,
+    )
+    for i in range(1, 4):
+        dl.write_delta(
+            spark,
+            spark.createDataFrame(
+                [(i, "x")], "id long, v string"
+            ).coalesce(1),
+            p,
+            mode="append",
+        )
+    assert dl.maybe_compact_log(p, interval=5) is None  # 4 commits
+    dl.write_delta(
+        spark,
+        spark.createDataFrame([(4, "x")], "id long, v string").coalesce(1),
+        p,
+        mode="append",
+    )
+    assert dl.maybe_compact_log(p, interval=5) == (0, 4)
+    # nothing new due right after
+    assert dl.maybe_compact_log(p, interval=5) is None
+    # five more commits -> the next window compacts from 5
+    for i in range(5, 10):
+        dl.write_delta(
+            spark,
+            spark.createDataFrame(
+                [(i, "x")], "id long, v string"
+            ).coalesce(1),
+            p,
+            mode="append",
+        )
+    assert dl.maybe_compact_log(p, interval=5) == (5, 9)
+    assert dl.read_delta(spark, p).count() == 10
