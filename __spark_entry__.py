@@ -47,6 +47,10 @@ try:
     from medallion_delta_lake_spark.plans import queries_feature  # noqa: F401,E402
 except ImportError:
     pass
+try:
+    from medallion_delta_lake_spark.plans import queries_mleval  # noqa: F401,E402
+except ImportError:
+    pass
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -88,6 +92,14 @@ _DRIVER_PRIORITY = [
     "normalize-quantile-map",
     "ml-calibration-bins",
     "scan-python-datasource",
+    "ml-roc-auc",
+    "ml-lift-deciles",
+    "ml-pr-at-k",
+    "ml-brier-score",
+    "ml-confusion-threshold",
+    "ml-ndcg-at-k",
+    "ts-holt-linear",
+    "agg-bootstrap-poisson-ci",
     # r3 cohort — last driver-checked in round 3
     "unpivot-measures",
     "window-running-sum",

@@ -1,0 +1,435 @@
+"""Model-evaluation metrics over (score, label) columns — the offline
+eval suite a training-data platform runs after every model refresh
+(SURVEY.md §2.11 extension surface; the reference has no eval ops, so
+this family is net-new capability).
+
+Determinism contract (registry rule): scores are integerized to cents
+(inputs carry 2 decimals, so ``round(x*100)`` is exact), every ranking
+derives from integer cents + an integer tiebreak, and every reduction
+is an integer / DECIMAL(38,0) sum — order-free under any partitioning.
+Doubles appear only in the close, in a fixed shared-spelling IEEE
+chain, so the DuckDB oracle matches bit-for-bit.
+
+Scale posture: no global per-row sort anywhere. Ranks come from the
+bounded-distinct frequency-map pattern (group by integer score →
+cumulative counts over the tiny distinct-score frame → broadcast back),
+so the fact table only ever shuffles on the score key. The rank-sum
+BIGINT terms stay below 2^63 up to ~10^9 rows; the DECIMAL(38,0)
+accumulators and limb close carry the result exactly past 2^53.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from medallion_delta_lake_spark.operators.agg import limb_double
+
+# NDCG discount table: disc(r) = floor(1e12 / log2(r+1)) for rank
+# r = 1..10, computed ONCE here and embedded as integer literals in
+# BOTH engines' plans — libm log2 never runs inside either engine, so
+# cross-platform log variance can't break parity.
+NDCG_K = 10
+NDCG_DISC = [int(1e12 / math.log2(r + 1)) for r in range(1, NDCG_K + 1)]
+
+# Poisson(1) inverse-CDF thresholds at 1e-6 granularity for the
+# hash-seeded Poisson bootstrap: a uniform u6 ∈ [0, 1e6) maps to the
+# resample weight w = #{k : cdf_k <= u6/1e6}. Same integers both sides.
+_POIS_CDF = []
+_acc = 0.0
+for _k in range(8):
+    _acc += math.exp(-1.0) / math.factorial(_k)
+    _POIS_CDF.append(int(_acc * 1e6))
+POISSON1_CDF6 = _POIS_CDF
+
+
+def cents(col: F.Column) -> F.Column:
+    """Exact integer-cents view of a 2-decimal double."""
+    return F.round(col.cast("double") * 100, 0).cast("bigint")
+
+
+def _score_label(
+    df: DataFrame, score_col: str, label_col: str
+) -> DataFrame:
+    """(v, y) base: integer-cents score + 0/1 label, nulls dropped."""
+    return df.filter(F.col(score_col).isNotNull()).select(
+        cents(F.col(score_col)).alias("v"),
+        F.col(label_col).cast("int").alias("y"),
+        F.col("event_id").alias("_tid"),
+        F.col("user_id").alias("_uid"),
+    )
+
+
+def roc_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """Exact ROC-AUC via the tie-aware Mann–Whitney rank-sum identity
+    AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺ n⁻), with midranks from the
+    bounded-distinct frequency map (no fact sort): group scores to a
+    distinct-cents frame, doubled midrank d = 2·cum_before + n + 1,
+    then 2R⁺ = Σ n⁺_v · d_v as a DECIMAL(38,0) sum. The close divides
+    the limb-converted numerator by 2·n⁺·n⁻ in one fixed IEEE chain.
+    Output: one row (n_pos, n_neg, auc, gini)."""
+    base = _score_label(df, score_col, label_col)
+    f = base.groupBy("v").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("np")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    r = f.select(
+        "n",
+        "np",
+        (
+            2 * F.coalesce(F.sum("n").over(w), F.lit(0))
+            + F.col("n")
+            + 1
+        ).alias("d"),
+    )
+    t = r.agg(
+        F.sum(F.col("np").cast("decimal(38,0)") * F.col("d")).alias(
+            "r2"
+        ),
+        F.sum("np").alias("p"),
+        (F.sum("n") - F.sum("np")).alias("q"),
+    )
+    num = limb_double(
+        F.col("r2")
+        - F.col("p").cast("decimal(38,0)") * (F.col("p") + 1)
+    )
+    auc = num / (
+        2.0
+        * F.col("p").cast("double")
+        * F.col("q").cast("double")
+    )
+    return t.select(
+        F.col("p").alias("n_pos"),
+        F.col("q").alias("n_neg"),
+        auc.alias("auc"),
+        (2.0 * auc - 1.0).alias("gini"),
+    )
+
+
+def _global_rank(base: DataFrame) -> DataFrame:
+    """Dense global rank by (score DESC, tid ASC) WITHOUT a global
+    per-row sort: cumulative counts over the distinct-cents frame give
+    each score-group's offset; a per-group ROW_NUMBER (partitioned by
+    score — distributed) supplies the within-tie position. Adds ``r``
+    (1-based) and ``big_n``."""
+    f = base.groupBy("v").agg(F.count(F.lit(1)).alias("n"))
+    wc = Window.orderBy(F.col("v").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off = f.select(
+        "v",
+        F.coalesce(F.sum("n").over(wc), F.lit(0)).alias("c_before"),
+    )
+    wt = Window.partitionBy("v").orderBy("_tid")
+    tot = base.groupBy().agg(F.count(F.lit(1)).alias("big_n"))
+    return (
+        base.join(off, "v")
+        .withColumn("r", F.col("c_before") + F.row_number().over(wt))
+        .drop("c_before")
+        .crossJoin(F.broadcast(tot))
+    )
+
+
+def lift_deciles(
+    df: DataFrame, score_col: str, label_col: str
+) -> DataFrame:
+    """Gains/lift table: rows ranked by score desc are cut into 10
+    arithmetic deciles — decile = ((r−1)·10) div N + 1, a pure integer
+    formula both engines evaluate identically (deliberately NOT NTILE,
+    whose remainder placement is engine-defined lore; the formula is
+    the contract). Per decile: counts, lift vs the base rate, and the
+    cumulative capture rate a targeting campaign reads off.
+    Output: 10 rows."""
+    ranked = _global_rank(_score_label(df, score_col, label_col))
+    d = ranked.select(
+        F.expr("((r - 1) * 10) div big_n").alias("decile_0"),
+        "y",
+        "big_n",
+    )
+    g = d.groupBy("decile_0", "big_n").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("n_pos")
+    )
+    tot = g.groupBy().agg(F.sum("n_pos").alias("p"))
+    wcum = Window.orderBy("decile_0").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    out = (
+        g.crossJoin(F.broadcast(tot))
+        .withColumn("cum_pos", F.sum("n_pos").over(wcum))
+        .select(
+            (F.col("decile_0") + 1).alias("decile"),
+            "n",
+            "n_pos",
+            (
+                (
+                    F.col("n_pos").cast("double")
+                    / F.col("n").cast("double")
+                )
+                / (
+                    F.col("p").cast("double")
+                    / F.col("big_n").cast("double")
+                )
+            ).alias("lift"),
+            (
+                F.col("cum_pos").cast("double")
+                / F.col("p").cast("double")
+            ).alias("cum_capture"),
+        )
+    )
+    return out
+
+
+def precision_recall_at_k(
+    df: DataFrame, score_col: str, label_col: str, ks: list[int]
+) -> DataFrame:
+    """precision@k / recall@k for a fixed k ladder: one pass computes
+    the global rank (frequency-map pattern), a broadcast k-frame fans
+    each row into the cutoffs it belongs to, and integer conditional
+    sums close. ``n_at_k`` < k when the table is smaller than the
+    cutoff (precision divides by the actual count). Output: len(ks)
+    rows."""
+    spark = df.sparkSession
+    ranked = _global_rank(_score_label(df, score_col, label_col))
+    kdf = spark.createDataFrame([(int(k),) for k in ks], "k bigint")
+    tot = ranked.groupBy().agg(F.sum("y").alias("p"))
+    j = ranked.crossJoin(F.broadcast(kdf)).filter(
+        F.col("r") <= F.col("k")
+    )
+    return (
+        j.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_at_k"),
+            F.sum("y").alias("tp"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "k",
+            "n_at_k",
+            "tp",
+            (
+                F.col("tp").cast("double")
+                / F.col("n_at_k").cast("double")
+            ).alias("precision"),
+            (
+                F.col("tp").cast("double") / F.col("p").cast("double")
+            ).alias("recall"),
+        )
+    )
+
+
+def brier_score(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """Brier score of the max-normalized score s = v/gmax against the
+    0/1 label, computed entirely in integers: (s−y)² = (v − y·gmax)² /
+    gmax², so Σ(v−y·gmax)² accumulates as DECIMAL(38,0) (exact past
+    2^53 — per-row squares reach 2^53 by ~10^8 rows) and ONE limb
+    close divides by n·gmax². Also emits the base rate and the Brier
+    skill score vs the climatology forecast (predicting the base rate
+    everywhere). Output: one row."""
+    base = _score_label(df, score_col, label_col)
+    g = base.groupBy().agg(F.max("v").alias("gmax"))
+    s = base.crossJoin(F.broadcast(g)).select(
+        (
+            (F.col("v") - F.col("y") * F.col("gmax")).cast(
+                "decimal(19,0)"
+            )
+            * (F.col("v") - F.col("y") * F.col("gmax"))
+        ).alias("e2"),
+        "y",
+        "gmax",
+    )
+    t = s.groupBy("gmax").agg(
+        F.sum(F.col("e2").cast("decimal(38,0)")).alias("se"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("p"),
+    )
+    gd = F.col("gmax").cast("double")
+    nd = F.col("n").cast("double")
+    brier = limb_double(F.col("se")) / (nd * (gd * gd))
+    rate = F.col("p").cast("double") / nd
+    return t.select(
+        "n",
+        brier.alias("brier"),
+        rate.alias("base_rate"),
+        (1.0 - brier / (rate * (1.0 - rate))).alias("brier_skill"),
+    )
+
+
+def confusion_at_thresholds(
+    df: DataFrame, score_col: str, label_col: str
+) -> DataFrame:
+    """Confusion matrix + derived metrics at the ¼·gmax, ½·gmax,
+    ¾·gmax integer thresholds (quarter points of the observed score
+    range — integer div keeps both engines on the same cut). One scan,
+    a broadcast 3-row threshold frame, integer conditional sums;
+    precision/recall/F1 close from the integer cells. Output: 3 rows."""
+    spark = df.sparkSession
+    base = _score_label(df, score_col, label_col)
+    g = base.groupBy().agg(F.max("v").alias("gmax"))
+    qdf = spark.createDataFrame([(1,), (2,), (3,)], "q int")
+    j = base.crossJoin(F.broadcast(g)).crossJoin(F.broadcast(qdf))
+    pred = (
+        F.col("v") >= F.expr("(q * gmax) div 4")
+    ).cast("int")
+    cells = j.groupBy("q").agg(
+        F.sum(pred * F.col("y")).alias("tp"),
+        F.sum(pred * (1 - F.col("y"))).alias("fp"),
+        F.sum((1 - pred) * F.col("y")).alias("fn"),
+        F.sum((1 - pred) * (1 - F.col("y"))).alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(c).cast("double") for c in ("tp", "fp", "fn", "tn"))
+    return cells.select(
+        "q",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        ((tp + tn) / (tp + fp + fn + tn)).alias("accuracy"),
+        (tp / (tp + fp)).alias("precision"),
+        (tp / (tp + fn)).alias("recall"),
+        (2.0 * tp / (2.0 * tp + fp + fn)).alias("f1"),
+    )
+
+
+def ndcg_at_k(
+    df: DataFrame, score_col: str, label_col: str, group_col: str
+) -> DataFrame:
+    """Per-group NDCG@10 with binary relevance: DCG sums the
+    precomputed integer discounts ``NDCG_DISC`` (floor(1e12/log2(r+1)),
+    baked at import so libm never runs in-engine) over the top-10 by
+    (score desc, tid); IDCG sums the first min(#pos, 10) discounts.
+    Both are exact BIGINT sums; ndcg = dcg/idcg is the only double.
+    Groups with no positives drop (undefined NDCG). All windows are
+    partitioned by the group key — fully distributed. Output: one row
+    per group with ≥1 positive."""
+    base = _score_label(df, score_col, label_col)
+    disc = F.create_map(
+        *[
+            F.lit(x)
+            for pair in enumerate(NDCG_DISC, start=1)
+            for x in pair
+        ]
+    )
+    wr = Window.partitionBy("_uid").orderBy(
+        F.col("v").desc(), F.col("_tid")
+    )
+    dcg = (
+        base.withColumn("r", F.row_number().over(wr))
+        .filter(F.col("r") <= NDCG_K)
+        .groupBy("_uid")
+        .agg(
+            F.sum(
+                F.col("y").cast("bigint") * disc[F.col("r")]
+            ).alias("dcg_i")
+        )
+    )
+    wi = Window.partitionBy("_uid").orderBy("_tid")
+    idcg = (
+        base.filter(F.col("y") == 1)
+        .withColumn("j", F.row_number().over(wi))
+        .filter(F.col("j") <= NDCG_K)
+        .groupBy("_uid")
+        .agg(F.sum(disc[F.col("j")]).alias("idcg_i"))
+    )
+    return (
+        dcg.join(idcg, "_uid")
+        .select(
+            F.col("_uid").alias(group_col),
+            "dcg_i",
+            "idcg_i",
+            (
+                F.col("dcg_i").cast("double")
+                / F.col("idcg_i").cast("double")
+            ).alias("ndcg"),
+        )
+    )
+
+
+def poisson_bootstrap_mean_ci(
+    df: DataFrame, value_col: str, id_col: str, b: int = 100
+) -> DataFrame:
+    """Poisson-bootstrap 95% CI for the mean — THE bootstrap that
+    scales: instead of materializing B independent resamples, each row
+    draws a deterministic Poisson(1) weight per replicate from ONE
+    portable md5 (h64) of its id mixed through the universal-hash
+    family (a_b·h + c_b) mod P per replicate (so resampling is a
+    map-side integer expression — no data movement until the B-group
+    aggregate; at any corpus size the shuffle is B rows per task). Replicate means use integer-cents
+    numerators in DECIMAL(38,0) + the limb close; the CI is the
+    3rd/98th order statistic of the B=100 replicate means (sorting 100
+    doubles — deterministic, tiny). Output: one row
+    (n, point_mean, ci_lo, ci_hi, n_replicates)."""
+    from medallion_delta_lake_spark.functions.hashing import (
+        P_HASH,
+        h64,
+        minhash_params,
+    )
+
+    spark = df.sparkSession
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        (h64(F.col(id_col).cast("string")) % F.lit(P_HASH)).alias("_h"),
+        cents(F.col(value_col)).alias("v"),
+    )
+    # ONE md5 per row; each replicate's uniform comes from a cheap
+    # universal-hash mix (a_b*h + c_b) mod P — the minhash pattern —
+    # so the B-fold fan-out is pure integer arithmetic, not B digests
+    bdf = spark.createDataFrame(
+        [
+            (int(i), int(a), int(c))
+            for i, (a, c) in enumerate(minhash_params(b))
+        ],
+        "b bigint, a bigint, c bigint",
+    )
+    u6 = F.expr(f"(((a * _h + c) % {P_HASH}) * 1000000) div {P_HASH}")
+    wexpr = F.lit(0)
+    for c6 in POISSON1_CDF6:
+        wexpr = wexpr + (u6 >= F.lit(c6)).cast("int")
+    # the B-fold expand multiplies whatever parallelism the scan
+    # produced; a small parquet arrives as ONE split, which would run
+    # the whole 100x fan-out on a single core — spread it first
+    n_part = int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    rep = (
+        base.repartition(n_part)
+        .crossJoin(F.broadcast(bdf))
+        .select("b", "v", wexpr.alias("w"))
+        .groupBy("b")
+        .agg(
+            F.sum(
+                F.col("v").cast("decimal(38,0)") * F.col("w")
+            ).alias("num"),
+            F.sum("w").alias("den"),
+        )
+        .select(
+            "b",
+            (
+                (limb_double(F.col("num")) / F.col("den").cast("double"))
+                / 100.0
+            ).alias("mean_b"),
+        )
+    )
+    wr = Window.orderBy("mean_b", "b")
+    ranked = rep.withColumn("rn", F.row_number().over(wr))
+    lo = ranked.filter(F.col("rn") == max(1, int(b * 0.025) + 1))
+    hi = ranked.filter(F.col("rn") == int(b * 0.975) + 1)
+    point = base.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            (
+                limb_double(F.sum(F.col("v").cast("decimal(38,0)")))
+                / F.count(F.lit(1)).cast("double")
+            )
+            / 100.0
+        ).alias("point_mean"),
+    )
+    return (
+        point.crossJoin(
+            F.broadcast(lo.select(F.col("mean_b").alias("ci_lo")))
+        )
+        .crossJoin(
+            F.broadcast(hi.select(F.col("mean_b").alias("ci_hi")))
+        )
+        .withColumn("n_replicates", F.lit(b).cast("bigint"))
+    )

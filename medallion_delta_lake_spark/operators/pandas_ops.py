@@ -140,3 +140,66 @@ def grouped_median_udaf(
     return df.groupBy(*group_cols).agg(
         _median(F.col(value_col)).alias("median")
     )
+
+
+def holt_linear(
+    df: DataFrame,
+    group_col: str,
+    step_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.5,
+) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend) per series via
+    ``applyInPandas`` — the canonical genuinely-sequential operator no
+    window/agg composition can express (each state depends on ALL
+    prior rows), hence the grouped-map escape hatch: one shuffle on
+    the series key, then a tight numpy loop per group.
+
+    Recurrence (l₀ = x₀, b₀ = 0):
+        lₜ = α·xₜ + (1−α)·(lₜ₋₁ + bₜ₋₁)
+        bₜ = β·(lₜ − lₜ₋₁) + (1−β)·bₜ₋₁
+
+    Determinism: α = β = ½ are exact binary scalings and the loop
+    evaluates the recurrence in the literal spelling above, so the
+    float64 chain is bit-identical to a recursive-CTE oracle that
+    spells the same expressions — the Python hop costs no parity.
+
+    Scale: state is O(1) per series and each group streams through one
+    executor; series count gives the parallelism (fine for per-user /
+    per-entity smoothing at any corpus size — one series never exceeds
+    a pandas frame)."""
+    out_schema = (
+        f"`{group_col}` bigint, `{step_col}` bigint, "
+        "`x` double, `level` double, `trend` double"
+    )
+    a, b1 = float(alpha), float(beta)
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(step_col).reset_index(drop=True)
+        xs = pdf[value_col].to_numpy(dtype="float64")
+        lev = [0.0] * len(xs)
+        tre = [0.0] * len(xs)
+        l_prev, b_prev = xs[0], 0.0
+        lev[0], tre[0] = l_prev, b_prev
+        for i in range(1, len(xs)):
+            x = xs[i]
+            lvl = a * x + (1.0 - a) * (l_prev + b_prev)
+            trd = b1 * (lvl - l_prev) + (1.0 - b1) * b_prev
+            lev[i], tre[i] = lvl, trd
+            l_prev, b_prev = lvl, trd
+        return pd.DataFrame(
+            {
+                group_col: pdf[group_col],
+                step_col: pdf[step_col],
+                "x": xs,
+                "level": lev,
+                "trend": tre,
+            }
+        )
+
+    return (
+        df.select(group_col, step_col, value_col)
+        .groupBy(group_col)
+        .applyInPandas(smooth, schema=out_schema)
+    )

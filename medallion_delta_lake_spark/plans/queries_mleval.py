@@ -1,0 +1,482 @@
+"""Model-evaluation query surface (SURVEY.md §2.11 extension —
+round 9): ROC-AUC, gains/lift, precision@k, Brier, confusion grid,
+NDCG@10, Holt smoothing, Poisson-bootstrap CI. Each op registers a
+DuckDB oracle built from the SAME integer constants / shared-spelling
+closes as the Spark plan (registry float-determinism contract).
+
+Label convention: y = 1 for 'purchase' events, score = the 2-decimal
+``value`` column integerized to cents — a deterministic stand-in for a
+model score against a binary outcome, which is exactly the shape the
+metrics consume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from medallion_delta_lake_spark.operators import mleval
+from medallion_delta_lake_spark.operators.agg import limb_double_sql
+from medallion_delta_lake_spark.operators.pandas_ops import holt_linear
+from medallion_delta_lake_spark.plans.registry import query, table
+
+_BASE_SQL = """
+      SELECT event_id, user_id,
+             CAST(round(CAST(value AS DOUBLE) * 100, 0) AS BIGINT) AS v,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE value IS NOT NULL
+"""
+
+# dense global rank by (score desc, event_id) from the distinct-cents
+# frequency map — shared by the lift / p@k oracles
+_RANK_SQL = f"""
+    base AS ({_BASE_SQL}),
+    f AS (SELECT v, COUNT(*) AS n FROM base GROUP BY v),
+    off AS (
+      SELECT v, COALESCE(SUM(n) OVER (ORDER BY v DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0) AS c_before
+      FROM f
+    ),
+    tot AS (SELECT COUNT(*) AS big_n FROM base),
+    rk AS (
+      SELECT b.y, b.v,
+             off.c_before + ROW_NUMBER() OVER (
+               PARTITION BY b.v ORDER BY b.event_id) AS r,
+             tot.big_n
+      FROM base b JOIN off ON b.v = off.v, tot
+    )
+"""
+
+
+def _label_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        (F.col("event_type") == "purchase")
+        .cast("int")
+        .alias("label"),
+    )
+
+
+_AUC_NUM = limb_double_sql(
+    "r2 - CAST(p AS DECIMAL(38,0)) * (p + 1)"
+)
+_AUC_EXPR = (
+    f"({_AUC_NUM} / (2.0 * CAST(p AS DOUBLE) * CAST(q AS DOUBLE)))"
+)
+
+
+@query(
+    "ml-roc-auc",
+    # tie-aware Mann-Whitney rank-sum identity on the distinct-cents
+    # frequency map: doubled midranks are integers, 2R+ accumulates in
+    # DECIMAL(38,0), one limb close / 2 n+ n-
+    oracle=f"""
+    WITH base AS ({_BASE_SQL}),
+    f AS (SELECT v, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS np
+          FROM base GROUP BY v),
+    r AS (
+      SELECT n, np,
+             2 * COALESCE(SUM(n) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) + n + 1 AS d
+      FROM f
+    ),
+    t AS (
+      SELECT SUM(CAST(np AS DECIMAL(38,0)) * d) AS r2,
+             CAST(SUM(np) AS BIGINT) AS p,
+             CAST(SUM(n) - SUM(np) AS BIGINT) AS q
+      FROM r
+    )
+    SELECT p AS n_pos, q AS n_neg,
+           {_AUC_EXPR} AS auc,
+           (2.0 * {_AUC_EXPR} - 1.0) AS gini
+    FROM t
+    """,
+)
+def ml_roc_auc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ml eval / exact ROC-AUC — discrimination of the value score for
+    'purchase', via the rank-sum identity with midrank tie handling.
+    No fact sort: ranks come from the bounded-distinct frequency map
+    (operators/mleval.py:roc_auc), so the plan is two grouped
+    aggregates plus a tiny ordered window over distinct cents."""
+    return mleval.roc_auc(
+        _label_events(spark, sf_dir), "value", "label"
+    )
+
+
+@query(
+    "ml-lift-deciles",
+    # arithmetic decile cut ((r-1)*10 div N) — NOT NTILE, whose
+    # remainder placement is engine lore; integer cells, double closes
+    oracle=f"""
+    WITH {_RANK_SQL},
+    d AS (SELECT ((r - 1) * 10) // big_n AS decile_0, y, big_n FROM rk),
+    g AS (
+      SELECT decile_0, big_n, COUNT(*) AS n,
+             CAST(SUM(y) AS BIGINT) AS n_pos
+      FROM d GROUP BY decile_0, big_n
+    ),
+    p AS (SELECT CAST(SUM(n_pos) AS BIGINT) AS p FROM g),
+    cum AS (
+      SELECT g.decile_0, g.big_n, g.n, g.n_pos, p.p,
+             CAST(SUM(n_pos) OVER (ORDER BY decile_0
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_pos
+      FROM g, p
+    )
+    SELECT CAST(decile_0 + 1 AS BIGINT) AS decile, n, n_pos,
+           ((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+            / (CAST(p AS DOUBLE) / CAST(big_n AS DOUBLE))) AS lift,
+           (CAST(cum_pos AS DOUBLE) / CAST(p AS DOUBLE)) AS cum_capture
+    FROM cum
+    """,
+)
+def ml_lift_deciles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ml eval / gains & lift table — rank by score desc, cut into 10
+    arithmetic deciles, per-decile positive lift vs base rate and
+    cumulative capture (the campaign-targeting readout). Global rank
+    without a global sort: distinct-cents offsets + per-tie
+    ROW_NUMBER partitioned by score (operators/mleval.py)."""
+    return mleval.lift_deciles(
+        _label_events(spark, sf_dir), "value", "label"
+    )
+
+
+_KS = [10, 50, 100, 500, 1000, 5000]
+
+
+@query(
+    "ml-pr-at-k",
+    # broadcast k-ladder fan-out over the rank frame; integer cells
+    oracle=f"""
+    WITH {_RANK_SQL},
+    kf AS (SELECT CAST(k AS BIGINT) AS k FROM (VALUES
+           {", ".join(f"({k})" for k in _KS)}) t(k)),
+    tot2 AS (SELECT CAST(SUM(y) AS BIGINT) AS p FROM base),
+    j AS (SELECT kf.k, rk.y FROM rk, kf WHERE rk.r <= kf.k)
+    SELECT j.k, COUNT(*) AS n_at_k, CAST(SUM(y) AS BIGINT) AS tp,
+           (CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+             AS "precision",
+           (CAST(SUM(y) AS DOUBLE) / CAST(MAX(tot2.p) AS DOUBLE))
+             AS recall
+    FROM j, tot2 GROUP BY j.k
+    """,
+)
+def ml_pr_at_k_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ml eval / precision@k + recall@k ladder — one rank pass, a
+    broadcast 6-row cutoff frame, integer conditional sums; n_at_k
+    degrades gracefully when k exceeds the table
+    (operators/mleval.py:precision_recall_at_k)."""
+    return mleval.precision_recall_at_k(
+        _label_events(spark, sf_dir), "value", "label", _KS
+    )
+
+
+_BRIER_LIMB = limb_double_sql("se")
+
+
+@query(
+    "ml-brier-score",
+    # (s-y)^2 = (v - y*gmax)^2 / gmax^2 keeps the reduction integral;
+    # DECIMAL(38,0) sum + limb close
+    oracle=f"""
+    WITH base AS ({_BASE_SQL}),
+    g AS (SELECT MAX(v) AS gmax FROM base),
+    s AS (
+      SELECT CAST(CAST(b.v - b.y * g.gmax AS DECIMAL(19,0))
+                  * (b.v - b.y * g.gmax) AS DECIMAL(38,0)) AS e2,
+             b.y, g.gmax
+      FROM base b, g
+    ),
+    t AS (
+      SELECT gmax, SUM(e2) AS se, COUNT(*) AS n,
+             CAST(SUM(y) AS BIGINT) AS p
+      FROM s GROUP BY gmax
+    )
+    SELECT n,
+           ({_BRIER_LIMB} / (CAST(n AS DOUBLE)
+              * (CAST(gmax AS DOUBLE) * CAST(gmax AS DOUBLE))))
+             AS brier,
+           (CAST(p AS DOUBLE) / CAST(n AS DOUBLE)) AS base_rate,
+           (1.0 - ({_BRIER_LIMB} / (CAST(n AS DOUBLE)
+              * (CAST(gmax AS DOUBLE) * CAST(gmax AS DOUBLE))))
+            / ((CAST(p AS DOUBLE) / CAST(n AS DOUBLE))
+               * (1.0 - (CAST(p AS DOUBLE) / CAST(n AS DOUBLE)))))
+             AS brier_skill
+    FROM t
+    """,
+)
+def ml_brier_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ml eval / Brier score + skill vs climatology — calibration
+    error of the max-normalized score, computed from integer squared
+    residuals so the reduction is exact at any scale
+    (operators/mleval.py:brier_score)."""
+    return mleval.brier_score(
+        _label_events(spark, sf_dir), "value", "label"
+    )
+
+
+@query(
+    "ml-confusion-threshold",
+    # integer quarter-point thresholds of the observed range; 2x2
+    # cells are conditional integer sums, metrics close from cells
+    oracle=f"""
+    WITH base AS ({_BASE_SQL}),
+    g AS (SELECT MAX(v) AS gmax FROM base),
+    qf AS (SELECT CAST(q AS INT) AS q FROM (VALUES (1),(2),(3)) t(q)),
+    j AS (
+      SELECT qf.q,
+             CASE WHEN b.v >= (qf.q * g.gmax) // 4 THEN 1 ELSE 0 END
+               AS pred,
+             b.y
+      FROM base b, g, qf
+    ),
+    cells AS (
+      SELECT q,
+             CAST(SUM(pred * y) AS BIGINT) AS tp,
+             CAST(SUM(pred * (1 - y)) AS BIGINT) AS fp,
+             CAST(SUM((1 - pred) * y) AS BIGINT) AS fn,
+             CAST(SUM((1 - pred) * (1 - y)) AS BIGINT) AS tn
+      FROM j GROUP BY q
+    )
+    SELECT q, tp, fp, fn, tn,
+           ((CAST(tp AS DOUBLE) + CAST(tn AS DOUBLE))
+            / (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE)
+               + CAST(fn AS DOUBLE) + CAST(tn AS DOUBLE)))
+             AS accuracy,
+           (CAST(tp AS DOUBLE)
+            / (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE)))
+             AS "precision",
+           (CAST(tp AS DOUBLE)
+            / (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE)))
+             AS recall,
+           (2.0 * CAST(tp AS DOUBLE)
+            / (2.0 * CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE)
+               + CAST(fn AS DOUBLE)))
+             AS f1
+    FROM cells
+    """,
+)
+def ml_confusion_threshold_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ml eval / thresholded confusion grid — TP/FP/FN/TN plus
+    accuracy, precision, recall, F1 at the quarter points of the
+    observed score range; one scan, broadcast threshold frame
+    (operators/mleval.py:confusion_at_thresholds)."""
+    return mleval.confusion_at_thresholds(
+        _label_events(spark, sf_dir), "value", "label"
+    )
+
+
+_DISC_CASE = "CASE r " + " ".join(
+    f"WHEN {r} THEN {d}"
+    for r, d in enumerate(mleval.NDCG_DISC, start=1)
+) + " END"
+_DISC_CASE_J = _DISC_CASE.replace("CASE r ", "CASE j ")
+
+
+@query(
+    "ml-ndcg-at-k",
+    # integer discount table baked from ONE host log2 evaluation —
+    # libm never runs in-engine; DCG/IDCG are exact BIGINT sums
+    oracle=f"""
+    WITH base AS ({_BASE_SQL}),
+    rk AS (
+      SELECT user_id, y,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY v DESC, event_id) AS r
+      FROM base
+    ),
+    dcg AS (
+      SELECT user_id,
+             CAST(SUM(y * ({_DISC_CASE})) AS BIGINT) AS dcg_i
+      FROM rk WHERE r <= {mleval.NDCG_K} GROUP BY user_id
+    ),
+    pos AS (
+      SELECT user_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY event_id) AS j
+      FROM base WHERE y = 1
+    ),
+    idcg AS (
+      SELECT user_id,
+             CAST(SUM({_DISC_CASE_J}) AS BIGINT) AS idcg_i
+      FROM pos WHERE j <= {mleval.NDCG_K} GROUP BY user_id
+    )
+    SELECT d.user_id, d.dcg_i, i.idcg_i,
+           (CAST(d.dcg_i AS DOUBLE) / CAST(i.idcg_i AS DOUBLE))
+             AS ndcg
+    FROM dcg d JOIN idcg i ON d.user_id = i.user_id
+    """,
+)
+def ml_ndcg_at_k_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ml eval / per-user NDCG@10 — ranking quality of the score
+    against purchase relevance, with the log2 discount table baked to
+    integers at import (no in-engine libm). Every window partitions
+    on the user key — fully distributed
+    (operators/mleval.py:ndcg_at_k)."""
+    return mleval.ndcg_at_k(
+        _label_events(spark, sf_dir), "value", "label", "user_id"
+    )
+
+
+@query(
+    "ts-holt-linear",
+    # genuinely-sequential smoothing: applyInPandas per series vs a
+    # recursive-CTE oracle spelling the identical IEEE recurrence;
+    # alpha=beta=1/2 are exact binary scalings
+    oracle="""
+    WITH RECURSIVE h0 AS (
+      SELECT user_id, date_trunc('hour', ts) AS hr,
+             CAST(SUM(CAST(round(CAST(value AS DOUBLE) * 100, 0)
+                  AS BIGINT)) AS BIGINT) AS sc,
+             COUNT(*) AS cn
+      FROM events WHERE value IS NOT NULL
+      GROUP BY user_id, date_trunc('hour', ts)
+    ),
+    h AS (
+      SELECT user_id,
+             (CAST(sc AS DOUBLE) / CAST(cn AS DOUBLE)) / 100.0 AS x,
+             CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY hr) AS BIGINT) AS step
+      FROM h0
+    ),
+    rec AS (
+      SELECT user_id, step, x, x AS "level",
+             CAST(0.0 AS DOUBLE) AS trend
+      FROM h WHERE step = 1
+      UNION ALL
+      SELECT h.user_id, h.step, h.x,
+             0.5 * h.x + 0.5 * (rec."level" + rec.trend) AS "level",
+             0.5 * ((0.5 * h.x + 0.5 * (rec."level" + rec.trend))
+                    - rec."level") + 0.5 * rec.trend AS trend
+      FROM rec JOIN h
+        ON h.user_id = rec.user_id AND h.step = rec.step + 1
+    )
+    SELECT user_id, step, x, "level", trend FROM rec
+    """,
+)
+def ts_holt_linear_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ts / Holt double-exponential smoothing per user over hourly
+    means — the canonical sequential-state operator: no window/agg
+    composition expresses it, so it runs as a grouped-map
+    ``applyInPandas`` (operators/pandas_ops.py:holt_linear), one
+    shuffle on the series key. Hourly means reduce from integer cents
+    (exact); α=β=½ keep the float recursion bit-identical to the
+    recursive-CTE oracle."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    h0 = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(
+        F.sum(mleval.cents(F.col("value"))).alias("sc"),
+        F.count(F.lit(1)).alias("cn"),
+    )
+    h = h0.select(
+        "user_id",
+        (
+            (F.col("sc").cast("double") / F.col("cn").cast("double"))
+            / 100.0
+        ).alias("x"),
+        F.row_number()
+        .over(W.partitionBy("user_id").orderBy("hr"))
+        .cast("bigint")
+        .alias("step"),
+    )
+    return holt_linear(h, "user_id", "step", "x")
+
+
+_BOOT_MEAN = limb_double_sql("num")
+_BOOT_PT = limb_double_sql("SUM(CAST(v AS DECIMAL(38,0)))")
+_W_CASE = " + ".join(
+    f"CASE WHEN u6 >= {c} THEN 1 ELSE 0 END"
+    for c in mleval.POISSON1_CDF6
+)
+
+
+def _boot_params_sql(b: int) -> str:
+    from medallion_delta_lake_spark.functions.hashing import (
+        minhash_params,
+    )
+
+    rows = ", ".join(
+        f"({i}, {a}, {c})"
+        for i, (a, c) in enumerate(minhash_params(b))
+    )
+    return (
+        f"SELECT CAST(b AS BIGINT) AS b, CAST(a AS BIGINT) AS a,"
+        f" CAST(c AS BIGINT) AS c FROM (VALUES {rows}) t(b, a, c)"
+    )
+
+
+@query(
+    "agg-bootstrap-poisson-ci",
+    # hash-seeded Poisson(1) resample weights (ONE portable md5 h64
+    # per row, universal-hash mix per replicate, inverse-CDF
+    # thresholds baked to 1e-6 integers); replicate means close via
+    # DECIMAL numerators + limb; CI = order statistics of the 100
+    # replicate means
+    oracle=f"""
+    WITH base AS (
+      SELECT CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+               1, 15)) AS BIGINT) % {1_073_741_789} AS h,
+             CAST(round(CAST(value AS DOUBLE) * 100, 0) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    bs AS ({_boot_params_sql(100)}),
+    rep0 AS (
+      SELECT bs.b, base.v,
+             (((bs.a * base.h + bs.c) % {1_073_741_789}) * 1000000)
+               // {1_073_741_789} AS u6
+      FROM base, bs
+    ),
+    wt AS (SELECT b, v, ({_W_CASE}) AS w FROM rep0),
+    rep AS (
+      SELECT b, SUM(CAST(v AS DECIMAL(38,0)) * w) AS num,
+             CAST(SUM(w) AS BIGINT) AS den
+      FROM wt GROUP BY b
+    ),
+    m AS (
+      SELECT b, (({_BOOT_MEAN} / CAST(den AS DOUBLE)) / 100.0)
+               AS mean_b
+      FROM rep
+    ),
+    r AS (
+      SELECT mean_b,
+             ROW_NUMBER() OVER (ORDER BY mean_b, b) AS rn
+      FROM m
+    ),
+    pt AS (
+      SELECT COUNT(*) AS n,
+             (({_BOOT_PT} / CAST(COUNT(*) AS DOUBLE)) / 100.0)
+               AS point_mean
+      FROM base
+    )
+    SELECT pt.n, pt.point_mean, lo.mean_b AS ci_lo,
+           hi.mean_b AS ci_hi, CAST(100 AS BIGINT) AS n_replicates
+    FROM pt,
+         (SELECT mean_b FROM r WHERE rn = 3) lo,
+         (SELECT mean_b FROM r WHERE rn = 98) hi
+    """,
+)
+def agg_bootstrap_poisson_ci_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """agg / Poisson-bootstrap 95% CI for the mean — the bootstrap
+    that survives 100 TB: per-replicate Poisson(1) weights are a
+    map-side hash expression (no resample materialization; the only
+    shuffle is B=100 partial-aggregate rows per task), replicate
+    means reduce exactly in DECIMAL, the CI is an order statistic of
+    100 doubles (operators/mleval.py:poisson_bootstrap_mean_ci)."""
+    ev = table(spark, sf_dir, "events")
+    return mleval.poisson_bootstrap_mean_ci(
+        ev, "value", "event_id", b=100
+    )
