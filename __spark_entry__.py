@@ -100,6 +100,8 @@ _DRIVER_PRIORITY = [
     "ml-ndcg-at-k",
     "ts-holt-linear",
     "agg-bootstrap-poisson-ci",
+    "ml-group-auc",
+    "ml-ks-separation",
     # r3 cohort — last driver-checked in round 3
     "unpivot-measures",
     "window-running-sum",

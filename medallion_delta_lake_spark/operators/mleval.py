@@ -433,3 +433,112 @@ def poisson_bootstrap_mean_ci(
         )
         .withColumn("n_replicates", F.lit(b).cast("bigint"))
     )
+
+
+def grouped_roc_auc(
+    df: DataFrame, score_col: str, label_col: str, group_col: str
+) -> DataFrame:
+    """Per-segment ROC-AUC — the fully-distributed form of
+    :func:`roc_auc`: the frequency map groups by (segment, cents) and
+    every window partitions on the segment key, so a million-segment
+    eval (per-country, per-surface, per-model-version) shuffles only
+    on keys and never funnels through a single task. Same integer
+    midrank + DECIMAL(38,0) + limb close as the global op.
+    Output: one row per segment with both classes present."""
+    base = df.filter(F.col(score_col).isNotNull()).select(
+        F.col(group_col).alias("g"),
+        cents(F.col(score_col)).alias("v"),
+        F.col(label_col).cast("int").alias("y"),
+    )
+    f = base.groupBy("g", "v").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("np")
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = f.select(
+        "g",
+        "n",
+        "np",
+        (
+            2 * F.coalesce(F.sum("n").over(w), F.lit(0))
+            + F.col("n")
+            + 1
+        ).alias("d"),
+    )
+    t = r.groupBy("g").agg(
+        F.sum(F.col("np").cast("decimal(38,0)") * F.col("d")).alias(
+            "r2"
+        ),
+        F.sum("np").alias("p"),
+        (F.sum("n") - F.sum("np")).alias("q"),
+    )
+    num = limb_double(
+        F.col("r2")
+        - F.col("p").cast("decimal(38,0)") * (F.col("p") + 1)
+    )
+    auc = num / (
+        2.0 * F.col("p").cast("double") * F.col("q").cast("double")
+    )
+    return (
+        t.filter((F.col("p") > 0) & (F.col("q") > 0))
+        .select(
+            F.col("g").alias(group_col),
+            F.col("p").alias("n_pos"),
+            F.col("q").alias("n_neg"),
+            auc.alias("auc"),
+        )
+    )
+
+
+def ks_separation(
+    df: DataFrame, score_col: str, label_col: str
+) -> DataFrame:
+    """Kolmogorov–Smirnov separation of the score distributions of
+    positives vs negatives — the credit-scoring 'KS statistic':
+    D = max over distinct scores of |F⁺(v) − F⁻(v)|. Both empirical
+    CDFs come from integer cumulative counts over the distinct-cents
+    frame (no fact sort); the per-score gap is one fixed IEEE
+    expression and the close is a MAX + argmax (comparisons, not
+    sums — order-free by construction). Output: one row
+    (ks_stat, at_score_cents, n_pos, n_neg)."""
+    base = df.filter(F.col(score_col).isNotNull()).select(
+        cents(F.col(score_col)).alias("v"),
+        F.col(label_col).cast("int").alias("y"),
+    )
+    f = base.groupBy("v").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("np")
+    )
+    wc = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = f.groupBy().agg(
+        F.sum("np").alias("p"), (F.sum("n") - F.sum("np")).alias("q")
+    )
+    c = f.select(
+        "v",
+        F.sum("np").over(wc).alias("cp"),
+        (F.sum("n").over(wc) - F.sum("np").over(wc)).alias("cn"),
+    ).crossJoin(F.broadcast(tot))
+    d = c.select(
+        "v",
+        "p",
+        "q",
+        F.abs(
+            F.col("cp").cast("double") / F.col("p").cast("double")
+            - F.col("cn").cast("double") / F.col("q").cast("double")
+        ).alias("d"),
+    )
+    wr = Window.orderBy(F.col("d").desc(), F.col("v"))
+    return (
+        d.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("d").alias("ks_stat"),
+            F.col("v").alias("at_score_cents"),
+            F.col("p").alias("n_pos"),
+            F.col("q").alias("n_neg"),
+        )
+    )

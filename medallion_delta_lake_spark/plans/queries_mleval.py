@@ -480,3 +480,110 @@ def agg_bootstrap_poisson_ci_q(
     return mleval.poisson_bootstrap_mean_ci(
         ev, "value", "event_id", b=100
     )
+
+
+_GAUC_NUM = limb_double_sql("r2 - CAST(p AS DECIMAL(38,0)) * (p + 1)")
+_GAUC_EXPR = (
+    f"({_GAUC_NUM} / (2.0 * CAST(p AS DOUBLE) * CAST(q AS DOUBLE)))"
+)
+
+
+@query(
+    "ml-group-auc",
+    # the fully-distributed AUC: frequency map keyed (segment, cents),
+    # every window partitioned on the segment — no global anything
+    oracle=f"""
+    WITH base AS (
+      SELECT user_id % 5 AS cohort,
+             CAST(round(CAST(value AS DOUBLE) * 100, 0) AS BIGINT) AS v,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    f AS (
+      SELECT cohort, v, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS np
+      FROM base GROUP BY cohort, v
+    ),
+    r AS (
+      SELECT cohort, n, np,
+             2 * COALESCE(SUM(n) OVER (PARTITION BY cohort ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) + n + 1 AS d
+      FROM f
+    ),
+    t AS (
+      SELECT cohort,
+             SUM(CAST(np AS DECIMAL(38,0)) * d) AS r2,
+             CAST(SUM(np) AS BIGINT) AS p,
+             CAST(SUM(n) - SUM(np) AS BIGINT) AS q
+      FROM r GROUP BY cohort
+    )
+    SELECT cohort, p AS n_pos, q AS n_neg, {_GAUC_EXPR} AS auc
+    FROM t WHERE p > 0 AND q > 0
+    """,
+)
+def ml_group_auc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ml eval / per-segment ROC-AUC — the form that scales to a
+    million segments: frequency map keyed (cohort, cents), windows
+    partitioned on the cohort, per-cohort DECIMAL rank sums + limb
+    close (operators/mleval.py:grouped_roc_auc). Cohort here is a
+    deterministic user hash bucket."""
+    ev = table(spark, sf_dir, "events")
+    df = ev.select(
+        (F.col("user_id") % 5).alias("cohort"),
+        "value",
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+    )
+    return mleval.grouped_roc_auc(df, "value", "label", "cohort")
+
+
+@query(
+    "ml-ks-separation",
+    # integer empirical CDFs over the distinct-cents frame; the close
+    # is MAX/argmax — comparisons, never an order-sensitive sum
+    oracle="""
+    WITH base AS (
+      SELECT CAST(round(CAST(value AS DOUBLE) * 100, 0) AS BIGINT) AS v,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    f AS (
+      SELECT v, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS np
+      FROM base GROUP BY v
+    ),
+    tot AS (
+      SELECT CAST(SUM(np) AS BIGINT) AS p,
+             CAST(SUM(n) - SUM(np) AS BIGINT) AS q
+      FROM f
+    ),
+    c AS (
+      SELECT v,
+             CAST(SUM(np) OVER w AS BIGINT) AS cp,
+             CAST(SUM(n) OVER w - SUM(np) OVER w AS BIGINT) AS cn
+      FROM f
+      WINDOW w AS (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    d AS (
+      SELECT v, tot.p, tot.q,
+             ABS(CAST(cp AS DOUBLE) / CAST(tot.p AS DOUBLE)
+                 - CAST(cn AS DOUBLE) / CAST(tot.q AS DOUBLE)) AS d
+      FROM c, tot
+    ),
+    r AS (
+      SELECT v, p, q, d,
+             ROW_NUMBER() OVER (ORDER BY d DESC, v) AS rn
+      FROM d
+    )
+    SELECT d AS ks_stat, v AS at_score_cents, p AS n_pos, q AS n_neg
+    FROM r WHERE rn = 1
+    """,
+)
+def ml_ks_separation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ml eval / KS separation (the credit-scoring KS statistic) —
+    max gap between the positive and negative score CDFs. Integer
+    cumulative counts over distinct cents; the close is a max/argmax,
+    structurally immune to reduction-order effects
+    (operators/mleval.py:ks_separation)."""
+    return mleval.ks_separation(
+        _label_events(spark, sf_dir), "value", "label"
+    )

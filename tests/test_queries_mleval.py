@@ -23,6 +23,8 @@ MLEVAL_IDS = [
     "ml-ndcg-at-k",
     "ts-holt-linear",
     "agg-bootstrap-poisson-ci",
+    "ml-group-auc",
+    "ml-ks-separation",
 ]
 
 
@@ -159,3 +161,35 @@ def test_confusion_threshold_cells_partition(spark):
     assert len(out) == 3
     for r in out:
         assert r.tp + r.fp + r.fn + r.tn == 61
+
+
+def test_grouped_auc_matches_global_on_single_group(spark):
+    """One segment == the global op (same midrank machinery)."""
+    from medallion_delta_lake_spark.operators.mleval import (
+        grouped_roc_auc,
+        roc_auc,
+    )
+
+    rows = [
+        (i, 1, float((i * 13) % 40) + 0.25, 1 if i % 3 == 0 else 0)
+        for i in range(120)
+    ]
+    df = _mini(spark, rows).withColumn("seg", F.lit(1))
+    g = grouped_roc_auc(df, "value", "label", "seg").collect()[0]
+    a = roc_auc(df, "value", "label").collect()[0]
+    assert g.auc == a.auc and g.n_pos == a.n_pos
+
+
+def test_ks_separation_perfect_split(spark):
+    """Disjoint score supports -> KS = 1 at the positive minimum
+    boundary."""
+    from medallion_delta_lake_spark.operators.mleval import ks_separation
+
+    df = _mini(
+        spark,
+        [(i, 1, 1.0 + i, 0) for i in range(5)]
+        + [(10 + i, 1, 100.0 + i, 1) for i in range(5)],
+    )
+    row = ks_separation(df, "value", "label").collect()[0]
+    assert row.ks_stat == 1.0
+    assert row.at_score_cents == 500  # all negatives <= 5.00
