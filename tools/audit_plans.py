@@ -130,6 +130,13 @@ AUDITED = [
     "agg-l-moments",
     "normalize-quantile-map",
     "ml-calibration-bins",
+    # round-9 ML-evaluation family
+    "ml-roc-auc",
+    "ml-lift-deciles",
+    "ml-group-auc",
+    "ml-ndcg-at-k",
+    "ts-holt-linear",
+    "agg-bootstrap-poisson-ci",
 ]
 
 
