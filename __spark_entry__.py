@@ -102,6 +102,10 @@ _DRIVER_PRIORITY = [
     "agg-bootstrap-poisson-ci",
     "ml-group-auc",
     "ml-ks-separation",
+    "events-conversion-lag",
+    "stats-anova-oneway",
+    "agg-seasonal-index",
+    "sim-centroid-outliers",
     # r3 cohort — last driver-checked in round 3
     "unpivot-measures",
     "window-running-sum",

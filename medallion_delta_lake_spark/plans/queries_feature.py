@@ -1009,3 +1009,258 @@ def scan_python_datasource_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_value"),
     )
+
+
+# ------------------------------------------------- round-9 late ops
+
+
+@query(
+    "events-conversion-lag",
+    # first signup -> first subsequent purchase per user; integer
+    # epoch seconds (repo floor(epoch()) convention)
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END) AS s_ts
+      FROM events GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS p_ts
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase' AND s.s_ts IS NOT NULL
+        AND e.ts >= s.s_ts
+      GROUP BY e.user_id
+    )
+    SELECT s.user_id,
+           CAST(floor(epoch(s.s_ts)) AS BIGINT) AS first_signup_sec,
+           CAST(floor(epoch(p.p_ts)) AS BIGINT) AS first_purchase_sec,
+           CAST(floor(epoch(p.p_ts)) AS BIGINT)
+             - CAST(floor(epoch(s.s_ts)) AS BIGINT) AS lag_sec
+    FROM s JOIN p ON s.user_id = p.user_id
+    """,
+)
+def events_conversion_lag_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """analytics / time-to-convert — per user, the lag from FIRST
+    signup to the FIRST purchase at-or-after it (the activation-speed
+    distribution product teams watch; completes funnel-analysis's
+    step counts with the time dimension). Two grouped passes + one
+    equi-join on the user key; lags in exact integer epoch seconds."""
+    ev = table(spark, sf_dir, "events")
+    s = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.col("ts"))
+        ).alias("s_ts")
+    ).filter(F.col("s_ts").isNotNull())
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    out = s.join(p, "user_id").select(
+        "user_id",
+        F.col("s_ts").cast("long").alias("first_signup_sec"),
+        F.col("p_ts").cast("long").alias("first_purchase_sec"),
+        (
+            F.col("p_ts").cast("long") - F.col("s_ts").cast("long")
+        ).alias("lag_sec"),
+    )
+    return out
+
+
+@query(
+    "stats-anova-oneway",
+    # one-way ANOVA F from decimal-exact per-group power sums; the
+    # k=5 cross-group reduction A = sum s_i^2/n_i runs in an ordered
+    # window (k <= 17 rule) of nonnegative terms
+    oracle="""
+    WITH base AS (
+      SELECT event_type AS g,
+             CAST(round(CAST(value AS DOUBLE) * 100, 0)
+                  AS DECIMAL(9,0)) AS v
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    pg AS (
+      SELECT g, COUNT(*) AS n, SUM(v) AS s, SUM(v * v) AS q
+      FROM base GROUP BY g
+    ),
+    pl AS (
+      SELECT g, n,
+             (CAST(substr(lpad(CAST(s AS VARCHAR),39,'0'),1,13)
+                   AS DOUBLE) * 1e13
+              + CAST(substr(lpad(CAST(s AS VARCHAR),39,'0'),14,13)
+                     AS DOUBLE)) * 1e13
+              + CAST(substr(lpad(CAST(s AS VARCHAR),39,'0'),27,13)
+                     AS DOUBLE) AS sd
+      FROM pg
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS big_n,
+             COUNT(*) AS k,
+             SUM(s) AS stot, SUM(q) AS qtot
+      FROM pg
+    ),
+    tl AS (
+      SELECT big_n, k,
+             (CAST(substr(lpad(CAST(stot AS VARCHAR),39,'0'),1,13)
+                   AS DOUBLE) * 1e13
+              + CAST(substr(lpad(CAST(stot AS VARCHAR),39,'0'),14,13)
+                     AS DOUBLE)) * 1e13
+              + CAST(substr(lpad(CAST(stot AS VARCHAR),39,'0'),27,13)
+                     AS DOUBLE) AS std,
+             (CAST(substr(lpad(CAST(qtot AS VARCHAR),39,'0'),1,13)
+                   AS DOUBLE) * 1e13
+              + CAST(substr(lpad(CAST(qtot AS VARCHAR),39,'0'),14,13)
+                     AS DOUBLE)) * 1e13
+              + CAST(substr(lpad(CAST(qtot AS VARCHAR),39,'0'),27,13)
+                     AS DOUBLE) AS qtd
+      FROM tot
+    ),
+    run AS (
+      SELECT SUM((sd * sd) / CAST(n AS DOUBLE))
+               OVER (ORDER BY g
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS a_run
+      FROM pl
+    ),
+    cl AS (
+      SELECT MAX(a_run) AS a FROM run
+    )
+    SELECT tl.k AS k_groups, tl.big_n AS n,
+           (cl.a - (tl.std * tl.std) / CAST(tl.big_n AS DOUBLE))
+             / 10000.0 AS ss_between,
+           (tl.qtd - cl.a) / 10000.0 AS ss_within,
+           ((cl.a - (tl.std * tl.std) / CAST(tl.big_n AS DOUBLE))
+              / (CAST(tl.k AS DOUBLE) - 1.0))
+             / ((tl.qtd - cl.a)
+                / (CAST(tl.big_n AS DOUBLE) - CAST(tl.k AS DOUBLE)))
+             AS f_stat
+    FROM tl, cl
+    """,
+)
+def stats_anova_oneway_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stats / one-way ANOVA F — the parametric mean-difference test
+    completing the k-group family (Kruskal–Wallis = ranks,
+    Brown–Forsythe = variances, this = means). Per-group Σv, Σv² are
+    DECIMAL-exact integer-cents sums limb-converted once; the only
+    cross-group reduction A = Σ s²/n is k=5 nonnegative doubles in a
+    deterministic ORDER BY window (the registry's k≤17 rule); SS are
+    reported in value² units (cents²/10⁴)."""
+    from medallion_delta_lake_spark.operators.agg import limb_double
+
+    base = table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    ).select(
+        F.col("event_type").alias("g"),
+        F.round(F.col("value").cast("double") * 100, 0)
+        .cast("decimal(9,0)")
+        .alias("v"),
+    )
+    pg = base.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("q"),
+    )
+    pl = pg.select(
+        "g", "n", limb_double(F.col("s")).alias("sd")
+    )
+    tot = pg.groupBy().agg(
+        F.sum("n").cast("bigint").alias("big_n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum("s").alias("stot"),
+        F.sum("q").alias("qtot"),
+    )
+    tl = tot.select(
+        "big_n",
+        "k",
+        limb_double(F.col("stot")).alias("std"),
+        limb_double(F.col("qtot")).alias("qtd"),
+    )
+    wrun = W.orderBy("g").rowsBetween(W.unboundedPreceding, 0)
+    run = pl.select(
+        F.sum(
+            (F.col("sd") * F.col("sd")) / F.col("n").cast("double")
+        )
+        .over(wrun)
+        .alias("a_run")
+    )
+    cl = run.groupBy().agg(F.max("a_run").alias("a"))
+    nd = F.col("big_n").cast("double")
+    kd = F.col("k").cast("double")
+    ssb = F.col("a") - (F.col("std") * F.col("std")) / nd
+    ssw = F.col("qtd") - F.col("a")
+    return tl.crossJoin(F.broadcast(cl)).select(
+        F.col("k").alias("k_groups"),
+        F.col("big_n").alias("n"),
+        (ssb / 10000.0).alias("ss_between"),
+        (ssw / 10000.0).alias("ss_within"),
+        (
+            (ssb / (kd - 1.0)) / (ssw / (nd - kd))
+        ).alias("f_stat"),
+    )
+
+
+@query(
+    "agg-seasonal-index",
+    # hour-of-day multiplicative seasonal profile: decimal-exact hod
+    # and overall sums, one shared-spelling ratio close
+    oracle="""
+    WITH base AS (
+      SELECT CAST(hour(ts) AS INT) AS hod,
+             CAST(round(CAST(value AS DOUBLE) * 100, 0)
+                  AS DECIMAL(18,0)) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    h AS (
+      SELECT hod, COUNT(*) AS n, SUM(v) AS s FROM base GROUP BY hod
+    ),
+    t AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS big_n, SUM(s) AS stot FROM h
+    )
+    SELECT h.hod, h.n,
+           ((CAST(h.s AS DOUBLE) / CAST(h.n AS DOUBLE)) / 100.0)
+             AS mean_value,
+           ((CAST(h.s AS DOUBLE) / CAST(h.n AS DOUBLE))
+            / (CAST(t.stot AS DOUBLE) / CAST(t.big_n AS DOUBLE)))
+             AS seasonal_index
+    FROM h, t
+    """,
+)
+def agg_seasonal_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ts / hour-of-day seasonal index — each hour's mean value over
+    the global mean (the multiplicative seasonal profile that
+    deseasonalizes monitoring baselines and feeds ts-seasonal-naive).
+    One grouped decimal pass + a broadcast global row; sums stay far
+    under 2^53 per hour bucket so plain decimal→double casts are
+    exact (DECIMAL(18,0) both sides)."""
+    base = table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    ).select(
+        F.hour("ts").cast("int").alias("hod"),
+        F.round(F.col("value").cast("double") * 100, 0)
+        .cast("decimal(18,0)")
+        .alias("v"),
+    )
+    h = base.groupBy("hod").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+    )
+    t = h.groupBy().agg(
+        F.sum("n").cast("bigint").alias("big_n"),
+        F.sum("s").alias("stot"),
+    )
+    return h.crossJoin(F.broadcast(t)).select(
+        "hod",
+        "n",
+        (
+            (F.col("s").cast("double") / F.col("n").cast("double"))
+            / 100.0
+        ).alias("mean_value"),
+        (
+            (F.col("s").cast("double") / F.col("n").cast("double"))
+            / (
+                F.col("stot").cast("double")
+                / F.col("big_n").cast("double")
+            )
+        ).alias("seasonal_index"),
+    )

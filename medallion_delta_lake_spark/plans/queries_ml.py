@@ -528,3 +528,109 @@ def cluster_balance_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("mean_dot"),
     )
+
+
+@query(
+    "sim-centroid-outliers",
+    # per-label centroid from 1e-6-quantized integer sums (order-free);
+    # squared distances quantized floor(d^2*1e12) per dim so the 64-dim
+    # reduction is an exact integer sum (k=64 > the ordered-window k<=17
+    # rule); top-3 per label
+    oracle=f"""
+    WITH idx AS (SELECT CAST(range AS INT) + 1 AS i FROM range({_DIMS})),
+    q AS (
+      SELECT vec_id, label, idx.i,
+             CAST(embedding[idx.i] AS DOUBLE) AS val,
+             CAST(floor(CAST(embedding[idx.i] AS DOUBLE) * 1e6)
+                  AS BIGINT) AS qi
+      FROM embeddings, idx
+    ),
+    c AS (
+      SELECT label, i, CAST(SUM(qi) AS BIGINT) AS si, COUNT(*) AS n
+      FROM q GROUP BY label, i
+    ),
+    d AS (
+      SELECT q.vec_id, q.label,
+             CAST(floor(
+               (q.val - ((CAST(c.si AS DOUBLE) / CAST(c.n AS DOUBLE))
+                         / 1e6))
+               * (q.val - ((CAST(c.si AS DOUBLE) / CAST(c.n AS DOUBLE))
+                           / 1e6))
+               * 1e12) AS BIGINT) AS dq
+      FROM q JOIN c ON q.label = c.label AND q.i = c.i
+    ),
+    s AS (
+      SELECT vec_id, label, CAST(SUM(dq) AS BIGINT) AS d2q
+      FROM d GROUP BY vec_id, label
+    ),
+    r AS (
+      SELECT label, vec_id, d2q,
+             ROW_NUMBER() OVER (PARTITION BY label
+               ORDER BY d2q DESC, vec_id) AS rank
+      FROM s
+    )
+    SELECT label, vec_id, CAST(d2q AS DOUBLE) / 1e12 AS dist2,
+           CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 3
+    """,
+)
+def sim_centroid_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """similarity / embedding-outlier census — per label, the 3 vectors
+    farthest from the label centroid (the embedding-space quality
+    filter: mislabeled / off-distribution training docs surface here).
+    Centroids reduce from 1e-6-quantized integer sums keyed
+    (label, dim) — order-free and fully distributed; per-dim squared
+    gaps are floor-quantized to integers so the 64-term distance
+    reduction is exact under any partitioning (the registry rule for
+    k > 17). Shapes: explode is map-side; both aggregates and the
+    rank window shuffle on small keys."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "fval"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos") + 1).alias("i"),
+        F.col("fval").cast("double").alias("val"),
+    ).withColumn(
+        "qi", F.floor(F.col("val") * F.lit(1e6)).cast("bigint")
+    )
+    c = q.groupBy("label", "i").agg(
+        F.sum("qi").cast("bigint").alias("si"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    cent = (
+        F.col("si").cast("double") / F.col("n").cast("double")
+    ) / F.lit(1e6)
+    d = q.join(c, ["label", "i"]).select(
+        "vec_id",
+        "label",
+        F.floor(
+            (F.col("val") - cent)
+            * (F.col("val") - cent)
+            * F.lit(1e12)
+        )
+        .cast("bigint")
+        .alias("dq"),
+    )
+    s = d.groupBy("vec_id", "label").agg(
+        F.sum("dq").cast("bigint").alias("d2q")
+    )
+    from pyspark.sql import Window as W
+
+    r = s.withColumn(
+        "rank",
+        F.row_number().over(
+            W.partitionBy("label").orderBy(
+                F.col("d2q").desc(), F.col("vec_id")
+            )
+        ),
+    ).filter(F.col("rank") <= 3)
+    return r.select(
+        "label",
+        "vec_id",
+        (F.col("d2q").cast("double") / F.lit(1e12)).alias("dist2"),
+        F.col("rank").cast("int").alias("rank"),
+    )

@@ -25,6 +25,9 @@ FEATURE_IDS = [
     "normalize-quantile-map",
     "ml-calibration-bins",
     "scan-python-datasource",
+    "events-conversion-lag",
+    "stats-anova-oneway",
+    "agg-seasonal-index",
 ]
 
 
