@@ -137,6 +137,9 @@ AUDITED = [
     "ml-ndcg-at-k",
     "ts-holt-linear",
     "agg-bootstrap-poisson-ci",
+    "events-conversion-lag",
+    "stats-anova-oneway",
+    "sim-centroid-outliers",
 ]
 
 

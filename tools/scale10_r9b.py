@@ -31,6 +31,9 @@ OPS = [
     "ml-ks-separation",
     "ts-holt-linear",
     "agg-bootstrap-poisson-ci",
+    "events-conversion-lag",
+    "stats-anova-oneway",
+    "agg-seasonal-index",
 ]
 
 ID_COLS = {"events": ["event_id", "user_id"]}
@@ -50,6 +53,7 @@ def x10(df, id_cols):
 
 
 def main() -> None:
+    import medallion_delta_lake_spark.plans.queries_feature as qf
     import medallion_delta_lake_spark.plans.queries_mleval as qm
     from medallion_delta_lake_spark.plans.registry import QUERIES
     from medallion_delta_lake_spark.session import get_spark
@@ -67,11 +71,13 @@ def main() -> None:
 
     for tag, tbl in (("1x", orig_table), ("10x", table10)):
         qm.table = tbl
+        qf.table = tbl
         for op in OPS:
             t0 = time.time()
             n = QUERIES[op](spark, SF).count()
             print(f"{op} {tag}: {time.time() - t0:.2f} s ({n} rows)")
     qm.table = orig_table
+    qf.table = orig_table
     spark.stop()
 
 
