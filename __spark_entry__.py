@@ -106,6 +106,7 @@ _DRIVER_PRIORITY = [
     "stats-anova-oneway",
     "agg-seasonal-index",
     "sim-centroid-outliers",
+    "stream-holt-monitor",
     # r3 cohort — last driver-checked in round 3
     "unpivot-measures",
     "window-running-sum",

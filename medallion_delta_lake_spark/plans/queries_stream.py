@@ -403,3 +403,48 @@ def stream_drift_monitor_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nw").alias("n_events"),
         "tv_distance",
     )
+
+
+@query(
+    "stream-holt-monitor",
+    # single-file source -> one availableNow microbatch -> the update
+    # emission IS the final smoothing state; the recursive-CTE oracle
+    # spells the identical IEEE recurrence over the same per-key order
+    oracle="""
+    WITH RECURSIVE h AS (
+      SELECT user_id, CAST(value AS DOUBLE) AS x,
+             CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS BIGINT) AS rn
+      FROM events WHERE value IS NOT NULL
+    ),
+    rec AS (
+      SELECT user_id, rn, x AS "level", CAST(0.0 AS DOUBLE) AS trend
+      FROM h WHERE rn = 1
+      UNION ALL
+      SELECT h.user_id, h.rn,
+             0.5 * h.x + 0.5 * (rec."level" + rec.trend),
+             0.5 * ((0.5 * h.x + 0.5 * (rec."level" + rec.trend))
+                    - rec."level") + 0.5 * rec.trend
+      FROM rec JOIN h
+        ON h.user_id = rec.user_id AND h.rn = rec.rn + 1
+    ),
+    last AS (SELECT user_id, MAX(rn) AS n_obs FROM h GROUP BY user_id)
+    SELECT r.user_id, l.n_obs, r."level", r.trend
+    FROM rec r JOIN last l
+      ON r.user_id = l.user_id AND r.rn = l.n_obs
+    """,
+)
+def stream_holt_monitor_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming / Holt level+trend forecast state per user —
+    applyInPandasWithState maintaining the double-exponential
+    smoothing recursion incrementally (streaming/stateful.py:
+    holt_monitor); after the availableNow run the maintained state
+    equals the batch recursion (ts-holt-linear's sequential twin over
+    the raw per-event series) bit-for-bit."""
+    from medallion_delta_lake_spark.streaming import stateful
+
+    sdf = se.read_events_stream(spark, sf_dir)
+    return se.run_available_now(
+        stateful.holt_monitor(sdf), "update", spark,
+        num_state_partitions=8,
+    )

@@ -229,3 +229,81 @@ def gap_monitor(sdf: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+HOLT_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_obs", LongType()),
+        StructField("level", DoubleType()),
+        StructField("trend", DoubleType()),
+    ]
+)
+HOLT_STATE = StructType(
+    [
+        StructField("level", DoubleType()),
+        StructField("trend", DoubleType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def holt_monitor(
+    sdf: DataFrame, alpha: float = 0.5, beta: float = 0.5
+) -> DataFrame:
+    """Streaming Holt level+trend smoother per key — the incremental
+    twin of the batch ``operators/pandas_ops.py:holt_linear``: state is
+    exactly (level, trend, n) and each arriving observation applies the
+    same literal recurrence
+    ``l' = α·x + (1−α)·(l+b); b' = β·(l'−l) + (1−β)·b``, so after
+    ordered arrival the maintained state equals the batch recursion
+    bit-for-bit (α = β = ½ are exact binary scalings; float64 state
+    round-trips the state store unchanged). Rows sort by
+    (ts, event_id) within each microbatch; cross-batch order is arrival
+    order — the same contract as :func:`cusum_monitor`. The emitted
+    (level, trend) is the forecasting state a monitoring surface reads
+    (one-step forecast = level + trend)."""
+    a, b1 = float(alpha), float(beta)
+
+    def fn(key, pdfs, state: GroupState):
+        lvl, trd, n = state.get if state.exists else (0.0, 0.0, 0)
+        for pdf in pdfs:
+            pdf = pdf.dropna(subset=["value"]).sort_values(
+                ["ts", "event_id"]
+            )
+            for x in pdf["value"].to_numpy(dtype="float64"):
+                if n == 0:
+                    lvl, trd = float(x), 0.0
+                else:
+                    nxt = a * x + (1.0 - a) * (lvl + trd)
+                    trd = b1 * (nxt - lvl) + (1.0 - b1) * trd
+                    lvl = nxt
+                n += 1
+        state.update((lvl, trd, n))
+        if n:
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": key[0],
+                        "n_obs": n,
+                        "level": lvl,
+                        "trend": trd,
+                    }
+                ]
+            )
+        else:
+            yield pd.DataFrame(
+                {"user_id": [], "n_obs": [], "level": [], "trend": []}
+            )
+
+    return (
+        sdf.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=HOLT_OUTPUT,
+            stateStructType=HOLT_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

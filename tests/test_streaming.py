@@ -385,3 +385,67 @@ def test_txn_watermark_survives_checkpoint_and_duplicate_refused(
     assert delta_log.last_txn_version(t, "app") == 7
     delta_log.write_delta(spark, df, t, mode="append", txn=("app", 8))
     assert delta_log.last_txn_version(t, "app") == 8
+
+
+def test_stream_holt_multi_microbatch_equals_batch(spark, tmp_path):
+    """The streaming Holt smoother's (level, trend) state must span
+    microbatches: feeding a per-user-ordered series as two time-split
+    files (one per batch) ends in exactly the batch recursion's final
+    state."""
+    from medallion_delta_lake_spark.operators.pandas_ops import holt_linear
+    from medallion_delta_lake_spark.streaming import stateful
+
+    rows = [
+        (u, i, float(v))
+        for u in (1, 2)
+        for i, v in enumerate([4, 8, 2, 10, 6, 1, 9, 5])
+    ]
+    df = (
+        spark.createDataFrame(
+            rows, "user_id long, n int, value double"
+        )
+        .select(
+            "user_id",
+            (
+                F.to_timestamp(F.lit("2024-01-01"))
+                + F.make_interval(secs=F.col("n") * 60)
+            ).alias("ts"),
+            F.col("n").cast("long").alias("event_id"),
+            "value",
+        )
+    )
+    src = str(tmp_path / "holt_src")
+    df.filter(F.col("event_id") < 4).coalesce(1).write.parquet(src)
+    df.filter(F.col("event_id") >= 4).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    sdf = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = se.run_available_now(
+        stateful.holt_monitor(sdf), "update", spark
+    )
+    final = {}
+    for r in out.collect():  # update mode re-emits: keep last per key
+        final[r.user_id] = (r.n_obs, r.level, r.trend)
+
+    b = holt_linear(
+        df.select(
+            "user_id", F.col("event_id").alias("step"),
+            F.col("value").alias("x"),
+        ),
+        "user_id",
+        "step",
+        "x",
+    )
+    last = {
+        r.user_id: (r.level, r.trend)
+        for r in b.filter(F.col("step") == 7).collect()
+    }
+    assert set(final) == {1, 2}
+    for u in final:
+        assert final[u][0] == 8
+        assert (final[u][1], final[u][2]) == last[u]
