@@ -194,8 +194,13 @@ def precision_recall_at_k(
     ranked = _global_rank(_score_label(df, score_col, label_col))
     kdf = spark.createDataFrame([(int(k),) for k in ks], "k bigint")
     tot = ranked.groupBy().agg(F.sum("y").alias("p"))
-    j = ranked.crossJoin(F.broadcast(kdf)).filter(
-        F.col("r") <= F.col("k")
+    # only the top max(ks) rows can contribute — drop the rest BEFORE
+    # the k-ladder fan-out, so the x|ks| expansion touches a bounded
+    # frame, not the whole table
+    j = (
+        ranked.filter(F.col("r") <= int(max(ks)))
+        .crossJoin(F.broadcast(kdf))
+        .filter(F.col("r") <= F.col("k"))
     )
     return (
         j.groupBy("k")
