@@ -107,6 +107,7 @@ _DRIVER_PRIORITY = [
     "agg-seasonal-index",
     "sim-centroid-outliers",
     "stream-holt-monitor",
+    "window-rolling-median",
     # r3 cohort — last driver-checked in round 3
     "unpivot-measures",
     "window-running-sum",

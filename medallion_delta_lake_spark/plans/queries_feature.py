@@ -1264,3 +1264,48 @@ def agg_seasonal_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("seasonal_index"),
     )
+
+
+@query(
+    "window-rolling-median",
+    # exact 21-point rolling median per key: full frames only, so the
+    # median is ONE element selection (no interpolation, no sums) —
+    # deterministic by construction in both engines
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER w AS rn,
+             median(value) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN 20 PRECEDING AND CURRENT ROW) AS med
+      FROM events WHERE value IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id, value, med AS rolling_median
+    FROM o WHERE rn >= 21
+    """,
+)
+def window_rolling_median_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """window / exact rolling median — the robust smoother (spike-
+    immune, unlike the rolling mean) over a trailing 21-point frame
+    per user. Emitted only for FULL frames, where the median of an
+    odd count is one element selection — order-free and engine-exact
+    with zero float arithmetic. The frame sort is bounded (21
+    elements per row); the only shuffle is the per-key window sort.
+    At 100 TB the same plan holds: cost is frame-bounded per row, not
+    table-bounded."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    wbase = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w21 = wbase.rowsBetween(-20, 0)
+    o = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.row_number().over(wbase).alias("rn"),
+        F.element_at(
+            F.sort_array(F.collect_list("value").over(w21)), 11
+        ).alias("rolling_median"),
+    )
+    return o.filter(F.col("rn") >= 21).drop("rn")

@@ -28,6 +28,7 @@ FEATURE_IDS = [
     "events-conversion-lag",
     "stats-anova-oneway",
     "agg-seasonal-index",
+    "window-rolling-median",
 ]
 
 
