@@ -32,6 +32,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -281,6 +282,9 @@ class MdlsDeltaDataSource(DataSource):
     def writer(self, schema: StructType, overwrite: bool):
         return _BatchWriter(self.options, schema, overwrite)
 
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return _StreamWriter(self.options, schema)
+
 
 def register(spark) -> None:
     """Register the source on a session (idempotent)."""
@@ -471,3 +475,145 @@ class _BatchWriter(DataSourceWriter):
                     os.unlink(os.path.join(self._path, m.rel_path))
                 except FileNotFoundError:
                     pass
+
+
+# ---------------------------------------------------- stream writer
+
+
+class _StreamWriter(DataSourceStreamWriter):
+    """``df.writeStream.format("mdls_delta")`` — the streaming sink
+    face: each microbatch's tasks stage one parquet per partition
+    under the table path; the driver's ``commit(messages, batchId)``
+    lands them as ONE log commit carrying a ``txn`` (SetTransaction)
+    action ``{appId, version: batchId}``, which makes replays
+    idempotent the way delta-spark's sink is: a restarted query
+    re-running a committed batch sees ``last_txn_version >= batchId``
+    and drops the duplicate (staged files unlinked, nothing
+    committed). ``appId`` defaults to the option ``txnAppId`` or a
+    path-stable constant; a checkpoint restart keeps the same id, so
+    exactly-once holds across restarts. The target table must exist
+    (create it with write_delta / the batch writer first) — matching
+    delta-spark, the streaming sink never creates tables.
+
+    Scale shape: executors never touch the log; the driver's commit is
+    O(staged files) metadata. Appends only (streaming semantics);
+    partitioned / column-mapped targets are routed away exactly like
+    the batch writer."""
+
+    def __init__(self, options: dict, schema: StructType):
+        from medallion_delta_lake_spark.sources import delta_log as dl
+
+        self._path = options["path"]
+        self._schema = schema
+        self._app_id = options.get(
+            "txnappid", options.get("txnAppId")
+        ) or f"mdls-stream-{os.path.basename(self._path.rstrip('/'))}"
+        if not dl.is_delta_table(self._path):
+            raise ValueError(
+                f"{self._path} is not a Delta table: the streaming "
+                "sink appends to existing tables only"
+            )
+        meta = dl.resolve_snapshot(self._path)["meta"]
+        if meta.get("partitionColumns"):
+            raise NotImplementedError(
+                "partitioned target: use the foreachBatch sink "
+                "(streaming/sink.py) with delta_log.write_delta"
+            )
+        if (meta.get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none"
+        ) != "none":
+            raise NotImplementedError(
+                "column-mapped target: use the foreachBatch sink "
+                "(streaming/sink.py) with delta_log.write_delta"
+            )
+        table_schema = StructType.fromJson(
+            json.loads(meta["schemaString"])
+        )
+        ours = [(f.name, f.dataType.simpleString()) for f in schema.fields]
+        theirs = [
+            (f.name, f.dataType.simpleString())
+            for f in table_schema.fields
+        ]
+        if ours != theirs:
+            raise ValueError(
+                f"schema mismatch streaming into {self._path}: "
+                f"{ours} vs table {theirs}"
+            )
+
+    def write(self, iterator) -> _WriteMessage:
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = list(iterator)
+        if not rows:
+            return _WriteMessage()
+        target = _spark_to_arrow_schema(self._schema)
+        arrays = [
+            pa.array(
+                [r[i] for r in rows], type=target.field(i).type
+            )
+            for i in range(len(self._schema.fields))
+        ]
+        tbl = pa.table(arrays, schema=target)
+        name = f"part-{uuid.uuid4().hex}.parquet"
+        pq.write_table(tbl, os.path.join(self._path, name))
+        return _WriteMessage(rel_path=name, num_records=tbl.num_rows)
+
+    def _unlink_staged(self, messages) -> None:
+        for m in messages:
+            if m is not None and m.rel_path is not None:
+                try:
+                    os.unlink(os.path.join(self._path, m.rel_path))
+                except FileNotFoundError:
+                    pass
+
+    def commit(self, messages, batchId: int) -> None:
+        import time as _time
+
+        from medallion_delta_lake_spark.sources import delta_log as dl
+
+        if dl.last_txn_version(self._path, self._app_id) >= batchId:
+            # replayed batch after a restart: the log already has it
+            self._unlink_staged(messages)
+            return
+        now_ms = int(_time.time() * 1000)
+        adds = []
+        for m in messages:
+            if m is None or m.rel_path is None:
+                continue
+            full = os.path.join(self._path, m.rel_path)
+            add = {
+                "path": m.rel_path,
+                "partitionValues": {},
+                "size": os.path.getsize(full),
+                "modificationTime": now_ms,
+                "dataChange": True,
+            }
+            stats = dl._parquet_file_stats(full)
+            if stats is not None:
+                add["stats"] = stats
+            adds.append({"add": add})
+
+        def build(version: int) -> list[dict]:
+            return [
+                {"txn": {"appId": self._app_id, "version": batchId}},
+                *adds,
+                {
+                    "commitInfo": {
+                        "operation": "STREAMING UPDATE",
+                        "operationParameters": {
+                            "outputMode": "Append",
+                            "queryId": self._app_id,
+                            "epochId": batchId,
+                            "source": FORMAT_NAME,
+                        },
+                    }
+                },
+            ]
+
+        dl._commit_version(self._path, build)
+
+    def abort(self, messages, batchId: int) -> None:
+        self._unlink_staged(messages)

@@ -226,3 +226,110 @@ def test_format_write_assigns_row_tracking_ids(dspark, tmp_path):
         for r in dl.read_delta_row_ids(dspark, p).collect()
     }
     assert sorted(ids.values()) == [0, 1, 2]
+
+
+def _run_sink_stream(spark, src_dir, schema, target, ck, app_id=None):
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    w = (
+        sdf.writeStream.format(pds.FORMAT_NAME)
+        .option("path", target)
+        .option("checkpointLocation", ck)
+    )
+    if app_id:
+        w = w.option("txnAppId", app_id)
+    q = w.trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+
+def test_stream_writer_appends_and_resumes(dspark, tmp_path):
+    """writeStream.format('mdls_delta'): microbatches land as one log
+    commit each, carrying txn actions; a checkpoint resume ships only
+    new source files."""
+    target = _mk(dspark, tmp_path, [(0, "seed")], name="sink_t")
+    v0 = dl.resolve_snapshot(target)["version"]
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "sink_ck")
+    df = dspark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string"
+    )
+    df.filter("id = 1").coalesce(1).write.parquet(src)
+    df.filter("id = 2").coalesce(1).write.mode("append").parquet(src)
+
+    _run_sink_stream(dspark, src, df.schema, target, ck)
+    got = {
+        (r.id, r.v)
+        for r in dl.read_delta(dspark, target).collect()
+    }
+    assert got == {(0, "seed"), (1, "a"), (2, "b")}
+    snap = dl.resolve_snapshot(target)
+    assert snap["version"] == v0 + 2  # one commit per microbatch
+    assert max(snap["txns"].values()) == 1  # batchIds 0 and 1
+
+    # checkpoint resume: a third source file flows, nothing replays
+    dspark.createDataFrame(
+        [(3, "c")], "id long, v string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    _run_sink_stream(dspark, src, df.schema, target, ck)
+    got = {
+        (r.id, r.v)
+        for r in dl.read_delta(dspark, target).collect()
+    }
+    assert got == {(0, "seed"), (1, "a"), (2, "b"), (3, "c")}
+
+
+def test_stream_writer_duplicate_batch_is_dropped(dspark, tmp_path):
+    """The txn (SetTransaction) gate: committing the same batchId
+    twice for one appId must be a no-op — staged files are unlinked,
+    the table content and version are unchanged."""
+    target = _mk(dspark, tmp_path, [(0, "seed")], name="dup_t")
+    schema = dl.read_delta(dspark, target).schema
+    w = pds._StreamWriter(
+        {"path": target, "txnappid": "app-x"}, schema
+    )
+    from pyspark.sql import Row
+
+    msg1 = w.write(iter([Row(id=1, v="a")]))
+    w.commit([msg1], 0)
+    v1 = dl.resolve_snapshot(target)["version"]
+    n1 = dl.read_delta(dspark, target).count()
+
+    msg2 = w.write(iter([Row(id=9, v="dup-replay")]))
+    w.commit([msg2], 0)  # same batchId: must be dropped
+    snap = dl.resolve_snapshot(target)
+    assert snap["version"] == v1
+    assert dl.read_delta(dspark, target).count() == n1
+    # the replayed staging file is gone
+    assert not os.path.exists(os.path.join(target, msg2.rel_path))
+    # a HIGHER batchId commits normally
+    msg3 = w.write(iter([Row(id=2, v="b")]))
+    w.commit([msg3], 1)
+    assert dl.read_delta(dspark, target).count() == n1 + 1
+
+
+def test_stream_writer_guards(dspark, tmp_path):
+    """Nonexistent target and schema mismatch fail fast on the
+    driver; abort unlinks staged files."""
+    from pyspark.sql.types import LongType, StringType
+    from pyspark.sql.types import StructField as SF
+    from pyspark.sql.types import StructType as ST
+
+    schema = ST([SF("id", LongType()), SF("v", StringType())])
+    with pytest.raises(ValueError, match="not a Delta table"):
+        pds._StreamWriter({"path": str(tmp_path / "nope")}, schema)
+
+    target = _mk(dspark, tmp_path, [(0, "seed")], name="guard_t")
+    bad = ST([SF("id", LongType()), SF("other", LongType())])
+    with pytest.raises(ValueError, match="schema mismatch"):
+        pds._StreamWriter({"path": target}, bad)
+
+    w = pds._StreamWriter({"path": target}, schema)
+    from pyspark.sql import Row
+
+    msg = w.write(iter([Row(id=5, v="x")]))
+    assert os.path.exists(os.path.join(target, msg.rel_path))
+    w.abort([msg], 0)
+    assert not os.path.exists(os.path.join(target, msg.rel_path))
