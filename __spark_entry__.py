@@ -108,6 +108,7 @@ _DRIVER_PRIORITY = [
     "sim-centroid-outliers",
     "stream-holt-monitor",
     "window-rolling-median",
+    "events-dau-wau-mau",
     # r3 cohort — last driver-checked in round 3
     "unpivot-measures",
     "window-running-sum",

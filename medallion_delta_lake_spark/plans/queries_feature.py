@@ -1309,3 +1309,67 @@ def window_rolling_median_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rolling_median"),
     )
     return o.filter(F.col("rn") >= 21).drop("rn")
+
+
+@query(
+    "events-dau-wau-mau",
+    # activity metrics per day: distinct (user, day) frame x the tiny
+    # day dimension via a 30-day range join; all counts integer, one
+    # stickiness ratio
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS dy FROM events
+    ),
+    days AS (SELECT DISTINCT dy AS d FROM ud),
+    j AS (
+      SELECT days.d, ud.user_id, ud.dy
+      FROM days JOIN ud
+        ON ud.dy <= days.d AND ud.dy >= days.d - INTERVAL 29 DAY
+    )
+    SELECT d,
+           COUNT(DISTINCT CASE WHEN dy = d THEN user_id END) AS dau,
+           COUNT(DISTINCT CASE WHEN dy >= d - INTERVAL 6 DAY
+                 THEN user_id END) AS wau,
+           COUNT(DISTINCT user_id) AS mau,
+           CAST(COUNT(DISTINCT CASE WHEN dy = d THEN user_id END)
+                AS DOUBLE)
+             / CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS stickiness
+    FROM j GROUP BY d
+    """,
+)
+def events_dau_wau_mau_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """analytics / DAU-WAU-MAU + stickiness per day — the activity
+    dashboard every product runs. The fact table reduces once to the
+    distinct (user, day) frame; a broadcast range join against the
+    tiny day dimension replicates each user-day into the ≤30 anchor
+    days it serves, then conditional COUNT DISTINCTs close. At 100 TB
+    the user-day frame is the only large object and it shuffles once;
+    the day dimension stays broadcast-sized forever."""
+    ev = table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.col("ts").cast("date").alias("dy")
+    ).distinct()
+    days = ud.select(F.col("dy").alias("d")).distinct()
+    j = ud.join(
+        F.broadcast(days),
+        (F.col("dy") <= F.col("d"))
+        & (F.col("dy") >= F.date_sub(F.col("d"), 29)),
+    )
+    return j.groupBy("d").agg(
+        F.countDistinct(
+            F.when(F.col("dy") == F.col("d"), F.col("user_id"))
+        ).alias("dau"),
+        F.countDistinct(
+            F.when(
+                F.col("dy") >= F.date_sub(F.col("d"), 6),
+                F.col("user_id"),
+            )
+        ).alias("wau"),
+        F.countDistinct("user_id").alias("mau"),
+        (
+            F.countDistinct(
+                F.when(F.col("dy") == F.col("d"), F.col("user_id"))
+            ).cast("double")
+            / F.countDistinct("user_id").cast("double")
+        ).alias("stickiness"),
+    )

@@ -29,6 +29,7 @@ FEATURE_IDS = [
     "stats-anova-oneway",
     "agg-seasonal-index",
     "window-rolling-median",
+    "events-dau-wau-mau",
 ]
 
 
