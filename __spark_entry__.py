@@ -109,6 +109,7 @@ _DRIVER_PRIORITY = [
     "stream-holt-monitor",
     "window-rolling-median",
     "events-dau-wau-mau",
+    "affinity-basket-pairs",
     # r3 cohort — last driver-checked in round 3
     "unpivot-measures",
     "window-running-sum",

@@ -1373,3 +1373,105 @@ def events_dau_wau_mau_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.countDistinct("user_id").cast("double")
         ).alias("stickiness"),
     )
+
+
+@query(
+    "affinity-basket-pairs",
+    # market-basket association: distinct (order, part) frame self-
+    # joined on the order key (p1 < p2), integer pair/item/total
+    # counts, support/confidence/lift closes; deterministic top-20 by
+    # the integer pair count
+    oracle="""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    n AS (SELECT COUNT(DISTINCT o) AS n_orders FROM op),
+    ic AS (SELECT p, COUNT(*) AS c FROM op GROUP BY p),
+    pairs AS (
+      SELECT a.p AS p1, b.p AS p2, COUNT(*) AS n_pair
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p
+    ),
+    top AS (
+      SELECT p1, p2, n_pair,
+             ROW_NUMBER() OVER (ORDER BY n_pair DESC, p1, p2) AS rn
+      FROM pairs WHERE n_pair >= 2
+    )
+    SELECT t.p1, t.p2, t.n_pair,
+           CAST(t.n_pair AS DOUBLE) / CAST(n.n_orders AS DOUBLE)
+             AS support,
+           CAST(t.n_pair AS DOUBLE) / CAST(c1.c AS DOUBLE)
+             AS confidence,
+           (CAST(t.n_pair AS DOUBLE) * CAST(n.n_orders AS DOUBLE))
+             / (CAST(c1.c AS DOUBLE) * CAST(c2.c AS DOUBLE)) AS lift
+    FROM top t
+    JOIN ic c1 ON t.p1 = c1.p
+    JOIN ic c2 ON t.p2 = c2.p
+    CROSS JOIN n
+    WHERE t.rn <= 20
+    """,
+)
+def affinity_basket_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """analytics / market-basket affinity — co-purchased part pairs
+    with support, confidence, and lift (the association-rule primer
+    behind recommenders and store layout). The distinct (order, part)
+    frame self-joins ONLY on the order key, so pair volume is
+    Σ basket_size² — bounded by TPC-H's ≤7-line orders and, at scale,
+    by the same basket-size cap any production run enforces. Counts
+    are integers; the top-20 ranks on the integer pair count with
+    (p1, p2) tie-breaks, so ranking never touches a float."""
+    li = table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    n = op.agg(F.countDistinct("o").alias("n_orders"))
+    ic = op.groupBy("p").agg(F.count(F.lit(1)).alias("c"))
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.o") == F.col("b.o"))
+            & (F.col("a.p") < F.col("b.p")),
+        )
+        .groupBy(
+            F.col("a.p").alias("p1"), F.col("b.p").alias("p2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= 2)
+    )
+    top = pairs.withColumn(
+        "rn",
+        F.row_number().over(
+            W.orderBy(F.col("n_pair").desc(), "p1", "p2")
+        ),
+    ).filter(F.col("rn") <= 20)
+    c1 = ic.select(F.col("p").alias("p1"), F.col("c").alias("c1"))
+    c2 = ic.select(F.col("p").alias("p2"), F.col("c").alias("c2"))
+    return (
+        top.join(c1, "p1")
+        .join(c2, "p2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "p1",
+            "p2",
+            "n_pair",
+            (
+                F.col("n_pair").cast("double")
+                / F.col("n_orders").cast("double")
+            ).alias("support"),
+            (
+                F.col("n_pair").cast("double")
+                / F.col("c1").cast("double")
+            ).alias("confidence"),
+            (
+                (
+                    F.col("n_pair").cast("double")
+                    * F.col("n_orders").cast("double")
+                )
+                / (
+                    F.col("c1").cast("double")
+                    * F.col("c2").cast("double")
+                )
+            ).alias("lift"),
+        )
+    )

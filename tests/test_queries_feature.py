@@ -30,6 +30,7 @@ FEATURE_IDS = [
     "agg-seasonal-index",
     "window-rolling-median",
     "events-dau-wau-mau",
+    "affinity-basket-pairs",
 ]
 
 
