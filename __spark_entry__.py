@@ -153,8 +153,11 @@ _DRIVER_PRIORITY = [
     "agg-avg-of-sums",
     "dq-constraint-check",
     "json-typed-parse",
-    # ROUND-10 NOTE: whatever r4-cohort tail the 50-row window missed
-    # rolls first next round, then the r5 cohort (dedup family,
+    # ROUND-10 NOTE: round 9 registered 29 new ops, so the 50-row
+    # window = 8 changed/settle + 29 new (the no-never-checked gate
+    # outranks backlog draining after r8's snapshot-commit reds) +
+    # the r3 cohort + the r4 head. Whatever r4 tail the window missed
+    # rolls FIRST next round, then the r5 cohort (dedup family,
     # sim-cosine-topk, text-token-stats, ...), then r6.
 ]
 
