@@ -34,9 +34,15 @@ OPS = [
     "events-conversion-lag",
     "stats-anova-oneway",
     "agg-seasonal-index",
+    "window-rolling-median",
+    "events-dau-wau-mau",
+    "affinity-basket-pairs",
 ]
 
-ID_COLS = {"events": ["event_id", "user_id"]}
+ID_COLS = {
+    "events": ["event_id", "user_id"],
+    "lineitem": ["l_orderkey"],
+}
 
 
 def x10(df, id_cols):
