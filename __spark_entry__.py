@@ -110,6 +110,7 @@ _DRIVER_PRIORITY = [
     "window-rolling-median",
     "events-dau-wau-mau",
     "affinity-basket-pairs",
+    "stats-permutation-test",
     # r3 cohort — last driver-checked in round 3
     "unpivot-measures",
     "window-running-sum",

@@ -547,3 +547,126 @@ def ks_separation(
             F.col("q").alias("n_neg"),
         )
     )
+
+
+def permutation_test_mean_diff(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    label_col: str,
+    b: int = 100,
+) -> DataFrame:
+    """Randomization test for a two-group mean difference — the
+    distribution-free significance test that scales the same way the
+    Poisson bootstrap does: instead of materializing B shuffles, each
+    row draws a deterministic pseudo-group per replicate from one
+    portable md5 mixed through the universal-hash family, assigned
+    Bernoulli(n1/n) (the large-n randomization approximation of an
+    exact permutation — group sizes vary ~√n around the true split;
+    documented, standard at scale). Group sums are DECIMAL-exact cents
+    with limb closes; the p-value is a COUNT of |diff_b| >= |diff_obs|
+    comparisons (never a float reduction), with the +1 correction.
+    Output: one row (n_treat, n_control, diff_obs, p_value,
+    n_replicates)."""
+    from medallion_delta_lake_spark.functions.hashing import (
+        P_HASH,
+        h64,
+        minhash_params,
+    )
+
+    spark = df.sparkSession
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        (h64(F.col(id_col).cast("string")) % F.lit(P_HASH)).alias(
+            "_h"
+        ),
+        cents(F.col(value_col)).alias("v"),
+        F.col(label_col).cast("int").alias("y"),
+    )
+    tot = base.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("n1"),
+        F.sum(
+            F.col("v").cast("decimal(38,0)") * F.col("y")
+        ).alias("s1"),
+        F.sum(F.col("v").cast("decimal(38,0)")).alias("s"),
+    )
+    d1 = limb_double(F.col("s1")) / F.col("n1").cast("double")
+    d0 = limb_double(F.col("s") - F.col("s1")) / (
+        F.col("n") - F.col("n1")
+    ).cast("double")
+    obs = tot.select(
+        "n",
+        "n1",
+        (F.col("n") - F.col("n1")).alias("n0"),
+        ((d1 - d0) / 100.0).alias("diff_obs"),
+        F.expr("(n1 * 1000000) div n").alias("t6"),
+    )
+    bdf = spark.createDataFrame(
+        [
+            (int(i), int(a), int(c))
+            for i, (a, c) in enumerate(minhash_params(b))
+        ],
+        "b bigint, a bigint, c bigint",
+    )
+    n_part = int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    u6 = F.expr(f"(((a * _h + c) % {P_HASH}) * 1000000) div {P_HASH}")
+    rep = (
+        base.repartition(n_part)
+        .crossJoin(F.broadcast(obs.select("t6")))
+        .crossJoin(F.broadcast(bdf))
+        .select(
+            "b",
+            "v",
+            (u6 < F.col("t6")).cast("int").alias("g"),
+        )
+        .groupBy("b")
+        .agg(
+            F.sum(
+                F.col("v").cast("decimal(38,0)") * F.col("g")
+            ).alias("sa"),
+            F.sum("g").alias("na"),
+            F.sum(F.col("v").cast("decimal(38,0)")).alias("st"),
+            F.count(F.lit(1)).alias("nt"),
+        )
+        .filter((F.col("na") > 0) & (F.col("na") < F.col("nt")))
+        .select(
+            "b",
+            (
+                (
+                    limb_double(F.col("sa"))
+                    / F.col("na").cast("double")
+                    - limb_double(F.col("st") - F.col("sa"))
+                    / (F.col("nt") - F.col("na")).cast("double")
+                )
+                / 100.0
+            ).alias("diff_b"),
+        )
+    )
+    cnt = (
+        rep.crossJoin(F.broadcast(obs.select("diff_obs")))
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n_rep"),
+            F.sum(
+                (
+                    F.abs(F.col("diff_b"))
+                    >= F.abs(F.col("diff_obs"))
+                ).cast("int")
+            ).alias("n_ge"),
+        )
+    )
+    return (
+        obs.crossJoin(F.broadcast(cnt))
+        .select(
+            F.col("n1").alias("n_treat"),
+            F.col("n0").alias("n_control"),
+            "diff_obs",
+            (
+                (F.col("n_ge") + 1).cast("double")
+                / (F.col("n_rep") + 1).cast("double")
+            ).alias("p_value"),
+            F.col("n_rep").cast("bigint").alias("n_replicates"),
+        )
+    )

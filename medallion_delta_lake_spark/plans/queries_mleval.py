@@ -587,3 +587,93 @@ def ml_ks_separation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mleval.ks_separation(
         _label_events(spark, sf_dir), "value", "label"
     )
+
+
+_PT_D1 = limb_double_sql("s1")
+_PT_D0 = limb_double_sql("s - s1")
+_PT_SA = limb_double_sql("sa")
+_PT_SB = limb_double_sql("st - sa")
+_PT_P = 1_073_741_789
+
+
+@query(
+    "stats-permutation-test",
+    # hash-seeded randomization test: Bernoulli(n1/n) pseudo-groups
+    # per replicate from one md5 + universal-hash mix; DECIMAL group
+    # sums + limb closes; the p-value is a COUNT of comparisons
+    oracle=f"""
+    WITH base AS (
+      SELECT CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+               1, 15)) AS BIGINT) % {_PT_P} AS h,
+             CAST(round(CAST(value AS DOUBLE) * 100, 0) AS BIGINT) AS v,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    tot AS (
+      SELECT COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS n1,
+             SUM(CAST(v AS DECIMAL(38,0)) * y) AS s1,
+             SUM(CAST(v AS DECIMAL(38,0))) AS s
+      FROM base
+    ),
+    obs AS (
+      SELECT n, n1, CAST(n - n1 AS BIGINT) AS n0,
+             (({_PT_D1} / CAST(n1 AS DOUBLE)
+               - {_PT_D0} / CAST(n - n1 AS DOUBLE)) / 100.0)
+               AS diff_obs,
+             (n1 * 1000000) // n AS t6
+      FROM tot
+    ),
+    bs AS ({{BOOT}}),
+    asn AS (
+      SELECT bs.b, base.v,
+             CASE WHEN (((bs.a * base.h + bs.c) % {_PT_P}) * 1000000)
+                       // {_PT_P} < obs.t6
+                  THEN 1 ELSE 0 END AS g
+      FROM base, bs, obs
+    ),
+    rep0 AS (
+      SELECT b,
+             SUM(CAST(v AS DECIMAL(38,0)) * g) AS sa,
+             CAST(SUM(g) AS BIGINT) AS na,
+             SUM(CAST(v AS DECIMAL(38,0))) AS st,
+             COUNT(*) AS nt
+      FROM asn GROUP BY b
+    ),
+    rep AS (
+      SELECT b,
+             (({_PT_SA} / CAST(na AS DOUBLE)
+               - {_PT_SB} / CAST(nt - na AS DOUBLE)) / 100.0)
+               AS diff_b
+      FROM rep0 WHERE na > 0 AND na < nt
+    ),
+    cnt AS (
+      SELECT COUNT(*) AS n_rep,
+             CAST(SUM(CASE WHEN abs(rep.diff_b) >= abs(obs.diff_obs)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_ge
+      FROM rep, obs
+    )
+    SELECT obs.n1 AS n_treat, obs.n0 AS n_control, obs.diff_obs,
+           (CAST(cnt.n_ge + 1 AS DOUBLE)
+            / CAST(cnt.n_rep + 1 AS DOUBLE)) AS p_value,
+           CAST(cnt.n_rep AS BIGINT) AS n_replicates
+    FROM obs, cnt
+    """.replace("{BOOT}", _boot_params_sql(100)),
+)
+def stats_permutation_test_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stats / randomization (permutation) test — is the purchase-
+    event mean value different from everything else, without any
+    distributional assumption? B=100 hash-seeded Bernoulli(n1/n)
+    pseudo-relabelings (the at-scale approximation of an exact
+    permutation), DECIMAL-exact group sums, and a p-value that closes
+    as a comparison COUNT with the +1 correction — no float ever
+    reduces across rows (operators/mleval.py:
+    permutation_test_mean_diff)."""
+    ev = table(spark, sf_dir, "events")
+    df = ev.select(
+        "event_id",
+        "value",
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+    )
+    return mleval.permutation_test_mean_diff(
+        df, "value", "event_id", "label", b=100
+    )

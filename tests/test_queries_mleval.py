@@ -25,6 +25,7 @@ MLEVAL_IDS = [
     "agg-bootstrap-poisson-ci",
     "ml-group-auc",
     "ml-ks-separation",
+    "stats-permutation-test",
 ]
 
 
