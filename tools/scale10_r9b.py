@@ -37,6 +37,7 @@ OPS = [
     "window-rolling-median",
     "events-dau-wau-mau",
     "affinity-basket-pairs",
+    "stats-permutation-test",
 ]
 
 ID_COLS = {
