@@ -140,6 +140,10 @@ AUDITED = [
     "events-conversion-lag",
     "stats-anova-oneway",
     "sim-centroid-outliers",
+    "events-dau-wau-mau",
+    "affinity-basket-pairs",
+    "stats-permutation-test",
+    "window-rolling-median",
 ]
 
 
