@@ -111,6 +111,7 @@ _DRIVER_PRIORITY = [
     "events-dau-wau-mau",
     "affinity-basket-pairs",
     "stats-permutation-test",
+    "events-seasonal-anomaly",
     # r3 cohort — last driver-checked in round 3
     "unpivot-measures",
     "window-running-sum",

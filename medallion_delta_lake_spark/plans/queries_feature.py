@@ -1475,3 +1475,114 @@ def affinity_basket_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@query(
+    "events-seasonal-anomaly",
+    # seasonally-adjusted anomalies: per hour-of-day baseline
+    # (decimal-exact mean/sd in cents, limb closes), per-row z in one
+    # shared IEEE chain, deterministic top-20 by |z|
+    oracle="""
+    WITH base AS (
+      SELECT event_id, user_id, event_type,
+             CAST(hour(ts) AS INT) AS hod,
+             CAST(round(CAST(value AS DOUBLE) * 100, 0) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    h AS (
+      SELECT hod, COUNT(*) AS n,
+             SUM(CAST(v AS DECIMAL(38,0))) AS s,
+             SUM(CAST(v AS DECIMAL(38,0)) * v) AS q
+      FROM base GROUP BY hod
+    ),
+    hb AS (
+      SELECT hod, n,
+             (CAST(substr(lpad(CAST(s AS VARCHAR),39,'0'),1,13)
+                   AS DOUBLE) * 1e13
+              + CAST(substr(lpad(CAST(s AS VARCHAR),39,'0'),14,13)
+                     AS DOUBLE)) * 1e13
+              + CAST(substr(lpad(CAST(s AS VARCHAR),39,'0'),27,13)
+                     AS DOUBLE) AS sd_,
+             (CAST(substr(lpad(CAST(q AS VARCHAR),39,'0'),1,13)
+                   AS DOUBLE) * 1e13
+              + CAST(substr(lpad(CAST(q AS VARCHAR),39,'0'),14,13)
+                     AS DOUBLE)) * 1e13
+              + CAST(substr(lpad(CAST(q AS VARCHAR),39,'0'),27,13)
+                     AS DOUBLE) AS qd_
+      FROM h
+    ),
+    mb AS (
+      SELECT hod, n, (sd_ / CAST(n AS DOUBLE)) AS m,
+             sqrt(qd_ / CAST(n AS DOUBLE)
+                  - (sd_ / CAST(n AS DOUBLE))
+                    * (sd_ / CAST(n AS DOUBLE))) AS sdev
+      FROM hb
+    ),
+    z AS (
+      SELECT b.event_id, b.user_id, b.event_type, b.hod,
+             CAST(b.v AS DOUBLE) / 100.0 AS value,
+             ((CAST(b.v AS DOUBLE) - mb.m) / mb.sdev) AS z_score
+      FROM base b JOIN mb ON b.hod = mb.hod
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (
+        ORDER BY abs(z_score) DESC, event_id) AS rn
+      FROM z
+    )
+    SELECT event_id, user_id, event_type, hod, value, z_score
+    FROM r WHERE rn <= 20
+    """,
+)
+def events_seasonal_anomaly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """monitoring / seasonally-adjusted anomalies — each event scored
+    against ITS HOUR-OF-DAY's mean/σ baseline (what a naive global
+    z-score gets wrong about diurnal metrics), top-20 by |z|. The 24
+    baselines reduce from decimal-exact cents power sums with limb
+    closes; the per-row z is one shared IEEE chain and the ranking is
+    comparisons only. One grouped pass + a 24-row broadcast join —
+    scan-bound at any scale."""
+    from medallion_delta_lake_spark.operators.agg import limb_double
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    base = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.hour("ts").cast("int").alias("hod"),
+        F.round(F.col("value").cast("double") * 100, 0)
+        .cast("bigint")
+        .alias("v"),
+    )
+    h = base.groupBy("hod").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v").cast("decimal(38,0)")).alias("s"),
+        F.sum(
+            F.col("v").cast("decimal(38,0)") * F.col("v")
+        ).alias("q"),
+    )
+    nd = F.col("n").cast("double")
+    m = limb_double(F.col("s")) / nd
+    mb = h.select(
+        "hod",
+        m.alias("m"),
+        F.sqrt(limb_double(F.col("q")) / nd - m * m).alias("sdev"),
+    )
+    z = base.join(F.broadcast(mb), "hod").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "hod",
+        (F.col("v").cast("double") / 100.0).alias("value"),
+        (
+            (F.col("v").cast("double") - F.col("m")) / F.col("sdev")
+        ).alias("z_score"),
+    )
+    r = z.withColumn(
+        "rn",
+        F.row_number().over(
+            W.orderBy(F.abs(F.col("z_score")).desc(), "event_id")
+        ),
+    )
+    return r.filter(F.col("rn") <= 20).drop("rn")

@@ -31,6 +31,7 @@ FEATURE_IDS = [
     "window-rolling-median",
     "events-dau-wau-mau",
     "affinity-basket-pairs",
+    "events-seasonal-anomaly",
 ]
 
 
