@@ -38,6 +38,7 @@ OPS = [
     "events-dau-wau-mau",
     "affinity-basket-pairs",
     "stats-permutation-test",
+    "events-seasonal-anomaly",
 ]
 
 ID_COLS = {
