@@ -112,6 +112,7 @@ _DRIVER_PRIORITY = [
     "affinity-basket-pairs",
     "stats-permutation-test",
     "events-seasonal-anomaly",
+    "text-top-terms",
     # r3 cohort — last driver-checked in round 3
     "unpivot-measures",
     "window-running-sum",

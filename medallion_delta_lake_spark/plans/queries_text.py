@@ -1915,3 +1915,69 @@ def udtf_chunk_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM _docs_for_chunks d, "
         "LATERAL chunk_windows(d.text, 10, 5) c"
     )
+
+
+@query(
+    "text-top-terms",
+    # keyword extraction: integer rarity score tf * ((N*1e6) div df)
+    # (order-equivalent to tf*N/df; ln() stays out of the engines),
+    # deterministic top-3 per doc
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {TOKS_SQL} AS toks FROM documents
+    ),
+    toks AS (SELECT doc_id, unnest(toks) AS token FROM d),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf
+           FROM toks GROUP BY doc_id, token),
+    dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    sc AS (
+      SELECT t.doc_id, t.token, t.tf,
+             t.tf * ((n.n_docs * 1000000) // f.df) AS score
+      FROM tf t JOIN dfreq f ON f.token = t.token, n
+    ),
+    r AS (
+      SELECT doc_id, token, tf, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, token) AS rank
+      FROM sc
+    )
+    SELECT doc_id, token, tf, score, CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 3
+    """,
+)
+def text_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text / keyword extraction — each document's 3 most
+    characteristic terms by an integer rarity score
+    tf · ⌊N·10⁶/df⌋ (rank-equivalent to tf·N/df, the tf-idf core
+    with the engine-unsafe ln() removed and integrality kept, so the
+    top-k is engine-exact). The topic-labeling / index-card primitive
+    for corpus curation. One explode + two token-keyed aggregations +
+    a doc-partitioned rank window — the tf-idf-stats plan plus one
+    bounded window."""
+    from medallion_delta_lake_spark.operators.text_analysis import (
+        tf_idf_stats,
+    )
+    from pyspark.sql import Window as W
+
+    stats = tf_idf_stats(table(spark, sf_dir, "documents"))
+    sc = stats.select(
+        "doc_id",
+        "token",
+        "tf",
+        (
+            F.col("tf")
+            * F.expr("(n_docs * 1000000) div df")
+        ).alias("score"),
+    )
+    r = sc.withColumn(
+        "rank",
+        F.row_number().over(
+            W.partitionBy("doc_id").orderBy(
+                F.col("score").desc(), "token"
+            )
+        ),
+    )
+    return r.filter(F.col("rank") <= 3).withColumn(
+        "rank", F.col("rank").cast("int")
+    )
