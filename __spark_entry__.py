@@ -113,6 +113,8 @@ _DRIVER_PRIORITY = [
     "stats-permutation-test",
     "events-seasonal-anomaly",
     "text-top-terms",
+    "window-rsi",
+    "agg-hdr-percentiles",
     # r3 cohort — last driver-checked in round 3
     "unpivot-measures",
     "window-running-sum",

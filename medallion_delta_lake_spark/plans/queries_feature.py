@@ -1586,3 +1586,174 @@ def events_seasonal_anomaly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return r.filter(F.col("rn") <= 20).drop("rn")
+
+
+@query(
+    "window-rsi",
+    # Wilder's RSI over integer-cents gains/losses: one (user, ts)
+    # sort feeds LAG + two trailing-14 integer frame sums; the close
+    # is one shared ratio chain with the l14=0 -> 100 branch explicit
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id,
+             CAST(round(CAST(value AS DOUBLE) * 100, 0) AS BIGINT)
+               - lag(CAST(round(CAST(value AS DOUBLE) * 100, 0)
+                     AS BIGINT)) OVER w AS d,
+             ROW_NUMBER() OVER w AS rn
+      FROM events WHERE value IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, event_id, rn,
+             SUM(CASE WHEN d > 0 THEN d ELSE 0 END) OVER f AS g14,
+             SUM(CASE WHEN d < 0 THEN -d ELSE 0 END) OVER f AS l14
+      FROM o
+      WINDOW f AS (PARTITION BY user_id ORDER BY rn
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id,
+           CAST(g14 AS BIGINT) AS gain14,
+           CAST(l14 AS BIGINT) AS loss14,
+           CASE WHEN l14 = 0 THEN 100.0
+                ELSE 100.0 - 100.0
+                     / (1.0 + CAST(g14 AS DOUBLE)
+                              / CAST(l14 AS DOUBLE)) END AS rsi
+    FROM s WHERE rn >= 15
+    """,
+)
+def window_rsi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """window / relative strength index (14-period, simple-average
+    form) per user — the momentum oscillator, computed from integer-
+    cents gains/losses so the frame sums are exact; only the final
+    ratio is floating point, in one shared spelling with the all-gain
+    branch (loss=0 → RSI=100) explicit. One keyed sort feeds LAG and
+    both trailing sums — a single window shuffle at any scale."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    wbase = W.partitionBy("user_id").orderBy("ts", "event_id")
+    v = F.round(F.col("value").cast("double") * 100, 0).cast("bigint")
+    o = ev.select(
+        "user_id",
+        "event_id",
+        (v - F.lag(v).over(wbase)).alias("d"),
+        F.row_number().over(wbase).alias("rn"),
+    )
+    wf = W.partitionBy("user_id").orderBy("rn").rowsBetween(-13, 0)
+    s = o.select(
+        "user_id",
+        "event_id",
+        "rn",
+        F.sum(
+            F.when(F.col("d") > 0, F.col("d")).otherwise(0)
+        ).over(wf).alias("g14"),
+        F.sum(
+            F.when(F.col("d") < 0, -F.col("d")).otherwise(0)
+        ).over(wf).alias("l14"),
+    )
+    return s.filter(F.col("rn") >= 15).select(
+        "user_id",
+        "event_id",
+        F.col("g14").cast("bigint").alias("gain14"),
+        F.col("l14").cast("bigint").alias("loss14"),
+        F.when(F.col("l14") == 0, F.lit(100.0)).otherwise(
+            100.0
+            - 100.0
+            / (
+                1.0
+                + F.col("g14").cast("double")
+                / F.col("l14").cast("double")
+            )
+        ).alias("rsi"),
+    )
+
+
+@query(
+    "agg-hdr-percentiles",
+    # percentile ESTIMATES from the power-of-2 (HdrHistogram-style)
+    # bucket counts: integer cumulative counts, the ceil-free integer
+    # inequality cum*100 >= tot*p, min qualifying bucket per
+    # (group, percentile) -- zero float arithmetic anywhere
+    oracle="""
+    WITH v AS (
+      SELECT event_type AS g,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL
+    ),
+    b AS (
+      SELECT g, length(bin(cents)) - 1 AS bucket
+      FROM v WHERE cents >= 1
+    ),
+    h AS (SELECT g, bucket, COUNT(*) AS n FROM b GROUP BY g, bucket),
+    c AS (
+      SELECT g, bucket, n,
+             SUM(n) OVER (PARTITION BY g ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             SUM(n) OVER (PARTITION BY g) AS tot
+      FROM h
+    ),
+    pf AS (SELECT CAST(p AS INT) AS p
+           FROM (VALUES (50), (90), (99)) t(p)),
+    q AS (
+      SELECT c.g, pf.p, c.bucket, c.cum, c.tot,
+             ROW_NUMBER() OVER (PARTITION BY c.g, pf.p
+               ORDER BY c.bucket) AS ok
+      FROM c JOIN pf ON c.cum * 100 >= c.tot * pf.p
+    )
+    SELECT g AS event_type, p,
+           CAST(bucket AS INT) AS p_bucket,
+           CAST(cum AS BIGINT) AS cum_n,
+           CAST(tot AS BIGINT) AS total_n
+    FROM q WHERE ok = 1
+    """,
+)
+def agg_hdr_percentiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """agg / percentile estimates straight off the power-of-2
+    histogram -- how every constant-memory observability store (HDR,
+    Prometheus-style) answers p50/p90/p99: cumulative bucket counts,
+    first bucket whose cumulative share reaches p (the integer
+    inequality cum*100 >= tot*p avoids ceil AND floats entirely).
+    Complements agg-latency-histogram (the sketch) with its read
+    path. Per-group windows over <=64 bucket rows -- metadata-sized
+    at any corpus."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    b = (
+        ev.select(F.col("event_type").alias("g"), cents.alias("cents"))
+        .filter(F.col("cents") >= 1)
+        .select(
+            "g",
+            (F.length(F.bin("cents")) - 1).cast("int").alias("bucket"),
+        )
+    )
+    h = b.groupBy("g", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    wc = W.partitionBy("g").orderBy("bucket").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    wt = W.partitionBy("g")
+    c = h.select(
+        "g",
+        "bucket",
+        F.sum("n").over(wc).alias("cum"),
+        F.sum("n").over(wt).alias("tot"),
+    )
+    pf = spark.createDataFrame([(50,), (90,), (99,)], "p int")
+    q = c.join(
+        F.broadcast(pf),
+        (F.col("cum") * 100) >= (F.col("tot") * F.col("p")),
+    ).withColumn(
+        "ok",
+        F.row_number().over(
+            W.partitionBy("g", "p").orderBy("bucket")
+        ),
+    )
+    return q.filter(F.col("ok") == 1).select(
+        F.col("g").alias("event_type"),
+        "p",
+        F.col("bucket").cast("int").alias("p_bucket"),
+        F.col("cum").cast("bigint").alias("cum_n"),
+        F.col("tot").cast("bigint").alias("total_n"),
+    )

@@ -32,6 +32,8 @@ FEATURE_IDS = [
     "events-dau-wau-mau",
     "affinity-basket-pairs",
     "events-seasonal-anomaly",
+    "window-rsi",
+    "agg-hdr-percentiles",
 ]
 
 
