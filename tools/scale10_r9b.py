@@ -39,6 +39,8 @@ OPS = [
     "affinity-basket-pairs",
     "stats-permutation-test",
     "events-seasonal-anomaly",
+    "window-rsi",
+    "agg-hdr-percentiles",
 ]
 
 ID_COLS = {
