@@ -115,6 +115,8 @@ _DRIVER_PRIORITY = [
     "text-top-terms",
     "window-rsi",
     "agg-hdr-percentiles",
+    "stats-cohens-kappa",
+    "ml-expected-calibration-error",
     # r3 cohort — last driver-checked in round 3
     "unpivot-measures",
     "window-running-sum",

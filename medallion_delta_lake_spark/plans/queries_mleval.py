@@ -677,3 +677,222 @@ def stats_permutation_test_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mleval.permutation_test_mean_diff(
         df, "value", "event_id", "label", b=100
     )
+
+
+@query(
+    "stats-cohens-kappa",
+    # inter-rater agreement between two deterministic binary raters:
+    # integer 2x2 contingency, kappa closes from the four cells in
+    # one shared IEEE chain
+    oracle="""
+    WITH base AS (
+      SELECT CAST(round(CAST(value AS DOUBLE) * 100, 0) AS BIGINT)
+               AS v,
+             CASE WHEN event_type IN ('purchase', 'click')
+                  THEN 1 ELSE 0 END AS rb
+      FROM events WHERE value IS NOT NULL
+    ),
+    med AS (
+      SELECT v AS m FROM (
+        SELECT v, ROW_NUMBER() OVER (ORDER BY v, rb) AS rn,
+               COUNT(*) OVER () AS n
+        FROM base
+      ) WHERE rn = (n + 1) // 2
+    ),
+    lab AS (
+      SELECT CASE WHEN base.v >= med.m THEN 1 ELSE 0 END AS ra, rb
+      FROM base, med
+    ),
+    cells AS (
+      SELECT CAST(SUM(ra * rb) AS BIGINT) AS a,
+             CAST(SUM(ra * (1 - rb)) AS BIGINT) AS b,
+             CAST(SUM((1 - ra) * rb) AS BIGINT) AS c,
+             CAST(SUM((1 - ra) * (1 - rb)) AS BIGINT) AS d
+      FROM lab
+    )
+    SELECT a, b, c, d,
+           (CAST(a + d AS DOUBLE) / CAST(a + b + c + d AS DOUBLE))
+             AS p_obs,
+           ((CAST(a + b AS DOUBLE) * CAST(a + c AS DOUBLE)
+             + CAST(c + d AS DOUBLE) * CAST(b + d AS DOUBLE))
+            / (CAST(a + b + c + d AS DOUBLE)
+               * CAST(a + b + c + d AS DOUBLE))) AS p_exp,
+           (((CAST(a + d AS DOUBLE) / CAST(a + b + c + d AS DOUBLE))
+             - ((CAST(a + b AS DOUBLE) * CAST(a + c AS DOUBLE)
+                 + CAST(c + d AS DOUBLE) * CAST(b + d AS DOUBLE))
+                / (CAST(a + b + c + d AS DOUBLE)
+                   * CAST(a + b + c + d AS DOUBLE))))
+            / (1.0
+               - ((CAST(a + b AS DOUBLE) * CAST(a + c AS DOUBLE)
+                   + CAST(c + d AS DOUBLE) * CAST(b + d AS DOUBLE))
+                  / (CAST(a + b + c + d AS DOUBLE)
+                     * CAST(a + b + c + d AS DOUBLE))))) AS kappa
+    FROM cells
+    """,
+)
+def stats_cohens_kappa_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stats / Cohen's kappa — chance-corrected agreement between two
+    binary raters (here two deterministic labelers: value >= corpus
+    median, and the engagement event-type class — the label-quality
+    audit shape used when double-annotating training data). The 2x2
+    contingency is pure integer sums off a positional median; kappa
+    closes from the four cells in one fully-parenthesized shared
+    chain."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    base = ev.select(
+        F.round(F.col("value").cast("double") * 100, 0)
+        .cast("bigint")
+        .alias("v"),
+        F.col("event_type")
+        .isin("purchase", "click")
+        .cast("int")
+        .alias("rb"),
+    )
+    wr = W.orderBy("v", "rb")
+    med = (
+        base.select(
+            "v",
+            F.row_number().over(wr).alias("rn"),
+            F.count(F.lit(1)).over(
+                W.rowsBetween(
+                    W.unboundedPreceding, W.unboundedFollowing
+                )
+            ).alias("n"),
+        )
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select(F.col("v").alias("m"))
+    )
+    lab = base.crossJoin(F.broadcast(med)).select(
+        (F.col("v") >= F.col("m")).cast("int").alias("ra"), "rb"
+    )
+    cells = lab.groupBy().agg(
+        F.sum(F.col("ra") * F.col("rb")).cast("bigint").alias("a"),
+        F.sum(F.col("ra") * (1 - F.col("rb")))
+        .cast("bigint")
+        .alias("b"),
+        F.sum((1 - F.col("ra")) * F.col("rb"))
+        .cast("bigint")
+        .alias("c"),
+        F.sum((1 - F.col("ra")) * (1 - F.col("rb")))
+        .cast("bigint")
+        .alias("d"),
+    )
+    a, b, c, d = (F.col(x).cast("double") for x in "abcd")
+    tot = a + b + c + d
+    p_obs = (a + d) / tot
+    p_exp = ((a + b) * (a + c) + (c + d) * (b + d)) / (tot * tot)
+    return cells.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        p_obs.alias("p_obs"),
+        p_exp.alias("p_exp"),
+        ((p_obs - p_exp) / (1.0 - p_exp)).alias("kappa"),
+    )
+
+
+@query(
+    "ml-expected-calibration-error",
+    # ECE over the reliability bins: per-bin |pos_rate - avg_score|
+    # terms are nonnegative doubles from the SAME integer cores as
+    # ml-calibration-bins; the 10-term reduction runs in an ordered
+    # window (k <= 17 rule) closed by MAX
+    oracle="""
+    WITH g AS (
+      SELECT MAX(value) AS gmax FROM events WHERE value IS NOT NULL
+    ),
+    s AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+               AS y,
+             LEAST(CAST(floor((value / gmax) * 10) AS BIGINT), 9)
+               AS bin,
+             CAST(floor((value / gmax) * 1e12) AS BIGINT) AS si
+      FROM events, g WHERE value IS NOT NULL
+    ),
+    b AS (
+      SELECT bin, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS np,
+             SUM(si) AS ssi
+      FROM s GROUP BY bin
+    ),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS big_n FROM b),
+    term AS (
+      SELECT bin, t.big_n,
+             (CAST(n AS DOUBLE) / CAST(t.big_n AS DOUBLE))
+               * ABS(CAST(np AS DOUBLE) / CAST(n AS DOUBLE)
+                     - CAST(ssi AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * 1e12)) AS term
+      FROM b, t
+    ),
+    run AS (
+      SELECT big_n,
+             SUM(term) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS r
+      FROM term
+    )
+    SELECT MAX(r) AS ece, COUNT(*) AS n_bins,
+           MAX(big_n) AS n
+    FROM run
+    """,
+)
+def ml_expected_calibration_error_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ml eval / expected calibration error — the scalar the
+    reliability diagram (ml-calibration-bins) summarizes to:
+    Σ (n_b/N)·|pos_rate_b − avg_score_b| over the 10 deciles. Bin
+    cores are the proven integer quantizations; the 10 nonnegative
+    double terms reduce in a deterministic ORDER BY bin window (the
+    registry's k≤17 rule) closed by MAX."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    g = ev.agg(F.max("value").alias("gmax"))
+    s = ev.crossJoin(F.broadcast(g)).select(
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+        F.least(
+            F.floor((F.col("value") / F.col("gmax")) * 10),
+            F.lit(9).cast("bigint"),
+        ).alias("bin"),
+        F.floor(
+            (F.col("value") / F.col("gmax")) * F.lit(1e12)
+        ).alias("si"),
+    )
+    b = s.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").cast("bigint").alias("np"),
+        F.sum("si").alias("ssi"),
+    )
+    t = b.groupBy().agg(F.sum("n").cast("bigint").alias("big_n"))
+    nd = F.col("n").cast("double")
+    term = b.crossJoin(F.broadcast(t)).select(
+        "bin",
+        "big_n",
+        (
+            (nd / F.col("big_n").cast("double"))
+            * F.abs(
+                F.col("np").cast("double") / nd
+                - F.col("ssi").cast("double") / (nd * F.lit(1e12))
+            )
+        ).alias("term"),
+    )
+    run = term.select(
+        "big_n",
+        F.sum("term")
+        .over(
+            W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+        )
+        .alias("r"),
+    )
+    return run.groupBy().agg(
+        F.max("r").alias("ece"),
+        F.count(F.lit(1)).alias("n_bins"),
+        F.max("big_n").alias("n"),
+    )

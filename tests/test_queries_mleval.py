@@ -26,6 +26,8 @@ MLEVAL_IDS = [
     "ml-group-auc",
     "ml-ks-separation",
     "stats-permutation-test",
+    "stats-cohens-kappa",
+    "ml-expected-calibration-error",
 ]
 
 
