@@ -41,6 +41,8 @@ OPS = [
     "events-seasonal-anomaly",
     "window-rsi",
     "agg-hdr-percentiles",
+    "stats-cohens-kappa",
+    "ml-expected-calibration-error",
 ]
 
 ID_COLS = {
