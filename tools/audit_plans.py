@@ -144,6 +144,12 @@ AUDITED = [
     "affinity-basket-pairs",
     "stats-permutation-test",
     "window-rolling-median",
+    "events-seasonal-anomaly",
+    "text-top-terms",
+    "window-rsi",
+    "agg-hdr-percentiles",
+    "stats-cohens-kappa",
+    "ml-expected-calibration-error",
 ]
 
 
