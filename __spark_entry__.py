@@ -117,6 +117,7 @@ _DRIVER_PRIORITY = [
     "agg-hdr-percentiles",
     "stats-cohens-kappa",
     "ml-expected-calibration-error",
+    "stats-friedman-test",
     # r3 cohort — last driver-checked in round 3
     "unpivot-measures",
     "window-running-sum",

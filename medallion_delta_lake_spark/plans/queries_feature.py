@@ -1757,3 +1757,131 @@ def agg_hdr_percentiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cum").cast("bigint").alias("cum_n"),
         F.col("tot").cast("bigint").alias("total_n"),
     )
+
+
+@query(
+    "stats-friedman-test",
+    # repeated-measures rank test over complete (user x event-type)
+    # blocks: per-block means are rationals ranked EXACTLY by integer
+    # cross-multiplication (s_i*n_j vs s_j*n_i -- no division, no
+    # floats), doubled midranks keep everything integral; one shared
+    # chi-square close
+    oracle="""
+    WITH cell AS (
+      SELECT user_id, event_type,
+             CAST(SUM(CAST(round(CAST(value AS DOUBLE) * 100, 0)
+                  AS BIGINT)) AS BIGINT) AS s,
+             COUNT(*) AS n
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY user_id, event_type
+    ),
+    full_u AS (
+      SELECT user_id FROM cell GROUP BY user_id
+      HAVING COUNT(*) = 5
+    ),
+    c AS (
+      SELECT cell.* FROM cell JOIN full_u USING (user_id)
+    ),
+    d AS (
+      SELECT a.user_id, a.event_type,
+             CAST(SUM(CASE WHEN b.s * a.n < a.s * b.n THEN 2
+                           WHEN b.s * a.n = a.s * b.n THEN 1
+                           ELSE 0 END) + 1 AS BIGINT) AS dd
+      FROM c a JOIN c b ON a.user_id = b.user_id
+      GROUP BY a.user_id, a.event_type
+    ),
+    rt AS (
+      SELECT event_type, CAST(SUM(dd) AS BIGINT) AS big_d
+      FROM d GROUP BY event_type
+    ),
+    agg AS (
+      SELECT CAST(SUM(big_d * big_d) AS BIGINT) AS sum_d2,
+             COUNT(*) AS k
+      FROM rt
+    ),
+    nn AS (SELECT COUNT(*) AS n_blocks FROM full_u)
+    SELECT nn.n_blocks, agg.k,
+           ((3.0 * CAST(agg.sum_d2 AS DOUBLE))
+              / (CAST(nn.n_blocks AS DOUBLE) * CAST(agg.k AS DOUBLE)
+                 * (CAST(agg.k AS DOUBLE) + 1.0))
+            - 3.0 * CAST(nn.n_blocks AS DOUBLE)
+              * (CAST(agg.k AS DOUBLE) + 1.0)) AS chi2_f,
+           CAST(agg.k - 1 AS BIGINT) AS dof
+    FROM nn, agg
+    """,
+)
+def stats_friedman_test_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stats / Friedman test — the repeated-measures member closing
+    the nonparametric family (Kruskal–Wallis = independent groups,
+    this = within-block ranks): does any event type's mean value rank
+    consistently high/low WITHIN users? Per-block means are rationals
+    ranked exactly by integer cross-multiplication (s_i·n_j vs
+    s_j·n_i — no division ever happens), doubled midranks
+    d = 2·#less + #ties + 1 stay integral (ties included; the
+    tie-corrected denominator is omitted — documented, standard for
+    the screening form), and the χ²_F close is one shared chain. The
+    only joins are per-user k×k (k = 5) — bounded at any scale."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    cents = F.round(F.col("value").cast("double") * 100, 0).cast(
+        "bigint"
+    )
+    cell = ev.groupBy("user_id", "event_type").agg(
+        F.sum(cents).cast("bigint").alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    full_u = (
+        cell.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("kk"))
+        .filter(F.col("kk") == 5)
+        .select("user_id")
+    )
+    c = cell.join(full_u, "user_id")
+    a, b = c.alias("a"), c.alias("b")
+    d = (
+        a.join(b, F.col("a.user_id") == F.col("b.user_id"))
+        .groupBy(F.col("a.user_id"), F.col("a.event_type"))
+        .agg(
+            (
+                F.sum(
+                    F.when(
+                        F.col("b.s") * F.col("a.n")
+                        < F.col("a.s") * F.col("b.n"),
+                        2,
+                    )
+                    .when(
+                        F.col("b.s") * F.col("a.n")
+                        == F.col("a.s") * F.col("b.n"),
+                        1,
+                    )
+                    .otherwise(0)
+                )
+                + 1
+            )
+            .cast("bigint")
+            .alias("dd")
+        )
+    )
+    rt = d.groupBy("event_type").agg(
+        F.sum("dd").cast("bigint").alias("big_d")
+    )
+    agg = rt.groupBy().agg(
+        F.sum(F.col("big_d") * F.col("big_d"))
+        .cast("bigint")
+        .alias("sum_d2"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    nn = full_u.groupBy().agg(F.count(F.lit(1)).alias("n_blocks"))
+    nd = F.col("n_blocks").cast("double")
+    kd = F.col("k").cast("double")
+    return nn.crossJoin(F.broadcast(agg)).select(
+        "n_blocks",
+        "k",
+        (
+            (3.0 * F.col("sum_d2").cast("double"))
+            / (nd * kd * (kd + 1.0))
+            - 3.0 * nd * (kd + 1.0)
+        ).alias("chi2_f"),
+        (F.col("k") - 1).cast("bigint").alias("dof"),
+    )

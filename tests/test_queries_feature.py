@@ -34,6 +34,7 @@ FEATURE_IDS = [
     "events-seasonal-anomaly",
     "window-rsi",
     "agg-hdr-percentiles",
+    "stats-friedman-test",
 ]
 
 
