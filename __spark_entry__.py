@@ -118,6 +118,7 @@ _DRIVER_PRIORITY = [
     "stats-cohens-kappa",
     "ml-expected-calibration-error",
     "stats-friedman-test",
+    "agg-tukey-fences",
     # r3 cohort — last driver-checked in round 3
     "unpivot-measures",
     "window-running-sum",

@@ -1885,3 +1885,124 @@ def stats_friedman_test_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("chi2_f"),
         (F.col("k") - 1).cast("bigint").alias("dof"),
     )
+
+
+@query(
+    "agg-tukey-fences",
+    # box-plot stats per group: positional quartiles (explicit
+    # ceil-position contract), DOUBLED integer fences 2q1-3*IQR /
+    # 2q3+3*IQR so the 1.5x multiplier never leaves integers, outlier
+    # census by integer comparison
+    oracle="""
+    WITH v AS (
+      SELECT event_type AS g,
+             CAST(round(CAST(value AS DOUBLE) * 100, 0) AS BIGINT)
+               AS c
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    r AS (
+      SELECT g, c,
+             ROW_NUMBER() OVER (PARTITION BY g ORDER BY c) AS rn,
+             COUNT(*) OVER (PARTITION BY g) AS n
+      FROM v
+    ),
+    q AS (
+      SELECT g, MAX(n) AS n,
+             MAX(CASE WHEN rn = (n + 3) // 4 THEN c END) AS q1,
+             MAX(CASE WHEN rn = (3 * n + 3) // 4 THEN c END) AS q3
+      FROM r GROUP BY g
+    ),
+    f AS (
+      SELECT g, n, q1, q3,
+             2 * q1 - 3 * (q3 - q1) AS lo2,
+             2 * q3 + 3 * (q3 - q1) AS hi2
+      FROM q
+    )
+    SELECT f.g AS event_type, CAST(f.n AS BIGINT) AS n,
+           CAST(f.q1 AS DOUBLE) / 100.0 AS q1,
+           CAST(f.q3 AS DOUBLE) / 100.0 AS q3,
+           CAST(SUM(CASE WHEN 2 * v.c < f.lo2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_low,
+           CAST(SUM(CASE WHEN 2 * v.c > f.hi2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_high
+    FROM f JOIN v ON v.g = f.g
+    GROUP BY f.g, f.n, f.q1, f.q3
+    """,
+)
+def agg_tukey_fences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stats / Tukey fences (box-plot outlier census) per group —
+    positional quartiles with an explicit ceil-position contract, and
+    the 1.5×IQR fences kept INTEGRAL by doubling (2v vs 2q1−3·IQR):
+    the whole op is integer selection + integer comparisons; the only
+    doubles are the two reported quartile values. Complements
+    stats-mad-outliers (the robust-scale cousin) with the classic
+    quartile form. One keyed sort + one broadcast-back pass."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    v = ev.select(
+        F.col("event_type").alias("g"),
+        F.round(F.col("value").cast("double") * 100, 0)
+        .cast("bigint")
+        .alias("c"),
+    )
+    wr = W.partitionBy("g").orderBy("c")
+    r = v.select(
+        "g",
+        "c",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1))
+        .over(
+            W.partitionBy("g").rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        )
+        .alias("n"),
+    )
+    q = r.groupBy("g").agg(
+        F.max("n").alias("n"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 3) div 4"), F.col("c"))
+        ).alias("q1"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(3 * n + 3) div 4"), F.col("c")
+            )
+        ).alias("q3"),
+    )
+    f = q.select(
+        "g",
+        "n",
+        "q1",
+        "q3",
+        (2 * F.col("q1") - 3 * (F.col("q3") - F.col("q1"))).alias(
+            "lo2"
+        ),
+        (2 * F.col("q3") + 3 * (F.col("q3") - F.col("q1"))).alias(
+            "hi2"
+        ),
+    )
+    return (
+        v.join(F.broadcast(f), "g")
+        .groupBy("g", "n", "q1", "q3")
+        .agg(
+            F.sum(
+                (2 * F.col("c") < F.col("lo2")).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_low"),
+            F.sum(
+                (2 * F.col("c") > F.col("hi2")).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_high"),
+        )
+        .select(
+            F.col("g").alias("event_type"),
+            F.col("n").cast("bigint").alias("n"),
+            (F.col("q1").cast("double") / 100.0).alias("q1"),
+            (F.col("q3").cast("double") / 100.0).alias("q3"),
+            "n_low",
+            "n_high",
+        )
+    )

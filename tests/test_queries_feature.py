@@ -35,6 +35,7 @@ FEATURE_IDS = [
     "window-rsi",
     "agg-hdr-percentiles",
     "stats-friedman-test",
+    "agg-tukey-fences",
 ]
 
 
