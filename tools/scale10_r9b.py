@@ -43,6 +43,8 @@ OPS = [
     "agg-hdr-percentiles",
     "stats-cohens-kappa",
     "ml-expected-calibration-error",
+    "stats-friedman-test",
+    "agg-tukey-fences",
 ]
 
 ID_COLS = {
