@@ -119,6 +119,7 @@ _DRIVER_PRIORITY = [
     "ml-expected-calibration-error",
     "stats-friedman-test",
     "agg-tukey-fences",
+    "join-nn-match-1d",
     # r3 cohort — last driver-checked in round 3
     "unpivot-measures",
     "window-running-sum",

@@ -2006,3 +2006,109 @@ def agg_tukey_fences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_high",
         )
     )
+
+
+@query(
+    "join-nn-match-1d",
+    # matched-cohort construction: each treated row pairs with its
+    # nearest control BY VALUE via two IGNORE-NULLS carries over ONE
+    # (value, role, id) sort -- the as-of machinery rotated from the
+    # time axis to the covariate axis; integer cents distances,
+    # prev-wins tie documented
+    oracle="""
+    WITH base AS (
+      SELECT event_id,
+             CAST(round(CAST(value AS DOUBLE) * 100, 0) AS BIGINT)
+               AS v,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+               AS treated
+      FROM events WHERE value IS NOT NULL
+    ),
+    o AS (
+      SELECT event_id, v, treated,
+             last_value(CASE WHEN treated = 0 THEN event_id END
+                        IGNORE NULLS) OVER wp AS prev_id,
+             last_value(CASE WHEN treated = 0 THEN v END
+                        IGNORE NULLS) OVER wp AS prev_v,
+             first_value(CASE WHEN treated = 0 THEN event_id END
+                         IGNORE NULLS) OVER wn AS next_id,
+             first_value(CASE WHEN treated = 0 THEN v END
+                         IGNORE NULLS) OVER wn AS next_v
+      FROM base
+      WINDOW
+        wp AS (ORDER BY v, treated, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        wn AS (ORDER BY v, treated, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_id AS treated_id,
+           CAST(v AS DOUBLE) / 100.0 AS treated_value,
+           CASE WHEN prev_id IS NULL THEN next_id
+                WHEN next_id IS NULL THEN prev_id
+                WHEN v - prev_v <= next_v - v THEN prev_id
+                ELSE next_id END AS control_id,
+           CAST(CASE WHEN prev_id IS NULL THEN next_v - v
+                     WHEN next_id IS NULL THEN v - prev_v
+                     WHEN v - prev_v <= next_v - v THEN v - prev_v
+                     ELSE next_v - v END AS DOUBLE) / 100.0
+             AS match_distance
+    FROM o WHERE treated = 1
+    """,
+)
+def join_nn_match_1d_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join / 1-D nearest-neighbor matching — pair every treated row
+    (purchase) with its closest control BY VALUE: the matched-cohort
+    construction behind simple causal contrasts (propensity-style
+    matching with a scalar covariate). The as-of union-window trick
+    rotated from time to the covariate axis: one (value, role, id)
+    sort carries the last/next control; integer-cents distances;
+    distance ties take the lower-value (prev) control — explicit
+    contract. Scale note: value matching is inherently a global
+    order; at 100 TB, range-partition by value with boundary overlap
+    (same recipe as normalize-quantile-map's pooled rank) — the
+    per-partition machinery is unchanged."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    base = ev.select(
+        "event_id",
+        F.round(F.col("value").cast("double") * 100, 0)
+        .cast("bigint")
+        .alias("v"),
+        (F.col("event_type") == "purchase").cast("int").alias(
+            "treated"
+        ),
+    )
+    order = [F.col("v"), F.col("treated"), F.col("event_id")]
+    wp = W.orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
+    wn = W.orderBy(*order).rowsBetween(1, W.unboundedFollowing)
+    ctl_id = F.when(F.col("treated") == 0, F.col("event_id"))
+    ctl_v = F.when(F.col("treated") == 0, F.col("v"))
+    o = base.select(
+        "event_id",
+        "v",
+        "treated",
+        F.last(ctl_id, ignorenulls=True).over(wp).alias("prev_id"),
+        F.last(ctl_v, ignorenulls=True).over(wp).alias("prev_v"),
+        F.first(ctl_id, ignorenulls=True).over(wn).alias("next_id"),
+        F.first(ctl_v, ignorenulls=True).over(wn).alias("next_v"),
+    )
+    prev_d = F.col("v") - F.col("prev_v")
+    next_d = F.col("next_v") - F.col("v")
+    pick_prev = (
+        F.col("next_id").isNull()
+        | (F.col("prev_id").isNotNull() & (prev_d <= next_d))
+    )
+    return o.filter(F.col("treated") == 1).select(
+        F.col("event_id").alias("treated_id"),
+        (F.col("v").cast("double") / 100.0).alias("treated_value"),
+        F.when(pick_prev, F.col("prev_id"))
+        .otherwise(F.col("next_id"))
+        .alias("control_id"),
+        (
+            F.when(pick_prev, prev_d)
+            .otherwise(next_d)
+            .cast("double")
+            / 100.0
+        ).alias("match_distance"),
+    )

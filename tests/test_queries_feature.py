@@ -36,6 +36,7 @@ FEATURE_IDS = [
     "agg-hdr-percentiles",
     "stats-friedman-test",
     "agg-tukey-fences",
+    "join-nn-match-1d",
 ]
 
 
