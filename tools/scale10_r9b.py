@@ -45,6 +45,7 @@ OPS = [
     "ml-expected-calibration-error",
     "stats-friedman-test",
     "agg-tukey-fences",
+    "join-nn-match-1d",
 ]
 
 ID_COLS = {
