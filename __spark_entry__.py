@@ -120,6 +120,7 @@ _DRIVER_PRIORITY = [
     "stats-friedman-test",
     "agg-tukey-fences",
     "join-nn-match-1d",
+    "stats-matched-uplift",
     # r3 cohort — last driver-checked in round 3
     "unpivot-measures",
     "window-running-sum",

@@ -2112,3 +2112,130 @@ def join_nn_match_1d_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100.0
         ).alias("match_distance"),
     )
+
+
+@query(
+    "stats-matched-uplift",
+    # the causal contrast the matcher exists for: mean(treated) -
+    # mean(matched control) over the matched pairs, DECIMAL-exact
+    # numerators, limb closes, one shared diff
+    oracle="""
+    WITH base AS (
+      SELECT event_id,
+             CAST(round(CAST(value AS DOUBLE) * 100, 0) AS BIGINT)
+               AS v,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+               AS treated
+      FROM events WHERE value IS NOT NULL
+    ),
+    o AS (
+      SELECT event_id, v, treated,
+             last_value(CASE WHEN treated = 0 THEN event_id END
+                        IGNORE NULLS) OVER wp AS prev_id,
+             last_value(CASE WHEN treated = 0 THEN v END
+                        IGNORE NULLS) OVER wp AS prev_v,
+             first_value(CASE WHEN treated = 0 THEN event_id END
+                         IGNORE NULLS) OVER wn AS next_id,
+             first_value(CASE WHEN treated = 0 THEN v END
+                         IGNORE NULLS) OVER wn AS next_v
+      FROM base
+      WINDOW
+        wp AS (ORDER BY v, treated, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        wn AS (ORDER BY v, treated, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    ),
+    pairs AS (
+      SELECT v AS tv,
+             CASE WHEN prev_id IS NULL THEN next_v
+                  WHEN next_id IS NULL THEN prev_v
+                  WHEN v - prev_v <= next_v - v THEN prev_v
+                  ELSE next_v END AS cv
+      FROM o WHERE treated = 1
+        AND (prev_id IS NOT NULL OR next_id IS NOT NULL)
+    ),
+    agg AS (
+      SELECT COUNT(*) AS n_pairs,
+             SUM(CAST(tv AS DECIMAL(38,0))) AS st,
+             SUM(CAST(cv AS DECIMAL(38,0))) AS sc
+      FROM pairs
+    )
+    SELECT n_pairs,
+           ((((CAST(substr(lpad(replace(CAST((st) AS VARCHAR), '.', ''), 39, '0'), 1, 13) AS DOUBLE) * 1e13 + CAST(substr(lpad(replace(CAST((st) AS VARCHAR), '.', ''), 39, '0'), 14, 13) AS DOUBLE)) * 1e13 + CAST(substr(lpad(replace(CAST((st) AS VARCHAR), '.', ''), 39, '0'), 27, 13) AS DOUBLE)) / CAST(n_pairs AS DOUBLE)) / 100.0)
+             AS treated_mean,
+           ((((CAST(substr(lpad(replace(CAST((sc) AS VARCHAR), '.', ''), 39, '0'), 1, 13) AS DOUBLE) * 1e13 + CAST(substr(lpad(replace(CAST((sc) AS VARCHAR), '.', ''), 39, '0'), 14, 13) AS DOUBLE)) * 1e13 + CAST(substr(lpad(replace(CAST((sc) AS VARCHAR), '.', ''), 39, '0'), 27, 13) AS DOUBLE)) / CAST(n_pairs AS DOUBLE)) / 100.0)
+             AS control_mean,
+           (((((CAST(substr(lpad(replace(CAST((st) AS VARCHAR), '.', ''), 39, '0'), 1, 13) AS DOUBLE) * 1e13 + CAST(substr(lpad(replace(CAST((st) AS VARCHAR), '.', ''), 39, '0'), 14, 13) AS DOUBLE)) * 1e13 + CAST(substr(lpad(replace(CAST((st) AS VARCHAR), '.', ''), 39, '0'), 27, 13) AS DOUBLE)) / CAST(n_pairs AS DOUBLE)) / 100.0)
+            - ((((CAST(substr(lpad(replace(CAST((sc) AS VARCHAR), '.', ''), 39, '0'), 1, 13) AS DOUBLE) * 1e13 + CAST(substr(lpad(replace(CAST((sc) AS VARCHAR), '.', ''), 39, '0'), 14, 13) AS DOUBLE)) * 1e13 + CAST(substr(lpad(replace(CAST((sc) AS VARCHAR), '.', ''), 39, '0'), 27, 13) AS DOUBLE)) / CAST(n_pairs AS DOUBLE)) / 100.0))
+             AS uplift
+    FROM agg
+    """,
+)
+def stats_matched_uplift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stats / matched-pairs uplift — the causal contrast the 1-D
+    matcher feeds: mean treated value minus mean matched-control
+    value over the nearest-neighbor pairs (join-nn-match-1d's
+    machinery inlined), DECIMAL-exact numerators and limb closes.
+    Here treatment correlates with its own matching covariate so the
+    estimate is ≈0 by construction — the pipeline shape, ready for a
+    real outcome column."""
+    from medallion_delta_lake_spark.operators.agg import limb_double
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    base = ev.select(
+        "event_id",
+        F.round(F.col("value").cast("double") * 100, 0)
+        .cast("bigint")
+        .alias("v"),
+        (F.col("event_type") == "purchase").cast("int").alias(
+            "treated"
+        ),
+    )
+    order = [F.col("v"), F.col("treated"), F.col("event_id")]
+    wp = W.orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
+    wn = W.orderBy(*order).rowsBetween(1, W.unboundedFollowing)
+    ctl_id = F.when(F.col("treated") == 0, F.col("event_id"))
+    ctl_v = F.when(F.col("treated") == 0, F.col("v"))
+    o = base.select(
+        "v",
+        "treated",
+        F.last(ctl_id, ignorenulls=True).over(wp).alias("prev_id"),
+        F.last(ctl_v, ignorenulls=True).over(wp).alias("prev_v"),
+        F.first(ctl_id, ignorenulls=True).over(wn).alias("next_id"),
+        F.first(ctl_v, ignorenulls=True).over(wn).alias("next_v"),
+    )
+    pick_prev = (
+        F.col("next_id").isNull()
+        | (
+            F.col("prev_id").isNotNull()
+            & (
+                F.col("v") - F.col("prev_v")
+                <= F.col("next_v") - F.col("v")
+            )
+        )
+    )
+    pairs = o.filter(
+        (F.col("treated") == 1)
+        & (F.col("prev_id").isNotNull() | F.col("next_id").isNotNull())
+    ).select(
+        F.col("v").alias("tv"),
+        F.when(pick_prev, F.col("prev_v"))
+        .otherwise(F.col("next_v"))
+        .alias("cv"),
+    )
+    agg = pairs.groupBy().agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.col("tv").cast("decimal(38,0)")).alias("st"),
+        F.sum(F.col("cv").cast("decimal(38,0)")).alias("sc"),
+    )
+    npd = F.col("n_pairs").cast("double")
+    tm = (limb_double(F.col("st")) / npd) / 100.0
+    cm = (limb_double(F.col("sc")) / npd) / 100.0
+    return agg.select(
+        "n_pairs",
+        tm.alias("treated_mean"),
+        cm.alias("control_mean"),
+        (tm - cm).alias("uplift"),
+    )

@@ -37,6 +37,7 @@ FEATURE_IDS = [
     "stats-friedman-test",
     "agg-tukey-fences",
     "join-nn-match-1d",
+    "stats-matched-uplift",
 ]
 
 
