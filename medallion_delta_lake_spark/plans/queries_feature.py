@@ -2081,7 +2081,14 @@ def join_nn_match_1d_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     order = [F.col("v"), F.col("treated"), F.col("event_id")]
     wp = W.orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
-    wn = W.orderBy(*order).rowsBetween(1, W.unboundedFollowing)
+    # "first control strictly AFTER me" as a DESC-order running carry:
+    # Spark evaluates [1 FOLLOWING, UNBOUNDED] frames by re-aggregating
+    # the tail PER ROW (O(n^2) -- measured: hung at 1M rows); the
+    # reversed growing frame is the O(n) spelling of the same value
+    wn = W.orderBy(
+        F.col("v").desc(), F.col("treated").desc(),
+        F.col("event_id").desc(),
+    ).rowsBetween(W.unboundedPreceding, -1)
     ctl_id = F.when(F.col("treated") == 0, F.col("event_id"))
     ctl_v = F.when(F.col("treated") == 0, F.col("v"))
     o = base.select(
@@ -2090,8 +2097,8 @@ def join_nn_match_1d_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "treated",
         F.last(ctl_id, ignorenulls=True).over(wp).alias("prev_id"),
         F.last(ctl_v, ignorenulls=True).over(wp).alias("prev_v"),
-        F.first(ctl_id, ignorenulls=True).over(wn).alias("next_id"),
-        F.first(ctl_v, ignorenulls=True).over(wn).alias("next_v"),
+        F.last(ctl_id, ignorenulls=True).over(wn).alias("next_id"),
+        F.last(ctl_v, ignorenulls=True).over(wn).alias("next_v"),
     )
     prev_d = F.col("v") - F.col("prev_v")
     next_d = F.col("next_v") - F.col("v")
@@ -2195,7 +2202,12 @@ def stats_matched_uplift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     order = [F.col("v"), F.col("treated"), F.col("event_id")]
     wp = W.orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
-    wn = W.orderBy(*order).rowsBetween(1, W.unboundedFollowing)
+    # reversed growing frame: see join-nn-match-1d (O(n) vs Spark's
+    # O(n^2) tail re-aggregation for [1 FOLLOWING, UNBOUNDED])
+    wn = W.orderBy(
+        F.col("v").desc(), F.col("treated").desc(),
+        F.col("event_id").desc(),
+    ).rowsBetween(W.unboundedPreceding, -1)
     ctl_id = F.when(F.col("treated") == 0, F.col("event_id"))
     ctl_v = F.when(F.col("treated") == 0, F.col("v"))
     o = base.select(
@@ -2203,8 +2215,8 @@ def stats_matched_uplift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "treated",
         F.last(ctl_id, ignorenulls=True).over(wp).alias("prev_id"),
         F.last(ctl_v, ignorenulls=True).over(wp).alias("prev_v"),
-        F.first(ctl_id, ignorenulls=True).over(wn).alias("next_id"),
-        F.first(ctl_v, ignorenulls=True).over(wn).alias("next_v"),
+        F.last(ctl_id, ignorenulls=True).over(wn).alias("next_id"),
+        F.last(ctl_v, ignorenulls=True).over(wn).alias("next_v"),
     )
     pick_prev = (
         F.col("next_id").isNull()

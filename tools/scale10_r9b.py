@@ -46,6 +46,7 @@ OPS = [
     "stats-friedman-test",
     "agg-tukey-fences",
     "join-nn-match-1d",
+    "stats-matched-uplift",
 ]
 
 ID_COLS = {
