@@ -121,6 +121,8 @@ _DRIVER_PRIORITY = [
     "agg-tukey-fences",
     "join-nn-match-1d",
     "stats-matched-uplift",
+    "stats-durbin-watson",
+    "events-new-vs-returning",
     # r3 cohort — last driver-checked in round 3
     "unpivot-measures",
     "window-running-sum",

@@ -2251,3 +2251,143 @@ def stats_matched_uplift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         cm.alias("control_mean"),
         (tm - cm).alias("uplift"),
     )
+
+
+@query(
+    "stats-durbin-watson",
+    # DW over each type's daily-revenue series: numerator = sum of
+    # squared LAG diffs (DECIMAL-exact, centering-invariant),
+    # denominator = n*sum(v^2) - (sum v)^2 via limb; one shared close
+    oracle="""
+    WITH d AS (
+      SELECT event_type AS g, CAST(ts AS DATE) AS dy,
+             CAST(SUM(CAST(round(CAST(value AS DOUBLE) * 100, 0)
+                  AS BIGINT)) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    l AS (
+      SELECT g, v, lag(v) OVER (PARTITION BY g ORDER BY dy) AS pv
+      FROM d
+    ),
+    agg AS (
+      SELECT g, COUNT(*) AS n,
+             SUM(CAST(v AS DECIMAL(38,0))) AS s,
+             SUM(CAST(v AS DECIMAL(19,0)) * v) AS q,
+             SUM(CASE WHEN pv IS NULL THEN CAST(0 AS DECIMAL(38,0))
+                 ELSE CAST(CAST(v - pv AS DECIMAL(19,0)) * (v - pv)
+                      AS DECIMAL(38,0)) END) AS num
+      FROM l GROUP BY g
+    )
+    SELECT g AS event_type, CAST(n AS BIGINT) AS n_days,
+           (((CAST(substr(lpad(replace(CAST((num) AS VARCHAR), '.', ''), 39, '0'), 1, 13) AS DOUBLE) * 1e13 + CAST(substr(lpad(replace(CAST((num) AS VARCHAR), '.', ''), 39, '0'), 14, 13) AS DOUBLE)) * 1e13 + CAST(substr(lpad(replace(CAST((num) AS VARCHAR), '.', ''), 39, '0'), 27, 13) AS DOUBLE)) / ((((CAST(substr(lpad(replace(CAST((q) AS VARCHAR), '.', ''), 39, '0'), 1, 13) AS DOUBLE) * 1e13 + CAST(substr(lpad(replace(CAST((q) AS VARCHAR), '.', ''), 39, '0'), 14, 13) AS DOUBLE)) * 1e13 + CAST(substr(lpad(replace(CAST((q) AS VARCHAR), '.', ''), 39, '0'), 27, 13) AS DOUBLE)) - (((CAST(substr(lpad(replace(CAST((s) AS VARCHAR), '.', ''), 39, '0'), 1, 13) AS DOUBLE) * 1e13 + CAST(substr(lpad(replace(CAST((s) AS VARCHAR), '.', ''), 39, '0'), 14, 13) AS DOUBLE)) * 1e13 + CAST(substr(lpad(replace(CAST((s) AS VARCHAR), '.', ''), 39, '0'), 27, 13) AS DOUBLE)) / CAST(n AS DOUBLE)) * ((CAST(substr(lpad(replace(CAST((s) AS VARCHAR), '.', ''), 39, '0'), 1, 13) AS DOUBLE) * 1e13 + CAST(substr(lpad(replace(CAST((s) AS VARCHAR), '.', ''), 39, '0'), 14, 13) AS DOUBLE)) * 1e13 + CAST(substr(lpad(replace(CAST((s) AS VARCHAR), '.', ''), 39, '0'), 27, 13) AS DOUBLE)))))
+             AS dw_stat
+    FROM agg
+    """,
+)
+def stats_durbin_watson_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stats / Durbin–Watson — first-order autocorrelation test on
+    each event type's daily-revenue series (DW ≈ 2 means no serial
+    correlation; the classic companion to stats-autocorr-lag1's point
+    estimate). Numerator Σ(v_t − v_{t−1})² is centering-invariant so
+    no residual step is needed; both sums accumulate in DECIMAL and
+    limb-convert once; the close is one shared chain. One daily
+    rollup + one keyed LAG window."""
+    from medallion_delta_lake_spark.operators.agg import limb_double
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    cents = F.round(F.col("value").cast("double") * 100, 0).cast(
+        "bigint"
+    )
+    d = ev.groupBy(
+        F.col("event_type").alias("g"),
+        F.col("ts").cast("date").alias("dy"),
+    ).agg(F.sum(cents).cast("bigint").alias("v"))
+    l = d.select(
+        "g",
+        "v",
+        F.lag("v").over(W.partitionBy("g").orderBy("dy")).alias("pv"),
+    )
+    diff = F.col("v") - F.col("pv")
+    agg = l.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v").cast("decimal(38,0)")).alias("s"),
+        F.sum(F.col("v").cast("decimal(19,0)") * F.col("v")).alias(
+            "q"
+        ),
+        F.sum(
+            F.when(
+                F.col("pv").isNull(),
+                F.lit(0).cast("decimal(38,0)"),
+            ).otherwise(
+                (diff.cast("decimal(19,0)") * diff).cast(
+                    "decimal(38,0)"
+                )
+            )
+        ).alias("num"),
+    )
+    nd = F.col("n").cast("double")
+    sd = limb_double(F.col("s"))
+    return agg.select(
+        F.col("g").alias("event_type"),
+        F.col("n").cast("bigint").alias("n_days"),
+        (
+            limb_double(F.col("num"))
+            / (limb_double(F.col("q")) - (sd / nd) * sd)
+        ).alias("dw_stat"),
+    )
+
+
+@query(
+    "events-new-vs-returning",
+    # growth split per day: first-seen day per user (one grouped MIN),
+    # then integer conditional counts per active day
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS dy FROM events
+    ),
+    fs AS (
+      SELECT user_id, MIN(dy) AS first_dy FROM ud GROUP BY user_id
+    )
+    SELECT ud.dy AS d,
+           CAST(SUM(CASE WHEN ud.dy = fs.first_dy THEN 1 ELSE 0 END)
+                AS BIGINT) AS new_users,
+           CAST(SUM(CASE WHEN ud.dy > fs.first_dy THEN 1 ELSE 0 END)
+                AS BIGINT) AS returning_users,
+           (CAST(SUM(CASE WHEN ud.dy > fs.first_dy THEN 1 ELSE 0 END)
+                 AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE)) AS returning_share
+    FROM ud JOIN fs ON ud.user_id = fs.user_id
+    GROUP BY ud.dy
+    """,
+)
+def events_new_vs_returning_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """analytics / new-vs-returning daily split — each active day's
+    users partitioned by whether it is their first-seen day (the
+    growth-accounting companion to DAU/WAU/MAU). One distinct
+    user-day frame, one grouped MIN, one user-keyed join back;
+    integer counts and one ratio."""
+    ev = table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.col("ts").cast("date").alias("dy")
+    ).distinct()
+    fs = ud.groupBy("user_id").agg(F.min("dy").alias("first_dy"))
+    j = ud.join(fs, "user_id")
+    return j.groupBy(F.col("dy").alias("d")).agg(
+        F.sum((F.col("dy") == F.col("first_dy")).cast("int"))
+        .cast("bigint")
+        .alias("new_users"),
+        F.sum((F.col("dy") > F.col("first_dy")).cast("int"))
+        .cast("bigint")
+        .alias("returning_users"),
+        (
+            F.sum((F.col("dy") > F.col("first_dy")).cast("int")).cast(
+                "double"
+            )
+            / F.count(F.lit(1)).cast("double")
+        ).alias("returning_share"),
+    )

@@ -38,6 +38,8 @@ FEATURE_IDS = [
     "agg-tukey-fences",
     "join-nn-match-1d",
     "stats-matched-uplift",
+    "stats-durbin-watson",
+    "events-new-vs-returning",
 ]
 
 

@@ -47,6 +47,8 @@ OPS = [
     "agg-tukey-fences",
     "join-nn-match-1d",
     "stats-matched-uplift",
+    "stats-durbin-watson",
+    "events-new-vs-returning",
 ]
 
 ID_COLS = {
