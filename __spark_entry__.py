@@ -123,6 +123,8 @@ _DRIVER_PRIORITY = [
     "stats-matched-uplift",
     "stats-durbin-watson",
     "events-new-vs-returning",
+    "window-donchian-channel",
+    "stats-sign-test",
     # r3 cohort — last driver-checked in round 3
     "unpivot-measures",
     "window-running-sum",

@@ -2391,3 +2391,160 @@ def events_new_vs_returning_q(
             / F.count(F.lit(1)).cast("double")
         ).alias("returning_share"),
     )
+
+
+@query(
+    "window-donchian-channel",
+    # trailing-20 extremes envelope per key: integer frame MIN/MAX,
+    # breakout flags by integer comparison; full frames only
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id,
+             CAST(round(CAST(value AS DOUBLE) * 100, 0) AS BIGINT)
+               AS v,
+             ROW_NUMBER() OVER w AS rn,
+             MAX(CAST(round(CAST(value AS DOUBLE) * 100, 0)
+                 AS BIGINT)) OVER f AS hi,
+             MIN(CAST(round(CAST(value AS DOUBLE) * 100, 0)
+                 AS BIGINT)) OVER f AS lo
+      FROM events WHERE value IS NOT NULL
+      WINDOW
+        w AS (PARTITION BY user_id ORDER BY ts, event_id),
+        f AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id,
+           CAST(v AS DOUBLE) / 100.0 AS value,
+           CAST(hi AS DOUBLE) / 100.0 AS channel_hi,
+           CAST(lo AS DOUBLE) / 100.0 AS channel_lo,
+           CASE WHEN v > hi THEN 1 WHEN v < lo THEN -1 ELSE 0 END
+             AS breakout
+    FROM o WHERE rn >= 21
+    """,
+)
+def window_donchian_channel_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """window / Donchian channel — the trailing-20 high/low envelope
+    with breakout flags (the turtle-trading / alert-band primitive;
+    also the min-max band ops teams draw around any metric). The
+    frame excludes the current row so a new extreme registers as a
+    breakout; all comparisons are integer cents — float-free except
+    the three reported values. One keyed window sort."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    v = F.round(F.col("value").cast("double") * 100, 0).cast("bigint")
+    wbase = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = wbase.rowsBetween(-20, -1)
+    o = ev.select(
+        "user_id",
+        "event_id",
+        v.alias("v"),
+        F.row_number().over(wbase).alias("rn"),
+        F.max(v).over(wf).alias("hi"),
+        F.min(v).over(wf).alias("lo"),
+    )
+    return o.filter(F.col("rn") >= 21).select(
+        "user_id",
+        "event_id",
+        (F.col("v").cast("double") / 100.0).alias("value"),
+        (F.col("hi").cast("double") / 100.0).alias("channel_hi"),
+        (F.col("lo").cast("double") / 100.0).alias("channel_lo"),
+        F.when(F.col("v") > F.col("hi"), 1)
+        .when(F.col("v") < F.col("lo"), -1)
+        .otherwise(0)
+        .alias("breakout"),
+    )
+
+
+@query(
+    "stats-sign-test",
+    # one-sample sign test on daily deltas per type: integer up/down
+    # censuses, the continuity-corrected z in one shared chain
+    oracle="""
+    WITH d AS (
+      SELECT event_type AS g, CAST(ts AS DATE) AS dy,
+             CAST(SUM(CAST(round(CAST(value AS DOUBLE) * 100, 0)
+                  AS BIGINT)) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    l AS (
+      SELECT g, v - lag(v) OVER (PARTITION BY g ORDER BY dy) AS dlt
+      FROM d
+    ),
+    c AS (
+      SELECT g,
+             CAST(SUM(CASE WHEN dlt > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_up,
+             CAST(SUM(CASE WHEN dlt < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_down
+      FROM l WHERE dlt IS NOT NULL AND dlt <> 0 GROUP BY g
+    )
+    SELECT g AS event_type, n_up, n_down,
+           CASE WHEN n_up + n_down = 0 THEN 0.0
+                WHEN n_up > n_down THEN
+                  (2.0 * CAST(n_up AS DOUBLE)
+                   - CAST(n_up + n_down AS DOUBLE) - 1.0)
+                  / sqrt(CAST(n_up + n_down AS DOUBLE))
+                WHEN n_down > n_up THEN
+                  (2.0 * CAST(n_up AS DOUBLE)
+                   - CAST(n_up + n_down AS DOUBLE) + 1.0)
+                  / sqrt(CAST(n_up + n_down AS DOUBLE))
+                ELSE 0.0 END AS z_stat
+    FROM c
+    """,
+)
+def stats_sign_test_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stats / sign test — are each type's daily revenue changes
+    biased up or down, ignoring magnitudes entirely (the most
+    assumption-free trend check; complements Mann–Kendall's pair
+    census and the runs test). Up/down counts are integers off one
+    keyed LAG; the continuity-corrected normal z is the only float,
+    in one shared branch-explicit chain."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    cents = F.round(F.col("value").cast("double") * 100, 0).cast(
+        "bigint"
+    )
+    d = ev.groupBy(
+        F.col("event_type").alias("g"),
+        F.col("ts").cast("date").alias("dy"),
+    ).agg(F.sum(cents).cast("bigint").alias("v"))
+    l = d.select(
+        "g",
+        (
+            F.col("v")
+            - F.lag("v").over(W.partitionBy("g").orderBy("dy"))
+        ).alias("dlt"),
+    )
+    c = l.filter(
+        F.col("dlt").isNotNull() & (F.col("dlt") != 0)
+    ).groupBy("g").agg(
+        F.sum((F.col("dlt") > 0).cast("int"))
+        .cast("bigint")
+        .alias("n_up"),
+        F.sum((F.col("dlt") < 0).cast("int"))
+        .cast("bigint")
+        .alias("n_down"),
+    )
+    m = (F.col("n_up") + F.col("n_down")).cast("double")
+    up = F.col("n_up").cast("double")
+    return c.select(
+        F.col("g").alias("event_type"),
+        "n_up",
+        "n_down",
+        F.when(F.col("n_up") + F.col("n_down") == 0, F.lit(0.0))
+        .when(
+            F.col("n_up") > F.col("n_down"),
+            (2.0 * up - m - 1.0) / F.sqrt(m),
+        )
+        .when(
+            F.col("n_down") > F.col("n_up"),
+            (2.0 * up - m + 1.0) / F.sqrt(m),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("z_stat"),
+    )

@@ -40,6 +40,8 @@ FEATURE_IDS = [
     "stats-matched-uplift",
     "stats-durbin-watson",
     "events-new-vs-returning",
+    "window-donchian-channel",
+    "stats-sign-test",
 ]
 
 

@@ -49,6 +49,8 @@ OPS = [
     "stats-matched-uplift",
     "stats-durbin-watson",
     "events-new-vs-returning",
+    "window-donchian-channel",
+    "stats-sign-test",
 ]
 
 ID_COLS = {
