@@ -125,6 +125,7 @@ _DRIVER_PRIORITY = [
     "events-new-vs-returning",
     "window-donchian-channel",
     "stats-sign-test",
+    "stats-two-proportion-z",
     # r3 cohort — last driver-checked in round 3
     "unpivot-measures",
     "window-running-sum",

@@ -2548,3 +2548,88 @@ def stats_sign_test_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("z_stat"),
     )
+
+
+@query(
+    "stats-two-proportion-z",
+    # the A/B-test primitive: conversion-rate difference between two
+    # hash cohorts, pooled-variance z; all counts integer, the close
+    # is one shared chain of +,-,x,/,sqrt
+    oracle="""
+    WITH base AS (
+      SELECT user_id % 2 AS cohort,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ),
+    c AS (
+      SELECT cohort, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS k
+      FROM base GROUP BY cohort
+    ),
+    w AS (
+      SELECT MAX(CASE WHEN cohort = 0 THEN n END) AS n0,
+             MAX(CASE WHEN cohort = 0 THEN k END) AS k0,
+             MAX(CASE WHEN cohort = 1 THEN n END) AS n1,
+             MAX(CASE WHEN cohort = 1 THEN k END) AS k1
+      FROM c
+    )
+    SELECT CAST(n0 AS BIGINT) AS n_a, k0 AS conv_a,
+           CAST(n1 AS BIGINT) AS n_b, k1 AS conv_b,
+           (CAST(k0 AS DOUBLE) / CAST(n0 AS DOUBLE)) AS rate_a,
+           (CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE)) AS rate_b,
+           ((CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+            - (CAST(k0 AS DOUBLE) / CAST(n0 AS DOUBLE)))
+             AS rate_diff,
+           (((CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+             - (CAST(k0 AS DOUBLE) / CAST(n0 AS DOUBLE)))
+            / sqrt((CAST(k0 + k1 AS DOUBLE)
+                    / CAST(n0 + n1 AS DOUBLE))
+                   * (1.0 - (CAST(k0 + k1 AS DOUBLE)
+                             / CAST(n0 + n1 AS DOUBLE)))
+                   * (1.0 / CAST(n0 AS DOUBLE)
+                      + 1.0 / CAST(n1 AS DOUBLE)))) AS z_stat
+    FROM w
+    """,
+)
+def stats_two_proportion_z_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """stats / two-proportion z-test — the A/B-test readout: purchase
+    conversion difference between two deterministic user cohorts,
+    pooled-variance z. Counts are one grouped pass; the close is a
+    single fully-parenthesized chain of the IEEE-exact operators.
+    (Cohort here is a user-id parity split — swap in the experiment
+    assignment column in production.)"""
+    ev = table(spark, sf_dir, "events")
+    base = ev.select(
+        (F.col("user_id") % 2).alias("cohort"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    c = base.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").cast("bigint").alias("k"),
+    )
+    w = c.groupBy().agg(
+        F.max(F.when(F.col("cohort") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("cohort") == 0, F.col("k"))).alias("k0"),
+        F.max(F.when(F.col("cohort") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("cohort") == 1, F.col("k"))).alias("k1"),
+    )
+    n0, k0 = F.col("n0").cast("double"), F.col("k0").cast("double")
+    n1, k1 = F.col("n1").cast("double"), F.col("k1").cast("double")
+    ra, rb = k0 / n0, k1 / n1
+    pool = (k0 + k1) / (n0 + n1)
+    return w.select(
+        F.col("n0").cast("bigint").alias("n_a"),
+        F.col("k0").alias("conv_a"),
+        F.col("n1").cast("bigint").alias("n_b"),
+        F.col("k1").alias("conv_b"),
+        ra.alias("rate_a"),
+        rb.alias("rate_b"),
+        (rb - ra).alias("rate_diff"),
+        (
+            (rb - ra)
+            / F.sqrt(
+                pool * (1.0 - pool) * (1.0 / n0 + 1.0 / n1)
+            )
+        ).alias("z_stat"),
+    )

@@ -42,6 +42,7 @@ FEATURE_IDS = [
     "events-new-vs-returning",
     "window-donchian-channel",
     "stats-sign-test",
+    "stats-two-proportion-z",
 ]
 
 
