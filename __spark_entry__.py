@@ -126,6 +126,7 @@ _DRIVER_PRIORITY = [
     "window-donchian-channel",
     "stats-sign-test",
     "stats-two-proportion-z",
+    "stats-cuped-theta",
     # r3 cohort — last driver-checked in round 3
     "unpivot-measures",
     "window-running-sum",

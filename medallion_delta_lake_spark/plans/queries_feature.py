@@ -2633,3 +2633,111 @@ def stats_two_proportion_z_q(
             )
         ).alias("z_stat"),
     )
+
+
+@query(
+    "stats-cuped-theta",
+    # CUPED: theta = cov(x,y)/var(x) from pre/post per-user revenue,
+    # all five power sums DECIMAL-exact + limb; the split point is the
+    # integer midpoint of the observed time range (engine-exact)
+    oracle="""
+    WITH rng AS (
+      SELECT (CAST(floor(epoch(MIN(ts))) AS BIGINT)
+              + CAST(floor(epoch(MAX(ts))) AS BIGINT)) // 2 AS mid
+      FROM events WHERE value IS NOT NULL
+    ),
+    u AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                       < rng.mid
+                  THEN CAST(round(CAST(value AS DOUBLE) * 100, 0)
+                       AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                       >= rng.mid
+                  THEN CAST(round(CAST(value AS DOUBLE) * 100, 0)
+                       AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+      FROM events, rng WHERE value IS NOT NULL
+      GROUP BY user_id
+    ),
+    p AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+             SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+             SUM(CAST(x AS DECIMAL(19,0)) * x) AS sxx,
+             SUM(CAST(y AS DECIMAL(19,0)) * y) AS syy,
+             SUM(CAST(x AS DECIMAL(19,0)) * y) AS sxy
+      FROM u
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           ((CAST(n AS DOUBLE) * ((CAST(substr(lpad(replace(CAST((sxy) AS VARCHAR), '.', ''), 39, '0'), 1, 13) AS DOUBLE) * 1e13 + CAST(substr(lpad(replace(CAST((sxy) AS VARCHAR), '.', ''), 39, '0'), 14, 13) AS DOUBLE)) * 1e13 + CAST(substr(lpad(replace(CAST((sxy) AS VARCHAR), '.', ''), 39, '0'), 27, 13) AS DOUBLE)) - ((CAST(substr(lpad(replace(CAST((sx) AS VARCHAR), '.', ''), 39, '0'), 1, 13) AS DOUBLE) * 1e13 + CAST(substr(lpad(replace(CAST((sx) AS VARCHAR), '.', ''), 39, '0'), 14, 13) AS DOUBLE)) * 1e13 + CAST(substr(lpad(replace(CAST((sx) AS VARCHAR), '.', ''), 39, '0'), 27, 13) AS DOUBLE)) * ((CAST(substr(lpad(replace(CAST((sy) AS VARCHAR), '.', ''), 39, '0'), 1, 13) AS DOUBLE) * 1e13 + CAST(substr(lpad(replace(CAST((sy) AS VARCHAR), '.', ''), 39, '0'), 14, 13) AS DOUBLE)) * 1e13 + CAST(substr(lpad(replace(CAST((sy) AS VARCHAR), '.', ''), 39, '0'), 27, 13) AS DOUBLE)))
+            / (CAST(n AS DOUBLE) * ((CAST(substr(lpad(replace(CAST((sxx) AS VARCHAR), '.', ''), 39, '0'), 1, 13) AS DOUBLE) * 1e13 + CAST(substr(lpad(replace(CAST((sxx) AS VARCHAR), '.', ''), 39, '0'), 14, 13) AS DOUBLE)) * 1e13 + CAST(substr(lpad(replace(CAST((sxx) AS VARCHAR), '.', ''), 39, '0'), 27, 13) AS DOUBLE)) - ((CAST(substr(lpad(replace(CAST((sx) AS VARCHAR), '.', ''), 39, '0'), 1, 13) AS DOUBLE) * 1e13 + CAST(substr(lpad(replace(CAST((sx) AS VARCHAR), '.', ''), 39, '0'), 14, 13) AS DOUBLE)) * 1e13 + CAST(substr(lpad(replace(CAST((sx) AS VARCHAR), '.', ''), 39, '0'), 27, 13) AS DOUBLE)) * ((CAST(substr(lpad(replace(CAST((sx) AS VARCHAR), '.', ''), 39, '0'), 1, 13) AS DOUBLE) * 1e13 + CAST(substr(lpad(replace(CAST((sx) AS VARCHAR), '.', ''), 39, '0'), 14, 13) AS DOUBLE)) * 1e13 + CAST(substr(lpad(replace(CAST((sx) AS VARCHAR), '.', ''), 39, '0'), 27, 13) AS DOUBLE))))
+             AS theta,
+           (((CAST(n AS DOUBLE) * ((CAST(substr(lpad(replace(CAST((sxy) AS VARCHAR), '.', ''), 39, '0'), 1, 13) AS DOUBLE) * 1e13 + CAST(substr(lpad(replace(CAST((sxy) AS VARCHAR), '.', ''), 39, '0'), 14, 13) AS DOUBLE)) * 1e13 + CAST(substr(lpad(replace(CAST((sxy) AS VARCHAR), '.', ''), 39, '0'), 27, 13) AS DOUBLE)) - ((CAST(substr(lpad(replace(CAST((sx) AS VARCHAR), '.', ''), 39, '0'), 1, 13) AS DOUBLE) * 1e13 + CAST(substr(lpad(replace(CAST((sx) AS VARCHAR), '.', ''), 39, '0'), 14, 13) AS DOUBLE)) * 1e13 + CAST(substr(lpad(replace(CAST((sx) AS VARCHAR), '.', ''), 39, '0'), 27, 13) AS DOUBLE)) * ((CAST(substr(lpad(replace(CAST((sy) AS VARCHAR), '.', ''), 39, '0'), 1, 13) AS DOUBLE) * 1e13 + CAST(substr(lpad(replace(CAST((sy) AS VARCHAR), '.', ''), 39, '0'), 14, 13) AS DOUBLE)) * 1e13 + CAST(substr(lpad(replace(CAST((sy) AS VARCHAR), '.', ''), 39, '0'), 27, 13) AS DOUBLE)))
+             * (CAST(n AS DOUBLE) * ((CAST(substr(lpad(replace(CAST((sxy) AS VARCHAR), '.', ''), 39, '0'), 1, 13) AS DOUBLE) * 1e13 + CAST(substr(lpad(replace(CAST((sxy) AS VARCHAR), '.', ''), 39, '0'), 14, 13) AS DOUBLE)) * 1e13 + CAST(substr(lpad(replace(CAST((sxy) AS VARCHAR), '.', ''), 39, '0'), 27, 13) AS DOUBLE)) - ((CAST(substr(lpad(replace(CAST((sx) AS VARCHAR), '.', ''), 39, '0'), 1, 13) AS DOUBLE) * 1e13 + CAST(substr(lpad(replace(CAST((sx) AS VARCHAR), '.', ''), 39, '0'), 14, 13) AS DOUBLE)) * 1e13 + CAST(substr(lpad(replace(CAST((sx) AS VARCHAR), '.', ''), 39, '0'), 27, 13) AS DOUBLE)) * ((CAST(substr(lpad(replace(CAST((sy) AS VARCHAR), '.', ''), 39, '0'), 1, 13) AS DOUBLE) * 1e13 + CAST(substr(lpad(replace(CAST((sy) AS VARCHAR), '.', ''), 39, '0'), 14, 13) AS DOUBLE)) * 1e13 + CAST(substr(lpad(replace(CAST((sy) AS VARCHAR), '.', ''), 39, '0'), 27, 13) AS DOUBLE))))
+            / ((CAST(n AS DOUBLE) * ((CAST(substr(lpad(replace(CAST((sxx) AS VARCHAR), '.', ''), 39, '0'), 1, 13) AS DOUBLE) * 1e13 + CAST(substr(lpad(replace(CAST((sxx) AS VARCHAR), '.', ''), 39, '0'), 14, 13) AS DOUBLE)) * 1e13 + CAST(substr(lpad(replace(CAST((sxx) AS VARCHAR), '.', ''), 39, '0'), 27, 13) AS DOUBLE)) - ((CAST(substr(lpad(replace(CAST((sx) AS VARCHAR), '.', ''), 39, '0'), 1, 13) AS DOUBLE) * 1e13 + CAST(substr(lpad(replace(CAST((sx) AS VARCHAR), '.', ''), 39, '0'), 14, 13) AS DOUBLE)) * 1e13 + CAST(substr(lpad(replace(CAST((sx) AS VARCHAR), '.', ''), 39, '0'), 27, 13) AS DOUBLE)) * ((CAST(substr(lpad(replace(CAST((sx) AS VARCHAR), '.', ''), 39, '0'), 1, 13) AS DOUBLE) * 1e13 + CAST(substr(lpad(replace(CAST((sx) AS VARCHAR), '.', ''), 39, '0'), 14, 13) AS DOUBLE)) * 1e13 + CAST(substr(lpad(replace(CAST((sx) AS VARCHAR), '.', ''), 39, '0'), 27, 13) AS DOUBLE)))
+               * (CAST(n AS DOUBLE) * ((CAST(substr(lpad(replace(CAST((syy) AS VARCHAR), '.', ''), 39, '0'), 1, 13) AS DOUBLE) * 1e13 + CAST(substr(lpad(replace(CAST((syy) AS VARCHAR), '.', ''), 39, '0'), 14, 13) AS DOUBLE)) * 1e13 + CAST(substr(lpad(replace(CAST((syy) AS VARCHAR), '.', ''), 39, '0'), 27, 13) AS DOUBLE)) - ((CAST(substr(lpad(replace(CAST((sy) AS VARCHAR), '.', ''), 39, '0'), 1, 13) AS DOUBLE) * 1e13 + CAST(substr(lpad(replace(CAST((sy) AS VARCHAR), '.', ''), 39, '0'), 14, 13) AS DOUBLE)) * 1e13 + CAST(substr(lpad(replace(CAST((sy) AS VARCHAR), '.', ''), 39, '0'), 27, 13) AS DOUBLE)) * ((CAST(substr(lpad(replace(CAST((sy) AS VARCHAR), '.', ''), 39, '0'), 1, 13) AS DOUBLE) * 1e13 + CAST(substr(lpad(replace(CAST((sy) AS VARCHAR), '.', ''), 39, '0'), 14, 13) AS DOUBLE)) * 1e13 + CAST(substr(lpad(replace(CAST((sy) AS VARCHAR), '.', ''), 39, '0'), 27, 13) AS DOUBLE)))))
+             AS corr2
+    FROM p
+    """,
+)
+def stats_cuped_theta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stats / CUPED adjustment coefficient — the experimentation
+    platform's variance-reduction workhorse: θ = cov(x, y)/var(x)
+    between each user's pre-period covariate (first half of the
+    observed range, integer midpoint split) and post-period metric;
+    corr² IS the variance-reduction fraction CUPED buys. Five power
+    sums, DECIMAL-exact off integer cents, limb conversions, one
+    fully-parenthesized shared close. One grouped pass per user +
+    a broadcast range row."""
+    from medallion_delta_lake_spark.operators.agg import limb_double
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    sec = F.col("ts").cast("long")
+    rng = ev.agg(
+        F.expr(
+            "(CAST(min(ts) AS BIGINT) + CAST(max(ts) AS BIGINT)) div 2"
+        ).alias("mid")
+    )
+    cents = F.round(F.col("value").cast("double") * 100, 0).cast(
+        "bigint"
+    )
+    u = (
+        ev.crossJoin(F.broadcast(rng))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(sec < F.col("mid"), cents).otherwise(0))
+            .cast("bigint")
+            .alias("x"),
+            F.sum(F.when(sec >= F.col("mid"), cents).otherwise(0))
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    p = u.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x")).alias(
+            "sxx"
+        ),
+        F.sum(F.col("y").cast("decimal(19,0)") * F.col("y")).alias(
+            "syy"
+        ),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("y")).alias(
+            "sxy"
+        ),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = limb_double(F.col("sx")), limb_double(F.col("sy"))
+    sxx, syy = limb_double(F.col("sxx")), limb_double(F.col("syy"))
+    sxy = limb_double(F.col("sxy"))
+    cov_n = nd * sxy - sx * sy
+    varx_n = nd * sxx - sx * sx
+    vary_n = nd * syy - sy * sy
+    return p.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        (cov_n / varx_n).alias("theta"),
+        ((cov_n * cov_n) / (varx_n * vary_n)).alias("corr2"),
+    )

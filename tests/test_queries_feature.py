@@ -43,6 +43,7 @@ FEATURE_IDS = [
     "window-donchian-channel",
     "stats-sign-test",
     "stats-two-proportion-z",
+    "stats-cuped-theta",
 ]
 
 
