@@ -51,6 +51,8 @@ OPS = [
     "events-new-vs-returning",
     "window-donchian-channel",
     "stats-sign-test",
+    "stats-two-proportion-z",
+    "stats-cuped-theta",
 ]
 
 ID_COLS = {
