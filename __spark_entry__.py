@@ -127,6 +127,8 @@ _DRIVER_PRIORITY = [
     "stats-sign-test",
     "stats-two-proportion-z",
     "stats-cuped-theta",
+    "stats-srm-check",
+    "dedup-rate-by-source",
     # r3 cohort — last driver-checked in round 3
     "unpivot-measures",
     "window-running-sum",

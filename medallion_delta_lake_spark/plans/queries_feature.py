@@ -2741,3 +2741,110 @@ def stats_cuped_theta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (cov_n / varx_n).alias("theta"),
         ((cov_n * cov_n) / (varx_n * vary_n)).alias("corr2"),
     )
+
+
+@query(
+    "stats-srm-check",
+    # sample-ratio mismatch: the A/B guardrail that catches broken
+    # assignment BEFORE anyone reads the metrics; 2-cell chi-square
+    # vs the expected 50/50, all-integer core
+    oracle="""
+    WITH c AS (
+      SELECT user_id % 2 AS cohort, COUNT(*) AS n
+      FROM (SELECT DISTINCT user_id FROM events)
+      GROUP BY user_id % 2
+    ),
+    w AS (
+      SELECT MAX(CASE WHEN cohort = 0 THEN n END) AS n0,
+             MAX(CASE WHEN cohort = 1 THEN n END) AS n1
+      FROM c
+    )
+    SELECT CAST(n0 AS BIGINT) AS n_a, CAST(n1 AS BIGINT) AS n_b,
+           (CAST(n0 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+             AS ratio_a,
+           ((CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n1 AS DOUBLE))
+            / CAST(n0 + n1 AS DOUBLE)) AS chi2,
+           (CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n1 AS DOUBLE))
+             / CAST(n0 + n1 AS DOUBLE) > 3.841 AS srm_flag
+    FROM w
+    """,
+)
+def stats_srm_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stats / sample-ratio-mismatch check — the guardrail every
+    experiment platform runs before reading metrics: a 2-cell
+    chi-square of distinct-user assignment counts against the
+    designed 50/50 split, flagged at the 95% critical value (3.841,
+    df=1). Integer counts; the close is one shared chain; the flag is
+    a float comparison (not a reduction)."""
+    ev = table(spark, sf_dir, "events")
+    c = (
+        ev.select("user_id")
+        .distinct()
+        .groupBy((F.col("user_id") % 2).alias("cohort"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = c.groupBy().agg(
+        F.max(F.when(F.col("cohort") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("cohort") == 1, F.col("n"))).alias("n1"),
+    )
+    n0, n1 = F.col("n0").cast("double"), F.col("n1").cast("double")
+    chi2 = ((n0 - n1) * (n0 - n1)) / (n0 + n1)
+    return w.select(
+        F.col("n0").cast("bigint").alias("n_a"),
+        F.col("n1").cast("bigint").alias("n_b"),
+        (n0 / (n0 + n1)).alias("ratio_a"),
+        chi2.alias("chi2"),
+        (chi2 > 3.841).alias("srm_flag"),
+    )
+
+
+@query(
+    "dedup-rate-by-source",
+    # corpus QA: exact-duplicate share per source from the portable
+    # content hash — integer distinct/total counts, one ratio
+    oracle="""
+    WITH h AS (
+      SELECT source,
+             CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS hh
+      FROM documents
+    ),
+    s AS (
+      SELECT source, COUNT(*) AS n_docs,
+             COUNT(DISTINCT hh) AS n_distinct
+      FROM h GROUP BY source
+    )
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           CAST(n_docs - n_distinct AS BIGINT) AS n_dups,
+           (CAST(n_docs - n_distinct AS DOUBLE)
+            / CAST(n_docs AS DOUBLE)) AS dup_rate
+    FROM s
+    """,
+)
+def dedup_rate_by_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup / duplication rate per source — the corpus-QA scorecard
+    that decides which feeds need dedup attention (and the health
+    metric tracked after every ingest): exact-content duplicate share
+    per source from the portable 60-bit md5 hash. Shuffles carry
+    (source, hash), never text; integer counts close with one
+    ratio."""
+    from medallion_delta_lake_spark.functions.hashing import h64
+
+    d = table(spark, sf_dir, "documents")
+    h = d.select("source", h64(F.col("text")).alias("hh"))
+    s = h.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("hh").alias("n_distinct"),
+    )
+    return s.select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        (F.col("n_docs") - F.col("n_distinct"))
+        .cast("bigint")
+        .alias("n_dups"),
+        (
+            (F.col("n_docs") - F.col("n_distinct")).cast("double")
+            / F.col("n_docs").cast("double")
+        ).alias("dup_rate"),
+    )

@@ -44,6 +44,8 @@ FEATURE_IDS = [
     "stats-sign-test",
     "stats-two-proportion-z",
     "stats-cuped-theta",
+    "stats-srm-check",
+    "dedup-rate-by-source",
 ]
 
 
