@@ -108,11 +108,9 @@ _DRIVER_PRIORITY = [
     "sim-centroid-outliers",
     "stream-holt-monitor",
     "window-rolling-median",
-    "events-dau-wau-mau",
     "affinity-basket-pairs",
     "stats-permutation-test",
     "events-seasonal-anomaly",
-    "text-top-terms",
     "window-rsi",
     "agg-hdr-percentiles",
     "stats-cohens-kappa",
@@ -122,13 +120,18 @@ _DRIVER_PRIORITY = [
     "join-nn-match-1d",
     "stats-matched-uplift",
     "stats-durbin-watson",
-    "events-new-vs-returning",
-    "window-donchian-channel",
     "stats-sign-test",
     "stats-two-proportion-z",
     "stats-cuped-theta",
+    # all-integer ops (zero float-close risk) — positioned last so
+    # they are the ones a ~50-row driver window cuts; each is
+    # sweep-green at 3 SFs and rolls to the head of round 10
+    "events-dau-wau-mau",
+    "window-donchian-channel",
+    "events-new-vs-returning",
     "stats-srm-check",
     "dedup-rate-by-source",
+    "text-top-terms",
     # r3 cohort — last driver-checked in round 3
     "unpivot-measures",
     "window-running-sum",

@@ -53,6 +53,7 @@ OPS = [
     "stats-sign-test",
     "stats-two-proportion-z",
     "stats-cuped-theta",
+    "stats-srm-check",
 ]
 
 ID_COLS = {
