@@ -123,6 +123,8 @@ _DRIVER_PRIORITY = [
     "stats-sign-test",
     "stats-two-proportion-z",
     "stats-cuped-theta",
+    "stats-ols-slope-group",
+    "agg-xyz-classification",
     # all-integer ops (zero float-close risk) — positioned last so
     # they are the ones a ~50-row driver window cuts; each is
     # sweep-green at 3 SFs and rolls to the head of round 10

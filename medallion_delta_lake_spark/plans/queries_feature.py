@@ -2848,3 +2848,167 @@ def dedup_rate_by_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_docs").cast("double")
         ).alias("dup_rate"),
     )
+
+
+@query(
+    "stats-ols-slope-group",
+    # grouped OLS: quantity-on-price slope per brand from five
+    # DECIMAL power sums (integer cents x, integer units y), limb
+    # conversions, one fully-parenthesized shared close
+    oracle="""
+    WITH b AS (
+      SELECT p.p_brand AS g,
+             CAST(round(CAST(l.l_extendedprice AS DOUBLE) * 100, 0)
+                  AS BIGINT) AS x,
+             CAST(round(CAST(l.l_quantity AS DOUBLE), 0) AS BIGINT)
+               AS y
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    s AS (
+      SELECT g, COUNT(*) AS n,
+             SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+             SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+             SUM(CAST(x AS DECIMAL(19,0)) * x) AS sxx,
+             SUM(CAST(x AS DECIMAL(19,0)) * y) AS sxy
+      FROM b GROUP BY g
+    )
+    SELECT g AS p_brand, CAST(n AS BIGINT) AS n,
+           ((CAST(n AS DOUBLE) * ((CAST(substr(lpad(replace(CAST((sxy) AS VARCHAR), '.', ''), 39, '0'), 1, 13) AS DOUBLE) * 1e13 + CAST(substr(lpad(replace(CAST((sxy) AS VARCHAR), '.', ''), 39, '0'), 14, 13) AS DOUBLE)) * 1e13 + CAST(substr(lpad(replace(CAST((sxy) AS VARCHAR), '.', ''), 39, '0'), 27, 13) AS DOUBLE)) - ((CAST(substr(lpad(replace(CAST((sx) AS VARCHAR), '.', ''), 39, '0'), 1, 13) AS DOUBLE) * 1e13 + CAST(substr(lpad(replace(CAST((sx) AS VARCHAR), '.', ''), 39, '0'), 14, 13) AS DOUBLE)) * 1e13 + CAST(substr(lpad(replace(CAST((sx) AS VARCHAR), '.', ''), 39, '0'), 27, 13) AS DOUBLE)) * ((CAST(substr(lpad(replace(CAST((sy) AS VARCHAR), '.', ''), 39, '0'), 1, 13) AS DOUBLE) * 1e13 + CAST(substr(lpad(replace(CAST((sy) AS VARCHAR), '.', ''), 39, '0'), 14, 13) AS DOUBLE)) * 1e13 + CAST(substr(lpad(replace(CAST((sy) AS VARCHAR), '.', ''), 39, '0'), 27, 13) AS DOUBLE)))
+            / (CAST(n AS DOUBLE) * ((CAST(substr(lpad(replace(CAST((sxx) AS VARCHAR), '.', ''), 39, '0'), 1, 13) AS DOUBLE) * 1e13 + CAST(substr(lpad(replace(CAST((sxx) AS VARCHAR), '.', ''), 39, '0'), 14, 13) AS DOUBLE)) * 1e13 + CAST(substr(lpad(replace(CAST((sxx) AS VARCHAR), '.', ''), 39, '0'), 27, 13) AS DOUBLE)) - ((CAST(substr(lpad(replace(CAST((sx) AS VARCHAR), '.', ''), 39, '0'), 1, 13) AS DOUBLE) * 1e13 + CAST(substr(lpad(replace(CAST((sx) AS VARCHAR), '.', ''), 39, '0'), 14, 13) AS DOUBLE)) * 1e13 + CAST(substr(lpad(replace(CAST((sx) AS VARCHAR), '.', ''), 39, '0'), 27, 13) AS DOUBLE)) * ((CAST(substr(lpad(replace(CAST((sx) AS VARCHAR), '.', ''), 39, '0'), 1, 13) AS DOUBLE) * 1e13 + CAST(substr(lpad(replace(CAST((sx) AS VARCHAR), '.', ''), 39, '0'), 14, 13) AS DOUBLE)) * 1e13 + CAST(substr(lpad(replace(CAST((sx) AS VARCHAR), '.', ''), 39, '0'), 27, 13) AS DOUBLE))))
+             AS slope_units_per_cent
+    FROM s
+    """,
+)
+def stats_ols_slope_group_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stats / grouped OLS slope — quantity regressed on price per
+    brand (the demand-curve screening pass; TPC-H's uniform data
+    makes it ≈0, which is itself the null check). Five power sums per
+    group, DECIMAL-exact off integer cents/units, limb conversions
+    past 2^53, one shared close — the same discipline as
+    agg-corr-matrix applied groupwise. One join shuffle + one grouped
+    pass."""
+    from medallion_delta_lake_spark.operators.agg import limb_double
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round(F.col("l_extendedprice").cast("double") * 100, 0)
+        .cast("bigint")
+        .alias("x"),
+        F.round(F.col("l_quantity").cast("double"), 0)
+        .cast("bigint")
+        .alias("y"),
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    b = li.join(p, li["l_partkey"] == p["p_partkey"]).select(
+        F.col("p_brand").alias("g"), "x", "y"
+    )
+    s = b.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x")).alias(
+            "sxx"
+        ),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("y")).alias(
+            "sxy"
+        ),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = limb_double(F.col("sx")), limb_double(F.col("sy"))
+    sxx, sxy = limb_double(F.col("sxx")), limb_double(F.col("sxy"))
+    return s.select(
+        F.col("g").alias("p_brand"),
+        F.col("n").cast("bigint").alias("n"),
+        (
+            (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+        ).alias("slope_units_per_cent"),
+    )
+
+
+@query(
+    "agg-xyz-classification",
+    # supply-chain XYZ: weekly demand CV per part (weeks via integer
+    # epoch-day arithmetic -- no engine week-of-year lore), class
+    # cutoffs are float comparisons, output is the integer census
+    oracle="""
+    WITH wk AS (
+      SELECT l_partkey,
+             CAST(floor(epoch(l_shipdate)) AS BIGINT)
+               // 86400 // 7 AS week,
+             CAST(SUM(CAST(round(CAST(l_quantity AS DOUBLE), 0)
+                  AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem GROUP BY l_partkey, 2
+    ),
+    s AS (
+      SELECT l_partkey, COUNT(*) AS n,
+             SUM(CAST(q AS DECIMAL(38,0))) AS sq,
+             SUM(CAST(q AS DECIMAL(19,0)) * q) AS sqq
+      FROM wk GROUP BY l_partkey
+    ),
+    cv AS (
+      SELECT l_partkey,
+             (sqrt((CAST(n AS DOUBLE) * ((CAST(substr(lpad(replace(CAST((sqq) AS VARCHAR), '.', ''), 39, '0'), 1, 13) AS DOUBLE) * 1e13 + CAST(substr(lpad(replace(CAST((sqq) AS VARCHAR), '.', ''), 39, '0'), 14, 13) AS DOUBLE)) * 1e13 + CAST(substr(lpad(replace(CAST((sqq) AS VARCHAR), '.', ''), 39, '0'), 27, 13) AS DOUBLE)) - ((CAST(substr(lpad(replace(CAST((sq) AS VARCHAR), '.', ''), 39, '0'), 1, 13) AS DOUBLE) * 1e13 + CAST(substr(lpad(replace(CAST((sq) AS VARCHAR), '.', ''), 39, '0'), 14, 13) AS DOUBLE)) * 1e13 + CAST(substr(lpad(replace(CAST((sq) AS VARCHAR), '.', ''), 39, '0'), 27, 13) AS DOUBLE)) * ((CAST(substr(lpad(replace(CAST((sq) AS VARCHAR), '.', ''), 39, '0'), 1, 13) AS DOUBLE) * 1e13 + CAST(substr(lpad(replace(CAST((sq) AS VARCHAR), '.', ''), 39, '0'), 14, 13) AS DOUBLE)) * 1e13 + CAST(substr(lpad(replace(CAST((sq) AS VARCHAR), '.', ''), 39, '0'), 27, 13) AS DOUBLE)))
+                   / (CAST(n AS DOUBLE)
+                      * (CAST(n AS DOUBLE) - 1.0)))
+              / (((CAST(substr(lpad(replace(CAST((sq) AS VARCHAR), '.', ''), 39, '0'), 1, 13) AS DOUBLE) * 1e13 + CAST(substr(lpad(replace(CAST((sq) AS VARCHAR), '.', ''), 39, '0'), 14, 13) AS DOUBLE)) * 1e13 + CAST(substr(lpad(replace(CAST((sq) AS VARCHAR), '.', ''), 39, '0'), 27, 13) AS DOUBLE)) / CAST(n AS DOUBLE))) AS cv
+      FROM s WHERE n >= 2 AND sq > 0
+    )
+    SELECT CASE WHEN cv < 0.5 THEN 'X'
+                WHEN cv < 1.0 THEN 'Y'
+                ELSE 'Z' END AS xyz_class,
+           COUNT(*) AS n_parts
+    FROM cv GROUP BY 1
+    """,
+)
+def agg_xyz_classification_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """agg / XYZ demand-variability classification — each part's
+    weekly-demand coefficient of variation bucketed X (<0.5, steady),
+    Y (<1.0), Z (volatile): the supply-chain planning census that
+    pairs with agg-pareto-abc's value dimension. Weeks come from
+    integer epoch-day arithmetic (the repo's engine-safe week);
+    per-part sums are DECIMAL-exact; the CV is one shared chain and
+    the class cut is a comparison, so the output census is exact."""
+    from medallion_delta_lake_spark.operators.agg import limb_double
+
+    li = table(spark, sf_dir, "lineitem")
+    wk = li.groupBy(
+        "l_partkey",
+        F.expr(
+            "CAST(CAST(l_shipdate AS TIMESTAMP) AS BIGINT)"
+            " div 86400 div 7"
+        ).alias("week"),
+    ).agg(
+        F.sum(
+            F.round(F.col("l_quantity").cast("double"), 0).cast(
+                "bigint"
+            )
+        )
+        .cast("bigint")
+        .alias("q")
+    )
+    s = wk.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("q").cast("decimal(38,0)")).alias("sq"),
+        F.sum(F.col("q").cast("decimal(19,0)") * F.col("q")).alias(
+            "sqq"
+        ),
+    )
+    nd = F.col("n").cast("double")
+    sq, sqq = limb_double(F.col("sq")), limb_double(F.col("sqq"))
+    cv = (
+        F.sqrt((nd * sqq - sq * sq) / (nd * (nd - 1.0)))
+        / (sq / nd)
+    )
+    c = s.filter((F.col("n") >= 2) & (F.col("sq") > 0)).select(
+        cv.alias("cv")
+    )
+    return (
+        c.select(
+            F.when(F.col("cv") < 0.5, "X")
+            .when(F.col("cv") < 1.0, "Y")
+            .otherwise("Z")
+            .alias("xyz_class")
+        )
+        .groupBy("xyz_class")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )

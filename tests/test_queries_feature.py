@@ -46,6 +46,8 @@ FEATURE_IDS = [
     "stats-cuped-theta",
     "stats-srm-check",
     "dedup-rate-by-source",
+    "stats-ols-slope-group",
+    "agg-xyz-classification",
 ]
 
 
