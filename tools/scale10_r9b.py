@@ -54,6 +54,8 @@ OPS = [
     "stats-two-proportion-z",
     "stats-cuped-theta",
     "stats-srm-check",
+    "stats-ols-slope-group",
+    "agg-xyz-classification",
 ]
 
 ID_COLS = {
