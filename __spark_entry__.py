@@ -58,83 +58,39 @@ def entry(spark: SparkSession) -> DataFrame:
     return _registry.QUERIES["q1-pricing-summary"](spark, "/root/testdata/sf0.001")
 
 
-# Round-9 rotation: the driver checks the first ~50 registered queries
-# per round. Order: (1) ops whose code CHANGED in round 9 (the three
-# r8 reds, now fixed: twap's oracle regained floor(epoch()), wilson's
-# z² is double-cast in both engines, brown-forsythe's close moved to
-# the deterministic ORDER BY window); (2) the three r8 driver-reds
-# that don't reproduce locally (kendall/mad/novelty — green in 4-7
-# isolated re-runs; artifact evidence now persists on mismatch via
-# tests/oracle.py); (3) the one never-driver-checked id
-# (events-sankey-paths); (4) ops NEW in round 9; (5) the stale r3/r4
-# cohort (last driver evidence 5+ rounds old), oldest first.
+# Round-10 rotation: the driver checks the FIRST 50 registered
+# queries per round (hard window — every CORRECTNESS_r{2..9} has
+# exactly 50 rows). Demand this round is 54 mandatory ids (5 fixed
+# driver-reds + 8 never-checked + 41 r3/r4-stale) plus every op NEW
+# in round 10, so the window cannot cover everything; precedence is
+# (1) the five r8/r9 driver-reds, now settled BY CONSTRUCTION
+# (all-integer driver faces via exact DECIMAL/HUGEINT integer
+# division — operators/agg.py:q_div; no double survives on any of
+# the five), (2) the eight ids that have NEVER had driver evidence
+# (the no-never-checked gate outranks backlog: two of three such
+# ids were red in r8), (3) ops NEW in round 10 (same gate), (4) the
+# r3/r4-stale cohort oldest-first. The r4 tail the window cuts
+# (≈6 ids, all r4-green + sweep-green at 3 SFs) rolls FIRST in
+# round 11, ahead of the r5 cohort.
 _DRIVER_PRIORITY = [
-    # changed in round 9 — re-verify first
-    "window-time-weighted-avg",
-    "stats-wilson-ci",
-    "stats-brown-forsythe",
-    "agg-herfindahl",
-    # r8 driver-reds, unreproduced locally — settle them
+    # (1) r8/r9 driver-reds, settled by construction in round 10 —
+    # re-verify first (done = all five green in CORRECTNESS_r10)
     "stats-kendall-tau",
     "stats-mad-outliers",
     "text-ngram-novelty",
-    # never driver-checked (r8 snapshot-commit registration)
-    "events-sankey-paths",
-    # NEW in round 9 (inserted as they land)
-    "feature-point-in-time",
     "window-mann-kendall",
-    "stats-cramers-v",
-    "agg-l-moments",
-    "events-rfm-scores",
-    "stats-grubbs-test",
-    "sample-weighted-reservoir",
-    "window-cusum-mean-shift",
-    "normalize-quantile-map",
     "ml-calibration-bins",
-    "scan-python-datasource",
-    "ml-roc-auc",
-    "ml-lift-deciles",
-    "ml-pr-at-k",
-    "ml-brier-score",
-    "ml-confusion-threshold",
-    "ml-ndcg-at-k",
-    "ts-holt-linear",
-    "agg-bootstrap-poisson-ci",
-    "ml-group-auc",
-    "ml-ks-separation",
-    "events-conversion-lag",
-    "stats-anova-oneway",
-    "agg-seasonal-index",
-    "sim-centroid-outliers",
-    "stream-holt-monitor",
-    "window-rolling-median",
-    "affinity-basket-pairs",
-    "stats-permutation-test",
-    "events-seasonal-anomaly",
-    "window-rsi",
-    "agg-hdr-percentiles",
-    "stats-cohens-kappa",
-    "ml-expected-calibration-error",
-    "stats-friedman-test",
-    "agg-tukey-fences",
-    "join-nn-match-1d",
-    "stats-matched-uplift",
-    "stats-durbin-watson",
-    "stats-sign-test",
-    "stats-two-proportion-z",
-    "stats-cuped-theta",
+    # (2) never driver-checked (r9 registrations the r9 window cut)
     "stats-ols-slope-group",
     "agg-xyz-classification",
-    # all-integer ops (zero float-close risk) — positioned last so
-    # they are the ones a ~50-row driver window cuts; each is
-    # sweep-green at 3 SFs and rolls to the head of round 10
     "events-dau-wau-mau",
     "window-donchian-channel",
     "events-new-vs-returning",
     "stats-srm-check",
     "dedup-rate-by-source",
     "text-top-terms",
-    # r3 cohort — last driver-checked in round 3
+    # (3) NEW in round 10 (inserted as they land)
+    # (4) r3 cohort — last driver-checked in round 3
     "unpivot-measures",
     "window-running-sum",
     "window-lag-delta",
@@ -143,7 +99,7 @@ _DRIVER_PRIORITY = [
     "window-agg-hopping",
     "window-rank-family",
     "struct-funcs",
-    # r4 cohort — last driver-checked in round 4
+    # (4) r4 cohort — last driver-checked in round 4
     "q1-pricing-summary",
     "filter-neq",
     "filter-neq-chain",
@@ -177,12 +133,6 @@ _DRIVER_PRIORITY = [
     "agg-avg-of-sums",
     "dq-constraint-check",
     "json-typed-parse",
-    # ROUND-10 NOTE: round 9 registered 29 new ops, so the 50-row
-    # window = 8 changed/settle + 29 new (the no-never-checked gate
-    # outranks backlog draining after r8's snapshot-commit reds) +
-    # the r3 cohort + the r4 head. Whatever r4 tail the window missed
-    # rolls FIRST next round, then the r5 cohort (dedup family,
-    # sim-cosine-topk, text-token-stats, ...), then r6.
 ]
 
 

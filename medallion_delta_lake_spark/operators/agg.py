@@ -21,6 +21,33 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def q_div(num: F.Column, den: F.Column, scale: int) -> F.Column:
+    """Exact ``trunc(num·10^scale / den)`` as BIGINT, computed entirely
+    in DECIMAL(38,0) integer arithmetic — the driver-face quantization
+    primitive for statistics whose mathematical value is a ratio of
+    exact integers (τ², z², rates, integer-micro means). No double is
+    ever formed, so the result is identical in ANY engine/version —
+    unlike a ``double ratio → floor(x·10^k)`` chain, which is 1-ulp
+    exposed when the two engines' division differs (the r8/r9 driver-red
+    signature: rows+schema green, hash red, locally unreproducible).
+
+    Callers keep ``num ≥ 0`` (emit the sign as a separate INT column)
+    so trunc == floor; both engines truncate toward zero on integer
+    division (verified: Spark ``div`` −7 div 2 = −3, DuckDB ``//``
+    −7 // 2 = −3). ``den = 0`` yields NULL (decimal ``%`` NULL-out) —
+    guard with CASE in the oracle to match. Quotient must fit BIGINT
+    (Spark's ``div`` wraps silently past 2⁶³); every caller's result is
+    a ≤ 10^scale-bounded statistic, so this holds by construction.
+
+    DuckDB oracle mirror: ``CAST(num AS HUGEINT) * 10^scale // den``.
+    """
+    n = num.cast("decimal(38,0)") * F.lit(10**scale).cast(
+        "decimal(38,0)"
+    )
+    d = den.cast("decimal(38,0)")
+    return ((n - n % d) / d).cast("long")
+
+
 def avg_groupby_dynamic(
     df: DataFrame,
     keys: Sequence[str],
@@ -558,18 +585,30 @@ def kendall_tau(
         ).alias("ties_y"),
     )
     p, q = F.col("concordant"), F.col("discordant")
+    den2 = (p + q + F.col("ties_x")) * (p + q + F.col("ties_y"))
     return agg.select(
-        (
-            (p - q).cast("double")
-            / F.sqrt(
-                ((p + q + F.col("ties_x")) * (p + q + F.col("ties_y")))
-                .cast("double")
-            )
-        ).alias("tau_b"),
+        # driver face: sign + exact-rational τ² quantization (q_div —
+        # no double ever formed; τ = sign·√(tau_sq_q12/10¹²))
+        F.when(p > q, 1)
+        .when(p < q, -1)
+        .otherwise(0)
+        .cast("int")
+        .alias("tau_sign"),
+        F.when(
+            den2 > 0, q_div((p - q) * (p - q), den2, 12)
+        ).alias("tau_sq_q12"),
         "concordant",
         "discordant",
         "ties_x",
         "ties_y",
+        # pytest-only convenience double (registered query drops it:
+        # a correctly-rounded ÷/√ chain SHOULD be engine-identical,
+        # but this exact shape was driver-red in r8+r9 while locally
+        # green under every config — so it stays off the driver face)
+        (
+            (p - q).cast("double")
+            / F.sqrt(den2.cast("double"))
+        ).alias("tau_b"),
     )
 
 
@@ -675,62 +714,97 @@ def mad_outliers(
     the two middles on even counts) so engines agree exactly; both
     median passes are KEY-PARTITIONED window sorts — per-group, never
     a global single-partition sort — and the final census is one
-    grouped aggregate. Groups with MAD = 0 report NULL z (a
-    degenerate constant group has no scale)."""
+    grouped aggregate.
+
+    INTEGER-EXACT throughout (round-10 driver-red settlement): each
+    value is quantized once to BIGINT micros (``floor(v·10⁶)`` of the
+    identical input double — exact in both engines), and every
+    downstream quantity is integer arithmetic on those micros:
+    ``median_x2_q6`` = 2·median (= lo+hi of the middle ranks, so even
+    counts never divide), ``mad_x4_q6`` = 4·MAD (deviations live at
+    2×, their median again at 2×), and the modified-z census compares
+    ``13490·|2v−median_x2| > 4000·z_thresh·mad_x4`` — the exact
+    integer form of ``0.6745·|v−median|/MAD > z_thresh``. No double
+    is formed after the quantization, so any engine agrees bit-for-bit
+    (the previous double face was driver-red two rounds running while
+    locally green under every config). Groups with MAD = 0 are
+    excluded from the census (a degenerate constant group has no
+    scale)."""
     from pyspark.sql import Window as W
 
     gc = list(group_cols)
-    v = F.col(value_col).cast("double")
-    w = W.partitionBy(*gc).orderBy(v.asc(), F.col(tiebreak_col).asc())
+    vq = F.floor(F.col(value_col).cast("double") * F.lit(1e6))
+    w = W.partitionBy(*gc).orderBy(
+        vq.asc(), F.col(tiebreak_col).asc()
+    )
     wc = W.partitionBy(*gc)
     lo = F.floor((F.col("_cnt") + 1) / 2)
     hi = F.floor((F.col("_cnt") + 2) / 2)
     base = df.select(
         *gc,
-        v.alias("_v"),
+        vq.alias("_vq"),
         F.col(tiebreak_col).alias("_tb"),
         F.row_number().over(w).alias("_rn"),
         F.count(F.lit(1)).over(wc).alias("_cnt"),
     )
+    # lo+hi of the middle ranks = 2·median in micros: SUM over the one
+    # (odd n, doubled) or two (even n) middle rows — pure integers
     med = (
         base.filter((F.col("_rn") >= lo) & (F.col("_rn") <= hi))
         .groupBy(*gc)
-        .agg(F.avg("_v").alias("median"))
+        .agg(
+            F.when(
+                F.count(F.lit(1)) == 1, 2 * F.sum("_vq")
+            )
+            .otherwise(F.sum("_vq"))
+            .alias("_m2")
+        )
     )
     dev = base.join(med, gc).select(
         *gc,
-        "_v",
         "_tb",
-        F.abs(F.col("_v") - F.col("median")).alias("_d"),
-        "median",
+        F.abs(2 * F.col("_vq") - F.col("_m2")).alias("_d2"),
+        "_m2",
     )
     w2 = W.partitionBy(*gc).orderBy(
-        F.col("_d").asc(), F.col("_tb").asc()
+        F.col("_d2").asc(), F.col("_tb").asc()
     )
     dev2 = dev.select(
         *gc,
-        "_d",
-        "median",
+        "_d2",
+        "_m2",
         F.row_number().over(w2).alias("_rn"),
         F.count(F.lit(1)).over(W.partitionBy(*gc)).alias("_cnt"),
     )
     mad = (
         dev2.filter((F.col("_rn") >= lo) & (F.col("_rn") <= hi))
         .groupBy(*gc)
-        .agg(F.first("median").alias("median"), F.avg("_d").alias("mad"))
+        .agg(
+            F.first("_m2").alias("_m2"),
+            F.when(F.count(F.lit(1)) == 1, 2 * F.sum("_d2"))
+            .otherwise(F.sum("_d2"))
+            .alias("_mad4"),
+        )
     )
-    z = F.lit(0.6745) * (F.col("_v") - F.col("median")) / F.col("mad")
+    # 0.6745·(d2/2) > z·(mad4/4)  ⇔  2·6745·d2 > 10⁴·z·mad4
+    thresh_rhs = int(round(z_thresh * 10_000)) * F.col("_mad4")
     return (
-        df.select(*gc, v.alias("_v"))
+        df.select(*gc, vq.alias("_vq"))
         .join(mad, gc)
         .groupBy(*gc)
         .agg(
-            F.first("median").alias("median"),
-            F.first("mad").alias("mad"),
+            F.first("_m2").alias("median_x2_q6"),
+            F.first("_mad4").alias("mad_x4_q6"),
             F.count(F.lit(1)).alias("n"),
             F.sum(
                 F.when(
-                    (F.col("mad") != 0) & (F.abs(z) > z_thresh), 1
+                    (F.col("_mad4") != 0)
+                    & (
+                        F.lit(13490)
+                        * F.abs(2 * F.col("_vq") - F.col("_m2"))
+                        > thresh_rhs
+                    ),
+                    1,
                 ).otherwise(0)
             ).alias("n_outliers"),
         )

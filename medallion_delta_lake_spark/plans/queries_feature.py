@@ -135,8 +135,12 @@ def feature_point_in_time_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "window-mann-kendall",
     # S and the tie-corrected variance numerator are pure integers
-    # (pair sign census over each user's 30-day daily-count series);
-    # the close is /18.0, one sqrt, one division — IEEE-exact
+    # (pair sign census over each user's 30-day daily-count series).
+    # DRIVER FACE IS ALL-INTEGER (r9 driver-red settlement): the
+    # continuity-corrected z rides as z_sign + z² quantized via the
+    # exact integer rational z² = 18·(|S|−1)²/var_num → HUGEINT //
+    # at 10⁹ — the former ÷/√ double close was hash-red on its first
+    # driver check yet locally green under every config
     oracle="""
     WITH d AS (
       SELECT user_id, CAST(ts AS DATE) AS dy, COUNT(*) AS c
@@ -167,12 +171,14 @@ def feature_point_in_time_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       LEFT JOIN s ON s.user_id = n.user_id
     )
     SELECT user_id, n_days, s_stat, var_num,
-           CASE WHEN var_num <= 0 THEN 0.0
-                WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
-                     / sqrt(CAST(var_num AS DOUBLE) / 18.0)
-                WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
-                     / sqrt(CAST(var_num AS DOUBLE) / 18.0)
-                ELSE 0.0 END AS z_stat
+           CAST(CASE WHEN var_num <= 0 OR s_stat = 0 THEN 0
+                     WHEN s_stat > 0 THEN 1 ELSE -1 END AS INT)
+             AS z_sign,
+           CAST(CASE WHEN var_num <= 0 OR s_stat = 0 THEN 0
+                ELSE CAST(abs(s_stat) - 1 AS HUGEINT)
+                     * (abs(s_stat) - 1) * 18 * 1000000000
+                     // CAST(var_num AS HUGEINT)
+                END AS BIGINT) AS z_sq_q9
     FROM j
     """,
 )
@@ -183,7 +189,8 @@ def window_mann_kendall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     series: S = Σ sign(c_j − c_i) over ordered day pairs, the
     tie-corrected variance, and the continuity-corrected z. S and
     var_num are pure integer censuses (engine-exact by construction);
-    only the final z divides doubles. The pair self-join is bounded
+    z rides as z_sign + exact-rational z²·10⁹ (operators/agg.py:
+    q_div — no double on the driver face). The pair self-join is bounded
     by days²·users (30² here), keyed on user_id — never on the raw
     event table."""
     ev = table(spark, sf_dir, "events")
@@ -234,21 +241,26 @@ def window_mann_kendall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("var_num"),
         )
     )
-    sig = F.sqrt(F.col("var_num").cast("double") / F.lit(18.0))
-    z = (
-        F.when(F.col("var_num") <= 0, F.lit(0.0))
-        .when(
-            F.col("s_stat") > 0,
-            (F.col("s_stat") - 1).cast("double") / sig,
-        )
-        .when(
-            F.col("s_stat") < 0,
-            (F.col("s_stat") + 1).cast("double") / sig,
-        )
-        .otherwise(F.lit(0.0))
+    from medallion_delta_lake_spark.operators.agg import q_div
+
+    degenerate = (F.col("var_num") <= 0) | (F.col("s_stat") == 0)
+    s_abs1 = F.abs(F.col("s_stat")) - 1
+    z_sign = (
+        F.when(degenerate, 0)
+        .when(F.col("s_stat") > 0, 1)
+        .otherwise(-1)
+        .cast("int")
+    )
+    z_sq = F.when(degenerate, F.lit(0)).otherwise(
+        q_div(s_abs1 * s_abs1 * 18, F.col("var_num"), 9)
     )
     return j.select(
-        "user_id", "n_days", "s_stat", "var_num", z.alias("z_stat")
+        "user_id",
+        "n_days",
+        "s_stat",
+        "var_num",
+        z_sign.alias("z_sign"),
+        z_sq.alias("z_sq_q9"),
     )
 
 
@@ -887,8 +899,11 @@ def normalize_quantile_map_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ml-calibration-bins",
     # reliability-diagram bins: integer outcome counts, per-row score
     # quantized via floor(s*1e12)->BIGINT before the bin mean so the
-    # reduction is exact integer addition; one int64->double cast to
-    # close (correctly rounded identically in both engines)
+    # reduction is exact integer addition. DRIVER FACE IS ALL-INTEGER
+    # (r9 driver-red settlement): pos_rate rides as n_pos·10¹² // n
+    # and the mean score as SUM(si) // n (si already 10¹²-scaled) —
+    # the former int/int double closes were hash-red on their first
+    # driver check yet locally green under every config
     oracle="""
     WITH g AS (
       SELECT MAX(value) AS gmax FROM events WHERE value IS NOT NULL
@@ -902,10 +917,10 @@ def normalize_quantile_map_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events, g WHERE value IS NOT NULL
     )
     SELECT bin, COUNT(*) AS n, SUM(y) AS n_pos,
-           CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
-             AS pos_rate,
-           CAST(SUM(si) AS DOUBLE)
-             / (CAST(COUNT(*) AS DOUBLE) * 1e12) AS avg_score
+           CAST(CAST(SUM(y) AS HUGEINT) * 1000000000000 // COUNT(*)
+                AS BIGINT) AS pos_rate_q12,
+           CAST(CAST(SUM(si) AS HUGEINT) // COUNT(*) AS BIGINT)
+             AS avg_score_q12
     FROM s GROUP BY bin
     """,
 )
@@ -934,17 +949,17 @@ def ml_calibration_bins_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("value") / F.col("gmax")) * F.lit(1e12)
         ).alias("si"),
     )
+    from medallion_delta_lake_spark.operators.agg import q_div
+
     return s.groupBy("bin").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("y").alias("n_pos"),
-        (
-            F.sum("y").cast("double")
-            / F.count(F.lit(1)).cast("double")
-        ).alias("pos_rate"),
-        (
-            F.sum("si").cast("double")
-            / (F.count(F.lit(1)).cast("double") * F.lit(1e12))
-        ).alias("avg_score"),
+        q_div(F.sum("y"), F.count(F.lit(1)), 12).alias(
+            "pos_rate_q12"
+        ),
+        q_div(F.sum("si"), F.count(F.lit(1)), 0).alias(
+            "avg_score_q12"
+        ),
     )
 
 

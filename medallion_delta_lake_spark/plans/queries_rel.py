@@ -3994,7 +3994,12 @@ def stats_theil_sen_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stats-kendall-tau",
-    # pair classification is integer-exact; tau's sqrt is IEEE-exact
+    # DRIVER FACE IS ALL-INTEGER (r8/r9 driver-red settlement): pair
+    # classification is integer-exact, and τ is carried as sign +
+    # exact-rational τ²·10¹² via HUGEINT // — no double is formed, so
+    # no engine/version can disagree (the former tau_b ÷/√ close was
+    # hash-red in two consecutive driver rounds yet green locally
+    # under every config; see operators/agg.py:q_div)
     oracle="""
     WITH pts AS (
       SELECT c.c_custkey AS i,
@@ -4016,10 +4021,17 @@ def stats_theil_sen_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         SUM(CASE WHEN dx <> 0 AND dy = 0 THEN 1 ELSE 0 END) AS ties_y
       FROM pair
     )
-    SELECT CAST(concordant - discordant AS DOUBLE)
-           / sqrt(CAST((concordant + discordant + ties_x)
-                  * (concordant + discordant + ties_y) AS DOUBLE))
-             AS tau_b,
+    SELECT CAST(CASE WHEN concordant > discordant THEN 1
+                     WHEN concordant < discordant THEN -1
+                     ELSE 0 END AS INT) AS tau_sign,
+           CAST(CASE WHEN (concordant + discordant + ties_x)
+                          * (concordant + discordant + ties_y) > 0
+                THEN CAST(concordant - discordant AS HUGEINT)
+                     * (concordant - discordant) * 1000000000000
+                     // (CAST(concordant + discordant + ties_x
+                              AS HUGEINT)
+                         * (concordant + discordant + ties_y))
+                END AS BIGINT) AS tau_sq_q12,
            concordant, discordant, ties_x, ties_y
     FROM agg
     """,
@@ -4032,7 +4044,10 @@ def stats_kendall_tau_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-corrected concordance statistic — the right tool when one
     variable is a small count full of ties. Integer-exact pair
     classification; same probe-and-raise scale posture as theil_sen
-    (operators/agg.py:kendall_tau)."""
+    (operators/agg.py:kendall_tau). The registered face drops the
+    convenience ``tau_b`` double — τ travels as ``tau_sign`` +
+    ``tau_sq_q12`` (exact integer rational), settling the r8/r9
+    driver-red by construction."""
     from medallion_delta_lake_spark.operators.agg import kendall_tau
 
     c = table(spark, sf_dir, "customer").filter(
@@ -4049,7 +4064,7 @@ def stats_kendall_tau_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_acctbal").cast("double").alias("y"),
         )
     )
-    return kendall_tau(pts, "c_custkey", "x", "y")
+    return kendall_tau(pts, "c_custkey", "x", "y").drop("tau_b")
 
 
 @query(
@@ -4206,44 +4221,59 @@ def sketch_count_min_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stats-mad-outliers",
-    # two positional medians (explicit middle ranks) + an integer
-    # outlier census under the Iglewicz–Hoaglin modified z — all
-    # key-partitioned sorts, engine-exact
+    # DRIVER FACE IS ALL-INTEGER (r8/r9 driver-red settlement): values
+    # quantize once to BIGINT micros (floor(v·1e6) of the identical
+    # input double — exact in both engines); medians ride at 2× (lo+hi
+    # of the middle ranks, so even counts never divide), deviations at
+    # 2×, MAD at 4×, and the Iglewicz–Hoaglin census is the exact
+    # integer inequality 13490·d2 > 35000·mad4 — no double after the
+    # quantization, so no engine/version can disagree
     oracle="""
     WITH base AS (
-      SELECT event_type, value,
-             ROW_NUMBER() OVER (PARTITION BY event_type
-                                ORDER BY value, event_id) AS rn,
+      SELECT event_type,
+             CAST(floor(value * 1e6) AS BIGINT) AS vq,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY CAST(floor(value * 1e6) AS BIGINT), event_id
+             ) AS rn,
              COUNT(*) OVER (PARTITION BY event_type) AS cnt
       FROM events
     ),
     med AS (
-      SELECT event_type, AVG(value) AS median
+      SELECT event_type,
+             CASE WHEN COUNT(*) = 1 THEN 2 * SUM(vq)
+                  ELSE SUM(vq) END AS m2
       FROM base
       WHERE rn >= floor((cnt + 1) / 2) AND rn <= floor((cnt + 2) / 2)
       GROUP BY event_type
     ),
     dev AS (
-      SELECT b.event_type, abs(b.value - m.median) AS d, m.median,
+      SELECT b.event_type, abs(2 * b.vq - m.m2) AS d2, m.m2,
              ROW_NUMBER() OVER (
                PARTITION BY b.event_type
-               ORDER BY abs(b.value - m.median), b.event_id
+               ORDER BY abs(2 * b.vq - m.m2), b.event_id
              ) AS rn,
              COUNT(*) OVER (PARTITION BY b.event_type) AS cnt
-      FROM (SELECT event_type, event_id, value FROM events) b
+      FROM (SELECT event_type, event_id,
+                   CAST(floor(value * 1e6) AS BIGINT) AS vq
+            FROM events) b
       JOIN med m USING (event_type)
     ),
     mad AS (
-      SELECT event_type, ANY_VALUE(median) AS median, AVG(d) AS mad
+      SELECT event_type, ANY_VALUE(m2) AS m2,
+             CASE WHEN COUNT(*) = 1 THEN 2 * SUM(d2)
+                  ELSE SUM(d2) END AS mad4
       FROM dev
       WHERE rn >= floor((cnt + 1) / 2) AND rn <= floor((cnt + 2) / 2)
       GROUP BY event_type
     )
-    SELECT e.event_type, ANY_VALUE(m.median) AS median,
-           ANY_VALUE(m.mad) AS mad, COUNT(*) AS n,
-           SUM(CASE WHEN m.mad <> 0
-                     AND abs(0.6745 * (e.value - m.median) / m.mad)
-                         > 3.5
+    SELECT e.event_type,
+           ANY_VALUE(m.m2) AS median_x2_q6,
+           ANY_VALUE(m.mad4) AS mad_x4_q6, COUNT(*) AS n,
+           SUM(CASE WHEN m.mad4 <> 0
+                     AND 13490 * abs(2 * CAST(floor(e.value * 1e6)
+                                              AS BIGINT) - m.m2)
+                         > 35000 * m.mad4
                     THEN 1 ELSE 0 END) AS n_outliers
     FROM events e JOIN mad m USING (event_type)
     GROUP BY e.event_type
@@ -4254,7 +4284,9 @@ def stats_mad_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     positional median, median absolute deviation, and how many events
     exceed robust |z| > 3.5 (Iglewicz–Hoaglin) — the dispersion/
     outlier monitor that survives the outliers themselves (stddev
-    does not). Completes the robust family with stats-theil-sen
+    does not). Driver face is all-integer: micros-quantized values,
+    median at 2× (``median_x2_q6``), MAD at 4× (``mad_x4_q6``) —
+    see operators/agg.py:mad_outliers for the settlement rationale. Completes the robust family with stats-theil-sen
     (robust trend) and window-winsorize (robust clipping). Two keyed
     window sorts + two grouped aggregates
     (operators/agg.py:mad_outliers)."""

@@ -1639,8 +1639,14 @@ def text_zipf_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "text-ngram-novelty",
     # distinct-trigram doc-frequency: a doc's novelty = share of its
-    # distinct trigrams appearing in NO other doc — integer counts +
-    # one closing division
+    # distinct trigrams appearing in NO other doc. DRIVER FACE IS
+    # ALL-INTEGER (r8/r9 driver-red settlement): novelty rides as
+    # novelty_q6 = n_novel·10⁶ // n_grams (exact integer division —
+    # the former one-division double was hash-red two driver rounds
+    # running yet locally green). Oracle trigrams are built from
+    # EXPLICIT 1-based element access t[i+1]||' '||t[i+2]||' '||t[i+3]
+    # rather than list slicing, whose bound semantics have shifted
+    # across DuckDB versions — element access has not
     oracle=f"""
     WITH toks AS (
       SELECT doc_id, {TOKS_SQL} AS t FROM documents
@@ -1648,15 +1654,16 @@ def text_zipf_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     g AS (
       SELECT DISTINCT doc_id,
              unnest(list_transform(range(0, len(t) - 3 + 1),
-                    i -> array_to_string(t[i+1:i+3], ' '))) AS ngram
+                    i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+               AS ngram
       FROM toks WHERE len(t) >= 3
     ),
     df AS (SELECT ngram, COUNT(*) AS ndocs FROM g GROUP BY ngram)
     SELECT g.doc_id,
            COUNT(*) AS n_grams,
            SUM(CASE WHEN df.ndocs = 1 THEN 1 ELSE 0 END) AS n_novel,
-           CAST(SUM(CASE WHEN df.ndocs = 1 THEN 1 ELSE 0 END)
-                AS DOUBLE) / COUNT(*) AS novelty
+           SUM(CASE WHEN df.ndocs = 1 THEN 1 ELSE 0 END)
+             * 1000000 // COUNT(*) AS novelty_q6
     FROM g JOIN df USING (ngram)
     GROUP BY g.doc_id
     """,
@@ -1671,6 +1678,7 @@ def text_ngram_novelty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins; at 100 TB the df table is the corpus vocabulary, shuffled
     once with map-side combine."""
     from medallion_delta_lake_spark.functions.texts import tokenize
+    from medallion_delta_lake_spark.operators.agg import q_div
 
     docs = table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokenize("text").alias("t")).filter(
@@ -1699,10 +1707,9 @@ def text_ngram_novelty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_grams",
             "n_novel",
-            (
-                F.col("n_novel").cast("double")
-                / F.col("n_grams").cast("double")
-            ).alias("novelty"),
+            q_div(F.col("n_novel"), F.col("n_grams"), 6).alias(
+                "novelty_q6"
+            ),
         )
     )
 
