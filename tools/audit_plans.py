@@ -150,6 +150,11 @@ AUDITED = [
     "agg-hdr-percentiles",
     "stats-cohens-kappa",
     "ml-expected-calibration-error",
+    # round-9 late additions (missed by the r9 audit — judge item #4)
+    "join-nn-match-1d",
+    "stats-srm-check",
+    "stats-ols-slope-group",
+    "agg-xyz-classification",
 ]
 
 
