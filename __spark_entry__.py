@@ -51,6 +51,10 @@ try:
     from medallion_delta_lake_spark.plans import queries_mleval  # noqa: F401,E402
 except ImportError:
     pass
+try:
+    from medallion_delta_lake_spark.plans import queries_r10  # noqa: F401,E402
+except ImportError:
+    pass
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -89,7 +93,9 @@ _DRIVER_PRIORITY = [
     "stats-srm-check",
     "dedup-rate-by-source",
     "text-top-terms",
-    # (3) NEW in round 10 (inserted as they land)
+    # (3) NEW in round 10
+    "scan-delta-identity",
+    "stream-merge-clauses",
     # (4) r3 cohort — last driver-checked in round 3
     "unpivot-measures",
     "window-running-sum",
