@@ -282,3 +282,101 @@ def test_cdc_on_column_mapped_table(spark, tmp_path):
         # the renamed column's LOGICAL name must not appear — its
         # physical name stays "v" (assigned at mapping enablement)
         assert "amount" not in cols
+
+
+def test_incremental_join_maintenance(spark, tmp_path):
+    """A maintained two-table inner join folded forward from BOTH
+    sides' change feeds equals the full recompute across inserts,
+    updates, and deletes on each side (r10 maintain_join_from_changes:
+    affected-key refresh, O(changed keys) per batch)."""
+    from medallion_delta_lake_spark.operators.incremental import (
+        maintain_join_from_changes,
+    )
+
+    a = str(tmp_path / "orders_t")
+    b = str(tmp_path / "cust_t")
+    delta_log.write_delta(
+        spark,
+        spark.createDataFrame(
+            [(k, k % 4, float(10 * k)) for k in range(1, 11)],
+            "ok int, ck int, amt double",
+        ).coalesce(1),
+        a,
+    )
+    delta_log.write_delta(
+        spark,
+        spark.createDataFrame(
+            [(c, f"seg{c}") for c in range(4)], "ck int, seg string"
+        ).coalesce(1),
+        b,
+    )
+    for t in (a, b):
+        delta_log.set_table_properties(
+            t, {"delta.enableChangeDataFeed": "true"}
+        )
+
+    def snap(t):
+        return delta_log.read_delta(spark, t)
+
+    def recompute():
+        return snap(a).join(snap(b), ["ck"], "inner")
+
+    joined = recompute().localCheckpoint()
+    va = delta_log.resolve_snapshot(a)["version"]
+    vb = delta_log.resolve_snapshot(b)["version"]
+
+    # batch 1: insert on the left, update on the right (same key class)
+    delta_log.write_delta(
+        spark,
+        spark.createDataFrame(
+            [(11, 1, 999.0)], "ok int, ck int, amt double"
+        ).coalesce(1),
+        a,
+    )
+    delta_log.update_delta_log(
+        spark, b, [("ck", "=", 2)], {"seg": "'seg2-v2'"}
+    )
+    fa = delta_log.table_changes(spark, a, va + 1)
+    fb = delta_log.table_changes(spark, b, vb + 1)
+    joined = maintain_join_from_changes(
+        joined, snap(a), snap(b), fa, fb, ["ck"]
+    ).localCheckpoint()
+    assert {tuple(r) for r in joined.collect()} == {
+        tuple(r) for r in recompute().collect()
+    }
+
+    # batch 2: delete on the left (kills some pairs), delete a whole
+    # key on the right (kills every pair of ck=3), insert a brand-new
+    # right key that has no left partners (must add nothing)
+    va = delta_log.resolve_snapshot(a)["version"]
+    vb = delta_log.resolve_snapshot(b)["version"]
+    delta_log.delete_delta_log(spark, a, [("ok", "=", 4)])
+    delta_log.delete_delta_log(spark, b, [("ck", "=", 3)])
+    delta_log.write_delta(
+        spark,
+        spark.createDataFrame([(7, "seg7")], "ck int, seg string")
+        .coalesce(1),
+        b,
+    )
+    fa = delta_log.table_changes(spark, a, va + 1)
+    fb = delta_log.table_changes(spark, b, vb + 1)
+    joined = maintain_join_from_changes(
+        joined, snap(a), snap(b), fa, fb, ["ck"]
+    ).localCheckpoint()
+    got = {tuple(r) for r in joined.collect()}
+    want = {tuple(r) for r in recompute().collect()}
+    assert got == want
+    assert not any(r["ck"] == 3 for r in joined.collect())
+
+    # batch 3: a one-sided feed (left only) — right feed is None
+    va = delta_log.resolve_snapshot(a)["version"]
+    delta_log.update_delta_log(
+        spark, a, [("ok", "=", 2)], {"amt": "amt + 1"}
+    )
+    fa = delta_log.table_changes(spark, a, va + 1)
+    joined = maintain_join_from_changes(
+        joined, snap(a), snap(b), fa, None, ["ck"]
+    )
+    assert {tuple(r) for r in joined.collect()} == {
+        tuple(r) for r in recompute().collect()
+    }
