@@ -1893,6 +1893,164 @@ def _apply_generated_columns(df: DataFrame, meta: dict) -> DataFrame:
     return df
 
 
+def _column_defaults(meta: dict) -> dict[str, str]:
+    """column name → default SQL expression, from the schemaString's
+    ``CURRENT_DEFAULT`` field metadata (PROTOCOL.md Default Columns,
+    table feature ``allowColumnDefaults``)."""
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    out = {}
+    for f in schema.fields:
+        expr = (f.metadata or {}).get("CURRENT_DEFAULT")
+        if expr:
+            out[f.name] = expr
+    return out
+
+
+def _apply_column_defaults(df: DataFrame, meta: dict) -> DataFrame:
+    """Fill any default-bearing column ABSENT from ``df`` with its
+    ``CURRENT_DEFAULT`` expression (the writer-side contract of the
+    ``allowColumnDefaults`` feature — same fill-if-absent shape as
+    :func:`_apply_generated_columns`, which runs first; a generated
+    column cannot also carry a default)."""
+    defaults = _column_defaults(meta)
+    if not defaults:
+        return df
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    types = {f.name: f.dataType for f in schema.fields}
+    for col, expr in sorted(defaults.items()):
+        if col not in df.columns:
+            df = df.withColumn(col, F.expr(expr).cast(types[col]))
+    return df
+
+
+def set_column_default(
+    spark: SparkSession, path: str, col: str, default_sql: str
+) -> int:
+    """ALTER TABLE ... ALTER COLUMN ... SET DEFAULT: record
+    ``default_sql`` as the column's ``CURRENT_DEFAULT`` so later
+    writes that omit the column fill it (existing files are untouched
+    — absent columns in old parquet still read as NULL, delta-spark's
+    behavior). The expression must be CONSTANT-FOLDABLE (no column
+    references — real Delta's restriction); adopting the
+    ``allowColumnDefaults`` table feature upgrades the protocol to
+    writer v7 with the legacy implied features preserved. Returns the
+    committed version."""
+    # reject non-constant expressions: analyze against a zero-column
+    # row — any column reference fails analysis
+    probe = spark.range(1).drop("id")
+    try:
+        probe.select(F.expr(default_sql)).schema
+    except Exception as ex:  # noqa: BLE001 — surface as ValueError
+        raise ValueError(
+            f"default for {col!r} must be a constant-foldable "
+            f"expression with no column references: {default_sql!r} "
+            f"({ex})"
+        ) from None
+    snap = resolve_snapshot(path)
+    meta = snap["meta"]
+    if meta is None:
+        raise DeltaProtocolError("log contains no metaData action")
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    names = [f.name for f in schema.fields]
+    if col not in names:
+        raise KeyError(f"no column {col!r} on {path}")
+    if col in (meta.get("partitionColumns") or []):
+        raise ValueError(f"cannot set a default on partition column {col!r}")
+    new_fields = []
+    for f in schema.fields:
+        if f.name == col:
+            if (f.metadata or {}).get("delta.generationExpression"):
+                raise ValueError(
+                    f"column {col!r} is generated; it cannot also "
+                    "carry a default"
+                )
+            md = dict(f.metadata or {})
+            md["CURRENT_DEFAULT"] = default_sql
+            new_fields.append(
+                StructField(f.name, f.dataType, f.nullable, md)
+            )
+        else:
+            new_fields.append(f)
+    new_meta = dict(meta)
+    new_meta["schemaString"] = StructType(new_fields).json()
+
+    proto = snap.get("protocol") or {
+        "minReaderVersion": 1,
+        "minWriterVersion": 2,
+    }
+    wf = set(proto.get("writerFeatures") or [])
+    wv = proto.get("minWriterVersion", 2)
+    need_upgrade = "allowColumnDefaults" not in wf
+    if need_upgrade and wv < 7:
+        for lv in range(2, wv + 1):
+            wf |= _LEGACY_WRITER_FEATURES.get(lv, set())
+    new_proto = {
+        "minReaderVersion": proto.get("minReaderVersion", 1),
+        "minWriterVersion": 7,
+        **(
+            {"readerFeatures": proto["readerFeatures"]}
+            if proto.get("readerFeatures")
+            else {}
+        ),
+        "writerFeatures": sorted(wf | {"allowColumnDefaults"}),
+    }
+
+    def build(version: int) -> list[dict]:
+        actions: list[dict] = []
+        if need_upgrade:
+            actions.append({"protocol": new_proto})
+        actions.append({"metaData": new_meta})
+        actions.append(
+            {
+                "commitInfo": {
+                    "operation": "ALTER COLUMN SET DEFAULT",
+                    "operationParameters": {
+                        "column": col,
+                        "default": default_sql,
+                    },
+                }
+            }
+        )
+        return actions
+
+    return _commit_version(path, build, read_version=snap["version"])
+
+
+def drop_column_default(path: str, col: str) -> int:
+    """ALTER TABLE ... ALTER COLUMN ... DROP DEFAULT: metadata-only
+    removal; later writes must supply the column again."""
+    snap = resolve_snapshot(path)
+    meta = dict(snap["meta"] or {})
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    hit = False
+    new_fields = []
+    for f in schema.fields:
+        md = dict(f.metadata or {})
+        if f.name == col and md.pop("CURRENT_DEFAULT", None) is not None:
+            hit = True
+            new_fields.append(
+                StructField(f.name, f.dataType, f.nullable, md)
+            )
+        else:
+            new_fields.append(f)
+    if not hit:
+        raise KeyError(f"no default on column {col!r} at {path}")
+    meta["schemaString"] = StructType(new_fields).json()
+
+    def build(version: int) -> list[dict]:
+        return [
+            {"metaData": meta},
+            {
+                "commitInfo": {
+                    "operation": "ALTER COLUMN DROP DEFAULT",
+                    "operationParameters": {"column": col},
+                }
+            },
+        ]
+
+    return _commit_version(path, build, read_version=snap["version"])
+
+
 def _is_append_only(meta: dict | None) -> bool:
     return (
         meta is not None
@@ -2180,9 +2338,27 @@ def write_delta(
         )
     evolved_meta: dict | None = None
     if snap is not None and snap["meta"] is not None:
-        # fill absent generated columns BEFORE schema validation (the
-        # writer computes them; provided values are validated below)
+        if mode == "append":
+            # identity tables allocate through append_with_identity
+            # (sources/identity.py) — a plain append would ship caller
+            # values without advancing the high-water mark, corrupting
+            # later generations
+            id_schema = StructType.fromJson(
+                json.loads(snap["meta"]["schemaString"])
+            )
+            if any(
+                "delta.identity.start" in (f.metadata or {})
+                for f in id_schema.fields
+            ):
+                raise DeltaSchemaMismatchError(
+                    f"table at {path} has identity columns; append "
+                    "via sources/identity.py:append_with_identity"
+                )
+        # fill absent generated/default columns BEFORE schema
+        # validation (the writer computes them; provided values are
+        # validated below)
         df = _apply_generated_columns(df, snap["meta"])
+        df = _apply_column_defaults(df, snap["meta"])
         committed_parts = snap["meta"].get("partitionColumns") or []
         if partition_by is None:
             partition_by = committed_parts  # inherit, like Delta itself

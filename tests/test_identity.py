@@ -189,3 +189,24 @@ def test_create_rejects_collision_and_zero_step(spark, tmp_path):
     idm.create_identity_table(spark, p, SCHEMA, "id")
     with pytest.raises(DeltaConcurrentWriteError, match="exists"):
         idm.create_identity_table(spark, p, SCHEMA, "id")
+
+
+def test_plain_write_delta_append_refuses_identity_table(
+    spark, tmp_path
+):
+    """The footgun guard: a plain write_delta append to an identity
+    table would ship caller values without advancing the mark."""
+    from medallion_delta_lake_spark.sources.delta_log import write_delta
+
+    p = str(tmp_path / "t")
+    idm.create_identity_table(spark, p, SCHEMA, "id")
+    idm.append_with_identity(
+        spark, spark.createDataFrame([("a", 1)], SCHEMA), p
+    )
+    bad = spark.createDataFrame(
+        [(99, "b", 2)], "id long, name string, v long"
+    )
+    with pytest.raises(
+        DeltaSchemaMismatchError, match="append_with_identity"
+    ):
+        write_delta(spark, bad, p)

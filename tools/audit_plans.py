@@ -155,6 +155,9 @@ AUDITED = [
     "stats-srm-check",
     "stats-ols-slope-group",
     "agg-xyz-classification",
+    # round-10 additions
+    "scan-delta-identity",
+    "stream-merge-clauses",
 ]
 
 
