@@ -655,6 +655,105 @@ def _apply_in_commit_timestamp(
 
 
 ROW_TRACKING_DOMAIN = "delta.rowTracking"
+CLUSTERING_DOMAIN = "delta.clustering"
+
+
+def clustering_columns(snap: dict) -> list[str]:
+    """The table's clustering columns from the ``delta.clustering``
+    metadata domain (PROTOCOL.md Clustered Table: configuration
+    ``{"clusteringColumns": [["c1"], ["c2"]]}`` — one inner list per
+    column path; this engine supports top-level columns). Empty when
+    the table is not clustered."""
+    cfg = (snap.get("domains") or {}).get(CLUSTERING_DOMAIN)
+    if not cfg:
+        return []
+    try:
+        paths = json.loads(cfg).get("clusteringColumns") or []
+        return [p[0] for p in paths if p]
+    except (ValueError, TypeError, IndexError):
+        return []
+
+
+def set_clustering_columns(
+    spark: SparkSession, path: str, cols: list[str]
+) -> int:
+    """ALTER TABLE ... CLUSTER BY: record ``cols`` as the table's
+    clustering columns in the ``delta.clustering`` metadata domain and
+    adopt the ``clustering`` + ``domainMetadata`` writer features
+    (writer v7, legacy implied features preserved). Declarative only —
+    data is re-clustered by the next :func:`optimize_delta_log`, which
+    picks these columns up automatically (Delta's own OPTIMIZE
+    behavior on clustered tables). 1-2 columns (the engine's
+    interleave limit); partition columns are rejected. Returns the
+    committed version."""
+    snap = resolve_snapshot(path)
+    meta = snap["meta"]
+    if meta is None:
+        raise DeltaProtocolError("log contains no metaData action")
+    if not 1 <= len(cols) <= 2:
+        raise ValueError(
+            "clustering supports one or two columns in this engine"
+        )
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    names = {f.name for f in schema.fields}
+    missing = [c for c in cols if c not in names]
+    if missing:
+        raise KeyError(f"no such columns {missing} on {path}")
+    part_cols = meta.get("partitionColumns") or []
+    if any(c in part_cols for c in cols):
+        raise ValueError("cannot cluster by a partition column")
+
+    proto = snap.get("protocol") or {
+        "minReaderVersion": 1,
+        "minWriterVersion": 2,
+    }
+    wf = set(proto.get("writerFeatures") or [])
+    wv = proto.get("minWriterVersion", 2)
+    need_upgrade = not {"clustering", "domainMetadata"} <= wf
+    if need_upgrade and wv < 7:
+        for lv in range(2, wv + 1):
+            wf |= _LEGACY_WRITER_FEATURES.get(lv, set())
+    new_proto = {
+        "minReaderVersion": proto.get("minReaderVersion", 1),
+        "minWriterVersion": 7,
+        **(
+            {"readerFeatures": proto["readerFeatures"]}
+            if proto.get("readerFeatures")
+            else {}
+        ),
+        "writerFeatures": sorted(
+            wf | {"clustering", "domainMetadata"}
+        ),
+    }
+
+    def build(version: int) -> list[dict]:
+        actions: list[dict] = []
+        if need_upgrade:
+            actions.append({"protocol": new_proto})
+        actions.append(
+            {
+                "domainMetadata": {
+                    "domain": CLUSTERING_DOMAIN,
+                    "configuration": json.dumps(
+                        {"clusteringColumns": [[c] for c in cols]}
+                    ),
+                    "removed": False,
+                }
+            }
+        )
+        actions.append(
+            {
+                "commitInfo": {
+                    "operation": "CLUSTER BY",
+                    "operationParameters": {
+                        "clusterBy": json.dumps(cols)
+                    },
+                }
+            }
+        )
+        return actions
+
+    return _commit_version(path, build, read_version=snap["version"])
 # physical-only materialized columns (present in data files written by
 # OPTIMIZE on row-tracked tables, never part of the logical schema)
 ROW_ID_PHYS = "_rowtracking_row_id"
@@ -3291,6 +3390,10 @@ def optimize_delta_log(
         if small_file_bytes is not None
         else target_file_bytes // 2
     )
+    if zorder_by is None:
+        # clustered table (delta.clustering domain): OPTIMIZE
+        # re-clusters by the declared columns automatically
+        zorder_by = clustering_columns(snap) or None
     if zorder_by:
         if not 1 <= len(zorder_by) <= 2:
             raise ValueError("zorder_by supports one or two columns")
