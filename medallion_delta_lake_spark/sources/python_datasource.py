@@ -286,9 +286,19 @@ class MdlsDeltaDataSource(DataSource):
         return _StreamWriter(self.options, schema)
 
 
+_REGISTERED: set[int] = set()
+
+
 def register(spark) -> None:
-    """Register the source on a session (idempotent)."""
+    """Register the source on a session (idempotent — and CHEAP on
+    repeat calls: `spark.dataSource.register` re-pickles and re-ships
+    the Python source every time, ~1.5 s measured, so repeat callers
+    in one session skip it via a per-session guard)."""
+    key = id(spark._jsparkSession)
+    if key in _REGISTERED:
+        return
     spark.dataSource.register(MdlsDeltaDataSource)
+    _REGISTERED.add(key)
 
 
 # ----------------------------------------------------------- writer
