@@ -64,18 +64,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Round-10 rotation: the driver checks the FIRST 50 registered
 # queries per round (hard window — every CORRECTNESS_r{2..9} has
-# exactly 50 rows). Demand this round is 54 mandatory ids (5 fixed
-# driver-reds + 8 never-checked + 41 r3/r4-stale) plus every op NEW
-# in round 10, so the window cannot cover everything; precedence is
+# exactly 50 rows). Demand this round is 58 ids (5 fixed driver-reds
+# + 8 never-checked + 4 new r10 ops + 41 r3/r4-stale), so the window
+# cannot cover everything; precedence is
 # (1) the five r8/r9 driver-reds, now settled BY CONSTRUCTION
 # (all-integer driver faces via exact DECIMAL/HUGEINT integer
 # division — operators/agg.py:q_div; no double survives on any of
 # the five), (2) the eight ids that have NEVER had driver evidence
 # (the no-never-checked gate outranks backlog: two of three such
 # ids were red in r8), (3) ops NEW in round 10 (same gate), (4) the
-# r3/r4-stale cohort oldest-first. The r4 tail the window cuts
-# (≈6 ids, all r4-green + sweep-green at 3 SFs) rolls FIRST in
-# round 11, ahead of the r5 cohort.
+# r3/r4-stale cohort oldest-first. The 8-id r4 tail the window
+# cuts (all r4-driver-green + sweep-green at 3 SFs this round) rolls
+# FIRST in round 11, ahead of the r5 cohort.
 _DRIVER_PRIORITY = [
     # (1) r8/r9 driver-reds, settled by construction in round 10 —
     # re-verify first (done = all five green in CORRECTNESS_r10)
@@ -96,6 +96,8 @@ _DRIVER_PRIORITY = [
     # (3) NEW in round 10
     "scan-delta-identity",
     "stream-merge-clauses",
+    "sample-bottomk-quantiles",
+    "stats-hodges-lehmann",
     # (4) r3 cohort — last driver-checked in round 3
     "unpivot-measures",
     "window-running-sum",

@@ -223,3 +223,214 @@ def stream_merge_clauses_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_delta(spark, target).select(
         "c_custkey", "bal_cents", "n_orders", "status"
     )
+
+
+# ------------------------------------------------- sketch / robust
+
+
+@query(
+    "sample-bottomk-quantiles",
+    # bottom-k by portable hash IS a mergeable uniform sample (the
+    # union of shard bottom-k's re-truncates to the global bottom-k),
+    # so per-group quantiles read off the 64-row sample: nearest-rank
+    # positions over micros-quantized values — all-integer face
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type,
+             CAST(floor(value * 1e6) AS BIGINT) AS vq,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY CAST(('0x' || substr(md5('qs'
+                 || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                 event_id
+             ) AS hr,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_total
+      FROM events WHERE value IS NOT NULL
+    ),
+    s AS (
+      SELECT event_type, vq, n_total,
+             LEAST(n_total, 64) AS k_used,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY vq, hr
+             ) AS vr
+      FROM h WHERE hr <= 64
+    )
+    SELECT event_type, ANY_VALUE(n_total) AS n_total,
+           ANY_VALUE(k_used) AS k_used,
+           MAX(CASE WHEN vr = CAST(ceil(0.5 * k_used) AS BIGINT)
+                    THEN vq END) AS q50_q6,
+           MAX(CASE WHEN vr = CAST(ceil(0.9 * k_used) AS BIGINT)
+                    THEN vq END) AS q90_q6
+    FROM s GROUP BY event_type
+    """,
+)
+def sample_bottomk_quantiles_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """sketch / mergeable bottom-k quantile estimate — per event
+    type, keep the 64 rows with the SMALLEST portable hash (a
+    deterministic uniform sample; bottom-k by hash is the mergeable
+    sketch: shards keep their own bottom-64 and union re-truncates,
+    so at 100 TB the shuffle carries 64 rows per group per shard, not
+    the data) and read nearest-rank p50/p90 off the sample's
+    micros-quantized values. O(1/√k) error vs the exact positional
+    quantile at 1/N of the pass cost — the scale substitute
+    documented for the exact-rank ops. One grouped hash top-k (no
+    global sort) + one ≤64-row per-group window. All-integer face."""
+    from medallion_delta_lake_spark.functions.hashing import h64
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    h = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 1e6).alias("vq"),
+        F.row_number()
+        .over(
+            W.partitionBy("event_type").orderBy(
+                h64(F.concat(F.lit("qs"), F.col("event_id"))),
+                F.col("event_id"),
+            )
+        )
+        .alias("hr"),
+        F.count(F.lit(1))
+        .over(W.partitionBy("event_type"))
+        .alias("n_total"),
+    )
+    s = h.filter(F.col("hr") <= 64).select(
+        "event_type",
+        "vq",
+        "n_total",
+        F.least(F.col("n_total"), F.lit(64).cast("bigint")).alias(
+            "k_used"
+        ),
+        F.row_number()
+        .over(
+            W.partitionBy("event_type").orderBy(
+                F.col("vq"), F.col("hr")
+            )
+        )
+        .alias("vr"),
+    )
+    return s.groupBy("event_type").agg(
+        F.first("n_total").alias("n_total"),
+        F.first("k_used").alias("k_used"),
+        F.max(
+            F.when(
+                F.col("vr")
+                == F.ceil(F.lit(0.5) * F.col("k_used")),
+                F.col("vq"),
+            )
+        ).alias("q50_q6"),
+        F.max(
+            F.when(
+                F.col("vr")
+                == F.ceil(F.lit(0.9) * F.col("k_used")),
+                F.col("vq"),
+            )
+        ).alias("q90_q6"),
+    )
+
+
+@query(
+    "stats-hodges-lehmann",
+    # Walsh averages (all pair means, i ≤ j) carried at 2× as integer
+    # pair SUMS; their median at 2× again (lo+hi of middle ranks) →
+    # hl_x4_q6 = 4·HL in micros — the robust location estimator with
+    # a 29% breakdown point, float-free end to end
+    oracle="""
+    WITH pts AS (
+      SELECT event_type, event_id,
+             CAST(floor(value * 1e6) AS BIGINT) AS vq
+      FROM events
+      WHERE value IS NOT NULL AND event_id % 101 = 0
+    ),
+    walsh AS (
+      SELECT a.event_type, a.vq + b.vq AS s2
+      FROM pts a JOIN pts b
+        ON a.event_type = b.event_type AND a.event_id <= b.event_id
+    ),
+    r AS (
+      SELECT event_type, s2,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY s2
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS m
+      FROM walsh
+    ),
+    np AS (
+      SELECT event_type, COUNT(*) AS n_points FROM pts
+      GROUP BY event_type
+    )
+    SELECT r.event_type, ANY_VALUE(np.n_points) AS n_points,
+           ANY_VALUE(r.m) AS n_pairs,
+           CASE WHEN COUNT(*) = 1 THEN 2 * SUM(s2)
+                ELSE SUM(s2) END AS hl_x4_q6
+    FROM r JOIN np ON r.event_type = np.event_type
+    WHERE rn >= floor((m + 1) / 2) AND rn <= floor((m + 2) / 2)
+    GROUP BY r.event_type
+    """,
+)
+def stats_hodges_lehmann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stats / Hodges–Lehmann pseudomedian — the median of all Walsh
+    averages (pair means, i ≤ j) per event type: the rank-based
+    location estimator between the mean (efficient, fragile) and the
+    median (robust, inefficient) — 29% breakdown AND ~96% Gaussian
+    efficiency, the right 'typical value' for skewed metrics.
+    Completes the robust family (theil-sen trend, MAD scale, this
+    location). Every-101st-event sample keeps the O(n²) Walsh set
+    bounded (same probe posture as theil_sen); pair sums carry the
+    mean at 2× and the median rides at 2× again — integer micros end
+    to end, no double anywhere."""
+    pts = (
+        table(spark, sf_dir, "events")
+        .filter(
+            F.col("value").isNotNull()
+            & (F.col("event_id") % 101 == 0)
+        )
+        .select(
+            "event_type",
+            "event_id",
+            F.floor(F.col("value") * 1e6).alias("vq"),
+        )
+    )
+    a, b = pts.alias("a"), pts.alias("b")
+    walsh = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.event_id") <= F.col("b.event_id")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (F.col("a.vq") + F.col("b.vq")).alias("s2"),
+    )
+    from pyspark.sql import Window as W
+
+    r = walsh.select(
+        "event_type",
+        "s2",
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy("s2"))
+        .alias("rn"),
+        F.count(F.lit(1))
+        .over(W.partitionBy("event_type"))
+        .alias("m"),
+    )
+    np_ = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_points")
+    )
+    mid = r.filter(
+        (F.col("rn") >= F.floor((F.col("m") + 1) / 2))
+        & (F.col("rn") <= F.floor((F.col("m") + 2) / 2))
+    )
+    return (
+        mid.join(F.broadcast(np_), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("n_points").alias("n_points"),
+            F.first("m").alias("n_pairs"),
+            F.when(F.count(F.lit(1)) == 1, 2 * F.sum("s2"))
+            .otherwise(F.sum("s2"))
+            .alias("hl_x4_q6"),
+        )
+    )

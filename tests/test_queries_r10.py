@@ -13,6 +13,8 @@ from tests.oracle import compare_query
 R10_IDS = [
     "scan-delta-identity",
     "stream-merge-clauses",
+    "sample-bottomk-quantiles",
+    "stats-hodges-lehmann",
 ]
 
 

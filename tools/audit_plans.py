@@ -158,6 +158,8 @@ AUDITED = [
     # round-10 additions
     "scan-delta-identity",
     "stream-merge-clauses",
+    "sample-bottomk-quantiles",
+    "stats-hodges-lehmann",
 ]
 
 
