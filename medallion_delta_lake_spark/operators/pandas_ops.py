@@ -203,3 +203,76 @@ def holt_linear(
         .groupBy(group_col)
         .applyInPandas(smooth, schema=out_schema)
     )
+
+
+def croston(
+    df: DataFrame,
+    group_col: str,
+    step_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Croston's method for INTERMITTENT demand per series
+    (``applyInPandas`` — the same genuinely-sequential shape as
+    :func:`holt_linear`): two exponential smoothers that update ONLY
+    on non-zero-demand steps — demand size ``z`` and inter-demand
+    interval ``p`` — whose ratio ``z/p`` is the per-step demand-rate
+    forecast. THE standard forecaster for sparse series (spare parts,
+    long-tail SKUs, rare events), where plain exponential smoothing
+    decays to zero between demands and then over-reacts; pairs with
+    the XYZ demand-variability census (agg-xyz-classification), whose
+    Z class is exactly the Croston regime.
+
+    Recurrence (on the i-th step; q = steps since the previous
+    non-zero demand, first demand initializes z = x, p = q):
+        x > 0:  z' = α·x + (1−α)·z ;  p' = α·q + (1−α)·p
+        x = 0:  state unchanged
+    Emits one row per input step: (group, step, x, z, p,
+    demand_rate = z/p, NULL before the first demand).
+
+    Determinism: α = ½ is an exact binary scaling and the loop spells
+    the recurrence literally, so the float64 chain is bit-identical
+    to a recursive-CTE oracle spelling the same expressions. Scale:
+    O(1) state per series, one shuffle on the series key, series
+    count = parallelism (same posture as holt_linear)."""
+    out_schema = (
+        f"`{group_col}` bigint, `{step_col}` bigint, `x` double, "
+        "`z` double, `p` double, `demand_rate` double"
+    )
+    a = float(alpha)
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(step_col).reset_index(drop=True)
+        xs = pdf[value_col].to_numpy(dtype="float64")
+        zs = [None] * len(xs)
+        ps = [None] * len(xs)
+        fs = [None] * len(xs)
+        z = p = None
+        q = 0
+        for i, x in enumerate(xs):
+            q += 1
+            if x > 0.0:
+                if z is None:
+                    z, p = float(x), float(q)
+                else:
+                    z = a * x + (1.0 - a) * z
+                    p = a * q + (1.0 - a) * p
+                q = 0
+            if z is not None:
+                zs[i], ps[i], fs[i] = z, p, z / p
+        return pd.DataFrame(
+            {
+                group_col: pdf[group_col],
+                step_col: pdf[step_col],
+                "x": xs,
+                "z": zs,
+                "p": ps,
+                "demand_rate": fs,
+            }
+        )
+
+    return (
+        df.select(group_col, step_col, value_col)
+        .groupBy(group_col)
+        .applyInPandas(smooth, schema=out_schema)
+    )

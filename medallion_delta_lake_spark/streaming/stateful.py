@@ -307,3 +307,91 @@ def holt_monitor(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+CROSTON_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_obs", LongType()),
+        StructField("z", DoubleType()),
+        StructField("p", DoubleType()),
+        StructField("demand_rate", DoubleType()),
+    ]
+)
+CROSTON_STATE = StructType(
+    [
+        StructField("z", DoubleType()),
+        StructField("p", DoubleType()),
+        StructField("q", LongType()),
+        StructField("n", LongType()),
+        StructField("started", LongType()),
+    ]
+)
+
+
+def croston_monitor(sdf: DataFrame, alpha: float = 0.5) -> DataFrame:
+    """Streaming Croston intermittent-demand smoother per key — the
+    incremental twin of ``operators/pandas_ops.py:croston``: state is
+    (z, p, q, n, started) and each arriving observation applies the
+    same literal recurrence (x > 0 → ``z' = α·x + (1−α)·z``,
+    ``p' = α·q + (1−α)·p``, q resets; x = 0 → q grows, smoothers
+    hold), so after ordered arrival the maintained state equals the
+    batch recursion bit-for-bit — the same contract
+    :func:`holt_monitor` pins. Emits (z, p, demand_rate = z/p) per
+    key per microbatch; NULLs before the first demand. Zero-valued
+    and NULL observations count as no-demand steps."""
+    a = float(alpha)
+
+    def fn(key, pdfs, state: GroupState):
+        z, p, q, n, started = (
+            state.get if state.exists else (0.0, 0.0, 0, 0, 0)
+        )
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for x in (
+                pdf["value"].fillna(0.0).to_numpy(dtype="float64")
+            ):
+                n += 1
+                q += 1
+                if x > 0.0:
+                    if not started:
+                        z, p, started = float(x), float(q), 1
+                    else:
+                        z = a * x + (1.0 - a) * z
+                        p = a * q + (1.0 - a) * p
+                    q = 0
+        state.update((z, p, q, n, started))
+        if n and started:
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": key[0],
+                        "n_obs": n,
+                        "z": z,
+                        "p": p,
+                        "demand_rate": z / p,
+                    }
+                ]
+            )
+        else:
+            yield pd.DataFrame(
+                {
+                    "user_id": [],
+                    "n_obs": [],
+                    "z": [],
+                    "p": [],
+                    "demand_rate": [],
+                }
+            )
+
+    return (
+        sdf.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=CROSTON_OUTPUT,
+            stateStructType=CROSTON_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
