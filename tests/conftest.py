@@ -8,6 +8,15 @@ import pytest
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
+# Load the FULL query registry before any test module computes its
+# parametrization lists: several modules derive their id lists from
+# registry.QUERIES by prefix, so without this a partial pytest run
+# (one module, one chunk) collects fewer cases than a full-directory
+# run — ~47 cases used to materialize only when import order
+# cooperated (VERDICT r9). Importing the driver entry registers every
+# plans module exactly once.
+import __spark_entry__  # noqa: F401,E402
+
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_ORACLE = "/root/testdata/sf0.01"
 
