@@ -1,0 +1,385 @@
+"""Mergeable cardinality / frequency sketches (SURVEY.md §2.11
+extension surface — no reference counterpart; pre-built in r10, the
+registered query faces land in r11).
+
+The 100 TB pattern these serve: you cannot afford a global
+``COUNT(DISTINCT ...)`` or exact heavy-hitter pass over every
+partition of a petabyte table on every question. Instead you compute
+a SMALL SKETCH PARTIAL per partition/day/source (one narrow shuffle,
+map-side combined), STORE the partials as a table, and answer
+questions later by MERGING partials — commutative, associative,
+idempotent merges (max for HLL registers, bottom-k for KMV, sum for
+Count-Min), so a year of daily partials folds into one estimate
+without touching the raw data again.
+
+Engine portability is the same doctrine as the rest of the repo: the
+hash is the md5-backed portable ``h64`` (functions/hashing.py), index
+/ leading-zero math is integer bit arithmetic (``shiftright``, ``&``,
+``length(bin(x))``), and every estimate face is an EXACT integer
+quantization via DECIMAL(38,0) division (operators/agg.py:q_div) —
+no double ever forms, so a DuckDB oracle reproduces every column
+bit-for-bit and the r8/r9 driver-red class (cross-engine libm /
+int→double ulp) is excluded by construction.
+
+Sketch choices:
+- HyperLogLog (Flajolet et al. 2007): 2^p max-of-leading-zero
+  registers; standard error 1.04/sqrt(m). Register table format
+  (keys..., reg, r) — the same shape Spark's own HLL++ keeps
+  internally, but externalized so it is storable and mergeable as
+  DATA.
+- KMV / bottom-k (Bar-Yossef et al. 2002): the k smallest distinct
+  hash values; unbiased estimate (k-1)·2^60/h_(k); supports
+  union/intersection/Jaccard between sketches — the set-overlap
+  questions HLL alone cannot answer.
+- Count-Min (Cormode & Muthukrishnan 2005): d×w counter matrix,
+  point frequency estimate = min over d rows; always an
+  OVER-estimate, error ≤ εN with ε = e/w at probability 1−(1/e)^d.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from medallion_delta_lake_spark.functions.hashing import (
+    h64,
+    minhash_params,
+    perm_hash,
+)
+from medallion_delta_lake_spark.operators.agg import q_div
+
+# ------------------------------------------------------------------
+# HyperLogLog
+
+
+def _hll_dims(p: int) -> tuple[int, int, int]:
+    """(m, wbits, rho_max) for precision ``p``: m = 2^p registers,
+    the remaining wbits = 60 − p hash bits feed the leading-zero
+    count, rho ∈ [1, wbits + 1]."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"HLL precision p={p} outside [4, 16]")
+    return 1 << p, 60 - p, 60 - p + 1
+
+
+def hll_partials(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    p: int = 10,
+) -> DataFrame:
+    """Per-``keys`` HLL register table over ``value_col``:
+    (keys..., reg INT, r INT) with r = max over rows of
+    (leading zeros of the hash's top 60−p bits) + 1.
+
+    This is the partial you STORE. One hash + two bit ops per row,
+    then a (keys, reg) groupBy whose map-side combine collapses each
+    task to ≤ m rows — the shuffle carries registers, not data.
+    Absent registers mean r = 0 (handled by the estimator).
+    """
+    m, wbits, _ = _hll_dims(p)
+    h = h64(F.col(value_col).cast("string"))
+    w = F.shiftright(h, p)
+    # leading zeros of the wbits-wide window + 1; w = 0 → wbits + 1.
+    # length(bin(w)) = floor(log2 w) + 1 exactly (string-based — no
+    # float log, no ulp exposure in either engine).
+    rho = F.when(w == 0, F.lit(wbits + 1)).otherwise(
+        F.lit(wbits + 1) - F.length(F.bin(w))
+    )
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            *keys,
+            h.bitwiseAND(F.lit(m - 1)).cast("int").alias("reg"),
+            rho.cast("int").alias("r"),
+        )
+        .groupBy(*keys, "reg")
+        .agg(F.max("r").alias("r"))
+    )
+
+
+def hll_merge(
+    parts: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """Fold a UNION of register tables (several days / sources /
+    partial builds stacked with ``unionByName``) back into one
+    register table per key — max is commutative, associative and
+    idempotent, so re-merging already-merged partials is safe."""
+    return parts.groupBy(*keys, "reg").agg(F.max("r").alias("r"))
+
+
+def hll_estimate(
+    parts: DataFrame,
+    keys: Sequence[str],
+    p: int = 10,
+) -> DataFrame:
+    """Cardinality estimate per key from a register table.
+
+    Output (all exact integers — oracle-safe):
+      m          INT    register count
+      v_zero     INT    empty registers (linear-counting signal)
+      s_pow      BIGINT Σ_j 2^(wbits+1−r_j), r_j = 0 for empty —
+                        the harmonic denominator scaled by 2^(wbits+1)
+                        (max m·2^(wbits+1) = 2^(61) < 2^63)
+      est_q6     BIGINT trunc(raw_estimate · 10^6) where
+                        raw = α_m·m²·2^(wbits+1)/s_pow and
+                        α_m = 7213·m/(10000·m + 10790) EXACTLY
+                        (the standard 0.7213/(1+1.079/m) as a
+                        rational), computed wholly in DECIMAL(38,0)
+
+    The small-range linear-counting correction (m·ln(m/v_zero) when
+    raw ≤ 2.5m) needs ln — a libm call that is exactly the
+    cross-engine ulp class this repo quarantines — so it is NOT
+    baked into a column; callers that want it apply it driver-side
+    from (m, v_zero), as tests/test_sketches.py demonstrates.
+    """
+    m, _, rho_max = _hll_dims(p)
+    k2 = rho_max  # scale exponent: empty register contributes 2^k2
+    per_reg = F.expr(f"shiftleft(CAST(1 AS BIGINT), {k2} - r)")
+    agg = parts.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("int").alias("n_present"),
+        F.sum(per_reg).alias("s_present"),
+    )
+    s_pow = (
+        F.col("s_present")
+        + (F.lit(m) - F.col("n_present")).cast("bigint")
+        * F.lit(1 << k2).cast("bigint")
+    ).alias("s_pow")
+    out = agg.select(
+        *keys,
+        F.lit(m).alias("m"),
+        (F.lit(m) - F.col("n_present")).cast("int").alias("v_zero"),
+        s_pow,
+    )
+    # the numerator exceeds int64 — form it as a DECIMAL literal
+    num = F.expr(f"CAST('{7213 * m**3 * (1 << k2)}' AS DECIMAL(38,0))")
+    den = F.lit(10_000 * m + 10_790).cast("decimal(38,0)") * F.col(
+        "s_pow"
+    ).cast("decimal(38,0)")
+    return out.withColumn("est_q6", q_div(num, den, 6))
+
+
+# ------------------------------------------------------------------
+# KMV (bottom-k) distinct sketch
+
+
+def kmv_partials(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Per-``keys`` bottom-k sketch: the k smallest DISTINCT portable
+    hashes of ``value_col`` → (keys..., h BIGINT). Distinct first
+    (map-side combined), then one per-key ordered top-k — state is k
+    rows per key regardless of input size."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*[F.col(c) for c in keys]).orderBy("h")
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*keys, h64(F.col(value_col).cast("string")).alias("h"))
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def kmv_merge(
+    parts: DataFrame, keys: Sequence[str], k: int = 256
+) -> DataFrame:
+    """Merge stacked bottom-k sketches: distinct-union the hash sets,
+    keep the bottom k again. Identical to sketching the unioned raw
+    data (the KMV merge law pinned by tests)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*[F.col(c) for c in keys]).orderBy("h")
+    return (
+        parts.select(*keys, "h")
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def kmv_estimate(
+    parts: DataFrame, keys: Sequence[str], k: int = 256
+) -> DataFrame:
+    """Distinct-count estimate per key: EXACT n when the sketch holds
+    fewer than k hashes (the set fit entirely), else the unbiased
+    (k−1)·2^60/h_(k) with h_(k) = the largest kept hash. Face is
+    est_q6 = trunc(estimate·10^6) in exact DECIMAL arithmetic plus
+    n_kept / h_k as integer evidence columns."""
+    agg = parts.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("h").alias("h_k"),
+    )
+    exact = F.col("n_kept") * F.lit(10**6).cast("bigint")
+    est = q_div(
+        F.expr(f"CAST('{(k - 1) * (1 << 60)}' AS DECIMAL(38,0))"),
+        F.col("h_k").cast("decimal(38,0)"),
+        6,
+    )
+    return agg.withColumn(
+        "est_q6",
+        F.when(F.col("n_kept") < k, exact).otherwise(est),
+    )
+
+
+def kmv_set_ops(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+    k: int = 256,
+) -> DataFrame:
+    """Set-overlap estimates between two SINGLE-SET sketches (one
+    column ``h`` each — pre-filter a keyed sketch to one key):
+
+      union_est_q6    bottom-k over A ∪ B (the KMV union law)
+      jaccard_q6      |X ∩ A ∩ B| / |X|, X = that bottom-k — the
+                      standard KMV Jaccard estimator
+      inter_est_q6    trunc(jaccard · union_est) via one exact
+                      DECIMAL multiply-divide
+
+    All three faces are exact integer quantizations; the whole
+    computation is two tiny (≤ k-row) frames — broadcastable,
+    driver-safe at any source scale because the sketches already
+    bounded it."""
+    a = sketch_a.select(F.col("h"), F.lit(1).alias("in_a"))
+    b = sketch_b.select(F.col("h"), F.lit(1).alias("in_b"))
+    both = (
+        a.join(b, "h", "full_outer")
+        .select(
+            "h",
+            F.coalesce("in_a", F.lit(0)).alias("in_a"),
+            F.coalesce("in_b", F.lit(0)).alias("in_b"),
+        )
+        .orderBy("h")
+        .limit(k)
+    )
+    agg = both.agg(
+        F.count(F.lit(1)).alias("x_n"),
+        F.max("h").alias("h_k"),
+        F.sum(
+            F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1)
+            .otherwise(0)
+        ).alias("x_both"),
+    )
+    union_exact = F.col("x_n") * F.lit(10**6).cast("bigint")
+    union_est = F.when(F.col("x_n") < k, union_exact).otherwise(
+        q_div(
+            F.expr(f"CAST('{(k - 1) * (1 << 60)}' AS DECIMAL(38,0))"),
+            F.col("h_k").cast("decimal(38,0)"),
+            6,
+        )
+    )
+    out = agg.withColumn("union_est_q6", union_est)
+    jac = q_div(
+        F.col("x_both").cast("decimal(38,0)"),
+        F.col("x_n").cast("decimal(38,0)"),
+        6,
+    )
+    out = out.withColumn("jaccard_q6", jac)
+    inter = q_div(
+        F.col("x_both").cast("decimal(38,0)")
+        * F.col("union_est_q6").cast("decimal(38,0)"),
+        F.col("x_n").cast("decimal(38,0)") * F.lit(10**6),
+        6,
+    )
+    return out.withColumn("inter_est_q6", inter).select(
+        "x_n", "x_both", "h_k", "union_est_q6", "jaccard_q6",
+        "inter_est_q6",
+    )
+
+
+# ------------------------------------------------------------------
+# Count-Min frequency sketch
+
+
+def cms_partials(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    d: int = 4,
+    w: int = 1024,
+) -> DataFrame:
+    """Per-``keys`` Count-Min counter table over ``value_col``:
+    (keys..., row_i INT, bucket INT, cnt BIGINT). Each input row
+    lands in d buckets (one per universal-hash row — the repo's
+    MinHash (a, b) family); the groupBy's map-side combine bounds
+    every task's shuffle output at d·w rows. Merge = sum."""
+    params = minhash_params(d)
+    h = h64(F.col(value_col).cast("string"))
+    hits = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("row_i"),
+                    F.pmod(perm_hash(h, a, b), F.lit(w))
+                    .cast("int")
+                    .alias("bucket"),
+                )
+                for i, (a, b) in enumerate(params)
+            ]
+        )
+    ).alias("hit")
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*keys, hits)
+        .select(*keys, "hit.row_i", "hit.bucket")
+        .groupBy(*keys, "row_i", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(
+    parts: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """Fold stacked counter tables: sum per (keys, row_i, bucket)."""
+    return parts.groupBy(*keys, "row_i", "bucket").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def cms_query(
+    sketch: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    d: int = 4,
+    w: int = 1024,
+) -> DataFrame:
+    """Point-frequency estimates for ``probes[value_col]`` against a
+    single-set sketch (no keys — pre-filter a keyed sketch): the
+    classic min over the d counters each probe hashes to. Missing
+    buckets count 0. The sketch side is d·w rows at most —
+    broadcast — so probing N items is one broadcast join, no
+    shuffle of the probe stream. Estimates are exact integers and
+    NEVER under the true count (CMS guarantee, pinned in tests)."""
+    params = minhash_params(d)
+    h = h64(F.col(value_col).cast("string"))
+    hits = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("row_i"),
+                    F.pmod(perm_hash(h, a, b), F.lit(w))
+                    .cast("int")
+                    .alias("bucket"),
+                )
+                for i, (a, b) in enumerate(params)
+            ]
+        )
+    ).alias("hit")
+    probe_buckets = probes.select(
+        F.col(value_col).alias("probe"), hits
+    ).select("probe", "hit.row_i", "hit.bucket")
+    joined = probe_buckets.join(
+        F.broadcast(sketch.select("row_i", "bucket", "cnt")),
+        ["row_i", "bucket"],
+        "left",
+    ).select(
+        "probe", F.coalesce("cnt", F.lit(0).cast("bigint")).alias("cnt")
+    )
+    return joined.groupBy("probe").agg(F.min("cnt").alias("est_cnt"))
