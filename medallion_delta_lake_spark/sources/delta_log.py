@@ -74,6 +74,10 @@ _SUPPORTED_READER_FEATURES = {
     "v2Checkpoint",
     "timestampNtz",
     "vacuumProtocolCheck",
+    # the read path serves widened columns from unrewritten narrow
+    # files by passing the wide logical schema to the parquet scan
+    # (alter_column_type; tests/test_type_widening.py)
+    "typeWidening",
 }
 
 
@@ -1601,8 +1605,13 @@ def _parquet_file_stats(fpath: str) -> str | None:
             if st.has_null_count:
                 nullc[name] = nullc.get(name, 0) + st.null_count
             if st.has_min_max:
-                mn = _stats_jsonable(st.min)
-                mx = _stats_jsonable(st.max)
+                try:
+                    mn = _stats_jsonable(st.min)
+                    mx = _stats_jsonable(st.max)
+                except NotImplementedError:
+                    # pyarrow cannot decode min/max for some types
+                    # (e.g. DECIMAL) — skip the column, keep the rest
+                    continue
                 if mn is None or mx is None:
                     continue
                 minv[name] = mn if name not in minv else min(minv[name], mn)
@@ -2146,6 +2155,165 @@ def drop_column_default(path: str, col: str) -> int:
                 }
             },
         ]
+
+    return _commit_version(path, build, read_version=snap["version"])
+
+
+# typeWidening (PROTOCOL.md Type Widening): the widenings a reader can
+# serve from UNREWRITTEN narrow files. Spark 4's parquet reader widens
+# all of these natively when handed the wide logical schema (verified:
+# byte→short/int/long/double, short→int/long/double, int→long/double/
+# decimal, float→double, date→timestamp_ntz, decimal→wider decimal).
+# decimal→double is deliberately ABSENT — Spark's parquet scan returns
+# the unscaled integer (12.34 → 1234.0), and the Delta spec excludes
+# it too.
+_WIDEN_OK: dict[str, set[str]] = {
+    "byte": {"short", "integer", "long", "double"},
+    "short": {"integer", "long", "double"},
+    "integer": {"long", "double"},
+    "float": {"double"},
+    "date": {"timestamp_ntz"},
+}
+# int-family → decimal needs p − s wide enough for every value the
+# narrow type can hold (the spec's rule)
+_WIDEN_INT_DIGITS = {"byte": 3, "short": 5, "integer": 10, "long": 20}
+
+
+def _widening_allowed(src, dst) -> bool:
+    from pyspark.sql.types import DecimalType
+
+    s_name, d_name = src.typeName(), dst.typeName()
+    if d_name in _WIDEN_OK.get(s_name, set()):
+        return True
+    if isinstance(dst, DecimalType):
+        if isinstance(src, DecimalType):
+            return (
+                dst.scale >= src.scale
+                and dst.precision - dst.scale
+                >= src.precision - src.scale
+                and (dst.precision, dst.scale)
+                != (src.precision, src.scale)
+            )
+        need = _WIDEN_INT_DIGITS.get(s_name)
+        return (
+            need is not None
+            and dst.precision - dst.scale >= need
+        )
+    return False
+
+
+def alter_column_type(path: str, col: str, new_type: str) -> int:
+    """ALTER TABLE ... ALTER COLUMN ... TYPE — Delta's typeWidening
+    table feature as a METADATA-ONLY commit: the schemaString takes
+    the wider type, existing data files keep their narrow physical
+    encoding, and the read path serves them widened (Spark's parquet
+    reader up-casts natively given the wide logical schema; the
+    mdls_delta Python DataSource casts its Arrow batches the same
+    way). Only spec-sanctioned widenings are allowed — anything that
+    could truncate or misread raises ValueError.
+
+    Per the protocol, each change appends
+    ``{"tableVersion", "fromType", "toType"}`` to the column's
+    ``delta.typeChanges`` field metadata (stamped with the ACTUAL
+    committed version via the commit-loop callback, so a rebase after
+    a lost race never records a stale version), and the table adopts
+    ``typeWidening`` as BOTH a reader and writer feature (reader v3 /
+    writer v7, legacy implied features preserved). Widening
+    date → timestamp_ntz additionally adopts ``timestampNtz``.
+
+    Partition columns are refused (their values live as strings in
+    partitionValues and in hive paths keyed by the narrow rendering);
+    generated / identity columns are refused (their expressions and
+    allocation contracts are typed)."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    snap = resolve_snapshot(path)
+    meta = snap["meta"]
+    if meta is None:
+        raise DeltaProtocolError("log contains no metaData action")
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    names = [f.name for f in schema.fields]
+    if col not in names:
+        raise KeyError(f"no column {col!r} on {path} (have {names})")
+    if col in (meta.get("partitionColumns") or []):
+        raise ValueError(
+            f"cannot widen partition column {col!r}: partitionValues "
+            "and hive paths encode the narrow rendering"
+        )
+    dst = _parse_datatype_string(new_type)
+    field = schema[col]
+    md = dict(field.metadata or {})
+    if md.get("delta.generationExpression"):
+        raise ValueError(f"column {col!r} is generated; widen refused")
+    if any(k.startswith("delta.identity.") for k in md):
+        raise ValueError(f"column {col!r} is IDENTITY; widen refused")
+    if not _widening_allowed(field.dataType, dst):
+        raise ValueError(
+            f"{field.dataType.simpleString()} -> {dst.simpleString()} "
+            f"is not a supported widening for {col!r} (would truncate "
+            "or misread existing files)"
+        )
+
+    proto = snap.get("protocol") or {
+        "minReaderVersion": 1,
+        "minWriterVersion": 2,
+    }
+    rf = set(proto.get("readerFeatures") or [])
+    wf = set(proto.get("writerFeatures") or [])
+    wv = proto.get("minWriterVersion", 2)
+    if wv < 7:
+        for lv in range(2, wv + 1):
+            wf |= _LEGACY_WRITER_FEATURES.get(lv, set())
+    need = {"typeWidening"}
+    if dst.typeName() == "timestamp_ntz":
+        need.add("timestampNtz")
+    new_proto = {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": sorted(rf | need),
+        "writerFeatures": sorted(wf | need),
+    }
+    need_upgrade = not (
+        need <= rf
+        and need <= set(proto.get("writerFeatures") or [])
+    )
+
+    def build(version: int) -> list[dict]:
+        changes = list(md.get("delta.typeChanges") or [])
+        changes.append(
+            {
+                "tableVersion": version,
+                "fromType": field.dataType.simpleString(),
+                "toType": dst.simpleString(),
+            }
+        )
+        new_md = dict(md)
+        new_md["delta.typeChanges"] = changes
+        new_fields = [
+            StructField(f.name, dst, f.nullable, new_md)
+            if f.name == col
+            else f
+            for f in schema.fields
+        ]
+        new_meta = dict(meta)
+        new_meta["schemaString"] = StructType(new_fields).json()
+        actions: list[dict] = []
+        if need_upgrade:
+            actions.append({"protocol": new_proto})
+        actions.append({"metaData": new_meta})
+        actions.append(
+            {
+                "commitInfo": {
+                    "operation": "CHANGE COLUMN",
+                    "operationParameters": {
+                        "column": col,
+                        "from": field.dataType.simpleString(),
+                        "to": dst.simpleString(),
+                    },
+                }
+            }
+        )
+        return actions
 
     return _commit_version(path, build, read_version=snap["version"])
 
