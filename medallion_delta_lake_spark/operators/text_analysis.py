@@ -208,6 +208,104 @@ def tf_idf_stats(
     )
 
 
+def bm25_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: tuple[int, int] = (6, 5),
+    b: tuple[int, int] = (3, 4),
+) -> DataFrame:
+    """BM25 term-weighting core per (doc, token) — Okapi BM25 with the
+    engine-exact treatment (pre-built r10; the registered face lands
+    in r11).
+
+    BM25's per-term score is IDF(t) · sat(tf, dl) with the saturation
+
+        sat = tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    Both factors are RATIONAL once k1, b are rationals and avgdl is
+    kept as total_tokens/n_docs (never divided early):
+
+        sat  = (a1+a2)·b2·T·tf / (a2·b2·T·tf + a1·(b2−b1)·T
+                                   + a1·b1·dl·N)
+        pidf = (2N − 2df + 1) / (2df + 1)     [the probabilistic IDF
+                ratio (N−df+0.5)/(df+0.5) — ln of it is classic BM25;
+                the ln stays OUT of the face (cross-engine libm)]
+
+    with k1 = a1/a2, b = b1/b2, N = n_docs, T = total corpus tokens,
+    dl = doc length. Output: integer cores (tf, dl, df, n_docs,
+    total_tokens) plus sat_q6 / pidf_q6 / bm25_core_q6 — exact
+    trunc(x·10^6) BIGINTs via DECIMAL(38,0) division (q_div), so any
+    engine reproduces them bit-for-bit. bm25_core_q6 multiplies the
+    two rationals in ONE exact division (ranking-equivalent to BM25
+    with log-free IDF; callers wanting the classic ln(pidf)·sat apply
+    it driver-side from the cores).
+
+    Scale shape: tf_idf_stats's explode + two grouped aggs, plus a
+    per-doc length agg joined back on the doc key and two one-row
+    broadcast totals — everything shuffles on token or doc keys only;
+    magnitudes stay < 10^38 in the DECIMAL path even at
+    T ~ 10^12, N ~ 10^9, tf ~ 10^4 (documented bound, not a runtime
+    probe)."""
+    from medallion_delta_lake_spark.operators.agg import q_div
+
+    a1, a2 = k1
+    b1, b2 = b
+    if a1 <= 0 or a2 <= 0 or b1 < 0 or b2 <= 0 or b1 > b2:
+        raise ValueError(f"bad BM25 params k1={k1} b={b}")
+    toks = df.select(
+        F.col(id_col), F.explode(tokenize(text_col)).alias("token")
+    )
+    tf = toks.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    totals = toks.agg(
+        F.count(F.lit(1)).alias("total_tokens"),
+        F.count_distinct(F.col(id_col)).alias("n_docs"),
+    )
+    base = (
+        tf.join(dl, id_col)
+        .join(dfreq, "token")
+        .crossJoin(F.broadcast(totals))
+    )
+    t_, n_ = F.col("total_tokens"), F.col("n_docs")
+    sat_num = (
+        F.lit((a1 + a2) * b2).cast("decimal(38,0)")
+        * t_.cast("decimal(38,0)")
+        * F.col("tf").cast("decimal(38,0)")
+    )
+    sat_den = (
+        F.lit(a2 * b2).cast("decimal(38,0)")
+        * t_.cast("decimal(38,0)")
+        * F.col("tf").cast("decimal(38,0)")
+        + F.lit(a1 * (b2 - b1)).cast("decimal(38,0)")
+        * t_.cast("decimal(38,0)")
+        + F.lit(a1 * b1).cast("decimal(38,0)")
+        * F.col("dl").cast("decimal(38,0)")
+        * n_.cast("decimal(38,0)")
+    )
+    pidf_num = (F.lit(2) * n_ - F.lit(2) * F.col("df") + F.lit(1)).cast(
+        "decimal(38,0)"
+    )
+    pidf_den = (F.lit(2) * F.col("df") + F.lit(1)).cast("decimal(38,0)")
+    return base.select(
+        id_col,
+        "token",
+        "tf",
+        "dl",
+        "df",
+        "n_docs",
+        "total_tokens",
+        q_div(sat_num, sat_den, 6).alias("sat_q6"),
+        q_div(pidf_num, pidf_den, 6).alias("pidf_q6"),
+        q_div(sat_num * pidf_num, sat_den * pidf_den, 6).alias(
+            "bm25_core_q6"
+        ),
+    )
+
+
 # Character-trigram profiles (most-frequent trigrams per language, from
 # public frequency tables); the n-gram flavor of language ID — robust
 # to domains where stopword lists miss (code, titles, short strings).

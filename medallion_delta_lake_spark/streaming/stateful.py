@@ -395,3 +395,119 @@ def croston_monitor(sdf: DataFrame, alpha: float = 0.5) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ------------------------------------------------------------------
+# Streaming Count-Min heavy hitters
+
+CMS_TOPK_OUTPUT_FIELDS = "event_type string, item string, est_cnt long"
+
+def cms_topk_monitor(
+    sdf: DataFrame, d: int = 4, w: int = 256, k: int = 10
+) -> DataFrame:
+    """Streaming heavy hitters per ``event_type``: a Count-Min
+    counter matrix plus a candidate set maintained across
+    microbatches — the streaming twin of
+    ``operators/sketches.py:cms_partials``/``cms_query``.
+
+    State per group = the d·w counter matrix (flattened array<long>)
+    + at most ``k + batch-distinct`` candidate items. Each microbatch:
+    (1) every arriving item increments its d counters — counter state
+    after any split of the stream EQUALS the batch sketch exactly
+    (sums commute); (2) candidate estimates are RECOMPUTED against
+    the current counters (never cached across batches — a stale
+    estimate could under-rank an item whose buckets grew), merged
+    with the batch's distinct items, and the top k by
+    (estimate DESC, item ASC) are kept and emitted. CMS guarantees
+    estimates never under-count, so a true heavy hitter — which must
+    appear in some batch — can never be evicted by an item with a
+    smaller true count unless collisions inflate the latter past it
+    (the standard ε·N bound).
+
+    Hashing is the SAME portable md5-h64 + universal-hash family the
+    batch sketch uses (functions/hashing.py), evaluated in Python
+    here (the Arrow path hands us pandas) — pinned equal to the batch
+    estimates in tests/test_cms_stream.py."""
+    import hashlib
+
+    from medallion_delta_lake_spark.functions.hashing import (
+        P_HASH,
+        minhash_params,
+    )
+
+    params = minhash_params(d)
+    p_hash = P_HASH
+
+    def buckets(item: str) -> list[int]:
+        h = int(hashlib.md5(item.encode("utf-8")).hexdigest()[:15], 16)
+        hm = h % p_hash
+        return [(a * hm + b) % p_hash % w for a, b in params]
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            counters, items, _counts = state.get
+            counters = list(counters)
+            cand = set(items)
+        else:
+            counters = [0] * (d * w)
+            cand = set()
+        batch_items: set[str] = set()
+        for pdf in pdfs:
+            for item in pdf["item"].dropna().astype(str):
+                batch_items.add(item)
+                for i, b in enumerate(buckets(item)):
+                    counters[i * w + b] += 1
+
+        def est(item: str) -> int:
+            return min(
+                counters[i * w + b]
+                for i, b in enumerate(buckets(item))
+            )
+
+        # recompute ALL candidate estimates against current counters
+        scored = sorted(
+            ((est(it), it) for it in cand | batch_items),
+            key=lambda t: (-t[0], t[1]),
+        )[:k]
+        state.update(
+            (
+                counters,
+                [it for _, it in scored],
+                [e for e, _ in scored],
+            )
+        )
+        yield pd.DataFrame(
+            [
+                {"event_type": key[0], "item": it, "est_cnt": e}
+                for e, it in scored
+            ],
+            columns=["event_type", "item", "est_cnt"],
+        )
+
+    from pyspark.sql.types import ArrayType, StringType
+
+    state_schema = StructType(
+        [
+            StructField("counters", ArrayType(LongType())),
+            StructField("items", ArrayType(StringType())),
+            StructField("counts", ArrayType(LongType())),
+        ]
+    )
+    out_schema = StructType(
+        [
+            StructField("event_type", StringType()),
+            StructField("item", StringType()),
+            StructField("est_cnt", LongType()),
+        ]
+    )
+    return (
+        sdf.select("event_type", "item")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
