@@ -78,6 +78,11 @@ _SUPPORTED_READER_FEATURES = {
     # files by passing the wide logical schema to the parquet scan
     # (alter_column_type; tests/test_type_widening.py)
     "typeWidening",
+    # Spark 4 reads/writes VARIANT parquet natively; the engine's
+    # scan passes the logical schema straight through
+    # (tests/test_variant.py). The mdls_delta Python DataSource
+    # refuses variant tables (pyarrow cannot parse the footer).
+    "variantType",
 }
 
 
@@ -545,6 +550,70 @@ _LEGACY_WRITER_FEATURES = {
     5: {"columnMapping"},
     6: {"identityColumns"},
 }
+
+
+def _schema_type_features(schema) -> set[str]:
+    """Table features the schema's TYPES require a reader to declare
+    (PROTOCOL.md): ``variantType`` for VARIANT columns and
+    ``timestampNtz`` for TIMESTAMP_NTZ — at any nesting depth. A
+    writer creating or evolving a table into these types must commit
+    a features protocol listing them, or spec-conformant readers
+    would misread the physical encodings silently."""
+    from pyspark.sql.types import (
+        ArrayType,
+        MapType,
+        TimestampNTZType,
+    )
+
+    try:
+        from pyspark.sql.types import VariantType
+    except ImportError:  # pragma: no cover - older Spark
+        VariantType = ()  # type: ignore[assignment]
+
+    out: set[str] = set()
+
+    def walk(dt) -> None:
+        if VariantType and isinstance(dt, VariantType):
+            out.add("variantType")
+        elif isinstance(dt, TimestampNTZType):
+            out.add("timestampNtz")
+        elif isinstance(dt, StructType):
+            for f in dt.fields:
+                walk(f.dataType)
+        elif isinstance(dt, ArrayType):
+            walk(dt.elementType)
+        elif isinstance(dt, MapType):
+            walk(dt.keyType)
+            walk(dt.valueType)
+
+    walk(schema)
+    return out
+
+
+def _type_feature_upgrade(proto: dict | None, schema) -> dict | None:
+    """Protocol action adopting any type-required features the
+    evolved ``schema`` needs that ``proto`` does not yet declare
+    (None when nothing is missing). Legacy implied writer features
+    are preserved through the v7 upgrade, same as every other
+    feature-adoption path."""
+    feats = _schema_type_features(schema)
+    if not feats:
+        return None
+    proto = proto or {"minReaderVersion": 1, "minWriterVersion": 2}
+    rf = set(proto.get("readerFeatures") or [])
+    wf = set(proto.get("writerFeatures") or [])
+    if feats <= rf and feats <= wf:
+        return None
+    wv = proto.get("minWriterVersion", 2)
+    if wv < 7:
+        for lv in range(2, wv + 1):
+            wf |= _LEGACY_WRITER_FEATURES.get(lv, set())
+    return {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": sorted(rf | feats),
+        "writerFeatures": sorted(wf | feats),
+    }
 
 
 def _ict_enabled_in_conf(meta: dict | None) -> bool:
@@ -2689,14 +2758,26 @@ def write_delta(
                 (f.metadata or {}).get("delta.generationExpression")
                 for f in df.schema.fields
             )
-            actions.append(
-                {
-                    "protocol": {
-                        "minReaderVersion": 1,
-                        "minWriterVersion": 4 if has_gen else 2,
-                    }
+            base_wv = 4 if has_gen else 2
+            type_feats = _schema_type_features(df.schema)
+            if type_feats:
+                # VARIANT / TIMESTAMP_NTZ columns require a features
+                # protocol from the very first commit
+                wf: set[str] = set()
+                for lv in range(2, base_wv + 1):
+                    wf |= _LEGACY_WRITER_FEATURES.get(lv, set())
+                proto = {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": sorted(type_feats),
+                    "writerFeatures": sorted(wf | type_feats),
                 }
-            )
+            else:
+                proto = {
+                    "minReaderVersion": 1,
+                    "minWriterVersion": base_wv,
+                }
+            actions.append({"protocol": proto})
             actions.append(
                 {
                     "metaData": {
@@ -2711,6 +2792,12 @@ def write_delta(
             )
         elif mode == "overwrite":
             prior = resolve_snapshot(path, version_as_of=version - 1)
+            if evolve or evolved_meta is not None:
+                up = _type_feature_upgrade(
+                    prior.get("protocol"), df.schema
+                )
+                if up is not None:
+                    actions.append({"protocol": up})
             if evolve:
                 # re-commit metaData: same table id, evolved schema /
                 # partitioning (Delta's overwriteSchema behavior)
@@ -2726,7 +2813,14 @@ def write_delta(
             )
         elif evolved_meta is not None:
             # append with mergeSchema: the widened metaData lands in
-            # the same commit as the adds (real Delta's behavior)
+            # the same commit as the adds (real Delta's behavior);
+            # a merged-in VARIANT / NTZ column upgrades the protocol
+            # in that same commit
+            up = _type_feature_upgrade(
+                (snap or {}).get("protocol"), df.schema
+            )
+            if up is not None:
+                actions.append({"protocol": up})
             actions.append({"metaData": evolved_meta})
         actions.extend(adds)
         return actions

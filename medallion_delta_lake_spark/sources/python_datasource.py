@@ -117,6 +117,11 @@ def _partitions_for(
             "(footer-driven field-id resolution)"
         )
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    if any("variant" in f.dataType.typeName() for f in schema.fields):
+        raise NotImplementedError(
+            "VARIANT columns: pyarrow cannot parse variant parquet "
+            "footers — use delta_log.read_delta (Spark-native scan)"
+        )
     mapping = _column_mapping(meta, schema)
     part_cols = meta.get("partitionColumns") or []
     phys = {c: mapping.get(c, c) for c in part_cols}
