@@ -154,18 +154,88 @@ class _BatchReader(DataSourceReader):
         )
 
         self._schema = schema
-        path = options["path"]
+        self._path = options["path"]
         v = options.get("versionasof")
         snap = resolve_snapshot(
-            path, version_as_of=int(v) if v is not None else None
+            self._path, version_as_of=int(v) if v is not None else None
         )
-        self._parts = _partitions_for(path, snap["meta"], snap["files"])
+        self._meta = snap["meta"]
+        self._files = snap["files"]
+        self._pushed: list[tuple[str, str, object]] = []
 
     def partitions(self):
-        return self._parts
+        files = self._files
+        if self._pushed:
+            from medallion_delta_lake_spark.sources.delta_log import (
+                _column_mapping,
+                _file_can_skip,
+            )
+
+            schema = StructType.fromJson(
+                json.loads(self._meta["schemaString"])
+            )
+            mapping = _column_mapping(self._meta, schema)
+            phys_filters = [
+                (mapping.get(c, c), op, val)
+                for c, op, val in self._pushed
+            ]
+            phys_parts = [
+                mapping.get(c, c)
+                for c in (self._meta.get("partitionColumns") or [])
+            ]
+            files = {
+                rel: add
+                for rel, add in files.items()
+                if not _file_can_skip(add, phys_filters, phys_parts)
+            }
+        return _partitions_for(self._path, self._meta, files)
 
     def read(self, partition: _FilePartition):
         yield from _read_partition(partition, self._schema)
+
+
+class _PushdownBatchReader(_BatchReader):
+    """File-skipping variant, selected by ``.option("pushdown",
+    "true")``: comparison filters Spark offers at planning time prune
+    the add-file list via the SAME logged min/max-stats +
+    partitionValues test :func:`delta_log.read_delta` uses
+    (``_file_can_skip``), so only surviving files become input
+    partitions. EVERY filter is yielded back for Spark to re-evaluate
+    — skipping is pure pruning, never a correctness dependency (a
+    file with no logged stats simply isn't skipped).
+
+    Kept separate from :class:`_BatchReader` because Spark 4.1 HARD
+    FAILS any reader that overrides ``pushFilters`` while
+    ``spark.sql.python.filterPushdown.enabled`` (default false) is
+    off — pushdown must be an explicit opt-in, with the session conf
+    and reader option flipped together."""
+
+    def pushFilters(self, filters):
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        ops = {
+            EqualTo: "=",
+            GreaterThan: ">",
+            GreaterThanOrEqual: ">=",
+            LessThan: "<",
+            LessThanOrEqual: "<=",
+        }
+        for f in filters:
+            op = ops.get(type(f))
+            if (
+                op is not None
+                and len(f.attribute) == 1
+                and isinstance(f.value, (int, float, str))
+                and not isinstance(f.value, bool)
+            ):
+                self._pushed.append((f.attribute[0], op, f.value))
+            yield f  # Spark always re-applies; pruning only
 
 
 class _StreamReader(DataSourceStreamReader):
@@ -279,6 +349,11 @@ class MdlsDeltaDataSource(DataSource):
         return StructType.fromJson(json.loads(meta["schemaString"]))
 
     def reader(self, schema: StructType) -> DataSourceReader:
+        if str(self.options.get("pushdown", "")).lower() in (
+            "true",
+            "1",
+        ):
+            return _PushdownBatchReader(self.options, schema)
         return _BatchReader(self.options, schema)
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
