@@ -343,6 +343,66 @@ def cms_merge(
     )
 
 
+def cms_apply_changes(
+    sketch: DataFrame,
+    changes: DataFrame,
+    value_col: str,
+    d: int = 4,
+    w: int = 1024,
+) -> DataFrame:
+    """Maintain a Count-Min sketch from a Delta CHANGE FEED batch
+    (``table_changes`` output: table columns + ``_change_type``) —
+    the turnstile-model property that makes CMS the one sketch here
+    that supports DELETES: counters are plain sums, so
+    ``insert``/``update_postimage`` rows +1 their d buckets and
+    ``delete``/``update_preimage`` rows −1 them, and the maintained
+    counter matrix equals a from-scratch rebuild over the current
+    table EXACTLY (pinned in tests). O(changed rows · d) work per
+    refresh; the merge touches only hit buckets.
+
+    HLL and KMV are deliberately NOT given this: max / bottom-k are
+    not invertible (a delete cannot lower a register), so their
+    incremental posture is insert-only folding (hll_merge/kmv_merge)
+    with epoch rebuilds when removals must be reflected — documented
+    here so nobody wires them to a change feed and silently
+    over-counts."""
+    params = minhash_params(d)
+    h = h64(F.col(value_col).cast("string"))
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"),
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    hits = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("row_i"),
+                    F.pmod(perm_hash(h, a, b), F.lit(w))
+                    .cast("int")
+                    .alias("bucket"),
+                )
+                for i, (a, b) in enumerate(params)
+            ]
+        )
+    ).alias("hit")
+    delta = (
+        changes.filter(F.col(value_col).isNotNull())
+        .select(sign.alias("_sign"), hits)
+        .select("_sign", "hit.row_i", "hit.bucket")
+        .groupBy("row_i", "bucket")
+        .agg(F.sum("_sign").alias("_dc"))
+    )
+    merged = sketch.join(delta, ["row_i", "bucket"], "full_outer").select(
+        "row_i",
+        "bucket",
+        (
+            F.coalesce(F.col("cnt"), F.lit(0).cast("bigint"))
+            + F.coalesce(F.col("_dc"), F.lit(0).cast("bigint"))
+        ).alias("cnt"),
+    )
+    return merged.filter(F.col("cnt") != 0)
+
+
 def cms_query(
     sketch: DataFrame,
     probes: DataFrame,

@@ -221,3 +221,38 @@ def test_cms_absent_item_and_merge(spark, freq_df):
     probes = spark.createDataFrame([("nope",)], "v string")
     row = sk.cms_query(whole, probes, "v", d=4, w=512).collect()[0]
     assert row["est_cnt"] >= 0  # may collide, never negative
+
+
+def test_cms_apply_changes_equals_rebuild(spark, tmp_path):
+    """Turnstile maintenance: fold a real Delta change feed (UPDATE
+    pre/post pairs + DELETEs) into a CMS and land exactly on the
+    from-scratch sketch of the final table state."""
+    from medallion_delta_lake_spark.sources import delta_log
+
+    p = str(tmp_path / "cms_cdc")
+    rows = [(i, f"item{i % 7}") for i in range(60)]
+    delta_log.write_delta(
+        spark,
+        spark.createDataFrame(rows, "k int, v string").coalesce(1),
+        p,
+    )
+    delta_log.set_table_properties(
+        p, {"delta.enableChangeDataFeed": "true"}
+    )
+    v0 = delta_log.resolve_snapshot(p)["version"]
+    sketch = sk.cms_partials(
+        delta_log.read_delta(spark, p), [], "v", d=4, w=128
+    )
+    # churn: rewrite every k<20 row's item, delete k>=50
+    delta_log.update_delta_log(
+        spark, p, [("k", "<", 20)], {"v": "concat(v, '_x')"}
+    )
+    delta_log.delete_delta_log(spark, p, [("k", ">=", 50)])
+    changes = delta_log.table_changes(spark, p, v0 + 1)
+    maintained = sk.cms_apply_changes(sketch, changes, "v", d=4, w=128)
+    rebuilt = sk.cms_partials(
+        delta_log.read_delta(spark, p), [], "v", d=4, w=128
+    )
+    assert {tuple(r) for r in maintained.collect()} == {
+        tuple(r) for r in rebuilt.collect()
+    }
