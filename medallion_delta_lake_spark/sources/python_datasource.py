@@ -147,6 +147,29 @@ def _partitions_for(
     return out
 
 
+def _check_supported(meta: dict) -> None:
+    """Refuse id-mode column mapping and VARIANT tables EAGERLY, at
+    reader construction. This must NOT happen first inside
+    ``partitions()``: the Python DS protocol treats a
+    NotImplementedError from partitions() as "source is unpartitioned"
+    and proceeds to ``read(None)`` — the refusal would be swallowed
+    into a confusing executor crash (caught by
+    tests/test_variant.py::test_python_datasource_refuses_variant_tables).
+    """
+    conf = (meta.get("configuration") or {})
+    if conf.get("delta.columnMapping.mode", "none") == "id":
+        raise NotImplementedError(
+            "id-mode column mapping: use delta_log.read_delta "
+            "(footer-driven field-id resolution)"
+        )
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    if any("variant" in f.dataType.typeName() for f in schema.fields):
+        raise NotImplementedError(
+            "VARIANT columns: pyarrow cannot parse variant parquet "
+            "footers — use delta_log.read_delta (Spark-native scan)"
+        )
+
+
 class _BatchReader(DataSourceReader):
     def __init__(self, options: dict, schema: StructType):
         from medallion_delta_lake_spark.sources.delta_log import (
@@ -162,6 +185,7 @@ class _BatchReader(DataSourceReader):
         self._meta = snap["meta"]
         self._files = snap["files"]
         self._pushed: list[tuple[str, str, object]] = []
+        _check_supported(self._meta)
 
     def partitions(self):
         files = self._files
@@ -251,10 +275,13 @@ class _StreamReader(DataSourceStreamReader):
             == "true"
         )
         sv = options.get("startingversion")
+        snap = resolve_snapshot(self._path)
+        if snap["meta"] is not None:
+            _check_supported(snap["meta"])
         if sv is not None:
             self._initial = int(sv) - 1
         else:
-            self._initial = resolve_snapshot(self._path)["version"]
+            self._initial = snap["version"]
 
     def initialOffset(self) -> dict:
         return {"version": self._initial}
