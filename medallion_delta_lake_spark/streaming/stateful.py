@@ -511,3 +511,82 @@ def cms_topk_monitor(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ------------------------------------------------------------------
+# Streaming KMV distinct-count
+
+
+def kmv_distinct_monitor(sdf: DataFrame, k: int = 256) -> DataFrame:
+    """Streaming distinct-count per ``event_type`` via the KMV
+    bottom-k sketch — the streaming twin of
+    ``operators/sketches.py:kmv_partials``/``kmv_estimate``. State
+    per group is the k smallest distinct portable hashes seen so far;
+    because bottom-k folding is the sketch's own MERGE LAW, the state
+    after ANY microbatch split equals the batch sketch of the same
+    rows exactly — so the emitted (n_kept, h_k, est_q6) triple is
+    pinned bit-for-bit against the batch operator in
+    tests/test_kmv_stream.py, not just statistically close.
+
+    est_q6 = n_kept·10^6 exactly while the set still fits (< k),
+    else trunc((k−1)·2^60/h_k·10^6) — integer arithmetic only, same
+    face as the batch estimator."""
+    import hashlib
+
+    def h60(item: str) -> int:
+        return int(
+            hashlib.md5(item.encode("utf-8")).hexdigest()[:15], 16
+        )
+
+    def fn(key, pdfs, state: GroupState):
+        kept = list(state.get[0]) if state.exists else []
+        have = set(kept)
+        for pdf in pdfs:
+            for item in pdf["item"].dropna().astype(str):
+                h = h60(item)
+                if h not in have:
+                    have.add(h)
+                    kept.append(h)
+        kept = sorted(have)[:k]
+        state.update((kept,))
+        n_kept = len(kept)
+        h_k = kept[-1] if kept else 0
+        if n_kept < k:
+            est_q6 = n_kept * 10**6
+        else:
+            est_q6 = (k - 1) * (1 << 60) * 10**6 // h_k
+        yield pd.DataFrame(
+            [
+                {
+                    "event_type": key[0],
+                    "n_kept": n_kept,
+                    "h_k": h_k,
+                    "est_q6": est_q6,
+                }
+            ]
+        )
+
+    from pyspark.sql.types import ArrayType, StringType
+
+    state_schema = StructType(
+        [StructField("kept", ArrayType(LongType()))]
+    )
+    out_schema = StructType(
+        [
+            StructField("event_type", StringType()),
+            StructField("n_kept", LongType()),
+            StructField("h_k", LongType()),
+            StructField("est_q6", LongType()),
+        ]
+    )
+    return (
+        sdf.select("event_type", "item")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
