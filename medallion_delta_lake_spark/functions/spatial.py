@@ -43,3 +43,27 @@ def morton_key_sql(a: str, b: str, bits: int = 16) -> str:
         terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
         terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def morton_key_n(cols: list, bits: int = 16) -> "Column":
+    """Interleave the low ``bits`` of k non-negative int columns:
+    result bit ``k·i + j`` = bit ``i`` of column ``j`` — the
+    k-dimensional Morton key behind multi-column OPTIMIZE ZORDER.
+    ``k·bits`` must stay ≤ 62 so the key fits a BIGINT; callers
+    shrink ``bits`` as k grows (62 // k)."""
+    k = len(cols)
+    if k == 0:
+        raise ValueError("morton_key_n needs at least one column")
+    if k * bits > 62:
+        raise ValueError(
+            f"{k} columns × {bits} bits = {k * bits} > 62 key bits; "
+            f"use bits ≤ {62 // k}"
+        )
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    key = F.lit(0).cast("bigint")
+    for i in range(bits):
+        for j, c in enumerate(cs):
+            key = key + F.shiftleft(
+                F.shiftright(c, i).bitwiseAND(F.lit(1)), k * i + j
+            )
+    return key

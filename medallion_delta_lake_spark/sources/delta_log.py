@@ -3657,8 +3657,12 @@ def optimize_delta_log(
         # re-clusters by the declared columns automatically
         zorder_by = clustering_columns(snap) or None
     if zorder_by:
-        if not 1 <= len(zorder_by) <= 2:
-            raise ValueError("zorder_by supports one or two columns")
+        if not 1 <= len(zorder_by) <= 6:
+            raise ValueError(
+                "zorder_by supports one to six columns (interleaved "
+                "key bits shrink as 62 // k — beyond ~6 dimensions "
+                "each column keeps too few bits to cluster usefully)"
+            )
         if any(c in part_cols for c in zorder_by):
             raise ValueError("cannot Z-order by a partition column")
         selected = dict(snap["files"])
@@ -3743,32 +3747,45 @@ def optimize_delta_log(
             zkey = F.col(zorder_by[0])
         else:
             from medallion_delta_lake_spark.functions.spatial import (
-                morton_key,
+                morton_key_n,
             )
 
-            a, b = zorder_by
+            # k columns share the 62-bit key: bits each = min(asked,
+            # 62 // k). ONE stats pass normalizes every column.
+            k = len(zorder_by)
+            bits = min(zorder_bits, 62 // k)
             stats = df.agg(
-                F.min(F.col(a).cast("double")).alias("la"),
-                F.max(F.col(a).cast("double")).alias("ha"),
-                F.min(F.col(b).cast("double")).alias("lb"),
-                F.max(F.col(b).cast("double")).alias("hb"),
+                *[
+                    f
+                    for c in zorder_by
+                    for f in (
+                        F.min(F.col(c).cast("double")).alias(f"lo_{c}"),
+                        F.max(F.col(c).cast("double")).alias(f"hi_{c}"),
+                    )
+                ]
             ).first()
 
             def bucket(col, lo, hi):
                 span = (hi - lo) or 1.0
                 return F.least(
-                    F.lit(2**zorder_bits - 1),
+                    F.lit(2**bits - 1),
                     F.floor(
                         (F.col(col).cast("double") - F.lit(lo))
                         / F.lit(span)
-                        * F.lit(2**zorder_bits - 1)
+                        * F.lit(2**bits - 1)
                     ).cast("bigint"),
                 )
 
-            zkey = morton_key(
-                bucket(a, stats["la"] or 0.0, stats["ha"] or 0.0),
-                bucket(b, stats["lb"] or 0.0, stats["hb"] or 0.0),
-                bits=zorder_bits,
+            zkey = morton_key_n(
+                [
+                    bucket(
+                        c,
+                        stats[f"lo_{c}"] or 0.0,
+                        stats[f"hi_{c}"] or 0.0,
+                    )
+                    for c in zorder_by
+                ],
+                bits=bits,
             )
         parts = [F.col(c) for c in part_cols]
         df = (
