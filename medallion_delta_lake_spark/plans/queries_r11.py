@@ -1,0 +1,383 @@
+"""DRAFT round-11 query faces — NOT registered (the r10 registry is
+frozen at 291 to keep the driver window on reds + never-checked +
+stale drain; see the croston commit). Each face here pairs a Spark
+query over the r10 pre-built operators with its DuckDB oracle, and
+tests/test_r11_drafts.py runs them through tests/oracle.compare_query
+at two SFs — so round 11's registration is a mechanical move of
+proven pairs into plans/registry, not new risk.
+
+Deliberately NO ``@query`` decorator and NO import from the registry
+side: importing this module must not mutate the registered set.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from medallion_delta_lake_spark.functions.hashing import (
+    h64_sql,
+    minhash_params,
+    perm_hash_sql,
+)
+from medallion_delta_lake_spark.operators import sketches as sk
+from medallion_delta_lake_spark.operators import similarity as sim
+from medallion_delta_lake_spark.operators import text_analysis as ta
+from medallion_delta_lake_spark.operators import variant_ops as vo
+from medallion_delta_lake_spark.plans.registry import table
+
+R11_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+R11_ORACLES: dict[str, str] = {}
+
+
+def draft(name: str, oracle: str):
+    def deco(fn):
+        R11_QUERIES[name] = fn
+        R11_ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+_UID = "CAST(user_id AS VARCHAR)"
+
+
+@draft(
+    "sketch-hll-users",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type,
+        {h64_sql(_UID)} AS h
+      FROM events WHERE user_id IS NOT NULL
+    ), regs AS (
+      SELECT event_type, h & 1023 AS reg,
+        CASE WHEN (h >> 10) = 0 THEN 51
+             ELSE 51 - length(bin(h >> 10)) END AS r
+      FROM h
+    ), reg_max AS (
+      SELECT event_type, reg, MAX(r) AS r
+      FROM regs GROUP BY event_type, reg
+    ), agg AS (
+      SELECT event_type, COUNT(*) AS n_present,
+        SUM((CAST(1 AS BIGINT) << (51 - r))) AS s_present
+      FROM reg_max GROUP BY event_type
+    )
+    SELECT event_type, 1024 AS m,
+      CAST(1024 - n_present AS INT) AS v_zero,
+      s_present + (1024 - n_present)
+        * (CAST(1 AS BIGINT) << 51) AS s_pow,
+      CAST(
+        (CAST(7213 AS HUGEINT) * 1024 * 1024 * 1024
+         * (CAST(1 AS HUGEINT) << 51) * 1000000)
+        // ((10000 * 1024 + 10790)
+            * (s_present + (1024 - n_present)
+               * (CAST(1 AS HUGEINT) << 51)))
+        AS BIGINT) AS est_q6
+    FROM agg
+    """,
+)
+def sketch_hll_users_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sketch / HLL distinct-user estimate per event type — the
+    register table (operators/sketches.py) folded to the all-integer
+    (m, v_zero, s_pow, est_q6) face; at 100 TB the register partials
+    are stored per day and max-merged, never recomputed."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    parts = sk.hll_partials(ev, ["event_type"], "user_id", p=10)
+    return sk.hll_estimate(parts, ["event_type"], p=10)
+
+
+@draft(
+    "sketch-kmv-distinct",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT event_type, {h64_sql(_UID)} AS h
+      FROM events WHERE user_id IS NOT NULL
+    ), r AS (
+      SELECT event_type, h,
+        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM h
+    ), kept AS (SELECT event_type, h FROM r WHERE rn <= 256)
+    SELECT event_type,
+      COUNT(*) AS n_kept,
+      MAX(h) AS h_k,
+      CASE WHEN COUNT(*) < 256
+           THEN COUNT(*) * 1000000
+           ELSE CAST((CAST(255 AS HUGEINT)
+                      * (CAST(1 AS HUGEINT) << 60) * 1000000)
+                     // MAX(h) AS BIGINT)
+      END AS est_q6
+    FROM kept GROUP BY event_type
+    """,
+)
+def sketch_kmv_distinct_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """sketch / KMV bottom-k distinct-user estimate per event type —
+    exact below k=256 (small SFs), the (k−1)·2^60/h_k integer
+    estimator above (sf0.1 has ~1500 users)."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    parts = sk.kmv_partials(ev, ["event_type"], "user_id", k=256)
+    return sk.kmv_estimate(parts, ["event_type"], k=256)
+
+
+@draft(
+    "sketch-kmv-overlap",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT event_type, {h64_sql(_UID)} AS h
+      FROM events
+      WHERE user_id IS NOT NULL
+        AND event_type IN ('click', 'purchase')
+    ), r AS (
+      SELECT event_type, h,
+        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM h
+    ),
+    a AS (SELECT h FROM r WHERE event_type = 'click' AND rn <= 256),
+    b AS (SELECT h FROM r WHERE event_type = 'purchase' AND rn <= 256),
+    x AS (
+      SELECT COALESCE(a.h, b.h) AS h,
+             CASE WHEN a.h IS NULL THEN 0 ELSE 1 END AS in_a,
+             CASE WHEN b.h IS NULL THEN 0 ELSE 1 END AS in_b
+      FROM a FULL OUTER JOIN b ON a.h = b.h
+      ORDER BY 1 LIMIT 256
+    ), agg AS (
+      SELECT COUNT(*) AS x_n, MAX(h) AS h_k,
+        SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+          AS x_both
+      FROM x
+    )
+    SELECT CAST(x_n AS BIGINT) AS x_n,
+      CAST(x_both AS BIGINT) AS x_both, h_k,
+      CASE WHEN x_n < 256 THEN x_n * 1000000
+           ELSE CAST((CAST(255 AS HUGEINT)
+                      * (CAST(1 AS HUGEINT) << 60) * 1000000)
+                     // h_k AS BIGINT)
+      END AS union_est_q6,
+      CAST((CAST(x_both AS HUGEINT) * 1000000) // x_n AS BIGINT)
+        AS jaccard_q6,
+      CAST((CAST(x_both AS HUGEINT)
+            * (CASE WHEN x_n < 256 THEN x_n * 1000000
+                    ELSE CAST((CAST(255 AS HUGEINT)
+                               * (CAST(1 AS HUGEINT) << 60) * 1000000)
+                              // h_k AS BIGINT) END)
+            * 1000000)
+           // (CAST(x_n AS HUGEINT) * 1000000) AS BIGINT)
+        AS inter_est_q6
+    FROM agg
+    """,
+)
+def sketch_kmv_overlap_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """sketch / audience-overlap estimate between the click and
+    purchase user sets from their KMV sketches alone: union, Jaccard,
+    intersection — all exact integer quantizations over two ≤k-row
+    frames (the sketches bounded the work regardless of source
+    scale)."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    parts = sk.kmv_partials(ev, ["event_type"], "user_id", k=256)
+    a = parts.filter(F.col("event_type") == "click").select("h")
+    b = parts.filter(F.col("event_type") == "purchase").select("h")
+    return sk.kmv_set_ops(a, b, k=256)
+
+
+_CMS_D, _CMS_W = 4, 1024
+_CMS_PARAMS = minhash_params(_CMS_D)
+
+
+def _cms_counters_sql(src: str) -> str:
+    rows = []
+    for i, (a, b) in enumerate(_CMS_PARAMS):
+        ph = perm_hash_sql(h64_sql("item"), a, b)
+        rows.append(
+            f"SELECT {i} AS row_i, ({ph}) % {_CMS_W} AS bucket,"
+            f" COUNT(*) AS cnt FROM {src} GROUP BY 2"
+        )
+    return " UNION ALL ".join(rows)
+
+
+def _cms_probe_sql() -> str:
+    rows = []
+    for i, (a, b) in enumerate(_CMS_PARAMS):
+        ph = perm_hash_sql(h64_sql("probe"), a, b)
+        rows.append(
+            f"SELECT probe, {i} AS row_i, ({ph}) % {_CMS_W} AS bucket"
+            f" FROM probes"
+        )
+    return " UNION ALL ".join(rows)
+
+
+@draft(
+    "sketch-cms-probe",
+    oracle=f"""
+    WITH it AS (
+      SELECT {_UID} AS item FROM events WHERE user_id IS NOT NULL
+    ),
+    counters AS ({_cms_counters_sql("it")}),
+    probes AS (
+      SELECT DISTINCT {_UID} AS probe FROM events
+      WHERE user_id IS NOT NULL AND user_id % 5 = 0
+    ),
+    pb AS ({_cms_probe_sql()})
+    SELECT probe,
+      MIN(COALESCE(cnt, 0)) AS est_cnt
+    FROM pb LEFT JOIN counters USING (row_i, bucket)
+    GROUP BY probe
+    """,
+)
+def sketch_cms_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sketch / Count-Min frequency estimates — events-per-user for
+    the user_id % 5 probe set, answered from the d×w counter table
+    (never the raw events): the broadcast point-query path."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    sketch = sk.cms_partials(ev, [], "user_id", d=_CMS_D, w=_CMS_W)
+    probes = (
+        ev.filter(F.col("user_id") % 5 == 0)
+        .select(F.col("user_id").cast("string").alias("user_id"))
+        .distinct()
+    )
+    return sk.cms_query(sketch, probes, "user_id", d=_CMS_D, w=_CMS_W)
+
+
+@draft(
+    "text-bm25-core",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id,
+        string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+                     'g')), ' ') AS toks
+      FROM documents
+    ),
+    toks AS (SELECT doc_id, unnest(toks) AS token FROM d),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf
+           FROM toks GROUP BY doc_id, token),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    tot AS (SELECT COUNT(*) AS t, COUNT(DISTINCT doc_id) AS n
+            FROM toks)
+    SELECT f.doc_id, f.token, f.tf, l.dl, dfreq.df,
+      CAST(n AS BIGINT) AS n_docs, CAST(t AS BIGINT) AS total_tokens,
+      CAST((CAST(44 AS HUGEINT) * t * tf * 1000000)
+           // (CAST(20 AS HUGEINT) * t * tf + 6 * t
+               + 18 * l.dl * n) AS BIGINT) AS sat_q6,
+      CAST((CAST(2 * n - 2 * df + 1 AS HUGEINT) * 1000000)
+           // (2 * df + 1) AS BIGINT) AS pidf_q6,
+      CAST((CAST(44 AS HUGEINT) * t * tf
+            * (2 * n - 2 * df + 1) * 1000000)
+           // ((CAST(20 AS HUGEINT) * t * tf + 6 * t
+                + 18 * l.dl * n) * (2 * df + 1))
+           AS BIGINT) AS bm25_core_q6
+    FROM tf f
+    JOIN dl l ON l.doc_id = f.doc_id
+    JOIN dfreq ON dfreq.token = f.token, tot
+    """,
+)
+def text_bm25_core_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text / Okapi BM25 core per (doc, token) — saturation and
+    probabilistic-IDF rationals quantized through exact DECIMAL
+    division (operators/text_analysis.py:bm25_stats); ln stays out of
+    the face (cross-engine libm)."""
+    return ta.bm25_stats(table(spark, sf_dir, "documents"))
+
+
+@draft(
+    "variant-shred-orders",
+    oracle="""
+    SELECT o_orderstatus AS status,
+      COUNT(*) AS n,
+      CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+      CAST(SUM(o_custkey) AS BIGINT) AS sum_cust
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def variant_shred_orders_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """semi-structured / VARIANT round-trip proof — orders rows pass
+    through to_json → parse_json (VARIANT) → shred_variant back to
+    typed columns, then aggregate; the oracle computes straight off
+    the base columns, so any value the variant path loses or invents
+    breaks the hash."""
+    o = table(spark, sf_dir, "orders").select(
+        F.parse_json(
+            F.to_json(
+                F.struct("o_orderkey", "o_orderstatus", "o_custkey")
+            )
+        ).alias("payload")
+    )
+    sh = vo.shred_variant(
+        o,
+        "payload",
+        {
+            "okey": ("$.o_orderkey", "long"),
+            "status": ("$.o_orderstatus", "string"),
+            "cust": ("$.o_custkey", "long"),
+        },
+    )
+    return sh.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("okey").alias("sum_key"),
+        F.sum("cust").alias("sum_cust"),
+    )
+
+
+_JL_DIMS, _JL_OUT = 64, 8
+
+
+def _jl_dot_sql(wlit: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        f" list_transform(list_zip(embedding, {wlit}),"
+        f" z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))),"
+        f" (s, y) -> s + y)"
+    )
+
+
+def _jl_components_sql() -> str:
+    cols = []
+    for j in range(_JL_OUT):
+        w = sim.jl_weights(j, _JL_DIMS)
+        wlit = "[" + ", ".join(f"{x}.0" for x in w) + "]"
+        cols.append(f"{_jl_dot_sql(wlit)} AS c{j}")
+    return ", ".join(cols)
+
+
+@draft(
+    "sim-jl-components",
+    oracle=f"""
+    SELECT vec_id, {_jl_components_sql()}
+    FROM embeddings
+    """,
+)
+def sim_jl_components_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """similarity / JL projection components — per-row sequential-fold
+    dots against md5-derived literal weights; DOUBLE face is safe
+    because both engines execute the identical IEEE op sequence
+    (the repo's verified list_reduce mirror), no cross-row
+    accumulation anywhere."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    out = sim.project_embeddings(
+        emb, out_dims=_JL_OUT, dims=_JL_DIMS
+    )
+    return out.select(
+        "vec_id",
+        *[
+            F.col("proj")[j].alias(f"c{j}")
+            for j in range(_JL_OUT)
+        ],
+    )
