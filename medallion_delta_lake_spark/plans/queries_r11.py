@@ -381,3 +381,216 @@ def sim_jl_components_q(
             for j in range(_JL_OUT)
         ],
     )
+
+
+@draft(
+    "ts-croston-rate",
+    # recursive-CTE oracle spelling croston's literal recurrence
+    # (α = ½ exact binary scaling — same determinism contract as the
+    # driver-green ts-holt-linear / stream-holt-monitor pair)
+    oracle="""
+    WITH RECURSIVE h AS (
+      SELECT user_id, CAST(COALESCE(value, 0) AS DOUBLE) AS x,
+        CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+          ORDER BY ts, event_id) AS BIGINT) AS rn
+      FROM events
+    ),
+    rec AS (
+      SELECT user_id, rn,
+        CASE WHEN x > 0 THEN x END AS z,
+        CASE WHEN x > 0 THEN CAST(1.0 AS DOUBLE) END AS p,
+        CASE WHEN x > 0 THEN 0 ELSE 1 END AS q,
+        CASE WHEN x > 0 THEN 1 ELSE 0 END AS started
+      FROM h WHERE rn = 1
+      UNION ALL
+      SELECT h.user_id, h.rn,
+        CASE WHEN h.x > 0 THEN
+          CASE WHEN rec.started = 1
+               THEN 0.5 * h.x + 0.5 * rec.z ELSE h.x END
+        ELSE rec.z END,
+        CASE WHEN h.x > 0 THEN
+          CASE WHEN rec.started = 1
+               THEN 0.5 * (rec.q + 1) + 0.5 * rec.p
+               ELSE CAST(rec.q + 1 AS DOUBLE) END
+        ELSE rec.p END,
+        CASE WHEN h.x > 0 THEN 0 ELSE rec.q + 1 END,
+        CASE WHEN h.x > 0 THEN 1 ELSE rec.started END
+      FROM rec JOIN h
+        ON h.user_id = rec.user_id AND h.rn = rec.rn + 1
+    ),
+    last AS (SELECT user_id, MAX(rn) AS n_obs FROM h GROUP BY user_id)
+    SELECT r.user_id, l.n_obs, r.z, r.p,
+      CASE WHEN r.p IS NOT NULL THEN r.z / r.p END AS demand_rate
+    FROM rec r JOIN last l
+      ON r.user_id = l.user_id AND r.rn = l.n_obs
+    """,
+)
+def ts_croston_rate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """time series / Croston intermittent-demand state per user over
+    the per-event value series (NULL/zero = no-demand steps) — the
+    final (z, p, z/p) after the whole series, batch applyInPandas
+    (operators/pandas_ops.py:croston)."""
+    from pyspark.sql import Window
+
+    from medallion_delta_lake_spark.operators.pandas_ops import (
+        croston,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    series = ev.select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("step"),
+        F.coalesce(F.col("value"), F.lit(0.0)).alias("x"),
+    )
+    out = croston(series, "user_id", "step", "x")
+    from pyspark.sql import Window as W2
+
+    wlast = W2.partitionBy("user_id")
+    return (
+        out.withColumn("n_obs", F.max("step").over(wlast))
+        .filter(F.col("step") == F.col("n_obs"))
+        .select("user_id", "n_obs", "z", "p", "demand_rate")
+    )
+
+
+def _stage_stream(spark, df, sf_dir, tag):
+    """Materialize a frame as a single-file parquet stream source
+    (per-process dir -- a concurrent harness must not race)."""
+    import hashlib
+    import os
+    import tempfile
+
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    p = os.path.join(
+        tempfile.gettempdir(), f"mdls_r11_{tag}_{h}_{os.getpid()}"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(p)
+    return spark.readStream.schema(df.schema).parquet(p)
+
+
+def _cms_group_counters_sql() -> str:
+    rows = []
+    for i, (a, b) in enumerate(_CMS_PARAMS):
+        ph = perm_hash_sql(h64_sql("item"), a, b)
+        rows.append(
+            f"SELECT event_type, {i} AS row_i,"
+            f" ({ph}) % 256 AS bucket, COUNT(*) AS cnt"
+            f" FROM it GROUP BY 1, 3"
+        )
+    return " UNION ALL ".join(rows)
+
+
+def _cms_group_probe_sql() -> str:
+    rows = []
+    for i, (a, b) in enumerate(_CMS_PARAMS):
+        ph = perm_hash_sql(h64_sql("item"), a, b)
+        rows.append(
+            f"SELECT event_type, item, {i} AS row_i,"
+            f" ({ph}) % 256 AS bucket FROM di"
+        )
+    return " UNION ALL ".join(rows)
+
+
+@draft(
+    "stream-cms-topk",
+    # single-file source -> one availableNow microbatch -> the
+    # emission is the final top-k; the oracle rebuilds the identical
+    # counter matrix and ranks by (est DESC, item ASC)
+    oracle=f"""
+    WITH it AS (
+      SELECT event_type, {_UID} AS item
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    counters AS ({_cms_group_counters_sql()}),
+    di AS (SELECT DISTINCT event_type, item FROM it),
+    pb AS ({_cms_group_probe_sql()}),
+    est AS (
+      SELECT pb.event_type, pb.item,
+        MIN(COALESCE(c.cnt, 0)) AS est_cnt
+      FROM pb LEFT JOIN counters c
+        ON c.event_type = pb.event_type
+        AND c.row_i = pb.row_i AND c.bucket = pb.bucket
+      GROUP BY pb.event_type, pb.item
+    ), ranked AS (
+      SELECT event_type, item, est_cnt,
+        ROW_NUMBER() OVER (PARTITION BY event_type
+          ORDER BY est_cnt DESC, item) AS rnk
+      FROM est
+    )
+    SELECT event_type, item, est_cnt FROM ranked WHERE rnk <= 5
+    """,
+)
+def stream_cms_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming / Count-Min heavy hitters per event type — the
+    applyInPandasWithState monitor (streaming/stateful.py:
+    cms_topk_monitor) over a one-batch availableNow run; the counter
+    matrix equals the batch sketch exactly, so the oracle rebuilds it
+    in SQL and ranks identically."""
+    from medallion_delta_lake_spark.streaming import (
+        events as se,
+        stateful,
+    )
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    src = ev.select(
+        "event_type", F.col("user_id").cast("string").alias("item")
+    )
+    sdf = _stage_stream(spark, src, sf_dir, "cms_topk")
+    return se.run_available_now(
+        stateful.cms_topk_monitor(sdf, d=4, w=256, k=5),
+        "update",
+        spark,
+    )
+
+
+@draft(
+    "stream-kmv-distinct",
+    # same face as sketch-kmv-distinct, reached through the streaming
+    # monitor: bottom-k folding is the merge law, so the maintained
+    # state equals the batch sketch no matter how batches split
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT event_type, {h64_sql(_UID)} AS h
+      FROM events WHERE user_id IS NOT NULL
+    ), r AS (
+      SELECT event_type, h,
+        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM h
+    ), kept AS (SELECT event_type, h FROM r WHERE rn <= 256)
+    SELECT event_type,
+      COUNT(*) AS n_kept,
+      MAX(h) AS h_k,
+      CASE WHEN COUNT(*) < 256
+           THEN COUNT(*) * 1000000
+           ELSE CAST((CAST(255 AS HUGEINT)
+                      * (CAST(1 AS HUGEINT) << 60) * 1000000)
+                     // MAX(h) AS BIGINT)
+      END AS est_q6
+    FROM kept GROUP BY event_type
+    """,
+)
+def stream_kmv_distinct_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """streaming / KMV distinct-users per event type — the
+    applyInPandasWithState monitor (streaming/stateful.py:
+    kmv_distinct_monitor) over an availableNow run; the bottom-k
+    state equals the batch sketch bit-for-bit."""
+    from medallion_delta_lake_spark.streaming import (
+        events as se,
+        stateful,
+    )
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    src = ev.select(
+        "event_type", F.col("user_id").cast("string").alias("item")
+    )
+    sdf = _stage_stream(spark, src, sf_dir, "kmv_distinct")
+    return se.run_available_now(
+        stateful.kmv_distinct_monitor(sdf, k=256), "update", spark
+    )
