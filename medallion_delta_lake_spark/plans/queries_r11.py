@@ -594,3 +594,63 @@ def stream_kmv_distinct_q(
     return se.run_available_now(
         stateful.kmv_distinct_monitor(sdf, k=256), "update", spark
     )
+
+
+@draft(
+    "ml-target-encode-oof",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type AS cat,
+        CAST(floor(CAST(value AS DOUBLE) * 100) AS BIGINT) AS t,
+        CAST({h64_sql("'f0' || CAST(event_id AS VARCHAR)")} % 5
+             AS INT) AS fold
+      FROM events WHERE value IS NOT NULL
+    ),
+    cf AS (SELECT cat, fold, COUNT(*) AS n_cf, SUM(t) AS sum_cf
+           FROM b GROUP BY 1, 2),
+    c AS (SELECT cat, COUNT(*) AS n_c, SUM(t) AS sum_c
+          FROM b GROUP BY 1),
+    f AS (SELECT CAST(unnest(range(5)) AS INT) AS fold),
+    grid AS (SELECT c.cat, c.n_c, c.sum_c, f.fold
+             FROM c CROSS JOIN f),
+    j AS (
+      SELECT g.cat, g.fold,
+        g.n_c - COALESCE(cf.n_cf, 0) AS n_out,
+        g.sum_c - COALESCE(cf.sum_cf, 0) AS sum_out
+      FROM grid g
+      LEFT JOIN cf ON cf.cat = g.cat AND cf.fold = g.fold
+    )
+    SELECT cat, fold,
+      CAST(n_out AS BIGINT) AS n_out,
+      CAST(sum_out AS BIGINT) AS sum_out,
+      CASE WHEN n_out >= 1 THEN
+        CAST((CASE WHEN sum_out < 0 THEN -1 ELSE 1 END)
+             * ((abs(CAST(sum_out AS HUGEINT)) * 1000000) // n_out)
+             AS BIGINT)
+      END AS enc_q6
+    FROM j
+    """,
+)
+def ml_target_encode_oof_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """feature engineering / out-of-fold mean-target encoding table
+    per (event_type, fold) over cent-quantized event values — the
+    leakage-safe categorical encoder (operators/encoding.py); exact
+    integer sums + one DECIMAL division, fold by portable hash."""
+    from medallion_delta_lake_spark.operators import encoding as en
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_id",
+            "event_type",
+            F.floor(F.col("value").cast("double") * 100)
+            .cast("bigint")
+            .alias("t_cents"),
+        )
+    )
+    return en.target_encode_oof(
+        ev, "event_type", "t_cents", "event_id", folds=5, salt="f0"
+    )
