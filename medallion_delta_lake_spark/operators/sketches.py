@@ -443,3 +443,124 @@ def cms_query(
         "probe", F.coalesce("cnt", F.lit(0).cast("bigint")).alias("cnt")
     )
     return joined.groupBy("probe").agg(F.min("cnt").alias("est_cnt"))
+
+
+# ------------------------------------------------------------------
+# Bloom filter (membership sketch)
+
+
+def _bloom_positions(value_col: str, m_bits: int, k: int):
+    """k deterministic bit positions for a value — the same portable
+    h64 + universal-hash family as the CMS rows."""
+    params = minhash_params(k)
+    h = h64(F.col(value_col).cast("string"))
+    return [
+        F.pmod(perm_hash(h, a, b), F.lit(m_bits)) for a, b in params
+    ]
+
+
+def bloom_partials(
+    df: DataFrame,
+    value_col: str,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+) -> DataFrame:
+    """Bloom filter as DATA: (block BIGINT, bits BIGINT) rows, 32
+    filter bits per block (shift stays ≤ 31 — DuckDB raises on
+    1 << 63 while Spark wraps, so the 64-bit block layout is NOT
+    engine-portable), block = position >> 5. Each input value
+    sets k bits (portable universal hashes); the groupBy's map-side
+    combine ORs per task, the shuffle carries ≤ m/64 rows per task,
+    and the sketch table is at most m/32 rows total (32,768 rows at
+    m = 2^20 — broadcastable). Merge across partials/days =
+    ``bloom_merge`` (bit_or is commutative/associative/idempotent,
+    the same contract as the HLL max-merge).
+
+    False-positive rate ≈ (1 − e^(−k·n/m))^k; NO false negatives —
+    the guarantee :func:`bloom_semi_join` builds on."""
+    hits = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.shiftright(pos.cast("bigint"), 5).alias("block"),
+                    pos.cast("bigint").alias("_pos"),
+                )
+                for pos in _bloom_positions(value_col, m_bits, k)
+            ]
+        )
+    ).alias("hit")
+    flat = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(hits)
+        .select(
+            F.col("hit.block").alias("block"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT),"
+                " CAST(hit._pos & 31 AS INT))"
+            ).alias("mask"),
+        )
+    )
+    return flat.groupBy("block").agg(F.bit_or("mask").alias("bits"))
+
+
+def bloom_merge(parts: DataFrame) -> DataFrame:
+    """OR-fold stacked bloom block tables into one."""
+    return parts.groupBy("block").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_semi_join(
+    big: DataFrame,
+    sketch: DataFrame,
+    value_col: str,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+) -> DataFrame:
+    """Keep the rows of ``big`` whose ``value_col`` MIGHT be in the
+    set the sketch summarizes — the bloom-accelerated semi-join: the
+    huge side never shuffles on the join key; it explodes to k probe
+    rows, broadcast-joins the ≤ m/32-row block table, and a row
+    survives iff ALL k bits are set. No false negatives (every true
+    member survives — pinned in tests); survivors carry the bloom's
+    false-positive rate, so follow with the exact join/anti-join on
+    the (much smaller) survivor set when exactness matters."""
+    import uuid
+
+    rid = f"__bloom_rid_{uuid.uuid4().hex[:8]}"
+    probes = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.shiftright(pos.cast("bigint"), 5).alias("block"),
+                    pos.cast("bigint").alias("_pos"),
+                )
+                for pos in _bloom_positions(value_col, m_bits, k)
+            ]
+        )
+    ).alias("pr")
+    tagged = big.withColumn(rid, F.monotonically_increasing_id())
+    flat = tagged.select(F.col(rid), probes).select(
+        rid,
+        F.col("pr.block").alias("block"),
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(pr._pos & 31 AS INT))"
+        ).alias("mask"),
+    )
+    hits = (
+        flat.join(F.broadcast(sketch), "block", "left")
+        .select(
+            rid,
+            F.when(
+                F.col("bits").isNotNull()
+                & (F.col("bits").bitwiseAND(F.col("mask"))
+                   == F.col("mask")),
+                1,
+            )
+            .otherwise(0)
+            .alias("hit"),
+        )
+        .groupBy(rid)
+        .agg(F.sum("hit").alias("n_hit"))
+        .filter(F.col("n_hit") == k)
+        .select(rid)
+    )
+    return tagged.join(hits, rid, "semi").drop(rid)

@@ -256,3 +256,86 @@ def test_cms_apply_changes_equals_rebuild(spark, tmp_path):
     assert {tuple(r) for r in maintained.collect()} == {
         tuple(r) for r in rebuilt.collect()
     }
+
+
+# ------------------------------------------------------- Bloom
+
+
+def test_bloom_no_false_negatives_and_fp_rate(spark):
+    members = spark.createDataFrame(
+        [(f"m{i}",) for i in range(2000)], "v string"
+    )
+    sketch = sk.bloom_partials(members, "v", m_bits=1 << 15, k=4)
+    assert sketch.count() <= (1 << 15) // 32
+    # every member must survive the semi-join (no false negatives)
+    kept = sk.bloom_semi_join(
+        members, sketch, "v", m_bits=1 << 15, k=4
+    )
+    assert kept.count() == 2000
+    # non-members: fp rate ~ (1 - e^(-k n/m))^k = (1-e^-0.244)^4
+    # ~ 0.22%... generous bound 3%
+    others = spark.createDataFrame(
+        [(f"x{i}",) for i in range(3000)], "v string"
+    )
+    fp = sk.bloom_semi_join(
+        others, sketch, "v", m_bits=1 << 15, k=4
+    ).count()
+    assert fp / 3000 < 0.03, fp
+
+
+def test_bloom_merge_equals_whole(spark):
+    df = spark.createDataFrame(
+        [(f"m{i}",) for i in range(1000)], "v string"
+    )
+    whole = sk.bloom_partials(df, "v", m_bits=1 << 12, k=3)
+    h1 = sk.bloom_partials(
+        df.filter(F.length("v") <= 3), "v", m_bits=1 << 12, k=3
+    )
+    h2 = sk.bloom_partials(
+        df.filter(F.length("v") > 3), "v", m_bits=1 << 12, k=3
+    )
+    merged = sk.bloom_merge(h1.unionByName(h2))
+    assert {tuple(r) for r in whole.collect()} == {
+        tuple(r) for r in merged.collect()
+    }
+
+
+def test_bloom_duckdb_mirror(spark):
+    """Block table reproduces bit-for-bit in DuckDB — an r11-or-later
+    oracle face is available if wanted."""
+    df = spark.createDataFrame(
+        [(f"m{i}",) for i in range(500)], "v string"
+    )
+    m_bits, k = 1 << 12, 3
+    got_spark = {
+        tuple(r)
+        for r in sk.bloom_partials(df, "v", m_bits=m_bits, k=k)
+        .collect()
+    }
+    from medallion_delta_lake_spark.functions.hashing import (
+        h64_sql,
+        minhash_params,
+        perm_hash_sql,
+    )
+
+    params = minhash_params(k)
+    probes = " UNION ALL ".join(
+        f"SELECT ({perm_hash_sql(h64_sql('v'), a, b)}) % {m_bits}"
+        f" AS pos FROM t"
+        for a, b in params
+    )
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    got_duck = {
+        tuple(r)
+        for r in con.sql(
+            f"""
+            WITH p AS ({probes})
+            SELECT pos >> 5 AS block,
+              BIT_OR(CAST(1 AS BIGINT) << CAST(pos & 31 AS INT))
+                AS bits
+            FROM p GROUP BY 1
+            """
+        ).fetchall()
+    }
+    assert got_spark == got_duck
