@@ -654,3 +654,107 @@ def ml_target_encode_oof_q(
     return en.target_encode_oof(
         ev, "event_type", "t_cents", "event_id", folds=5, salt="f0"
     )
+
+
+_BLOOM_M, _BLOOM_K = 1 << 15, 4
+_BLOOM_PARAMS = minhash_params(_BLOOM_K)
+
+
+def _bloom_blocks_sql(src: str) -> str:
+    probes = " UNION ALL ".join(
+        f"SELECT ({perm_hash_sql(h64_sql('v'), a, b)}) % {_BLOOM_M}"
+        f" AS pos FROM {src}"
+        for a, b in _BLOOM_PARAMS
+    )
+    return (
+        f"SELECT pos >> 5 AS block,"
+        f" BIT_OR(CAST(1 AS BIGINT) << CAST(pos & 31 AS INT)) AS bits"
+        f" FROM ({probes}) GROUP BY 1"
+    )
+
+
+def _bloom_probe_sql() -> str:
+    return " UNION ALL ".join(
+        f"SELECT event_type, v,"
+        f" (({perm_hash_sql(h64_sql('v'), a, b)}) % {_BLOOM_M}) >> 5"
+        f" AS block,"
+        f" CAST(1 AS BIGINT) <<"
+        f" CAST((({perm_hash_sql(h64_sql('v'), a, b)}) % {_BLOOM_M})"
+        f" & 31 AS INT) AS mask"
+        f" FROM probe_rows"
+        for a, b in _BLOOM_PARAMS
+    )
+
+
+@draft(
+    "sketch-bloom-semijoin",
+    # the bloom-accelerated semi-join census: per event type, how
+    # many event rows survive the purchase-users bloom (members all
+    # survive -- no false negatives -- plus a bounded fp tail the
+    # oracle reproduces exactly, bit for bit)
+    oracle=f"""
+    WITH members AS (
+      SELECT DISTINCT CAST(user_id AS VARCHAR) AS v FROM events
+      WHERE user_id IS NOT NULL AND event_type = 'purchase'
+    ),
+    blocks AS ({_bloom_blocks_sql("members")}),
+    probe_rows AS (
+      SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS v
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    pb AS ({_bloom_probe_sql()}),
+    hits AS (
+      SELECT pb.event_type, pb.v,
+        SUM(CASE WHEN blocks.bits IS NOT NULL
+                 AND (blocks.bits & pb.mask) = pb.mask
+            THEN 1 ELSE 0 END) AS n_hit
+      FROM pb LEFT JOIN blocks ON blocks.block = pb.block
+      GROUP BY pb.event_type, pb.v
+    )
+    SELECT event_type,
+      COUNT(*) AS n_probed,
+      SUM(CASE WHEN n_hit = {_BLOOM_K} THEN 1 ELSE 0 END)
+        AS n_survived
+    FROM hits GROUP BY event_type
+    """,
+)
+def sketch_bloom_semijoin_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """sketch / bloom-accelerated semi-join census — per event type,
+    distinct users probed vs users surviving the purchase-users bloom
+    (operators/sketches.py:bloom_semi_join): the no-shuffle
+    pre-filter a 100 TB stream applies before an exact join touches
+    only survivors."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    members = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").cast("string").alias("v"))
+        .distinct()
+    )
+    sketch = sk.bloom_partials(
+        members, "v", m_bits=_BLOOM_M, k=_BLOOM_K
+    )
+    probes = ev.select(
+        "event_type", F.col("user_id").cast("string").alias("v")
+    ).distinct()
+    kept = sk.bloom_semi_join(
+        probes, sketch, "v", m_bits=_BLOOM_M, k=_BLOOM_K
+    )
+    return probes.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_probed")
+    ).join(
+        kept.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_survived")
+        ),
+        "event_type",
+        "left",
+    ).select(
+        "event_type",
+        "n_probed",
+        F.coalesce("n_survived", F.lit(0).cast("bigint")).alias(
+            "n_survived"
+        ),
+    )
