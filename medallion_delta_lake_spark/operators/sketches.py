@@ -564,3 +564,97 @@ def bloom_semi_join(
         .select(rid)
     )
     return tagged.join(hits, rid, "semi").drop(rid)
+
+
+# ------------------------------------------------------------------
+# HDR-histogram quantile sketch
+
+
+def hdr_partials(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    sub_bits: int = 5,
+) -> DataFrame:
+    """Mergeable quantile sketch over NON-NEGATIVE INTEGER values
+    (quantize doubles to micros/cents first — the repo's float
+    quarantine): HdrHistogram-style exponential buckets with
+    2^sub_bits linear sub-buckets each, i.e. value v lands in
+
+        b   = max(bitlen(v) − sub_bits, 0)     [resolution shift]
+        sub = v >> b                           [bin lower ≈ sub << b]
+
+    so every bin spans 2^b values and the RELATIVE error of reading a
+    value as its bin lower bound is < 2^(1−sub_bits) (~6% at the
+    default 5 — tighten with more sub_bits). All bit math
+    (``length(bin(v))``, shifts) — exact in any engine, unlike
+    DDSketch's log-gamma bins (libm). Output (keys..., b, sub, n):
+    sum-mergeable, ≤ sub_bits·64·2^sub_bits rows per key regardless
+    of data size — the store-daily-partials quantile pattern where
+    exact global sorts are unaffordable."""
+    v = F.col(value_col).cast("bigint")
+    bitlen = F.when(v <= 0, F.lit(0)).otherwise(
+        F.length(F.bin(v))
+    )
+    b = F.greatest(bitlen - F.lit(sub_bits), F.lit(0))
+    binned = df.filter(v >= 0).select(
+        *keys,
+        b.cast("int").alias("b"),
+        F.expr(
+            f"shiftright(CAST({value_col} AS BIGINT),"
+            f" CAST(greatest(length(bin(CAST({value_col} AS"
+            f" BIGINT))) - {sub_bits}, 0) AS INT))"
+        ).alias("sub"),
+    )
+    return binned.groupBy(*keys, "b", "sub").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def hdr_merge(parts: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Sum-fold stacked HDR bin tables (days / sources / shards)."""
+    return parts.groupBy(*keys, "b", "sub").agg(
+        F.sum("n").alias("n")
+    )
+
+
+def hdr_quantiles(
+    parts: DataFrame,
+    keys: Sequence[str],
+    qs: Sequence[float] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Nearest-rank quantile estimates from a bin table: per key and
+    q, the LOWER BOUND (sub << b — an exact integer) of the bin
+    containing the ceil(q·n)-th value. Bins are disjoint value
+    intervals, so ordering by the lower bound is the value order;
+    one windowed cumulative sum per key (bin count is bounded, not
+    data-sized). Output (keys..., q_permille INT, est BIGINT) — the
+    all-integer face."""
+    from pyspark.sql import Window
+
+    lower = F.expr("shiftleft(sub, CAST(b AS INT))")
+    w = Window.partitionBy(*[F.col(c) for c in keys]).orderBy(
+        "lower"
+    )
+    tot_w = Window.partitionBy(*[F.col(c) for c in keys])
+    cum = (
+        parts.select(*keys, lower.alias("lower"), "n")
+        .withColumn("cum", F.sum("n").over(w))
+        .withColumn("total", F.sum("n").over(tot_w))
+    )
+    out = None
+    for q in qs:
+        qp = int(round(q * 1000))
+        rank = F.ceil(F.col("total") * F.lit(qp) / F.lit(1000))
+        hit = (
+            cum.filter(F.col("cum") >= rank)
+            .groupBy(*keys)
+            .agg(F.min("lower").alias("est"))
+            .select(
+                *keys,
+                F.lit(qp).cast("int").alias("q_permille"),
+                "est",
+            )
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out

@@ -339,3 +339,79 @@ def test_bloom_duckdb_mirror(spark):
         ).fetchall()
     }
     assert got_spark == got_duck
+
+
+# --------------------------------------------------- HDR histogram
+
+
+def test_hdr_quantiles_within_relative_bound(spark):
+    import random
+
+    rng = random.Random(7)
+    vals = [int(rng.lognormvariate(8, 2)) + 1 for _ in range(20000)]
+    df = spark.createDataFrame(
+        [("k", v) for v in vals], "g string, v long"
+    )
+    parts = sk.hdr_partials(df, ["g"], "v", sub_bits=5)
+    est = {
+        r["q_permille"]: r["est"]
+        for r in sk.hdr_quantiles(
+            parts, ["g"], qs=(0.5, 0.9, 0.99)
+        ).collect()
+    }
+    sv = sorted(vals)
+    import math
+
+    for qp in (500, 900, 990):
+        exact = sv[math.ceil(len(sv) * qp / 1000) - 1]
+        # bin lower bound: est <= exact, rel err < 2^(1-5) = 6.25%
+        assert est[qp] <= exact
+        assert (exact - est[qp]) / exact < 0.0625 + 1e-9, (
+            qp, est[qp], exact,
+        )
+
+
+def test_hdr_merge_equals_whole_and_bounded_bins(spark):
+    vals = list(range(1, 5001))
+    df = spark.createDataFrame(
+        [("k", v) for v in vals], "g string, v long"
+    )
+    whole = sk.hdr_partials(df, ["g"], "v", sub_bits=4)
+    h1 = sk.hdr_partials(
+        df.filter(F.col("v") % 2 == 0), ["g"], "v", sub_bits=4
+    )
+    h2 = sk.hdr_partials(
+        df.filter(F.col("v") % 2 == 1), ["g"], "v", sub_bits=4
+    )
+    merged = sk.hdr_merge(h1.unionByName(h2), ["g"])
+    assert {tuple(r) for r in whole.collect()} == {
+        tuple(r) for r in merged.collect()
+    }
+    # bin count stays tiny vs 5000 values
+    assert whole.count() < 200
+
+
+def test_hdr_duckdb_mirror(spark):
+    df = spark.createDataFrame(
+        [("k", v * 37 + 1) for v in range(3000)], "g string, v long"
+    )
+    got_spark = {
+        tuple(r)
+        for r in sk.hdr_partials(df, ["g"], "v", sub_bits=5).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    got_duck = {
+        tuple(r)
+        for r in con.sql(
+            """
+            SELECT g,
+              CAST(greatest(length(bin(v)) - 5, 0) AS INT) AS b,
+              v >> CAST(greatest(length(bin(v)) - 5, 0) AS INT)
+                AS sub,
+              COUNT(*) AS n
+            FROM t GROUP BY 1, 2, 3
+            """
+        ).fetchall()
+    }
+    assert got_spark == got_duck
