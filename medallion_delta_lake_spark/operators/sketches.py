@@ -645,7 +645,8 @@ def hdr_quantiles(
     out = None
     for q in qs:
         qp = int(round(q * 1000))
-        rank = F.ceil(F.col("total") * F.lit(qp) / F.lit(1000))
+        # ceil(total·q) in pure integer math — no double division
+        rank = F.expr(f"(total * {qp} + 999) div 1000")
         hit = (
             cum.filter(F.col("cum") >= rank)
             .groupBy(*keys)

@@ -758,3 +758,59 @@ def sketch_bloom_semijoin_q(
             "n_survived"
         ),
     )
+
+
+@draft(
+    "sketch-hdr-quantiles",
+    oracle="""
+    WITH v AS (
+      SELECT event_type,
+        CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL AND value >= 0
+    ),
+    bins AS (
+      SELECT event_type,
+        CAST(greatest(length(bin(v)) - 5, 0) AS INT) AS b,
+        v >> CAST(greatest(length(bin(v)) - 5, 0) AS INT) AS sub,
+        COUNT(*) AS n
+      FROM v GROUP BY 1, 2, 3
+    ),
+    lows AS (
+      SELECT event_type, (sub << b) AS lower, n FROM bins
+    ),
+    cum AS (
+      SELECT event_type, lower,
+        SUM(n) OVER (PARTITION BY event_type ORDER BY lower) AS cum,
+        SUM(n) OVER (PARTITION BY event_type) AS total
+      FROM lows
+    ),
+    qs AS (SELECT unnest([500, 900, 990]) AS q_permille)
+    SELECT c.event_type,
+      CAST(q.q_permille AS INT) AS q_permille,
+      MIN(c.lower) AS est
+    FROM cum c CROSS JOIN qs q
+    WHERE c.cum >= (c.total * q.q_permille + 999) // 1000
+    GROUP BY c.event_type, q.q_permille
+    """,
+)
+def sketch_hdr_quantiles_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """sketch / HDR-histogram quantile estimates — p50/p90/p99 of
+    micro-quantized event values per type, answered from the bounded
+    mergeable bin table (operators/sketches.py:hdr_partials), never a
+    sort of the data; all-integer face (bin lower bounds)."""
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & (F.col("value") >= 0))
+        .select(
+            "event_type",
+            F.floor(F.col("value").cast("double") * 1000000)
+            .cast("bigint")
+            .alias("v_micros"),
+        )
+    )
+    parts = sk.hdr_partials(ev, ["event_type"], "v_micros", sub_bits=5)
+    return sk.hdr_quantiles(
+        parts, ["event_type"], qs=(0.5, 0.9, 0.99)
+    )
