@@ -590,3 +590,102 @@ def kmv_distinct_monitor(sdf: DataFrame, k: int = 256) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ------------------------------------------------------------------
+# Streaming HDR-histogram quantiles
+
+
+def hdr_quantile_monitor(
+    sdf: DataFrame, sub_bits: int = 5, qs=(500, 900, 990)
+) -> DataFrame:
+    """Streaming quantile estimates per ``event_type`` from an
+    HDR-histogram bin state — the streaming twin of
+    ``operators/sketches.py:hdr_partials``/``hdr_quantiles``. State
+    per group is the (b, sub) → n bin map (bounded: ≤ 64·2^sub_bits
+    entries regardless of stream length); bins sum across
+    microbatches, which IS the sketch's merge law, so the state after
+    any stream split equals the batch bin table exactly and the
+    emitted quantiles match the batch operator bit-for-bit (pinned).
+
+    Input needs an integer ``v`` column (micro-quantized upstream);
+    emits (event_type, q_permille, est) per group per microbatch with
+    est = the nearest-rank bin's lower bound — exact integers."""
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            bs, subs, ns = state.get
+            bins = {
+                (int(b), int(s)): int(n)
+                for b, s, n in zip(bs, subs, ns)
+            }
+        else:
+            bins = {}
+        for pdf in pdfs:
+            for v in pdf["v"].dropna().astype("int64"):
+                v = int(v)
+                if v < 0:
+                    continue
+                bl = v.bit_length()
+                b = max(bl - sub_bits, 0)
+                key_bin = (b, v >> b)
+                bins[key_bin] = bins.get(key_bin, 0) + 1
+        items = sorted(bins.items())
+        state.update(
+            (
+                [b for (b, _), _ in items],
+                [s for (_, s), _ in items],
+                [n for _, n in items],
+            )
+        )
+        total = sum(bins.values())
+        rows = []
+        if total:
+            ordered = sorted(
+                ((s << b, n) for (b, s), n in bins.items())
+            )
+            for qp in qs:
+                rank = (total * qp + 999) // 1000
+                cum = 0
+                for lower, n in ordered:
+                    cum += n
+                    if cum >= rank:
+                        rows.append(
+                            {
+                                "event_type": key[0],
+                                "q_permille": qp,
+                                "est": lower,
+                            }
+                        )
+                        break
+        yield pd.DataFrame(
+            rows, columns=["event_type", "q_permille", "est"]
+        )
+
+    from pyspark.sql.types import ArrayType, IntegerType, StringType
+
+    state_schema = StructType(
+        [
+            StructField("bs", ArrayType(IntegerType())),
+            StructField("subs", ArrayType(LongType())),
+            StructField("ns", ArrayType(LongType())),
+        ]
+    )
+    out_schema = StructType(
+        [
+            StructField("event_type", StringType()),
+            StructField("q_permille", IntegerType()),
+            StructField("est", LongType()),
+        ]
+    )
+    return (
+        sdf.select("event_type", "v")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
