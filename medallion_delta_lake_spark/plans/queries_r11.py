@@ -814,3 +814,67 @@ def sketch_hdr_quantiles_q(
     return sk.hdr_quantiles(
         parts, ["event_type"], qs=(0.5, 0.9, 0.99)
     )
+
+
+@draft(
+    "stream-croston-monitor",
+    # single-file availableNow run -> final smoothing state per user;
+    # the same recursive-CTE recurrence as ts-croston-rate, filtered
+    # to users that saw at least one demand (the monitor emits
+    # nothing before the first non-zero observation)
+    oracle="""
+    WITH RECURSIVE h AS (
+      SELECT user_id, CAST(COALESCE(value, 0) AS DOUBLE) AS x,
+        CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+          ORDER BY ts, event_id) AS BIGINT) AS rn
+      FROM events
+    ),
+    rec AS (
+      SELECT user_id, rn,
+        CASE WHEN x > 0 THEN x END AS z,
+        CASE WHEN x > 0 THEN CAST(1.0 AS DOUBLE) END AS p,
+        CASE WHEN x > 0 THEN 0 ELSE 1 END AS q,
+        CASE WHEN x > 0 THEN 1 ELSE 0 END AS started
+      FROM h WHERE rn = 1
+      UNION ALL
+      SELECT h.user_id, h.rn,
+        CASE WHEN h.x > 0 THEN
+          CASE WHEN rec.started = 1
+               THEN 0.5 * h.x + 0.5 * rec.z ELSE h.x END
+        ELSE rec.z END,
+        CASE WHEN h.x > 0 THEN
+          CASE WHEN rec.started = 1
+               THEN 0.5 * (rec.q + 1) + 0.5 * rec.p
+               ELSE CAST(rec.q + 1 AS DOUBLE) END
+        ELSE rec.p END,
+        CASE WHEN h.x > 0 THEN 0 ELSE rec.q + 1 END,
+        CASE WHEN h.x > 0 THEN 1 ELSE rec.started END
+      FROM rec JOIN h
+        ON h.user_id = rec.user_id AND h.rn = rec.rn + 1
+    ),
+    last AS (SELECT user_id, MAX(rn) AS n_obs FROM h GROUP BY user_id)
+    SELECT r.user_id, l.n_obs, r.z, r.p, r.z / r.p AS demand_rate
+    FROM rec r JOIN last l
+      ON r.user_id = l.user_id AND r.rn = l.n_obs
+    WHERE r.z IS NOT NULL
+    """,
+)
+def stream_croston_monitor_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """streaming / Croston intermittent-demand state per user — the
+    applyInPandasWithState monitor (streaming/stateful.py:
+    croston_monitor) over an availableNow run of the events stream;
+    after ordered arrival the maintained (z, p, z/p) equals the batch
+    recursion bit-for-bit (same contract as the driver-green
+    stream-holt-monitor)."""
+    from medallion_delta_lake_spark.streaming import (
+        events as se,
+        stateful,
+    )
+
+    sdf = se.read_events_stream(spark, sf_dir)
+    return se.run_available_now(
+        stateful.croston_monitor(sdf), "update", spark,
+        num_state_partitions=8,
+    )
