@@ -55,6 +55,10 @@ try:
     from medallion_delta_lake_spark.plans import queries_r10  # noqa: F401,E402
 except ImportError:
     pass
+try:
+    from medallion_delta_lake_spark.plans import queries_r11  # noqa: F401,E402
+except ImportError:
+    pass
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -62,77 +66,45 @@ def entry(spark: SparkSession) -> DataFrame:
     return _registry.QUERIES["q1-pricing-summary"](spark, "/root/testdata/sf0.001")
 
 
-# Round-10 rotation: the driver checks the FIRST 50 registered
-# queries per round (hard window — every CORRECTNESS_r{2..9} has
-# exactly 50 rows). Demand this round is 58 ids (5 fixed driver-reds
-# + 8 never-checked + 4 new r10 ops + 41 r3/r4-stale), so the window
-# cannot cover everything; precedence is
-# (1) the five r8/r9 driver-reds, now settled BY CONSTRUCTION
-# (all-integer driver faces via exact DECIMAL/HUGEINT integer
-# division — operators/agg.py:q_div; no double survives on any of
-# the five), (2) the eight ids that have NEVER had driver evidence
-# (the no-never-checked gate outranks backlog: two of three such
-# ids were red in r8), (3) ops NEW in round 10 (same gate), (4) the
-# r3/r4-stale cohort oldest-first. The 8-id r4 tail the window
-# cuts (all r4-driver-green + sweep-green at 3 SFs this round) rolls
-# FIRST in round 11, ahead of the r5 cohort.
+# Round-11 rotation: the driver checks the FIRST 50 registered
+# queries per round (hard window — every CORRECTNESS_r{2..10} has
+# exactly 50 rows). Precedence this round:
+# (1) the seven r10 driver-reds — ROOT CAUSE FOUND AND FIXED this
+# round (VERDICT r10): every red oracle (and only the reds) emitted
+# a DuckDB HUGEINT output column (SUM(int) / HUGEINT `//`), which
+# the driver hashes differently from Spark's int64 while values are
+# bit-identical; the oracles now CAST those columns to BIGINT and
+# tests/test_oracle_dtype_lint.py makes the class structurally dead;
+# (2) the 14 faces NEW in round 11 (drafted + oracle-proven in r10,
+# registered this round — never driver-checked);
+# (3) the 8-id r4 tail the r10 window cut (promised first in r11);
+# (4) the r5-stale cohort alphabetical — 21 fit; the remaining 26
+# roll to round 12.
 _DRIVER_PRIORITY = [
-    # (1) r8/r9 driver-reds, settled by construction in round 10 —
-    # re-verify first (done = all five green in CORRECTNESS_r10)
+    # (1) r10 driver-reds — oracle HUGEINT→BIGINT casts landed
     "stats-kendall-tau",
     "stats-mad-outliers",
     "text-ngram-novelty",
     "window-mann-kendall",
     "ml-calibration-bins",
-    # (2) never driver-checked (r9 registrations the r9 window cut)
-    "stats-ols-slope-group",
-    "agg-xyz-classification",
-    "events-dau-wau-mau",
-    "window-donchian-channel",
-    "events-new-vs-returning",
-    "stats-srm-check",
-    "dedup-rate-by-source",
-    "text-top-terms",
-    # (3) NEW in round 10
-    "scan-delta-identity",
     "stream-merge-clauses",
-    "sample-bottomk-quantiles",
     "stats-hodges-lehmann",
-    # (4) r3 cohort — last driver-checked in round 3
-    "unpivot-measures",
-    "window-running-sum",
-    "window-lag-delta",
-    "window-agg-session",
-    "time-funcs",
-    "window-agg-hopping",
-    "window-rank-family",
-    "struct-funcs",
-    # (4) r4 cohort — last driver-checked in round 4
-    "q1-pricing-summary",
-    "filter-neq",
-    "filter-neq-chain",
-    "q12-shipmode-priority",
-    "agg-collect-array",
-    "array-funcs",
-    "q2-min-cost-supplier",
-    "q7-volume-shipping",
-    "q8-market-share",
-    "q9-product-profit",
-    "q11-important-stock",
-    "q13-customer-distribution",
-    "q14-promo-revenue",
-    "q15-top-supplier",
-    "q19-disjunctive-predicates",
-    "q20-potential-promotion",
-    "join-full-outer",
-    "window-value-family",
-    "window-ntile-binning",
-    "window-rolling-agg",
-    "string-like-family",
-    "agg-bitwise",
-    "agg-histogram",
-    "stats-corr",
-    "impute-group-mean",
+    # (2) NEW in round 11 (r10 drafts, registered this round)
+    "sketch-hll-users",
+    "sketch-kmv-distinct",
+    "sketch-kmv-overlap",
+    "sketch-cms-probe",
+    "sketch-bloom-semijoin",
+    "sketch-hdr-quantiles",
+    "text-bm25-core",
+    "variant-shred-orders",
+    "sim-jl-components",
+    "ts-croston-rate",
+    "stream-cms-topk",
+    "stream-kmv-distinct",
+    "stream-croston-monitor",
+    "ml-target-encode-oof",
+    # (3) r4 tail the r10 window cut
     "normalize-group-zscore",
     "cohort-retention",
     "funnel-analysis",
@@ -141,6 +113,28 @@ _DRIVER_PRIORITY = [
     "agg-avg-of-sums",
     "dq-constraint-check",
     "json-typed-parse",
+    # (4) r5-stale cohort (alphabetical; 21 of 47 fit the window)
+    "agg-avg-groupby-dynamic",
+    "agg-count-distinct",
+    "agg-cube",
+    "agg-rollup",
+    "corpus-shuffle-shards",
+    "dedup-embedding-cosine",
+    "dedup-exact-hash",
+    "dedup-full-row",
+    "dedup-latest-per-key",
+    "dedup-minhash-lsh",
+    "dedup-minhash-sig",
+    "dedup-paragraph-blocks",
+    "dedup-simhash",
+    "dedup-simhash-pairs",
+    "derive-case-hour-avail",
+    "derive-interval-add",
+    "dropna-any",
+    "expr-round",
+    "filter-isnull",
+    "filter-range",
+    "join-anti",
 ]
 
 

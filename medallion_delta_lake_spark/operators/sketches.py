@@ -659,3 +659,53 @@ def hdr_quantiles(
         )
         out = hit if out is None else out.unionByName(hit)
     return out
+
+
+# ------------------------------------------------------------------
+# Epoch rebuild — the delete path for NON-invertible sketches
+
+
+def sketch_epoch_rebuild(
+    current: DataFrame,
+    partials: DataFrame,
+    changes: DataFrame,
+    epoch_col: str,
+    partial_fn,
+) -> DataFrame:
+    """Refresh an EPOCH-PARTITIONED sketch-partial store after a
+    change batch, for sketches whose merge is NOT invertible (HLL's
+    max, KMV's bottom-k — a delete cannot lower a register, so
+    ``cms_apply_changes``-style turnstile maintenance is impossible
+    for them; this is their documented compaction path).
+
+    The store layout IS the trick: partials are kept per epoch (day /
+    ingest batch — ``epoch_col`` must be one of the partial's group
+    keys), so a delete only poisons the epochs it touches. Given the
+    change batch (Delta CDF output or any frame carrying
+    ``epoch_col``), the refresh is:
+
+      1. epochs touched by ANY change row → recompute their partials
+         from ``current`` (the post-change table) restricted to those
+         epochs — an epoch-pruned rescan, O(changed epochs), never a
+         full-table pass;
+      2. untouched epochs keep their STORED partials byte-for-byte;
+      3. the result unions both — pinned equal to a from-scratch
+         ``partial_fn(current)`` over the whole table
+         (tests/test_sketches.py::test_epoch_rebuild_*).
+
+    ``partial_fn`` is the sketch constructor closed over everything
+    but the frame — e.g. ``lambda df: hll_partials(df, ["day",
+    "event_type"], "user_id", p=10)`` or the ``kmv_partials``
+    equivalent. Estimates then fold epochs away with the normal
+    merge (``hll_merge`` / ``kmv_merge``) — max / bottom-k are
+    idempotent, so the fold is safe on any stacking.
+
+    At 100 TB: the touched-epoch set is days, not rows — it
+    broadcasts; the rescan prunes on the epoch partition column
+    (storage-level partition pruning when ``current`` is a
+    date-partitioned table); the kept partials never touch raw data.
+    """
+    touched = changes.select(epoch_col).distinct()
+    kept = partials.join(F.broadcast(touched), epoch_col, "left_anti")
+    dirty = current.join(F.broadcast(touched), epoch_col, "left_semi")
+    return kept.unionByName(partial_fn(dirty))

@@ -103,8 +103,8 @@ def scan_delta_identity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     feed AS (
       SELECT o_custkey AS c_custkey,
-             SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
-               AS total_cents,
+             CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS total_cents,
              COUNT(*) AS n_orders
       FROM orders WHERE o_custkey % 17 IN (0, 1)
       GROUP BY o_custkey
@@ -365,8 +365,8 @@ def sample_bottomk_quantiles_q(
     )
     SELECT r.event_type, ANY_VALUE(np.n_points) AS n_points,
            ANY_VALUE(r.m) AS n_pairs,
-           CASE WHEN COUNT(*) = 1 THEN 2 * SUM(s2)
-                ELSE SUM(s2) END AS hl_x4_q6
+           CAST(CASE WHEN COUNT(*) = 1 THEN 2 * SUM(s2)
+                ELSE SUM(s2) END AS BIGINT) AS hl_x4_q6
     FROM r JOIN np ON r.event_type = np.event_type
     WHERE rn >= floor((m + 1) / 2) AND rn <= floor((m + 2) / 2)
     GROUP BY r.event_type

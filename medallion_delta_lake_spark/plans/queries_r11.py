@@ -1,13 +1,13 @@
-"""DRAFT round-11 query faces — NOT registered (the r10 registry is
-frozen at 291 to keep the driver window on reds + never-checked +
-stale drain; see the croston commit). Each face here pairs a Spark
-query over the r10 pre-built operators with its DuckDB oracle, and
-tests/test_r11_drafts.py runs them through tests/oracle.compare_query
-at two SFs — so round 11's registration is a mechanical move of
-proven pairs into plans/registry, not new risk.
+"""Round-11 query faces — REGISTERED as of round 11 (they were
+drafted + oracle-proven in round 10 while the registry was frozen at
+291; see SURVEY.md §7 Phase 7). Each face pairs a Spark query over
+the r10 pre-built operators with its DuckDB oracle;
+tests/test_r11_drafts.py keeps running them through
+tests/oracle.compare_query at two SFs, so this module carries both
+the local proof and the registration.
 
-Deliberately NO ``@query`` decorator and NO import from the registry
-side: importing this module must not mutate the registered set.
+The module-local R11_QUERIES/R11_ORACLES maps are retained so the
+draft test can address exactly this cohort.
 """
 
 from __future__ import annotations
@@ -26,17 +26,22 @@ from medallion_delta_lake_spark.operators import sketches as sk
 from medallion_delta_lake_spark.operators import similarity as sim
 from medallion_delta_lake_spark.operators import text_analysis as ta
 from medallion_delta_lake_spark.operators import variant_ops as vo
-from medallion_delta_lake_spark.plans.registry import table
+from medallion_delta_lake_spark.plans.registry import query, table
 
 R11_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 R11_ORACLES: dict[str, str] = {}
 
 
 def draft(name: str, oracle: str):
+    """r11 registration: every former draft face registers via the
+    standard ``@query`` decorator AND stays in the module-local maps
+    so tests/test_r11_drafts.py can pin the cohort's oracle-greenness
+    independently of the full registry sweep."""
+
     def deco(fn):
         R11_QUERIES[name] = fn
         R11_ORACLES[name] = oracle
-        return fn
+        return query(name, oracle=oracle)(fn)
 
     return deco
 
@@ -66,8 +71,8 @@ _UID = "CAST(user_id AS VARCHAR)"
     )
     SELECT event_type, 1024 AS m,
       CAST(1024 - n_present AS INT) AS v_zero,
-      s_present + (1024 - n_present)
-        * (CAST(1 AS BIGINT) << 51) AS s_pow,
+      CAST(s_present + (1024 - n_present)
+        * (CAST(1 AS BIGINT) << 51) AS BIGINT) AS s_pow,
       CAST(
         (CAST(7213 AS HUGEINT) * 1024 * 1024 * 1024
          * (CAST(1 AS HUGEINT) << 51) * 1000000)
@@ -713,8 +718,8 @@ def _bloom_probe_sql() -> str:
     )
     SELECT event_type,
       COUNT(*) AS n_probed,
-      SUM(CASE WHEN n_hit = {_BLOOM_K} THEN 1 ELSE 0 END)
-        AS n_survived
+      CAST(SUM(CASE WHEN n_hit = {_BLOOM_K} THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_survived
     FROM hits GROUP BY event_type
     """,
 )

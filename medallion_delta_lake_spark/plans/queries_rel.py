@@ -4032,7 +4032,10 @@ def stats_theil_sen_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                               AS HUGEINT)
                          * (concordant + discordant + ties_y))
                 END AS BIGINT) AS tau_sq_q12,
-           concordant, discordant, ties_x, ties_y
+           CAST(concordant AS BIGINT) AS concordant,
+           CAST(discordant AS BIGINT) AS discordant,
+           CAST(ties_x AS BIGINT) AS ties_x,
+           CAST(ties_y AS BIGINT) AS ties_y
     FROM agg
     """,
 )
@@ -4268,13 +4271,14 @@ def sketch_count_min_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY event_type
     )
     SELECT e.event_type,
-           ANY_VALUE(m.m2) AS median_x2_q6,
-           ANY_VALUE(m.mad4) AS mad_x4_q6, COUNT(*) AS n,
-           SUM(CASE WHEN m.mad4 <> 0
+           CAST(ANY_VALUE(m.m2) AS BIGINT) AS median_x2_q6,
+           CAST(ANY_VALUE(m.mad4) AS BIGINT) AS mad_x4_q6,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN m.mad4 <> 0
                      AND 13490 * abs(2 * CAST(floor(e.value * 1e6)
                                               AS BIGINT) - m.m2)
                          > 35000 * m.mad4
-                    THEN 1 ELSE 0 END) AS n_outliers
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
     FROM events e JOIN mad m USING (event_type)
     GROUP BY e.event_type
     """,

@@ -1661,9 +1661,10 @@ def text_zipf_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     df AS (SELECT ngram, COUNT(*) AS ndocs FROM g GROUP BY ngram)
     SELECT g.doc_id,
            COUNT(*) AS n_grams,
-           SUM(CASE WHEN df.ndocs = 1 THEN 1 ELSE 0 END) AS n_novel,
-           SUM(CASE WHEN df.ndocs = 1 THEN 1 ELSE 0 END)
-             * 1000000 // COUNT(*) AS novelty_q6
+           CAST(SUM(CASE WHEN df.ndocs = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(SUM(CASE WHEN df.ndocs = 1 THEN 1 ELSE 0 END)
+             * 1000000 // COUNT(*) AS BIGINT) AS novelty_q6
     FROM g JOIN df USING (ngram)
     GROUP BY g.doc_id
     """,

@@ -216,11 +216,13 @@ DOUBLE_FACE_ALLOWLIST: dict[str, tuple[str, ...]] = {
     'sim-ann-self-topk': ('cosine',),
     'sim-centroid-outliers': ('dist2',),
     'sim-cosine-topk': ('cosine',),
+    'sim-jl-components': ('c0', 'c1', 'c2', 'c3', 'c4', 'c5', 'c6', 'c7'),
     'sim-knn-join': ('cosine',),
     'sim-pq-adc-topk': ('adc_dist',),
     'sort-limit-topn': ('o_totalprice',),
     'sort-paginate': ('o_totalprice',),
     'split-leakage-audit': ('jaccard',),
+    'stream-croston-monitor': ('z', 'p', 'demand_rate'),
     'stats-anova-oneway': ('ss_between', 'ss_within', 'f_stat'),
     'stats-autocorr-lag1': ('autocorr_lag1',),
     'stats-benford-deviation': ('total_variation',),
@@ -263,6 +265,7 @@ DOUBLE_FACE_ALLOWLIST: dict[str, tuple[str, ...]] = {
     'text-token-typicality': ('typicality',),
     'text-vocab-overlap': ('jaccard',),
     'topk-per-group': ('value',),
+    'ts-croston-rate': ('z', 'p', 'demand_rate'),
     'ts-holt-linear': ('x', 'level', 'trend'),
     'ts-resample-ffill': ('value',),
     'ts-seasonal-naive': ('value', 'baseline', 'residual'),

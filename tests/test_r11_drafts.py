@@ -1,6 +1,8 @@
-"""Round-11 draft faces (plans/queries_r11.py, unregistered): every
-draft must already be oracle-green at two SFs, and importing the
-draft module must NOT grow the registered set."""
+"""Round-11 faces (plans/queries_r11.py, registered in r11): every
+face must be oracle-green at two SFs, and the whole cohort must be
+present in the registry with byte-identical oracle strings (the r10
+draft pin inverted: in r10 these were pinned UNregistered to keep
+the driver window on reds; in r11 registration IS the deliverable)."""
 
 from __future__ import annotations
 
@@ -12,13 +14,17 @@ from tests.oracle import compare_query
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
 
-def test_draft_module_does_not_register():
+def test_r11_cohort_registered():
     from medallion_delta_lake_spark.plans import registry
 
-    before = set(registry.QUERIES)
-    assert not (set(r11.R11_QUERIES) & before), (
-        "draft ids must not collide with registered ids"
-    )
+    missing = set(r11.R11_QUERIES) - set(registry.QUERIES)
+    assert not missing, f"r11 faces not registered: {sorted(missing)}"
+    drift = [
+        n
+        for n, sql in r11.R11_ORACLES.items()
+        if registry.ORACLES.get(n) != sql
+    ]
+    assert not drift, f"registered oracle drifted from module: {drift}"
 
 
 @pytest.mark.parametrize("name", sorted(r11.R11_QUERIES))

@@ -299,3 +299,80 @@ def test_pagerank_caches_edge_derivation(spark):
     df = graph_pagerank_nations_q(spark, SF_SMOKE)
     plan = _final_plan(df)
     assert "InMemoryTableScan" in plan, plan
+
+
+def test_rfm_no_global_per_user_sort(spark):
+    """events-rfm-scores (VERDICT r10 fix): quintiles must come from
+    the sort-free global-rank machinery — the ONLY single-partition
+    exchanges may feed windows over DISTINCT-VALUE frames (days /
+    counts / distinct monetary values), never the per-user frame, and
+    the per-tie ROW_NUMBERs must be partitioned (distributed)."""
+    from medallion_delta_lake_spark.plans.queries_feature import (
+        events_rfm_scores_q,
+    )
+
+    df = events_rfm_scores_q(spark, SF_SMOKE)
+    plan = _final_plan(df)
+    assert "ntile" not in plan.lower(), plan
+    # every window over the per-user frame must be PARTITIONED —
+    # no 'Window [...], [user-frame-order]' without partition spec;
+    # physical check: each Window node's child exchange must be a
+    # hashpartitioning, except windows fed by SinglePartition which
+    # must sit on a grouped (distinct-value) frame, visible as a
+    # preceding HashAggregate
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            tail = "\n".join(lines[i : i + 6])
+            assert "HashAggregate" in tail, (
+                "SinglePartition exchange not feeding off a grouped "
+                f"(distinct-value) frame:\n{tail}"
+            )
+
+
+def test_seasonal_anomaly_takeordered(spark):
+    """events-seasonal-anomaly (VERDICT r10 fix): the top-20 must be
+    TakeOrdered (distributed local top-k), not a row_number over an
+    unpartitioned window."""
+    from medallion_delta_lake_spark.plans.queries_feature import (
+        events_seasonal_anomaly_q,
+    )
+
+    df = events_seasonal_anomaly_q(spark, SF_SMOKE)
+    plan = _final_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "row_number" not in plan, plan
+
+
+def test_basket_pairs_capped_and_takeordered(spark):
+    """affinity-basket-pairs (VERDICT r10 fix): top-20 via TakeOrdered,
+    the basket-size cap enforced, and the cap never silent — the audit
+    sees a synthetic oversized basket that basket_pairs drops."""
+    from medallion_delta_lake_spark.operators.graph import (
+        basket_cap_audit,
+        basket_pairs,
+    )
+    from medallion_delta_lake_spark.plans.queries_feature import (
+        affinity_basket_pairs_q,
+    )
+
+    df = affinity_basket_pairs_q(spark, SF_SMOKE)
+    plan = _final_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "row_number" not in plan, plan
+
+    # synthetic: one 5-item mega-basket above a cap of 4, two small
+    # baskets below it — the mega-basket must vanish from the pairs
+    # and show up in the audit
+    rows = [(1, i) for i in range(5)] + [(2, 1), (2, 2), (3, 1), (3, 2)]
+    items = spark.createDataFrame(rows, "o bigint, p bigint")
+    pairs = basket_pairs(
+        items, "o", "p", max_basket_size=4, min_pair_count=1, top_k=10
+    ).collect()
+    assert {(r.p1, r.p2) for r in pairs} == {(1, 2)}
+    n_pair = next(r.n_pair for r in pairs)
+    assert n_pair == 2  # baskets 2 and 3 only — basket 1 dropped
+    audit = basket_cap_audit(items, "o", "p", max_basket_size=4).collect()[0]
+    assert audit.n_baskets == 3
+    assert audit.n_dropped == 1
+    assert audit.max_dropped_size == 5

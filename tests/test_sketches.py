@@ -415,3 +415,79 @@ def test_hdr_duckdb_mirror(spark):
         ).fetchall()
     }
     assert got_spark == got_duck
+
+
+# ----------------------------------------- epoch rebuild (r11)
+
+
+def test_epoch_rebuild_hll_equals_scratch(spark, tmp_path):
+    """The delete path for non-invertible sketches: a Delta CDF batch
+    poisons two of four epochs; sketch_epoch_rebuild rescans ONLY the
+    touched epochs and the refreshed store equals a from-scratch
+    hll_partials over the final table — while untouched epochs'
+    partials are reused verbatim."""
+    from medallion_delta_lake_spark.sources import delta_log
+
+    p = str(tmp_path / "hll_epochs")
+    rows = [(i % 4, f"u{i % 37}", i) for i in range(200)]
+    delta_log.write_delta(
+        spark,
+        spark.createDataFrame(rows, "day int, uid string, k int")
+        .coalesce(1),
+        p,
+    )
+    delta_log.set_table_properties(
+        p, {"delta.enableChangeDataFeed": "true"}
+    )
+    v0 = delta_log.resolve_snapshot(p)["version"]
+    part = lambda df: sk.hll_partials(df, ["day"], "uid", p=6)  # noqa: E731
+    store = part(delta_log.read_delta(spark, p))
+    store_rows = store.collect()  # materialize the "stored" partials
+    stored = spark.createDataFrame(store_rows, store.schema)
+
+    # churn epochs 1 and 3 only: delete some day-1 rows, rewrite day-3
+    delta_log.delete_delta_log(
+        spark, p, [("day", "=", 1), ("k", "<", 100)]
+    )
+    delta_log.update_delta_log(
+        spark, p, [("day", "=", 3)], {"uid": "concat(uid, '_z')"}
+    )
+    changes = delta_log.table_changes(spark, p, v0 + 1)
+    assert {r.day for r in changes.select("day").distinct().collect()} == {1, 3}
+
+    cur = delta_log.read_delta(spark, p)
+    refreshed = sk.sketch_epoch_rebuild(cur, stored, changes, "day", part)
+    scratch = part(cur)
+    assert sorted(map(tuple, refreshed.collect())) == sorted(
+        map(tuple, scratch.collect())
+    )
+    # untouched epochs (0, 2) are the stored rows verbatim
+    kept = {tuple(r) for r in refreshed.filter("day in (0, 2)").collect()}
+    assert kept == {t for t in map(tuple, store_rows) if t[0] in (0, 2)}
+
+
+def test_epoch_rebuild_kmv_equals_scratch(spark):
+    """Same law for KMV, with a fully-deleted epoch (its partials must
+    vanish from the store) and a brand-new epoch arriving as inserts
+    (it must appear) — no Delta plumbing, plain frames."""
+    base = spark.createDataFrame(
+        [(d, f"v{d}_{i}") for d in range(3) for i in range(50)],
+        "day int, v string",
+    )
+    part = lambda df: sk.kmv_partials(df, ["day"], "v", k=16)  # noqa: E731
+    stored = part(base)
+    # final state: day 0 unchanged, day 1 gone, day 3 new
+    cur = base.filter("day != 1").unionByName(
+        spark.createDataFrame(
+            [(3, f"n{i}") for i in range(30)], "day int, v string"
+        )
+    )
+    changes = spark.createDataFrame(
+        [(1, "dropped"), (3, "added")], "day int, note string"
+    )
+    refreshed = sk.sketch_epoch_rebuild(cur, stored, changes, "day", part)
+    assert sorted(map(tuple, refreshed.collect())) == sorted(
+        map(tuple, part(cur).collect())
+    )
+    days = {r.day for r in refreshed.select("day").distinct().collect()}
+    assert days == {0, 2, 3}
