@@ -229,3 +229,304 @@ def sample_weighted_bernoulli_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w_kept"
         ),
     )
+
+
+# ------------------------------------------------------------------
+# sketch maintenance under churn — driver faces for the r11
+# epoch-rebuild path and the r10 turnstile CMS path
+
+
+import hashlib as _hashlib
+import os as _os
+import shutil as _shutil
+import tempfile as _tempfile
+
+from medallion_delta_lake_spark.functions.hashing import (
+    minhash_params,
+    perm_hash_sql,
+)
+
+
+def _scratch(sf_dir: str, name: str) -> str:
+    tag = _hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return _os.path.join(
+        _tempfile.gettempdir(), f"mdls_r12_{tag}_{_os.getpid()}", name
+    )
+
+
+_HLL_SQL_TAIL = """
+    regs AS (
+      SELECT day, h & 1023 AS reg,
+        CASE WHEN (h >> 10) = 0 THEN 51
+             ELSE 51 - length(bin(h >> 10)) END AS r
+      FROM h
+    ), reg_max AS (
+      SELECT day, reg, MAX(r) AS r
+      FROM regs GROUP BY day, reg
+    ), agg AS (
+      SELECT day, COUNT(*) AS n_present,
+        SUM((CAST(1 AS BIGINT) << (51 - r))) AS s_present
+      FROM reg_max GROUP BY day
+    )
+    SELECT day, 1024 AS m,
+      CAST(1024 - n_present AS INT) AS v_zero,
+      CAST(s_present + (1024 - n_present)
+        * (CAST(1 AS BIGINT) << 51) AS BIGINT) AS s_pow,
+      CAST(
+        (CAST(7213 AS HUGEINT) * 1024 * 1024 * 1024
+         * (CAST(1 AS HUGEINT) << 51) * 1000000)
+        // ((10000 * 1024 + 10790)
+            * (s_present + (1024 - n_present)
+               * (CAST(1 AS HUGEINT) << 51)))
+        AS BIGINT) AS est_q6
+    FROM agg
+"""
+
+
+@draft(
+    "sketch-hll-rebuild",
+    # the refreshed epoch-partitioned HLL store must estimate exactly
+    # like a from-scratch sketch of the FINAL table state; the oracle
+    # replays the same churn (day-1 deletes below the k cut, day-3
+    # uid rewrites) in SQL and mirrors the register/estimate math
+    oracle=f"""
+    WITH base AS (
+      SELECT event_id % 4 AS day,
+             CAST(user_id AS VARCHAR) AS uid,
+             event_id AS k
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    fin AS (
+      SELECT day,
+             CASE WHEN day = 3 THEN uid || '_z' ELSE uid END AS uid
+      FROM base WHERE NOT (day = 1 AND k < 3000)
+    ),
+    h AS (
+      SELECT day, {h64_sql("uid")} AS h FROM fin
+    ),{_HLL_SQL_TAIL}
+    """,
+)
+def sketch_hll_rebuild_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sketch / HLL epoch rebuild under churn — the delete path for
+    non-invertible sketches driven end to end: seed a log-backed
+    (day, uid) table with CDF on, store per-day HLL register
+    partials, churn two of the four epochs through the log engine
+    (DELETE below a key cut in day 1, uid rewrite in day 3), fold
+    the CHANGE FEED through sketch_epoch_rebuild (touched epochs
+    rescan, untouched partials reused verbatim), and estimate from
+    the refreshed store. Oracle = from-scratch HLL over the final
+    state — so a stale or over-rescanned partial breaks the hash
+    (operators/sketches.py:sketch_epoch_rebuild; the maintenance
+    story CMS gets from cms_apply_changes, completed for max-merge
+    sketches)."""
+    from medallion_delta_lake_spark.operators import sketches as sk
+    from medallion_delta_lake_spark.sources import delta_log
+
+    p = _scratch(sf_dir, "hll_epochs")
+    _shutil.rmtree(_os.path.dirname(p), ignore_errors=True)
+    base = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            (F.col("event_id") % 4).alias("day"),
+            F.col("user_id").cast("string").alias("uid"),
+            F.col("event_id").alias("k"),
+        )
+    )
+    delta_log.write_delta(spark, base.coalesce(2), p)
+    delta_log.set_table_properties(
+        p, {"delta.enableChangeDataFeed": "true"}
+    )
+    v0 = delta_log.resolve_snapshot(p)["version"]
+
+    def part(df: DataFrame) -> DataFrame:
+        return sk.hll_partials(df, ["day"], "uid", p=10)
+
+    stored = part(delta_log.read_delta(spark, p))
+    delta_log.delete_delta_log(
+        spark, p, [("day", "=", 1), ("k", "<", 3000)]
+    )
+    delta_log.update_delta_log(
+        spark, p, [("day", "=", 3)], {"uid": "concat(uid, '_z')"}
+    )
+    changes = delta_log.table_changes(spark, p, v0 + 1)
+    cur = delta_log.read_delta(spark, p)
+    refreshed = sk.sketch_epoch_rebuild(cur, stored, changes, "day", part)
+    return sk.hll_estimate(refreshed, ["day"], p=10)
+
+
+_CMS_D, _CMS_W = 4, 1024
+_CMS_PARAMS = minhash_params(_CMS_D)
+
+
+def _cms_counters_sql(src: str) -> str:
+    rows = []
+    for i, (a, b) in enumerate(_CMS_PARAMS):
+        ph = perm_hash_sql(h64_sql("item"), a, b)
+        rows.append(
+            f"SELECT {i} AS row_i, ({ph}) % {_CMS_W} AS bucket,"
+            f" COUNT(*) AS cnt FROM {src} GROUP BY 2"
+        )
+    return " UNION ALL ".join(rows)
+
+
+def _cms_probe_sql() -> str:
+    rows = []
+    for i, (a, b) in enumerate(_CMS_PARAMS):
+        ph = perm_hash_sql(h64_sql("probe"), a, b)
+        rows.append(
+            f"SELECT probe, {i} AS row_i, ({ph}) % {_CMS_W} AS bucket"
+            f" FROM probes"
+        )
+    return " UNION ALL ".join(rows)
+
+
+@draft(
+    "sketch-cms-maintained",
+    # turnstile CDC maintenance driven through the log engine: the
+    # maintained counter matrix must answer point queries exactly
+    # like a from-scratch CMS of the final state (the oracle replays
+    # the churn in SQL and rebuilds the counters)
+    oracle=f"""
+    WITH base AS (
+      SELECT event_id AS k, user_id AS uid,
+             CAST(user_id AS VARCHAR) AS item
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    fin AS (
+      SELECT k, uid,
+             CASE WHEN k >= 1000 AND k < 3000 THEN item || '_x'
+                  ELSE item END AS item
+      FROM base WHERE k >= 1000
+    ),
+    counters AS ({_cms_counters_sql("fin")}),
+    probes AS (
+      SELECT DISTINCT item AS probe FROM fin WHERE uid % 5 = 0
+    ),
+    pb AS ({_cms_probe_sql()})
+    SELECT probe,
+      MIN(COALESCE(cnt, 0)) AS est_cnt
+    FROM pb LEFT JOIN counters USING (row_i, bucket)
+    GROUP BY probe
+    """,
+)
+def sketch_cms_maintained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sketch / CDC-maintained Count-Min — the r10 turnstile path
+    driven END TO END through the log engine as a checked face: seed
+    a (k, uid, item) table with CDF on, sketch it, churn it (DELETE
+    k<1000; UPDATE item suffix on 1000≤k<3000 — update_preimage −1s
+    and update_postimage +1s land as one feed), fold the change feed
+    into the counters with cms_apply_changes, and answer the uid%5
+    probe set from the MAINTAINED matrix. Oracle rebuilds the
+    counters from the churned final state, so any drift between
+    maintenance and rebuild — a missed preimage, a double-counted
+    insert — breaks the hash exactly
+    (operators/sketches.py:cms_apply_changes)."""
+    from medallion_delta_lake_spark.operators import sketches as sk
+    from medallion_delta_lake_spark.sources import delta_log
+
+    p = _scratch(sf_dir, "cms_cdc")
+    _shutil.rmtree(_os.path.dirname(p), ignore_errors=True)
+    base = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            F.col("event_id").alias("k"),
+            F.col("user_id").alias("uid"),
+            F.col("user_id").cast("string").alias("item"),
+        )
+    )
+    delta_log.write_delta(spark, base.coalesce(2), p)
+    delta_log.set_table_properties(
+        p, {"delta.enableChangeDataFeed": "true"}
+    )
+    v0 = delta_log.resolve_snapshot(p)["version"]
+    sketch = sk.cms_partials(
+        delta_log.read_delta(spark, p), [], "item", d=_CMS_D, w=_CMS_W
+    )
+    delta_log.delete_delta_log(spark, p, [("k", "<", 1000)])
+    delta_log.update_delta_log(
+        spark,
+        p,
+        [("k", ">=", 1000), ("k", "<", 3000)],
+        {"item": "concat(item, '_x')"},
+    )
+    changes = delta_log.table_changes(spark, p, v0 + 1)
+    maintained = sk.cms_apply_changes(
+        sketch, changes, "item", d=_CMS_D, w=_CMS_W
+    )
+    fin = delta_log.read_delta(spark, p)
+    probes = (
+        fin.filter(F.col("uid") % 5 == 0)
+        .select(F.col("item"))
+        .distinct()
+    )
+    return sk.cms_query(maintained, probes, "item", d=_CMS_D, w=_CMS_W)
+
+
+# ------------------------------------------------------------------
+# semi-structured: variant key census face
+
+
+@draft(
+    "variant-key-census",
+    # the drift scorecard over a VARIANT column: per-key row count,
+    # non-null count, and deterministic observed-type sample; the
+    # oracle recomputes all three from the base typed columns (keys
+    # and types are knowable because the variant is built from a
+    # declared struct with ignoreNullFields=false)
+    oracle="""
+    SELECT 'event_type' AS key,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(event_type) AS BIGINT) AS n_nonnull,
+           CASE WHEN COUNT(event_type) > 0 THEN 'STRING'
+                ELSE 'VOID' END AS type_sample
+    FROM events
+    UNION ALL
+    SELECT 'user_id',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(user_id) AS BIGINT),
+           CASE WHEN COUNT(user_id) > 0 THEN 'BIGINT'
+                ELSE 'VOID' END
+    FROM events
+    UNION ALL
+    SELECT 'value_cents',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(value) AS BIGINT),
+           CASE WHEN COUNT(value) > 0 THEN 'BIGINT'
+                ELSE 'VOID' END
+    FROM events
+    """,
+)
+def variant_key_census_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """semi-structured / VARIANT key census — the schema-drift
+    scorecard (operators/variant_ops.py:variant_key_census) over a
+    variant built from the events struct with nulls KEPT
+    (ignoreNullFields=false): per key, how many rows carry it, how
+    many are non-null, and the deterministic observed-type sample
+    (MIN of schema_of_variant — 'BIGINT' beats 'VOID', so one
+    non-null row pins the type; the double column is cents-quantized
+    first because JSON renders doubles as value-shaped decimals). The oracle recomputes the census
+    from the typed base columns — any key the variant path drops, or
+    a type it misreports, breaks the hash."""
+    from medallion_delta_lake_spark.operators import variant_ops as vo
+
+    ev = table(spark, sf_dir, "events").select(
+        F.parse_json(
+            F.to_json(
+                F.struct(
+                    "event_type",
+                    "user_id",
+                    # JSON round-trips doubles as value-shaped
+                    # DECIMAL(p,s) variants (5.0 -> DECIMAL(1,0)),
+                    # so the type sample would be data-dependent;
+                    # cents-quantize once for an engine-stable BIGINT
+                    F.floor(F.col("value") * 100)
+                    .cast("bigint")
+                    .alias("value_cents"),
+                ),
+                {"ignoreNullFields": "false"},
+            )
+        ).alias("payload")
+    )
+    return vo.variant_key_census(ev, "payload")
