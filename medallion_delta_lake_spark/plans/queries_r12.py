@@ -530,3 +530,65 @@ def variant_key_census_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("payload")
     )
     return vo.variant_key_census(ev, "payload")
+
+
+@draft(
+    "variant-type-profile",
+    # per-path observed-type distribution over a DELIBERATELY mixed
+    # column (even event_ids carry amount as a number, odd as a
+    # string — the classic ingestion bug this op quantifies); counts
+    # are integers keyed by (path, type string)
+    oracle="""
+    WITH m AS (
+      SELECT CASE WHEN event_id % 2 = 0 THEN 'BIGINT'
+                  ELSE 'STRING' END AS amount_type
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT '$.amount' AS path, amount_type AS variant_type,
+           COUNT(*) AS n
+    FROM m GROUP BY amount_type
+    UNION ALL
+    SELECT '$.etype', 'STRING', COUNT(*) FROM events
+    WHERE value IS NOT NULL
+    """,
+)
+def variant_type_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """semi-structured / VARIANT type profile — the quantified
+    ingestion-bug report (operators/variant_ops.py:
+    variant_type_profile): for each declared path, how many rows
+    carry each observed variant type. The face builds a mixed column
+    on purpose — even event_ids serialize amount as a JSON number
+    (BIGINT cents), odd ones as a string — and the profile must
+    report the exact split plus the all-STRING control path. One
+    bounded explode (|paths| = 2) over the variant, one integer
+    groupBy; at 100 TB the profile is the pre-shred audit that
+    decides each path's target type."""
+    from medallion_delta_lake_spark.operators import variant_ops as vo
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    cents = F.floor(F.col("value") * 100).cast("bigint")
+    payload = F.parse_json(
+        F.when(
+            F.col("event_id") % 2 == 0,
+            F.concat(
+                F.lit('{"amount":'),
+                cents.cast("string"),
+                F.lit(',"etype":"'),
+                F.col("event_type"),
+                F.lit('"}'),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit('{"amount":"'),
+                cents.cast("string"),
+                F.lit('","etype":"'),
+                F.col("event_type"),
+                F.lit('"}'),
+            )
+        )
+    ).alias("payload")
+    return vo.variant_type_profile(
+        ev.select(payload), "payload", ["$.amount", "$.etype"]
+    )
