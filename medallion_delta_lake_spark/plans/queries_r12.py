@@ -592,3 +592,91 @@ def variant_type_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vo.variant_type_profile(
         ev.select(payload), "payload", ["$.amount", "$.etype"]
     )
+
+
+@draft(
+    "events-survival-table",
+    # Kaplan-Meier risk table over user lifetimes: death day = a
+    # user's last active day (censored when it equals the horizon),
+    # n_at_risk(t) = users alive entering t (suffix sum over the
+    # ~30-day distinct-day frame), d(t) = deaths at t; the per-step
+    # hazard is the exact integer rational d·10^12/n (q_div). The KM
+    # survival curve itself is a cumulative PRODUCT of per-step
+    # rationals — cross-engine float territory — so, like the HLL ln
+    # correction, it stays out of the face: callers fold S(t) from
+    # (n_at_risk, d_events), which this table carries exactly.
+    oracle="""
+    WITH life AS (
+      SELECT user_id, MAX(CAST(ts AS DATE)) AS last_day
+      FROM events GROUP BY user_id
+    ),
+    g AS (SELECT MAX(CAST(ts AS DATE)) AS horizon FROM events),
+    d AS (
+      SELECT last_day AS t,
+             COUNT(*) AS n_ending,
+             SUM(CASE WHEN last_day < horizon THEN 1 ELSE 0 END)
+               AS d_events,
+             SUM(CASE WHEN last_day = horizon THEN 1 ELSE 0 END)
+               AS n_censored
+      FROM life, g GROUP BY last_day
+    ),
+    r AS (
+      SELECT t,
+             CAST(d_events AS BIGINT) AS d_events,
+             CAST(n_censored AS BIGINT) AS n_censored,
+             CAST(SUM(n_ending) OVER (ORDER BY t DESC
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_at_risk
+      FROM d
+    )
+    SELECT t, n_at_risk, d_events, n_censored,
+           CAST(CAST(d_events AS HUGEINT) * 1000000000000
+                // n_at_risk AS BIGINT) AS hazard_q12
+    FROM r
+    """,
+)
+def events_survival_table_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """analytics / survival (Kaplan-Meier) risk table — per calendar
+    day: users still at risk entering the day, churn events (users
+    whose LAST activity was that day, before the horizon), end-of-
+    window censored users, and the exact integer hazard d/n at 10¹².
+    The retention-modeling input every lifecycle team needs beyond
+    cohort-retention's fixed weekly grid. One per-user rollup, one
+    ~30-row distinct-day frame; the suffix sum (n_at_risk) is a
+    window over DISTINCT DAYS, never per user — scan-bound at any
+    scale."""
+    ev = table(spark, sf_dir, "events")
+    life = ev.groupBy("user_id").agg(
+        F.max(F.col("ts").cast("date")).alias("last_day")
+    )
+    g = ev.agg(F.max(F.col("ts").cast("date")).alias("horizon"))
+    d = (
+        life.crossJoin(F.broadcast(g))
+        .groupBy(F.col("last_day").alias("t"))
+        .agg(
+            F.count(F.lit(1)).alias("n_ending"),
+            F.sum(
+                F.when(F.col("last_day") < F.col("horizon"), 1).otherwise(0)
+            ).alias("d_events"),
+            F.sum(
+                F.when(F.col("last_day") == F.col("horizon"), 1).otherwise(0)
+            ).alias("n_censored"),
+        )
+    )
+    w = W.orderBy(F.col("t").desc()).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    r = d.select(
+        "t",
+        "d_events",
+        "n_censored",
+        F.sum("n_ending").over(w).alias("n_at_risk"),
+    )
+    return r.select(
+        "t",
+        "n_at_risk",
+        "d_events",
+        "n_censored",
+        q_div(F.col("d_events"), F.col("n_at_risk"), 12).alias(
+            "hazard_q12"
+        ),
+    )
