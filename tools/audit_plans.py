@@ -160,6 +160,21 @@ AUDITED = [
     "stream-merge-clauses",
     "sample-bottomk-quantiles",
     "stats-hodges-lehmann",
+    # round-11 additions (the 14 registered r10 drafts)
+    "sketch-hll-users",
+    "sketch-kmv-distinct",
+    "sketch-kmv-overlap",
+    "sketch-cms-probe",
+    "sketch-bloom-semijoin",
+    "sketch-hdr-quantiles",
+    "text-bm25-core",
+    "variant-shred-orders",
+    "sim-jl-components",
+    "ts-croston-rate",
+    "stream-cms-topk",
+    "stream-kmv-distinct",
+    "stream-croston-monitor",
+    "ml-target-encode-oof",
 ]
 
 
