@@ -359,8 +359,11 @@ def basket_cap_audit(
     )
     return sz.agg(
         F.count(F.lit(1)).alias("n_baskets"),
-        F.sum(
-            F.when(F.col("bsz") > max_basket_size, 1).otherwise(0)
+        F.coalesce(
+            F.sum(
+                F.when(F.col("bsz") > max_basket_size, 1).otherwise(0)
+            ),
+            F.lit(0).cast("bigint"),
         ).alias("n_dropped"),
         F.max(
             F.when(F.col("bsz") > max_basket_size, F.col("bsz"))

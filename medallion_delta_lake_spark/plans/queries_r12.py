@@ -680,3 +680,104 @@ def events_survival_table_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hazard_q12"
         ),
     )
+
+
+@draft(
+    "ml-matthews-corr",
+    # Matthews correlation from the same quarter-point confusion
+    # cells as ml-confusion-threshold: integer cells, the MCC close
+    # is one shared IEEE chain (4 casts, 3 products, sqrt) per row —
+    # engine-identical; the balanced-cell metric that survives class
+    # skew where accuracy and F1 mislead
+    oracle="""
+    WITH base AS (
+      SELECT CAST(round(CAST(value AS DOUBLE) * 100, 0) AS BIGINT)
+               AS v,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    g AS (SELECT MAX(v) AS gmax FROM base),
+    qf AS (SELECT CAST(q AS INT) AS q FROM (VALUES (1),(2),(3)) t(q)),
+    j AS (
+      SELECT qf.q,
+             CASE WHEN b.v >= (qf.q * g.gmax) // 4 THEN 1 ELSE 0 END
+               AS pred,
+             b.y
+      FROM base b, g, qf
+    ),
+    cells AS (
+      SELECT q,
+             CAST(SUM(pred * y) AS BIGINT) AS tp,
+             CAST(SUM(pred * (1 - y)) AS BIGINT) AS fp,
+             CAST(SUM((1 - pred) * y) AS BIGINT) AS fn,
+             CAST(SUM((1 - pred) * (1 - y)) AS BIGINT) AS tn
+      FROM j GROUP BY q
+    )
+    SELECT q, tp, fp, fn, tn,
+           CASE WHEN (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+                     > 0
+                THEN (CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)
+                      - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE))
+                     / sqrt((CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE))
+                            * (CAST(tp AS DOUBLE)
+                               + CAST(fn AS DOUBLE))
+                            * (CAST(tn AS DOUBLE)
+                               + CAST(fp AS DOUBLE))
+                            * (CAST(tn AS DOUBLE)
+                               + CAST(fn AS DOUBLE)))
+                ELSE 0.0 END AS mcc
+    FROM cells
+    """,
+)
+def ml_matthews_corr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ml eval / Matthews correlation coefficient at the same
+    quarter-point thresholds as ml-confusion-threshold — the
+    single-number confusion summary that stays honest under class
+    skew (accuracy and F1 both saturate when one class dominates;
+    MCC is the geometric-mean correlation of the 2×2 table).
+    Integer cells from one grouped pass over the broadcast threshold
+    fan-out; the close is ONE shared IEEE chain (products + sqrt) off
+    the exact integer cells, with the degenerate all-one-class rows
+    pinned to 0.0 in both engines."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    base = ev.select(
+        F.round(F.col("value").cast("double") * 100, 0)
+        .cast("bigint")
+        .alias("v"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    g = base.agg(F.max("v").alias("gmax"))
+    qf = F.explode(F.array(*[F.lit(q) for q in (1, 2, 3)])).alias("q")
+    j = base.crossJoin(F.broadcast(g)).select(
+        "v", "y", "gmax", qf
+    ).select(
+        "q",
+        "y",
+        F.when(
+            F.col("v") >= F.expr("(q * gmax) div 4"), 1
+        ).otherwise(0).alias("pred"),
+    )
+    cells = j.groupBy("q").agg(
+        F.sum(F.col("pred") * F.col("y")).alias("tp"),
+        F.sum(F.col("pred") * (1 - F.col("y"))).alias("fp"),
+        F.sum((1 - F.col("pred")) * F.col("y")).alias("fn"),
+        F.sum((1 - F.col("pred")) * (1 - F.col("y"))).alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(c).cast("double") for c in ("tp", "fp", "fn", "tn"))
+    denom_pos = (
+        (F.col("tp") + F.col("fp"))
+        * (F.col("tp") + F.col("fn"))
+        * (F.col("tn") + F.col("fp"))
+        * (F.col("tn") + F.col("fn"))
+        > 0
+    )
+    mcc = F.when(
+        denom_pos,
+        (tp * tn - fp * fn)
+        / F.sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)),
+    ).otherwise(F.lit(0.0))
+    return cells.select("q", "tp", "fp", "fn", "tn", mcc.alias("mcc"))

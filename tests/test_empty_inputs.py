@@ -243,3 +243,44 @@ def test_round8_ops_on_empty_inputs(spark):
     assert {tuple(r) for r in scd2_apply(dim, batch, key="k").collect()} == {
         (1, "2024-01-01", None, "a", True)
     }
+
+
+def test_round11_ops_on_empty_inputs(spark):
+    """r11 additions: basket_pairs / audit on an empty item feed,
+    sketch_epoch_rebuild with an empty change batch (nothing rescans,
+    stored partials pass through) and with empty stored partials."""
+    from medallion_delta_lake_spark.operators import sketches as sk
+    from medallion_delta_lake_spark.operators.graph import (
+        basket_cap_audit,
+        basket_pairs,
+    )
+
+    empty_items = spark.createDataFrame([], "o bigint, p bigint")
+    assert basket_pairs(empty_items, "o", "p").count() == 0
+    audit = basket_cap_audit(empty_items, "o", "p").collect()[0]
+    assert audit.n_baskets == 0 and audit.n_dropped == 0
+
+    data = spark.createDataFrame(
+        [(d, f"v{i}") for d in range(2) for i in range(10)],
+        "day int, v string",
+    )
+    part = lambda df: sk.kmv_partials(df, ["day"], "v", k=8)  # noqa: E731
+    stored = part(data)
+    no_changes = spark.createDataFrame([], "day int")
+    passthrough = sk.sketch_epoch_rebuild(
+        data, stored, no_changes, "day", part
+    )
+    assert sorted(map(tuple, passthrough.collect())) == sorted(
+        map(tuple, stored.collect())
+    )
+    empty_store = spark.createDataFrame([], stored.schema)
+    all_new = sk.sketch_epoch_rebuild(
+        data,
+        empty_store,
+        data.select("day").distinct(),
+        "day",
+        part,
+    )
+    assert sorted(map(tuple, all_new.collect())) == sorted(
+        map(tuple, stored.collect())
+    )
