@@ -376,3 +376,26 @@ def test_basket_pairs_capped_and_takeordered(spark):
     assert audit.n_baskets == 3
     assert audit.n_dropped == 1
     assert audit.max_dropped_size == 5
+
+
+@pytest.mark.parametrize("n", [1, 2, 4, 5, 6, 23, 100, 101])
+def test_ntile_formula_matches_native_ntile(spark, n):
+    """The exact-integer NTILE(5) formula events-rfm-scores uses
+    (queries_feature._ntile_from_rank) must equal Spark's native
+    ntile for every N shape — remainder-to-front, N < k, N % k = 0."""
+    from pyspark.sql import Window as W
+
+    from medallion_delta_lake_spark.plans.queries_feature import (
+        _ntile_from_rank,
+    )
+
+    df = spark.range(1, n + 1).select(
+        F.col("id").alias("r"), F.lit(n).cast("bigint").alias("big_n")
+    )
+    native = df.select(
+        "r",
+        F.ntile(5).over(W.orderBy("r")).alias("want"),
+    )
+    got = df.select("r", _ntile_from_rank("r", "big_n", 5).alias("got"))
+    j = native.join(got, "r")
+    assert j.filter(F.col("want") != F.col("got")).count() == 0
