@@ -781,3 +781,47 @@ def ml_matthews_corr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)),
     ).otherwise(F.lit(0.0))
     return cells.select("q", "tp", "fp", "fn", "tn", mcc.alias("mcc"))
+
+
+@draft(
+    "scan-orc-roundtrip",
+    # ORC source coverage (Spark-native columnar format beyond
+    # parquet/csv/json/delta): events subset written as ORC, read
+    # back, aggregated; the oracle computes the same rollup straight
+    # off the base parquet, so any value the ORC round trip loses
+    # (timestamp encoding, decimal width, nulls) breaks the hash
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(COUNT(user_id) AS BIGINT) AS n_users_nonnull,
+           CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT)
+             AS sum_micros,
+           MIN(CAST(ts AS DATE)) AS first_day
+    FROM events WHERE event_id % 3 = 0
+    GROUP BY event_type
+    """,
+)
+def scan_orc_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """source / ORC round trip — the third columnar format after
+    parquet and the delta log engine: every-3rd event written as ORC
+    (snappy) to scratch, read back through spark.read.orc, and
+    rolled up per type (counts, null census, exact integer micros
+    sum, first active day). Column pruning and predicate pushdown
+    work on ORC scans the same way the parquet plan audits show —
+    the face proves values survive the format's own encodings
+    (union-encoded timestamps, present streams for nulls)."""
+    p = _scratch(sf_dir, "events_orc")
+    _shutil.rmtree(_os.path.dirname(p), ignore_errors=True)
+    src = table(spark, sf_dir, "events").filter(
+        F.col("event_id") % 3 == 0
+    )
+    src.write.mode("overwrite").orc(p)
+    back = spark.read.orc(p)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("user_id").alias("n_users_nonnull"),
+        F.sum(
+            F.floor(F.col("value") * 1e6).cast("bigint")
+        ).alias("sum_micros"),
+        F.min(F.col("ts").cast("date")).alias("first_day"),
+    )
