@@ -825,3 +825,113 @@ def scan_orc_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sum_micros"),
         F.min(F.col("ts").cast("date")).alias("first_day"),
     )
+
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+@draft(
+    "scan-csv-typed",
+    # §2-core scan-csv as a driver-graded face (previously e2e-pytest
+    # evidence only): every-5th event written as headered CSV with an
+    # explicit micros timestampFormat, read back with a DECLARED
+    # schema (never inferSchema — the reference's Q2 quirk class),
+    # and rolled up; the oracle computes the same rollup off the base
+    # parquet, so any value the text round trip mangles (micros
+    # truncation, double shortest-repr drift, null encoding) breaks
+    # the hash. Probe-verified: micros + doubles round-trip exactly
+    # under this format in both directions.
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(COUNT(user_id) AS BIGINT) AS n_users_nonnull,
+           CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT)
+             AS sum_micros,
+           MAX(ts) AS last_ts
+    FROM events WHERE event_id % 5 = 0
+    GROUP BY event_type
+    """,
+)
+def scan_csv_typed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """source / typed CSV round trip — the reference's bronze
+    ingestion path (ref bronze_table_creation.py: spark.read.csv with
+    declared schemas) as a checked face: write a typed subset as
+    headered CSV (micros timestampFormat), read it back with the
+    DECLARED schema, aggregate. Declared schemas are the contract —
+    inferSchema on 100 TB means a second full scan AND type drift
+    between runs."""
+    p = _scratch(sf_dir, "events_csv")
+    _shutil.rmtree(_os.path.dirname(p), ignore_errors=True)
+    src = table(spark, sf_dir, "events").filter(
+        F.col("event_id") % 5 == 0
+    ).select("event_id", "user_id", "event_type", "value", "ts")
+    (
+        src.write.mode("overwrite")
+        .option("header", "true")
+        .option("timestampFormat", _TS_FMT)
+        .csv(p)
+    )
+    back = (
+        spark.read.schema(
+            "event_id bigint, user_id bigint, event_type string,"
+            " value double, ts timestamp"
+        )
+        .option("header", "true")
+        .option("timestampFormat", _TS_FMT)
+        .csv(p)
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("user_id").alias("n_users_nonnull"),
+        F.sum(
+            F.floor(F.col("value") * 1e6).cast("bigint")
+        ).alias("sum_micros"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+@draft(
+    "scan-json-lines",
+    # §2-core scan-json as a driver-graded face: ndjson written with
+    # the micros timestampFormat, read back with a declared schema;
+    # same exact-round-trip contract as scan-csv-typed
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(COUNT(user_id) AS BIGINT) AS n_users_nonnull,
+           CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT)
+             AS sum_micros,
+           MAX(ts) AS last_ts
+    FROM events WHERE event_id % 7 = 0
+    GROUP BY event_type
+    """,
+)
+def scan_json_lines_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """source / JSON-lines round trip — the reference's semi-
+    structured ingestion (ref bronze_table_creation.py json reads) as
+    a checked face: a typed subset written as ndjson, read back with
+    a DECLARED schema and explicit micros timestampFormat,
+    aggregated. The oracle computes off the base parquet — text
+    round-trip fidelity is the thing under test."""
+    p = _scratch(sf_dir, "events_json")
+    _shutil.rmtree(_os.path.dirname(p), ignore_errors=True)
+    src = table(spark, sf_dir, "events").filter(
+        F.col("event_id") % 7 == 0
+    ).select("event_id", "user_id", "event_type", "value", "ts")
+    src.write.mode("overwrite").option("timestampFormat", _TS_FMT).json(p)
+    back = (
+        spark.read.schema(
+            "event_id bigint, user_id bigint, event_type string,"
+            " value double, ts timestamp"
+        )
+        .option("timestampFormat", _TS_FMT)
+        .json(p)
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("user_id").alias("n_users_nonnull"),
+        F.sum(
+            F.floor(F.col("value") * 1e6).cast("bigint")
+        ).alias("sum_micros"),
+        F.max("ts").alias("last_ts"),
+    )
