@@ -935,3 +935,102 @@ def scan_json_lines_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sum_micros"),
         F.max("ts").alias("last_ts"),
     )
+
+
+@draft(
+    "events-cohort-ltv-curve",
+    # cohort-retention's revenue counterpart: cumulative
+    # value-per-cohort by weeks-since-acquisition, integer cents end
+    # to end (the cumulative sum rides a window over the ~5×5
+    # distinct (cohort, age) frame, never per user/event)
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             CAST(DATE_TRUNC('week', MIN(ts)) AS TIMESTAMP)
+               AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    wk AS (
+      SELECT f.cohort_week,
+             CAST(date_diff('week', f.cohort_week,
+                  CAST(DATE_TRUNC('week', e.ts) AS TIMESTAMP))
+               AS INT) AS age_weeks,
+             CAST(floor(e.value * 100) AS BIGINT) AS cents
+      FROM events e JOIN firsts f ON f.user_id = e.user_id
+      WHERE e.value IS NOT NULL
+    ),
+    cohort_n AS (
+      SELECT cohort_week, COUNT(*) AS n_users
+      FROM firsts GROUP BY cohort_week
+    ),
+    agg AS (
+      SELECT cohort_week, age_weeks,
+             CAST(SUM(cents) AS BIGINT) AS rev_cents,
+             COUNT(*) AS n_events
+      FROM wk GROUP BY cohort_week, age_weeks
+    )
+    SELECT a.cohort_week, a.age_weeks,
+           CAST(c.n_users AS BIGINT) AS n_users,
+           a.rev_cents, a.n_events,
+           CAST(SUM(a.rev_cents) OVER (
+             PARTITION BY a.cohort_week ORDER BY a.age_weeks
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev_cents,
+           CAST(CAST(SUM(a.rev_cents) OVER (
+                  PARTITION BY a.cohort_week ORDER BY a.age_weeks
+                  ROWS UNBOUNDED PRECEDING) AS HUGEINT)
+                * 100 // c.n_users AS BIGINT) AS ltv_q2
+    FROM agg a JOIN cohort_n c ON c.cohort_week = a.cohort_week
+    """,
+)
+def events_cohort_ltv_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """analytics / cohort LTV curve — cohort-retention's revenue
+    twin: per acquisition-week cohort and weeks-since-acquisition,
+    the event revenue (integer cents), its running total, and the
+    cumulative lifetime value per acquired user (exact rational at
+    ×100 via q_div) — the payback-period table every growth model
+    reads. The cumulative window is PARTITIONED by cohort and runs
+    over the tiny distinct (cohort, age) frame; the per-event work
+    is one join against the broadcastable per-user firsts rollup."""
+    ev = table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    wk = (
+        ev.filter(F.col("value").isNotNull())
+        .join(firsts, "user_id")
+        .select(
+            "cohort_week",
+            (
+                F.floor(
+                    F.datediff(
+                        F.date_trunc("week", F.col("ts")),
+                        F.col("cohort_week"),
+                    )
+                    / 7
+                )
+            ).cast("int").alias("age_weeks"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    cohort_n = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    agg = wk.groupBy("cohort_week", "age_weeks").agg(
+        F.sum("cents").alias("rev_cents"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wcum = W.partitionBy("cohort_week").orderBy("age_weeks").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    out = agg.join(cohort_n, "cohort_week").select(
+        "cohort_week",
+        "age_weeks",
+        "n_users",
+        "rev_cents",
+        "n_events",
+        F.sum("rev_cents").over(wcum).alias("cum_rev_cents"),
+        q_div(
+            F.sum("rev_cents").over(wcum) * 100, F.col("n_users"), 0
+        ).alias("ltv_q2"),
+    )
+    return out
