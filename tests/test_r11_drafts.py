@@ -33,3 +33,15 @@ def test_draft_oracle_green(spark, name, sf):
     compare_query(
         spark, name, r11.R11_QUERIES, r11.R11_ORACLES, sf
     )
+
+
+def test_driver_priority_ids_all_registered():
+    """A typo in _DRIVER_PRIORITY silently drops the id from the
+    window and lets a random op in — every listed id must exist and
+    the first 50 of queries() must be exactly the list."""
+    import __spark_entry__ as e
+    from medallion_delta_lake_spark.plans import registry
+
+    missing = [k for k in e._DRIVER_PRIORITY if k not in registry.QUERIES]
+    assert not missing, missing
+    assert list(e.queries())[: len(e._DRIVER_PRIORITY)] == e._DRIVER_PRIORITY
