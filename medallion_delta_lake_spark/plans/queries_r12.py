@@ -93,13 +93,19 @@ def ml_average_precision_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     addition, the close divides by n_pos once — no double anywhere
     (the r8-r10 lesson applied at design time).
 
-    Scale posture: the global rank uses the distinct-offsets
-    machinery (operators/mleval.py:_global_rank) — the only
-    single-partition window runs over DISTINCT score cents, the
-    per-tie ROW_NUMBER is partitioned by the cents value. The
-    cumulative positive count rides the same distinct-value frame:
-    cum_pos(row) = pos_before(its value) + pos_within_value_so_far.
+    Scale posture (ADVICE r11 applied): the global rank uses
+    mleval.bucketed_global_rank — an order-preserving log-scale
+    bucket key with ≤16,384 values BY CONSTRUCTION (not the raw
+    distinct-cents frame, whose cardinality is bounded only by the
+    score range), so the single-partition cumulative window and the
+    broadcast ride a ≤16k-row frame at any scale; the per-bucket
+    ROW_NUMBER is partitioned (distributed). The cumulative positive
+    count rides the same bucket frame as a prefix sum.
     """
+    from medallion_delta_lake_spark.operators.mleval import (
+        bucketed_global_rank,
+    )
+
     ev = table(spark, sf_dir, "events").filter(
         F.col("value").isNotNull()
     )
@@ -112,30 +118,8 @@ def ml_average_precision_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("y"),
     )
-    # distinct-offsets global rank + cumulative positives, both from
-    # the per-value frame (n rows per value, pos per value)
-    f = s.groupBy("v").agg(
-        F.count(F.lit(1)).alias("_n"), F.sum("y").alias("_p")
-    )
-    wv = W.orderBy(F.col("v").desc()).rowsBetween(
-        W.unboundedPreceding, -1
-    )
-    off = f.select(
-        "v",
-        F.coalesce(F.sum("_n").over(wv), F.lit(0).cast("bigint"))
-        .alias("_roff"),
-        F.coalesce(F.sum("_p").over(wv), F.lit(0).cast("bigint"))
-        .alias("_poff"),
-    )
-    wt = W.partitionBy("v").orderBy(F.col("event_id").asc())
-    ranked = (
-        s.join(F.broadcast(off), "v")
-        .withColumn("rnk", F.col("_roff") + F.row_number().over(wt))
-        .withColumn(
-            "cum_pos",
-            F.col("_poff")
-            + F.sum("y").over(wt.rowsBetween(W.unboundedPreceding, 0)),
-        )
+    ranked = bucketed_global_rank(
+        s, "v", False, "rnk", "event_id", prefix_sums={"cum_pos": "y"}
     )
     terms = ranked.filter(F.col("y") == 1).select(
         q_div(F.col("cum_pos"), F.col("rnk"), 12).alias("p_at_k")
@@ -323,7 +307,7 @@ def sketch_hll_rebuild_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from medallion_delta_lake_spark.sources import delta_log
 
     p = _scratch(sf_dir, "hll_epochs")
-    _shutil.rmtree(_os.path.dirname(p), ignore_errors=True)
+    _shutil.rmtree(p, ignore_errors=True)
     base = (
         table(spark, sf_dir, "events")
         .filter(F.col("user_id").isNotNull())
@@ -426,7 +410,7 @@ def sketch_cms_maintained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from medallion_delta_lake_spark.sources import delta_log
 
     p = _scratch(sf_dir, "cms_cdc")
-    _shutil.rmtree(_os.path.dirname(p), ignore_errors=True)
+    _shutil.rmtree(p, ignore_errors=True)
     base = (
         table(spark, sf_dir, "events")
         .filter(F.col("user_id").isNotNull())
@@ -714,8 +698,11 @@ def events_survival_table_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM j GROUP BY q
     )
     SELECT q, tp, fp, fn, tn,
-           CASE WHEN (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
-                     > 0
+           -- each marginal tested individually: the 4-way integer
+           -- product is ~n^4 and overflows BIGINT past n ~ 55k rows
+           -- (DuckDB raises, Spark wraps) — ADVICE r11
+           CASE WHEN (tp + fp) > 0 AND (tp + fn) > 0
+                 AND (tn + fp) > 0 AND (tn + fn) > 0
                 THEN (CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)
                       - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE))
                      / sqrt((CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE))
@@ -768,12 +755,13 @@ def ml_matthews_corr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((1 - F.col("pred")) * (1 - F.col("y"))).alias("tn"),
     )
     tp, fp, fn, tn = (F.col(c).cast("double") for c in ("tp", "fp", "fn", "tn"))
+    # marginals tested individually, never multiplied as integers:
+    # the 4-way product is ~n^4 and wraps int64 past ~55k rows/cell
     denom_pos = (
-        (F.col("tp") + F.col("fp"))
-        * (F.col("tp") + F.col("fn"))
-        * (F.col("tn") + F.col("fp"))
-        * (F.col("tn") + F.col("fn"))
-        > 0
+        ((F.col("tp") + F.col("fp")) > 0)
+        & ((F.col("tp") + F.col("fn")) > 0)
+        & ((F.col("tn") + F.col("fp")) > 0)
+        & ((F.col("tn") + F.col("fn")) > 0)
     )
     mcc = F.when(
         denom_pos,
@@ -811,7 +799,7 @@ def scan_orc_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the face proves values survive the format's own encodings
     (union-encoded timestamps, present streams for nulls)."""
     p = _scratch(sf_dir, "events_orc")
-    _shutil.rmtree(_os.path.dirname(p), ignore_errors=True)
+    _shutil.rmtree(p, ignore_errors=True)
     src = table(spark, sf_dir, "events").filter(
         F.col("event_id") % 3 == 0
     )
@@ -861,7 +849,7 @@ def scan_csv_typed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     inferSchema on 100 TB means a second full scan AND type drift
     between runs."""
     p = _scratch(sf_dir, "events_csv")
-    _shutil.rmtree(_os.path.dirname(p), ignore_errors=True)
+    _shutil.rmtree(p, ignore_errors=True)
     src = table(spark, sf_dir, "events").filter(
         F.col("event_id") % 5 == 0
     ).select("event_id", "user_id", "event_type", "value", "ts")
@@ -914,7 +902,7 @@ def scan_json_lines_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregated. The oracle computes off the base parquet — text
     round-trip fidelity is the thing under test."""
     p = _scratch(sf_dir, "events_json")
-    _shutil.rmtree(_os.path.dirname(p), ignore_errors=True)
+    _shutil.rmtree(p, ignore_errors=True)
     src = table(spark, sf_dir, "events").filter(
         F.col("event_id") % 7 == 0
     ).select("event_id", "user_id", "event_type", "value", "ts")

@@ -314,6 +314,13 @@ def test_rfm_no_global_per_user_sort(spark):
     df = events_rfm_scores_q(spark, SF_SMOKE)
     plan = _final_plan(df)
     assert "ntile" not in plan.lower(), plan
+    # VERDICT r11: the monetary axis is CONTINUOUS (per-user double
+    # sums are near-unique), so its offsets frame must be grouped on
+    # the bounded bucket key, never on the raw monetary value — a
+    # 'keys=[monetary' HashAggregate would make the offsets frame
+    # user-cardinality (O(users) single-partition window + broadcast)
+    assert "keys=[monetary" not in plan, plan
+    assert "_bkt_rm" in plan, plan
     # every window over the per-user frame must be PARTITIONED —
     # no 'Window [...], [user-frame-order]' without partition spec;
     # physical check: each Window node's child exchange must be a
@@ -399,3 +406,76 @@ def test_ntile_formula_matches_native_ntile(spark, n):
     got = df.select("r", _ntile_from_rank("r", "big_n", 5).alias("got"))
     j = native.join(got, "r")
     assert j.filter(F.col("want") != F.col("got")).count() == 0
+
+
+def test_bucketed_rank_user_cardinality_axis(spark):
+    """mleval.bucketed_global_rank (VERDICT r11 fix): on an axis whose
+    values are ALL DISTINCT (user-cardinality — the monetary-sum
+    shape), (a) the rank must equal a native global row_number, with
+    prefix sums exact; (b) the broadcast-side offsets frame must be
+    grouped on the bounded bucket key, never the raw axis; (c) the
+    bucket key itself is bounded by construction even for extreme
+    doubles."""
+    from medallion_delta_lake_spark.operators.mleval import (
+        axis_bucket,
+        bucketed_global_rank,
+    )
+    from pyspark.sql import Window as W
+
+    n = 5000
+    # near-unique continuous axis: a hash-spread double per id
+    base = spark.range(n).select(
+        F.col("id").alias("uid"),
+        (
+            (F.xxhash64(F.col("id")) % 1000000).cast("double") / 7.0
+        ).alias("v"),
+        (F.col("id") % 3 == 0).cast("int").alias("y"),
+    )
+    assert base.select("v").distinct().count() > n * 0.99
+
+    got = bucketed_global_rank(
+        base, "v", False, "r", "uid", prefix_sums={"cum_y": "y"}
+    )
+    want = base.select(
+        "uid",
+        F.row_number()
+        .over(W.orderBy(F.col("v").desc(), F.col("uid").asc()))
+        .alias("r_want"),
+        F.sum("y")
+        .over(
+            W.orderBy(F.col("v").desc(), F.col("uid").asc()).rowsBetween(
+                W.unboundedPreceding, 0
+            )
+        )
+        .alias("cum_y_want"),
+    )
+    j = got.join(want, "uid")
+    assert j.filter(
+        (F.col("r") != F.col("r_want"))
+        | (F.col("cum_y") != F.col("cum_y_want"))
+    ).count() == 0
+
+    plan = _final_plan(got)
+    # the only broadcast must ship the bucket-keyed offsets frame —
+    # no HashAggregate keyed on the raw axis anywhere in the plan
+    assert "keys=[v#" not in plan, plan
+    assert "_bkt_r" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+
+    # bucket-key boundedness: the most extreme FINITE doubles stay
+    # inside ±1024·8 (±inf maps to the int64 extremes — two bounded
+    # sentinel values, still order-preserving)
+    xs = [1.7976931348623157e308, -1.7976931348623157e308, 0.0,
+          1e-300, -1e-300, 12.34]
+    ext = spark.createDataFrame(
+        [(x,) for x in xs], "x double"
+    ).select(axis_bucket(F.col("x")).alias("b"))
+    vals = [r.b for r in ext.collect()]
+    assert all(abs(b) <= 1024 * 8 for b in vals), vals
+    # order preservation across the sample
+    order = sorted(range(len(xs)), key=lambda i: xs[i])
+    bs = dict(zip(xs, vals))
+    assert all(
+        bs[xs[order[i]]] <= bs[xs[order[i + 1]]]
+        for i in range(len(order) - 1)
+    )
