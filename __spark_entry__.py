@@ -59,6 +59,10 @@ try:
     from medallion_delta_lake_spark.plans import queries_r11  # noqa: F401,E402
 except ImportError:
     pass
+try:
+    from medallion_delta_lake_spark.plans import queries_r12  # noqa: F401,E402
+except ImportError:
+    pass
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -66,75 +70,74 @@ def entry(spark: SparkSession) -> DataFrame:
     return _registry.QUERIES["q1-pricing-summary"](spark, "/root/testdata/sf0.001")
 
 
-# Round-11 rotation: the driver checks the FIRST 50 registered
-# queries per round (hard window — every CORRECTNESS_r{2..10} has
-# exactly 50 rows). Precedence this round:
-# (1) the seven r10 driver-reds — ROOT CAUSE FOUND AND FIXED this
-# round (VERDICT r10): every red oracle (and only the reds) emitted
-# a DuckDB HUGEINT output column (SUM(int) / HUGEINT `//`), which
-# the driver hashes differently from Spark's int64 while values are
-# bit-identical; the oracles now CAST those columns to BIGINT and
-# tests/test_oracle_dtype_lint.py makes the class structurally dead;
-# (2) the 14 faces NEW in round 11 (drafted + oracle-proven in r10,
-# registered this round — never driver-checked);
-# (3) the 8-id r4 tail the r10 window cut (promised first in r11);
-# (4) the r5-stale cohort alphabetical — 21 fit; the remaining 26
-# roll to round 12.
+# Round-12 rotation: the driver checks the FIRST 50 registered
+# queries per round (hard window — every CORRECTNESS_r{2..11} has
+# exactly 50 rows). Precedence this round (VERDICT r11 #1/#3/#4):
+# (1) the 26 REMAINING r5-stale ids (the r11 window drained the r5
+# cohort alphabetically through join-anti; these are the rest —
+# promised as the r12 head since r11), so after this round no op's
+# latest driver row is older than r6;
+# (2) the 14 faces NEW in round 12: the 12 r11-drafted,
+# three-SF-proven faces of plans/queries_r12.py (the §2-core scan
+# trio first among them) + the 2 Delta write-path faces
+# (sink-delta-append-evolve / sink-delta-overwrite-timetravel) —
+# never driver-checked, so they must sit inside the window;
+# (3) the r6-stale cohort alphabetical — 10 fit; the remaining 38
+# roll to round 13.
 _DRIVER_PRIORITY = [
-    # (1) r10 driver-reds — oracle HUGEINT→BIGINT casts landed
-    "stats-kendall-tau",
-    "stats-mad-outliers",
-    "text-ngram-novelty",
-    "window-mann-kendall",
-    "ml-calibration-bins",
-    "stream-merge-clauses",
-    "stats-hodges-lehmann",
-    # (2) NEW in round 11 (r10 drafts, registered this round)
-    "sketch-hll-users",
-    "sketch-kmv-distinct",
-    "sketch-kmv-overlap",
-    "sketch-cms-probe",
-    "sketch-bloom-semijoin",
-    "sketch-hdr-quantiles",
-    "text-bm25-core",
-    "variant-shred-orders",
-    "sim-jl-components",
-    "ts-croston-rate",
-    "stream-cms-topk",
-    "stream-kmv-distinct",
-    "stream-croston-monitor",
-    "ml-target-encode-oof",
-    # (3) r4 tail the r10 window cut
-    "normalize-group-zscore",
-    "cohort-retention",
-    "funnel-analysis",
-    "snapshot-diff",
-    "join-range-bucketed",
-    "agg-avg-of-sums",
-    "dq-constraint-check",
-    "json-typed-parse",
-    # (4) r5-stale cohort (alphabetical; 21 of 47 fit the window)
-    "agg-avg-groupby-dynamic",
-    "agg-count-distinct",
-    "agg-cube",
-    "agg-rollup",
-    "corpus-shuffle-shards",
-    "dedup-embedding-cosine",
-    "dedup-exact-hash",
-    "dedup-full-row",
-    "dedup-latest-per-key",
-    "dedup-minhash-lsh",
-    "dedup-minhash-sig",
-    "dedup-paragraph-blocks",
-    "dedup-simhash",
-    "dedup-simhash-pairs",
-    "derive-case-hour-avail",
-    "derive-interval-add",
-    "dropna-any",
-    "expr-round",
-    "filter-isnull",
-    "filter-range",
-    "join-anti",
+    # (1) r5-stale remainder (alphabetical continuation past join-anti)
+    "join-left-asof-eq",
+    "join-left-multi-eq",
+    "join-left-using",
+    "join-range-bands",
+    "join-semi",
+    "mixture-token-budget",
+    "nn-assign",
+    "null-profile",
+    "pack-sequences",
+    "project-rename-drop",
+    "project-select-expr",
+    "set-union",
+    "sim-cosine-topk",
+    "sim-pq-adc-topk",
+    "split-leakage-audit",
+    "split-train-holdout",
+    "stream-session-agg",
+    "stream-stream-join",
+    "stream-window-agg",
+    "text-decontaminate",
+    "text-ngram-freq",
+    "text-quality-calibrate",
+    "text-repetition-score",
+    "text-token-typicality",
+    "vector-quantize-int8",
+    "vector-quantize-pq",
+    # (2) NEW in round 12 (r11 drafts + the Delta write-path faces)
+    "scan-csv-typed",
+    "scan-json-lines",
+    "scan-orc-roundtrip",
+    "sink-delta-append-evolve",
+    "sink-delta-overwrite-timetravel",
+    "sketch-hll-rebuild",
+    "sketch-cms-maintained",
+    "ml-average-precision",
+    "ml-matthews-corr",
+    "sample-weighted-bernoulli",
+    "variant-key-census",
+    "variant-type-profile",
+    "events-survival-table",
+    "events-cohort-ltv-curve",
+    # (3) r6-stale cohort (alphabetical; 10 of 48 fit the window)
+    "agg-argmax",
+    "agg-grouping-sets",
+    "agg-mode-exact",
+    "agg-percentile-bands",
+    "agg-salted-skew",
+    "agg-weighted-median",
+    "approx-distinct",
+    "approx-freq-items",
+    "approx-quantile",
+    "cluster-balance-stats",
 ]
 
 

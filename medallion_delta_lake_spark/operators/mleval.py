@@ -136,6 +136,7 @@ def bucketed_global_rank(
     out: str,
     tie_col: str,
     prefix_sums: dict[str, str] | None = None,
+    partition_cols: list[str] | None = None,
 ) -> DataFrame:
     """Global 1-based rank by (``col`` asc/desc, ``tie_col`` asc) for
     CONTINUOUS / unbounded-cardinality axes — the scale-safe variant of
@@ -155,40 +156,60 @@ def bucketed_global_rank(
     ``prefix_sums``: optional ``{out_name: source_col}`` running sums
     over the same total order (e.g. average-precision's cumulative
     positive count), carried on the same bucket frame + within-bucket
-    window — no extra exchange."""
+    window — no extra exchange.
+
+    ``partition_cols``: optional LOW-CARDINALITY grouping columns —
+    the rank restarts per group (quantile normalization's per-source
+    rank). The offsets frame grows to |groups|·16k rows and the
+    cumulative window is partitioned by group, so the caller must
+    keep |groups| small (a categorical, never a key)."""
     prefix_sums = prefix_sums or {}
+    pc = list(partition_cols or [])
     order = F.col(col).asc() if asc else F.col(col).desc()
     bkt = f"_bkt_{out}"
     b = df.withColumn(bkt, axis_bucket(F.col(col)))
     aggs = [F.count(F.lit(1)).alias("_n")]
     for name, src in prefix_sums.items():
-        aggs.append(F.sum(src).cast("bigint").alias(f"_s_{name}"))
-    f = b.groupBy(bkt).agg(*aggs)
+        # keep the source's sum type (bigint for ints, decimal for
+        # decimals) — prefix sums must be exact in the caller's type
+        aggs.append(F.sum(src).alias(f"_s_{name}"))
+    f = b.groupBy(*pc, bkt).agg(*aggs)
     border = F.col(bkt).asc() if asc else F.col(bkt).desc()
-    wc = Window.orderBy(border).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    zero = F.lit(0).cast("bigint")
-    sel = [
+    if pc:
+        wc = Window.partitionBy(*pc).orderBy(border).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+    else:
+        # bounded: the frame is the bucket aggregate, ≤16,384 rows by
+        # axis_bucket construction (tests/test_global_window_allowlist)
+        wc = Window.orderBy(border).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+    sel = pc + [
         bkt,
-        F.coalesce(F.sum("_n").over(wc), zero).alias("_off"),
+        F.coalesce(F.sum("_n").over(wc), F.lit(0).cast("bigint")).alias(
+            "_off"
+        ),
     ]
     for name in prefix_sums:
+        # coalesce's 0 literal coerces to the sum's own type
         sel.append(
-            F.coalesce(F.sum(f"_s_{name}").over(wc), zero).alias(
+            F.coalesce(F.sum(f"_s_{name}").over(wc), F.lit(0)).alias(
                 f"_poff_{name}"
             )
         )
     off = f.select(*sel)
-    wt = Window.partitionBy(bkt).orderBy(order, F.col(tie_col).asc())
-    res = b.join(F.broadcast(off), bkt).withColumn(
+    wt = Window.partitionBy(*pc, bkt).orderBy(
+        order, F.col(tie_col).asc()
+    )
+    res = b.join(F.broadcast(off), pc + [bkt]).withColumn(
         out, F.col("_off") + F.row_number().over(wt)
     )
     for name, src in prefix_sums.items():
         res = res.withColumn(
             name,
             F.col(f"_poff_{name}")
-            + F.sum(F.col(src).cast("bigint")).over(
+            + F.sum(F.col(src)).over(
                 wt.rowsBetween(Window.unboundedPreceding, 0)
             ),
         )

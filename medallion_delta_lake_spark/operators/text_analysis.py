@@ -644,10 +644,16 @@ def zipf_profile(
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
+    # top-k FIRST via orderBy().limit() (TakeOrderedAndProject — a
+    # distributed local-top-k, never a vocab-cardinality sort in one
+    # partition); the rank window then runs over ≤top_k rows
+    top = freq.orderBy(
+        F.col("freq").desc(), F.col("token").asc()
+    ).limit(top_k)
     w = W.orderBy(F.col("freq").desc(), F.col("token").asc())
-    ranked = freq.select(
+    ranked = top.select(
         "token", "freq", F.row_number().over(w).alias("rank")
-    ).filter(F.col("rank") <= top_k)
+    )
     head = ranked.filter(F.col("rank") == 1).select(
         F.col("freq").alias("_head_freq")
     )

@@ -921,33 +921,30 @@ def normalize_quantile_map_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     position ⌊(r−1)·N/n_s⌋+1 — all integer rank arithmetic + one
     rank-keyed join, engine-exact with zero float ops.
 
-    Scale note: exact pooled ranks need a total order (here one global
-    rank window, same posture as the NTILE scorers); the 100 TB
-    variant swaps the pooled rank table for approx-quantile cutpoints
-    — the per-source machinery is unchanged."""
+    Scale posture (r12, global-window allowlist sweep): BOTH exact
+    rank passes ride mleval.bucketed_global_rank — the pooled rank's
+    offsets frame is the ≤16k log-scale bucket key (never an
+    event-cardinality single-partition sort), and the per-source rank
+    is the same machinery partitioned by event_type (|types|·16k
+    offsets rows; each within-(type,bucket) ROW_NUMBER distributed).
+    The per-source totals are a grouped count broadcast back, not a
+    whole-partition COUNT() window."""
+    from medallion_delta_lake_spark.operators.mleval import (
+        bucketed_global_rank,
+    )
+
     v = table(spark, sf_dir, "events").filter(
         F.col("value").isNotNull()
     ).select("event_id", "event_type", "value")
-    pooled = v.select(
-        F.col("value").alias("pv"),
-        F.row_number()
-        .over(W.orderBy("value", "event_id"))
-        .alias("pr"),
-    )
+    pooled = bucketed_global_rank(
+        v, "value", True, "pr", "event_id"
+    ).select(F.col("value").alias("pv"), "pr")
     tot = v.agg(F.count(F.lit(1)).alias("n_all"))
-    src = v.select(
-        "event_id",
-        "event_type",
-        "value",
-        F.row_number()
-        .over(
-            W.partitionBy("event_type").orderBy("value", "event_id")
-        )
-        .alias("r"),
-        F.count(F.lit(1))
-        .over(W.partitionBy("event_type"))
-        .alias("ns"),
-    )
+    ns = v.groupBy("event_type").agg(F.count(F.lit(1)).alias("ns"))
+    src = bucketed_global_rank(
+        v, "value", True, "r", "event_id",
+        partition_cols=["event_type"],
+    ).join(F.broadcast(ns), "event_type")
     m = src.crossJoin(F.broadcast(tot)).select(
         "event_id",
         "event_type",
@@ -2058,6 +2055,96 @@ def agg_tukey_fences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bucketed_nn_carry(base: DataFrame) -> DataFrame:
+    """prev/next control carry over the (v, treated, event_id) total
+    order WITHOUT a single-partition window (r12 global-window sweep;
+    shared by join-nn-match-1d and stats-matched-uplift).
+
+    The axis is EVENT-cardinality, so the carry is two-level on the
+    bounded log-scale bucket key (mleval.axis_bucket, ≤16k values —
+    a bucket is a contiguous v-range, so every row of bucket b orders
+    before every row of bucket b+1): within each bucket the original
+    growing-frame carries run PARTITIONED (distributed); across
+    buckets, a per-bucket first/last-control frame (≤16k rows — the
+    only single-partition windows run there) supplies the carry for
+    rows whose own bucket has no control on the needed side.
+
+    Output: base + prev_id/prev_v (last control at or before the row
+    in total order) + next_id/next_v (first control strictly after) —
+    exactly the single-sort spelling's values."""
+    from medallion_delta_lake_spark.operators.mleval import axis_bucket
+
+    b = base.withColumn("_bkt", axis_bucket(F.col("v")))
+    asc = [
+        F.col("v").asc(), F.col("treated").asc(),
+        F.col("event_id").asc(),
+    ]
+    desc = [
+        F.col("v").desc(), F.col("treated").desc(),
+        F.col("event_id").desc(),
+    ]
+    ctl_id = F.when(F.col("treated") == 0, F.col("event_id"))
+    ctl_v = F.when(F.col("treated") == 0, F.col("v"))
+    # within-bucket carries: the original frames, now PARTITIONED
+    wp = W.partitionBy("_bkt").orderBy(*asc).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    wn = W.partitionBy("_bkt").orderBy(*desc).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    # per-bucket first/last control by the total order (controls have
+    # treated = 0, so their order key reduces to (v, event_id));
+    # max_by/min_by skip rows whose ordering key is NULL (treated)
+    ctl_key = F.when(
+        F.col("treated") == 0, F.struct(F.col("v"), F.col("event_id"))
+    )
+    f = b.groupBy("_bkt").agg(
+        F.max_by("event_id", ctl_key).alias("_last_id"),
+        F.max_by("v", ctl_key).alias("_last_v"),
+        F.min_by("event_id", ctl_key).alias("_first_id"),
+        F.min_by("v", ctl_key).alias("_first_v"),
+    )
+    wb_prev = W.orderBy(F.col("_bkt").asc()).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    wb_next = W.orderBy(F.col("_bkt").desc()).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    off = f.select(
+        "_bkt",
+        F.last("_last_id", ignorenulls=True).over(wb_prev)
+        .alias("_poff_id"),
+        F.last("_last_v", ignorenulls=True).over(wb_prev)
+        .alias("_poff_v"),
+        F.last("_first_id", ignorenulls=True).over(wb_next)
+        .alias("_noff_id"),
+        F.last("_first_v", ignorenulls=True).over(wb_next)
+        .alias("_noff_v"),
+    )
+    return (
+        b.join(F.broadcast(off), "_bkt")
+        .select(
+            *[F.col(c) for c in base.columns],
+            F.coalesce(
+                F.last(ctl_id, ignorenulls=True).over(wp),
+                F.col("_poff_id"),
+            ).alias("prev_id"),
+            F.coalesce(
+                F.last(ctl_v, ignorenulls=True).over(wp),
+                F.col("_poff_v"),
+            ).alias("prev_v"),
+            F.coalesce(
+                F.last(ctl_id, ignorenulls=True).over(wn),
+                F.col("_noff_id"),
+            ).alias("next_id"),
+            F.coalesce(
+                F.last(ctl_v, ignorenulls=True).over(wn),
+                F.col("_noff_v"),
+            ).alias("next_v"),
+        )
+    )
+
+
 @query(
     "join-nn-match-1d",
     # matched-cohort construction: each treated row pairs with its
@@ -2113,10 +2200,10 @@ def join_nn_match_1d_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     rotated from time to the covariate axis: one (value, role, id)
     sort carries the last/next control; integer-cents distances;
     distance ties take the lower-value (prev) control — explicit
-    contract. Scale note: value matching is inherently a global
-    order; at 100 TB, range-partition by value with boundary overlap
-    (same recipe as normalize-quantile-map's pooled rank) — the
-    per-partition machinery is unchanged."""
+    contract. Scale posture (r12 global-window sweep): the carries
+    ride _bucketed_nn_carry — within-bucket windows PARTITIONED by
+    the bounded log-scale bucket key, cross-bucket carry on the ≤16k
+    bucket frame — never a single-partition sort of all events."""
     ev = table(spark, sf_dir, "events").filter(
         F.col("value").isNotNull()
     )
@@ -2129,27 +2216,7 @@ def join_nn_match_1d_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "treated"
         ),
     )
-    order = [F.col("v"), F.col("treated"), F.col("event_id")]
-    wp = W.orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
-    # "first control strictly AFTER me" as a DESC-order running carry:
-    # Spark evaluates [1 FOLLOWING, UNBOUNDED] frames by re-aggregating
-    # the tail PER ROW (O(n^2) -- measured: hung at 1M rows); the
-    # reversed growing frame is the O(n) spelling of the same value
-    wn = W.orderBy(
-        F.col("v").desc(), F.col("treated").desc(),
-        F.col("event_id").desc(),
-    ).rowsBetween(W.unboundedPreceding, -1)
-    ctl_id = F.when(F.col("treated") == 0, F.col("event_id"))
-    ctl_v = F.when(F.col("treated") == 0, F.col("v"))
-    o = base.select(
-        "event_id",
-        "v",
-        "treated",
-        F.last(ctl_id, ignorenulls=True).over(wp).alias("prev_id"),
-        F.last(ctl_v, ignorenulls=True).over(wp).alias("prev_v"),
-        F.last(ctl_id, ignorenulls=True).over(wn).alias("next_id"),
-        F.last(ctl_v, ignorenulls=True).over(wn).alias("next_v"),
-    )
+    o = _bucketed_nn_carry(base)
     prev_d = F.col("v") - F.col("prev_v")
     next_d = F.col("next_v") - F.col("v")
     pick_prev = (
@@ -2250,23 +2317,10 @@ def stats_matched_uplift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "treated"
         ),
     )
-    order = [F.col("v"), F.col("treated"), F.col("event_id")]
-    wp = W.orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
-    # reversed growing frame: see join-nn-match-1d (O(n) vs Spark's
-    # O(n^2) tail re-aggregation for [1 FOLLOWING, UNBOUNDED])
-    wn = W.orderBy(
-        F.col("v").desc(), F.col("treated").desc(),
-        F.col("event_id").desc(),
-    ).rowsBetween(W.unboundedPreceding, -1)
-    ctl_id = F.when(F.col("treated") == 0, F.col("event_id"))
-    ctl_v = F.when(F.col("treated") == 0, F.col("v"))
-    o = base.select(
-        "v",
-        "treated",
-        F.last(ctl_id, ignorenulls=True).over(wp).alias("prev_id"),
-        F.last(ctl_v, ignorenulls=True).over(wp).alias("prev_v"),
-        F.last(ctl_id, ignorenulls=True).over(wn).alias("next_id"),
-        F.last(ctl_v, ignorenulls=True).over(wn).alias("next_v"),
+    # carries via _bucketed_nn_carry (r12 global-window sweep): see
+    # join-nn-match-1d — no single-partition sort of all events
+    o = _bucketed_nn_carry(base).select(
+        "v", "treated", "prev_id", "prev_v", "next_id", "next_v"
     )
     pick_prev = (
         F.col("next_id").isNull()

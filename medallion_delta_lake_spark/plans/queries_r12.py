@@ -1,19 +1,31 @@
-"""DRAFT round-12 query faces — NOT registered (the r11 registry
-ships at 305 with a full 50-slot driver window: 7 red re-checks + 14
-new r11 faces + 29 stale drains; registering more ops this round
-would mint registered-never-checked ids, the exact class the judge
-flags). Each face pairs a Spark query with its DuckDB oracle and
-tests/test_r12_drafts.py proves the pair compare_query-green at two
-SFs — so round 12's registration is a mechanical move of proven
-pairs, not new risk (the same hand-off that made the 14 r10 drafts a
-zero-risk r11 registration; SURVEY.md §7 Phase 8).
+"""Round-12 query faces — REGISTERED as of round 12 (the first 12
+were drafted + oracle-proven at three SFs in round 11 while the
+registry was frozen at 305; see SURVEY.md §7 Phase 8). The cohort:
 
-Deliberately NO ``@query`` decorator and NO registry import on the
-module path that registers: importing this module must not mutate
-the registered set. tests/test_r12_drafts.py pins that, and
-tests/test_oracle_dtype_lint.py lints these oracles' OUTPUT dtypes
-(no HUGEINT) alongside the registered ones so the r8-r10 driver-red
-class cannot re-enter through a draft.
+- the §2-core text-format scan trio (scan-csv-typed, scan-json-lines,
+  scan-orc-roundtrip) — the LAST reference-core ops without direct
+  driver faces (previously e2e-pytest evidence only);
+- the sketch-maintenance E2E pair (hll epoch rebuild, CDC-maintained
+  CMS) driving the r11 delete/turnstile paths through the log engine;
+- the Delta WRITE path as driver faces (sink-delta-append-evolve,
+  sink-delta-overwrite-timetravel — VERDICT r11 #4), graduating
+  write_delta + log-replay read-back from pytest-only to CORRECTNESS
+  rows;
+- ml eval (average precision, Matthews corr), weighted Bernoulli
+  sampling, the VARIANT census pair, and two lifecycle analytics
+  faces (survival table, cohort LTV curve).
+
+ADVICE r11 fixes landed BEFORE registration: scratch cleanup no
+longer deletes sibling faces' shared parent dir, the MCC denominator
+guard tests each confusion marginal individually (the 4-way integer
+product wraps int64), and ml-average-precision ranks via the bounded
+bucketed machinery instead of broadcasting a raw distinct-cents
+frame.
+
+The module-local R12_QUERIES/R12_ORACLES maps are retained so
+tests/test_r12_drafts.py can pin exactly this cohort's oracle-
+greenness and registration, and tests/test_oracle_dtype_lint.py
+lints these oracles' OUTPUT dtypes (no HUGEINT) with the rest.
 """
 
 from __future__ import annotations
@@ -26,17 +38,22 @@ from pyspark.sql import functions as F
 
 from medallion_delta_lake_spark.functions.hashing import h64, h64_sql
 from medallion_delta_lake_spark.operators.agg import q_div
-from medallion_delta_lake_spark.plans.registry import table
+from medallion_delta_lake_spark.plans.registry import query, table
 
 R12_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 R12_ORACLES: dict[str, str] = {}
 
 
 def draft(name: str, oracle: str):
+    """r12 registration: every former draft face registers via the
+    standard ``@query`` decorator AND stays in the module-local maps
+    so tests/test_r12_drafts.py can pin the cohort independently of
+    the full registry sweep (the same wiring r11 used)."""
+
     def deco(fn):
         R12_QUERIES[name] = fn
         R12_ORACLES[name] = oracle
-        return fn
+        return query(name, oracle=oracle)(fn)
 
     return deco
 
@@ -1022,3 +1039,132 @@ def events_cohort_ltv_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ltv_q2"),
     )
     return out
+
+
+# ------------------------------------------------------------------
+# Delta write path as driver faces (VERDICT r11 #4): write_delta +
+# log-replay read-back graduate from pytest-only to CORRECTNESS rows
+
+
+@draft(
+    "sink-delta-append-evolve",
+    # two appends, the second widening the schema (merge_schema):
+    # the committed table state must equal the declarative union with
+    # NULLs for the pre-evolution batch's missing column — a dropped
+    # add action, a misapplied schemaString, or old files not
+    # back-filling the new column as NULL all break the hash
+    oracle="""
+    WITH u AS (
+      SELECT event_id, event_type, CAST(NULL AS BIGINT) AS cents
+      FROM events WHERE event_id % 4 = 0
+      UNION ALL
+      SELECT event_id, event_type,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_id % 4 = 1
+    )
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(COUNT(cents) AS BIGINT) AS n_cents,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(MIN(event_id) AS BIGINT) AS min_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_id
+    FROM u GROUP BY event_type
+    """,
+)
+def sink_delta_append_evolve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sink / Delta append + schema evolution round trip — the
+    reference's bronze append path (ref bronze_table_creation.py:26-61,
+    mode('append') + mergeSchema) as a driver-graded face: append one
+    batch, append a second batch carrying a NEW column with
+    merge_schema=True, and read the committed state back by pure log
+    replay (sources/delta_log.py:write_delta/read_delta). Rows from
+    the pre-evolution files must surface the new column as NULL —
+    exactly what Delta's own reader does. The rollup face is
+    all-integer (counts, null census, cents sum, id range).
+
+    Scale posture: data files ride Spark's distributed parquet
+    writer; only O(files) commit metadata passes through the driver —
+    the same division of labor as delta-spark itself."""
+    from medallion_delta_lake_spark.sources import delta_log
+
+    p = _scratch(sf_dir, "sink_append_evolve")
+    _shutil.rmtree(p, ignore_errors=True)
+    ev = table(spark, sf_dir, "events")
+    b1 = ev.filter(F.col("event_id") % 4 == 0).select(
+        "event_id", "event_type"
+    )
+    delta_log.write_delta(spark, b1.coalesce(2), p)
+    b2 = ev.filter(F.col("event_id") % 4 == 1).select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    delta_log.write_delta(spark, b2.coalesce(2), p, merge_schema=True)
+    back = delta_log.read_delta(spark, p)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("cents").alias("n_cents"),
+        F.sum("cents").alias("sum_cents"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+
+
+@draft(
+    "sink-delta-overwrite-timetravel",
+    # overwrite commits remove actions for every previously-active
+    # file while keeping the data files — so the CURRENT snapshot is
+    # the new batch only and VERSION_AS_OF the first commit still
+    # reads the old batch byte-for-byte; both snapshots' rollups are
+    # recomputed off the base parquet
+    oracle="""
+    SELECT 'current' AS snap, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(event_id) AS BIGINT) AS sum_id
+    FROM events WHERE event_id % 3 = 1
+    GROUP BY event_type
+    UNION ALL
+    SELECT 'v_first', event_type,
+           COUNT(*),
+           CAST(SUM(event_id) AS BIGINT)
+    FROM events WHERE event_id % 3 = 0
+    GROUP BY event_type
+    """,
+)
+def sink_delta_overwrite_timetravel_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """sink / Delta overwrite + time travel round trip — the
+    reference's silver overwrite path (ref silver_table_creation.py:
+    300, mode('overwrite')) as a driver-graded face: commit batch A,
+    OVERWRITE with batch B (remove actions for every active file —
+    logical delete, data files stay), then read BOTH the current
+    snapshot and VERSION_AS_OF the first commit through log replay.
+    The current rollup must see only B; the time-travelled rollup
+    must see exactly A (sources/delta_log.py: overwrite semantics +
+    resolve_snapshot version replay). All-integer face."""
+    from medallion_delta_lake_spark.sources import delta_log
+
+    p = _scratch(sf_dir, "sink_overwrite_tt")
+    _shutil.rmtree(p, ignore_errors=True)
+    ev = table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_id") % 3 == 0).select(
+        "event_id", "event_type"
+    )
+    b = ev.filter(F.col("event_id") % 3 == 1).select(
+        "event_id", "event_type"
+    )
+    v_first = delta_log.write_delta(spark, a.coalesce(2), p)
+    delta_log.write_delta(spark, b.coalesce(2), p, mode="overwrite")
+
+    def rollup(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("event_id").alias("sum_id"),
+        ).select(F.lit(tag).alias("snap"), "event_type", "n", "sum_id")
+
+    cur = rollup(delta_log.read_delta(spark, p), "current")
+    old = rollup(
+        delta_log.read_delta(spark, p, version_as_of=v_first), "v_first"
+    )
+    return cur.unionByName(old)

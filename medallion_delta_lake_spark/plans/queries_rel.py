@@ -254,11 +254,12 @@ def explode_token_freq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    # top-50 FIRST via orderBy().limit() (TakeOrderedAndProject),
+    # then rank over the ≤50-row frame — never a vocab-cardinality
+    # row_number in one partition (r12 global-window sweep)
+    top = freq.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(50)
     w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
-    return (
-        freq.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 50)
-    )
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 # ------------------------------------------------------------- windows
@@ -3310,11 +3311,19 @@ def agg_gini_coefficient_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """stats / Gini COEFFICIENT of customer spend — the inequality
     measure (0 = everyone equal, →1 = one whale), distinct from the
     classification Gini impurity. Closed form over the sorted series:
-    G = (2Σ i·x_(i) − (n+1)Σx)/(nΣx) — one global sort of the
-    (already tiny) per-customer aggregate, decimal-exact sums, one
-    IEEE division. The revenue-concentration diagnostic every
-    marketplace dashboard carries."""
-    from pyspark.sql import Window as W
+    G = (2Σ i·x_(i) − (n+1)Σx)/(nΣx), decimal-exact sums, one IEEE
+    division. The revenue-concentration diagnostic every marketplace
+    dashboard carries.
+
+    Scale posture (r12, global-window allowlist sweep): the rank i
+    over the per-customer frame is CUSTOMER-cardinality, so it never
+    rides a single-partition sort — mleval.bucketed_global_rank gives
+    the identical rank via a ≤16k-bucket offsets frame + distributed
+    within-bucket row_number (the events-rfm-scores monetary-axis
+    machinery)."""
+    from medallion_delta_lake_spark.operators.mleval import (
+        bucketed_global_rank,
+    )
 
     spend = (
         table(spark, sf_dir, "orders")
@@ -3325,12 +3334,9 @@ def agg_gini_coefficient_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("spend")
         )
     )
-    ranked = spend.select(
-        "spend",
-        F.row_number()
-        .over(W.orderBy("spend", "o_custkey"))
-        .alias("i"),
-    )
+    ranked = bucketed_global_rank(
+        spend, "spend", True, "i", "o_custkey"
+    ).select("spend", "i")
 
     def ds(c):
         return F.sum(c.cast("decimal(38,6)")).cast("double")
@@ -3724,9 +3730,17 @@ def agg_pareto_abc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier. The cumulative sum runs in EXACT decimal over the
     deterministic (spend desc, key) order, and the 80/95 cutoffs
     compare scaled decimals (cum·100 ≤ total·80) — integer-exact
-    boundary decisions, no float thresholds. One tiny sort of the
-    per-customer aggregate."""
-    from pyspark.sql import Window as W
+    boundary decisions, no float thresholds.
+
+    Scale posture (r12, global-window allowlist sweep): the running
+    total over the CUSTOMER-cardinality frame rides
+    mleval.bucketed_global_rank's decimal prefix sum (≤16k-bucket
+    offsets + distributed within-bucket window) — never a
+    single-partition sort of all customers; the grand total is a
+    broadcast 1-row aggregate, not an unbounded all-rows window."""
+    from medallion_delta_lake_spark.operators.mleval import (
+        bucketed_global_rank,
+    )
 
     r = (
         table(spark, sf_dir, "orders")
@@ -3737,19 +3751,11 @@ def agg_pareto_abc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    w = (
-        W.orderBy(F.col("spend").desc(), F.col("o_custkey"))
-        .rowsBetween(W.unboundedPreceding, 0)
-    )
-    c = r.select(
-        "o_custkey",
-        "spend",
-        F.sum("spend").over(w).alias("cum"),
-        F.sum("spend").over(
-            W.orderBy(F.lit(1)).rowsBetween(
-                W.unboundedPreceding, W.unboundedFollowing
-            )
-        ).alias("total"),
+    tot = r.agg(F.sum("spend").alias("total"))
+    c = bucketed_global_rank(
+        r, "spend", False, "_i", "o_custkey", prefix_sums={"cum": "spend"}
+    ).crossJoin(F.broadcast(tot)).select(
+        "o_custkey", "spend", "cum", "total"
     )
     return c.select(
         "o_custkey",

@@ -181,6 +181,10 @@ DOUBLE_FACE_ALLOWLIST: dict[str, tuple[str, ...]] = {
     'ml-group-auc': ('auc',),
     'ml-ks-separation': ('ks_stat',),
     'ml-lift-deciles': ('lift', 'cum_capture'),
+    # one shared IEEE chain (4 casts of exact integer cells, 3
+    # products, sqrt) per row off exact integer confusion cells —
+    # bit-identical in both engines; degenerate rows pinned to 0.0
+    'ml-matthews-corr': ('mcc',),
     'ml-ndcg-at-k': ('ndcg',),
     'ml-pr-at-k': ('precision', 'recall'),
     'ml-roc-auc': ('auc', 'gini'),

@@ -1,7 +1,9 @@
-"""Round-12 draft faces (plans/queries_r12.py, unregistered): every
-draft must already be oracle-green at two SFs, and importing the
-draft module must NOT grow the registered set (the same pinned
-hand-off that made the 14 r10 drafts a zero-risk r11 registration)."""
+"""Round-12 faces (plans/queries_r12.py, registered in r12): every
+face must be oracle-green at two SFs, and the whole cohort must be
+present in the registry with byte-identical oracle strings (the r11
+hand-off repeated: drafted + proven in r11 while the registry was
+frozen, registration is the r12 deliverable — plus the two Delta
+write-path faces added in r12 itself)."""
 
 from __future__ import annotations
 
@@ -13,12 +15,17 @@ from tests.oracle import compare_query
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
 
-def test_draft_module_does_not_register():
+def test_r12_cohort_registered():
     from medallion_delta_lake_spark.plans import registry
 
-    assert not (set(r12.R12_QUERIES) & set(registry.QUERIES)), (
-        "draft ids must not collide with registered ids"
-    )
+    missing = set(r12.R12_QUERIES) - set(registry.QUERIES)
+    assert not missing, f"r12 faces not registered: {sorted(missing)}"
+    drift = [
+        n
+        for n, sql in r12.R12_ORACLES.items()
+        if registry.ORACLES.get(n) != sql
+    ]
+    assert not drift, f"registered oracle drifted from module: {drift}"
 
 
 @pytest.mark.parametrize("name", sorted(r12.R12_QUERIES))
