@@ -1,0 +1,517 @@
+"""DRAFT round-13 query faces — NOT registered (the r12 registry
+ships at 319 with a full 50-slot driver window: 26 r5-stale drains +
+14 new r12 faces + 10 r6 drains; registering more ops this round
+would mint registered-never-checked ids). Each face pairs a Spark
+query with its DuckDB oracle and tests/test_r13_drafts.py proves the
+pair compare_query-green at two SFs — so round 13's registration is a
+mechanical move of proven pairs (the hand-off that made the r10→r11
+and r11→r12 registrations zero-risk; SURVEY.md §7 Phase 9).
+
+The cohort answers VERDICT r11 #6 plus the remaining coverage seams:
+
+- sketch-hll-churn-epoch — ``sketch_epoch_rebuild`` under CONCURRENT
+  delete + update + append hitting ONE epoch in one refresh span;
+- agg-cdf-incremental-refresh — CDF-driven incremental maintenance
+  of a grouped additive rollup (operators/incremental.py), pinned
+  equal to a from-scratch rollup of the churned final state;
+- scan-delta-skipping — partitioned write_delta + filtered log-replay
+  read (partition pruning AND min/max file skipping) as a
+  CORRECTNESS row;
+- scan-parquet-partition-prune — the plain hive-layout round trip
+  (write.partitionBy + pruned read-back);
+- stats-wilcoxon-signed-rank — the paired nonparametric test the
+  stats family lacked, midranks WITHOUT any row-cardinality
+  unpartitioned window (bucketed rank + grouped tie fold);
+- text-hapax-ratio — hapax-legomena vocabulary health per language.
+
+Deliberately NO ``@query`` decorator and NO registry import on the
+module path that registers: importing this module must not mutate
+the registered set. tests/test_r13_drafts.py pins that, and
+tests/test_oracle_dtype_lint.py lints these oracles' OUTPUT dtypes
+(no HUGEINT) alongside the registered ones.
+"""
+
+from __future__ import annotations
+
+import hashlib as _hashlib
+import os as _os
+import shutil as _shutil
+import tempfile as _tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from medallion_delta_lake_spark.functions.hashing import h64_sql
+from medallion_delta_lake_spark.plans.queries_r12 import _HLL_SQL_TAIL
+from medallion_delta_lake_spark.plans.registry import table
+
+R13_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+R13_ORACLES: dict[str, str] = {}
+
+
+def draft(name: str, oracle: str):
+    def deco(fn):
+        R13_QUERIES[name] = fn
+        R13_ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _scratch(sf_dir: str, name: str) -> str:
+    tag = _hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return _os.path.join(
+        _tempfile.gettempdir(), f"mdls_r13_{tag}_{_os.getpid()}", name
+    )
+
+
+# ------------------------------------------------------------------
+# epoch rebuild under CONCURRENT churn in one epoch (VERDICT r11 #6)
+
+
+@draft(
+    "sketch-hll-churn-epoch",
+    # one refresh span throws a DELETE, an UPDATE, and an APPEND at
+    # the SAME epoch (day 2) while days 0/1/3 stay untouched; the
+    # refreshed epoch-partitioned HLL store must estimate exactly
+    # like a from-scratch sketch of the final state — a rebuild that
+    # misses the appended file, double-counts the update pair, or
+    # rescans from a stale snapshot breaks the hash
+    oracle=f"""
+    WITH base AS (
+      SELECT event_id % 4 AS day,
+             CAST(user_id AS VARCHAR) AS uid,
+             event_id AS k
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    survivors AS (
+      SELECT day,
+             CASE WHEN day = 2 AND k >= 5000 AND k < 6000
+                  THEN uid || '_z' ELSE uid END AS uid
+      FROM base WHERE NOT (day = 2 AND k < 2000)
+    ),
+    appended AS (
+      SELECT 2 AS day, uid || '_a' AS uid
+      FROM base WHERE k % 10 = 7
+    ),
+    fin AS (
+      SELECT day, uid FROM survivors
+      UNION ALL
+      SELECT day, uid FROM appended
+    ),
+    h AS (
+      SELECT day, {h64_sql("uid")} AS h FROM fin
+    ),{_HLL_SQL_TAIL}
+    """,
+)
+def sketch_hll_churn_epoch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sketch / HLL epoch rebuild under CONCURRENT churn — the edge
+    the r11/r12 rebuild faces left open (VERDICT r11 #6): one refresh
+    span where a single epoch (day 2) takes a DELETE (k < 2000), an
+    UPDATE (uid rewrite on 5000 ≤ k < 6000, CDF preimage/postimage
+    pairs), AND an APPEND (new '_a' uids) — three commit types whose
+    change rows must all collapse into ONE touched-epoch rescan,
+    while days 0/1/3's stored partials are reused verbatim. Oracle =
+    from-scratch HLL over the churned final state
+    (operators/sketches.py:sketch_epoch_rebuild)."""
+    from medallion_delta_lake_spark.operators import sketches as sk
+    from medallion_delta_lake_spark.sources import delta_log
+
+    p = _scratch(sf_dir, "hll_churn")
+    _shutil.rmtree(p, ignore_errors=True)
+    base = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            (F.col("event_id") % 4).alias("day"),
+            F.col("user_id").cast("string").alias("uid"),
+            F.col("event_id").alias("k"),
+        )
+    )
+    delta_log.write_delta(spark, base.coalesce(2), p)
+    delta_log.set_table_properties(
+        p, {"delta.enableChangeDataFeed": "true"}
+    )
+    v0 = delta_log.resolve_snapshot(p)["version"]
+
+    def part(df: DataFrame) -> DataFrame:
+        return sk.hll_partials(df, ["day"], "uid", p=10)
+
+    stored = part(delta_log.read_delta(spark, p))
+    delta_log.delete_delta_log(
+        spark, p, [("day", "=", 2), ("k", "<", 2000)]
+    )
+    delta_log.update_delta_log(
+        spark,
+        p,
+        [("day", "=", 2), ("k", ">=", 5000), ("k", "<", 6000)],
+        {"uid": "concat(uid, '_z')"},
+    )
+    appended = base.filter(F.col("k") % 10 == 7).select(
+        F.lit(2).cast(base.schema["day"].dataType).alias("day"),
+        F.concat(F.col("uid"), F.lit("_a")).alias("uid"),
+        (F.col("k") + 1000000).alias("k"),
+    )
+    delta_log.write_delta(spark, appended.coalesce(1), p)
+    changes = delta_log.table_changes(spark, p, v0 + 1)
+    cur = delta_log.read_delta(spark, p)
+    refreshed = sk.sketch_epoch_rebuild(cur, stored, changes, "day", part)
+    return sk.hll_estimate(refreshed, ["day"], p=10)
+
+
+# ------------------------------------------------------------------
+# CDF-driven incremental refresh of a grouped rollup (VERDICT r11 #6)
+
+
+@draft(
+    "agg-cdf-incremental-refresh",
+    # the maintained rollup must equal a from-scratch GROUP BY of the
+    # churned final state: delete (k < 3000), update (+50 cents on
+    # 3000 ≤ k < 5000), append (k % 6 = 1 re-keyed) all fold through
+    # one change feed into (n, sum_cents) per event_type
+    oracle="""
+    WITH base AS (
+      SELECT event_id AS k, event_type AS et,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL
+    ),
+    survivors AS (
+      SELECT et,
+             CASE WHEN k >= 3000 AND k < 5000 THEN cents + 50
+                  ELSE cents END AS cents
+      FROM base WHERE k >= 3000
+    ),
+    appended AS (
+      SELECT et, cents FROM base WHERE k % 6 = 1
+    ),
+    fin AS (
+      SELECT et, cents FROM survivors
+      UNION ALL
+      SELECT et, cents FROM appended
+    )
+    SELECT et AS event_type,
+           COUNT(*) AS n,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM fin GROUP BY et
+    """,
+)
+def agg_cdf_incremental_refresh_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """aggregation / CDF-driven incremental refresh — maintain a
+    materialized grouped rollup (n, sum_cents per event_type) from
+    the change feed instead of rescanning the table
+    (operators/incremental.py:grouped_sum_apply_changes): seed a
+    log-backed table with CDF on, store the rollup, churn it through
+    the log engine (DELETE below a key cut, UPDATE +50 cents on a
+    band — preimage/postimage pairs land as one feed — and an
+    APPEND), fold table_changes into the stored state, and return the
+    MAINTAINED rollup. Oracle recomputes the rollup from the churned
+    final state — a missed preimage or double-counted insert breaks
+    the hash. At 100 TB this is the maintained-gold-table upgrade of
+    the reference's recompute-every-run gold path
+    (ref gold_table_creation.py): O(changed rows), not O(table), per
+    refresh."""
+    from medallion_delta_lake_spark.operators.incremental import (
+        grouped_sum_apply_changes,
+    )
+    from medallion_delta_lake_spark.sources import delta_log
+
+    p = _scratch(sf_dir, "cdf_rollup")
+    _shutil.rmtree(p, ignore_errors=True)
+    base = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.col("event_id").alias("k"),
+            F.col("event_type").alias("et"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    delta_log.write_delta(spark, base.coalesce(2), p)
+    delta_log.set_table_properties(
+        p, {"delta.enableChangeDataFeed": "true"}
+    )
+    v0 = delta_log.resolve_snapshot(p)["version"]
+    stored = (
+        delta_log.read_delta(spark, p)
+        .groupBy("et")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("sum_cents"),
+        )
+    )
+    delta_log.delete_delta_log(spark, p, [("k", "<", 3000)])
+    delta_log.update_delta_log(
+        spark,
+        p,
+        [("k", ">=", 3000), ("k", "<", 5000)],
+        {"cents": "cents + 50"},
+    )
+    appended = base.filter(F.col("k") % 6 == 1).withColumn(
+        "k", F.col("k") + 1000000
+    )
+    delta_log.write_delta(spark, appended.coalesce(1), p)
+    changes = delta_log.table_changes(spark, p, v0 + 1)
+    refreshed = grouped_sum_apply_changes(
+        stored, changes, ["et"], {"sum_cents": "cents"}, n_col="n"
+    )
+    return refreshed.select(
+        F.col("et").alias("event_type"), "n", "sum_cents"
+    )
+
+
+# ------------------------------------------------------------------
+# scan/sink coverage: pruned reads as CORRECTNESS rows
+
+
+@draft(
+    "scan-delta-skipping",
+    # partitioned write_delta + filtered log-replay read: partition
+    # pruning (pt = 2) plus min/max file skipping (event_id cut) must
+    # return exactly the declarative filter's rows
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(event_id) AS BIGINT) AS sum_id
+    FROM events
+    WHERE event_id % 4 = 2 AND event_id >= 1000
+    GROUP BY event_type
+    """,
+)
+def scan_delta_skipping_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """source / Delta pruned read — write a hive-partitioned Delta
+    table through the log engine (partition_by=['pt']) and read it
+    back with a filters= conjunction: the pt predicate prunes whole
+    partitions from the file list (partitionValues), the event_id
+    predicate skips files by their logged min/max stats, and the
+    surviving rows must equal the declarative filter exactly
+    (sources/delta_log.py:read_delta data-skipping contract — the r12
+    write-path faces prove commits; this face proves the READ side's
+    pruning returns correct results, the lever that turns a 100 TB
+    scan into a partition's worth of I/O)."""
+    from medallion_delta_lake_spark.sources import delta_log
+
+    p = _scratch(sf_dir, "delta_skip")
+    _shutil.rmtree(p, ignore_errors=True)
+    base = table(spark, sf_dir, "events").select(
+        (F.col("event_id") % 4).alias("pt"),
+        "event_id",
+        "event_type",
+    )
+    # several files per partition so the event_id stats cut actually
+    # skips files inside the surviving partition
+    delta_log.write_delta(
+        spark,
+        base.repartitionByRange(6, "event_id"),
+        p,
+        partition_by=["pt"],
+    )
+    back = delta_log.read_delta(
+        spark, p, filters=[("pt", "=", 2), ("event_id", ">=", 1000)]
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("event_id").alias("sum_id"),
+    )
+
+
+@draft(
+    "scan-parquet-partition-prune",
+    # plain hive-layout round trip: write.partitionBy + a pruned
+    # read-back (partition column type survives reattachment); the
+    # oracle recomputes off the base parquet
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(event_id) AS BIGINT) AS sum_id
+    FROM events WHERE event_id % 8 = 3
+    GROUP BY event_type
+    """,
+)
+def scan_parquet_partition_prune_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """source / hive-partitioned parquet round trip — write events
+    partitioned by an integer bucket column, read back with a
+    partition predicate (planning-time file-index pruning — the scan
+    never lists the other partitions' files), aggregate. The pruning
+    plan shape is already pinned by
+    tests/test_scale_plans.py:test_partition_pruning_on_batch_column;
+    this face adds the driver-graded VALUE contract (partition-column
+    values survive the directory-name round trip and reattach with
+    the right type)."""
+    p = _scratch(sf_dir, "pq_prune")
+    _shutil.rmtree(p, ignore_errors=True)
+    src = table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        (F.col("event_id") % 8).alias("pt"),
+    )
+    src.write.mode("overwrite").partitionBy("pt").parquet(p)
+    back = spark.read.parquet(p).filter(F.col("pt") == 3)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("event_id").alias("sum_id"),
+    )
+
+
+# ------------------------------------------------------------------
+# stats: Wilcoxon signed-rank (paired), scale-safe midranks
+
+
+@draft(
+    "stats-wilcoxon-signed-rank",
+    # paired pre/post per user (even- vs odd-event spend), midranks
+    # of |d| DOUBLED so ties stay integral: d2 = 2·(RANK−1) + ties + 1
+    # = 2·midrank; W⁺/W⁻ are integer sums of d2 over the sign split
+    oracle="""
+    WITH base AS (
+      SELECT user_id, event_id,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+    ),
+    pairs AS (
+      SELECT user_id,
+             SUM(CASE WHEN event_id % 2 = 0 THEN cents ELSE 0 END)
+             - SUM(CASE WHEN event_id % 2 = 1 THEN cents ELSE 0 END)
+               AS d
+      FROM base GROUP BY user_id
+    ),
+    nz AS (SELECT d, abs(d) AS ad FROM pairs WHERE d <> 0),
+    r AS (
+      SELECT d,
+             2 * (RANK() OVER (ORDER BY ad) - 1)
+             + COUNT(*) OVER (PARTITION BY ad) + 1 AS d2
+      FROM nz
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(SUM(CASE WHEN d > 0 THEN d2 END), 0)
+                AS BIGINT) AS w_plus_x2,
+           CAST(COALESCE(SUM(CASE WHEN d < 0 THEN d2 END), 0)
+                AS BIGINT) AS w_minus_x2
+    FROM r
+    """,
+)
+def stats_wilcoxon_signed_rank_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """stats / Wilcoxon signed-rank — the paired nonparametric test
+    the family lacked (sign-test ignores magnitudes; Mann-Whitney is
+    unpaired): per user, d = even-event spend − odd-event spend
+    (cents), zero diffs dropped, |d| midranked with ties averaged,
+    W⁺ = Σ midranks of positive d. Doubled midranks keep everything
+    integral (d2 = 2·midrank is always an integer), so the face is
+    engine-exact with no doubles; the z close is the caller's one
+    IEEE line off (n, W⁺).
+
+    Scale posture: |d| is a per-user SUM — user-cardinality, so the
+    rank comes from mleval.bucketed_global_rank (≤16k-bucket offsets
+    frame, distributed within-bucket row_number), and the tie fold is
+    a grouped min-rank/count + hash join back — NO unpartitioned
+    window anywhere (the r12 global-window allowlist holds)."""
+    from medallion_delta_lake_spark.operators.mleval import (
+        bucketed_global_rank,
+    )
+
+    base = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    pairs = base.groupBy("user_id").agg(
+        (
+            F.sum(F.when(F.col("event_id") % 2 == 0, F.col("cents"))
+                  .otherwise(0))
+            - F.sum(F.when(F.col("event_id") % 2 == 1, F.col("cents"))
+                    .otherwise(0))
+        ).alias("d")
+    )
+    nz = pairs.filter(F.col("d") != 0).select(
+        "user_id", "d", F.abs(F.col("d")).alias("ad")
+    )
+    ranked = bucketed_global_rank(nz, "ad", True, "r", "user_id")
+    ties = ranked.groupBy("ad").agg(
+        F.min("r").alias("_rmin"), F.count(F.lit(1)).alias("_c")
+    )
+    d2 = ranked.join(ties, "ad").select(
+        "d",
+        (2 * (F.col("_rmin") - 1) + F.col("_c") + 1).alias("d2"),
+    )
+    return d2.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.coalesce(
+            F.sum(F.when(F.col("d") > 0, F.col("d2"))),
+            F.lit(0).cast("bigint"),
+        ).alias("w_plus_x2"),
+        F.coalesce(
+            F.sum(F.when(F.col("d") < 0, F.col("d2"))),
+            F.lit(0).cast("bigint"),
+        ).alias("w_minus_x2"),
+    )
+
+
+# ------------------------------------------------------------------
+# text: hapax-legomena vocabulary health
+
+
+@draft(
+    "text-hapax-ratio",
+    # per-language: token mass, vocabulary size, hapax count (tokens
+    # seen exactly once) and the q6-quantized hapax share of the
+    # vocabulary — all integers
+    oracle="""
+    WITH tok AS (
+      SELECT lang, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ),
+    tf AS (
+      SELECT lang, token, COUNT(*) AS c
+      FROM tok WHERE token <> '' GROUP BY lang, token
+    )
+    SELECT lang,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_types,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hapax,
+           CAST(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                     AS HUGEINT) * 1000000 // COUNT(*) AS BIGINT)
+             AS hapax_share_q6
+    FROM tf GROUP BY lang
+    """,
+)
+def text_hapax_ratio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text / hapax-legomena ratio — per language: token mass,
+    vocabulary size, hapax count (types occurring exactly once) and
+    the hapax share of the vocabulary (exact integer rational at
+    10⁶). The corpus-health dial next to text-zipf-profile: a
+    crashing hapax share flags template/boilerplate flooding, a
+    spiking one flags OCR noise or tokenizer breakage — both the
+    first thing a 100 TB pretraining-corpus intake checks per shard.
+    One explode + two grouped integer passes (map-side combined);
+    the token long tail never leaves the aggregates."""
+    from medallion_delta_lake_spark.operators.agg import q_div
+
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang",
+        F.explode(
+            F.split(F.lower(F.col("text")), " ")
+        ).alias("token"),
+    ).filter(F.col("token") != "")
+    tf = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("c"))
+    return tf.groupBy("lang").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n_hapax"),
+        q_div(
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)),
+            F.count(F.lit(1)),
+            6,
+        ).alias("hapax_share_q6"),
+    )
