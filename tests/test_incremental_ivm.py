@@ -1,62 +1,70 @@
-"""Unit contract for operators/incremental.py — the grouped-additive
-incremental view maintenance: maintained state must equal a
-from-scratch rollup under inserts, deletes, updates (preimage/
-postimage pairs), group birth, and group death; an empty feed is a
-no-op."""
+"""Edge-case contract for operators/incremental.py:apply_changes_to_agg
+(the r10 CDC consumer; the update/merge mainline is pinned by
+tests/test_cdc_write.py::test_incremental_agg_maintenance): group
+DEATH (count hits zero → group vanishes, exactly like a
+re-aggregation), group BIRTH, and an empty feed as identity."""
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
 
-def _rollup(df):
-    return df.groupBy("k").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("v").alias("sum_v")
-    )
-
-
 def _apply(spark, stored, rows):
     from medallion_delta_lake_spark.operators.incremental import (
-        grouped_sum_apply_changes,
+        apply_changes_to_agg,
     )
 
     changes = spark.createDataFrame(
-        rows, "k string, v bigint, _change_type string"
+        rows, "k string, v double, _change_type string"
     )
-    return grouped_sum_apply_changes(
-        stored, changes, ["k"], {"sum_v": "v"}, n_col="n"
-    )
+    return apply_changes_to_agg(stored, changes, ["k"], ["v"])
 
 
-def test_matches_rebuild_under_mixed_churn(spark):
+def _rollup(df):
+    from medallion_delta_lake_spark.operators.incremental import (
+        aggregate_table,
+    )
+
+    return aggregate_table(df, ["k"], ["v"])
+
+
+def test_group_birth_and_death(spark):
     base = spark.createDataFrame(
-        [("a", 10), ("a", 20), ("b", 5), ("c", 7)], "k string, v bigint"
+        [("a", 10.0), ("a", 20.0), ("b", 5.0), ("c", 7.0)],
+        "k string, v double",
     )
     stored = _rollup(base)
-    # delete one 'a' row, update the 'b' row 5→9 (pre+post pair),
-    # insert into existing 'a' and brand-new 'd', delete ALL of 'c'
     rows = [
-        ("a", 10, "delete"),
-        ("b", 5, "update_preimage"),
-        ("b", 9, "update_postimage"),
-        ("a", 100, "insert"),
-        ("d", 1, "insert"),
-        ("c", 7, "delete"),
+        ("a", 10.0, "delete"),
+        ("b", 5.0, "update_preimage"),
+        ("b", 9.0, "update_postimage"),
+        ("a", 100.0, "insert"),
+        ("d", 1.0, "insert"),  # birth
+        ("c", 7.0, "delete"),  # death
     ]
-    got = {r.k: (r.n, r.sum_v) for r in _apply(spark, stored, rows).collect()}
+    got = {
+        r.k: (r.n, float(r.sum_v))
+        for r in _apply(spark, stored, rows).collect()
+    }
     final = spark.createDataFrame(
-        [("a", 20), ("a", 100), ("b", 9), ("d", 1)], "k string, v bigint"
+        [("a", 20.0), ("a", 100.0), ("b", 9.0), ("d", 1.0)],
+        "k string, v double",
     )
-    want = {r.k: (r.n, r.sum_v) for r in _rollup(final).collect()}
+    want = {
+        r.k: (r.n, float(r.sum_v)) for r in _rollup(final).collect()
+    }
     assert got == want
-    assert "c" not in got  # group death: count hit zero and vanished
+    assert "c" not in got
 
 
 def test_empty_feed_is_identity(spark):
     base = spark.createDataFrame(
-        [("a", 10), ("b", 5)], "k string, v bigint"
+        [("a", 10.0), ("b", 5.0)], "k string, v double"
     )
     stored = _rollup(base)
-    got = {r.k: (r.n, r.sum_v) for r in _apply(spark, stored, []).collect()}
-    want = {r.k: (r.n, r.sum_v) for r in stored.collect()}
+    got = {
+        r.k: (r.n, float(r.sum_v))
+        for r in _apply(spark, stored, []).collect()
+    }
+    want = {r.k: (r.n, float(r.sum_v)) for r in stored.collect()}
     assert got == want
