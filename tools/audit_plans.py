@@ -17,6 +17,23 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 AUDITED = [
+    "scan-csv-typed",
+    "scan-json-lines",
+    "scan-orc-roundtrip",
+    "sink-delta-append-evolve",
+    "sink-delta-overwrite-timetravel",
+    "sketch-hll-rebuild",
+    "sketch-cms-maintained",
+    "ml-average-precision",
+    "ml-matthews-corr",
+    "sample-weighted-bernoulli",
+    "variant-key-census",
+    "variant-type-profile",
+    "events-survival-table",
+    "events-cohort-ltv-curve",
+    "agg-pareto-abc",
+    "stats-matched-uplift",
+    "explode-token-freq",
     "q1-pricing-summary",
     "q3-shipping-priority",
     "q5-local-supplier",
