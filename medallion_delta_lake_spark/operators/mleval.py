@@ -158,6 +158,15 @@ def bucketed_global_rank(
     positive count), carried on the same bucket frame + within-bucket
     window — no extra exchange.
 
+    Degenerate worst case: an axis where most rows share ONE value
+    collapses into one bucket, and the within-bucket ROW_NUMBER sorts
+    those rows in one partition — the same worst case ANY total-order
+    rank has under massive ties (the distinct-value machinery puts
+    the identical mass into one value-partition). For genuinely
+    low-cardinality axes use the distinct-offsets rank
+    (``_global_rank`` / ``_rfm_rank``), which handles that shape in
+    O(distinct) instead.
+
     ``partition_cols``: optional LOW-CARDINALITY grouping columns —
     the rank restarts per group (quantile normalization's per-source
     rank). The offsets frame grows to |groups|·16k rows and the
