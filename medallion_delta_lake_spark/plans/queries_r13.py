@@ -28,7 +28,10 @@ The cohort answers VERDICT r11 #6 plus the remaining coverage seams:
 - text-hapax-ratio — hapax-legomena vocabulary health per language;
 - dedup-lsh-recall-audit — measured recall of the banded-MinHash
   pipeline against exact n-gram-Jaccard ground truth on the audit
-  corpus (the number that justifies a band/perm config to users).
+  corpus (the number that justifies a band/perm config to users);
+- join-cdf-maintained — the r10 maintain_join_from_changes machinery
+  (materialized two-table join maintained from BOTH sides' feeds)
+  driven end to end through the log engine as a driver-graded face.
 
 Deliberately NO ``@query`` decorator and NO registry import on the
 module path that registers: importing this module must not mutate
@@ -625,3 +628,116 @@ R13_ORACLES["dedup-lsh-recall-audit"] = f"""
              AS worst_missed_j_q6
     FROM missed
 """
+
+
+# ------------------------------------------------------------------
+# maintained JOIN from both sides' change feeds (r10 machinery,
+# pytest-only until now — driver-graded face)
+
+
+@draft(
+    "join-cdf-maintained",
+    # a materialized orders⋈customer join maintained from BOTH sides'
+    # change feeds (left: delete + update; right: update + delete)
+    # must equal the join of the two churned final states; the rollup
+    # face makes any stale, duplicated, or orphaned joined row break
+    # the hash
+    oracle="""
+    WITH l AS (
+      SELECT o_orderkey AS ok, o_custkey AS cust,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    lf AS (
+      SELECT ok, cust,
+             CASE WHEN ok >= 50000 THEN cents + 7 ELSE cents END
+               AS cents
+      FROM l WHERE ok >= 20000
+    ),
+    r AS (
+      SELECT c_custkey AS cust, c_mktsegment AS seg FROM customer
+    ),
+    rf AS (
+      SELECT cust,
+             CASE WHEN cust <= 300 THEN 'VIP' ELSE seg END AS seg
+      FROM r WHERE cust < 1200
+    )
+    SELECT seg,
+           COUNT(*) AS n,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM lf JOIN rf USING (cust)
+    GROUP BY seg
+    """,
+)
+def join_cdf_maintained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join / CDF-maintained materialized join — the r10
+    affected-key-refresh machinery
+    (operators/incremental.py:maintain_join_from_changes,
+    pytest-proven in tests/test_cdc_write.py) driven end to end
+    through the log engine as a driver-graded face: seed two
+    log-backed tables with CDF on (an orders fact keyed by cust, a
+    customer dim), bootstrap the materialized inner join, churn BOTH
+    sides (fact: DELETE below an order-key cut + UPDATE a cents band;
+    dim: UPDATE a segment band to 'VIP' + DELETE a key range — the
+    dim delete must evict its joined fact rows), fold both change
+    feeds in, and roll up the MAINTAINED join per segment. Oracle
+    joins the two churned final states declaratively. Per refresh the
+    maintained table is touched only by an anti-join on the touched
+    keys — O(changed keys), never a two-table rescan."""
+    from medallion_delta_lake_spark.operators.incremental import (
+        maintain_join_from_changes,
+    )
+    from medallion_delta_lake_spark.sources import delta_log
+
+    pl = _scratch(sf_dir, "ivm_join_l")
+    pr = _scratch(sf_dir, "ivm_join_r")
+    _shutil.rmtree(pl, ignore_errors=True)
+    _shutil.rmtree(pr, ignore_errors=True)
+    left = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 3 == 0)
+        .select(
+            F.col("o_orderkey").alias("ok"),
+            F.col("o_custkey").alias("cust"),
+            F.floor(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    right = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    delta_log.write_delta(spark, left.coalesce(2), pl)
+    delta_log.write_delta(spark, right.coalesce(2), pr)
+    for p in (pl, pr):
+        delta_log.set_table_properties(
+            p, {"delta.enableChangeDataFeed": "true"}
+        )
+    v0l = delta_log.resolve_snapshot(pl)["version"]
+    v0r = delta_log.resolve_snapshot(pr)["version"]
+    joined0 = delta_log.read_delta(spark, pl).join(
+        delta_log.read_delta(spark, pr), "cust"
+    )
+    # churn the fact side
+    delta_log.delete_delta_log(spark, pl, [("ok", "<", 20000)])
+    delta_log.update_delta_log(
+        spark, pl, [("ok", ">=", 50000)], {"cents": "cents + 7"}
+    )
+    # churn the dim side — the delete must evict joined fact rows
+    delta_log.update_delta_log(
+        spark, pr, [("cust", "<=", 300)], {"seg": "'VIP'"}
+    )
+    delta_log.delete_delta_log(spark, pr, [("cust", ">=", 1200)])
+    maintained = maintain_join_from_changes(
+        joined0,
+        delta_log.read_delta(spark, pl),
+        delta_log.read_delta(spark, pr),
+        delta_log.table_changes(spark, pl, v0l + 1),
+        delta_log.table_changes(spark, pr, v0r + 1),
+        keys=["cust"],
+    )
+    return maintained.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("sum_cents"),
+    )
