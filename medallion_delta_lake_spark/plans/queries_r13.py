@@ -31,7 +31,12 @@ The cohort answers VERDICT r11 #6 plus the remaining coverage seams:
   corpus (the number that justifies a band/perm config to users);
 - join-cdf-maintained — the r10 maintain_join_from_changes machinery
   (materialized two-table join maintained from BOTH sides' feeds)
-  driven end to end through the log engine as a driver-graded face.
+  driven end to end through the log engine as a driver-graded face;
+- maintenance-optimize-zorder — DELETE-by-DV then OPTIMIZE ZORDER:
+  DV materialization (PURGE), dataChange:false commit, content
+  preservation, and post-rewrite stats skipping in one face;
+- maintenance-restore-version — churn then RESTORE to the seed
+  version; the read-back must equal the original subset exactly.
 
 Deliberately NO ``@query`` decorator and NO registry import on the
 module path that registers: importing this module must not mutate
@@ -740,4 +745,112 @@ def join_cdf_maintained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maintained.groupBy("seg").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("cents").alias("sum_cents"),
+    )
+
+
+# ------------------------------------------------------------------
+# table-maintenance paths as driver faces: OPTIMIZE Z-ORDER, RESTORE
+
+
+@draft(
+    "maintenance-optimize-zorder",
+    # DELETE a band by deletion vector, then OPTIMIZE ZORDER — the
+    # rewrite must MATERIALIZE the DV (spec PURGE behavior), commit
+    # dataChange:false, and preserve table contents exactly; the
+    # filtered read-back after the rewrite proves both content and
+    # the re-clustered files' stats still answer predicates right
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(event_id) AS BIGINT) AS sum_id,
+           CAST(MIN(event_id) AS BIGINT) AS min_id
+    FROM events
+    WHERE event_id % 2 = 0 AND event_id >= 1000
+      AND NOT (event_id >= 2000 AND event_id < 3000)
+    GROUP BY event_type
+    """,
+)
+def maintenance_optimize_zorder_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """maintenance / OPTIMIZE Z-ORDER round trip — the compaction
+    path (sources/delta_log.py:optimize_delta_log, pytest-proven in
+    tests/test_zorder_skipping.py / test_log_compaction.py) as a
+    driver-graded face: write a deliberately fragmented table (8
+    small files), DELETE a band (lands as deletion vectors), OPTIMIZE
+    with zorder_by=event_id — which must materialize the DVs into the
+    rewrite (Delta's PURGE), commit remove+add with dataChange:false,
+    and leave CONTENTS bit-identical — then read back through log
+    replay with an event_id predicate (the re-clustered files' min/max
+    stats drive the skipping). Oracle = the declarative filter off the
+    base parquet; a lost row, a resurrected deleted row, or a stats
+    mis-write that skips a live file all break the hash."""
+    from medallion_delta_lake_spark.sources import delta_log
+
+    p = _scratch(sf_dir, "opt_zorder")
+    _shutil.rmtree(p, ignore_errors=True)
+    base = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 2 == 0)
+        .select("event_id", "event_type")
+    )
+    delta_log.write_delta(spark, base.repartition(8), p)
+    delta_log.delete_delta_log(
+        spark, p, [("event_id", ">=", 2000), ("event_id", "<", 3000)]
+    )
+    delta_log.optimize_delta_log(spark, p, zorder_by=["event_id"])
+    back = delta_log.read_delta(
+        spark, p, filters=[("event_id", ">=", 1000)]
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("event_id").alias("sum_id"),
+        F.min("event_id").alias("min_id"),
+    )
+
+
+@draft(
+    "maintenance-restore-version",
+    # churn (delete + append) then RESTORE to the seed version: the
+    # read-back must equal the ORIGINAL subset exactly — restore is a
+    # new commit that resurrects the old file set, never a history
+    # rewrite
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(event_id) AS BIGINT) AS sum_id
+    FROM events WHERE event_id % 5 = 0
+    GROUP BY event_type
+    """,
+)
+def maintenance_restore_version_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """maintenance / RESTORE round trip — time travel as a WRITE
+    operation (sources/delta_log.py:restore_delta_log, pytest-proven
+    in tests/test_delta_lifecycle_e2e.py) as a driver-graded face:
+    seed a table, churn it (DELETE a key range + APPEND extra rows),
+    RESTORE to the seed version — a NEW commit that re-adds the old
+    files and removes the churn, history intact — and read the
+    restored state back by log replay. Oracle = the seed subset off
+    the base parquet; any churn row surviving the restore, or any
+    seed row lost, breaks the hash."""
+    from medallion_delta_lake_spark.sources import delta_log
+
+    p = _scratch(sf_dir, "restore_v0")
+    _shutil.rmtree(p, ignore_errors=True)
+    base = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 5 == 0)
+        .select("event_id", "event_type")
+    )
+    v0 = delta_log.write_delta(spark, base.coalesce(2), p)
+    delta_log.delete_delta_log(spark, p, [("event_id", "<", 50000)])
+    extra = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 5 == 1)
+        .select("event_id", "event_type")
+    )
+    delta_log.write_delta(spark, extra.coalesce(1), p)
+    delta_log.restore_delta_log(p, v0)
+    back = delta_log.read_delta(spark, p)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("event_id").alias("sum_id"),
     )
