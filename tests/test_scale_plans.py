@@ -479,3 +479,60 @@ def test_bucketed_rank_user_cardinality_axis(spark):
         bs[xs[order[i]]] <= bs[xs[order[i + 1]]]
         for i in range(len(order) - 1)
     )
+
+
+@pytest.mark.parametrize(
+    "modname,fname,bucket_keys",
+    [
+        ("queries_rel", "agg_gini_coefficient_q", ["_bkt_i"]),
+        ("queries_rel", "agg_pareto_abc_q", ["_bkt__i"]),
+        ("queries_feature", "normalize_quantile_map_q", ["_bkt_pr", "_bkt_r"]),
+        ("queries_feature", "join_nn_match_1d_q", ["_bkt"]),
+        ("queries_feature", "stats_matched_uplift_q", ["_bkt"]),
+    ],
+)
+def test_bucketed_rewrites_plan_shape(spark, modname, fname, bucket_keys):
+    """r12 global-window sweep pins: every face rewritten off a
+    row-cardinality unpartitioned window must (a) carry the bounded
+    bucket key in its plan, (b) never group an offsets frame on the
+    raw continuous axis, and (c) only use SinglePartition exchanges
+    that feed grouped (HashAggregate) frames — the same contract the
+    events-rfm-scores test enforces."""
+    import importlib
+
+    mod = importlib.import_module(
+        f"medallion_delta_lake_spark.plans.{modname}"
+    )
+    df = getattr(mod, fname)(spark, SF_SMOKE)
+    plan = _final_plan(df)
+    for k in bucket_keys:
+        assert k in plan, f"{fname}: bucket key {k} missing\n{plan[:1500]}"
+    # no offsets frame grouped on the raw axis these faces rank by
+    for raw in ("keys=[spend#", "keys=[monetary#", "keys=[value#", "keys=[v#"):
+        assert raw not in plan, f"{fname}: raw-axis aggregate {raw}"
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            tail = "\n".join(lines[i : i + 6])
+            # grouped frames plan as HashAggregate, or SortAggregate
+            # when the agg has ordering-sensitive functions (max_by)
+            assert "HashAggregate" in tail or "SortAggregate" in tail, (
+                f"{fname}: SinglePartition exchange not feeding a "
+                f"grouped frame:\n{tail}"
+            )
+
+
+def test_topk_faces_use_takeordered(spark):
+    """text-zipf-profile / explode-token-freq (r12 fix): the top-k cut
+    must plan TakeOrderedAndProject BEFORE the rank window — never a
+    vocab-cardinality row_number in one partition."""
+    from medallion_delta_lake_spark.plans.queries_rel import (
+        explode_token_freq_q,
+    )
+    from medallion_delta_lake_spark.plans.queries_text import (
+        text_zipf_profile_q,
+    )
+
+    for fn in (explode_token_freq_q, text_zipf_profile_q):
+        plan = _final_plan(fn(spark, SF_SMOKE))
+        assert "TakeOrderedAndProject" in plan, plan[:1500]
