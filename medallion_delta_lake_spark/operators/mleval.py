@@ -797,3 +797,42 @@ def permutation_test_mean_diff(
             F.col("n_rep").cast("bigint").alias("n_replicates"),
         )
     )
+
+
+def fbeta_at_thresholds(
+    df: DataFrame, score_col: str, label_col: str, cuts: int = 10
+) -> DataFrame:
+    """F-beta sweep over the ``cuts``-iles of the observed integer
+    score range (q·gmax div cuts, q = 1..cuts-1): the beta family
+    {0.5, 1, 2} closed from INTEGER confusion cells via the
+    denominator-cleared identities (β² rational, so multiply through
+    by 4: F₀.₅ = 5tp / (5tp + fn + 4fp), F₂ = 5tp / (5tp + 4fn + fp))
+    — one double division per metric, engine-exact. Same one-scan +
+    broadcast-threshold-frame shape as confusion_at_thresholds; this
+    is the finer sweep precision/recall trade-off studies need.
+    Output: cuts-1 rows (q, tp, fp, fn, tn, f_half, f1, f2)."""
+    spark = df.sparkSession
+    base = _score_label(df, score_col, label_col)
+    g = base.groupBy().agg(F.max("v").alias("gmax"))
+    qdf = spark.createDataFrame([(i,) for i in range(1, cuts)], "q int")
+    j = base.crossJoin(F.broadcast(g)).crossJoin(F.broadcast(qdf))
+    pred = (F.col("v") >= F.expr(f"(q * gmax) div {cuts}")).cast("int")
+    cells = j.groupBy("q").agg(
+        F.sum(pred * F.col("y")).alias("tp"),
+        F.sum(pred * (1 - F.col("y"))).alias("fp"),
+        F.sum((1 - pred) * F.col("y")).alias("fn"),
+        F.sum((1 - pred) * (1 - F.col("y"))).alias("tn"),
+    )
+    tp, fp, fn = (
+        F.col(c).cast("double") for c in ("tp", "fp", "fn")
+    )
+    return cells.select(
+        "q",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        (5.0 * tp / (5.0 * tp + fn + 4.0 * fp)).alias("f_half"),
+        (2.0 * tp / (2.0 * tp + fp + fn)).alias("f1"),
+        (5.0 * tp / (5.0 * tp + 4.0 * fn + fp)).alias("f2"),
+    )

@@ -946,3 +946,189 @@ def project_embeddings(
             *[F.col(f"__c{j}") for j in range(out_dims)]
         ).alias(out_col),
     )
+
+
+def q_l2sq(a: Column, b: Column) -> Column:
+    """Floor-quantized squared L2 distance: per-dim
+    ``floor((x - c)^2 * 1e12)`` as BIGINT, sequentially folded — the
+    64-term reduction is an exact integer under any partitioning and
+    any engine (the registry rule for k > 17 float reductions; same
+    quantization the centroid-outlier face proves cross-engine).
+    Exactness bound: testdata components sit in ±0.58, so per-dim
+    terms are ≤ 1.4e12 and a 64-dim sum ≤ 9e13 ≪ 2^53 — the BIGINT
+    survives nn_assign's double sort key without rounding."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: F.floor(
+                (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double"))
+                * F.lit(1e12)
+            ),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda s, x: s + x,
+    )
+
+
+def assign_exact(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cid_col: str = "cid",
+    cv_col: str = "cv",
+    out_col: str = "cid",
+) -> DataFrame:
+    """Engine-exact nearest-centroid assignment: argmin of the
+    quantized integer distance :func:`q_l2sq`, ties to the lowest
+    centroid id. Same distributed shape as :func:`ivf_assign`
+    (broadcast-NLJ + struct-min partial agg, shuffle = one
+    row/vector) but reproducible bit-for-bit in a SQL oracle —
+    ``ivf_assign``'s float dot is engine-exact too, yet L2 argmin is
+    the Lloyd-step semantics and the integer distance makes the
+    tie surface explicit."""
+    from medallion_delta_lake_spark.operators.joins import nn_assign
+
+    lab = centroids.select(
+        F.col(cid_col).alias("_acid"), F.col(cv_col).alias("_acv")
+    )
+    dist = q_l2sq(as_double(vec_col), F.col("_acv"))
+    out = nn_assign(
+        df.select(id_col, vec_col),
+        lab,
+        dist,
+        id_cols=[id_col],
+        label_cols=["_acid"],
+        tie_break=["_acid"],
+    )
+    return out.select(id_col, vec_col, F.col("_acid").alias(out_col))
+
+
+def kmeans_step_exact(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cid_col: str = "cid",
+    cv_col: str = "cv",
+) -> DataFrame:
+    """ONE engine-exact Lloyd iteration — assign, recompute, reassign
+    — returning ``(id, cid0, cid1)`` so callers can audit cluster
+    movement (the convergence signal). Unlike :func:`kmeans_centroids`
+    (whose decimal(38,12) means are NOT cross-engine stable — see the
+    agg-vector-mean face note), every arithmetic step here is exact:
+
+    - assignment: quantized integer L2 argmin (:func:`assign_exact`);
+    - centroid update: per-(cid, dim) sums of ``floor(x * 1e6)``
+      BIGINT components — order-free integer adds — closed as
+      ``(si / n) / 1e6`` (one IEEE division, identical both engines);
+    - emptied clusters keep their previous centroid (left-join
+      coalesce), so k is stable.
+
+    Distributed shape: two broadcast-NLJ assigns (shuffle = one
+    row/vector each) + one (cid, dim)-keyed integer aggregate
+    (shuffle = k·dims rows) + a k-row centroid reassembly — no window,
+    no collect, nothing driver-side. 100 TB posture: identical to
+    ivf_assign's, the proven coarse-quantizer shape."""
+    a0 = assign_exact(
+        corpus, centroids, id_col, vec_col, cid_col, cv_col, out_col="_c0"
+    )
+    pos = a0.select(
+        "_c0", F.posexplode(as_double(vec_col)).alias("_dim", "_x")
+    )
+    sums = pos.groupBy("_c0", "_dim").agg(
+        F.sum(
+            F.floor(F.col("_x") * F.lit(1e6)).cast("bigint")
+        ).alias("_si"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    vals = sums.select(
+        F.col("_c0").alias(cid_col),
+        "_dim",
+        (
+            (F.col("_si").cast("double") / F.col("_n").cast("double"))
+            / F.lit(1e6)
+        ).alias("_cval"),
+    )
+    refined = (
+        vals.groupBy(cid_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("_dim", "_cval"))
+            ).alias("_dm")
+        )
+        .select(
+            cid_col,
+            F.transform(F.col("_dm"), lambda s: s["_cval"]).alias("_ncv"),
+        )
+    )
+    cf = (
+        centroids.join(refined, cid_col, "left")
+        .select(
+            cid_col,
+            F.coalesce(F.col("_ncv"), as_double(cv_col)).alias(cv_col),
+        )
+    )
+    a1 = assign_exact(
+        a0.select(id_col, vec_col), cf, id_col, vec_col, cid_col, cv_col,
+        out_col="_c1",
+    )
+    return (
+        a0.select(id_col, F.col("_c0").alias("cid0"))
+        .join(a1.select(id_col, F.col("_c1").alias("cid1")), id_col)
+    )
+
+
+def semantic_dupes(
+    df: DataFrame,
+    tau: float,
+    n_planes: int = 6,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate flags: a row is a dup
+    iff a LOWER-id vector in the SAME LSH bucket has cosine ≥ ``tau``
+    with it (keep-first-seen within each coarse cell — the
+    keep/discard decision semantic-dedup pipelines apply before
+    training). Returns ``(id_col, is_dup)``.
+
+    Distributed shape: bucket ids are per-row expressions; the
+    candidate pass is a bucket equi-join (never all-pairs), the dup
+    set is a distinct + left-semi — all shuffles ride the bucket /
+    id keys. Oversized buckets bound the pair fan-out exactly as in
+    ann_self_topk; for corpora with heavy bucket skew use more planes
+    or the re-split machinery (_self_candidates) — this variant keeps
+    the oracle-checkable single-family shape."""
+    b = df.select(
+        F.col(id_col),
+        hyperplane_bucket(as_double(vec_col), n_planes, dims).alias(
+            "_bkt"
+        ),
+        as_double(vec_col).alias("_v"),
+    )
+    q = b.select(
+        F.col(id_col).alias("_qid"),
+        F.col("_bkt"),
+        F.col("_v").alias("_qv"),
+    )
+    c = b.select(
+        F.col(id_col).alias("_cid2"),
+        F.col("_bkt"),
+        F.col("_v").alias("_cv2"),
+    )
+    pairs = q.join(c, "_bkt").filter(F.col("_qid") > F.col("_cid2"))
+    dup_ids = (
+        pairs.filter(
+            cosine(F.col("_qv"), F.col("_cv2")) >= F.lit(float(tau))
+        )
+        .select(F.col("_qid").alias(id_col))
+        .distinct()
+    )
+    return df.select(id_col).join(
+        dup_ids.withColumn("_isd", F.lit(True)), id_col, "left"
+    ).select(
+        id_col, F.coalesce(F.col("_isd"), F.lit(False)).alias("is_dup")
+    )
