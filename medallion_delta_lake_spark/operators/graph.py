@@ -369,3 +369,60 @@ def basket_cap_audit(
             F.when(F.col("bsz") > max_basket_size, F.col("bsz"))
         ).alias("max_dropped_size"),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    iters: int = 3,
+) -> DataFrame:
+    """Synchronous min-label propagation over an undirected graph:
+    every node starts labelled with its own id; each round it takes
+    the minimum of its label and its neighbours' labels. Returns
+    ``(id, lbl)`` after exactly ``iters`` rounds.
+
+    Fixed-round propagation is the community/CC primitive that an
+    oracle can unroll as a CTE chain (the same contract as
+    :func:`pagerank`); for full connected-component convergence at
+    100 TB use ``dedup.neardup_clusters_star`` (alternating
+    large/small-star, O(log n) rounds) — this face is the bounded,
+    deterministic k-hop form.
+
+    Plan shape: the "keep your own label" term rides SELF-LOOP edges,
+    so each round is ONE edges⋈labels equi-join + a map-side-combined
+    MIN aggregate that references the previous label frame exactly
+    once — the lineage stays LINEAR in the round count. (The naive
+    ``least(own, min-neighbour)`` update references the label frame
+    twice per round, doubling the unresolved plan each iteration —
+     2^k recomputation by round k; self-loops are the same fix
+    :func:`pagerank` gets from rebuilding off ``nodes``.) Shuffle
+    width is |edges|+|V| rows of (id, lbl) pairs, no window, no
+    collect."""
+    from medallion_delta_lake_spark.operators.caching import tracked_cache
+
+    half = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("d")
+    ).distinct()
+    nodes = (
+        half.select(F.col("s").alias("id"))
+        .unionByName(half.select(F.col("d").alias("id")))
+        .distinct()
+    )
+    # duplicates from an input holding both (a,b) and (b,a) are
+    # harmless under MIN — dedup only the raw half (the big frame)
+    e = tracked_cache(
+        half.unionByName(
+            half.select(F.col("d").alias("s"), F.col("s").alias("d"))
+        ).unionByName(
+            nodes.select(F.col("id").alias("s"), F.col("id").alias("d"))
+        )
+    )
+    lbl = nodes.withColumn("lbl", F.col("id"))
+    for _ in range(iters):
+        lbl = (
+            e.join(lbl, e["s"] == lbl["id"])
+            .groupBy(F.col("d").alias("id"))
+            .agg(F.min("lbl").alias("lbl"))
+        )
+    return lbl

@@ -709,3 +709,73 @@ def sketch_epoch_rebuild(
     kept = partials.join(F.broadcast(touched), epoch_col, "left_anti")
     dirty = current.join(F.broadcast(touched), epoch_col, "left_semi")
     return kept.unionByName(partial_fn(dirty))
+
+
+def kmv_diff_ops(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+    k: int = 256,
+) -> DataFrame:
+    """Theta-sketch-style set DIFFERENCE estimates from two single-set
+    bottom-k sketches (columns ``h``) — the A-not-B operation the
+    audience/segment workflows need on top of :func:`kmv_set_ops`'
+    union/intersection/Jaccard:
+
+      x_n, h_k         size / max hash of X = bottom-k(A ∪ B)
+      d_ab, d_ba       members of X seen only in A / only in B
+      union_est_q6     the KMV union estimate (exact below k)
+      diff_ab_est_q6   trunc((d_ab / x_n) · union_est · 10^6) — the
+                       standard theta A-not-B estimator
+      diff_ba_est_q6   symmetric B-not-A
+
+    Every output is an exact integer quantization (DECIMAL(38,0)
+    multiply-divide, no doubles), so the face is engine-exact. The
+    whole computation touches two ≤ k-row frames — bounded state
+    regardless of the source cardinality the sketches summarize."""
+    a = sketch_a.select(F.col("h"), F.lit(1).alias("in_a"))
+    b = sketch_b.select(F.col("h"), F.lit(1).alias("in_b"))
+    both = (
+        a.join(b, "h", "full_outer")
+        .select(
+            "h",
+            F.coalesce("in_a", F.lit(0)).alias("in_a"),
+            F.coalesce("in_b", F.lit(0)).alias("in_b"),
+        )
+        .orderBy("h")
+        .limit(k)
+    )
+    agg = both.agg(
+        F.count(F.lit(1)).alias("x_n"),
+        F.max("h").alias("h_k"),
+        F.sum(
+            F.when((F.col("in_a") == 1) & (F.col("in_b") == 0), 1)
+            .otherwise(0)
+        ).cast("bigint").alias("d_ab"),
+        F.sum(
+            F.when((F.col("in_a") == 0) & (F.col("in_b") == 1), 1)
+            .otherwise(0)
+        ).cast("bigint").alias("d_ba"),
+    )
+    union_exact = F.col("x_n") * F.lit(10**6).cast("bigint")
+    union_est = F.when(F.col("x_n") < k, union_exact).otherwise(
+        q_div(
+            F.expr(f"CAST('{(k - 1) * (1 << 60)}' AS DECIMAL(38,0))"),
+            F.col("h_k").cast("decimal(38,0)"),
+            6,
+        )
+    )
+    out = agg.withColumn("union_est_q6", union_est)
+    for side in ("ab", "ba"):
+        out = out.withColumn(
+            f"diff_{side}_est_q6",
+            q_div(
+                F.col(f"d_{side}").cast("decimal(38,0)")
+                * F.col("union_est_q6").cast("decimal(38,0)"),
+                F.col("x_n").cast("decimal(38,0)") * F.lit(10**6),
+                6,
+            ),
+        )
+    return out.select(
+        "x_n", "h_k", "d_ab", "d_ba", "union_est_q6",
+        "diff_ab_est_q6", "diff_ba_est_q6",
+    )

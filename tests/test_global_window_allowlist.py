@@ -147,6 +147,12 @@ ALLOWLIST: dict[tuple[str, str], tuple[int, str]] = {
         "distinct values of integer/low-cardinality lineitem columns "
         "(l_quantity 1..50, discount cents) — value-range bounded",
     ),
+    ("plans/queries_r15.py", "drift_wasserstein_binned_q"): (
+        1,
+        "fixed 256-bin histogram frame — ≤256 rows BY CONSTRUCTION "
+        "(least(255, floor(value/width)) clamps every finite value "
+        "into the bin range before the cumulative window)",
+    ),
 }
 
 
