@@ -836,3 +836,89 @@ def fbeta_at_thresholds(
         (2.0 * tp / (2.0 * tp + fp + fn)).alias("f1"),
         (5.0 * tp / (5.0 * tp + 4.0 * fn + fp)).alias("f2"),
     )
+
+
+def auc_delong(
+    df: DataFrame, score_col: str, label_col: str
+) -> DataFrame:
+    """Exact tie-aware DeLong variance and 95% CI for the ROC-AUC —
+    the error bar :func:`roc_auc` doesn't carry, so model comparisons
+    can tell signal from noise.
+
+    DeLong's estimator is var(AUC) = S10/n⁺ + S01/n⁻, with S10 the
+    sample variance over positives of V10_i = (#neg below + ½·#neg
+    tied)/n⁻ and S01 symmetric. On the bounded distinct-cents
+    frequency map every positive at score v shares
+    a_v = 2·cum_neg_below(v) + neg_tied(v) = 2n⁻·V10, an INTEGER, so
+    Σa and Σa² accumulate exactly in DECIMAL(38,0) and the variance
+    numerators close as the Cauchy-Schwarz-nonnegative integers
+    n⁺·Σa² − (Σa)² (limb-converted — past 2^53 a plain decimal→double
+    cast is 1-ulp engine-divergent). The only window rides the
+    distinct-cents frame (score-range bounded, same contract as
+    :func:`_global_rank`); the fact-level work is one grouped count.
+
+    Output: one row (n_pos, n_neg, auc, var_auc, se_auc, ci_lo95,
+    ci_hi95). sqrt and the fixed ± close are IEEE-exact."""
+    base = _score_label(df, score_col, label_col)
+    f = base.groupBy("v").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("np")
+    ).select(
+        "v", "np", (F.col("n") - F.col("np")).alias("nn")
+    )
+    w_up = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_dn = Window.orderBy(F.col("v").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    r = f.select(
+        "np",
+        "nn",
+        (
+            2 * F.coalesce(F.sum("nn").over(w_up), F.lit(0))
+            + F.col("nn")
+        ).alias("a"),
+        (
+            2 * F.coalesce(F.sum("np").over(w_dn), F.lit(0))
+            + F.col("np")
+        ).alias("b"),
+    )
+    dec = "decimal(38,0)"
+    t = r.agg(
+        F.sum(F.col("np").cast(dec) * F.col("a")).alias("A"),
+        F.sum(
+            F.col("np").cast(dec) * F.col("a") * F.col("a")
+        ).alias("A2"),
+        F.sum(F.col("nn").cast(dec) * F.col("b")).alias("B"),
+        F.sum(
+            F.col("nn").cast(dec) * F.col("b") * F.col("b")
+        ).alias("B2"),
+        F.sum("np").cast("bigint").alias("p"),
+        F.sum("nn").cast("bigint").alias("q"),
+    )
+    pd_, qd = F.col("p").cast("double"), F.col("q").cast("double")
+    auc = limb_double(F.col("A")) / (2.0 * pd_ * qd)
+    s10n = limb_double(
+        F.col("p").cast(dec) * F.col("A2") - F.col("A") * F.col("A")
+    )
+    s01n = limb_double(
+        F.col("q").cast(dec) * F.col("B2") - F.col("B") * F.col("B")
+    )
+    var = s10n / (
+        pd_ * pd_ * (pd_ - 1.0) * 4.0 * qd * qd
+    ) + s01n / (qd * qd * (qd - 1.0) * 4.0 * pd_ * pd_)
+    out = t.select(
+        F.col("p").alias("n_pos"),
+        F.col("q").alias("n_neg"),
+        auc.alias("auc"),
+        var.alias("var_auc"),
+    ).withColumn("se_auc", F.sqrt(F.col("var_auc")))
+    return out.select(
+        "n_pos",
+        "n_neg",
+        "auc",
+        "var_auc",
+        "se_auc",
+        (F.col("auc") - 1.96 * F.col("se_auc")).alias("ci_lo95"),
+        (F.col("auc") + 1.96 * F.col("se_auc")).alias("ci_hi95"),
+    )

@@ -548,6 +548,7 @@ def stream_cms_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         stateful.cms_topk_monitor(sdf, d=4, w=256, k=5),
         "update",
         spark,
+        num_state_partitions=8,
     )
 
 
@@ -597,7 +598,10 @@ def stream_kmv_distinct_q(
     )
     sdf = _stage_stream(spark, src, sf_dir, "kmv_distinct")
     return se.run_available_now(
-        stateful.kmv_distinct_monitor(sdf, k=256), "update", spark
+        stateful.kmv_distinct_monitor(sdf, k=256),
+        "update",
+        spark,
+        num_state_partitions=8,
     )
 
 

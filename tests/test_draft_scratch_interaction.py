@@ -20,6 +20,8 @@ import duckdb
 from medallion_delta_lake_spark.catalog import TESTDATA_TABLES
 from medallion_delta_lake_spark.plans import queries_r13 as r13
 from medallion_delta_lake_spark.plans import queries_r14 as r14
+from medallion_delta_lake_spark.plans import queries_r15 as r15
+from medallion_delta_lake_spark.plans import queries_r16 as r16
 
 SF = "/root/testdata/sf0.001"
 
@@ -40,8 +42,18 @@ def _oracle_counts(oracles: dict[str, str]) -> dict[str, int]:
 
 
 def test_build_all_then_evaluate_all(spark):
-    queries = {**r13.R13_QUERIES, **r14.R14_QUERIES}
-    oracles = {**r13.R13_ORACLES, **r14.R14_ORACLES}
+    queries = {
+        **r13.R13_QUERIES,
+        **r14.R14_QUERIES,
+        **r15.R15_QUERIES,
+        **r16.R16_QUERIES,
+    }
+    oracles = {
+        **r13.R13_ORACLES,
+        **r14.R14_ORACLES,
+        **r15.R15_ORACLES,
+        **r16.R16_ORACLES,
+    }
     # phase 1: build EVERY face before evaluating ANY — eager scratch
     # writes run now; the returned frames stay lazy
     built = {name: fn(spark, SF) for name, fn in sorted(queries.items())}

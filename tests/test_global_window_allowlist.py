@@ -153,6 +153,12 @@ ALLOWLIST: dict[tuple[str, str], tuple[int, str]] = {
         "(least(255, floor(value/width)) clamps every finite value "
         "into the bin range before the cumulative window)",
     ),
+    ("operators/mleval.py", "auc_delong"): (
+        2,
+        "both over the distinct score-cents frame (placement "
+        "integers below/above) — score-range bounded, same contract "
+        "as _global_rank/ks_separation",
+    ),
 }
 
 
