@@ -22,6 +22,7 @@ from medallion_delta_lake_spark.plans import queries_r13 as r13
 from medallion_delta_lake_spark.plans import queries_r14 as r14
 from medallion_delta_lake_spark.plans import queries_r15 as r15
 from medallion_delta_lake_spark.plans import queries_r16 as r16
+from medallion_delta_lake_spark.plans import queries_r17 as r17
 
 SF = "/root/testdata/sf0.001"
 
@@ -47,12 +48,14 @@ def test_build_all_then_evaluate_all(spark):
         **r14.R14_QUERIES,
         **r15.R15_QUERIES,
         **r16.R16_QUERIES,
+        **r17.R17_QUERIES,
     }
     oracles = {
         **r13.R13_ORACLES,
         **r14.R14_ORACLES,
         **r15.R15_ORACLES,
         **r16.R16_ORACLES,
+        **r17.R17_ORACLES,
     }
     # phase 1: build EVERY face before evaluating ANY — eager scratch
     # writes run now; the returned frames stay lazy

@@ -159,6 +159,10 @@ ALLOWLIST: dict[tuple[str, str], tuple[int, str]] = {
         "integers below/above) — score-range bounded, same contract "
         "as _global_rank/ks_separation",
     ),
+    ("plans/queries_r17.py", "ml_threshold_youden_q"): (
+        1,
+        "decile frame — ≤10 rows (same shape as lift_deciles)",
+    ),
 }
 
 
