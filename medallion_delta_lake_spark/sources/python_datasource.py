@@ -49,6 +49,15 @@ class _FilePartition(InputPartition):
     partition_values: dict = field(default_factory=dict)
     dv_indexes: list = field(default_factory=list)
     physical_names: dict = field(default_factory=dict)  # logical→phys
+    # change-feed extensions (readChangeFeed streaming): when
+    # cdf_commit_version is set the partition emits CDF rows —
+    # include_indexes (non-empty) selects EXACTLY those row indexes
+    # (DV-diff deletes/restores) instead of subtracting dv_indexes;
+    # cdf_change_type stamps the literal _change_type, or None for a
+    # _change_data file that already carries the column
+    cdf_change_type: str | None = None
+    cdf_commit_version: int | None = None
+    include_indexes: list = field(default_factory=list)
 
 
 def _spark_to_arrow_schema(schema: StructType):
@@ -74,7 +83,15 @@ def _read_partition(part: _FilePartition, schema: StructType):
     tbl = pq.read_table(
         os.path.join(part.table_path, part.rel_path)
     )
-    if part.dv_indexes:
+    if part.include_indexes:
+        keep = pc.is_in(
+            pa.array(range(tbl.num_rows), type=pa.int64()),
+            value_set=pa.array(
+                part.include_indexes, type=pa.int64()
+            ),
+        )
+        tbl = tbl.filter(keep)
+    elif part.dv_indexes:
         keep = pc.invert(
             pc.is_in(
                 pa.array(range(tbl.num_rows), type=pa.int64()),
@@ -84,6 +101,26 @@ def _read_partition(part: _FilePartition, schema: StructType):
         tbl = tbl.filter(keep)
     cols = []
     for f in schema.fields:
+        if f.name == "_commit_version" and (
+            part.cdf_commit_version is not None
+        ):
+            cols.append(
+                pa.array(
+                    [part.cdf_commit_version] * tbl.num_rows,
+                    type=pa.int64(),
+                )
+            )
+            continue
+        if f.name == "_change_type" and (
+            part.cdf_change_type is not None
+        ):
+            cols.append(
+                pa.array(
+                    [part.cdf_change_type] * tbl.num_rows,
+                    type=pa.string(),
+                )
+            )
+            continue
         if f.name in part.partition_values:
             v = part.partition_values[f.name]
             at = target.field(f.name).type
@@ -356,24 +393,247 @@ class _StreamReader(DataSourceStreamReader):
         pass  # offsets are durable in the stream's own checkpoint
 
 
+class _CdfStreamReader(DataSourceStreamReader):
+    """Streaming CHANGE DATA FEED source
+    (``option("readChangeFeed", "true")``): each microbatch emits the
+    rows every newly-landed commit inserted and deleted — the table's
+    columns plus ``_change_type`` / ``_commit_version`` — so a
+    downstream consumer can MAINTAIN state (aggregate, replica, join)
+    incrementally instead of re-reading snapshots. Offsets are commit
+    versions (same contract as :class:`_StreamReader`); per-commit
+    reconstruction follows delta_log.table_changes exactly:
+
+    - dataChange:false commits (OPTIMIZE/cluster metadata shuffles)
+      emit nothing;
+    - a commit carrying ``cdc`` actions is read from its
+      ``_change_data`` files INSTEAD of add/remove (full
+      update_preimage/update_postimage fidelity);
+    - brand-new files emit their live rows as ``insert``;
+    - removed-and-not-re-added files emit their pre-commit live rows
+      as ``delete``;
+    - a file re-added with a grown deletion vector emits exactly the
+      newly-flagged row indexes as ``delete`` (and a shrunk DV —
+      RESTORE — the resurrected indexes as ``insert``).
+
+    Everything driver-side is O(log metadata); row work happens in
+    the Arrow partition reads on executors."""
+
+    def __init__(self, options: dict, schema: StructType):
+        from medallion_delta_lake_spark.sources.delta_log import (
+            resolve_snapshot,
+        )
+
+        self._schema = schema
+        self._path = options["path"]
+        sv = options.get("startingversion")
+        snap = resolve_snapshot(self._path)
+        if snap["meta"] is not None:
+            _check_supported(snap["meta"])
+        if sv is not None:
+            self._initial = int(sv) - 1
+        else:
+            self._initial = snap["version"]
+
+    def initialOffset(self) -> dict:
+        return {"version": self._initial}
+
+    def latestOffset(self) -> dict:
+        from medallion_delta_lake_spark.sources.delta_log import (
+            resolve_snapshot,
+        )
+
+        return {"version": resolve_snapshot(self._path)["version"]}
+
+    def _meta_parts(self, meta: dict):
+        from medallion_delta_lake_spark.sources.delta_log import (
+            _column_mapping,
+        )
+
+        schema_v = StructType.fromJson(
+            json.loads(meta["schemaString"])
+        )
+        mapping = _column_mapping(meta, schema_v)
+        part_cols = meta.get("partitionColumns") or []
+        phys = {c: mapping.get(c, c) for c in part_cols}
+        return mapping, part_cols, phys
+
+    def _pv(self, add: dict, part_cols, phys) -> dict:
+        pv_raw = add.get("partitionValues") or {}
+        return {
+            c: pv_raw.get(phys[c], pv_raw.get(c)) for c in part_cols
+        }
+
+    def partitions(self, start: dict, end: dict):
+        from medallion_delta_lake_spark.sources import (
+            deletion_vectors as _dv,
+        )
+        from medallion_delta_lake_spark.sources.delta_log import (
+            resolve_snapshot,
+        )
+
+        log = os.path.join(self._path, "_delta_log")
+        parts: list[_FilePartition] = []
+        for v in range(start["version"] + 1, end["version"] + 1):
+            commit = os.path.join(log, f"{v:020d}.json")
+            if not os.path.exists(commit):
+                raise FileNotFoundError(
+                    f"commit {v} of {self._path} was cleaned; the "
+                    "change feed cannot resume before the earliest "
+                    "retained commit"
+                )
+            with open(commit) as fh:
+                actions = [
+                    json.loads(ln) for ln in fh if ln.strip()
+                ]
+            meta = resolve_snapshot(self._path, version_as_of=v)[
+                "meta"
+            ]
+            mapping, part_cols, phys = self._meta_parts(meta)
+            cdcs = [a["cdc"] for a in actions if a.get("cdc")]
+            if cdcs:
+                # cdc actions are the COMPLETE change description
+                # for the commit (PROTOCOL.md CDF rule)
+                for c in cdcs:
+                    parts.append(
+                        _FilePartition(
+                            table_path=self._path,
+                            rel_path=c["path"],
+                            partition_values=self._pv(
+                                c, part_cols, phys
+                            ),
+                            physical_names=dict(mapping),
+                            cdf_change_type=None,  # in the file
+                            cdf_commit_version=v,
+                        )
+                    )
+                continue
+            adds = {
+                a["add"]["path"]: a["add"]
+                for a in actions
+                if a.get("add") and a["add"].get("dataChange", True)
+            }
+            removes = {
+                a["remove"]["path"]: a["remove"]
+                for a in actions
+                if a.get("remove")
+                and a["remove"].get("dataChange", True)
+            }
+            prior = (
+                resolve_snapshot(self._path, version_as_of=v - 1)[
+                    "files"
+                ]
+                if v > 0
+                else {}
+            )
+
+            def dv_idx(desc) -> list:
+                return (
+                    list(_dv.dv_row_indexes(self._path, desc))
+                    if desc
+                    else []
+                )
+
+            for rel, add in sorted(adds.items()):
+                pv = self._pv(add, part_cols, phys)
+                if rel not in prior:
+                    parts.append(
+                        _FilePartition(
+                            table_path=self._path,
+                            rel_path=rel,
+                            partition_values=pv,
+                            dv_indexes=dv_idx(
+                                add.get("deletionVector")
+                            ),
+                            physical_names=dict(mapping),
+                            cdf_change_type="insert",
+                            cdf_commit_version=v,
+                        )
+                    )
+                    continue
+                old = set(
+                    dv_idx(prior[rel].get("deletionVector"))
+                )
+                new = set(dv_idx(add.get("deletionVector")))
+                for idxs, ct in (
+                    (sorted(new - old), "delete"),
+                    (sorted(old - new), "insert"),
+                ):
+                    if idxs:
+                        parts.append(
+                            _FilePartition(
+                                table_path=self._path,
+                                rel_path=rel,
+                                partition_values=pv,
+                                physical_names=dict(mapping),
+                                cdf_change_type=ct,
+                                cdf_commit_version=v,
+                                include_indexes=idxs,
+                            )
+                        )
+            for rel, rem in sorted(removes.items()):
+                if rel in adds or rel not in prior:
+                    continue
+                parts.append(
+                    _FilePartition(
+                        table_path=self._path,
+                        rel_path=rel,
+                        partition_values=self._pv(
+                            prior[rel], part_cols, phys
+                        ),
+                        dv_indexes=dv_idx(
+                            prior[rel].get("deletionVector")
+                        ),
+                        physical_names=dict(mapping),
+                        cdf_change_type="delete",
+                        cdf_commit_version=v,
+                    )
+                )
+        return parts
+
+    def read(self, partition: _FilePartition):
+        yield from _read_partition(partition, self._schema)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are durable in the stream's own checkpoint
+
+
 class MdlsDeltaDataSource(DataSource):
     """``format("mdls_delta")`` — batch + streaming reads and batch
     writes of the engine's log-backed Delta tables through Spark's
     standard source API. Options: ``path`` (required), ``versionAsOf``
     (batch read), ``startingVersion`` / ``skipChangeCommits``
-    (streaming read)."""
+    (streaming read), ``readChangeFeed`` (streaming read of the
+    CHANGE FEED: rows gain ``_change_type`` / ``_commit_version``;
+    see :class:`_CdfStreamReader`)."""
 
     @classmethod
     def name(cls) -> str:
         return FORMAT_NAME
 
+    def _cdf(self) -> bool:
+        return (
+            str(self.options.get("readchangefeed", "false")).lower()
+            == "true"
+        )
+
     def schema(self) -> StructType:
+        from pyspark.sql.types import LongType, StringType, StructField
+
         from medallion_delta_lake_spark.sources.delta_log import (
             resolve_snapshot,
         )
 
         meta = resolve_snapshot(self.options["path"])["meta"]
-        return StructType.fromJson(json.loads(meta["schemaString"]))
+        base = StructType.fromJson(json.loads(meta["schemaString"]))
+        if not self._cdf():
+            return base
+        return StructType(
+            list(base.fields)
+            + [
+                StructField("_change_type", StringType(), True),
+                StructField("_commit_version", LongType(), True),
+            ]
+        )
 
     def reader(self, schema: StructType) -> DataSourceReader:
         if str(self.options.get("pushdown", "")).lower() in (
@@ -384,6 +644,8 @@ class MdlsDeltaDataSource(DataSource):
         return _BatchReader(self.options, schema)
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        if self._cdf():
+            return _CdfStreamReader(self.options, schema)
         return _StreamReader(self.options, schema)
 
     def writer(self, schema: StructType, overwrite: bool):

@@ -23,6 +23,7 @@ from medallion_delta_lake_spark.plans import queries_r14 as r14
 from medallion_delta_lake_spark.plans import queries_r15 as r15
 from medallion_delta_lake_spark.plans import queries_r16 as r16
 from medallion_delta_lake_spark.plans import queries_r17 as r17
+from medallion_delta_lake_spark.plans import queries_r18 as r18
 
 SF = "/root/testdata/sf0.001"
 
@@ -49,6 +50,7 @@ def test_build_all_then_evaluate_all(spark):
         **r15.R15_QUERIES,
         **r16.R16_QUERIES,
         **r17.R17_QUERIES,
+        **r18.R18_QUERIES,
     }
     oracles = {
         **r13.R13_ORACLES,
@@ -56,6 +58,7 @@ def test_build_all_then_evaluate_all(spark):
         **r15.R15_ORACLES,
         **r16.R16_ORACLES,
         **r17.R17_ORACLES,
+        **r18.R18_ORACLES,
     }
     # phase 1: build EVERY face before evaluating ANY — eager scratch
     # writes run now; the returned frames stay lazy

@@ -90,6 +90,13 @@ def _all_oracles() -> dict[str, str]:
             out.setdefault(f"draft:{k}", v)
     except ImportError:
         pass
+    try:
+        from medallion_delta_lake_spark.plans import queries_r18
+
+        for k, v in queries_r18.R18_ORACLES.items():
+            out.setdefault(f"draft:{k}", v)
+    except ImportError:
+        pass
     return out
 
 
