@@ -114,6 +114,30 @@ def chunk_windows_udtf():
     return ChunkWindows
 
 
+def split_sentences_udtf():
+    """Arrow-optimized Python UDTF: split a text into sentences on the
+    ". " boundary and emit per-sentence stats — the sentence-level
+    twin of :func:`chunk_windows_udtf` (same §2.11 surface; a UDTF is
+    the right API when one row yields a variable number of structured
+    rows and the boundary rule wants imperative code — real sentence
+    splitters grow abbreviation/ellipsis state that outgrows regex).
+    Emission is deterministic: index, sentence text, whitespace token
+    count."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="sent_idx int, sentence string, n_tokens int",
+        useArrow=True,
+    )
+    class SplitSentences:
+        def eval(self, text: str):
+            for i, s in enumerate((text or "").split(". ")):
+                toks = [t for t in s.split(" ") if t]
+                yield i, s, len(toks)
+
+    return SplitSentences
+
+
 def grouped_median_udaf(
     df: DataFrame,
     group_cols: Sequence[str],
