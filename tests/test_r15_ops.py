@@ -116,3 +116,25 @@ def test_bitmap_chunked_distinct_equals_exact(spark):
         F.sum(F.bitmap_count("bm")).alias("n")
     ).collect()[0]["n"]
     assert got == len(set(ids))
+
+
+def test_label_propagation_lineage_is_linear(spark):
+    # the naive least(own, min-neighbour) update references the label
+    # frame twice per round — the unresolved plan DOUBLES each
+    # iteration (2^k recompute; measured 42s -> 11s at sf0.1 when
+    # fixed). The self-loop form must grow by a CONSTANT number of
+    # joins per extra round.
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)])
+
+    def n_joins(iters: int) -> int:
+        plan = (
+            label_propagation(e, iters=iters)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        return plan.count("Join")
+
+    j2, j3, j4 = n_joins(2), n_joins(3), n_joins(4)
+    assert j3 - j2 == j4 - j3, "join count must grow linearly"
+    assert j4 - j3 <= 2, f"per-round join growth too high: {j4 - j3}"
