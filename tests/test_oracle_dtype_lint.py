@@ -97,6 +97,13 @@ def _all_oracles() -> dict[str, str]:
             out.setdefault(f"draft:{k}", v)
     except ImportError:
         pass
+    try:
+        from medallion_delta_lake_spark.plans import queries_r19
+
+        for k, v in queries_r19.R19_ORACLES.items():
+            out.setdefault(f"draft:{k}", v)
+    except ImportError:
+        pass
     return out
 
 
