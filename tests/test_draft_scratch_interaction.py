@@ -25,6 +25,7 @@ from medallion_delta_lake_spark.plans import queries_r16 as r16
 from medallion_delta_lake_spark.plans import queries_r17 as r17
 from medallion_delta_lake_spark.plans import queries_r18 as r18
 from medallion_delta_lake_spark.plans import queries_r19 as r19
+from medallion_delta_lake_spark.plans import queries_r20 as r20
 
 SF = "/root/testdata/sf0.001"
 
@@ -53,6 +54,7 @@ def test_build_all_then_evaluate_all(spark):
         **r17.R17_QUERIES,
         **r18.R18_QUERIES,
         **r19.R19_QUERIES,
+        **r20.R20_QUERIES,
     }
     oracles = {
         **r13.R13_ORACLES,
@@ -62,6 +64,7 @@ def test_build_all_then_evaluate_all(spark):
         **r17.R17_ORACLES,
         **r18.R18_ORACLES,
         **r19.R19_ORACLES,
+        **r20.R20_ORACLES,
     }
     # phase 1: build EVERY face before evaluating ANY — eager scratch
     # writes run now; the returned frames stay lazy

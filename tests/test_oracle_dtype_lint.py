@@ -104,6 +104,13 @@ def _all_oracles() -> dict[str, str]:
             out.setdefault(f"draft:{k}", v)
     except ImportError:
         pass
+    try:
+        from medallion_delta_lake_spark.plans import queries_r20
+
+        for k, v in queries_r20.R20_ORACLES.items():
+            out.setdefault(f"draft:{k}", v)
+    except ImportError:
+        pass
     return out
 
 
