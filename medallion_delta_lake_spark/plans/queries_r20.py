@@ -11,6 +11,11 @@ SFs before registration is ever considered.
   keeps its physical name untouched, and a version_as_of read of the
   pre-rename snapshot still serves the OLD name — schema time travel,
   the thing a plain-parquet rename (full rewrite) can never give.
+- maintenance-check-constraint — ALTER TABLE ADD CONSTRAINT driven
+  through enforcement: a violating append is refused ATOMICALLY
+  (DeltaInvariantViolationError, zero rows land), a compliant one
+  commits — the engine-level data-quality gate dq-constraint-check
+  only audits.
 """
 
 from __future__ import annotations
@@ -127,3 +132,89 @@ def maintenance_rename_timetravel_q(
         )
     )
     return cur.unionByName(old)
+
+
+# ------------------------------------------------------------------
+# maintenance-check-constraint
+
+
+@draft(
+    "maintenance-check-constraint",
+    # the violating append must be REFUSED atomically (no partial
+    # rows), the compliant one must land; refusal count pinned
+    oracle="""
+    WITH sub AS (
+      SELECT event_type,
+             CAST(floor(value * 100) AS BIGINT) AS cents,
+             event_id % 3 AS m
+      FROM events WHERE value IS NOT NULL
+    ),
+    state AS (
+      SELECT event_type, cents FROM sub
+      WHERE (m = 0 AND cents > 500) OR (m = 1 AND cents > 500)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS cents_sum,
+           CAST(1 AS BIGINT) AS n_refused
+    FROM state GROUP BY event_type
+    """,
+)
+def maintenance_check_constraint_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """maintenance / CHECK constraint enforcement — ALTER TABLE ADD
+    CONSTRAINT (cents > 500) on a seeded table
+    (sources/delta_log.py:add_check_constraint, writer protocol bumps
+    to the checkConstraints version), then: an append containing
+    violating rows is REFUSED ATOMICALLY (DeltaInvariantViolationError
+    — zero rows of the batch land, not just the bad ones; the
+    write-side scan names the violating expression), and a compliant
+    append commits normally. The final table therefore holds exactly
+    the seed + the compliant batch — any leak of the refused batch
+    breaks the row-hash — with the refusal count pinned. This is the
+    schema-level data-quality gate dq-constraint-check only AUDITS;
+    here the engine blocks the write itself."""
+    from medallion_delta_lake_spark.sources import delta_log as dl
+
+    p = _scratch(sf_dir, "check_constraint")
+    _shutil.rmtree(p, ignore_errors=True)
+    sub = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+            (F.col("event_id") % 3).alias("m"),
+        )
+    )
+    seed = sub.filter(
+        (F.col("m") == 0) & (F.col("cents") > 500)
+    ).drop("m")
+    dl.write_delta(spark, seed.coalesce(2), p, mode="overwrite")
+    dl.add_check_constraint(spark, p, "cents_floor", "cents > 500")
+    n_refused = 0
+    try:  # batch with violating rows — must be refused atomically
+        dl.write_delta(
+            spark,
+            sub.filter(F.col("m") == 1).drop("m").coalesce(1),
+            p,
+            mode="append",
+        )
+    except dl.DeltaInvariantViolationError:
+        n_refused = 1
+    dl.write_delta(  # compliant batch — must land
+        spark,
+        sub.filter((F.col("m") == 1) & (F.col("cents") > 500))
+        .drop("m")
+        .coalesce(1),
+        p,
+        mode="append",
+    )
+    out = dl.read_delta(spark, p).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("cents_sum"),
+    )
+    return out.withColumn(
+        "n_refused", F.lit(n_refused).cast("bigint")
+    )
