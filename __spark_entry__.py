@@ -63,6 +63,14 @@ try:
     from medallion_delta_lake_spark.plans import queries_r12  # noqa: F401,E402
 except ImportError:
     pass
+try:
+    from medallion_delta_lake_spark.plans import queries_r13  # noqa: F401,E402
+except ImportError:
+    pass
+try:
+    from medallion_delta_lake_spark.plans import queries_r14  # noqa: F401,E402
+except ImportError:
+    pass
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -70,74 +78,79 @@ def entry(spark: SparkSession) -> DataFrame:
     return _registry.QUERIES["q1-pricing-summary"](spark, "/root/testdata/sf0.001")
 
 
-# Round-12 rotation: the driver checks the FIRST 50 registered
-# queries per round (hard window — every CORRECTNESS_r{2..11} has
-# exactly 50 rows). Precedence this round (VERDICT r11 #1/#3/#4):
-# (1) the 26 REMAINING r5-stale ids (the r11 window drained the r5
-# cohort alphabetically through join-anti; these are the rest —
-# promised as the r12 head since r11), so after this round no op's
-# latest driver row is older than r6;
-# (2) the 14 faces NEW in round 12: the 12 r11-drafted,
-# three-SF-proven faces of plans/queries_r12.py (the §2-core scan
-# trio first among them) + the 2 Delta write-path faces
-# (sink-delta-append-evolve / sink-delta-overwrite-timetravel) —
-# never driver-checked, so they must sit inside the window;
-# (3) the r6-stale cohort alphabetical — 10 fit; the remaining 38
-# roll to round 13.
+# Round-13 rotation: the driver checks the FIRST 50 registered
+# queries per round (hard window — every CORRECTNESS_r{2..12} has
+# exactly 50 rows). Precedence this round (VERDICT r12 #1/#2):
+# (1) the 20 faces NEW in round 13 — the r13 + r14 draft cohorts
+# (drafted + two-SF oracle-proven in r12, registered this round;
+# OPTIMIZE/RESTORE first so the maintenance family gets its first
+# direct CORRECTNESS rows) — never driver-checked, so they must sit
+# inside the window;
+# (2) 30 of the 38 r6-stale ids, alphabetical (oldest-first drain);
+# the remaining 8 (topk-per-group .. window-streaks) lead round 14.
+#
+# Backlog drain schedule (VERDICT r12 #2 — committed here so the
+# window-integrity test pins it; the draft pile STOPS at the r20
+# cohort until the backlog is below one round's window):
+#   r13: register r13+r14 cohorts (20) + 30 r6-stale      → reg 339
+#   r14: register r15+r16 cohorts (20) + 8 r6- + 22 r7-stale → 359
+#   r15: register r17+r18 cohorts (20) + 26 r7- + 4 r8-stale → 379
+#   r16: register r19+r20 cohorts (12) + 38 r8/r9-stale      → 391
+#   r17+: pure staleness drain, oldest-first, 50/round.
 _DRIVER_PRIORITY = [
-    # (1) r5-stale remainder (alphabetical continuation past join-anti)
-    "join-left-asof-eq",
-    "join-left-multi-eq",
-    "join-left-using",
-    "join-range-bands",
-    "join-semi",
-    "mixture-token-budget",
-    "nn-assign",
-    "null-profile",
-    "pack-sequences",
-    "project-rename-drop",
-    "project-select-expr",
-    "set-union",
-    "sim-cosine-topk",
-    "sim-pq-adc-topk",
-    "split-leakage-audit",
-    "split-train-holdout",
-    "stream-session-agg",
-    "stream-stream-join",
-    "stream-window-agg",
-    "text-decontaminate",
-    "text-ngram-freq",
-    "text-quality-calibrate",
-    "text-repetition-score",
-    "text-token-typicality",
-    "vector-quantize-int8",
-    "vector-quantize-pq",
-    # (2) NEW in round 12 (r11 drafts + the Delta write-path faces)
-    "scan-csv-typed",
-    "scan-json-lines",
-    "scan-orc-roundtrip",
-    "sink-delta-append-evolve",
-    "sink-delta-overwrite-timetravel",
-    "sketch-hll-rebuild",
-    "sketch-cms-maintained",
-    "ml-average-precision",
-    "ml-matthews-corr",
-    "sample-weighted-bernoulli",
-    "variant-key-census",
-    "variant-type-profile",
-    "events-survival-table",
-    "events-cohort-ltv-curve",
-    # (3) r6-stale cohort (alphabetical; 10 of 48 fit the window)
-    "agg-argmax",
-    "agg-grouping-sets",
-    "agg-mode-exact",
-    "agg-percentile-bands",
-    "agg-salted-skew",
-    "agg-weighted-median",
-    "approx-distinct",
-    "approx-freq-items",
-    "approx-quantile",
-    "cluster-balance-stats",
+    # (1a) NEW: the r13 cohort (maintenance faces first)
+    "maintenance-optimize-zorder",
+    "maintenance-restore-version",
+    "join-cdf-maintained",
+    "agg-cdf-incremental-refresh",
+    "sketch-hll-churn-epoch",
+    "scan-delta-skipping",
+    "scan-parquet-partition-prune",
+    "stats-wilcoxon-signed-rank",
+    "text-hapax-ratio",
+    "dedup-lsh-recall-audit",
+    # (1b) NEW: the r14 cohort
+    "maintenance-vacuum-retention",
+    "maintenance-checkpoint-v2",
+    "cluster-kmeans-refine",
+    "dedup-semantic-bucketed",
+    "events-retention-triangle",
+    "stats-cochran-q",
+    "window-kaufman-er",
+    "agg-trimmed-mean",
+    "ml-fbeta-sweep",
+    "stats-cohens-d",
+    # (2) r6-stale cohort, alphabetical (30 of 38 fit the window)
+    "cond-funcs",
+    "dedup-cluster-assign",
+    "dedup-containment",
+    "dedup-ngram-jaccard",
+    "dedup-url-canonical",
+    "derive-morton-zorder",
+    "events-markov-transitions",
+    "explode-outer-nulls",
+    "explode-token-freq",
+    "graph-pagerank-nations",
+    "join-asof-forward",
+    "join-asof-nearest-abs",
+    "join-interval-overlap",
+    "multimodal-dhash-bands",
+    "multimodal-dhash-pairs",
+    "sample-importance-weighted",
+    "sample-temperature-mixture",
+    "sim-ann-self-topk",
+    "sim-knn-join",
+    "sort-limit-topn",
+    "stats-gini-impurity",
+    "stats-ks-two-sample",
+    "stats-mann-whitney-u",
+    "stream-dedup",
+    "text-fingerprint",
+    "text-html-strip",
+    "text-lang-id",
+    "text-quality-score",
+    "text-token-stats",
+    "text-vocab-overlap",
 ]
 
 

@@ -1,11 +1,9 @@
-"""DRAFT round-13 query faces — NOT registered (the r12 registry
-ships at 319 with a full 50-slot driver window: 26 r5-stale drains +
-14 new r12 faces + 10 r6 drains; registering more ops this round
-would mint registered-never-checked ids). Each face pairs a Spark
-query with its DuckDB oracle and tests/test_r13_drafts.py proves the
-pair compare_query-green at two SFs — so round 13's registration is a
-mechanical move of proven pairs (the hand-off that made the r10→r11
-and r11→r12 registrations zero-risk; SURVEY.md §7 Phase 9).
+"""Round-13 query faces — REGISTERED as of round 13 (drafted +
+oracle-proven at two SFs in round 12 while the registry was frozen
+at 319; the registration is the mechanical draft→@query move that
+made the r10→r11 and r11→r12 hand-offs zero-risk; SURVEY.md §7
+Phase 9, VERDICT r12 #1). The r13 driver window leads with these 10
+plus the 10 r14-cohort faces, then drains 30 of the 38 r6-stale ids.
 
 The cohort answers VERDICT r11 #6 plus the remaining coverage seams:
 
@@ -38,11 +36,10 @@ The cohort answers VERDICT r11 #6 plus the remaining coverage seams:
 - maintenance-restore-version — churn then RESTORE to the seed
   version; the read-back must equal the original subset exactly.
 
-Deliberately NO ``@query`` decorator and NO registry import on the
-module path that registers: importing this module must not mutate
-the registered set. tests/test_r13_drafts.py pins that, and
-tests/test_oracle_dtype_lint.py lints these oracles' OUTPUT dtypes
-(no HUGEINT) alongside the registered ones.
+The module-local R13_QUERIES/R13_ORACLES maps are retained so
+tests/test_r13_drafts.py can pin exactly this cohort's oracle-
+greenness and registration, and tests/test_oracle_dtype_lint.py
+lints these oracles' OUTPUT dtypes (no HUGEINT) with the rest.
 """
 
 from __future__ import annotations
@@ -59,17 +56,25 @@ from pyspark.sql import functions as F
 from medallion_delta_lake_spark.functions.hashing import h64_sql
 from medallion_delta_lake_spark.plans.queries_r12 import _HLL_SQL_TAIL
 from medallion_delta_lake_spark.plans.queries_text import _LSH_SCORED_CTE
-from medallion_delta_lake_spark.plans.registry import table
+from medallion_delta_lake_spark.plans.registry import (
+    ORACLES as _REGISTRY_ORACLES,
+)
+from medallion_delta_lake_spark.plans.registry import query, table
 
 R13_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 R13_ORACLES: dict[str, str] = {}
 
 
 def draft(name: str, oracle: str):
+    """r13 registration: every former draft face registers via the
+    standard ``@query`` decorator AND stays in the module-local maps
+    so tests/test_r13_drafts.py can pin the cohort independently of
+    the full registry sweep (the same wiring r11 and r12 used)."""
+
     def deco(fn):
         R13_QUERIES[name] = fn
         R13_ORACLES[name] = oracle
-        return fn
+        return query(name, oracle=oracle)(fn)
 
     return deco
 
@@ -633,6 +638,13 @@ R13_ORACLES["dedup-lsh-recall-audit"] = f"""
              AS worst_missed_j_q6
     FROM missed
 """
+# the face registered with oracle=None above (its SQL needs the CTE
+# machinery defined later); now that the string exists, mirror it
+# into the registry so the driver gets the full hash-compare, not
+# the weaker rows-only check
+_REGISTRY_ORACLES["dedup-lsh-recall-audit"] = R13_ORACLES[
+    "dedup-lsh-recall-audit"
+]
 
 
 # ------------------------------------------------------------------

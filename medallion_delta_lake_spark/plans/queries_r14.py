@@ -1,12 +1,10 @@
-"""DRAFT round-14 query faces — NOT registered (the r13 window is
-already fully planned: 38 r6-stale drains + the 10 proven r13 drafts
-+ 2 r7-cohort heads fill all 50 slots; registering more ops before
-their window would mint registered-never-checked ids). Each face
-pairs a Spark query with its DuckDB oracle and
-tests/test_r14_drafts.py proves the pair compare_query-green at two
-SFs — so a later round's registration stays the mechanical
-draft→@query move that made r10→r11, r11→r12 and the r13 hand-off
-zero-risk (SURVEY.md §7 Phase 9).
+"""Round-14-cohort query faces — REGISTERED in ROUND 13 alongside
+the r13 cohort (VERDICT r12 #1 asked for both cohorts' 20 faces in
+the r13 window: 20 registrations + 30 r6-stale re-checks fill the
+50 slots). Drafted + oracle-proven at two SFs in round 12 while the
+registry was frozen; registration is the same mechanical
+draft→@query move as r10→r11, r11→r12 and the r13 hand-off
+(SURVEY.md §7 Phase 9).
 
 The cohort widens the thinnest families and graduates the last two
 pytest-only maintenance paths:
@@ -45,11 +43,10 @@ pytest-only maintenance paths:
   from the checkpoint alone (the log-retention path driven end to
   end, cleaned-commit count pinned).
 
-Deliberately NO ``@query`` decorator and NO registry import on the
-module path that registers: importing this module must not mutate
-the registered set. tests/test_r14_drafts.py pins that, and
-tests/test_oracle_dtype_lint.py lints these oracles' OUTPUT dtypes
-(no HUGEINT) alongside the registered ones.
+The module-local R14_QUERIES/R14_ORACLES maps are retained so
+tests/test_r14_drafts.py can pin exactly this cohort's oracle-
+greenness and registration, and tests/test_oracle_dtype_lint.py
+lints these oracles' OUTPUT dtypes (no HUGEINT) with the rest.
 """
 
 from __future__ import annotations
@@ -72,17 +69,22 @@ from medallion_delta_lake_spark.plans.queries_mleval import (
     _BASE_SQL,
     _label_events,
 )
-from medallion_delta_lake_spark.plans.registry import table
+from medallion_delta_lake_spark.plans.registry import query, table
 
 R14_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 R14_ORACLES: dict[str, str] = {}
 
 
 def draft(name: str, oracle: str):
+    """r14-cohort registration (registered in ROUND 13 alongside the
+    r13 cohort per VERDICT r12 #1): registers via the standard
+    ``@query`` decorator AND stays in the module-local maps so
+    tests/test_r14_drafts.py can pin the cohort independently."""
+
     def deco(fn):
         R14_QUERIES[name] = fn
         R14_ORACLES[name] = oracle
-        return fn
+        return query(name, oracle=oracle)(fn)
 
     return deco
 

@@ -1,8 +1,8 @@
-"""Round-13 draft faces (plans/queries_r13.py, unregistered): every
-draft must already be oracle-green at two SFs, and importing the
-draft module must NOT grow the registered set (the same pinned
-hand-off that made the r10→r11 and r11→r12 registrations
-zero-risk)."""
+"""Round-13 faces (plans/queries_r13.py, registered in r13): every
+face must be oracle-green at two SFs, and the whole cohort must be
+present in the registry with byte-identical oracle strings (the r12
+hand-off repeated: drafted + proven in r12 while the registry was
+frozen, registration is the r13 deliverable — VERDICT r12 #1)."""
 
 from __future__ import annotations
 
@@ -14,12 +14,17 @@ from tests.oracle import compare_query
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
 
-def test_draft_module_does_not_register():
+def test_r13_cohort_registered():
     from medallion_delta_lake_spark.plans import registry
 
-    assert not (set(r13.R13_QUERIES) & set(registry.QUERIES)), (
-        "draft ids must not collide with registered ids"
-    )
+    missing = set(r13.R13_QUERIES) - set(registry.QUERIES)
+    assert not missing, f"r13 faces not registered: {sorted(missing)}"
+    drift = [
+        n
+        for n, sql in r13.R13_ORACLES.items()
+        if registry.ORACLES.get(n) != sql
+    ]
+    assert not drift, f"registered oracle drifted from module: {drift}"
 
 
 @pytest.mark.parametrize("name", sorted(r13.R13_QUERIES))

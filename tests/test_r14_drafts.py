@@ -1,8 +1,7 @@
-"""Round-14 draft faces (plans/queries_r14.py, unregistered): every
-draft must already be oracle-green at two SFs, and importing the
-draft module must NOT grow the registered set (the same pinned
-hand-off that made the r10→r11, r11→r12 and r12→r13 registrations
-zero-risk)."""
+"""Round-14-cohort faces (plans/queries_r14.py, registered in ROUND
+13 alongside the r13 cohort per VERDICT r12 #1): every face must be
+oracle-green at two SFs, and the whole cohort must be present in the
+registry with byte-identical oracle strings."""
 
 from __future__ import annotations
 
@@ -14,12 +13,17 @@ from tests.oracle import compare_query
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
 
-def test_draft_module_does_not_register():
+def test_r14_cohort_registered():
     from medallion_delta_lake_spark.plans import registry
 
-    assert not (set(r14.R14_QUERIES) & set(registry.QUERIES)), (
-        "draft ids must not collide with registered ids"
-    )
+    missing = set(r14.R14_QUERIES) - set(registry.QUERIES)
+    assert not missing, f"r14 faces not registered: {sorted(missing)}"
+    drift = [
+        n
+        for n, sql in r14.R14_ORACLES.items()
+        if registry.ORACLES.get(n) != sql
+    ]
+    assert not drift, f"registered oracle drifted from module: {drift}"
 
 
 @pytest.mark.parametrize("name", sorted(r14.R14_QUERIES))
