@@ -747,13 +747,19 @@ def kmv_diff_ops(
     agg = both.agg(
         F.count(F.lit(1)).alias("x_n"),
         F.max("h").alias("h_k"),
-        F.sum(
-            F.when((F.col("in_a") == 1) & (F.col("in_b") == 0), 1)
-            .otherwise(0)
+        F.coalesce(
+            F.sum(
+                F.when((F.col("in_a") == 1) & (F.col("in_b") == 0), 1)
+                .otherwise(0)
+            ),
+            F.lit(0),
         ).cast("bigint").alias("d_ab"),
-        F.sum(
-            F.when((F.col("in_a") == 0) & (F.col("in_b") == 1), 1)
-            .otherwise(0)
+        F.coalesce(
+            F.sum(
+                F.when((F.col("in_a") == 0) & (F.col("in_b") == 1), 1)
+                .otherwise(0)
+            ),
+            F.lit(0),
         ).cast("bigint").alias("d_ba"),
     )
     union_exact = F.col("x_n") * F.lit(10**6).cast("bigint")
@@ -768,11 +774,17 @@ def kmv_diff_ops(
     for side in ("ab", "ba"):
         out = out.withColumn(
             f"diff_{side}_est_q6",
-            q_div(
-                F.col(f"d_{side}").cast("decimal(38,0)")
-                * F.col("union_est_q6").cast("decimal(38,0)"),
-                F.col("x_n").cast("decimal(38,0)") * F.lit(10**6),
-                6,
+            # two empty sketches: x_n = 0 would NULL the q_div
+            # (division by zero) — a defined empty diff is 0, same
+            # shape as the n_kept < k exact branch
+            F.when(F.col("x_n") == 0, F.lit(0).cast("bigint"))
+            .otherwise(
+                q_div(
+                    F.col(f"d_{side}").cast("decimal(38,0)")
+                    * F.col("union_est_q6").cast("decimal(38,0)"),
+                    F.col("x_n").cast("decimal(38,0)") * F.lit(10**6),
+                    6,
+                )
             ),
         )
     return out.select(

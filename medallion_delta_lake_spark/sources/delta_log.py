@@ -3875,9 +3875,12 @@ def table_changes(
 ) -> DataFrame:
     """Change data feed derived purely from the transaction log — the
     rows each commit inserted and deleted, as the table's columns plus
-    ``_change_type`` (``insert`` / ``delete``) and ``_commit_version``
-    (Delta's ``table_changes`` reconstruction path for tables without
-    ``_change_data`` files).
+    ``_change_type`` (``insert`` / ``delete``), ``_commit_version``
+    and ``_commit_timestamp`` (Delta's ``table_changes``
+    reconstruction path for tables without ``_change_data`` files;
+    the timestamp follows :func:`_commit_timestamp`'s preference
+    order — ICT, then commitInfo.timestamp, then file mtime — the
+    same resolution Delta's own CDF uses).
 
     Per commit: dataChange=false commits (OPTIMIZE, RESTORE metadata
     shuffles) emit nothing; brand-new files emit their live rows as
@@ -3928,6 +3931,7 @@ def table_changes(
             if v > 0
             else {"files": {}}
         )
+        ts_us = int(_commit_timestamp(log, v) * 1e6)
         cdcs = [a["cdc"] for a in actions if a.get("cdc")]
         if cdcs:
             # PROTOCOL.md CDF rule: when a commit carries cdc actions,
@@ -3955,6 +3959,9 @@ def table_changes(
                     *sel,
                     "_change_type",
                     F.lit(v).cast("bigint").alias("_commit_version"),
+                    F.timestamp_micros(F.lit(ts_us)).alias(
+                        "_commit_timestamp"
+                    ),
                 )
             )
             continue
@@ -3975,6 +3982,9 @@ def table_changes(
                 "*",
                 F.lit(kind).alias("_change_type"),
                 F.lit(v).cast("bigint").alias("_commit_version"),
+                F.timestamp_micros(F.lit(ts_us)).alias(
+                    "_commit_timestamp"
+                ),
             )
 
         new_files = {
@@ -4041,6 +4051,7 @@ def table_changes(
             "*",
             F.lit("insert").alias("_change_type"),
             F.lit(0).cast("bigint").alias("_commit_version"),
+            F.lit(None).cast("timestamp").alias("_commit_timestamp"),
         ).limit(0)
     return reduce(DataFrame.unionByName, frames)
 

@@ -57,6 +57,11 @@ class _FilePartition(InputPartition):
     # _change_data file that already carries the column
     cdf_change_type: str | None = None
     cdf_commit_version: int | None = None
+    # commit time in epoch MICROSECONDS (delta_log._commit_timestamp
+    # resolution: ICT → commitInfo.timestamp → file mtime), stamped
+    # as the _commit_timestamp column — same contract as batch
+    # table_changes and Delta's readChangeFeed
+    cdf_commit_timestamp_us: int | None = None
     include_indexes: list = field(default_factory=list)
 
 
@@ -121,6 +126,17 @@ def _read_partition(part: _FilePartition, schema: StructType):
                 )
             )
             continue
+        if f.name == "_commit_timestamp" and (
+            part.cdf_commit_timestamp_us is not None
+        ):
+            at = target.field(f.name).type
+            cols.append(
+                pa.array(
+                    [part.cdf_commit_timestamp_us] * tbl.num_rows,
+                    type=pa.int64(),
+                ).cast(at)
+            )
+            continue
         if f.name in part.partition_values:
             v = part.partition_values[f.name]
             at = target.field(f.name).type
@@ -131,6 +147,14 @@ def _read_partition(part: _FilePartition, schema: StructType):
         at = target.field(f.name).type
         if phys in tbl.column_names:
             cols.append(tbl.column(phys).combine_chunks().cast(at))
+        elif f.name in tbl.column_names:
+            # pre-r9 cdc files staged LOGICAL column names under
+            # name-mode column mapping; mirror the batch
+            # table_changes fallback (delta_log.py table_changes:
+            # `mapping[f.name] in cdf.columns else F.col(f.name)`)
+            # so batch and stream CDF agree on the same table
+            # instead of this path silently emitting NULLs
+            cols.append(tbl.column(f.name).combine_chunks().cast(at))
         else:  # column added after this file was written
             cols.append(pa.nulls(tbl.num_rows, type=at))
     out = pa.table(cols, schema=target)
@@ -415,8 +439,16 @@ class _CdfStreamReader(DataSourceStreamReader):
       newly-flagged row indexes as ``delete`` (and a shrunk DV —
       RESTORE — the resurrected indexes as ``insert``).
 
-    Everything driver-side is O(log metadata); row work happens in
-    the Arrow partition reads on executors."""
+    Without ``startingVersion`` the first batch emits the CURRENT
+    snapshot's live rows as ``insert`` (stamped with the snapshot
+    version) and subsequent batches tail new commits — Delta's
+    streaming ``readChangeFeed`` default, so migrating users see the
+    table contents instead of an empty initial batch. With
+    ``startingVersion`` the feed starts exactly there (no snapshot).
+
+    Everything driver-side is O(log metadata) per microbatch: ONE
+    log replay at the range start, then each commit's actions fold
+    into the running file-state incrementally."""
 
     def __init__(self, options: dict, schema: StructType):
         from medallion_delta_lake_spark.sources.delta_log import (
@@ -430,19 +462,32 @@ class _CdfStreamReader(DataSourceStreamReader):
         if snap["meta"] is not None:
             _check_supported(snap["meta"])
         if sv is not None:
-            self._initial = int(sv) - 1
+            self._initial = {
+                "version": int(sv) - 1,
+                "snapshot_done": True,
+            }
         else:
-            self._initial = snap["version"]
+            # no startingVersion: first batch = current snapshot as
+            # inserts (snapshot_done flips once the batch commits;
+            # the flag rides the offset so a checkpoint restart
+            # neither re-emits nor skips the snapshot)
+            self._initial = {
+                "version": snap["version"],
+                "snapshot_done": False,
+            }
 
     def initialOffset(self) -> dict:
-        return {"version": self._initial}
+        return dict(self._initial)
 
     def latestOffset(self) -> dict:
         from medallion_delta_lake_spark.sources.delta_log import (
             resolve_snapshot,
         )
 
-        return {"version": resolve_snapshot(self._path)["version"]}
+        return {
+            "version": resolve_snapshot(self._path)["version"],
+            "snapshot_done": True,
+        }
 
     def _meta_parts(self, meta: dict):
         from medallion_delta_lake_spark.sources.delta_log import (
@@ -473,7 +518,56 @@ class _CdfStreamReader(DataSourceStreamReader):
 
         log = os.path.join(self._path, "_delta_log")
         parts: list[_FilePartition] = []
-        for v in range(start["version"] + 1, end["version"] + 1):
+        base_v = start["version"]
+
+        def dv_idx(desc) -> list:
+            return (
+                list(_dv.dv_row_indexes(self._path, desc))
+                if desc
+                else []
+            )
+
+        # ONE full log replay at the range start; every commit in the
+        # range then folds its actions into the running file-state
+        # (the old per-commit resolve_snapshot pair made this
+        # O(range × log-size) driver work after long gaps)
+        if base_v >= 0:
+            snap0 = resolve_snapshot(
+                self._path, version_as_of=base_v
+            )
+            prior, meta = dict(snap0["files"]), snap0["meta"]
+        else:
+            prior, meta = {}, None
+
+        if not start.get("snapshot_done", True) and prior:
+            # no startingVersion: emit the snapshot's live rows as
+            # insert before tailing changes (Delta's streaming
+            # readChangeFeed default)
+            from medallion_delta_lake_spark.sources.delta_log import (
+                _commit_timestamp,
+            )
+
+            ts0 = int(_commit_timestamp(log, base_v) * 1e6)
+            mapping0, part_cols0, phys0 = self._meta_parts(meta)
+            for rel, add in sorted(prior.items()):
+                parts.append(
+                    _FilePartition(
+                        table_path=self._path,
+                        rel_path=rel,
+                        partition_values=self._pv(
+                            add, part_cols0, phys0
+                        ),
+                        dv_indexes=dv_idx(
+                            add.get("deletionVector")
+                        ),
+                        physical_names=dict(mapping0),
+                        cdf_change_type="insert",
+                        cdf_commit_version=base_v,
+                        cdf_commit_timestamp_us=ts0,
+                    )
+                )
+
+        for v in range(base_v + 1, end["version"] + 1):
             commit = os.path.join(log, f"{v:020d}.json")
             if not os.path.exists(commit):
                 raise FileNotFoundError(
@@ -485,10 +579,34 @@ class _CdfStreamReader(DataSourceStreamReader):
                 actions = [
                     json.loads(ln) for ln in fh if ln.strip()
                 ]
-            meta = resolve_snapshot(self._path, version_as_of=v)[
-                "meta"
-            ]
+            for a in actions:
+                if a.get("metaData"):
+                    meta = a["metaData"]
             mapping, part_cols, phys = self._meta_parts(meta)
+            all_adds = {
+                a["add"]["path"]: a["add"]
+                for a in actions
+                if a.get("add")
+            }
+            all_removes = {
+                a["remove"]["path"]: a["remove"]
+                for a in actions
+                if a.get("remove")
+            }
+
+            def _fold_file_state() -> None:
+                # AFTER emission (which needs the pre-commit state),
+                # apply ALL adds/removes — dataChange:false rewrites
+                # (OPTIMIZE) change file composition too
+                for rel in all_removes:
+                    prior.pop(rel, None)
+                prior.update(all_adds)
+
+            from medallion_delta_lake_spark.sources.delta_log import (
+                _commit_timestamp,
+            )
+
+            ts_us = int(_commit_timestamp(log, v) * 1e6)
             cdcs = [a["cdc"] for a in actions if a.get("cdc")]
             if cdcs:
                 # cdc actions are the COMPLETE change description
@@ -504,34 +622,21 @@ class _CdfStreamReader(DataSourceStreamReader):
                             physical_names=dict(mapping),
                             cdf_change_type=None,  # in the file
                             cdf_commit_version=v,
+                            cdf_commit_timestamp_us=ts_us,
                         )
                     )
+                _fold_file_state()
                 continue
             adds = {
-                a["add"]["path"]: a["add"]
-                for a in actions
-                if a.get("add") and a["add"].get("dataChange", True)
+                rel: a
+                for rel, a in all_adds.items()
+                if a.get("dataChange", True)
             }
             removes = {
-                a["remove"]["path"]: a["remove"]
-                for a in actions
-                if a.get("remove")
-                and a["remove"].get("dataChange", True)
+                rel: r
+                for rel, r in all_removes.items()
+                if r.get("dataChange", True)
             }
-            prior = (
-                resolve_snapshot(self._path, version_as_of=v - 1)[
-                    "files"
-                ]
-                if v > 0
-                else {}
-            )
-
-            def dv_idx(desc) -> list:
-                return (
-                    list(_dv.dv_row_indexes(self._path, desc))
-                    if desc
-                    else []
-                )
 
             for rel, add in sorted(adds.items()):
                 pv = self._pv(add, part_cols, phys)
@@ -547,6 +652,7 @@ class _CdfStreamReader(DataSourceStreamReader):
                             physical_names=dict(mapping),
                             cdf_change_type="insert",
                             cdf_commit_version=v,
+                            cdf_commit_timestamp_us=ts_us,
                         )
                     )
                     continue
@@ -567,6 +673,7 @@ class _CdfStreamReader(DataSourceStreamReader):
                                 physical_names=dict(mapping),
                                 cdf_change_type=ct,
                                 cdf_commit_version=v,
+                                cdf_commit_timestamp_us=ts_us,
                                 include_indexes=idxs,
                             )
                         )
@@ -586,8 +693,10 @@ class _CdfStreamReader(DataSourceStreamReader):
                         physical_names=dict(mapping),
                         cdf_change_type="delete",
                         cdf_commit_version=v,
+                        cdf_commit_timestamp_us=ts_us,
                     )
                 )
+            _fold_file_state()
         return parts
 
     def read(self, partition: _FilePartition):
@@ -603,7 +712,8 @@ class MdlsDeltaDataSource(DataSource):
     standard source API. Options: ``path`` (required), ``versionAsOf``
     (batch read), ``startingVersion`` / ``skipChangeCommits``
     (streaming read), ``readChangeFeed`` (streaming read of the
-    CHANGE FEED: rows gain ``_change_type`` / ``_commit_version``;
+    CHANGE FEED: rows gain ``_change_type`` / ``_commit_version`` /
+    ``_commit_timestamp``, Delta's full readChangeFeed column set;
     see :class:`_CdfStreamReader`)."""
 
     @classmethod
@@ -617,7 +727,12 @@ class MdlsDeltaDataSource(DataSource):
         )
 
     def schema(self) -> StructType:
-        from pyspark.sql.types import LongType, StringType, StructField
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            TimestampType,
+        )
 
         from medallion_delta_lake_spark.sources.delta_log import (
             resolve_snapshot,
@@ -632,6 +747,7 @@ class MdlsDeltaDataSource(DataSource):
             + [
                 StructField("_change_type", StringType(), True),
                 StructField("_commit_version", LongType(), True),
+                StructField("_commit_timestamp", TimestampType(), True),
             ]
         )
 
