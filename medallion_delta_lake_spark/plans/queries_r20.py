@@ -16,6 +16,28 @@ SFs before registration is ever considered.
   (DeltaInvariantViolationError, zero rows land), a compliant one
   commits — the engine-level data-quality gate dq-constraint-check
   only audits.
+
+r13 additions (VERDICT r12 #5 — engine capabilities with pytest
+evidence but no driver face until now):
+
+- maintenance-type-widening — ALTER COLUMN TYPE int→bigint as a
+  metadata-only commit; narrow files served widened.
+- scan-delta-idmode — id-mode column mapping: data columns resolved
+  by parquet FIELD ID under deliberately scrambled physical names.
+- maintenance-identity-allocate — GENERATED ALWAYS AS IDENTITY
+  allocation across two appends: dense start/step blocks, high-water
+  mark advancing in the same commit's metaData.
+- maintenance-log-compaction — replay through a
+  ``{start}.{end}.compacted.json`` after the source commit JSONs are
+  gone.
+- maintenance-fsck-repair — FSCK after an out-of-band data-file
+  deletion: dangling add removed, rest of the table readable.
+- maintenance-column-defaults — SET DEFAULT fills later appends that
+  omit the column.
+- maintenance-generated-columns — delta.generationExpression
+  computed by the writer when the column is absent.
+- scan-timestamp-as-of — timestamp time travel
+  (``version_at_timestamp`` under ``read_delta(timestamp_as_of=)``).
 """
 
 from __future__ import annotations
@@ -218,3 +240,560 @@ def maintenance_check_constraint_q(
     return out.withColumn(
         "n_refused", F.lit(n_refused).cast("bigint")
     )
+
+
+# ------------------------------------------------------------------
+# r13 additions: the pytest-only engine capabilities, driver-graded
+
+
+def _cents_events(spark: SparkSession, sf_dir: str, mod: int) -> DataFrame:
+    """Shared seed: integer cents + a deterministic slice key."""
+    return (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+            (F.col("event_id") % mod).alias("m"),
+        )
+    )
+
+
+_CENTS_SQL = """
+      SELECT event_type,
+             CAST(floor(value * 100) AS BIGINT) AS cents,
+             event_id % {mod} AS m
+      FROM events WHERE value IS NOT NULL
+"""
+
+
+@draft(
+    "maintenance-type-widening",
+    # the rollup must cover BOTH the narrow-encoded seed files and the
+    # wide append; cents_type pins that the logical schema widened
+    oracle=f"""
+    WITH sub AS ({_CENTS_SQL.format(mod=2)})
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS total,
+           'bigint' AS cents_type
+    FROM sub GROUP BY event_type
+    """,
+)
+def maintenance_type_widening_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """maintenance / type widening — ALTER TABLE ... ALTER COLUMN
+    ... TYPE int→bigint as a METADATA-ONLY commit
+    (sources/delta_log.py:alter_column_type — the typeWidening table
+    feature: schemaString takes the wider type, the already-written
+    NARROW parquet files are never rewritten and read back up-cast).
+    The face seeds with INT cents, widens, appends a BIGINT batch,
+    and rolls the whole table up: the sum crosses narrow and wide
+    files, and cents_type pins the widened logical schema. On plain
+    parquet this is a full rewrite; here O(metadata) — the same
+    100 TB schema-evolution story as the rename face."""
+    from medallion_delta_lake_spark.sources import delta_log as dl
+
+    p = _scratch(sf_dir, "type_widening")
+    _shutil.rmtree(p, ignore_errors=True)
+    sub = _cents_events(spark, sf_dir, 2)
+    seed = (
+        sub.filter(F.col("m") == 0)
+        .select("event_type", F.col("cents").cast("int").alias("cents"))
+    )
+    dl.write_delta(spark, seed.coalesce(2), p, mode="overwrite")
+    dl.alter_column_type(p, "cents", "bigint")
+    late = sub.filter(F.col("m") == 1).select("event_type", "cents")
+    dl.write_delta(spark, late.coalesce(2), p, mode="append")
+    df = dl.read_delta(spark, p)
+    wide = df.schema["cents"].dataType.simpleString()
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("total"),
+        )
+        .withColumn("cents_type", F.lit(wide))
+    )
+
+
+@draft(
+    "scan-delta-idmode",
+    # the id-mode read must resolve scrambled physical names by
+    # parquet field id; any mis-binding swaps whole columns and
+    # breaks the hash
+    oracle="""
+    SELECT event_type,
+           CAST(user_id % 50 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+             AS cents_sum
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type, user_id % 50
+    """,
+)
+def scan_delta_idmode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scan / id-mode column mapping — the table layout modern Delta
+    writers produce under ``delta.columnMapping.mode = id``: physical
+    column names are opaque tokens and the parquet FIELD IDs are
+    authoritative (sources/delta_log.py:read_delta resolves them from
+    the footers; tests/test_delta_log_reader.py:
+    test_id_mode_column_mapping_read is the pytest twin). The face
+    builds a BOUNDED rollup (event_type × 50 user buckets), stages it
+    as an id-mode table with deliberately scrambled physical names,
+    and reads it back through log replay — a column mis-bound by
+    name instead of id swaps cnt/cents_sum and breaks the hash. The
+    driver-side staging is bounded by the rollup (≤ a few hundred
+    rows); the tested path is the executor-side field-id scan."""
+    import json as _json
+    import uuid as _uuid
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from medallion_delta_lake_spark.sources import delta_log as dl
+
+    p = _scratch(sf_dir, "idmode")
+    _shutil.rmtree(p, ignore_errors=True)
+    roll = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            (F.col("user_id") % 50).cast("bigint").alias("bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents_sum"),
+        )
+    )
+    pdf = roll.toPandas()  # bounded: |event_type| × 50 buckets
+    phys = {
+        "event_type": "c-aa11",
+        "bucket": "c-bb22",
+        "cnt": "c-cc33",
+        "cents_sum": "c-dd44",
+    }
+    pa_types = {
+        "event_type": _pa.string(),
+        "bucket": _pa.int64(),
+        "cnt": _pa.int64(),
+        "cents_sum": _pa.int64(),
+    }
+    sch = _pa.schema(
+        [
+            _pa.field(
+                phys[c],
+                pa_types[c],
+                metadata={
+                    b"PARQUET:field_id": str(i + 1).encode()
+                },
+            )
+            for i, c in enumerate(phys)
+        ]
+    )
+    _os.makedirs(_os.path.join(p, "_delta_log"), exist_ok=True)
+    fp = _os.path.join(p, "part-00000.parquet")
+    _pq.write_table(
+        _pa.table(
+            {phys[c]: pdf[c] for c in phys}, schema=sch
+        ),
+        fp,
+    )
+    fields = [
+        {
+            "name": c,
+            "type": "string" if c == "event_type" else "long",
+            "nullable": True,
+            "metadata": {
+                "delta.columnMapping.id": i + 1,
+                "delta.columnMapping.physicalName": phys[c],
+            },
+        }
+        for i, c in enumerate(phys)
+    ]
+    meta = {
+        "metaData": {
+            "id": str(_uuid.uuid4()),
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": _json.dumps(
+                {"type": "struct", "fields": fields}
+            ),
+            "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "id"},
+        }
+    }
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        meta,
+        {
+            "add": {
+                "path": "part-00000.parquet",
+                "partitionValues": {},
+                "size": _os.path.getsize(fp),
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+        },
+    ]
+    with open(
+        _os.path.join(p, "_delta_log", f"{0:020d}.json"), "w"
+    ) as fh:
+        fh.write("\n".join(_json.dumps(a) for a in actions) + "\n")
+    return dl.read_delta(spark, p)
+
+
+@draft(
+    "maintenance-identity-allocate",
+    # dense start/step allocation: block arithmetic over the two
+    # batch sizes is fully determined even though the row→id mapping
+    # inside a batch is partition-order dependent
+    oracle=f"""
+    WITH sub AS ({_CENTS_SQL.format(mod=2)}),
+    c AS (
+      SELECT CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1,
+             CAST(SUM(CASE WHEN m = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n2
+      FROM sub
+    )
+    SELECT 'b1' AS batch, n1 AS n,
+           CAST(1000 + 3 AS BIGINT) AS id_min,
+           CAST(1000 + 3 * n1 AS BIGINT) AS id_max,
+           CAST(1000 * n1 + (3 * n1 * (n1 + 1)) // 2 AS BIGINT)
+             AS id_sum
+    FROM c
+    UNION ALL
+    SELECT 'b2', n2,
+           CAST(1000 + 3 * n1 + 3 AS BIGINT),
+           CAST(1000 + 3 * n1 + 3 * n2 AS BIGINT),
+           CAST((1000 + 3 * n1) * n2 + (3 * n2 * (n2 + 1)) // 2
+                AS BIGINT)
+    FROM c
+    """,
+)
+def maintenance_identity_allocate_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """maintenance / identity columns — GENERATED ALWAYS AS IDENTITY
+    (sources/identity.py: create_identity_table +
+    append_with_identity): two appends allocate DENSE start/step
+    blocks (1000+3k) and advance delta.identity.highWaterMark in the
+    SAME commit's metaData, so the second batch starts exactly where
+    the first ended — no gaps, no collisions. Per batch the face
+    pins n / min / max / sum of the allocated ids: block arithmetic
+    is fully determined by the batch sizes even though which ROW gets
+    which id is partition-order dependent (the same contract Delta
+    gives). Allocation is per-partition offset + intra-partition
+    index — no shuffle, no driver row loop — so it holds at any
+    batch size."""
+    from medallion_delta_lake_spark.sources import delta_log as dl
+    from medallion_delta_lake_spark.sources import identity as ident
+
+    p = _scratch(sf_dir, "identity_alloc")
+    _shutil.rmtree(p, ignore_errors=True)
+    sub = _cents_events(spark, sf_dir, 2)
+    b1 = sub.filter(F.col("m") == 0).select(
+        F.lit("b1").alias("batch"), "cents"
+    )
+    b2 = sub.filter(F.col("m") == 1).select(
+        F.lit("b2").alias("batch"), "cents"
+    )
+    ident.create_identity_table(
+        spark, p, b1.schema, "row_id", start=1003, step=3
+    )
+    ident.append_with_identity(spark, b1.coalesce(4), p)
+    ident.append_with_identity(spark, b2.coalesce(4), p)
+    return (
+        dl.read_delta(spark, p)
+        .groupBy("batch")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("row_id").cast("bigint").alias("id_min"),
+            F.max("row_id").cast("bigint").alias("id_max"),
+            F.sum("row_id").cast("bigint").alias("id_sum"),
+        )
+    )
+
+
+@draft(
+    "maintenance-log-compaction",
+    # after the source commit JSONs are deleted, the snapshot is only
+    # reconstructible through the compaction file — a wrong
+    # reconciliation (resurrected delete, lost append) breaks the hash
+    oracle=f"""
+    WITH sub AS ({_CENTS_SQL.format(mod=4)}),
+    state AS (
+      SELECT event_type, cents FROM sub
+      WHERE (m IN (0, 1) AND cents >= 1000) OR m = 2 OR m = 3
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS total
+    FROM state GROUP BY event_type
+    """,
+)
+def maintenance_log_compaction_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """maintenance / log compaction — PROTOCOL.md's
+    ``{start}.{end}.compacted.json``: four commits (overwrite,
+    append, DELETE-by-DV, append) are reconciled into ONE compaction
+    file (sources/delta_log.py:write_log_compaction — per-path final
+    disposition, last metaData/protocol), the four source commit
+    JSONs are then REMOVED out-of-band, and a fifth append lands.
+    Replay has no choice but to substitute the compaction file for
+    the missing range — a wrong reconciliation (the deleted rows
+    resurrecting, an append lost) breaks the hash. This is the
+    O(1)-file replay fast path long-lived 100 TB tables need between
+    checkpoints."""
+    from medallion_delta_lake_spark.sources import delta_log as dl
+
+    p = _scratch(sf_dir, "log_compaction")
+    _shutil.rmtree(p, ignore_errors=True)
+    sub = _cents_events(spark, sf_dir, 4)
+
+    def slice_(k: int) -> DataFrame:
+        return sub.filter(F.col("m") == k).select("event_type", "cents")
+
+    dl.write_delta(spark, slice_(0).coalesce(2), p, mode="overwrite")
+    dl.write_delta(spark, slice_(1).coalesce(2), p, mode="append")
+    dl.delete_delta_log(spark, p, [("cents", "<", 1000)])
+    dl.write_delta(spark, slice_(2).coalesce(2), p, mode="append")
+    dl.write_log_compaction(p, 0, 3)
+    log = _os.path.join(p, "_delta_log")
+    for v in range(4):
+        _os.remove(_os.path.join(log, f"{v:020d}.json"))
+    dl.write_delta(spark, slice_(3).coalesce(2), p, mode="append")
+    return (
+        dl.read_delta(spark, p)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("total"),
+        )
+    )
+
+
+@draft(
+    "maintenance-fsck-repair",
+    # the dangling partition's rows must vanish and NOTHING else;
+    # n_dangling pins the repair report
+    oracle=f"""
+    WITH sub AS ({_CENTS_SQL.format(mod=2)}),
+    victim AS (SELECT MIN(event_type) AS v FROM sub)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS total,
+           CAST(1 AS BIGINT) AS n_dangling
+    FROM sub WHERE event_type != (SELECT v FROM victim)
+    GROUP BY event_type
+    """,
+)
+def maintenance_fsck_repair_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """maintenance / FSCK REPAIR TABLE — recovery from an
+    OUT-OF-BAND data-file deletion (sources/delta_log.py:
+    repair_table): the table is partitioned by event_type (one file
+    per partition — hash repartition by the column never splits a
+    value), the lexicographically smallest partition's file is rm'd
+    from storage, and every read would now throw. repair_table drops
+    the dangling add as a remove commit, making the loss explicit
+    and bounded; the face pins the surviving rollup AND the dangling
+    count. The repair walk is O(files) driver metadata — the same
+    scan VACUUM does — so it holds on wide tables."""
+    from medallion_delta_lake_spark.sources import delta_log as dl
+
+    p = _scratch(sf_dir, "fsck_repair")
+    _shutil.rmtree(p, ignore_errors=True)
+    sub = _cents_events(spark, sf_dir, 2).select("event_type", "cents")
+    dl.write_delta(
+        spark,
+        sub.repartition("event_type"),
+        p,
+        mode="overwrite",
+        partition_by=["event_type"],
+    )
+    snap = dl.resolve_snapshot(p)
+    victim = min(
+        add["partitionValues"]["event_type"]
+        for add in snap["files"].values()
+    )
+    for rel, add in snap["files"].items():
+        if add["partitionValues"]["event_type"] == victim:
+            _os.remove(_os.path.join(p, rel))
+    rep = dl.repair_table(p)
+    out = (
+        dl.read_delta(spark, p)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("total"),
+        )
+    )
+    return out.withColumn(
+        "n_dangling", F.lit(len(rep["dangling"])).cast("bigint")
+    )
+
+
+@draft(
+    "maintenance-column-defaults",
+    # rows appended WITHOUT the column must carry the declared
+    # default, seed rows keep their explicit value
+    oracle=f"""
+    WITH sub AS ({_CENTS_SQL.format(mod=2)}),
+    state AS (
+      SELECT event_type, cents,
+             CASE WHEN m = 0 THEN 'seed' ELSE 'late' END AS src
+      FROM sub
+    )
+    SELECT src,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS total
+    FROM state GROUP BY src
+    """,
+)
+def maintenance_column_defaults_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """maintenance / column DEFAULT — ALTER COLUMN ... SET DEFAULT
+    (sources/delta_log.py:set_column_default, the allowColumnDefaults
+    writer feature): after the default is declared, an append that
+    OMITS the column commits with the default filled in by the
+    writer; the seed's explicit values are untouched (existing files
+    are never rewritten — Delta's exact contract). The rollup by src
+    pins both populations."""
+    from medallion_delta_lake_spark.sources import delta_log as dl
+
+    p = _scratch(sf_dir, "col_defaults")
+    _shutil.rmtree(p, ignore_errors=True)
+    sub = _cents_events(spark, sf_dir, 2)
+    seed = sub.filter(F.col("m") == 0).select(
+        "event_type", "cents", F.lit("seed").alias("src")
+    )
+    dl.write_delta(spark, seed.coalesce(2), p, mode="overwrite")
+    dl.set_column_default(spark, p, "src", "'late'")
+    late = sub.filter(F.col("m") == 1).select("event_type", "cents")
+    dl.write_delta(spark, late.coalesce(2), p, mode="append")
+    return (
+        dl.read_delta(spark, p)
+        .groupBy("src")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("total"),
+        )
+    )
+
+
+@draft(
+    "maintenance-generated-columns",
+    # the writer must COMPUTE bucket for the append that omits it —
+    # identical to the seed's explicit expression
+    oracle=f"""
+    WITH sub AS ({_CENTS_SQL.format(mod=2)})
+    SELECT cents % 7 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS total
+    FROM sub GROUP BY cents % 7
+    """,
+)
+def maintenance_generated_columns_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """maintenance / generated columns — ``delta.generationExpression``
+    (writer v4; sources/delta_log.py:_apply_generated_columns): the
+    seed declares bucket GENERATED AS ``cents % 7`` and supplies
+    correct values; the append OMITS the column and the writer
+    computes it from the expression recorded in the table metadata.
+    Both populations land in one rollup keyed by the generated
+    value — a writer that skipped generation would null/miss half
+    the groups."""
+    from medallion_delta_lake_spark.sources import delta_log as dl
+
+    p = _scratch(sf_dir, "gen_cols")
+    _shutil.rmtree(p, ignore_errors=True)
+    sub = _cents_events(spark, sf_dir, 2)
+    seed = sub.filter(F.col("m") == 0).select(
+        "event_type",
+        "cents",
+        (F.col("cents") % 7).alias(
+            "bucket",
+            metadata={"delta.generationExpression": "cents % 7"},
+        ),
+    )
+    dl.write_delta(spark, seed.coalesce(2), p, mode="overwrite")
+    late = sub.filter(F.col("m") == 1).select("event_type", "cents")
+    dl.write_delta(spark, late.coalesce(2), p, mode="append")
+    return (
+        dl.read_delta(spark, p)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("total"),
+        )
+    )
+
+
+@draft(
+    "scan-timestamp-as-of",
+    # the timestamp read must land on the PRE-append snapshot; the
+    # current read sees both batches
+    oracle=f"""
+    WITH sub AS ({_CENTS_SQL.format(mod=2)}),
+    seed AS (SELECT event_type, cents FROM sub WHERE m = 0)
+    SELECT 'at_ts' AS snap, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS total
+    FROM seed GROUP BY event_type
+    UNION ALL
+    SELECT 'current', event_type,
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(cents) AS BIGINT)
+    FROM sub GROUP BY event_type
+    """,
+)
+def scan_timestamp_as_of_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """scan / timestamp time travel — ``read_delta(timestamp_as_of=)``
+    (sources/delta_log.py:version_at_timestamp: latest version whose
+    commit time ≤ the requested instant, commit times resolved
+    ICT → commitInfo.timestamp → mtime). The face commits a seed,
+    captures a wall-clock instant, commits an append, then reads
+    BOTH at the captured instant (must serve exactly the seed) and
+    current (both batches) — unioned under labels so a
+    version_at_timestamp off-by-one breaks the hash."""
+    import time as _time
+
+    from medallion_delta_lake_spark.sources import delta_log as dl
+
+    p = _scratch(sf_dir, "ts_as_of")
+    _shutil.rmtree(p, ignore_errors=True)
+    sub = _cents_events(spark, sf_dir, 2)
+    seed = sub.filter(F.col("m") == 0).select("event_type", "cents")
+    late = sub.filter(F.col("m") == 1).select("event_type", "cents")
+    dl.write_delta(spark, seed.coalesce(2), p, mode="overwrite")
+    _time.sleep(0.05)
+    t_mid = _time.time()
+    _time.sleep(0.05)
+    dl.write_delta(spark, late.coalesce(2), p, mode="append")
+
+    def rollup(df: DataFrame, tag: str) -> DataFrame:
+        return (
+            df.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum("cents").cast("bigint").alias("total"),
+            )
+            .select(F.lit(tag).alias("snap"), "event_type", "n", "total")
+        )
+
+    at_ts = rollup(
+        dl.read_delta(spark, p, timestamp_as_of=t_mid), "at_ts"
+    )
+    cur = rollup(dl.read_delta(spark, p), "current")
+    return at_ts.unionByName(cur)
