@@ -536,3 +536,95 @@ def test_topk_faces_use_takeordered(spark):
     for fn in (explode_token_freq_q, text_zipf_profile_q):
         plan = _final_plan(fn(spark, SF_SMOKE))
         assert "TakeOrderedAndProject" in plan, plan[:1500]
+
+
+def test_sketch_maintenance_commit_scoped(spark, tmp_path):
+    """The sketch-maintenance E2Es' cost is driven by commit count /
+    touched files, not table rows (BASELINE r12's flat-at-10× claim,
+    made structural per VERDICT r12 #6): a churn commit confined to
+    one file's key range must remove/re-add ONLY that file — the
+    untouched file's add action never re-enters the log."""
+    import json
+    import os
+
+    from medallion_delta_lake_spark.sources import delta_log as dl
+
+    p = str(tmp_path / "t")
+    lo = spark.range(0, 500).select(
+        "id", F.col("id").cast("string").alias("item")
+    )
+    hi = spark.range(500, 1000).select(
+        "id", F.col("id").cast("string").alias("item")
+    )
+    dl.write_delta(spark, lo.coalesce(1), p, mode="overwrite")
+    dl.write_delta(spark, hi.coalesce(1), p, mode="append")
+    files_v1 = set(dl.resolve_snapshot(p)["files"])
+    assert len(files_v1) == 2
+    lo_file = next(
+        f
+        for f, add in dl.resolve_snapshot(p)["files"].items()
+        if json.loads(add.get("stats", "{}")).get("minValues", {}).get(
+            "id", 10**9
+        )
+        < 500
+    )
+    dl.delete_delta_log(spark, p, [("id", "<", 100)])
+    log = os.path.join(p, "_delta_log")
+    with open(os.path.join(log, f"{2:020d}.json")) as fh:
+        actions = [json.loads(ln) for ln in fh if ln.strip()]
+    touched = {
+        a["remove"]["path"] for a in actions if a.get("remove")
+    } | {a["add"]["path"] for a in actions if a.get("add")}
+    assert touched == {lo_file}, (
+        f"delete commit must be file-scoped to {lo_file}: {touched}"
+    )
+    dl.update_delta_log(
+        spark, p, [("id", "<", 200)], {"item": "concat(item, '_x')"}
+    )
+    with open(os.path.join(log, f"{3:020d}.json")) as fh:
+        actions = [json.loads(ln) for ln in fh if ln.strip()]
+    touched = {
+        a["remove"]["path"] for a in actions if a.get("remove")
+    } | {
+        a["add"]["path"]
+        for a in actions
+        if a.get("add")
+        and not a["add"]["path"].startswith("_change_data/")
+    }
+    # the update rewrites the lo file (new data file replaces it);
+    # the hi file must not appear in any action
+    hi_file = next(iter(files_v1 - {lo_file}))
+    assert lo_file in touched and hi_file not in touched, touched
+
+
+def test_epoch_rebuild_rescans_only_touched_epochs(spark):
+    """sketch_epoch_rebuild's plan: kept partials anti-join and the
+    rescan semi-joins a BROADCAST touched-epoch set, and the rebuild
+    aggregation sits ABOVE the semi join — untouched epochs are
+    neither re-scanned nor re-aggregated. This is the 100 TB posture
+    behind sketch-hll-rebuild's flat 10× row (the touched set is
+    days, not rows)."""
+    from medallion_delta_lake_spark.operators import sketches as sk
+
+    current = spark.range(0, 10000).select(
+        (F.col("id") % 10).alias("epoch"),
+        F.col("id").alias("uid"),
+    )
+    partials = sk.hll_partials(current, ["epoch"], "uid", p=8)
+    changes = spark.range(3, 4).select(F.col("id").alias("epoch"))
+    out = sk.sketch_epoch_rebuild(
+        current,
+        partials,
+        changes,
+        "epoch",
+        lambda df: sk.hll_partials(df, ["epoch"], "uid", p=8),
+    )
+    plan = _final_plan(out)
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan
+    assert plan.count("BroadcastExchange") >= 2, plan
+    # the semi join (rescan filter) must sit BELOW the aggregation:
+    # a plan that aggregates the full table and joins after would
+    # re-aggregate every epoch
+    agg_pos = plan.find("HashAggregate")
+    semi_pos = plan.find("LeftSemi")
+    assert 0 <= agg_pos < semi_pos, plan
