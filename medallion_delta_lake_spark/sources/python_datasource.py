@@ -363,7 +363,16 @@ class _StreamReader(DataSourceStreamReader):
 
         log = os.path.join(self._path, "_delta_log")
         parts: list[_FilePartition] = []
-        for v in range(start["version"] + 1, end["version"] + 1):
+        # ONE log replay at the range start for the current metaData;
+        # each commit's own metaData action (if any) folds in as the
+        # loop advances — no per-commit full replay
+        base_v = start["version"]
+        meta = (
+            resolve_snapshot(self._path, version_as_of=base_v)["meta"]
+            if base_v >= 0
+            else None
+        )
+        for v in range(base_v + 1, end["version"] + 1):
             commit = os.path.join(log, f"{v:020d}.json")
             if not os.path.exists(commit):
                 raise FileNotFoundError(
@@ -375,6 +384,9 @@ class _StreamReader(DataSourceStreamReader):
                 actions = [
                     json.loads(ln) for ln in fh if ln.strip()
                 ]
+            for a in actions:
+                if a.get("metaData"):
+                    meta = a["metaData"]
             adds = [
                 a["add"]
                 for a in actions
@@ -398,9 +410,6 @@ class _StreamReader(DataSourceStreamReader):
                 )
             if not adds:
                 continue
-            meta = resolve_snapshot(self._path, version_as_of=v)[
-                "meta"
-            ]
             parts.extend(
                 _partitions_for(
                     self._path,

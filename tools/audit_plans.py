@@ -17,6 +17,28 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 AUDITED = [
+    # round-13 registrations (r13 + r14 cohorts)
+    "maintenance-optimize-zorder",
+    "maintenance-restore-version",
+    "join-cdf-maintained",
+    "agg-cdf-incremental-refresh",
+    "sketch-hll-churn-epoch",
+    "scan-delta-skipping",
+    "scan-parquet-partition-prune",
+    "stats-wilcoxon-signed-rank",
+    "text-hapax-ratio",
+    "dedup-lsh-recall-audit",
+    "maintenance-vacuum-retention",
+    "maintenance-checkpoint-v2",
+    "cluster-kmeans-refine",
+    "dedup-semantic-bucketed",
+    "events-retention-triangle",
+    "stats-cochran-q",
+    "window-kaufman-er",
+    "agg-trimmed-mean",
+    "ml-fbeta-sweep",
+    "stats-cohens-d",
+    # earlier rounds
     "scan-csv-typed",
     "scan-json-lines",
     "scan-orc-roundtrip",
