@@ -127,6 +127,10 @@ DOUBLE_FACE_ALLOWLIST: dict[str, tuple[str, ...]] = {
     'agg-herfindahl': ('hhi',),
     'agg-histogram': ('sum_qty',),
     'agg-l-moments': ('l1', 'l2', 't3', 'l_cv'),
+    # r14 cohort (registered r13): each double is a FINAL per-row
+    # IEEE division of exact integer cores (identical in any engine;
+    # oracle-proven at three SFs while drafted)
+    'agg-trimmed-mean': ('trimmed_mean',),
     'agg-markov-transition': ('p',),
     'agg-pareto-abc': ('spend',),
     'agg-percentile-bands': ('p25', 'p50', 'p75', 'p95'),
@@ -178,6 +182,7 @@ DOUBLE_FACE_ALLOWLIST: dict[str, tuple[str, ...]] = {
     'ml-brier-score': ('brier', 'base_rate', 'brier_skill'),
     'ml-confusion-threshold': ('accuracy', 'precision', 'recall', 'f1'),
     'ml-expected-calibration-error': ('ece',),
+    'ml-fbeta-sweep': ('f_half', 'f1', 'f2'),
     'ml-group-auc': ('auc',),
     'ml-ks-separation': ('ks_stat',),
     'ml-lift-deciles': ('lift', 'cum_capture'),
@@ -232,6 +237,8 @@ DOUBLE_FACE_ALLOWLIST: dict[str, tuple[str, ...]] = {
     'stats-benford-deviation': ('total_variation',),
     'stats-brown-forsythe': ('f_stat',),
     'stats-chi-square': ('chi2',),
+    'stats-cochran-q': ('q_stat',),
+    'stats-cohens-d': ('mean_diff', 'cohens_d'),
     'stats-cohens-kappa': ('p_obs', 'p_exp', 'kappa'),
     'stats-corr': ('corr_qty_disc',),
     'stats-cramers-v': ('chi2', 'cramers_v'),
@@ -281,6 +288,7 @@ DOUBLE_FACE_ALLOWLIST: dict[str, tuple[str, ...]] = {
     'window-anomaly-zscore': ('value', 'zscore'),
     'window-bollinger-bands': ('mid', 'upper', 'lower'),
     'window-cusum-drift': ('cusum_max',),
+    'window-kaufman-er': ('er',),
     'window-cusum-mean-shift': ('s_cusum',),
     'window-donchian-channel': ('value', 'channel_hi', 'channel_lo'),
     'window-ewma-smooth': ('value', 'ewma'),
