@@ -23,52 +23,12 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from medallion_delta_lake_spark.plans import registry  # noqa: E402
-from medallion_delta_lake_spark.plans import queries_core  # noqa: F401,E402
 
-try:
-    from medallion_delta_lake_spark.plans import queries_text  # noqa: F401,E402
-except ImportError:
-    pass
-try:
-    from medallion_delta_lake_spark.plans import queries_ml  # noqa: F401,E402
-except ImportError:
-    pass
-try:
-    from medallion_delta_lake_spark.plans import queries_stream  # noqa: F401,E402
-except ImportError:
-    pass
-try:
-    from medallion_delta_lake_spark.plans import queries_rel  # noqa: F401,E402
-except ImportError:
-    pass
-try:
-    from medallion_delta_lake_spark.plans import queries_multimodal  # noqa: F401,E402
-except ImportError:
-    pass
-try:
-    from medallion_delta_lake_spark.plans import queries_tpch  # noqa: F401,E402
-except ImportError:
-    pass
-try:
-    from medallion_delta_lake_spark.plans import queries_feature  # noqa: F401,E402
-except ImportError:
-    pass
-try:
-    from medallion_delta_lake_spark.plans import queries_mleval  # noqa: F401,E402
-except ImportError:
-    pass
-try:
-    from medallion_delta_lake_spark.plans import queries_r10  # noqa: F401,E402
-except ImportError:
-    pass
-try:
-    from medallion_delta_lake_spark.plans import queries_r11  # noqa: F401,E402
-except ImportError:
-    pass
-try:
-    from medallion_delta_lake_spark.plans import queries_r12  # noqa: F401,E402
-except ImportError:
-    pass
+# register EVERY plans module through the driver entry itself — the
+# one place that is kept current as cohorts register (a per-module
+# import ladder here silently dropped the r13/r14 cohorts from the
+# first r13 bench run)
+import __spark_entry__  # noqa: F401,E402
 
 from medallion_delta_lake_spark.session import get_spark  # noqa: E402
 
