@@ -54,3 +54,19 @@ def test_double_faces_match_allowlist(spark):
             "(or is unregistered) — remove the stale entry"
         )
     assert not problems, "\n".join(problems)
+
+
+def test_bench_sees_full_registry():
+    """bench.py must bench every registered face: its old per-module
+    import ladder silently dropped the r13/r14 cohorts (319 of 339
+    benched in the first r13 run). It now registers through the
+    driver entry itself; this pins that the two surfaces can never
+    diverge again."""
+
+    import bench  # noqa: F401 — importing registers via __spark_entry__
+    from medallion_delta_lake_spark.plans import registry
+
+    entry_names = set(entry.queries())
+    assert set(registry.QUERIES) == entry_names, (
+        "bench-visible registry diverges from the driver entry"
+    )
