@@ -195,10 +195,19 @@ def window_mann_kendall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_div — no double on the driver face). The pair self-join is bounded
     by days²·users (30² here), keyed on user_id — never on the raw
     event table."""
+    from medallion_delta_lake_spark.operators.caching import (
+        tracked_cache,
+    )
+
     ev = table(spark, sf_dir, "events")
-    d = ev.groupBy(
-        "user_id", F.col("ts").cast("date").alias("dy")
-    ).agg(F.count(F.lit(1)).alias("c"))
+    # d feeds THREE branches (pair self-join, n_days, tie census) —
+    # cache it so the events scan + daily rollup run once, not four
+    # times (at 100 TB the raw-events re-scan is the whole cost)
+    d = tracked_cache(
+        ev.groupBy(
+            "user_id", F.col("ts").cast("date").alias("dy")
+        ).agg(F.count(F.lit(1)).alias("c"))
+    )
     a, b = d.alias("a"), d.alias("b")
     s = (
         a.join(
