@@ -228,3 +228,24 @@ def test_kmv_diff_ops_empty_sketches(spark):
     assert row["d_ab"] == 0 and row["d_ba"] == 0
     assert row["union_est_q6"] == 0
     assert row["diff_ab_est_q6"] == 0 and row["diff_ba_est_q6"] == 0
+
+
+def test_stream_cdf_initial_snapshot_under_column_mapping(spark, tmp_path):
+    """The no-startingVersion snapshot emission must resolve
+    physical→logical names on a column-mapped table: after a RENAME,
+    the snapshot partitions carry the mapping and the stream serves
+    the NEW logical name with real values (not NULLs)."""
+    pds.register(spark)
+    p = str(tmp_path / "t")
+    dl.write_delta(
+        spark,
+        spark.createDataFrame([(1, 10), (2, 20)], "k int, v int")
+        .coalesce(1),
+        p,
+        mode="overwrite",
+    )
+    dl.enable_column_mapping(p)
+    dl.rename_column(p, "v", "amount")
+    out = _feed_all(spark, p, "cdf_" + uuid.uuid4().hex[:8])
+    rows = sorted((r["k"], r["amount"], r["_change_type"]) for r in out.collect())
+    assert rows == [(1, 10, "insert"), (2, 20, "insert")]
