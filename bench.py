@@ -33,10 +33,24 @@ import __spark_entry__  # noqa: F401,E402
 from medallion_delta_lake_spark.session import get_spark  # noqa: E402
 
 
+def _cpu_ticks() -> tuple[int, int]:
+    """(steal, total) jiffies from /proc/stat — bracketing a run
+    makes hypervisor contention visible in the recorded JSON (r13:
+    bursty 1.5-6% steal inflated totals up to 2x; without this the
+    number is indistinguishable from a plan regression)."""
+    try:
+        f = open("/proc/stat").readline().split()
+        vals = [int(x) for x in f[1:9]]
+        return vals[7], sum(vals)
+    except Exception:  # non-Linux or restricted /proc
+        return 0, 0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+    steal0, total0 = _cpu_ticks()
 
     spark = get_spark(app_name="mdls-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -61,6 +75,7 @@ def main() -> None:
             print(f"[bench] {name} FAILED: {errors[name]}", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
+    steal1, total1 = _cpu_ticks()
     out = {
         "metric": "total_query_wall_sec",
         "value": total,
@@ -68,6 +83,10 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    if total1 > total0:
+        out["host_steal_pct"] = round(
+            100 * (steal1 - steal0) / (total1 - total0), 2
+        )
     if errors:
         out["errors"] = errors
     # VERDICT r7 #6: the driver's BENCH_rN.json keeps only a truncated
