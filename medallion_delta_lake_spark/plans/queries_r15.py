@@ -1,12 +1,10 @@
-"""DRAFT round-15 query faces — NOT registered (the r13 and r14
-windows are already fully planned: r13 = 38 r6-stale drains + the 10
-proven r13 drafts + 2 r7 heads; r14 = ~40 r7 drains + the 10 proven
-r14 drafts — registering more ops before their window would mint
-registered-never-checked ids). Each face pairs a Spark query with its
-DuckDB oracle and tests/test_r15_drafts.py proves the pair
-compare_query-green at two SFs, so the eventual registration stays
-the mechanical draft→@query move that made every registration since
-r10 zero-risk (SURVEY.md §7 Phases 8/9).
+"""Round-15-cohort query faces — REGISTERED as of round 14 (drafted
++ oracle-proven at two SFs in round 12 while the registry was frozen
+at 319; the registration is the mechanical draft→@query move that
+made every hand-off since r10 zero-risk; SURVEY.md §7 Phase 9,
+VERDICT r13 #1). The r14 driver window leads with these 10 plus the
+10 r16-cohort faces, then drains the 8 r6-stale remnants and 22 of
+the 48 r7-stale ids.
 
 The cohort adds capabilities no existing family covers:
 
@@ -54,11 +52,11 @@ The cohort adds capabilities no existing family covers:
   full windows only): the standardized lexical-diversity score that
   raw TTR's length sensitivity breaks; complements r13's hapax ratio.
 
-Deliberately NO ``@query`` decorator and NO registry import on the
-module path that registers: importing this module must not mutate the
-registered set. tests/test_r15_drafts.py pins that, and
-tests/test_oracle_dtype_lint.py lints these oracles' OUTPUT dtypes
-(no HUGEINT) alongside the registered ones.
+Every face registers via the standard ``@query`` decorator AND stays
+in the module-local maps so tests/test_r15_drafts.py can pin the
+cohort independently of the full registry sweep (the same wiring the
+r11–r14 cohorts used); tests/test_oracle_dtype_lint.py lints these
+oracles' OUTPUT dtypes (no HUGEINT).
 """
 
 from __future__ import annotations
@@ -70,17 +68,22 @@ from pyspark.sql import functions as F
 
 from medallion_delta_lake_spark.functions.hashing import h64, h64_sql
 from medallion_delta_lake_spark.operators.agg import q_div
-from medallion_delta_lake_spark.plans.registry import table
+from medallion_delta_lake_spark.plans.registry import query, table
 
 R15_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 R15_ORACLES: dict[str, str] = {}
 
 
 def draft(name: str, oracle: str):
+    """r15 registration: every former draft face registers via the
+    standard ``@query`` decorator AND stays in the module-local maps
+    so tests/test_r15_drafts.py can pin the cohort independently of
+    the full registry sweep (the same wiring r11–r14 used)."""
+
     def deco(fn):
         R15_QUERIES[name] = fn
         R15_ORACLES[name] = oracle
-        return fn
+        return query(name, oracle=oracle)(fn)
 
     return deco
 

@@ -1,9 +1,9 @@
-"""DRAFT round-16 query faces — NOT registered (the r13/r14/r15
-windows are already planned; registering ahead of a face's window
-would mint registered-never-checked ids). Each face pairs a Spark
-query with its DuckDB oracle and tests/test_r16_drafts.py proves the
-pair compare_query-green at two SFs, keeping registration the
-mechanical draft→@query move (SURVEY.md §7 Phases 8/9).
+"""Round-16-cohort query faces — REGISTERED as of round 14 (drafted
++ oracle-proven at two SFs in round 12 while the registry was frozen;
+the registration is the mechanical draft→@query move; SURVEY.md §7
+Phase 9, VERDICT r13 #1). The r14 driver window leads with the
+r15-cohort 10 plus these 10, then drains the 8 r6-stale remnants and
+22 of the 48 r7-stale ids.
 
 The cohort closes physical-layout and data-quality gaps:
 
@@ -50,9 +50,11 @@ The cohort closes physical-layout and data-quality gaps:
   counts; rounds are cached frames so the lineage stays linear
   (label-propagation's 2^k lesson, operators/graph.py).
 
-Deliberately NO ``@query`` decorator and NO registry import on the
-module path that registers. tests/test_r16_drafts.py pins that, and
-tests/test_oracle_dtype_lint.py lints these oracles' output dtypes.
+Every face registers via the standard ``@query`` decorator AND stays
+in the module-local maps so tests/test_r16_drafts.py can pin the
+cohort independently of the full registry sweep (the same wiring the
+r11–r15 cohorts used); tests/test_oracle_dtype_lint.py lints these
+oracles' output dtypes.
 """
 
 from __future__ import annotations
@@ -67,17 +69,22 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from medallion_delta_lake_spark.operators.agg import q_div
-from medallion_delta_lake_spark.plans.registry import table
+from medallion_delta_lake_spark.plans.registry import query, table
 
 R16_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 R16_ORACLES: dict[str, str] = {}
 
 
 def draft(name: str, oracle: str):
+    """r16 registration: every former draft face registers via the
+    standard ``@query`` decorator AND stays in the module-local maps
+    so tests/test_r16_drafts.py can pin the cohort independently of
+    the full registry sweep (the same wiring r11–r15 used)."""
+
     def deco(fn):
         R16_QUERIES[name] = fn
         R16_ORACLES[name] = oracle
-        return fn
+        return query(name, oracle=oracle)(fn)
 
     return deco
 

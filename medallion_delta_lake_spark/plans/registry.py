@@ -155,6 +155,10 @@ DOUBLE_FACE_ALLOWLIST: dict[str, tuple[str, ...]] = {
     'drift-total-variation': ('gap', 'tv_distance'),
     'dropna-any': ('v',),
     'events-attribution-lasttouch': ('attributed_value',),
+    # r15/r16 cohorts (registered r14): each double is a FINAL
+    # IEEE division/sqrt of exact integer cores (bit-identical in
+    # any engine; oracle-proven at two SFs while drafted)
+    'events-burstiness': ('mean_gap_s', 'burstiness'),
     'events-dau-wau-mau': ('stickiness',),
     'events-markov-transitions': ('p',),
     'events-new-vs-returning': ('returning_share',),
@@ -179,6 +183,7 @@ DOUBLE_FACE_ALLOWLIST: dict[str, tuple[str, ...]] = {
     'join-semi': ('o_totalprice',),
     'merge-clause-state': ('c_acctbal',),
     'mixture-token-budget': ('keep_rate',),
+    'ml-auc-delong-ci': ('auc', 'var_auc', 'se_auc', 'ci_lo95', 'ci_hi95'),
     'ml-brier-score': ('brier', 'base_rate', 'brier_skill'),
     'ml-confusion-threshold': ('accuracy', 'precision', 'recall', 'f1'),
     'ml-expected-calibration-error': ('ece',),
@@ -250,6 +255,7 @@ DOUBLE_FACE_ALLOWLIST: dict[str, tuple[str, ...]] = {
     'stats-jarque-bera': ('skewness', 'kurtosis', 'jb_stat'),
     'stats-kruskal-wallis': ('h_stat', 'h_adj'),
     'stats-ks-two-sample': ('ks_stat',),
+    'stats-ljung-box': ('r1', 'r2', 'r3', 'r4', 'r5', 'q_stat'),
     'stats-mann-whitney-u': ('u_true', 'u_false'),
     'stats-matched-uplift': ('treated_mean', 'control_mean', 'uplift'),
     'stats-median-manual': ('median',),
@@ -301,6 +307,7 @@ DOUBLE_FACE_ALLOWLIST: dict[str, tuple[str, ...]] = {
     'window-rolling-agg': ('value', 'roll_sum', 'roll_min', 'roll_max'),
     'window-rolling-autocorr': ('roll_autocorr',),
     'window-rolling-median': ('value', 'rolling_median'),
+    'window-rolling-skewness': ('skew_g1',),
     'window-rolling-slope': ('slope7',),
     'window-rsi': ('rsi',),
     'window-running-sum': ('value', 'running_total'),

@@ -441,9 +441,13 @@ def resolve_snapshot(path: str, version_as_of: int | None = None) -> dict:
                         _apply_action(state, json.loads(line))
         v += 1
     c_ends = [e for _s, e in compacts]
-    if version_as_of is not None and (
-        (not versions and not c_ends)
-        or version_as_of > max(versions + c_ends + [start - 1])
+    # `start - 1` is the applied checkpoint's version (-1 when none):
+    # a checkpoint-only log — every covered JSON cleaned — still
+    # resolves AT the checkpointed version (the snapshot IS the
+    # checkpoint); only versions beyond every retained artifact are
+    # unresolvable (ADVICE r14 follow-through)
+    if version_as_of is not None and version_as_of > max(
+        versions + c_ends + [start - 1]
     ):
         raise FileNotFoundError(
             f"version {version_as_of} not present in {log}"
@@ -531,14 +535,51 @@ def _commit_timestamp(log: str, version: int) -> float:
     robust to file copies/rewrites that disturb mtimes), then
     commitInfo.timestamp (ms), then the commit file's mtime (modulo
     Delta's monotonicity adjustment; file mtimes on one filesystem are
-    already monotone per writer)."""
+    already monotone per writer).
+
+    A commit whose JSON has been CLEANED (post-checkpoint log cleanup
+    or post-compaction source removal — both supported by this engine)
+    still resolves: fall back to the mtime of the artifact that now
+    covers the version — a checkpoint at exactly this version, else
+    the narrowest compaction file containing it. Both are written
+    at/after the commit on the same filesystem, so the proxy stays
+    monotone; without this, a snapshot-default readChangeFeed stream
+    over a cleaned log crashed on its first batch (ADVICE r13)."""
     ci = _commit_info_of(log, version)
     if ci is not None:
         if ci.get("inCommitTimestamp"):
             return ci["inCommitTimestamp"] / 1000.0
         if ci.get("timestamp"):
             return ci["timestamp"] / 1000.0
-    return os.path.getmtime(os.path.join(log, f"{version:020d}.json"))
+    try:
+        return os.path.getmtime(
+            os.path.join(log, f"{version:020d}.json")
+        )
+    except FileNotFoundError:
+        pass
+    try:
+        return max(
+            os.path.getmtime(f)
+            for f in _checkpoint_files(log, version)
+        )
+    except (FileNotFoundError, ValueError):
+        pass
+    for s, e in sorted(
+        _discover_compactions(log), key=lambda r: r[1] - r[0]
+    ):
+        if s <= version <= e:
+            try:
+                return os.path.getmtime(
+                    os.path.join(
+                        log, f"{s:020d}.{e:020d}.compacted.json"
+                    )
+                )
+            except FileNotFoundError:
+                continue
+    raise FileNotFoundError(
+        f"commit {version:020d}.json of {log} is cleaned and no "
+        "checkpoint or compaction file covers the version"
+    )
 
 
 # legacy minWriterVersion → the capabilities it implied; an upgrade to
@@ -3946,12 +3987,33 @@ def table_changes(
                 *[os.path.join(path, c["path"]) for c in cdcs]
             )
             # cdc files carry PHYSICAL names under column mapping;
-            # map back to logical (fall back to the logical name for
-            # pre-r9 files that staged logical names)
+            # map back to logical. The logical-name fallback (for
+            # pre-r9 files that staged logical names) fires ONLY
+            # when the file carries no physical-name MARKER (a
+            # mapped physical column whose physical name differs
+            # from its logical one — upgraded tables keep physical
+            # == logical until a rename, so identical pairs prove
+            # nothing): a physically-named file missing a field's
+            # physical column means the field has no data in that
+            # file (NULL) — falling back by logical name there
+            # misbinds after a rename + re-add (ADVICE r13; the
+            # stream-side read in python_datasource.py applies the
+            # same guard)
+            staged_logical = not any(
+                p in cdf.columns
+                for ln, p in mapping.items()
+                if p != ln
+            )
             sel = [
                 F.col(mapping[f.name]).alias(f.name)
                 if f.name in mapping and mapping[f.name] in cdf.columns
-                else F.col(f.name)
+                else (
+                    F.col(f.name).alias(f.name)
+                    if staged_logical and f.name in cdf.columns
+                    else F.lit(None)
+                    .cast(f.dataType)
+                    .alias(f.name)
+                )
                 for f in schema_v.fields
             ]
             frames.append(

@@ -147,13 +147,24 @@ def _read_partition(part: _FilePartition, schema: StructType):
         at = target.field(f.name).type
         if phys in tbl.column_names:
             cols.append(tbl.column(phys).combine_chunks().cast(at))
-        elif f.name in tbl.column_names:
+        elif f.name in tbl.column_names and not any(
+            p in tbl.column_names
+            for ln, p in part.physical_names.items()
+            if p != ln
+        ):
             # pre-r9 cdc files staged LOGICAL column names under
             # name-mode column mapping; mirror the batch
-            # table_changes fallback (delta_log.py table_changes:
-            # `mapping[f.name] in cdf.columns else F.col(f.name)`)
-            # so batch and stream CDF agree on the same table
-            # instead of this path silently emitting NULLs
+            # table_changes fallback so batch and stream CDF agree.
+            # The fallback fires ONLY when the file carries no
+            # physical-name MARKER (a mapped physical column whose
+            # physical name differs from its logical one — upgraded
+            # tables keep physical == logical until a rename, so
+            # identical pairs prove nothing): a physically-named
+            # file missing this field's physical column means the
+            # field genuinely has no data here — falling back by
+            # logical name there misbinds after a rename + re-add
+            # (old column renamed away, a new column re-using the
+            # name — ADVICE r13)
             cols.append(tbl.column(f.name).combine_chunks().cast(at))
         else:  # column added after this file was written
             cols.append(pa.nulls(tbl.num_rows, type=at))
@@ -461,6 +472,7 @@ class _CdfStreamReader(DataSourceStreamReader):
 
     def __init__(self, options: dict, schema: StructType):
         from medallion_delta_lake_spark.sources.delta_log import (
+            _column_mapping,
             resolve_snapshot,
         )
 
@@ -470,6 +482,22 @@ class _CdfStreamReader(DataSourceStreamReader):
         snap = resolve_snapshot(self._path)
         if snap["meta"] is not None:
             _check_supported(snap["meta"])
+        # Output columns bind by the STREAM-SCHEMA-ERA mapping, not
+        # each commit's: physical names are rename-stable, so the
+        # stream's logical field always resolves to the same bytes
+        # across old files, while a commit-era mapping would re-bind
+        # a renamed-away column to a NEW same-named field (the
+        # rename + re-add misbind, ADVICE r13). Partition VALUES
+        # still decode per commit (physical keys are stable there
+        # too).
+        self._bind: dict = {}
+        if snap["meta"] is not None:
+            self._bind = _column_mapping(
+                snap["meta"],
+                StructType.fromJson(
+                    json.loads(snap["meta"]["schemaString"])
+                ),
+            )
         if sv is not None:
             self._initial = {
                 "version": int(sv) - 1,
@@ -569,7 +597,7 @@ class _CdfStreamReader(DataSourceStreamReader):
                         dv_indexes=dv_idx(
                             add.get("deletionVector")
                         ),
-                        physical_names=dict(mapping0),
+                        physical_names=dict(self._bind),
                         cdf_change_type="insert",
                         cdf_commit_version=base_v,
                         cdf_commit_timestamp_us=ts0,
@@ -628,7 +656,7 @@ class _CdfStreamReader(DataSourceStreamReader):
                             partition_values=self._pv(
                                 c, part_cols, phys
                             ),
-                            physical_names=dict(mapping),
+                            physical_names=dict(self._bind),
                             cdf_change_type=None,  # in the file
                             cdf_commit_version=v,
                             cdf_commit_timestamp_us=ts_us,
@@ -658,7 +686,7 @@ class _CdfStreamReader(DataSourceStreamReader):
                             dv_indexes=dv_idx(
                                 add.get("deletionVector")
                             ),
-                            physical_names=dict(mapping),
+                            physical_names=dict(self._bind),
                             cdf_change_type="insert",
                             cdf_commit_version=v,
                             cdf_commit_timestamp_us=ts_us,
@@ -679,7 +707,7 @@ class _CdfStreamReader(DataSourceStreamReader):
                                 table_path=self._path,
                                 rel_path=rel,
                                 partition_values=pv,
-                                physical_names=dict(mapping),
+                                physical_names=dict(self._bind),
                                 cdf_change_type=ct,
                                 cdf_commit_version=v,
                                 cdf_commit_timestamp_us=ts_us,
@@ -699,7 +727,7 @@ class _CdfStreamReader(DataSourceStreamReader):
                         dv_indexes=dv_idx(
                             prior[rel].get("deletionVector")
                         ),
-                        physical_names=dict(mapping),
+                        physical_names=dict(self._bind),
                         cdf_change_type="delete",
                         cdf_commit_version=v,
                         cdf_commit_timestamp_us=ts_us,

@@ -1,7 +1,7 @@
-"""Round-15 draft faces (plans/queries_r15.py, unregistered): every
-draft must already be oracle-green at two SFs, and importing the
-draft module must NOT grow the registered set (the same pinned
-hand-off that made every registration since r10 zero-risk)."""
+"""Round-15-cohort faces (plans/queries_r15.py, registered in ROUND
+14 alongside the r16 cohort per VERDICT r13 #1): every face must be
+oracle-green at two SFs, and the whole cohort must be present in the
+registry with byte-identical oracle strings."""
 
 from __future__ import annotations
 
@@ -13,12 +13,17 @@ from tests.oracle import compare_query
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
 
-def test_draft_module_does_not_register():
+def test_r15_cohort_registered():
     from medallion_delta_lake_spark.plans import registry
 
-    assert not (set(r15.R15_QUERIES) & set(registry.QUERIES)), (
-        "draft ids must not collide with registered ids"
-    )
+    missing = set(r15.R15_QUERIES) - set(registry.QUERIES)
+    assert not missing, f"r15 faces not registered: {sorted(missing)}"
+    drift = [
+        n
+        for n, sql in r15.R15_ORACLES.items()
+        if registry.ORACLES.get(n) != sql
+    ]
+    assert not drift, f"registered oracle drifted from module: {drift}"
 
 
 @pytest.mark.parametrize("name", sorted(r15.R15_QUERIES))

@@ -59,14 +59,62 @@ def test_double_faces_match_allowlist(spark):
 def test_bench_sees_full_registry():
     """bench.py must bench every registered face: its old per-module
     import ladder silently dropped the r13/r14 cohorts (319 of 339
-    benched in the first r13 run). It now registers through the
-    driver entry itself; this pins that the two surfaces can never
-    diverge again."""
+    benched in the first r13 run). The r13 pin was a tautology —
+    entry.queries() and registry.QUERIES came from the same process,
+    so it could never fail (ADVICE r13). Assert on bench.py's actual
+    MECHANISM instead: (a) a fresh subprocess that imports only
+    ``bench`` must end up with the full registry count, and (b)
+    bench.py must register through ``__spark_entry__`` with no
+    per-module plans import ladder of its own."""
 
-    import bench  # noqa: F401 — importing registers via __spark_entry__
-    from medallion_delta_lake_spark.plans import registry
+    import ast
+    import subprocess
+    import sys
+    from pathlib import Path
 
-    entry_names = set(entry.queries())
-    assert set(registry.QUERIES) == entry_names, (
-        "bench-visible registry diverges from the driver entry"
+    root = Path(__file__).resolve().parent.parent
+    want = len(entry.queries())
+
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import bench; "
+            "from medallion_delta_lake_spark.plans import registry; "
+            "print(len(registry.QUERIES))",
+        ],
+        cwd=root,
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    got = int(proc.stdout.strip().splitlines()[-1])
+    assert got == want, (
+        f"importing bench registers {got} queries; the driver entry "
+        f"has {want} — bench.py's registration path rotted again"
+    )
+
+    tree = ast.parse((root / "bench.py").read_text())
+    imports_entry = False
+    ladder: list[str] = []
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Import):
+            if any(a.name == "__spark_entry__" for a in node.names):
+                imports_entry = True
+        elif isinstance(node, ast.ImportFrom):
+            mod = node.module or ""
+            if mod.endswith(".plans") or ".plans." in mod:
+                ladder.extend(
+                    a.name
+                    for a in node.names
+                    if a.name.startswith("queries_")
+                )
+            if mod.endswith(".plans") and any(
+                a.name == "registry" for a in node.names
+            ):
+                continue
+    assert imports_entry, "bench.py must register via __spark_entry__"
+    assert not ladder, (
+        f"bench.py grew a per-module import ladder again: {ladder}"
     )
