@@ -192,65 +192,66 @@ def window_mann_kendall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-corrected variance, and the continuity-corrected z. S and
     var_num are pure integer censuses (engine-exact by construction);
     z rides as z_sign + exact-rational z²·10⁹ (operators/agg.py:
-    q_div — no double on the driver face). The pair self-join is bounded
-    by days²·users (30² here), keyed on user_id — never on the raw
-    event table."""
-    from medallion_delta_lake_spark.operators.caching import (
-        tracked_cache,
-    )
+    q_div — no double on the driver face).
 
+    Plan (r14): ONE events scan → per-(user, day) counts → per-user
+    day-ordered count ARRAY (≤31 elements — calendar-bounded, never
+    row-cardinality), then S, the tie census, and n all come from
+    higher-order functions over that array in a single projection.
+    No pair self-join, no cache, two shuffles total; the O(days²)
+    work is a per-row expression on a ≤31-element array. (The r12
+    shape re-joined three branches of the daily rollup — 4× the
+    events scan; the r13 tracked_cache variant paid the cache
+    materialization instead and benched 2.3× slower than this.)"""
     ev = table(spark, sf_dir, "events")
-    # d feeds THREE branches (pair self-join, n_days, tie census) —
-    # cache it so the events scan + daily rollup run once, not four
-    # times (at 100 TB the raw-events re-scan is the whole cost)
-    d = tracked_cache(
-        ev.groupBy(
-            "user_id", F.col("ts").cast("date").alias("dy")
-        ).agg(F.count(F.lit(1)).alias("c"))
+    d = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("dy")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    arr = d.groupBy("user_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(dy, c))),"
+            " x -> x.c)"
+        ).alias("cs")
     )
-    a, b = d.alias("a"), d.alias("b")
-    s = (
-        a.join(
-            b,
-            (F.col("a.user_id") == F.col("b.user_id"))
-            & (F.col("a.dy") < F.col("b.dy")),
-        )
-        .groupBy(F.col("a.user_id").alias("user_id"))
-        .agg(
-            F.sum(
-                F.when(F.col("b.c") > F.col("a.c"), 1)
-                .when(F.col("b.c") < F.col("a.c"), -1)
-                .otherwise(0)
-            ).alias("s_stat")
-        )
-    )
-    n = d.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_days"))
-    t = (
-        d.groupBy("user_id", "c")
-        .agg(F.count(F.lit(1)).alias("tc"))
-        .groupBy("user_id")
-        .agg(
-            F.sum(
-                F.col("tc")
-                * (F.col("tc") - 1)
-                * (2 * F.col("tc") + 5)
-            ).alias("tie_term")
-        )
-    )
-    j = (
-        n.join(t, "user_id")
-        .join(s, "user_id", "left")
-        .select(
-            "user_id",
-            "n_days",
-            F.coalesce(F.col("s_stat"), F.lit(0)).alias("s_stat"),
-            (
-                F.col("n_days").cast("bigint")
-                * (F.col("n_days") - 1)
-                * (2 * F.col("n_days") + 5)
-                - F.col("tie_term")
-            ).alias("var_num"),
-        )
+    j = arr.select(
+        "user_id",
+        F.size("cs").alias("n_days"),
+        # S = sum over ordered day pairs of sign(c_j - c_i):
+        # for element i (0-based), compare against the tail
+        # slice starting at 1-based index i + 2
+        F.expr(
+            "aggregate(transform(cs, (x, i) ->"
+            " aggregate(slice(cs, i + 2, size(cs)), 0L,"
+            "  (acc, y) -> acc + CASE WHEN y > x THEN 1L"
+            "   WHEN y < x THEN -1L ELSE 0L END)),"
+            " 0L, (a, b) -> a + b)"
+        ).alias("s_stat"),
+        # tie census Σ tc·(tc−1)·(2tc+5) via a run-length scan of
+        # the value-sorted copy (finish flushes the last run;
+        # run∈{0,1} contributes 0 so singletons are free)
+        F.expr(
+            "aggregate(array_sort(cs),"
+            " named_struct('prev', CAST(NULL AS BIGINT),"
+            "  'run', 0L, 'acc', 0L),"
+            " (st, x) -> CASE WHEN st.prev IS NOT NULL"
+            "   AND x = st.prev THEN named_struct('prev', x,"
+            "    'run', st.run + 1L, 'acc', st.acc)"
+            "  ELSE named_struct('prev', x, 'run', 1L,"
+            "   'acc', st.acc + st.run * (st.run - 1L)"
+            "    * (2L * st.run + 5L)) END,"
+            " st -> st.acc + st.run * (st.run - 1L)"
+            "  * (2L * st.run + 5L))"
+        ).alias("tie_term"),
+    ).select(
+        "user_id",
+        "n_days",
+        "s_stat",
+        (
+            F.col("n_days").cast("bigint")
+            * (F.col("n_days") - 1)
+            * (2 * F.col("n_days") + 5)
+            - F.col("tie_term")
+        ).alias("var_num"),
     )
     from medallion_delta_lake_spark.operators.agg import q_div
 
