@@ -63,6 +63,17 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # default-off: without it AQE never coalesces partitions
+        # inside CACHED plan materialization, so every tracked_cache
+        # round frame (iterative graph ops, dedup signatures)
+        # materializes at full shuffle-partition width — hundreds of
+        # near-empty tasks per round on small intermediates. Output
+        # partitioning of a cache is not a correctness contract
+        # anywhere in this engine.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # At 100 TB the default 128m split is fine; make it explicit so it
         # is a deliberate knob rather than an accident of defaults.
