@@ -819,6 +819,9 @@ def scan_csv_malformed_audit_q(
 
 _KCORE_K = 3
 _KCORE_ROUNDS = 3
+# cached round-frame width: (s, d) bigint pairs are ~16 B/row, so 16
+# partitions ≈ 10⁸ edges at ~100 MB each (see graph_kcore_peel_q)
+_KCORE_PARTS = 16
 
 
 def _kcore_oracle(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
@@ -869,7 +872,16 @@ def graph_kcore_peel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     round is one degree aggregate + two semi-join filters; the round
     frames are cached so the deg+filter double-reference of each
     round's edge frame stays linear in lineage
-    (label-propagation's 2^k lesson, operators/graph.py)."""
+    (label-propagation's 2^k lesson, operators/graph.py).
+
+    Round frames repartition to ``_KCORE_PARTS`` by the join key
+    before caching: cached plans keep their materialized width (AQE
+    does not re-coalesce them by default), and an (s, d) bigint-pair
+    edge list is ~16 B/row — at full shuffle width each of the 3
+    rounds schedules dozens of near-empty tasks (measured 6.6 s →
+    2.6 s cold at sf0.1). 16 partitions carries ~10⁸ edges at
+    ~100 MB each; a bigger graph raises the constant, it does not
+    change the plan."""
     from medallion_delta_lake_spark.operators.caching import (
         tracked_cache,
     )
@@ -885,16 +897,17 @@ def graph_kcore_peel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = tracked_cache(
         half.unionByName(
             half.select(F.col("d").alias("s"), F.col("s").alias("d"))
-        )
+        ).repartition(_KCORE_PARTS, "s")
     )
     stats = []
     for i in range(1, _KCORE_ROUNDS + 1):
         deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("c"))
         keep = deg.filter(F.col("c") >= _KCORE_K).select("s")
         e = tracked_cache(
-            e.join(keep, "s").join(
-                keep.withColumnRenamed("s", "d"), "d"
-            ).select("s", "d")
+            e.join(keep, "s")
+            .join(keep.withColumnRenamed("s", "d"), "d")
+            .select("s", "d")
+            .repartition(_KCORE_PARTS, "s")
         )
         stats.append(
             e.agg(

@@ -63,17 +63,15 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # default-off: without it AQE never coalesces partitions
-        # inside CACHED plan materialization, so every tracked_cache
-        # round frame (iterative graph ops, dedup signatures)
-        # materializes at full shuffle-partition width — hundreds of
-        # near-empty tasks per round on small intermediates. Output
-        # partitioning of a cache is not a correctness contract
-        # anywhere in this engine.
-        .config(
-            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
-            "true",
-        )
+        # NOTE: spark.sql.optimizer.canChangeCachedPlanOutputPartitioning
+        # stays at its default (false). Turning it on was measured
+        # (r14): it helps many-round tiny-frame ops (graph-kcore-peel
+        # 6.6→2.6 s) but lets AQE coalesce away the parallelism of
+        # BYTE-small cached frames with expensive downstream
+        # expansion — dedup-ngram-jaccard regressed 2.99→11.2 s and
+        # dedup-containment 3.8→7.4 s because shingle explosion work
+        # is per-row, not per-byte. Faces with provably tiny round
+        # frames repartition explicitly instead.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # At 100 TB the default 128m split is fine; make it explicit so it
         # is a deliberate knob rather than an accident of defaults.
