@@ -79,6 +79,14 @@ try:
     from medallion_delta_lake_spark.plans import queries_r16  # noqa: F401,E402
 except ImportError:
     pass
+try:
+    from medallion_delta_lake_spark.plans import queries_r17  # noqa: F401,E402
+except ImportError:
+    pass
+try:
+    from medallion_delta_lake_spark.plans import queries_r18  # noqa: F401,E402
+except ImportError:
+    pass
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -86,85 +94,84 @@ def entry(spark: SparkSession) -> DataFrame:
     return _registry.QUERIES["q1-pricing-summary"](spark, "/root/testdata/sf0.001")
 
 
-# Round-14 rotation: the driver checks the FIRST 50 registered
-# queries per round (hard window — every CORRECTNESS_r{2..13} has
-# exactly 50 rows). Precedence this round (VERDICT r13 #1):
-# (1) the 20 faces NEW in round 14 — the r15 + r16 draft cohorts
+# Round-15 rotation: the driver checks the FIRST 50 registered
+# queries per round (hard window — every CORRECTNESS_r{2..14} has
+# exactly 50 rows). Precedence this round (VERDICT r14 #1):
+# (1) the 20 faces NEW in round 15 — the r17 + r18 draft cohorts
 # (drafted + two-SF oracle-proven in r12, registered this round) —
 # never driver-checked, so they must sit inside the window;
-# (2) the full 8-id r6-stale remnant (topk-per-group .. window-
-# streaks) — after this round no driver row is older than r7;
-# (3) 22 of the 48 r7-stale ids, alphabetical (oldest-first drain);
-# the remaining 26 (q22-global-sales-opportunity .. window-winsorize)
-# lead round 15.
+# (2) the full 26-id r7-stale remnant (q22-global-sales-opportunity
+# .. window-winsorize, alphabetical) — after this round no driver
+# row is older than r8;
+# (3) the 4 alphabetically-first r8-stale ids (agg-corr-matrix ..
+# agg-vector-mean); the remaining 41 r8 ids queue for r16+.
 #
 # Backlog drain schedule (VERDICT r12 #2, counts corrected per
 # ADVICE r13 — committed here so the window-integrity test pins it;
 # the draft pile STOPS at the r20 cohort until the backlog is below
 # one round's window):
 #   r13: register r13+r14 cohorts (20) + 30 r6-stale      → reg 339  [done]
-#   r14: register r15+r16 cohorts (20) + 8 r6- + 22 r7-stale → 359
+#   r14: register r15+r16 cohorts (20) + 8 r6- + 22 r7-stale → 359  [done]
 #   r15: register r17+r18 cohorts (20) + 26 r7- + 4 r8-stale → 379
 #   r16: register r19+r20 cohorts (20) + 30 r8-stale         → 399
 #   r17+: pure staleness drain, oldest-first, 50/round
 #   (11 r8 remain after r16, then the r9 block — terminal registry
-#   count 399; r20 registers only after its bounded-frame rollup at
-#   plans/queries_r20.py:373 is collect-free, VERDICT r13 #6).
+#   count 399).
 _DRIVER_PRIORITY = [
-    # (1a) NEW: the r15 cohort
-    "agg-bitmap-exact-distinct",
-    "graph-label-propagation",
-    "stats-ljung-box",
-    "ts-classical-decompose",
-    "drift-wasserstein-binned",
-    "window-vwap-anchored",
-    "sample-systematic-everyk",
-    "sketch-theta-diff",
-    "events-burstiness",
-    "text-ttr-windowed",
-    # (1b) NEW: the r16 cohort
-    "join-bucketed-colocated",
-    "dq-expectation-suite",
-    "agg-apdex-score",
-    "events-markov-2step",
-    "ts-drift-naive-forecast",
-    "events-retention-bitmap",
-    "scan-csv-malformed-audit",
-    "graph-kcore-peel",
-    "ml-auc-delong-ci",
-    "window-rolling-skewness",
-    # (2) the r6-stale remnant — fully drains r6
-    "topk-per-group",
-    "ts-resample-ffill",
-    "upsert-merge-state",
-    "window-agg-tumbling",
-    "window-anomaly-zscore",
-    "window-ewma-smooth",
-    "window-ohlc-bars",
-    "window-streaks",
-    # (3) r7-stale cohort, alphabetical (22 of 48 fit the window)
-    "agg-gini-coefficient",
-    "agg-pareto-abc",
-    "agg-weekly-growth",
-    "approx-hll-mergeable",
-    "graph-triangle-count",
-    "join-asof-nearest",
-    "join-asof-tolerance",
-    "join-null-safe",
-    "join-salted-skew",
-    "json-funcs",
-    "map-funcs",
-    "multimodal-byte-features",
-    "multimodal-frame-dedup",
-    "pandas-group-normalize",
-    "pandas-scalar-tokens",
-    "pivot-status",
-    "q1-sql-entry",
-    "q10-returned-items",
-    "q16-supplier-cnt",
-    "q17-small-quantity-revenue",
-    "q18-large-orders",
-    "q21-suppliers-waiting",
+    # (1a) NEW: the r17 cohort
+    "maintenance-convert-parquet",
+    "maintenance-clone-table",
+    "text-bigram-lm-score",
+    "ml-threshold-youden",
+    "maintenance-history-audit",
+    "stats-mcc-multiclass",
+    "ml-regression-metrics",
+    "text-chi2-keyness",
+    "graph-bfs-distance",
+    "window-rolling-mad",
+    # (1b) NEW: the r18 cohort
+    "stream-cdf-tail",
+    "stream-cdf-replica",
+    "scan-parquet-schema-merge",
+    "ml-brier-decomposition",
+    "udtf-split-sentences",
+    "events-segment-migration",
+    "stats-cochran-armitage",
+    "text-crossdoc-ngram-coverage",
+    "split-group-kfold",
+    "stats-ratio-delta-method",
+    # (2) the r7-stale remnant, alphabetical — fully drains r7
+    "q22-global-sales-opportunity",
+    "q3-shipping-priority",
+    "q4-order-priority",
+    "q5-local-supplier",
+    "q6-forecast-revenue",
+    "sample-mixture-epochs",
+    "scd2-history-build",
+    "set-except",
+    "set-intersect",
+    "sim-ann-lsh",
+    "sort-paginate",
+    "stats-autocorr-lag1",
+    "stats-benford-deviation",
+    "stats-chi-square",
+    "stats-median-manual",
+    "stats-moments",
+    "stats-spearman-rho",
+    "stats-welch-t",
+    "stream-cusum-monitor",
+    "string-funcs",
+    "ts-seasonal-naive",
+    "window-cusum-drift",
+    "window-gap-report",
+    "window-max-drawdown",
+    "window-range-frame-sum",
+    "window-winsorize",
+    # (3) r8-stale drain begins, alphabetical (4 of 45 fit)
+    "agg-corr-matrix",
+    "agg-latency-histogram",
+    "agg-markov-transition",
+    "agg-vector-mean",
 ]
 
 

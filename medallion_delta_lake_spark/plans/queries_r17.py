@@ -1,9 +1,10 @@
-"""DRAFT round-17 query faces — NOT registered (the r13..r16 windows
-are already planned; registering ahead of a face's window would mint
-registered-never-checked ids). Each face pairs a Spark query with its
-DuckDB oracle and tests/test_r17_drafts.py proves the pair
-compare_query-green at two SFs, keeping registration the mechanical
-draft→@query move (SURVEY.md §7 Phases 8/9).
+"""Round-17 cohort query faces — REGISTERED in round 15 (drafted and
+two-SF oracle-proven in round 12 while the r13..r16 windows drained,
+per the corrected backlog schedule in __spark_entry__). Each face
+pairs a Spark query with its DuckDB oracle; tests/test_r17_drafts.py
+pins the cohort registered with byte-identical oracle strings and
+proves every pair compare_query-green at two SFs (SURVEY.md §7
+Phases 8/9).
 
 The cohort closes the LAST delta_log entry points without driver
 faces (CONVERT / CLONE / DESCRIBE-HISTORY) and widens ML-eval,
@@ -51,8 +52,6 @@ corpus-analytics, and robust-window coverage:
   window-rolling-median — both the center and the deviations are
   element selections from the sorted frame, zero float arithmetic.
 
-Deliberately NO ``@query`` decorator and NO registry import on the
-module path that registers. tests/test_r17_drafts.py pins that, and
 tests/test_oracle_dtype_lint.py lints these oracles' output dtypes.
 """
 
@@ -68,17 +67,22 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from medallion_delta_lake_spark.operators.agg import q_div
-from medallion_delta_lake_spark.plans.registry import table
+from medallion_delta_lake_spark.plans.registry import query, table
 
 R17_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 R17_ORACLES: dict[str, str] = {}
 
 
 def draft(name: str, oracle: str):
+    """r15 registration: every former draft face registers via the
+    standard ``@query`` decorator AND stays in the module-local maps
+    so tests/test_r17_drafts.py can pin the cohort independently of
+    the full registry sweep (the same wiring r11–r16 used)."""
+
     def deco(fn):
         R17_QUERIES[name] = fn
         R17_ORACLES[name] = oracle
-        return fn
+        return query(name, oracle=oracle)(fn)
 
     return deco
 

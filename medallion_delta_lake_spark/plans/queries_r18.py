@@ -1,8 +1,9 @@
-"""DRAFT round-18 query faces — NOT registered (cohorts r13..r17 are
-queued ahead; registering early would mint registered-never-checked
-ids). Same proof protocol as every cohort since r10:
-tests/test_r18_drafts.py proves each face compare_query-green at two
-SFs before registration is ever considered.
+"""Round-18 cohort query faces — REGISTERED in round 15 alongside the
+r17 cohort (drafted and two-SF oracle-proven in round 12, per the
+corrected backlog schedule in __spark_entry__). Same proof protocol
+as every cohort since r10: tests/test_r18_drafts.py pins the cohort
+registered with byte-identical oracle strings and proves each face
+compare_query-green at two SFs.
 
 - stream-cdf-tail — the STREAMING change-data-feed source built this
   round (sources/python_datasource.py:_CdfStreamReader,
@@ -55,17 +56,22 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from medallion_delta_lake_spark.operators.agg import q_div
-from medallion_delta_lake_spark.plans.registry import table
+from medallion_delta_lake_spark.plans.registry import query, table
 
 R18_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 R18_ORACLES: dict[str, str] = {}
 
 
 def draft(name: str, oracle: str):
+    """r15 registration: every former draft face registers via the
+    standard ``@query`` decorator AND stays in the module-local maps
+    so tests/test_r18_drafts.py can pin the cohort independently of
+    the full registry sweep (the same wiring r11–r16 used)."""
+
     def deco(fn):
         R18_QUERIES[name] = fn
         R18_ORACLES[name] = oracle
-        return fn
+        return query(name, oracle=oracle)(fn)
 
     return deco
 

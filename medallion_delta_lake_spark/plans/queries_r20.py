@@ -387,7 +387,21 @@ def scan_delta_idmode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, c in enumerate(phys)
         ]
     )
-    staged.coalesce(1).write.mode("overwrite").parquet(p)
+    # Field-id-carrying footers are the whole point of this staging:
+    # pin the writer conf rather than relying on Spark's default
+    # (true) — a session/env override to false would write
+    # field-id-less parquet and surface as a hash mismatch far from
+    # the cause (ADVICE r14). Restore whatever the session had.
+    _FID = "spark.sql.parquet.fieldId.write.enabled"
+    prev = spark.conf.get(_FID, None)
+    spark.conf.set(_FID, "true")
+    try:
+        staged.coalesce(1).write.mode("overwrite").parquet(p)
+    finally:
+        if prev is None:
+            spark.conf.unset(_FID)
+        else:
+            spark.conf.set(_FID, prev)
     _os.makedirs(_os.path.join(p, "_delta_log"), exist_ok=True)
     data_files = sorted(
         f

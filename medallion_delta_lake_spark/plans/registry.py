@@ -196,6 +196,24 @@ DOUBLE_FACE_ALLOWLIST: dict[str, tuple[str, ...]] = {
     # bit-identical in both engines; degenerate rows pinned to 0.0
     'ml-matthews-corr': ('mcc',),
     'ml-ndcg-at-k': ('ndcg',),
+    # r17+r18 cohorts (registered r15, reviewed AT registration):
+    # every double below is a final per-row IEEE close over exact
+    # integer/quantized cores — oracle-proven at two SFs while
+    # drafted (tests/test_r17_drafts.py / test_r18_drafts.py).
+    #   ml-regression-metrics.rmse_cents: one sqrt of an exact
+    #     integer mean of quantized squared errors;
+    #   stats-mcc-multiclass.mcc: one quotient/sqrt chain over
+    #     exact integer confusion-matrix sums (binary twin:
+    #     ml-matthews-corr);
+    #   stats-cochran-armitage.z: T/sqrt(V) with integer T, V;
+    #   stats-ratio-delta-method.{ratio,se_ratio}: one division /
+    #     one sqrt-of-rational over exact integer moments;
+    #   window-rolling-mad.{value,rolling_median,rolling_mad}:
+    #     value is source data; both rollings are element
+    #     SELECTIONS from the sorted trailing frame (no float
+    #     arithmetic at all — same category as
+    #     window-rolling-median).
+    'ml-regression-metrics': ('rmse_cents',),
     'ml-pr-at-k': ('precision', 'recall'),
     'ml-roc-auc': ('auc', 'gini'),
     'nn-assign': ('nn_dist',),
@@ -242,6 +260,7 @@ DOUBLE_FACE_ALLOWLIST: dict[str, tuple[str, ...]] = {
     'stats-benford-deviation': ('total_variation',),
     'stats-brown-forsythe': ('f_stat',),
     'stats-chi-square': ('chi2',),
+    'stats-cochran-armitage': ('z',),
     'stats-cochran-q': ('q_stat',),
     'stats-cohens-d': ('mean_diff', 'cohens_d'),
     'stats-cohens-kappa': ('p_obs', 'p_exp', 'kappa'),
@@ -258,10 +277,12 @@ DOUBLE_FACE_ALLOWLIST: dict[str, tuple[str, ...]] = {
     'stats-ljung-box': ('r1', 'r2', 'r3', 'r4', 'r5', 'q_stat'),
     'stats-mann-whitney-u': ('u_true', 'u_false'),
     'stats-matched-uplift': ('treated_mean', 'control_mean', 'uplift'),
+    'stats-mcc-multiclass': ('mcc',),
     'stats-median-manual': ('median',),
     'stats-moments': ('mean', 'var_samp', 'stddev_samp'),
     'stats-ols-slope-group': ('slope_units_per_cent',),
     'stats-permutation-test': ('diff_obs', 'p_value'),
+    'stats-ratio-delta-method': ('ratio', 'se_ratio'),
     'stats-runs-test': ('z',),
     'stats-sign-test': ('z_stat',),
     'stats-spearman-rho': ('spearman_rho',),
@@ -306,6 +327,7 @@ DOUBLE_FACE_ALLOWLIST: dict[str, tuple[str, ...]] = {
     'window-rank-family': ('value',),
     'window-rolling-agg': ('value', 'roll_sum', 'roll_min', 'roll_max'),
     'window-rolling-autocorr': ('roll_autocorr',),
+    'window-rolling-mad': ('value', 'rolling_median', 'rolling_mad'),
     'window-rolling-median': ('value', 'rolling_median'),
     'window-rolling-skewness': ('skew_g1',),
     'window-rolling-slope': ('slope7',),

@@ -541,10 +541,16 @@ def _commit_timestamp(log: str, version: int) -> float:
     or post-compaction source removal — both supported by this engine)
     still resolves: fall back to the mtime of the artifact that now
     covers the version — a checkpoint at exactly this version, else
-    the narrowest compaction file containing it. Both are written
-    at/after the commit on the same filesystem, so the proxy stays
-    monotone; without this, a snapshot-default readChangeFeed stream
-    over a cleaned log crashed on its first batch (ADVICE r13)."""
+    the narrowest compaction file containing it — CLAMPED to the next
+    retained commit's own timestamp. The artifact is written at/after
+    the commit, so its raw mtime can postdate later retained commits
+    (a checkpoint or compaction written while newer commits already
+    exist would stamp its covered versions with a LATER time than
+    version+k's commitInfo.timestamp — ADVICE r14); min(artifact
+    mtime, next retained commit's time) keeps the proxy non-decreasing
+    across increasing _commit_version. Without the fallback at all, a
+    snapshot-default readChangeFeed stream over a cleaned log crashed
+    on its first batch (ADVICE r13)."""
     ci = _commit_info_of(log, version)
     if ci is not None:
         if ci.get("inCommitTimestamp"):
@@ -557,10 +563,19 @@ def _commit_timestamp(log: str, version: int) -> float:
         )
     except FileNotFoundError:
         pass
+
+    def clamp(artifact_mtime: float) -> float:
+        nxt = _next_retained_commit_ts(log, version)
+        return (
+            artifact_mtime if nxt is None else min(artifact_mtime, nxt)
+        )
+
     try:
-        return max(
-            os.path.getmtime(f)
-            for f in _checkpoint_files(log, version)
+        return clamp(
+            max(
+                os.path.getmtime(f)
+                for f in _checkpoint_files(log, version)
+            )
         )
     except (FileNotFoundError, ValueError):
         pass
@@ -569,9 +584,11 @@ def _commit_timestamp(log: str, version: int) -> float:
     ):
         if s <= version <= e:
             try:
-                return os.path.getmtime(
-                    os.path.join(
-                        log, f"{s:020d}.{e:020d}.compacted.json"
+                return clamp(
+                    os.path.getmtime(
+                        os.path.join(
+                            log, f"{s:020d}.{e:020d}.compacted.json"
+                        )
                     )
                 )
             except FileNotFoundError:
@@ -580,6 +597,36 @@ def _commit_timestamp(log: str, version: int) -> float:
         f"commit {version:020d}.json of {log} is cleaned and no "
         "checkpoint or compaction file covers the version"
     )
+
+
+def _next_retained_commit_ts(log: str, version: int) -> float | None:
+    """Timestamp of the SMALLEST retained commit JSON with version >
+    ``version``, resolved directly (commitInfo ICT/timestamp, else the
+    JSON's own mtime — never the artifact fallback, which is what this
+    bound exists to clamp). None when no later commit JSON is retained
+    (the cleaned version is the newest — nothing to stay below)."""
+    best: int | None = None
+    try:
+        names = os.listdir(log)
+    except FileNotFoundError:
+        return None
+    for n in names:
+        if len(n) == 25 and n.endswith(".json") and n[:20].isdigit():
+            v = int(n[:20])
+            if v > version and (best is None or v < best):
+                best = v
+    if best is None:
+        return None
+    ci = _commit_info_of(log, best)
+    if ci is not None:
+        if ci.get("inCommitTimestamp"):
+            return ci["inCommitTimestamp"] / 1000.0
+        if ci.get("timestamp"):
+            return ci["timestamp"] / 1000.0
+    try:
+        return os.path.getmtime(os.path.join(log, f"{best:020d}.json"))
+    except FileNotFoundError:
+        return None
 
 
 # legacy minWriterVersion → the capabilities it implied; an upgrade to

@@ -188,29 +188,33 @@ def test_stream_cdc_no_logical_misbind_after_rename_readd(
     assert all(r["v"] is None for r in rows)
 
 
-def test_r14_window_carries_scheduled_cohorts():
-    """Pin ADVICE r13 (low): the corrected drain schedule's r14 row —
-    the r15+r16 cohorts (20) + the 8-id r6 remnant all inside the
-    50-slot driver window, registry at 359."""
+def test_window_carries_scheduled_cohorts():
+    """Pin ADVICE r13 (low): the corrected drain schedule, at its
+    CURRENT row (r15): the r17+r18 cohorts (20) + the full 26-id
+    r7-stale remnant + the first 4 r8-stale ids inside the 50-slot
+    driver window, registry at 379."""
     import __spark_entry__ as entry
     from medallion_delta_lake_spark.plans import (
-        queries_r15 as r15,
-        queries_r16 as r16,
+        queries_r17 as r17,
+        queries_r18 as r18,
     )
 
     window = entry._DRIVER_PRIORITY
     assert len(window) == 50 == len(set(window))
-    assert set(r15.R15_QUERIES) <= set(window)
-    assert set(r16.R16_QUERIES) <= set(window)
-    r6_remnant = {
-        "topk-per-group",
-        "ts-resample-ffill",
-        "upsert-merge-state",
-        "window-agg-tumbling",
-        "window-anomaly-zscore",
-        "window-ewma-smooth",
-        "window-ohlc-bars",
-        "window-streaks",
+    assert set(r17.R17_QUERIES) <= set(window)
+    assert set(r18.R18_QUERIES) <= set(window)
+    r7_remnant_edges = {
+        "q22-global-sales-opportunity",
+        "sim-ann-lsh",
+        "stream-cusum-monitor",
+        "window-winsorize",
     }
-    assert r6_remnant <= set(window)
-    assert len(entry.queries()) == 359 == len(entry.oracle_sql())
+    assert r7_remnant_edges <= set(window)
+    r8_head = {
+        "agg-corr-matrix",
+        "agg-latency-histogram",
+        "agg-markov-transition",
+        "agg-vector-mean",
+    }
+    assert r8_head <= set(window)
+    assert len(entry.queries()) == 379 == len(entry.oracle_sql())

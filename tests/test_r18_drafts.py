@@ -1,7 +1,7 @@
-"""Round-18 draft faces (plans/queries_r18.py, unregistered): every
-draft must already be oracle-green at two SFs, and importing the
-draft module must NOT grow the registered set (the same pinned
-hand-off that made every registration since r10 zero-risk)."""
+"""Round-18-cohort faces (plans/queries_r18.py, registered in ROUND
+15 alongside the r17 cohort per VERDICT r14 #1): every face must be
+oracle-green at two SFs, and the whole cohort must be present in the
+registry with byte-identical oracle strings."""
 
 from __future__ import annotations
 
@@ -13,12 +13,17 @@ from tests.oracle import compare_query
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
 
-def test_draft_module_does_not_register():
+def test_r18_cohort_registered():
     from medallion_delta_lake_spark.plans import registry
 
-    assert not (set(r18.R18_QUERIES) & set(registry.QUERIES)), (
-        "draft ids must not collide with registered ids"
-    )
+    missing = set(r18.R18_QUERIES) - set(registry.QUERIES)
+    assert not missing, f"r18 faces not registered: {sorted(missing)}"
+    drift = [
+        n
+        for n, sql in r18.R18_ORACLES.items()
+        if registry.ORACLES.get(n) != sql
+    ]
+    assert not drift, f"registered oracle drifted from module: {drift}"
 
 
 @pytest.mark.parametrize("name", sorted(r18.R18_QUERIES))
