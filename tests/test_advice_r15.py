@@ -67,6 +67,83 @@ def test_cleaned_fallback_clamped_to_next_retained(spark, tmp_path):
     assert ts2b >= ts1
 
 
+def test_cleaned_fallback_monotone_property(spark, tmp_path):
+    """Property form of the ADVICE r14 #1 clamp: for ANY subset of
+    cleaned commit JSONs and ANY forward drift of the covering
+    artifacts' mtimes (housekeeping always runs at-or-after the
+    commits it covers), the resolvable ``_commit_timestamp`` sequence
+    stays non-decreasing in version. The staged log has 4 commits,
+    compactions [0,1] and [0,2], and a checkpoint at the head —
+    overlapping artifacts on purpose (narrowest-cover selection +
+    clamp must agree)."""
+    import shutil
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    p = str(tmp_path / "t")
+    for i, mode in (
+        (0, "overwrite"),
+        (1, "append"),
+        (2, "append"),
+        (3, "append"),
+    ):
+        dl.write_delta(
+            spark,
+            spark.range(3 * i, 3 * i + 3)
+            .select("id", (F.col("id") * 10).alias("v"))
+            .coalesce(1),
+            p,
+            mode=mode,
+        )
+    dl.write_log_compaction(p, 0, 1)
+    dl.write_log_compaction(p, 0, 2)
+    dl.write_checkpoint(p)
+    log = os.path.join(p, "_delta_log")
+
+    artifacts = [
+        n
+        for n in os.listdir(log)
+        if "compacted" in n or "checkpoint" in n
+    ]
+    assert len(artifacts) >= 3
+
+    @settings(
+        max_examples=20,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        cleaned=st.sets(st.integers(0, 2)),
+        bumps=st.lists(
+            st.integers(0, 7200), min_size=3, max_size=8
+        ),
+    )
+    def run(cleaned, bumps):
+        scratch = os.path.join(
+            str(tmp_path), f"log_{len(cleaned)}_{sum(bumps)}"
+        )
+        shutil.rmtree(scratch, ignore_errors=True)
+        shutil.copytree(log, scratch)
+        for i, name in enumerate(sorted(artifacts)):
+            f = os.path.join(scratch, name)
+            m = os.path.getmtime(f) + bumps[i % len(bumps)]
+            os.utime(f, (m, m))
+        for v in cleaned:
+            os.remove(os.path.join(scratch, f"{v:020d}.json"))
+        seq = []
+        for v in range(4):
+            try:
+                seq.append((v, dl._commit_timestamp(scratch, v)))
+            except FileNotFoundError:
+                continue  # uncovered cleaned version — raising is OK
+        ts = [t for _, t in seq]
+        assert ts == sorted(ts), (cleaned, seq)
+
+    run()
+
+
 def test_idmode_staging_pins_fieldid_write(spark):
     """ADVICE r14 #2: with the session overridden to
     fieldId.write.enabled=false, the scan-delta-idmode face must
