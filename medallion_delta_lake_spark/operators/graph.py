@@ -411,12 +411,33 @@ def label_propagation(
     )
     # duplicates from an input holding both (a,b) and (b,a) are
     # harmless under MIN — dedup only the raw half (the big frame)
+    #
+    # r15 optimization (guide §2.2 "fewer, larger map tasks"): without
+    # an explicit repartition the cached 3-way-union frame materializes
+    # at the union of its inputs' shuffle widths (~3×32 thin
+    # partitions here), and cached plans keep their materialized width
+    # (AQE does not re-coalesce them under the default
+    # canChangeCachedPlanOutputPartitioning=false — see session.py),
+    # so every round's edges⋈labels join re-reads the cache as dozens
+    # of near-empty tasks and M×R tiny shuffle blocks. 16 even,
+    # key-clustered partitions cut the per-round task count and block
+    # count (the exact change graph-kcore-peel measured 6.6 → 2.6 s
+    # from; this face measured 3.9 → 2.7 s). NOTE the per-round
+    # exchange above the cache scan remains in the plan — the outer
+    # planner cannot see a cached AdaptiveSparkPlan's output
+    # partitioning — the win is partition/file-block arithmetic, not
+    # exchange elimination. 16 partitions per the kcore sizing note:
+    # (s, d) bigint pairs are ~16 B/row, so 16 partitions carries
+    # ~10⁸ edges at ~100 MB each — a bigger graph raises the
+    # constant, not the plan.
     e = tracked_cache(
         half.unionByName(
             half.select(F.col("d").alias("s"), F.col("s").alias("d"))
-        ).unionByName(
+        )
+        .unionByName(
             nodes.select(F.col("id").alias("s"), F.col("id").alias("d"))
         )
+        .repartition(16, "s")
     )
     lbl = nodes.withColumn("lbl", F.col("id"))
     for _ in range(iters):

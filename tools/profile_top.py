@@ -61,7 +61,13 @@ def main() -> None:
                 d = Path(args.plans_dir)
                 d.mkdir(parents=True, exist_ok=True)
                 p = d / f"{name}_{args.suffix}.txt"
-                p.write_text(df._jdf.queryExecution().explainString("formatted"))
+                import contextlib
+                import io
+
+                buf = io.StringIO()
+                with contextlib.redirect_stdout(buf):
+                    df.explain("formatted")
+                p.write_text(buf.getvalue())
             spark.sparkContext.setJobDescription(None)
 
 
