@@ -364,8 +364,8 @@ def ml_ndcg_at_k_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ts_holt_linear_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ts / Holt double-exponential smoothing per user over hourly
     means — the canonical sequential-state operator: no window/agg
-    composition expresses it, so it runs as a grouped-map
-    ``applyInPandas`` (operators/pandas_ops.py:holt_linear), one
+    composition expresses it, so it runs as a partition-stream
+    ``mapInPandas`` (operators/pandas_ops.py:holt_linear), one
     shuffle on the series key. Hourly means reduce from integer cents
     (exact); α=β=½ keep the float recursion bit-identical to the
     recursive-CTE oracle."""

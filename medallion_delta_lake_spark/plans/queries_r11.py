@@ -433,8 +433,8 @@ def sim_jl_components_q(
 def ts_croston_rate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """time series / Croston intermittent-demand state per user over
     the per-event value series (NULL/zero = no-demand steps) — the
-    final (z, p, z/p) after the whole series, batch applyInPandas
-    (operators/pandas_ops.py:croston)."""
+    final (z, p, z/p) after the whole series, batch partition-stream
+    mapInPandas (operators/pandas_ops.py:croston)."""
     from pyspark.sql import Window
 
     from medallion_delta_lake_spark.operators.pandas_ops import (
