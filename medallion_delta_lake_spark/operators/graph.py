@@ -112,7 +112,13 @@ def triangle_count(edges: DataFrame, src: str = "a", dst: str = "b") -> DataFram
     its smallest endpoint). Three shuffles on int vertex ids; no
     adjacency ever collects. Output one row: ``(n_triangles,
     n_edges, n_vertices)``."""
-    e = (
+    from medallion_delta_lake_spark.operators.caching import tracked_cache
+
+    # r15 optimization (guide §5): the canonical edge set feeds FIVE
+    # subtrees (both wedge sides, the closing probe, the edge count,
+    # the vertex count) — cached, the scan + canonicalize + distinct
+    # runs once instead of being re-derived per consumer.
+    e = tracked_cache(
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("_u"),
             F.greatest(F.col(src), F.col(dst)).alias("_v"),

@@ -498,10 +498,22 @@ def poisson_bootstrap_mean_ci(
         minhash_params,
     )
 
+    from medallion_delta_lake_spark.operators.caching import (
+        tracked_cache,
+    )
+
     spark = df.sparkSession
-    base = df.filter(F.col(value_col).isNotNull()).select(
-        (h64(F.col(id_col).cast("string")) % F.lit(P_HASH)).alias("_h"),
-        cents(F.col(value_col)).alias("v"),
+    # r15 optimization: the hashed base feeds BOTH the replicate
+    # expand and the point-estimate aggregate — cached, the scan and
+    # the per-row md5 run once instead of twice (guide §5; measured
+    # 4.2 → 3.2 s at sf0.1).
+    base = tracked_cache(
+        df.filter(F.col(value_col).isNotNull()).select(
+            (h64(F.col(id_col).cast("string")) % F.lit(P_HASH)).alias(
+                "_h"
+            ),
+            cents(F.col(value_col)).alias("v"),
+        )
     )
     # ONE md5 per row; each replicate's uniform comes from a cheap
     # universal-hash mix (a_b*h + c_b) mod P — the minhash pattern —
@@ -701,13 +713,23 @@ def permutation_test_mean_diff(
         minhash_params,
     )
 
+    from medallion_delta_lake_spark.operators.caching import (
+        tracked_cache,
+    )
+
     spark = df.sparkSession
-    base = df.filter(F.col(value_col).isNotNull()).select(
-        (h64(F.col(id_col).cast("string")) % F.lit(P_HASH)).alias(
-            "_h"
-        ),
-        cents(F.col(value_col)).alias("v"),
-        F.col(label_col).cast("int").alias("y"),
+    # r15 optimization (guide §5): base feeds the observed-diff
+    # aggregate AND the replicate expand, and the 1-row obs frame
+    # (derived from it) is broadcast into three consumers — uncached,
+    # the scan + per-row md5 re-ran up to 4×; cached it runs once.
+    base = tracked_cache(
+        df.filter(F.col(value_col).isNotNull()).select(
+            (h64(F.col(id_col).cast("string")) % F.lit(P_HASH)).alias(
+                "_h"
+            ),
+            cents(F.col(value_col)).alias("v"),
+            F.col(label_col).cast("int").alias("y"),
+        )
     )
     tot = base.groupBy().agg(
         F.count(F.lit(1)).alias("n"),

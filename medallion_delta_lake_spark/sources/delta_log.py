@@ -5578,6 +5578,20 @@ def update_delta_log(
     cdc_actions: list[dict] = []
     if touched:
         rows = _scan_adds(spark, path, meta, touched)
+        cdf_on = _cdf_enabled(meta)
+        if cdf_on:
+            # r15 optimization (guide §5 caching a reused frame): with
+            # CDF on, the touched-file content feeds THREE jobs — the
+            # rewrite write plus the update_preimage and
+            # update_postimage sides of the cdc staging union. Cache
+            # it (MEMORY_AND_DISK) so the parquet scan of the touched
+            # files runs once; unpersisted right after the cdc write.
+            # Locally the wall win is modest (~0.3 s warm — the
+            # page cache already absorbed the repeat scans and the
+            # three fixed job overheads dominate); at scale the
+            # touched files are NOT in any page cache, so this is
+            # 3 cold object-store reads → 1.
+            rows = rows.cache()
         matched = F.coalesce(cond, F.lit(False))
         gen = _generated_columns(meta)
         types = {f.name: f.dataType for f in schema.fields}
@@ -5610,7 +5624,7 @@ def update_delta_log(
         content = _apply_update(rows)
         _enforce_invariants(content, meta, path)
         adds = _stage_physical(content, path, meta, part_cols, now_ms)
-        if _cdf_enabled(meta):
+        if cdf_on:
             # paired images for CDC consumers (VERDICT r7 #5): the
             # matched rows before and after the assignments
             hit = rows.filter(matched)
@@ -5625,6 +5639,7 @@ def update_delta_log(
             cdc_actions = _stage_cdc_files(
                 pre.unionByName(post), path, now_ms, meta
             )
+            rows.unpersist()
 
     def build(version: int) -> list[dict]:
         actions = [
