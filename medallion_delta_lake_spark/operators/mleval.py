@@ -498,32 +498,10 @@ def poisson_bootstrap_mean_ci(
         minhash_params,
     )
 
-    from medallion_delta_lake_spark.operators.caching import (
-        tracked_cache,
-    )
-
     spark = df.sparkSession
-    # r15 optimization: the hashed base feeds BOTH the replicate
-    # expand and the point-estimate aggregate — cached, the scan and
-    # the per-row md5 run once instead of twice (guide §5). The
-    # fan-out repartition moved INSIDE the cached frame: a cache
-    # materializes at its input width, and a small parquet arrives as
-    # ~3 splits, so caching before the repartition would run the
-    # per-row md5 pass on 3 cores; cached AFTER it, the hash pass
-    # runs at full width once and the B-fold expand reads the cache
-    # with no further exchange.
-    n_part = int(
-        spark.conf.get("spark.sql.shuffle.partitions", "32")
-    )
-    base = tracked_cache(
-        df.filter(F.col(value_col).isNotNull())
-        .select(
-            (h64(F.col(id_col).cast("string")) % F.lit(P_HASH)).alias(
-                "_h"
-            ),
-            cents(F.col(value_col)).alias("v"),
-        )
-        .repartition(n_part)
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        (h64(F.col(id_col).cast("string")) % F.lit(P_HASH)).alias("_h"),
+        cents(F.col(value_col)).alias("v"),
     )
     # ONE md5 per row; each replicate's uniform comes from a cheap
     # universal-hash mix (a_b*h + c_b) mod P — the minhash pattern —
@@ -539,8 +517,15 @@ def poisson_bootstrap_mean_ci(
     wexpr = F.lit(0)
     for c6 in POISSON1_CDF6:
         wexpr = wexpr + (u6 >= F.lit(c6)).cast("int")
+    # the B-fold expand multiplies whatever parallelism the scan
+    # produced; a small parquet arrives as ONE split, which would run
+    # the whole 100x fan-out on a single core — spread it first
+    n_part = int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
     rep = (
-        base.crossJoin(F.broadcast(bdf))
+        base.repartition(n_part)
+        .crossJoin(F.broadcast(bdf))
         .select("b", "v", wexpr.alias("w"))
         .groupBy("b")
         .agg(
@@ -716,30 +701,13 @@ def permutation_test_mean_diff(
         minhash_params,
     )
 
-    from medallion_delta_lake_spark.operators.caching import (
-        tracked_cache,
-    )
-
     spark = df.sparkSession
-    # r15 optimization (guide §5): base feeds the observed-diff
-    # aggregate AND the replicate expand, and the 1-row obs frame
-    # (derived from it) is broadcast into three consumers — uncached,
-    # the scan + per-row md5 re-ran up to 4×; cached it runs once.
-    n_part = int(
-        spark.conf.get("spark.sql.shuffle.partitions", "32")
-    )
-    base = tracked_cache(
-        df.filter(F.col(value_col).isNotNull())
-        .select(
-            (h64(F.col(id_col).cast("string")) % F.lit(P_HASH)).alias(
-                "_h"
-            ),
-            cents(F.col(value_col)).alias("v"),
-            F.col(label_col).cast("int").alias("y"),
-        )
-        # repartition inside the cached frame — same width note as
-        # poisson_bootstrap_mean_ci above
-        .repartition(n_part)
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        (h64(F.col(id_col).cast("string")) % F.lit(P_HASH)).alias(
+            "_h"
+        ),
+        cents(F.col(value_col)).alias("v"),
+        F.col(label_col).cast("int").alias("y"),
     )
     tot = base.groupBy().agg(
         F.count(F.lit(1)).alias("n"),
@@ -767,9 +735,13 @@ def permutation_test_mean_diff(
         ],
         "b bigint, a bigint, c bigint",
     )
+    n_part = int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
     u6 = F.expr(f"(((a * _h + c) % {P_HASH}) * 1000000) div {P_HASH}")
     rep = (
-        base.crossJoin(F.broadcast(obs.select("t6")))
+        base.repartition(n_part)
+        .crossJoin(F.broadcast(obs.select("t6")))
         .crossJoin(F.broadcast(bdf))
         .select(
             "b",
