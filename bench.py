@@ -9,6 +9,23 @@ Each query is timed as a full cold plan → action (count via a no-op
 write would hide row materialization; we use ``df.count()`` after a
 ``collect``-free plan so timings include scan+shuffle+agg but not
 driver-side row transfer for wide outputs).
+
+Measurement caveats (unchanged methodology since BASELINE, so
+cross-round totals stay comparable, but read per-query numbers with
+these in mind):
+
+- All 379 queries run in ONE session, alphabetically, and tracked
+  operator caches are never released mid-run — queries that share
+  cached intermediates (dedup/text shingle frames, sim bucket frames)
+  hit caches materialized by earlier-alphabet ids, so a per-query
+  number is entangled with its predecessors; standalone reruns of
+  late-alphabet ids can read 2-4x the bench number. Every cache is
+  still paid for inside some timed region (nothing escapes the total).
+- ``host_steal_pct`` brackets the run; on this oversubscribed host
+  steal spikes only under load (idle probes read ~0%), inflating wall
+  clock 1.4-5x in bursts. Totals with bracketed steal >0.5% are
+  shape-only; see tools/bench_gated.sh for the committed-reference
+  protocol.
 """
 
 from __future__ import annotations
@@ -106,7 +123,32 @@ def main() -> None:
         ]
         rnd = str(max(seen) + 1 if seen else 0)
     fname = f"r{int(rnd):02d}.json"
-    (results_dir / fname).write_text(json.dumps(out, indent=1) + "\n")
+    target = results_dir / fname
+    # Never clobber a cleaner (lower-steal) committed reference with a
+    # more-contended run — r15's driver run overwrote the 0.05%-steal
+    # gated reference with a 2.93%-steal run. Divert such runs to
+    # bench_results/adhoc/ (never committed as references).
+    if target.exists():
+        try:
+            prev_steal = json.load(open(target)).get("host_steal_pct")
+        except Exception:
+            prev_steal = None
+        new_steal = out.get("host_steal_pct")
+        if (
+            prev_steal is not None
+            and new_steal is not None
+            and new_steal > max(prev_steal, 0.5)
+        ):
+            adhoc = results_dir / "adhoc"
+            adhoc.mkdir(exist_ok=True)
+            n = len(list(adhoc.glob(f"r{int(rnd):02d}_steal*.json")))
+            target = adhoc / f"r{int(rnd):02d}_steal{new_steal}_{n}.json"
+            print(
+                f"[bench] steal {new_steal}% > reference {prev_steal}%:"
+                f" writing {target} instead of {fname}",
+                file=sys.stderr,
+            )
+    target.write_text(json.dumps(out, indent=1) + "\n")
     print(json.dumps(out))
     spark.stop()
 
