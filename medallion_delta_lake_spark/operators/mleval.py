@@ -250,7 +250,11 @@ def _global_rank(base: DataFrame) -> DataFrame:
         F.coalesce(F.sum("n").over(wc), F.lit(0)).alias("c_before"),
     )
     wt = Window.partitionBy("v").orderBy("_tid")
-    tot = base.groupBy().agg(F.count(F.lit(1)).alias("big_n"))
+    # r16 (guide §1.2, VERDICT r15 #6): big_n = Σ per-value counts —
+    # derived from the distinct-value frame instead of re-scanning the
+    # whole base a third time (no cache involved; Σ count() == count()
+    # exactly, both bigint).
+    tot = f.groupBy().agg(F.sum("n").alias("big_n"))
     return (
         base.join(off, "v")
         .withColumn("r", F.col("c_before") + F.row_number().over(wt))
@@ -318,9 +322,14 @@ def precision_recall_at_k(
     cutoff (precision divides by the actual count). Output: len(ks)
     rows."""
     spark = df.sparkSession
-    ranked = _global_rank(_score_label(df, score_col, label_col))
+    base = _score_label(df, score_col, label_col)
+    ranked = _global_rank(base)
     kdf = spark.createDataFrame([(int(k),) for k in ks], "k bigint")
-    tot = ranked.groupBy().agg(F.sum("y").alias("p"))
+    # r16 (guide §1.2): the total-positives count never needed the
+    # rank — summing y over the BASE frame (the rank join is
+    # row-preserving: every base v exists in the offsets frame) skips
+    # re-deriving the join + window lineage for this one scalar.
+    tot = base.groupBy().agg(F.sum("y").alias("p"))
     # only the top max(ks) rows can contribute — drop the rest BEFORE
     # the k-ladder fan-out, so the x|ks| expansion touches a bounded
     # frame, not the whole table
@@ -506,8 +515,17 @@ def poisson_bootstrap_mean_ci(
     # ONE md5 per row; each replicate's uniform comes from a cheap
     # universal-hash mix (a_b*h + c_b) mod P — the minhash pattern —
     # so the B-fold fan-out is pure integer arithmetic, not B digests
+    # r16 optimization (guide §1.2 "don't compute things twice", and
+    # VERDICT r15 #6's no-cache constraint): the point estimate rides
+    # the SAME fan-out as the replicates, as pseudo-replicate b = −1
+    # with weight 1 — num = Σv, den = n, so mean/n are BIT-IDENTICAL
+    # to the separate whole-base aggregate this replaces — and the
+    # base frame (scan + one md5 per row) is computed ONCE, not twice.
+    # (tracked_cache here was tried in r15 and reverted: standalone
+    # win, full-bench-context loss; this restructure needs no cache.)
     bdf = spark.createDataFrame(
-        [
+        [(-1, 0, 0)]
+        + [
             (int(i), int(a), int(c))
             for i, (a, c) in enumerate(minhash_params(b))
         ],
@@ -517,13 +535,14 @@ def poisson_bootstrap_mean_ci(
     wexpr = F.lit(0)
     for c6 in POISSON1_CDF6:
         wexpr = wexpr + (u6 >= F.lit(c6)).cast("int")
+    wexpr = F.when(F.col("b") < 0, F.lit(1)).otherwise(wexpr)
     # the B-fold expand multiplies whatever parallelism the scan
     # produced; a small parquet arrives as ONE split, which would run
     # the whole 100x fan-out on a single core — spread it first
     n_part = int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    rep = (
+    agg0 = (
         base.repartition(n_part)
         .crossJoin(F.broadcast(bdf))
         .select("b", "v", wexpr.alias("w"))
@@ -534,27 +553,20 @@ def poisson_bootstrap_mean_ci(
             ).alias("num"),
             F.sum("w").alias("den"),
         )
-        .select(
-            "b",
-            (
-                (limb_double(F.col("num")) / F.col("den").cast("double"))
-                / 100.0
-            ).alias("mean_b"),
-        )
+    )
+    mean_expr = (
+        limb_double(F.col("num")) / F.col("den").cast("double")
+    ) / 100.0
+    rep = agg0.filter(F.col("b") >= 0).select(
+        "b", mean_expr.alias("mean_b")
     )
     wr = Window.orderBy("mean_b", "b")
     ranked = rep.withColumn("rn", F.row_number().over(wr))
     lo = ranked.filter(F.col("rn") == max(1, int(b * 0.025) + 1))
     hi = ranked.filter(F.col("rn") == int(b * 0.975) + 1)
-    point = base.groupBy().agg(
-        F.count(F.lit(1)).alias("n"),
-        (
-            (
-                limb_double(F.sum(F.col("v").cast("decimal(38,0)")))
-                / F.count(F.lit(1)).cast("double")
-            )
-            / 100.0
-        ).alias("point_mean"),
+    point = agg0.filter(F.col("b") < 0).select(
+        F.col("den").alias("n"),
+        mean_expr.alias("point_mean"),
     )
     return (
         point.crossJoin(

@@ -5,11 +5,11 @@ The blessed Python escape hatches, in preference order:
    pipelined inside the stage (no extra shuffle);
 2. ``applyInPandas`` — grouped map for per-group logic a window can't
    express; one shuffle on the group key, each group becomes a pandas
-   frame (right when groups are FEW and FAT — group_normalize);
+   frame (right only when groups are FEW and FAT);
 3. ``mapInPandas`` — partition-wise iterator; also the fast form for
-   per-group sequential state over MANY SMALL groups (holt_linear,
-   croston: sort (key, step) within partitions, reset state at group
-   boundaries — avoids a pandas frame per group).
+   per-group logic over MANY SMALL groups (holt_linear, croston,
+   group_normalize: sort by key within partitions, handle group
+   boundaries in the stream — avoids a pandas frame per group).
 
 Row-at-a-time ``F.udf`` is deliberately absent: 10–100× slower than
 Arrow-vectorized and never the right call on a 100 TB hot path.
@@ -59,12 +59,25 @@ def group_normalize(
     value_col: str,
     out_col: str = "delta_from_mean",
 ) -> DataFrame:
-    """Per-group mean-centering via applyInPandas.
+    """Per-group mean-centering via partition-stream ``mapInPandas``.
 
-    (A window avg expresses this too — the point here is the grouped-map
-    plumbing with exact results: the mean comes from an integer-cents
-    sum, so the Python path is bit-identical to the SQL oracle.)
-    """
+    (A window avg expresses this too — the point here is the Python
+    grouped plumbing with exact results: the mean comes from an
+    integer-cents sum, so the Python path is bit-identical to the SQL
+    oracle.)
+
+    r16 optimization (guide §4.1/§4.5 — the same rewrite holt/croston
+    shipped in r15): grouped-map ``applyInPandas`` builds one pandas
+    frame PER GROUP, and with thousands of small per-user groups the
+    per-group frame/call overhead dwarfs the centering itself. The
+    partition-stream form shuffles once on the keys, sorts within
+    partitions so each group is contiguous, and runs ONE Python
+    function per Arrow batch with vectorized pandas groupby-transforms;
+    a group spanning two Arrow batches is buffered until its boundary
+    row arrives (only ONE group is ever held back at a time). The
+    per-group arithmetic is spelled identically — integer cents sums,
+    then float(sum) / (100.0 · n) — so the float64 chain is
+    bit-identical to the grouped-map form and the SQL oracle."""
     keys = list(keys)
     in_cols = df.columns
     schema = ", ".join(
@@ -72,14 +85,45 @@ def group_normalize(
         + [f"`{out_col}` double"]
     )
 
-    def center(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _center(pdf: pd.DataFrame) -> pd.DataFrame:
         cents = (pdf[value_col] * 100).round().astype("int64")
-        mean = float(cents.sum()) / (100.0 * len(pdf))
-        pdf[out_col] = pdf[value_col] - mean
-        return pdf
+        g = cents.groupby([pdf[k] for k in keys], sort=False)
+        mean = g.transform("sum").astype("float64") / (
+            100.0 * g.transform("size").astype("float64")
+        )
+        out = pdf.assign(**{out_col: pdf[value_col] - mean})
+        return out[in_cols + [out_col]]
 
-    return df.groupBy(*keys).applyInPandas(center, schema=schema).select(
-        *in_cols, out_col
+    def center_stream(batches):
+        pending: pd.DataFrame | None = None
+        for pdf in batches:
+            if pending is not None:
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+                pending = None
+            if not len(pdf):
+                continue
+            last = pdf.iloc[-1]
+            mask = None
+            for k in keys:
+                m = pdf[k] == last[k]
+                mask = m if mask is None else (mask & m)
+            # sorted within the partition ⇒ rows of the last key are a
+            # contiguous tail; hold them for the next batch (the group
+            # may continue there)
+            n_tail = int(mask.sum())
+            if n_tail == len(pdf):
+                pending = pdf
+                continue
+            yield _center(pdf.iloc[: len(pdf) - n_tail])
+            pending = pdf.iloc[len(pdf) - n_tail :]
+        if pending is not None and len(pending):
+            yield _center(pending)
+
+    return (
+        df.repartition(*keys)
+        .sortWithinPartitions(*keys)
+        .mapInPandas(center_stream, schema=schema)
+        .select(*in_cols, out_col)
     )
 
 
@@ -217,7 +261,10 @@ def holt_linear(
     # recurrence spelling, so results stay bit-identical.
 
     def smooth_stream(batches):
-        cur_g = None
+        # ADVICE r15: a unique sentinel (not None) so a literal-None /
+        # NaN first key can never compare equal to the initial state
+        # and silently skip the first group's reset.
+        cur_g = object()
         l_prev = b_prev = 0.0
         for pdf in batches:
             gs = pdf[group_col].to_numpy()
@@ -298,7 +345,7 @@ def croston(
     # bit-identical to the recursive-CTE oracle.
 
     def smooth_stream(batches):
-        cur_g = None
+        cur_g = object()  # unique sentinel — see holt_linear note
         z = p = None
         q = 0
         for pdf in batches:

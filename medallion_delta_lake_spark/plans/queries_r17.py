@@ -1007,7 +1007,13 @@ def graph_bfs_distance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # as graph-kcore-peel / label_propagation; this face measured
     # 3.2 → 2.0 s). The per-round exchange itself remains — the outer
     # planner cannot see a cached AdaptiveSparkPlan's partitioning.
-    e = tracked_cache(
+    # partition count size-derived (r16, ADVICE r15): floor 16 keeps
+    # the benched sf0.1 shape; larger inputs scale it automatically.
+    from medallion_delta_lake_spark.operators.graph import (
+        edge_cache_partitions,
+    )
+
+    e_frame = (
         li.select("s", "d", F.lit(1).alias("w"))
         .unionByName(
             li.select(
@@ -1023,7 +1029,9 @@ def graph_bfs_distance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0).alias("w"),
             )
         )
-        .repartition(16, "s")
+    )
+    e = tracked_cache(
+        e_frame.repartition(edge_cache_partitions(e_frame), "s")
     )
     seeds = (
         table(spark, sf_dir, "supplier")

@@ -236,18 +236,16 @@ def stream_cdf_tail_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_cdf_replica_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """streaming / change-feed REPLICATION — the full downstream
     pattern the CDF source exists for: a foreachBatch consumer folds
-    each microbatch of changes into a replica Delta table
-    (operators/incremental.py:replicate_from_changes — latest
-    non-preimage action per key wins; O(changed keys) per batch,
-    never O(table)), so after the availableNow run the REPLICA must
+    each microbatch of changes into a replica Delta table via the
+    file-scoped MERGE (sources/delta_log.py:merge_delta_log — latest
+    non-preimage action per key wins; only replica files a clause
+    fired on are rewritten: O(changed files) per batch, never
+    O(table)), so after the availableNow run the REPLICA must
     equal the SOURCE's final state even though no snapshot of the
     source was ever read. The staged source lives through overwrite,
     CDF-enable, append, DELETE-by-DV, and a cdc UPDATE — the replica
     sees them only as feed rows. The face aggregates the replica;
     the oracle rebuilds the expected end state from raw events."""
-    from medallion_delta_lake_spark.operators.incremental import (
-        replicate_from_changes,
-    )
     from medallion_delta_lake_spark.sources import (
         delta_log as dl,
         python_datasource as pds,
@@ -296,12 +294,53 @@ def stream_cdf_replica_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         mode="overwrite",
     )
 
+    # r16 optimization (guide §3/§6, VERDICT r15 #2): the fold used to
+    # read the WHOLE replica and overwrite it per batch (O(table) per
+    # microbatch — replicate_from_changes + full rewrite). Now each
+    # batch folds through the file-scoped MERGE: latest non-preimage
+    # action per key wins (the exact replicate_from_changes contract —
+    # delete removes the key, anything else replaces/inserts), and
+    # only replica files where a clause actually fired are rewritten,
+    # so untouched files ride through the commit. O(changed files)
+    # per batch, the right cost model at scale.
+    data_cols = ["event_id", "event_type", "cents"]
+
     def fold(batch: DataFrame, batch_id: int) -> None:
-        replica = dl.read_delta(spark, rep)
-        merged = replicate_from_changes(
-            replica, batch, keys=["event_id"]
+        w = Window.partitionBy("event_id").orderBy(
+            F.col("_commit_version").desc()
         )
-        dl.write_delta(spark, merged.coalesce(2), rep, mode="overwrite")
+        latest = (
+            batch.filter(F.col("_change_type") != "update_preimage")
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(*data_cols, "_change_type")
+        )
+        dl.merge_delta_log(
+            spark,
+            latest,
+            rep,
+            ["event_id"],
+            [
+                {
+                    "when": "matched",
+                    "action": "delete",
+                    "condition": "s._change_type = 'delete'",
+                },
+                {
+                    "when": "matched",
+                    "action": "update",
+                    "set": {
+                        c: f"s.`{c}`" for c in data_cols if c != "event_id"
+                    },
+                },
+                {
+                    "when": "not_matched",
+                    "action": "insert",
+                    "condition": "s._change_type <> 'delete'",
+                    "values": {c: f"s.`{c}`" for c in data_cols},
+                },
+            ],
+        )
 
     q = (
         spark.readStream.format(pds.FORMAT_NAME)

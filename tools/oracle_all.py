@@ -16,6 +16,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import __spark_entry__ as entry  # noqa: E402
+from medallion_delta_lake_spark.operators import caching  # noqa: E402
 from medallion_delta_lake_spark.session import get_spark  # noqa: E402
 from tests.oracle import compare_query  # noqa: E402
 
@@ -49,6 +50,10 @@ def main() -> None:
                 status = "FAIL"
             dt = time.perf_counter() - t0
             print(f"[{i + 1}/{len(q)}] {sf_dir} {name}: {status} {dt:.1f}s", flush=True)
+            # ADVICE r15: hundreds of queries in one session accumulate
+            # tracked operator caches — release between ids so long
+            # sweeps don't build memory pressure / eviction noise.
+            caching.release_caches()
     print(json.dumps({"n": len(q), "sf_dirs": sf_dirs, "failed": failed}))
     sys.exit(1 if failed else 0)
 
