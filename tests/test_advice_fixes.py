@@ -22,6 +22,10 @@ from medallion_delta_lake_spark.functions.vectors import (
 )
 from medallion_delta_lake_spark.operators import joins, upsert
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy battery: excluded from the fast default tier (pytest.ini)
+
 
 def test_dot_product_exact_path(spark):
     df = spark.createDataFrame(

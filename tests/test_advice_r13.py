@@ -30,6 +30,10 @@ from medallion_delta_lake_spark.operators import sketches as sk
 from medallion_delta_lake_spark.sources import delta_log as dl
 from medallion_delta_lake_spark.sources import python_datasource as pds
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy battery: excluded from the fast default tier (pytest.ini)
+
 
 def _feed_all(spark, path: str, name: str, starting: int | None = None):
     r = (

@@ -23,6 +23,10 @@ from pyspark.sql import functions as F
 
 from medallion_delta_lake_spark.sources import delta_log as dl
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy battery: excluded from the fast default tier (pytest.ini)
+
 
 def _three_commit_table(spark, p: str) -> None:
     for i, mode in ((0, "overwrite"), (1, "append"), (2, "append")):

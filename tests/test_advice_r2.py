@@ -23,6 +23,10 @@ from medallion_delta_lake_spark.plans.queries_text import _dup_corpus
 from medallion_delta_lake_spark.sources import writers
 from tests.conftest import SF_SMOKE
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy battery: excluded from the fast default tier (pytest.ini)
+
 
 def test_compact_recovers_mid_swap_crash(spark, tmp_path):
     path = str(tmp_path / "tbl")

@@ -19,6 +19,10 @@ from pyspark.sql import functions as F
 from medallion_delta_lake_spark.operators import similarity as sim
 from tests.conftest import SF_SMOKE
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy battery: excluded from the fast default tier (pytest.ini)
+
 K = 10
 N_QUERIES = 20
 

@@ -13,6 +13,10 @@ import os
 
 from medallion_delta_lake_spark.sources import delta_log
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy battery: excluded from the fast default tier (pytest.ini)
+
 
 def _src(spark, rows):
     return spark.createDataFrame(rows, "k int, v int").coalesce(1)

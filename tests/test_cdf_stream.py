@@ -15,6 +15,10 @@ from pyspark.sql import functions as F
 from medallion_delta_lake_spark.sources import delta_log as dl
 from medallion_delta_lake_spark.sources import python_datasource as pds
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy battery: excluded from the fast default tier (pytest.ini)
+
 
 def _feed(spark, path: str, starting: int, name: str):
     q = (

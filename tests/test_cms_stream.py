@@ -10,6 +10,10 @@ from medallion_delta_lake_spark.operators import sketches as sk
 from medallion_delta_lake_spark.streaming import events as se
 from medallion_delta_lake_spark.streaming import stateful
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy battery: excluded from the fast default tier (pytest.ini)
+
 
 def test_stream_topk_equals_batch_cms(spark, tmp_path):
     # zipf-ish per type: item i appears (40 − i) times, i ∈ [0, 40)

@@ -21,6 +21,8 @@ from __future__ import annotations
 
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy battery: excluded from the fast default tier (pytest.ini)
+
 from medallion_delta_lake_spark.sources import delta_log
 
 

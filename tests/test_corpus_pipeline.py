@@ -8,6 +8,10 @@ from medallion_delta_lake_spark.pipelines import corpus
 from medallion_delta_lake_spark.plans.queries_text import _dup_corpus
 from tests.conftest import SF_SMOKE
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy battery: excluded from the fast default tier (pytest.ini)
+
 
 def test_clean_corpus_funnel(spark):
     docs = _dup_corpus(spark, SF_SMOKE)

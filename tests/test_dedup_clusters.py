@@ -6,6 +6,10 @@ from medallion_delta_lake_spark.operators import dedup
 from medallion_delta_lake_spark.plans.queries_text import _dup_corpus
 from tests.conftest import SF_SMOKE
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy battery: excluded from the fast default tier (pytest.ini)
+
 
 def _union_find(ids, pairs):
     parent = {i: i for i in ids}

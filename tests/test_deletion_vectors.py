@@ -24,6 +24,8 @@ import struct
 
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy battery: excluded from the fast default tier (pytest.ini)
+
 from pyspark.sql import functions as F
 
 from medallion_delta_lake_spark.sources import delta_log, deletion_vectors as dv

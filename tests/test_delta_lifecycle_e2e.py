@@ -15,6 +15,10 @@ from pyspark.sql import functions as F
 
 from medallion_delta_lake_spark.sources import delta_log as dl
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy battery: excluded from the fast default tier (pytest.ini)
+
 
 def test_full_lifecycle_one_table(spark, tmp_path):
     t = str(tmp_path / "life")

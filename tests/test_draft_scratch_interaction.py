@@ -27,6 +27,10 @@ from medallion_delta_lake_spark.plans import queries_r18 as r18
 from medallion_delta_lake_spark.plans import queries_r19 as r19
 from medallion_delta_lake_spark.plans import queries_r20 as r20
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy battery: excluded from the fast default tier (pytest.ini)
+
 SF = "/root/testdata/sf0.001"
 
 

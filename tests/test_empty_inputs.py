@@ -6,6 +6,8 @@ quiet day."""
 from __future__ import annotations
 
 import pytest
+
+pytestmark = pytest.mark.slow  # heavy battery: excluded from the fast default tier (pytest.ini)
 from pyspark.sql import functions as F
 
 from medallion_delta_lake_spark.operators import (

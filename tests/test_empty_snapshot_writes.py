@@ -22,6 +22,10 @@ from __future__ import annotations
 
 from medallion_delta_lake_spark.sources import delta_log
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy battery: excluded from the fast default tier (pytest.ini)
+
 
 def _empty_src(spark):
     return spark.createDataFrame([], "k int, v int")

@@ -7,6 +7,8 @@ from __future__ import annotations
 import math
 
 import pytest
+
+pytestmark = pytest.mark.slow  # heavy battery: excluded from the fast default tier (pytest.ini)
 from pyspark.sql import functions as F
 
 from medallion_delta_lake_spark.operators import similarity as sim

@@ -9,6 +9,10 @@ import os
 
 from medallion_delta_lake_spark.sources import delta_log as dl
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy battery: excluded from the fast default tier (pytest.ini)
+
 
 def _mk(spark, tmp_path):
     p = str(tmp_path / "t")

@@ -6,6 +6,8 @@ bronze re-append) leaves gold byte-identical."""
 from __future__ import annotations
 
 import pytest
+
+pytestmark = pytest.mark.slow  # heavy battery: excluded from the fast default tier (pytest.ini)
 from pyspark.sql import functions as F
 
 from medallion_delta_lake_spark.pipelines import medallion

@@ -6,6 +6,8 @@ from __future__ import annotations
 import datetime as dt
 
 import pytest
+
+pytestmark = pytest.mark.slow  # heavy battery: excluded from the fast default tier (pytest.ini)
 from pyspark.sql import functions as F
 
 from medallion_delta_lake_spark.plans import queries_feature  # noqa: F401

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy battery: excluded from the fast default tier (pytest.ini)
+
 from medallion_delta_lake_spark.plans import queries_text  # noqa: F401
 from medallion_delta_lake_spark.plans.registry import ORACLES, QUERIES
 from tests.conftest import SF_SMOKE

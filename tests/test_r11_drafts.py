@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy battery: excluded from the fast default tier (pytest.ini)
+
 from medallion_delta_lake_spark.plans import queries_r11 as r11
 from tests.oracle import compare_query
 

@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy battery: excluded from the fast default tier (pytest.ini)
+
 from medallion_delta_lake_spark.plans import queries_r18 as r18
 from tests.oracle import compare_query
 

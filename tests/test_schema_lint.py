@@ -17,6 +17,10 @@ from medallion_delta_lake_spark.plans.registry import (
 )
 from tests.conftest import SF_SMOKE
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy battery: excluded from the fast default tier (pytest.ini)
+
 
 def test_double_faces_match_allowlist(spark):
     queries = entry.queries()

@@ -9,6 +9,8 @@ import math
 
 import duckdb
 import pytest
+
+pytestmark = pytest.mark.slow  # heavy battery: excluded from the fast default tier (pytest.ini)
 from pyspark.sql import functions as F
 
 from medallion_delta_lake_spark.operators import sketches as sk

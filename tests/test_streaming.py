@@ -4,6 +4,8 @@ plus the applyInPandasWithState custom stateful operator."""
 from __future__ import annotations
 
 import pytest
+
+pytestmark = pytest.mark.slow  # heavy battery: excluded from the fast default tier (pytest.ini)
 from pyspark.sql import functions as F
 
 from medallion_delta_lake_spark.plans import queries_stream  # noqa: F401

@@ -8,6 +8,8 @@ from __future__ import annotations
 import json
 
 import pytest
+
+pytestmark = pytest.mark.slow  # heavy battery: excluded from the fast default tier (pytest.ini)
 from pyspark.sql.types import StructType
 
 from medallion_delta_lake_spark.sources import delta_log

@@ -5,6 +5,8 @@ plus hypothesis property tests for the pure merge-state function."""
 from __future__ import annotations
 
 import pytest
+
+pytestmark = pytest.mark.slow  # heavy battery: excluded from the fast default tier (pytest.ini)
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
