@@ -514,14 +514,15 @@ def neardup_clusters_star(
         large_sym = large.unionByName(_swap(large))
         # small-star over the large-star output: (v, m_u) for v ≤ u,
         # plus (u, m_u) so the center stays attached.
-        # r15 optimization (guide §1.2 fewer passes): lo is no longer
-        # its own eager checkpoint — it is a FILTER over the already-
-        # checkpointed large frame, so its two consumers re-apply a
-        # near-free predicate against stored blocks instead of paying
-        # a third materialization job per round (4 → 2 eager jobs per
-        # round with the fingerprint fold below; whole face 6.4 →
-        # ~4 s benched, see OPTIMIZATION_r15.md).
-        lo = large_sym.filter(F.col("v") <= F.col("u"))
+        # r16 A/B note: r15 demoted lo to a plain filter over the
+        # checkpointed large frame and made the round-end checkpoint
+        # lazy (4 → 2 eager jobs/round); that structure read SLOWER in
+        # every full-bench run (1.21-1.23× band-relative; restoring the
+        # eager checkpoints measured 0.80× — the filter re-applied per
+        # consumer and the fused fingerprint/materialize job lost more
+        # than the saved job overhead). Eager checkpoints restored;
+        # see OPTIMIZATION_r16.md "dedup-cc-bigstar".
+        lo = large_sym.filter(F.col("v") <= F.col("u")).localCheckpoint()
         small_mins = lo.groupBy("u").agg(
             F.least(F.col("u"), F.min("v")).alias("m")
         )
@@ -532,15 +533,10 @@ def neardup_clusters_star(
                 small_mins.select(F.col("u"), F.col("m").alias("v"))
             )
         ).filter(F.col("u") != F.col("v"))
-        # lazy checkpoint: the fingerprint aggregate right below is the
-        # round's first action over edges_new, so ONE job both
-        # materializes the checkpoint blocks and computes the
-        # convergence fingerprint (the separate eager-checkpoint job
-        # per round is gone); later rounds read the stored blocks.
         edges_new = (
             small.unionByName(_swap(small))
             .distinct()
-            .localCheckpoint(eager=False)
+            .localCheckpoint()
         )
         new_fp = _fingerprint(edges_new)
         edges = edges_new

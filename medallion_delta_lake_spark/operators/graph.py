@@ -139,13 +139,14 @@ def triangle_count(edges: DataFrame, src: str = "a", dst: str = "b") -> DataFram
     its smallest endpoint). Three shuffles on int vertex ids; no
     adjacency ever collects. Output one row: ``(n_triangles,
     n_edges, n_vertices)``."""
-    from medallion_delta_lake_spark.operators.caching import tracked_cache
-
-    # r15 optimization (guide §5): the canonical edge set feeds FIVE
-    # subtrees (both wedge sides, the closing probe, the edge count,
-    # the vertex count) — cached, the scan + canonicalize + distinct
-    # runs once instead of being re-derived per consumer.
-    e = tracked_cache(
+    # The canonical edge set feeds five subtrees (both wedge sides,
+    # the closing probe, the edge count, the vertex count). r15 tried
+    # a tracked_cache here; r16 A/B-settled it as a LOSS in full-bench
+    # context (1.19× vs 0.89× band-relative with the cache removed —
+    # runtime exchange reuse already dedups the distinct's exchange,
+    # so the cache only added materialization cost and storage
+    # pressure; OPTIMIZATION_r16.md "triangle-count").
+    e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("_u"),
             F.greatest(F.col(src), F.col(dst)).alias("_v"),
@@ -291,13 +292,13 @@ def basket_pairs(
     cap: co-occurring item pairs scored by support, confidence, and
     lift, top-``top_k`` by the integer pair count.
 
-    Scale posture (VERDICT r10 fix): pair volume is Σ basket_size² —
-    bounded only by the data's basket shape unless capped.
-    ``max_basket_size`` makes the bound explicit: baskets above it are
-    EXCLUDED from the whole analysis (counts, supports, pairs), the
-    standard posting-list cap (same knob as jaccard_neighbors'
-    ``max_degree`` and dedup's ``max_df``). The exclusion is never
-    silent — run
+    Scale posture (VERDICT r10 fix): the pair self-join is keyed only
+    on the basket id, so pair volume is Σ basket_size² — bounded only
+    by the data's basket shape unless capped. ``max_basket_size``
+    makes the bound explicit: baskets above it are EXCLUDED from the
+    whole analysis (counts, supports, pairs), the standard
+    posting-list cap (same knob as jaccard_neighbors' ``max_degree``
+    and dedup's ``max_df``). The exclusion is never silent — run
     ``basket_cap_audit`` with the same cap for the dropped-basket
     census. The top-k is taken with ``orderBy().limit()`` — Spark
     plans TakeOrdered (each partition offers its local top-k, the
@@ -307,26 +308,14 @@ def basket_pairs(
 
     Output: ``(p1, p2, n_pair, support, confidence, lift)``.
     """
+    from pyspark.sql import Window as W
+
     # ONE exchange feeds the whole pipeline: hash(o) satisfies the
     # ClusteredDistribution of the (o, p) dedup (partitioning exprs
-    # are a subset of the grouping keys), of the basket-size
-    # aggregate, AND of the o-keyed cap join — measured 9 → 6
-    # exchanges and ~30% faster at sf0.1 vs distinct() minting its
-    # own (o, p) exchange first.
-    #
-    # r16 restructure (guide §1.2/§2.4; plans/r16/
-    # affinity-basket-pairs_*.txt): the basket-size cap used to ride a
-    # COUNT window over o, and the capped frame fed FIVE plan branches
-    # (self-join a/b sides, item counts, basket count) — five full
-    # window sorts of the (o, p) frame per run. The cap is now the
-    # oracle's own GROUP BY ... HAVING shape (skew-safe: a
-    # pathological hot basket only ever materializes a count, never a
-    # list, before the cap drops it), and pair generation folds each
-    # kept basket to ONE sorted array (≤ max_basket_size elements BY
-    # CONSTRUCTION, so the list agg is bounded) and explodes ordered
-    # pairs from it — the o-keyed self-join and every window sort are
-    # gone; pair volume is the same Σ basket_size² rows but they are
-    # born map-side from the array instead of through join machinery.
+    # are a subset of the grouping keys), of the per-basket window,
+    # AND of the o-keyed self-join — measured 9 → 6 exchanges and
+    # ~30% faster at sf0.1 vs distinct() minting its own (o, p)
+    # exchange first
     op = (
         items.select(
             F.col(basket).alias("o"), F.col(item).alias("p")
@@ -334,36 +323,20 @@ def basket_pairs(
         .repartition("o")
         .dropDuplicates(["o", "p"])
     )
-    keep = (
-        op.groupBy("o")
-        .agg(F.count(F.lit(1)).alias("_bsz"))
-        .filter(F.col("_bsz") <= max_basket_size)
+    sized = op.withColumn(
+        "_bsz", F.count(F.lit(1)).over(W.partitionBy("o"))
     )
-    # co-partitioned with op on o (both sit on the hash(o) exchange);
-    # at local/bench scale the planner broadcasts the kept-basket ids,
-    # at 100 TB it falls back to the co-partitioned hash/merge join —
-    # either way the (o, p) frame is never re-sorted per branch.
-    kept = op.join(keep.select("o"), "o")
-    n = keep.agg(F.count(F.lit(1)).alias("n_orders"))
+    kept = sized.filter(F.col("_bsz") <= max_basket_size).drop("_bsz")
+    n = kept.agg(F.countDistinct("o").alias("n_orders"))
     ic = kept.groupBy("p").agg(F.count(F.lit(1)).alias("c"))
-    baskets = kept.groupBy("o").agg(
-        F.sort_array(F.collect_list("p")).alias("_ps")
-    )
-    e1 = baskets.select(
-        F.posexplode("_ps").alias("_i", "p1"), F.col("_ps")
-    )
+    a, b = kept.alias("a"), kept.alias("b")
     pairs = (
-        e1.select(
-            "p1",
-            F.explode(
-                F.slice(
-                    F.col("_ps"),
-                    F.col("_i") + F.lit(2),
-                    F.lit(int(max_basket_size)),
-                )
-            ).alias("p2"),
+        a.join(
+            b,
+            (F.col("a.o") == F.col("b.o"))
+            & (F.col("a.p") < F.col("b.p")),
         )
-        .groupBy("p1", "p2")
+        .groupBy(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
         .agg(F.count(F.lit(1)).alias("n_pair"))
         .filter(F.col("n_pair") >= min_pair_count)
     )

@@ -515,17 +515,8 @@ def poisson_bootstrap_mean_ci(
     # ONE md5 per row; each replicate's uniform comes from a cheap
     # universal-hash mix (a_b*h + c_b) mod P — the minhash pattern —
     # so the B-fold fan-out is pure integer arithmetic, not B digests
-    # r16 optimization (guide §1.2 "don't compute things twice", and
-    # VERDICT r15 #6's no-cache constraint): the point estimate rides
-    # the SAME fan-out as the replicates, as pseudo-replicate b = −1
-    # with weight 1 — num = Σv, den = n, so mean/n are BIT-IDENTICAL
-    # to the separate whole-base aggregate this replaces — and the
-    # base frame (scan + one md5 per row) is computed ONCE, not twice.
-    # (tracked_cache here was tried in r15 and reverted: standalone
-    # win, full-bench-context loss; this restructure needs no cache.)
     bdf = spark.createDataFrame(
-        [(-1, 0, 0)]
-        + [
+        [
             (int(i), int(a), int(c))
             for i, (a, c) in enumerate(minhash_params(b))
         ],
@@ -535,14 +526,13 @@ def poisson_bootstrap_mean_ci(
     wexpr = F.lit(0)
     for c6 in POISSON1_CDF6:
         wexpr = wexpr + (u6 >= F.lit(c6)).cast("int")
-    wexpr = F.when(F.col("b") < 0, F.lit(1)).otherwise(wexpr)
     # the B-fold expand multiplies whatever parallelism the scan
     # produced; a small parquet arrives as ONE split, which would run
     # the whole 100x fan-out on a single core — spread it first
     n_part = int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    agg0 = (
+    rep = (
         base.repartition(n_part)
         .crossJoin(F.broadcast(bdf))
         .select("b", "v", wexpr.alias("w"))
@@ -553,20 +543,27 @@ def poisson_bootstrap_mean_ci(
             ).alias("num"),
             F.sum("w").alias("den"),
         )
-    )
-    mean_expr = (
-        limb_double(F.col("num")) / F.col("den").cast("double")
-    ) / 100.0
-    rep = agg0.filter(F.col("b") >= 0).select(
-        "b", mean_expr.alias("mean_b")
+        .select(
+            "b",
+            (
+                (limb_double(F.col("num")) / F.col("den").cast("double"))
+                / 100.0
+            ).alias("mean_b"),
+        )
     )
     wr = Window.orderBy("mean_b", "b")
     ranked = rep.withColumn("rn", F.row_number().over(wr))
     lo = ranked.filter(F.col("rn") == max(1, int(b * 0.025) + 1))
     hi = ranked.filter(F.col("rn") == int(b * 0.975) + 1)
-    point = agg0.filter(F.col("b") < 0).select(
-        F.col("den").alias("n"),
-        mean_expr.alias("point_mean"),
+    point = base.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            (
+                limb_double(F.sum(F.col("v").cast("decimal(38,0)")))
+                / F.count(F.lit(1)).cast("double")
+            )
+            / 100.0
+        ).alias("point_mean"),
     )
     return (
         point.crossJoin(

@@ -1511,9 +1511,8 @@ def affinity_basket_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """analytics / market-basket affinity — co-purchased part pairs
     with support, confidence, and lift (the association-rule primer
     behind recommenders and store layout), via
-    operators/graph.py:basket_pairs. Pairs explode map-side from each
-    kept basket's sorted item array, so pair volume is
-    Σ basket_size²; the operator
+    operators/graph.py:basket_pairs. The pair self-join is keyed only
+    on the order key, so pair volume is Σ basket_size²; the operator
     caps baskets at max_basket_size=64 EXPLICITLY (TPC-H orders have
     ≤7 lines, so the cap is inert here and load-bearing on real
     data; basket_cap_audit censuses what a cap drops — never silent).
