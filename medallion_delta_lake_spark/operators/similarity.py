@@ -48,6 +48,22 @@ def as_double(vec: Column | str) -> Column:
     return F.transform(v, lambda x: x.cast("double"))
 
 
+def _lit_double_array(values) -> Column:
+    """array<double> literal via ONE SQL-parser call.
+
+    r16 optimization (guide §1.2 applied to the DRIVER side): building
+    a 64-element literal array as ``F.array(*[F.lit(x) ...])`` costs a
+    py4j round-trip per element — measured 0.8-2.6 s of pure driver
+    time per 6-plane bucket expression, paid again for every sim face
+    in the bench. One ``F.expr("array(…D, …D)")`` parse yields the
+    IDENTICAL Catalyst tree (CreateArray of double Literals — Python
+    ``repr`` round-trips float64 exactly), so plans, results and
+    codegen are unchanged; only the construction cost drops."""
+    return F.expr(
+        "array(" + ",".join(f"{float(v)!r}D" for v in values) + ")"
+    )
+
+
 def dot(a: Column, b: Column) -> Column:
     """Sequential-fold double dot product (engine-exact ordering)."""
     return F.aggregate(
@@ -115,16 +131,42 @@ def brute_force_topk(
 
 
 def hyperplane_bucket(
-    vec: Column, n_planes: int, dims: int, plane_offset: int = 0
+    vec: Column | str, n_planes: int, dims: int, plane_offset: int = 0
 ) -> Column:
     """Random-hyperplane LSH bucket id: bit p = 1 iff dot(w_p, v) ≥ 0.
     ``plane_offset`` selects an independent plane family (used to
-    re-split oversized buckets with fresh hyperplanes)."""
+    re-split oversized buckets with fresh hyperplanes).
+
+    When ``vec`` is a plain column NAME the whole expression is built
+    in ONE SQL-parser call (r16, same driver-side py4j economics as
+    :func:`_lit_double_array`: the composed per-plane spelling costs
+    ~0.4 s of round-trips per call, paid by every sim face; the parsed
+    tree is op-for-op the same CASE/aggregate/zip_with chain, verified
+    bit-identical, so plans and results are unchanged)."""
+    if isinstance(vec, str):
+        terms = ["CAST(0 AS BIGINT)"]
+        for p in range(n_planes):
+            arr = (
+                "array("
+                + ",".join(
+                    f"{float(v)!r}D"
+                    for v in hyperplane(p + plane_offset, dims)
+                )
+                + ")"
+            )
+            d = (
+                f"aggregate(zip_with({arr}, `{vec}`, (x, y) -> "
+                "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, "
+                "(s, x) -> s + x)"
+            )
+            terms.append(
+                f"(CASE WHEN {d} >= 0.0D THEN "
+                f"CAST({2 ** p} AS BIGINT) ELSE 0 END)"
+            )
+        return F.expr(" + ".join(terms))
     bucket = F.lit(0).cast("bigint")
     for p in range(n_planes):
-        w = F.array(
-            *[F.lit(float(x)) for x in hyperplane(p + plane_offset, dims)]
-        )
+        w = _lit_double_array(hyperplane(p + plane_offset, dims))
         bucket = bucket + F.when(
             dot(w, vec) >= 0.0, F.lit(2**p).cast("bigint")
         ).otherwise(0)
@@ -158,7 +200,7 @@ def ann_topk(
     qb = queries.select(
         F.col(id_col).alias(query_id_col),
         F.col(vec_col).alias("_qv"),
-        hyperplane_bucket(F.col(vec_col), n_planes, dims).alias("bucket"),
+        hyperplane_bucket(vec_col, n_planes, dims).alias("bucket"),
     )
     if multi_probe:
         probes = F.array(
@@ -174,7 +216,7 @@ def ann_topk(
     cb = corpus.select(
         F.col(id_col),
         F.col(vec_col),
-        hyperplane_bucket(F.col(vec_col), n_planes, dims).alias("bucket"),
+        hyperplane_bucket(vec_col, n_planes, dims).alias("bucket"),
     )
     scored = (
         F.broadcast(qb)
@@ -224,7 +266,7 @@ def neardup_pairs(
         # (tracked; callers release via caching.release_caches())
         base = tracked_cache(
             base.withColumn(
-                "bucket", hyperplane_bucket(F.col(vec_col), n_planes, dims)
+                "bucket", hyperplane_bucket(vec_col, n_planes, dims)
             )
         )
         a = base.select(
@@ -458,7 +500,7 @@ def _self_candidates(
     b = corpus.select(
         F.col(id_col),
         F.col(vec_col),
-        hyperplane_bucket(F.col(vec_col), n_planes, dims).alias("bucket"),
+        hyperplane_bucket(vec_col, n_planes, dims).alias("bucket"),
     )
     if max_bucket is not None:
         # 1) re-split oversized buckets with an independent plane
@@ -478,7 +520,7 @@ def _self_candidates(
                 F.ceil(F.log2(F.col("_bc") / F.lit(max_bucket))),
             ).cast("int")
             sub = hyperplane_bucket(
-                F.col(vec_col), refine_planes, dims, plane_offset=n_planes
+                vec_col, refine_planes, dims, plane_offset=n_planes
             ).bitwiseAND(
                 F.pow(F.lit(2.0), need_bits).cast("bigint") - 1
             )
@@ -600,7 +642,7 @@ def incremental_emb_neardup(
         new_vecs.select(
             F.col(id_col),
             as_double(vec_col).alias(vec_col),
-            hyperplane_bucket(F.col(vec_col), n_planes, dims).alias(
+            hyperplane_bucket(vec_col, n_planes, dims).alias(
                 "bucket"
             ),
         )
@@ -933,9 +975,7 @@ def project_embeddings(
     comps = [
         dot(
             as_double(F.col(vec_col)),
-            F.array(
-                *[F.lit(float(x)) for x in jl_weights(j, dims)]
-            ),
+            _lit_double_array(jl_weights(j, dims)),
         ).alias(f"__c{j}")
         for j in range(out_dims)
     ]
