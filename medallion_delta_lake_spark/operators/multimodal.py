@@ -511,8 +511,14 @@ def dhash_bands(
     nb = F.length(F.col(payload_col))
     out = df.withColumn("_hx", hx).withColumn("_nb", nb)
 
-    def byte_at(i: int):
-        return F.expr(
+    # One F.expr parse per band instead of composing ~130 Column ops
+    # (each a py4j round-trip) — the parsed tree is op-for-op the
+    # composed spelling (left-nested Add over shiftleft(CAST(bit)),
+    # CAST..AS BIGINT on top), so plan, codegen and results are
+    # bit-identical; only driver construction cost drops (the same
+    # fix sim's hyperplane_bucket measured build 5.3 -> 1.7 s from).
+    def byte_at(i: int) -> str:
+        return (
             f"CAST(conv(substring(_hx,"
             f" CAST(({i} * (_nb - 1)) div {cells - 1} AS INT) * 2 + 1,"
             f" 2), 16, 10) AS INT)"
@@ -521,14 +527,19 @@ def dhash_bands(
     bits_per_band = grid * grid // bands
     cols = []
     for b in range(bands):
-        acc = F.lit(0)
+        terms = ["0"]
         for j in range(bits_per_band):
             k = b * bits_per_band + j
             r, c = divmod(k, grid)
             cell = r * (grid + 1) + c
-            bit = (byte_at(cell) < byte_at(cell + 1)).cast("int")
-            acc = acc + F.shiftleft(bit, j)
-        cols.append(acc.cast("bigint").alias(f"band{b}"))
+            terms.append(
+                f"shiftleft(CAST(({byte_at(cell)} <"
+                f" {byte_at(cell + 1)}) AS INT), {j})"
+            )
+        cols.append(
+            F.expr("CAST(" + " + ".join(terms) + " AS BIGINT)")
+            .alias(f"band{b}")
+        )
     return out.select(
         *[c for c in df.columns if c not in ("_hx", "_nb")], *cols
     ).drop("_hx", "_nb")
